@@ -1,0 +1,691 @@
+"""§2.B/C/D/F/G — projection, filter, joins, aggregation, sort/limit,
+set ops. The relational core (SURVEY.md §7 step 1).
+
+Every query is pure DataFrame API → Catalyst; no UDFs. Scale notes
+appear per-query where the local plan and the 1000-executor plan
+diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from ._util import DEC, davg, dsum, sql_davg, sql_dsum
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- §2.B
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity * 2.0 + 1.0 AS qty2
+    FROM lineitem
+    """,
+)
+def project_compute(spark, sf_dir):
+    """Arithmetic projection — per-row IEEE ops are deterministic, no
+    stabilization needed (SURVEY §2.B1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("disc_price"),
+        (disc * (1 + F.col("l_tax"))).alias("charge"),
+        (F.col("l_quantity") * 2.0 + 1.0).alias("qty2"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND (c_acctbal BETWEEN 1000 AND 6000 OR c_name LIKE '%42%')
+      AND c_custkey IS NOT NULL
+    """,
+)
+def filter_pred(spark, sf_dir):
+    """Conjunctive/disjunctive predicates, IN, BETWEEN, LIKE (§2.B2)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & (
+            F.col("c_acctbal").between(1000, 6000)
+            | F.col("c_name").like("%42%")
+        )
+        & F.col("c_custkey").isNotNull()
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "filter_date",
+    oracle="""
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      AND event_type = 'purchase'
+    """,
+)
+def filter_date(spark, sf_dir):
+    """Timestamp-range predicate (§2.B3). Spark truncates the parquet
+    ns timestamps to µs exactly as DuckDB does (FIXTURES.md)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") >= F.to_timestamp(F.lit("2024-01-10 00:00:00")))
+        & (F.col("ts") < F.to_timestamp(F.lit("2024-01-20 00:00:00")))
+        & (F.col("event_type") == "purchase")
+    ).select("event_id", "ts", "user_id", "value")
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+    FROM lineitem
+    """,
+)
+def distinct_rows(spark, sf_dir):
+    """SELECT DISTINCT → hash aggregate with map-side partials (§2.B4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_quantity").distinct()
+
+
+# ---------------------------------------------------------------- §2.C
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, l.l_linenumber,
+           l.l_extendedprice, o.o_totalprice, c.c_mktsegment
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+      AND c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    """3-way equi inner join over the star schema (§2.C1). Catalyst
+    picks SMJ/shuffled-hash for lineitem⋈orders; AQE may demote the
+    customer side to broadcast at runtime. At 100 TB the winning
+    layout is lineitem and orders co-bucketed on the order key —
+    the catalog isolates that choice (catalog.py docstring)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_custkey", "l_linenumber",
+                "l_extendedprice", "o_totalprice", "c_mktsegment")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name <> 'EUROPE'
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Dimension joins with explicit broadcast hints (§2.C2) — zero
+    shuffle of the fact side; the 25-row/5-row dims replicate to every
+    executor. This is the pattern that survives 100×: dim size is
+    independent of SF."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") != "EUROPE")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    """Left outer join with real unmatched rows (§2.C3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark, sf_dir):
+    """Right outer join (§2.C3)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal < 1000) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark, sf_dir):
+    """Full outer join with unmatched rows on BOTH sides (§2.C3)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") < 1000)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark, sf_dir):
+    """EXISTS → left-semi join (§2.C4); probe side never duplicates."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """NOT EXISTS → left-anti join (§2.C4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON s.s_acctbal BETWEEN c.c_acctbal - 50 AND c.c_acctbal + 50
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi band join (§2.C5). No equi key → broadcast
+    nested-loop; we broadcast the supplier side explicitly (it is the
+    SF-small side: 10 rows/SF-unit). At 100 TB a band join on a large
+    side would instead bucket both sides by floor(acctbal/width) and
+    equi-join on the bucket ± 1 — documented in docs/SCALE.md."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    cond = (s.s_acctbal >= c.c_acctbal - 50) & (s.s_acctbal <= c.c_acctbal + 50)
+    return F.broadcast(s).join(c, cond).select(
+        "s_suppkey", "c_custkey", "s_acctbal", "c_acctbal"
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.value,
+           c.event_id AS click_id, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.event_id >= c.event_id
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (§2.C6): each purchase matched to the latest
+    preceding click of the same user. `event_id` is unique and
+    monotone with `ts` (FIXTURES.md), so ordering by it makes the
+    match exact and tie-free.
+
+    Implementation is the SCALABLE union-merge form, not the naive
+    range-join: union both sides, one window sorted by (user_id,
+    event_id), carry the last click forward with last(..., ignorenulls).
+    Cost = one shuffle on user_id + one sort — O(n log n) regardless
+    of click/purchase fan-in, where the naive equi-join + filter +
+    row_number form is O(clicks × purchases) per user."""
+    ev = _t(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    tagged = ev.where(is_click | (F.col("event_type") == "purchase")).select(
+        "user_id",
+        "event_id",
+        "value",
+        is_click.alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("is_click"), F.col("event_id"))
+    click_val = F.when(F.col("is_click"), F.col("value"))
+    return (
+        tagged.withColumn("click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("click_value", F.last(click_val, ignorenulls=True).over(w))
+        .where(~F.col("is_click"))
+        .select("user_id", "event_id", "value", "click_id", "click_value")
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_interval(spark, sf_dir):
+    """Interval-overlap self-join (§2.C7): pairs of events of the same
+    user whose [ts, ts+5min] windows overlap. Equi key user_id bounds
+    the quadratic term to per-user group size; at 100 TB the extra
+    guard is bucketing ts into 5-min epochs and equi-joining on
+    (user_id, epoch±1) — see docs/SCALE.md."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+    )
+
+
+# ---------------------------------------------------------------- §2.D
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    """Ungrouped aggregates (§2.D1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark, sf_dir):
+    """TPC-H-Q1-style grouped aggregation (§2.D2) — the flagship batch
+    query (`entry()` runs it). Partial aggregation happens map-side;
+    only 6 groups cross the shuffle, so the plan is scan-bound at any
+    SF — exactly the 100 TB shape we want."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS nd_part,
+           count(DISTINCT l_suppkey) AS nd_supp,
+           CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one pass (§2.D3) — Catalyst
+    expands to the standard expand+two-phase-agg plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double")
+        .alias("sum_distinct_qty"),
+    )
+
+
+@query("agg_approx")  # rows-only: approximate results have no exact oracle
+def agg_approx(spark, sf_dir):
+    """Approximate aggregates (§2.D4): HLL++ count-distinct and
+    KLL/GK percentile sketches. Both are mergeable sketches →
+    map-side partials, constant shuffle size at any SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("apx_nd_part"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("apx_nd_order"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+        .alias("apx_price_pcts"),
+    )
+
+
+@query(
+    "agg_rollup_cube_gsets",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_cust,
+           {sql_dsum('c.c_acctbal')} AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_cube_gsets(spark, sf_dir):
+    """ROLLUP hierarchy totals (§2.D5); cube/grouping-sets variants
+    registered separately below."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("c_acctbal").alias("sum_bal"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderstatus,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via SQL (DataFrame API has no direct form —
+    Catalyst Expand node either way)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """)
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation filter (§2.D6)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """collect_set wrapped in sort_array for determinism (§2.D7,
+    FIXTURES.md determinism traps)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------- §2.F
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC NULLS LAST, c.c_custkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multi(spark, sf_dir):
+    """Multi-key sort with explicit null ordering + limit (§2.F1).
+    The (o_totalprice, c_custkey) key is unique within the limit cut,
+    so the top-100 set is deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 480000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("c_custkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def topk_limit(spark, sf_dir):
+    """Global top-k (§2.F2) → TakeOrderedAndProject: each partition
+    keeps k rows, driver merges — no global sort shuffle at any SF."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- §2.G
+
+_UNION_A = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+_UNION_B = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+def _union_sides(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a, b
+
+
+@query("set_union_all", oracle=f"{_UNION_A} UNION ALL {_UNION_B}")
+def set_union_all(spark, sf_dir):
+    """Bag union (§2.G1) — no shuffle, pure concatenation."""
+    a, b = _union_sides(spark, sf_dir)
+    return a.unionByName(b)
+
+
+@query("set_union", oracle=f"{_UNION_A} UNION {_UNION_B}")
+def set_union(spark, sf_dir):
+    """Set union = bag union + distinct (§2.G1)."""
+    a, b = _union_sides(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+_SET_A = "SELECT l_quantity, l_returnflag FROM lineitem WHERE l_linestatus = 'O'"
+_SET_B = "SELECT l_quantity, l_returnflag FROM lineitem WHERE l_linestatus = 'F'"
+
+
+def _set_sides(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linestatus") == "O").select("l_quantity", "l_returnflag")
+    b = li.where(F.col("l_linestatus") == "F").select("l_quantity", "l_returnflag")
+    return a, b
+
+
+@query("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}")
+def set_intersect(spark, sf_dir):
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_intersect_all", oracle=f"{_SET_A} INTERSECT ALL {_SET_B}")
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL keeps per-row multiplicity min (§2.G2)."""
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@query("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}")
+def set_except(spark, sf_dir):
+    a, b = _set_sides(spark, sf_dir)
+    return a.subtract(b)  # subtract == EXCEPT DISTINCT
+
+
+@query("set_except_all", oracle=f"{_SET_A} EXCEPT ALL {_SET_B}")
+def set_except_all(spark, sf_dir):
+    a, b = _set_sides(spark, sf_dir)
+    return a.exceptAll(b)
