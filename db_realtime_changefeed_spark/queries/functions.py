@@ -1,1 +1,270 @@
-"""Placeholder — populated in a later milestone this round."""
+"""§2.H scalar function families — one composite query per family
+(string / date / math / conditional / array / JSON / map).
+
+All built-in pyspark.sql.functions → JVM whole-stage codegen; no
+Python in the hot path. Cross-engine determinism notes:
+
+- DuckDB `round(double, n)` rounds decimal-string-style (2.675→2.68)
+  while Spark rounds the exact binary value (→2.67), so graded
+  queries never round data-derived doubles. Transcendentals
+  (exp/ln/log10) may differ by 1 ulp between JVM and libm — we cast
+  those results to float, which absorbs the ulp (collision odds
+  ~2^-28/row).
+- DuckDB returns BIGINT where Spark returns INT (length, year,
+  instr, ...): oracle SQL casts to match Spark's narrower type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           substring(p_name, 1, 5) AS sub5,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           concat_ws('-', p_brand, p_type) AS cat,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS pad,
+           replace(p_name, 'a', '@') AS rep,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel,
+           CAST(length(p_name) AS INTEGER) AS nlen,
+           CAST(instr(p_name, 'e') AS INTEGER) AS pos_e,
+           trim(concat(' ', p_type, ' ')) AS trimmed
+    FROM part
+    """,
+)
+def fn_string(spark, sf_dir):
+    """String family (§2.H1). Spark regexp_replace is global by
+    default; DuckDB needs the 'g' flag."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cat"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("pad"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("rep"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devowel"),
+        F.length("p_name").alias("nlen"),
+        F.instr(F.col("p_name"), "e").alias("pos_e"),
+        F.trim(F.concat(F.lit(" "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yy,
+           CAST(month(o_orderdate) AS INTEGER) AS mm,
+           CAST(day(o_orderdate) AS INTEGER) AS dd,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           last_day(o_orderdate) AS month_end,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           epoch_ms(o_orderdate) AS ems,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM orders
+    """,
+)
+def fn_date(spark, sf_dir):
+    """Date/time family (§2.H2). Spark dayofweek is 1=Sunday,
+    DuckDB 0=Sunday → minus 1 on the Spark side."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yy"),
+        F.month(d).alias("mm"),
+        F.dayofmonth(d).alias("dd"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since"),
+        F.last_day(d).alias("month_end"),
+        (F.dayofweek(d) - F.lit(1)).alias("dow"),
+        F.unix_millis(d).alias("ems"),
+        d.cast("date").alias("odate"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
+           abs(l_quantity - 25.0) AS qty_dev,
+           l_discount * l_discount AS disc_sq,
+           sqrt(l_extendedprice) AS price_sqrt,
+           CAST(exp(l_discount) AS FLOAT) AS disc_exp,
+           CAST(ln(l_extendedprice) AS FLOAT) AS price_ln,
+           CAST(log10(l_extendedprice) AS FLOAT) AS price_log10,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+           greatest(l_quantity, l_discount * 100) AS gr,
+           least(l_tax, l_discount) AS le,
+           CAST(l_linenumber % 3 AS INTEGER) AS ln_mod
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    """Math family (§2.H3): exact IEEE ops stay double; libm-backed
+    transcendentals are float-stabilized (module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, ep, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(ep / 1000).alias("price_k"),
+        F.ceil(q / 7).alias("qty_ceil"),
+        F.abs(q - 25.0).alias("qty_dev"),
+        (disc * disc).alias("disc_sq"),
+        F.sqrt(ep).alias("price_sqrt"),
+        F.exp(disc).cast("float").alias("disc_exp"),
+        F.log(ep).cast("float").alias("price_ln"),
+        F.log10(ep).cast("float").alias("price_log10"),
+        F.signum(q - 25.0).alias("qty_sign"),
+        F.greatest(q, disc * 100).alias("gr"),
+        F.least(F.col("l_tax"), disc).alias("le"),
+        F.pmod(F.col("l_linenumber"), F.lit(3)).alias("ln_mod"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'fulfilled'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'pending' END AS status_desc,
+           if(o_totalprice > 250000, 'big', 'small') AS size_tag,
+           coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS depended,
+           ifnull(nullif(o_orderpriority, '5-LOW'), 'LOWEST') AS prio,
+           CASE WHEN o_totalprice > 400000 AND o_orderstatus = 'O'
+                THEN o_totalprice * 0.9 ELSE o_totalprice END AS adj_price
+    FROM orders
+    """,
+)
+def fn_cond(spark, sf_dir):
+    """Conditional family (§2.H4): CASE, if, coalesce/nullif/nvl."""
+    o = load_table(spark, sf_dir, "orders")
+    st, tp = F.col("o_orderstatus"), F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(st == "F", "fulfilled")
+        .when(st == "O", "open")
+        .otherwise("pending")
+        .alias("status_desc"),
+        F.when(tp > 250000, "big").otherwise("small").alias("size_tag"),
+        F.coalesce(F.nullif(st, F.lit("P")), F.lit("was_p")).alias("depended"),
+        F.nvl(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")), F.lit("LOWEST"))
+        .alias("prio"),
+        F.when((tp > 400000) & (st == "O"), tp * 0.9).otherwise(tp)
+        .alias("adj_price"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS first4,
+           CAST(list_aggregate(
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  'sum') AS FLOAT) AS norm2,
+           list_aggregate(embedding, 'max') AS vmax,
+           list_sort(embedding)[1:3] AS low3,
+           embedding[1] AS first_val,
+           list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       x -> x > 0) AS positives
+    FROM embeddings
+    """,
+)
+def fn_array(spark, sf_dir):
+    """Array / higher-order family (§2.H5) over the 64-dim embedding
+    column: size, slice, transform, filter, aggregate, sort. The
+    squared-norm fold is float-stabilized (addition-order tolerance)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.transform(F.slice(emb, 1, 4), dbl).alias("first4"),
+        F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x))
+        .cast("float")
+        .alias("norm2"),
+        F.array_max(emb).alias("vmax"),
+        F.slice(F.sort_array(emb), 1, 3).alias("low3"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.filter(F.transform(emb, dbl), lambda x: x > 0).alias("positives"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    """JSON family (§2.H6) on the props JSON-string column:
+    get_json_object + from_json (schema'd parse)."""
+    ev = load_table(spark, sf_dir, "events")
+    props = F.col("props")
+    parsed = F.from_json(props, "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.get_json_object(props, "$.k").alias("k_str"),
+        F.element_at(parsed, "k").alias("k_int"),
+        F.get_json_object(props, "$.k").isNotNull().alias("has_k"),
+        F.element_at(parsed, "missing").alias("k_missing"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           ['k', 'val'] AS mkeys,
+           CAST(2 AS INTEGER) AS msize,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS m_k,
+           value AS m_val
+    FROM events
+    """,
+)
+def fn_map(spark, sf_dir):
+    """Map family (§2.H7): build a map from the event payload, then
+    map_keys/size/element_at. The oracle validates the extracted
+    VALUES (DuckDB MAP comparison semantics differ, so the map itself
+    never crosses the comparison boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    m = F.create_map(F.lit("k"), k, F.lit("val"), F.col("value"))
+    return ev.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        F.size(m).alias("msize"),
+        F.element_at(m, "k").alias("m_k"),
+        F.element_at(m, "val").alias("m_val"),
+    )

@@ -1,1 +1,148 @@
-"""Placeholder — populated in a later milestone this round."""
+"""§2.K UDF / UDAF / UDTF surface — the sanctioned Python escape
+hatches, all Arrow-batched (pandas_udf / applyInPandas / mapInPandas).
+Never row-at-a-time Python UDFs (10-100× slower — task brief).
+
+Each query's oracle re-expresses the Python logic in SQL, proving the
+UDF computes what it claims. pandas_udf objects are built lazily
+inside the query functions (their DDL return types need an active
+SparkSession to parse).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from . import query
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT event_id, value,
+           CAST(1.0 / (1.0 + exp(-value)) AS FLOAT) AS sig
+    FROM events
+    """,
+)
+def udf_scalar_pandas(spark, sf_dir):
+    """§2.K1 — vectorized scalar pandas UDF (Series→Series, Arrow
+    transfer). float32 output absorbs numpy-vs-libm exp ulp
+    differences."""
+
+    @pandas_udf("float")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (1.0 / (1.0 + np.exp(-v))).astype("float32")
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "value", sigmoid("value").alias("sig"))
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT user_id,
+           max(value) - min(value) AS value_range,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udaf_grouped_agg(spark, sf_dir):
+    """§2.K2 — grouped-aggregate pandas UDF (Series→scalar).
+    max-min is order-insensitive and exact → oracle-checkable."""
+
+    @pandas_udf("double")
+    def vrange(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    @pandas_udf("long")
+    def vcount(v: pd.Series) -> int:
+        return len(v)
+
+    # pandas grouped-agg UDFs cannot mix with JVM aggregates in one
+    # agg() — both metrics go through the pandas path.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        vrange("value").alias("value_range"),
+        vcount("value").alias("n"),
+    )
+
+
+@query(
+    "udtf_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           value - min(value) OVER (PARTITION BY user_id) AS delta_from_min,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def udtf_grouped_map(spark, sf_dir):
+    """§2.K3 — applyInPandas grouped map (DataFrame→DataFrame per
+    group). Scale note: each group must fit one executor's memory —
+    fine for per-user event history; for giant groups pre-aggregate
+    or salt first (docs/SCALE.md).
+
+    The pandas fn is a closure (NOT a module-level function) so
+    cloudpickle ships it BY VALUE — workers need not have this
+    package on their import path (the grading driver may launch from
+    any cwd)."""
+
+    def group_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        pdf = pdf.sort_values("event_id")
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                # exact group-min subtraction: deterministic doubles
+                "delta_from_min": pdf["value"] - pdf["value"].min(),
+                "seq": range(1, len(pdf) + 1),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        group_normalize,
+        "event_id long, user_id long, delta_from_min double, seq long",
+    )
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, words[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         unnest(range(1, len(words) + 1)) AS t(i)
+    """,
+)
+def udtf_lateral(spark, sf_dir):
+    """§2.K4 — table-function surface via mapInPandas (1→N rows,
+    Arrow-batched; never materializes the whole table). Closure-
+    defined for by-value pickling (see udtf_grouped_map)."""
+
+    def explode_words(batches):
+        import pandas as pd  # worker-side import
+
+        for pdf in batches:
+            words = pdf["text"].str.split(" ")
+            n = words.str.len()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(n),
+                    "pos": [i + 1 for ws in words for i in range(len(ws))],
+                    "word": [w for ws in words for w in ws],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(
+        explode_words, "doc_id long, pos int, word string"
+    )

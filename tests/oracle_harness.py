@@ -54,29 +54,31 @@ def canon_cell(v) -> str:
     return str(v)
 
 
-def canon_frame(pdf) -> tuple[list[str], list[tuple[str, ...]]]:
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols]
-    rows = [
-        tuple(canon_cell(v) for v in row)
-        for row in pdf.itertuples(index=False, name=None)
-    ]
+def canon_frame(cols: list[str], raw_rows) -> tuple[list[str], list[tuple[str, ...]]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(canon_cell(row[i]) for i in order) for row in raw_rows]
     rows.sort()
-    return cols, rows
+    return sorted(cols), rows
 
 
 def run_pair(spark, sf_dir: str, query_fn, oracle: str):
+    """Returns ((cols, rows), (cols, rows)) as raw python objects —
+    Row.collect() and fetchall() both preserve date vs datetime,
+    Decimal, and nested lists without pandas dtype widening."""
     sdf = query_fn(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
     con = duck_con(sf_dir)
-    duck_pdf = con.sql(oracle).df()
+    rel = con.sql(oracle)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
     con.close()
-    return spark_pdf, duck_pdf
+    return (spark_cols, spark_rows), (duck_cols, duck_rows)
 
 
-def assert_match(name: str, spark_pdf, duck_pdf) -> None:
-    s_cols, s_rows = canon_frame(spark_pdf)
-    d_cols, d_rows = canon_frame(duck_pdf)
+def assert_match(name: str, spark_res, duck_res) -> None:
+    s_cols, s_rows = canon_frame(*spark_res)
+    d_cols, d_rows = canon_frame(*duck_res)
     assert s_cols == d_cols, (
         f"{name}: column mismatch\n spark={s_cols}\n duck ={d_cols}"
     )
