@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (forces every
+column/row to compute, no driver collect overhead). The first
+recorded run becomes the de-facto BASELINE (BASELINE.md): later
+rounds must stay within 2x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from db_realtime_changefeed_spark.queries import all_queries  # noqa: E402
+from db_realtime_changefeed_spark.session import get_spark  # noqa: E402
+
+# Representative spread: scan-bound agg, shuffle joins, broadcast
+# join, window, as-of merge, dedup families, vector search, pandas
+# UDF path, streaming windows, and the changefeed itself.
+HEADLINE = [
+    "scan_parquet",
+    "agg_groupby",
+    "agg_rollup_cube_gsets",
+    "distinct_rows",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_asof",
+    "win_topk_per_group",
+    "win_frame_range",
+    "topk_limit",
+    "fn_string",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_similarity_knn",
+    "llm_fingerprint",
+    "udtf_grouped_map",
+    "stream_tumbling",
+    "changefeed_core",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # JVM/codegen warmup on the smallest table so per-query numbers
+    # measure the operator, not first-call compilation.
+    materialize(queries["join_broadcast"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    for name in HEADLINE:
+        t = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t, 3)
+    total = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

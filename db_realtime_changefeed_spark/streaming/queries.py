@@ -1,1 +1,453 @@
-"""Placeholder — populated in a later milestone this round."""
+"""§2.A3-A5, §2.C8, §2.I — streaming graded queries.
+
+Each callable executes its Structured Streaming pipeline to
+completion (Trigger.AvailableNow over the time-ordered replay
+chunks) and returns the resulting batch DataFrame, so the driver can
+grade streams exactly like batch queries. Where the final result is
+deterministic under full replay (most of them), a DuckDB oracle over
+the raw `events` view proves batch↔stream equivalence — stronger
+than the rows-only contract SURVEY §2.I anticipated.
+
+Window/gap aggregates use `complete` output mode so no
+still-open window is withheld by the final watermark; late-data
+semantics (append mode + watermark drops) are exercised separately
+in stream_late_data with a held-back straggler fixture.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..queries import query
+from ..queries._util import DEC
+from .changefeed import ChangefeedRunner, cdc_envelope
+from .replay import (
+    build_replay_chunks,
+    fresh_sink_name,
+    read_events_stream,
+    run_available_now,
+)
+
+
+def _replayed(spark, sf_dir, **kw):
+    return read_events_stream(spark, build_replay_chunks(spark, sf_dir, **kw))
+
+
+def _to_table(stream_df, base, mode="append"):
+    name = fresh_sink_name(base)
+    run_available_now(stream_df, name, mode)
+    return name
+
+
+# ---------------------------------------------------------------- §2.A
+
+@query(
+    "source_stream_replay",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def source_stream_replay(spark, sf_dir):
+    """§2.A3: replay `events` as a file-source stream (1 chunk per
+    micro-batch) into a memory sink; full replay must reproduce the
+    table exactly."""
+    name = _to_table(_replayed(spark, sf_dir), "replay")
+    return spark.table(name)
+
+
+@query(
+    "sink_memory",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_memory(spark, sf_dir):
+    """§2.A4: streaming aggregation → memory sink (complete mode)."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = _to_table(agg, "sinkmem", "complete")
+    return spark.table(name)
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def sink_parquet(spark, sf_dir):
+    """§2.A4: streaming filter → parquet sink (exactly-once via
+    checkpoint + file-sink manifest), read back for grading."""
+    out = tempfile.mkdtemp(prefix="dbrcf-sinkpq-")
+    ckpt = tempfile.mkdtemp(prefix="dbrcf-sinkpq-ckpt-")
+    q = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@query(
+    "source_cdc_envelope",
+    oracle="""
+    SELECT 'insert' AS op,
+           CAST(NULL AS BIGINT) AS before_id,
+           event_id AS after_id, event_type AS after_type,
+           value AS after_value, ts
+    FROM events
+    """,
+)
+def source_cdc_envelope(spark, sf_dir):
+    """§2.A5: CDC envelope {op, before, after, ts} over the replayed
+    stream (flattened projection for grading)."""
+    env = cdc_envelope(_replayed(spark, sf_dir))
+    name = _to_table(env, "cdcenv")
+    t = spark.table(name)
+    return t.select(
+        "op",
+        F.col("before.event_id").alias("before_id"),
+        F.col("after.event_id").alias("after_id"),
+        F.col("after.event_type").alias("after_type"),
+        F.col("after.value").alias("after_value"),
+        "ts",
+    )
+
+
+# ---------------------------------------------------------------- §2.C8
+
+@query(
+    "join_stream_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_stream_static(spark, sf_dir):
+    """§2.C8a: stream⋈static-dim enrichment (user_id+1 → c_custkey —
+    the deterministic key mapping of the synthetic data). The static
+    side is broadcast: no stream-side shuffle at any scale."""
+    ev = _replayed(spark, sf_dir).where(F.col("event_type") == "purchase")
+    c = load_table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(c), c.c_custkey == ev.user_id + 1
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+    name = _to_table(joined, "ss_static")
+    return spark.table(name)
+
+
+@query(
+    "join_stream_stream",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.value AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def join_stream_stream(spark, sf_dir):
+    """§2.C8b: stream-stream inner join — purchases to clicks of the
+    same user within the preceding 10 minutes. Both sides carry
+    watermarks + the time-bound condition, so join state is pruned as
+    the watermark advances (bounded memory at any scale); with
+    in-order full replay the appended result equals the batch join."""
+    ev1 = _replayed(spark, sf_dir)
+    p = (
+        ev1.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+    ).select("purchase_id", "click_id", "user_id", "purchase_value")
+    name = _to_table(joined, "ss_stream")
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------- §2.I
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """§2.I1: tumbling 10-minute windows per event_type."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = _to_table(agg, "tumbling", "complete")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS window_start,
+             value
+      FROM events)
+    SELECT window_start, count(*) AS n
+    FROM expanded GROUP BY 1
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """§2.I2: sliding windows (10 min size, 5 min slide) — each event
+    lands in exactly two windows; the oracle expands both starts."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = _to_table(agg, "sliding", "complete")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n"
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark, sf_dir):
+    """§2.I3: gap-based session windows (30-min inactivity) per user.
+    Spark's session_window end = last event + gap; the oracle
+    reconstructs sessions with a lag/cumsum chain."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = _to_table(agg, "session", "complete")
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query("stream_late_data")  # rows-only: exercises watermark DROP semantics
+def stream_late_data(spark, sf_dir):
+    """§2.I4: watermark-bounded lateness. The replay fixture holds
+    back every (event_id % 97 == 0) row into a final straggler chunk;
+    with a 1-hour watermark in APPEND mode those stragglers arrive
+    days past the watermark and are dropped, and only watermark-
+    closed windows emit. Graded rows-only (the result is watermark-
+    trajectory-dependent by design); tests assert drops occurred."""
+    stream = _replayed(spark, sf_dir, holdback_mod=97)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = _to_table(agg, "latedata", "append")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n"
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """§2.I5: exactly-once dedup by event_id within the watermark.
+    The input is deliberately doubled (two identical replays
+    unioned) — dropDuplicates must collapse it back to one copy."""
+    doubled = _replayed(spark, sf_dir).unionByName(_replayed(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    name = _to_table(deduped, "dedup", "complete")
+    return spark.table(name)
+
+
+@query(
+    "stream_stateful_custom",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS view_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.signup_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+      GROUP BY e.user_id)
+    SELECT s.user_id, s.signup_ts, v.view_ts, p.purchase_ts
+    FROM s JOIN v ON s.user_id = v.user_id
+           JOIN p ON v.user_id = p.user_id
+    """,
+)
+def stream_stateful_custom(spark, sf_dir):
+    """§2.I6: arbitrary stateful op via applyInPandasWithState — a
+    per-user signup→view→purchase funnel machine. State = the three
+    first-hit timestamps; a user emits exactly one row when the
+    funnel completes. The SQL oracle proves the stateful stream
+    computes the same funnel on full replay.
+
+    Scale: state is per-user-key and O(3 timestamps); the state
+    store shards by key across executors — the canonical pattern for
+    custom sessionization at 100 TB."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def funnel(key, pdf_iter, state):
+        import pandas as pd  # worker-side; closure → by-value pickle
+
+        if state.exists:
+            signup, view, purchase, emitted = state.get
+        else:
+            signup = view = purchase = None
+            emitted = False
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if et == "signup" and signup is None:
+                    signup = ts
+                elif et == "view" and signup is not None and view is None \
+                        and ts > signup:
+                    view = ts
+                elif et == "purchase" and view is not None and purchase is None \
+                        and ts > view:
+                    purchase = ts
+        done = signup is not None and view is not None and purchase is not None
+        state.update((signup, view, purchase, emitted or done))
+        if done and not emitted:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "signup_ts": [signup],
+                    "view_ts": [view],
+                    "purchase_ts": [purchase],
+                }
+            )
+
+    stream = _replayed(spark, sf_dir)
+    result = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            funnel,
+            "user_id long, signup_ts timestamp, view_ts timestamp, "
+            "purchase_ts timestamp",
+            "signup_ts timestamp, view_ts timestamp, purchase_ts timestamp, "
+            "emitted boolean",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _to_table(result, "funnel", "append")
+    return spark.table(name)
+
+
+@query(
+    "changefeed_core",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def changefeed_core(spark, sf_dir):
+    """§2.I7 — the namesake: CDC stream → foreachBatch merge into a
+    versioned materialized aggregate + delta changelog
+    (streaming/changefeed.py). Graded on the final materialized
+    state, which must equal the batch aggregate over all events."""
+    runner = ChangefeedRunner(spark, sf_dir)
+    runner.run()
+    return runner.state()
+
+
+@query("changefeed_log")  # rows-only: delta log shape is trigger-dependent
+def changefeed_log(spark, sf_dir):
+    """§2.I7 feed side: the {old,new} per-trigger delta rows. The
+    batch count per key and monotone new_count are asserted in
+    tests/test_streaming.py; graded rows-only because batch
+    boundaries (not values) depend on replay chunking."""
+    runner = ChangefeedRunner(spark, sf_dir)
+    runner.run()
+    return runner.log()

@@ -1,0 +1,136 @@
+"""Event-stream replay harness (SURVEY.md §1.1, §2.A3).
+
+The graded `events` table is replayed as a Structured Streaming
+source: the parquet is re-chunked (once, into a writable tmp dir)
+into time-ordered files, then read with `readStream` +
+`maxFilesPerTrigger=1` + `Trigger.AvailableNow` — Spark's file
+source processes the chunks oldest-first, giving a deterministic
+sequence of micro-batches that simulates real-time arrival.
+
+Never touches /root/testdata (read-only): chunks are copies.
+
+100 TB note: in production the source would be Kafka/files-on-
+object-store; everything downstream of `readStream` is source-
+agnostic, so this harness IS the swap point.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, load_table
+
+_REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "dbrcf_replay")
+
+# Streaming reads go through the same raw schema as batch (ts read as
+# int64 nanos, converted after).
+_EVENTS_RAW = SCHEMAS["events"]
+
+
+def _chunk_dir(sf_dir: str, tag: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_REPLAY_ROOT, f"{sf_name}-{tag}")
+
+
+def build_replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 8,
+    holdback_mod: int | None = None,
+) -> str:
+    """Split events into time-ordered chunk files. With
+    `holdback_mod`, every (event_id % holdback_mod == 0) row is
+    withheld from its time slot and appended as a final straggler
+    chunk — the deterministic late-data fixture for watermark tests.
+    Idempotent per (sf_dir, parameters)."""
+    tag = f"c{n_chunks}" + (f"-h{holdback_mod}" if holdback_mod else "")
+    out = _chunk_dir(sf_dir, tag)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    per = (n + n_chunks - 1) // n_chunks
+    held = (
+        (F.col("event_id") % holdback_mod == 0) if holdback_mod else F.lit(False)
+    )
+    # event_id is monotone with ts (FIXTURES.md) → id-range chunks
+    # are time-range chunks.
+    for i in range(n_chunks):
+        chunk = ev.where(
+            (F.col("event_id") >= i * per)
+            & (F.col("event_id") < (i + 1) * per)
+            & ~held
+        )
+        _write_chunk(chunk, out, i)
+    if holdback_mod:
+        _write_chunk(ev.where(held), out, n_chunks)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _write_chunk(df: DataFrame, out: str, idx: int) -> None:
+    """Write one chunk as a single parquet file with a name AND mtime
+    that both sort in replay order (the file stream source orders by
+    mtime, ties by path)."""
+    stage = os.path.join(out, f"_stage{idx}")
+    # write the raw int64 ts back so streaming reads see the same
+    # physical type as the original table
+    df.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dst = os.path.join(out, f"chunk-{idx:04d}.parquet")
+    shutil.move(part, dst)
+    shutil.rmtree(stage)
+    os.utime(dst, (time.time(), 1_700_000_000.0 + idx))
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over event chunks with the ns→µs conversion the
+    batch catalog applies."""
+    df = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_available_now(
+    stream_df: DataFrame, sink_name: str, output_mode: str = "append"
+) -> None:
+    """Execute a streaming DataFrame to completion (AvailableNow) into
+    a fresh in-memory sink table + fresh checkpoint."""
+    ckpt = tempfile.mkdtemp(prefix=f"dbrcf-ckpt-{sink_name}-")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_SINK_SEQ = [0]
+
+
+def fresh_sink_name(base: str) -> str:
+    """Memory-sink names are session-global; make each run unique."""
+    _SINK_SEQ[0] += 1
+    return f"{base}_{_SINK_SEQ[0]}"

@@ -1,0 +1,70 @@
+"""Streaming-specific invariants beyond oracle parity (SURVEY §5.3):
+batch↔stream equivalence, watermark drop accounting, changefeed log
+coherence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.catalog import load_table
+from db_realtime_changefeed_spark.queries import all_queries
+from db_realtime_changefeed_spark.streaming.changefeed import ChangefeedRunner
+
+QUERIES = all_queries()
+
+
+def test_late_data_drops(spark, sf_smoke):
+    """Held-back stragglers must actually be dropped by the watermark:
+    windows sum to fewer events than the table holds."""
+    out = QUERIES["stream_late_data"](spark, sf_smoke)
+    counted = out.agg(F.sum("n")).collect()[0][0] or 0
+    total = load_table(spark, sf_smoke, "events").count()
+    n_held = (
+        load_table(spark, sf_smoke, "events")
+        .where(F.col("event_id") % 97 == 0)
+        .count()
+    )
+    assert n_held > 0
+    # append mode: only watermark-closed windows emit, and stragglers
+    # are dropped -> strictly fewer than total
+    assert counted < total
+
+
+def test_changefeed_log_coherent(spark, sf_smoke):
+    """The delta log must replay to the final state: last new_count
+    per key == state count; new_count strictly increases per key."""
+    runner = ChangefeedRunner(spark, sf_smoke)
+    runner.run()
+    state = {r["event_type"]: (r["cnt"], r["sum_value"])
+             for r in runner.state().collect()}
+    log = runner.log().orderBy("event_type", "batch_id").collect()
+    assert log, "empty changefeed log"
+    last = {}
+    for r in log:
+        prev = last.get(r["event_type"])
+        if prev is not None:
+            assert r["old_count"] == prev, "log chain broken"
+            assert r["new_count"] > prev, "new_count not monotone"
+        last[r["event_type"]] = r["new_count"]
+    for k, (cnt, _) in state.items():
+        assert last[k] == cnt, f"log tail != state for {k}"
+
+
+def test_stream_replay_deterministic(spark, sf_smoke):
+    a = sorted(map(tuple, QUERIES["source_stream_replay"](spark, sf_smoke).collect()))
+    b = sorted(map(tuple, QUERIES["source_stream_replay"](spark, sf_smoke).collect()))
+    assert a == b
+
+
+def test_stream_batch_equivalence_windows(spark, sf_smoke):
+    """Tumbling stream agg == identical batch window agg (SURVEY §5.3)."""
+    out = QUERIES["stream_tumbling"](spark, sf_smoke)
+    ev = load_table(spark, sf_smoke, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    s = sorted(map(tuple, out.select("window_start", "event_type", "n").collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
