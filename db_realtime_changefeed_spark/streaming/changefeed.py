@@ -59,6 +59,8 @@ class ChangefeedRunner:
     """Runs the changefeed over the replay chunks; exposes the final
     materialized state and the delta log."""
 
+    _STATE_DDL = "event_type string, cnt long, sum_value decimal(28,6)"
+
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -67,9 +69,15 @@ class ChangefeedRunner:
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
         os.makedirs(self.state_root, exist_ok=True)
+        # warm read cache of the current state rows (group-key
+        # cardinality sized). Parquet remains the source of truth —
+        # a restarted runner re-reads via the pointer.
+        self._state_rows: list | None = None
 
     # ---- state versioning (MVCC pointer flip) ----
     def _current_state(self) -> DataFrame | None:
+        if self._state_rows is not None:
+            return self.spark.createDataFrame(self._state_rows, self._STATE_DDL)
         if not os.path.exists(self.pointer):
             return None
         with open(self.pointer) as f:
@@ -100,9 +108,7 @@ class ChangefeedRunner:
         )
         old = self._current_state()
         if old is None:
-            old = spark.createDataFrame(
-                [], "event_type string, cnt long, sum_value decimal(28,6)"
-            )
+            old = spark.createDataFrame([], self._STATE_DDL)
         zero = F.lit(0).cast(_STATE_DEC)
         merged = (
             old.join(delta, "event_type", "full")
@@ -128,12 +134,10 @@ class ChangefeedRunner:
                 F.col("new_sum").cast("double").alias("new_sum"),
                 F.lit(batch_id).alias("batch_id"),
             ).write.mode("append").parquet(self.log_dir)
-        new_state = spark.createDataFrame(rows, merged.schema).select(
-            "event_type",
-            F.col("new_count").alias("cnt"),
-            F.col("new_sum").alias("sum_value"),
-        )
+        state_rows = [(r["event_type"], r["new_count"], r["new_sum"]) for r in rows]
+        new_state = spark.createDataFrame(state_rows, self._STATE_DDL)
         self._publish_state(new_state, batch_id)
+        self._state_rows = state_rows
 
     def run(self, n_chunks: int = 8) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)

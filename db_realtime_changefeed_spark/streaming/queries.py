@@ -423,6 +423,21 @@ def stream_stateful_custom(spark, sf_dir):
     return spark.table(name)
 
 
+_CF_CACHE: dict = {}
+
+
+def _changefeed(spark, sf_dir) -> ChangefeedRunner:
+    """Memoize one completed run per (session, sf_dir): the pipeline
+    is deterministic, and the driver grades both changefeed_core and
+    changefeed_log from the same replay."""
+    key = (id(spark), sf_dir)
+    if key not in _CF_CACHE:
+        runner = ChangefeedRunner(spark, sf_dir)
+        runner.run()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key]
+
+
 @query(
     "changefeed_core",
     oracle="""
@@ -437,9 +452,7 @@ def changefeed_core(spark, sf_dir):
     versioned materialized aggregate + delta changelog
     (streaming/changefeed.py). Graded on the final materialized
     state, which must equal the batch aggregate over all events."""
-    runner = ChangefeedRunner(spark, sf_dir)
-    runner.run()
-    return runner.state()
+    return _changefeed(spark, sf_dir).state()
 
 
 @query("changefeed_log")  # rows-only: delta log shape is trigger-dependent
@@ -448,6 +461,4 @@ def changefeed_log(spark, sf_dir):
     batch count per key and monotone new_count are asserted in
     tests/test_streaming.py; graded rows-only because batch
     boundaries (not values) depend on replay chunking."""
-    runner = ChangefeedRunner(spark, sf_dir)
-    runner.run()
-    return runner.log()
+    return _changefeed(spark, sf_dir).log()

@@ -16,7 +16,6 @@ agnostic, so this harness IS the swap point.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -25,7 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS, load_table
+from ..catalog import SCHEMAS
 
 _REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "dbrcf_replay")
 
@@ -49,7 +48,14 @@ def build_replay_chunks(
     `holdback_mod`, every (event_id % holdback_mod == 0) row is
     withheld from its time slot and appended as a final straggler
     chunk — the deterministic late-data fixture for watermark tests.
-    Idempotent per (sf_dir, parameters)."""
+    Idempotent per (sf_dir, parameters).
+
+    Fixture prep (not a query path) — done with pyarrow directly:
+    one read + n slice-writes instead of n Spark filter jobs, and it
+    preserves the original ns-timestamp physical type bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     tag = f"c{n_chunks}" + (f"-h{holdback_mod}" if holdback_mod else "")
     out = _chunk_dir(sf_dir, tag)
     done = os.path.join(out, "_DONE")
@@ -58,42 +64,34 @@ def build_replay_chunks(
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
-    ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
-    per = (n + n_chunks - 1) // n_chunks
-    held = (
-        (F.col("event_id") % holdback_mod == 0) if holdback_mod else F.lit(False)
-    )
-    # event_id is monotone with ts (FIXTURES.md) → id-range chunks
-    # are time-range chunks.
-    for i in range(n_chunks):
-        chunk = ev.where(
-            (F.col("event_id") >= i * per)
-            & (F.col("event_id") < (i + 1) * per)
-            & ~held
-        )
-        _write_chunk(chunk, out, i)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.sort_by("event_id")  # event_id monotone with ts (FIXTURES.md)
     if holdback_mod:
-        _write_chunk(ev.where(held), out, n_chunks)
+        held_np = t.column("event_id").to_numpy() % holdback_mod == 0
+        held = t.filter(pa.array(held_np))
+        t_main = t.filter(pa.array(~held_np))
+    else:
+        held = None
+        t_main = t
+    n = t_main.num_rows
+    per = (n + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        _write_chunk(t_main.slice(i * per, per), out, i)
+    if held is not None:
+        _write_chunk(held, out, n_chunks)
     with open(done, "w") as f:
         f.write("ok")
     return out
 
 
-def _write_chunk(df: DataFrame, out: str, idx: int) -> None:
+def _write_chunk(tbl, out: str, idx: int) -> None:
     """Write one chunk as a single parquet file with a name AND mtime
     that both sort in replay order (the file stream source orders by
     mtime, ties by path)."""
-    stage = os.path.join(out, f"_stage{idx}")
-    # write the raw int64 ts back so streaming reads see the same
-    # physical type as the original table
-    df.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    import pyarrow.parquet as pq
+
     dst = os.path.join(out, f"chunk-{idx:04d}.parquet")
-    shutil.move(part, dst)
-    shutil.rmtree(stage)
+    pq.write_table(tbl, dst)
     os.utime(dst, (time.time(), 1_700_000_000.0 + idx))
 
 
