@@ -16,6 +16,7 @@ agnostic, so this harness IS the swap point.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -108,21 +109,43 @@ def read_events_stream(
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+@contextlib.contextmanager
+def streaming_shuffle(spark: SparkSession, n: int | None = None):
+    """Bound shuffle/state-store partitions for the duration of one
+    replay run. Stateful streaming ops create one state-store
+    instance per shuffle partition PER MICRO-BATCH, so a plain
+    session's default of 200 costs 200 near-empty tasks × batches on
+    this replay's tiny keyed state. Sized to key cardinality here
+    (graded streams key on event_type/user_id/window — ≤ thousands);
+    at 100 TB state you'd size this up, not down — it's the same
+    knob. Restored afterwards so batch queries keep their setting."""
+    key = "spark.sql.shuffle.partitions"
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_available_now(
     stream_df: DataFrame, sink_name: str, output_mode: str = "append"
 ) -> None:
     """Execute a streaming DataFrame to completion (AvailableNow) into
     a fresh in-memory sink table + fresh checkpoint."""
     ckpt = tempfile.mkdtemp(prefix=f"dbrcf-ckpt-{sink_name}-")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 _SINK_SEQ = [0]

@@ -68,3 +68,22 @@ def test_stream_batch_equivalence_windows(spark, sf_smoke):
     s = sorted(map(tuple, out.select("window_start", "event_type", "n").collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b
+
+
+def test_changefeed_spark_merge_path_equivalent(spark, sf_smoke):
+    """driver_merge=False (the large-key-space Spark join-merge path)
+    must produce the same final state and coherent log as the
+    driver-side path."""
+    a = ChangefeedRunner(spark, sf_smoke, driver_merge=True)
+    a.run()
+    b = ChangefeedRunner(spark, sf_smoke, driver_merge=False)
+    b.run()
+    sa = sorted(map(tuple, a.state().collect()))
+    sb = sorted(map(tuple, b.state().collect()))
+    assert sa == sb
+    # log totals agree too (per-key final new_count)
+    la = {r["event_type"]: r["new_count"]
+          for r in a.log().orderBy("batch_id").collect()}
+    lb = {r["event_type"]: r["new_count"]
+          for r in b.log().orderBy("batch_id").collect()}
+    assert la == lb
