@@ -42,6 +42,10 @@ HEADLINE = [
     "llm_similarity_knn",
     "llm_fingerprint",
     "udtf_grouped_map",
+    "agg_stats",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
     "stream_tumbling",
     "changefeed_core",
 ]

@@ -37,7 +37,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from . import scans, relational, windows, functions, llm, udfs  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        functions,
+        llm,
+        relational,
+        scans,
+        udfs,
+        windows,
+    )
     from ..streaming import queries as streaming_queries  # noqa: F401
 
 

@@ -1,0 +1,513 @@
+"""Round-1 widening beyond SURVEY §2.Z: statistical aggregates,
+pivot/unpivot reshaping, deterministic sampling, scalar/correlated
+subquery patterns, distribution window functions, keep-latest dedup,
+and TPC-H-shaped composite workloads (q3/q5/q6/q10/q14 adapted to
+the measured star schema — FIXTURES.md).
+
+Determinism: every float aggregate routes through exact DECIMAL
+moments (_util.py), and derived statistics (variance, correlation)
+are computed from those exact sums with a formula written
+IDENTICALLY in the Spark plan and the DuckDB oracle, so the final
+IEEE double arithmetic is bit-for-bit reproducible on both engines.
+
+Scale notes: all joins here follow the star pattern — fact tables
+shuffle on their join key once, dimensions broadcast; the composite
+queries are the shapes AQE's join reordering + runtime broadcast
+thresholds are built for, so the same plans survive 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from ._util import dsum, sql_dsum
+
+# Exact second moments: cast each FACTOR to decimal before
+# multiplying — the double product of two prices carries rounding
+# error whose decimal re-rounding can differ across engines by one
+# decimal ulp, which catastrophic cancellation in the correlation
+# numerator amplifies to visible drift. Factor scale is 2 (the
+# measured precision of the fixture columns: quantities integral,
+# prices 2-decimal — FIXTURES.md), so casts are exact and the
+# product sums live at scale 4, where BOTH engines' decimal→double
+# conversion is correctly rounded (DuckDB's int128→double path
+# double-rounds at scale 12, off by ~1e-2 on 7e17-unit sums).
+_DECF = "decimal(18,2)"
+
+
+def _wsum(x, y):
+    return F.sum(x.cast(_DECF) * y.cast(_DECF)).cast("double")
+
+
+def _sql_wsum(x: str, y: str) -> str:
+    # width 19 forces DuckDB onto int128 storage (int64-backed
+    # DECIMAL(18) overflows in the multiply); the product is exact at
+    # any factor width, so Spark's (18,2) and DuckDB's (19,2) agree.
+    return (f"CAST(sum(CAST({x} AS DECIMAL(19,2))"
+            f" * CAST({y} AS DECIMAL(19,2))) AS DOUBLE)")
+
+
+# ---------------------------------------------------------------- stats
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             {sql_dsum('l_quantity')} AS sq,
+             {_sql_wsum('l_quantity', 'l_quantity')} AS sq2,
+             {sql_dsum('l_extendedprice')} AS sp,
+             {_sql_wsum('l_extendedprice', 'l_extendedprice')} AS sp2,
+             {_sql_wsum('l_quantity', 'l_extendedprice')} AS sqp
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           sq / n AS mean_qty,
+           (sq2 - sq * sq / n) / (n - 1) AS var_qty,
+           sqrt((sq2 - sq * sq / n) / (n - 1)) AS stddev_qty,
+           (sqp - sq * sp / n)
+             / (sqrt(sq2 - sq * sq / n) * sqrt(sp2 - sp * sp / n))
+             AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (variance / stddev / Pearson
+    correlation) per return flag. Spark's stddev/corr built-ins
+    accumulate doubles in partition order (non-deterministic across
+    engines), so both sides compute the identical two-pass-free
+    moment formula from EXACT decimal sums — one hash aggregate, no
+    extra shuffle, deterministic to the last bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sq"),
+        _wsum(q, q).alias("sq2"),
+        dsum(p).alias("sp"),
+        _wsum(p, p).alias("sp2"),
+        _wsum(q, p).alias("sqp"),
+    )
+    n, sq, sq2 = F.col("n"), F.col("sq"), F.col("sq2")
+    sp, sp2, sqp = F.col("sp"), F.col("sp2"), F.col("sqp")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (sq / n).alias("mean_qty"),
+        ((sq2 - sq * sq / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sq2 - sq * sq / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (sqp - sq * sp / n)
+            / (F.sqrt(sq2 - sq * sq / n) * F.sqrt(sp2 - sp * sp / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------- pivot/unpivot
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_wide(spark, sf_dir):
+    """Long→wide reshape: per-user counts by event type. The pivot
+    value list is explicit (measured domain) — with it, Spark skips
+    the extra distinct-values job and the plan is a single hash
+    aggregate at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+    FROM part
+    """,
+)
+def unpivot_long(spark, sf_dir):
+    """Wide→long reshape (unpivot/melt): numeric part attributes to
+    (attr, val) pairs — a narrow map-only operator, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "attr", "val"
+    )
+
+
+# ------------------------------------------------------------- sampling
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_hash(spark, sf_dir):
+    """Deterministic ~1/16 sample by key hash. Unlike
+    df.sample(seed=…) (partition-placement dependent, not
+    reproducible across engines or cluster layouts), an md5-bucket
+    predicate selects the same rows everywhere — the reproducible
+    sampling needed for training-data ablations; it pushes down as a
+    cheap scan filter and needs no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.where(bucket == "0").select("o_orderkey", "o_totalprice")
+
+
+# ----------------------------------------------------------- subqueries
+
+_SQL_AVG_PRICE = (
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+)
+
+
+@query(
+    "subquery_scalar",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_totalprice > (SELECT {_SQL_AVG_PRICE} FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """Scalar-subquery filter: orders above the global average price.
+    The scalar side is a 1-row broadcast (no shuffle of the fact
+    table against it); the average is decimal-exact so the comparison
+    cuts the same set in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "subquery_correlated",
+    oracle=f"""
+    SELECT o.o_custkey, count(*) AS n_above
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT {_SQL_AVG_PRICE} FROM orders i WHERE i.o_custkey = o.o_custkey)
+    GROUP BY o.o_custkey
+    """,
+)
+def subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery (each order vs ITS customer's
+    average), expressed as the decorrelated join Catalyst would
+    produce anyway: one per-key aggregate + one equi-join on the same
+    key — both shuffles share the o_custkey partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        o.join(per_cust, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# ------------------------------------------------------ window dist/dedup
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark, sf_dir):
+    """Distribution window functions. The ORDER BY carries o_orderkey
+    as tiebreaker — ntile assigns by row position, so tie order must
+    be pinned for cross-engine determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_latest(spark, sf_dir):
+    """Keep-latest-per-key dedup — the standard CDC compaction
+    pattern (last image wins). Catalyst rewrites rn=1 into
+    WindowGroupLimit: a per-partition top-1 that never materializes
+    full rank columns."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "props")
+    )
+
+
+# ------------------------------------------------- TPC-H-shaped workloads
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """Q3 shape (shipping priority): 3-way star join, filtered on
+    both fact and dims, top-10 by revenue. customer broadcasts;
+    lineitem⋈orders shuffle on the orderkey; TakeOrdered caps the
+    result without a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """Q5 shape (local supplier volume): 6-way join where the
+    customer-nation = supplier-nation condition closes the cycle.
+    All dims broadcast; the only shuffles are the two fact-side
+    equi-joins — the canonical AQE join-ordering showcase."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Q6 shape (revenue forecast): pure scan-filter-aggregate — the
+    predicate-pushdown benchmark. All four predicates reach the
+    parquet reader (row-group min/max skipping); no shuffle at all
+    beyond the single-row final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """Q10 shape (returned-item reporting): who returned the most
+    revenue this year. Filters cut the fact side before the join;
+    dims broadcast; top-20 via TakeOrdered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum(
+        "CASE WHEN p.p_type = 'PROMO'"
+        " THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+           / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """Q14 shape (promotion effect): conditional aggregate over a
+    fact⋈dim join — part broadcasts, so the month of lineitem never
+    shuffles; the two decimal sums ride one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev))
+             .alias("promo_revenue_pct"))
+    )
