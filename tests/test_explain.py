@@ -69,3 +69,45 @@ def test_knn_broadcasts_query_vector(spark, sf_oracle):
 def test_union_no_shuffle(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "set_union_all")
     assert "Exchange" not in plan, "UNION ALL must not shuffle"
+
+
+def test_tpch_q6_full_pushdown(spark, sf_oracle):
+    """All four Q6 predicates must reach the parquet scan, and only
+    the four needed columns may be read."""
+    plan = _plan(spark, sf_oracle, "tpch_q6")
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema, "column pruning failed"
+
+
+def test_tpch_star_joins_broadcast(spark, sf_oracle):
+    """Dim sides of the star joins must broadcast — the fact table
+    may shuffle at most once per fact-fact join."""
+    for name, max_smj in (("tpch_q3", 1), ("tpch_q5", 1), ("tpch_q10", 1)):
+        plan = _plan(spark, sf_oracle, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert plan.count("SortMergeJoin") <= max_smj, (
+            f"{name}: dims are shuffling"
+        )
+
+
+def test_dedup_latest_group_limit(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "dedup_latest")
+    assert "WindowGroupLimit" in plan, "rn=1 not pushed as group limit"
+
+
+def test_sample_hash_filter_pushed(spark, sf_oracle):
+    """The md5-bucket sample must run as a scan-time filter (no
+    shuffle, no extra stage)."""
+    plan = _plan(spark, sf_oracle, "sample_hash")
+    assert "Exchange" not in plan, "sampling must not shuffle"
+
+
+def test_agg_stats_single_shuffle(spark, sf_oracle):
+    """All six moments ride ONE hash aggregate: exactly one exchange."""
+    plan = _plan(spark, sf_oracle, "agg_stats")
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
