@@ -1,0 +1,116 @@
+"""Property-based + golden tests (SURVEY §5.4–5.5).
+
+Properties that must hold for the driver's order-insensitive hash
+grading to be trustworthy:
+- decimal-stabilized float aggregation is invariant under row-order
+  permutation (the core determinism claim of queries/_util.py);
+- dedup is idempotent and self-union collapses;
+- the changefeed's materialized state is invariant to replay
+  chunking (micro-batch boundaries must not leak into results);
+- the flagship entry() output matches a checked-in golden snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.queries._util import dsum
+from db_realtime_changefeed_spark.streaming.changefeed import ChangefeedRunner
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group key
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False, width=64,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_dsum_order_invariant(spark, rows, seed):
+    """Decimal-routed double sums must not depend on row order or
+    partitioning — this is what makes every graded float aggregate
+    hash-stable against the oracle."""
+    import random
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    ddl = "k int, v double"
+
+    def agg(data, parts):
+        df = spark.createDataFrame(data, ddl).repartition(parts)
+        out = df.groupBy("k").agg(dsum("v").alias("s")).collect()
+        return {r["k"]: r["s"] for r in out}
+
+    assert agg(rows, 1) == agg(shuffled, 7)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows)
+def test_dedup_idempotent(spark, rows):
+    """dropDuplicates twice == once; union-with-self collapses."""
+    ddl = "k int, v double"
+    df = spark.createDataFrame(rows, ddl)
+    once = sorted(map(tuple, df.dropDuplicates(["k"]).collect()))
+    twice = sorted(
+        map(tuple, df.dropDuplicates(["k"]).dropDuplicates(["k"]).collect())
+    )
+    doubled = sorted(
+        map(tuple, df.unionByName(df).dropDuplicates(["k"]).collect())
+    )
+    assert len(once) == len(twice) == len(doubled)
+    assert {t[0] for t in once} == {t[0] for t in doubled}
+
+
+def test_changefeed_chunking_invariant(spark, sf_smoke):
+    """The materialized state must be identical no matter how the
+    replay is chunked — micro-batch boundaries are an execution
+    detail, not a semantic input."""
+    a = ChangefeedRunner(spark, sf_smoke)
+    a.run(n_chunks=4)
+    b = ChangefeedRunner(spark, sf_smoke)
+    b.run(n_chunks=8)
+    sa = sorted(map(tuple, a.state().collect()))
+    sb = sorted(map(tuple, b.state().collect()))
+    assert sa == sb
+
+
+def test_entry_golden(spark):
+    """Flagship entry() output vs checked-in snapshot (sf0.001)."""
+    import __spark_entry__ as e
+
+    rows = [
+        {k: (round(v, 6) if isinstance(v, float) else v)
+         for k, v in r.asDict().items()}
+        for r in e.entry(spark).collect()
+    ]
+    rows = sorted(rows, key=lambda d: json.dumps(d, sort_keys=True, default=str))
+    path = os.path.join(GOLDEN, "entry_agg_groupby.json")
+    if not os.path.exists(path):  # first run writes the snapshot
+        os.makedirs(GOLDEN, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(rows, f, indent=1, sort_keys=True, default=str)
+        raise AssertionError("golden snapshot created; re-run to verify")
+    with open(path) as f:
+        golden = json.load(f)
+    assert json.loads(json.dumps(rows, default=str)) == golden
