@@ -91,9 +91,44 @@ def extract_features(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' analogue on opaque bytes: take one byte every
     `every_n_bytes` as a (doc_id, frame_idx, frame_byte) row — the
-    1→N row shape of real video frame sampling, pure Catalyst."""
+    1→N row shape of real video frame sampling, pure Catalyst.
+    Byte extraction: substring on BINARY yields a 1-byte blob whose
+    hex→base-10 conversion is the byte value (getbit only takes
+    integral input)."""
     idx = F.sequence(F.lit(1), F.octet_length("media"), F.lit(every_n_bytes))
-    frames = F.transform(idx, lambda i: F.getbit("media", (i - 1) * 8 + 7))
+    frames = F.transform(
+        idx,
+        lambda i: F.conv(F.hex(F.substring("media", i, 1)), 16, 10).cast("int"),
+    )
     return media.select(
-        "doc_id", F.posexplode(frames).alias("frame_idx", "frame_lsb")
+        "doc_id", F.posexplode(frames).alias("frame_idx", "frame_byte")
+    )
+
+
+def resize_blob(media: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """'Resize' analogue: normalize every blob to a fixed byte length
+    (truncate or zero-pad) via Arrow-batched mapInPandas — the shape
+    of a real image resize (variable blob in → fixed-size tensor
+    out). Returns derived scalars (lengths + byte checksum) so the
+    result is engine-comparable without binary-hash ambiguity."""
+
+    def fix_len(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        n = target_bytes
+        for pdf in batches:
+            blobs = pdf["media"]
+            resized = blobs.map(lambda b: bytes(b[:n]).ljust(n, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": blobs.str.len().astype("int64"),
+                    "out_len": resized.str.len().astype("int64"),
+                    "byte_sum": resized.map(lambda b: int(sum(b)))
+                    .astype("int64"),
+                }
+            )
+
+    return media.select("doc_id", "media").mapInPandas(
+        fix_len, "doc_id long, orig_len long, out_len long, byte_sum long"
     )

@@ -593,3 +593,47 @@ def llm_multimodal_decode(spark, sf_dir):
     from ..operators.multimodal import build_media_table, extract_features
 
     return extract_features(build_media_table(spark, sf_dir))
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(ascii(substring(text, 1 + i * 64, 1)) AS INTEGER) AS frame_byte
+    FROM documents,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(i)
+    """,
+)
+def llm_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing (task mandate): one byte every 64 from
+    each blob as (doc_id, frame_idx, frame_byte) rows — the 1→N shape
+    of video frame extraction, pure Catalyst (no Python). The text
+    corpus is ASCII, so the oracle reproduces byte values with
+    ascii(substring(...))."""
+    from ..operators.multimodal import build_media_table, sample_frames
+
+    return sample_frames(build_media_table(spark, sf_dir), 64)
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_len,
+           CAST(128 AS BIGINT) AS out_len,
+           CAST(list_aggregate(list_transform(
+                  range(1, 1 + least(length(text), 128)),
+                  i -> ascii(substring(text, i, 1))), 'sum') AS BIGINT)
+             AS byte_sum
+    FROM documents
+    """,
+)
+def llm_multimodal_resize(spark, sf_dir):
+    """Resize plumbing (task mandate): normalize blobs to 128 bytes
+    (truncate/zero-pad) in an Arrow-batched mapInPandas stage —
+    variable blob in, fixed-size buffer out, graded on derived
+    scalars (zero padding contributes 0 to the byte checksum)."""
+    from ..operators.multimodal import build_media_table, resize_blob
+
+    return resize_blob(build_media_table(spark, sf_dir), 128)
