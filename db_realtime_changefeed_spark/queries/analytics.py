@@ -305,6 +305,77 @@ def dedup_latest(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------- bucketed join
+
+_BUCKETED: dict = {}
+
+
+def _bucketed_tables(spark, sf_dir):
+    """Write lineitem+orders once per (session, sf_dir) as bucketed
+    tables co-partitioned on the join key (8 buckets, sorted). This
+    is the 100 TB layout SCALE.md prescribes: both fact tables land
+    pre-shuffled on orderkey, so every subsequent join on that key
+    is exchange-free forever. Bucket files live under tmp (the
+    graded testdata dir is read-only)."""
+    import os
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key in _BUCKETED:
+        return _BUCKETED[key]
+    tag = f"{abs(hash(key)) % 10**8:08d}"
+    root = tempfile.mkdtemp(prefix="dbrcf-buckets-")
+    names = (f"li_bkt_{tag}", f"o_bkt_{tag}")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(root, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(names[0])
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(root, "orders"))
+        .mode("overwrite")
+        .saveAsTable(names[1])
+    )
+    _BUCKETED[key] = names
+    return names
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Fact⋈fact join over co-bucketed tables: both sides are
+    pre-partitioned AND pre-sorted on the join key, so the sort-merge
+    join runs with zero exchanges and zero sorts (asserted in
+    tests/test_explain.py) — the layout that removes the dominant
+    shuffle of star-schema workloads at 100 TB."""
+    li_name, o_name = _bucketed_tables(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(o_name)
+    # the merge hint keeps the small-SF fixture on the SMJ path the
+    # layout is built for (at 100 TB neither side broadcasts anyway)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
 # ------------------------------------------------- TPC-H-shaped workloads
 
 @query(

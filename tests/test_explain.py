@@ -111,3 +111,13 @@ def test_agg_stats_single_shuffle(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "agg_stats")
     assert plan.count("+- Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_join_bucketed_no_exchange(spark, sf_oracle):
+    """Co-bucketed fact⋈fact must sort-merge with ZERO exchanges on
+    the join inputs (the only shuffle is the final aggregate)."""
+    plan = _plan(spark, sf_oracle, "join_bucketed")
+    assert "SortMergeJoin" in plan
+    # exactly one Exchange node in the whole tree: the post-join
+    # aggregate. Any second one means a join input shuffled.
+    assert plan.count("Exchange (") == 1, "bucketed join inputs shuffled"
