@@ -71,17 +71,31 @@ def cdc_envelope(events: DataFrame) -> DataFrame:
     )
 
 
-class ChangefeedRunner:
-    """Runs the changefeed over the replay chunks; exposes the final
-    materialized state and the delta log."""
+#: grouping keys the CDC payload supports → (Spark DDL, pyarrow type)
+_KEY_TYPES = {
+    "event_type": ("string", "string"),
+    "user_id": ("long", "int64"),
+}
 
-    _STATE_DDL = "event_type string, cnt long, sum_value decimal(28,6)"
+
+class ChangefeedRunner:
+    """Runs a changefeed over the replay chunks; exposes the final
+    materialized state and the delta log. The standing query is a
+    keyed count+sum, parameterized by `key` — a changefeed is a
+    standing QUERY, not a fixed demo, so the same runner serves
+    low-cardinality rollups (event_type) and per-entity feeds
+    (user_id) alike."""
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 driver_merge: bool = True):
+                 driver_merge: bool = True, key: str = "event_type"):
         self.spark = spark
         self.sf_dir = sf_dir
         self.driver_merge = driver_merge
+        self.key = key
+        self._key_ddl, self._key_pa = _KEY_TYPES[key]
+        self._STATE_DDL = (
+            f"{key} {self._key_ddl}, cnt long, sum_value decimal(28,6)"
+        )
         self.root = tempfile.mkdtemp(prefix="dbrcf-changefeed-")
         self.log_dir = os.path.join(self.root, "changelog")
         self.state_root = os.path.join(self.root, "state")
@@ -121,13 +135,13 @@ class ChangefeedRunner:
                 {}
                 if prev is None
                 else {
-                    r["event_type"]: (r["cnt"], r["sum_value"])
+                    r[self.key]: (r["cnt"], r["sum_value"])
                     for r in prev.collect()
                 }
             )
         state, changes = self._state, []
-        for r in sorted(delta_rows, key=lambda r: r["event_type"]):
-            k = r["event_type"]
+        for r in sorted(delta_rows, key=lambda r: r[self.key]):
+            k = r[self.key]
             old_c, old_s = state.get(k, (0, Decimal(0)))
             new_c, new_s = old_c + r["d_count"], old_s + r["d_sum"]
             state[k] = (new_c, new_s)
@@ -136,7 +150,7 @@ class ChangefeedRunner:
             cols = list(zip(*changes))
             log_tbl = pa.table(
                 {
-                    "event_type": pa.array(cols[0], pa.string()),
+                    self.key: pa.array(cols[0], pa.type_for_alias(self._key_pa)),
                     "old_count": pa.array(cols[1], pa.int64()),
                     "new_count": pa.array(cols[2], pa.int64()),
                     "old_sum": pa.array(cols[3], pa.float64()),
@@ -152,7 +166,7 @@ class ChangefeedRunner:
         items = sorted(state.items())
         state_tbl = pa.table(
             {
-                "event_type": pa.array([k for k, _ in items], pa.string()),
+                self.key: pa.array([k for k, _ in items], pa.type_for_alias(self._key_pa)),
                 "cnt": pa.array([c for _, (c, _) in items], pa.int64()),
                 "sum_value": pa.array(
                     [s for _, (_, s) in items], pa.decimal128(28, 6)
@@ -173,9 +187,9 @@ class ChangefeedRunner:
             old = spark.createDataFrame([], self._STATE_DDL)
         zero = F.lit(0).cast(_STATE_DEC)
         merged = (
-            old.join(delta, "event_type", "full")
+            old.join(delta, self.key, "full")
             .select(
-                "event_type",
+                self.key,
                 F.coalesce("cnt", F.lit(0)).alias("old_count"),
                 F.coalesce("sum_value", zero).alias("old_sum"),
                 (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_count", F.lit(0)))
@@ -187,7 +201,7 @@ class ChangefeedRunner:
         ).cache()
         try:
             merged.where("changed").select(
-                "event_type", "old_count", "new_count",
+                self.key, "old_count", "new_count",
                 F.col("old_sum").cast("double").alias("old_sum"),
                 F.col("new_sum").cast("double").alias("new_sum"),
                 F.lit(batch_id).alias("batch_id"),
@@ -196,7 +210,7 @@ class ChangefeedRunner:
             path = os.path.join(self.state_root, version)
             shutil.rmtree(path, ignore_errors=True)  # idempotent re-run
             merged.select(
-                "event_type",
+                self.key,
                 F.col("new_count").alias("cnt"),
                 F.col("new_sum").alias("sum_value"),
             ).write.mode("overwrite").parquet(path)
@@ -208,8 +222,8 @@ class ChangefeedRunner:
     # ---- the standing query ----
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         delta = (
-            batch_df.select("after.event_type", "after.value")
-            .groupBy("event_type")
+            batch_df.select(f"after.{self.key}", "after.value")
+            .groupBy(self.key)
             .agg(
                 F.count(F.lit(1)).alias("d_count"),
                 F.sum(F.col("value").cast(_STATE_DEC)).cast(_STATE_DEC)
@@ -241,7 +255,7 @@ class ChangefeedRunner:
         df = self._current_state_df()
         assert df is not None, "changefeed produced no state"
         return df.select(
-            "event_type",
+            self.key,
             "cnt",
             F.col("sum_value").cast("double").alias("sum_value"),
         )
