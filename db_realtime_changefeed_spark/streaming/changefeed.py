@@ -262,3 +262,93 @@ class ChangefeedRunner:
 
     def log(self) -> DataFrame:
         return self.spark.read.parquet(self.log_dir)
+
+
+class UpsertChangefeedRunner:
+    """Point-changefeed / upsert semantics — the other half of the
+    namesake: maintain the CURRENT ROW per key (last-writer-wins by
+    (ts, event_id)) and emit {old_val, new_val} whenever a key's row
+    changes. This is RethinkDB's per-document changes() shape, while
+    ChangefeedRunner is the aggregate-rollup shape.
+
+    Per micro-batch Spark does the O(rows) work (per-key argmax via
+    a struct max — partial+final, one shuffle of keys); the
+    key-cardinality-sized winners merge LWW into driver state. At
+    entity-scale key spaces the same merge is a MERGE INTO ... WHEN
+    MATCHED AND source.(ts,id) > target.(ts,id) — semantics
+    identical, executor-side."""
+
+    _STATE_DDL = "user_id long, ts timestamp, event_id long, value double"
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.root = tempfile.mkdtemp(prefix="dbrcf-upsert-")
+        self.log_dir = os.path.join(self.root, "changelog")
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._state: dict[int, tuple] = {}
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        winners = (
+            batch_df.select("after.user_id", "after.ts",
+                            "after.event_id", "after.value")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .collect()
+        )
+        changes = []
+        for r in sorted(winners, key=lambda r: r["user_id"]):
+            k, m = r["user_id"], r["m"]
+            new = (m["ts"], m["event_id"], m["value"])
+            old = self._state.get(k)
+            # LWW: replayed/late batches with stale (ts, id) lose
+            if old is None or new[:2] > old[:2]:
+                self._state[k] = new
+                changes.append(
+                    (k,
+                     old[2] if old else None,
+                     new[2],
+                     old[1] if old else None,
+                     new[1])
+                )
+        if changes:
+            cols = list(zip(*changes))
+            tbl = pa.table(
+                {
+                    "user_id": pa.array(cols[0], pa.int64()),
+                    "old_value": pa.array(cols[1], pa.float64()),
+                    "new_value": pa.array(cols[2], pa.float64()),
+                    "old_event_id": pa.array(cols[3], pa.int64()),
+                    "new_event_id": pa.array(cols[4], pa.int64()),
+                    "batch_id": pa.array([batch_id] * len(changes), pa.int64()),
+                }
+            )
+            dst = os.path.join(self.log_dir, f"batch-{batch_id:05d}.parquet")
+            pq.write_table(tbl, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+
+    def run(self, n_chunks: int = 8) -> None:
+        chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
+        env = cdc_envelope(read_events_stream(self.spark, chunks))
+        ckpt = tempfile.mkdtemp(prefix="dbrcf-upsert-ckpt-")
+        with streaming_shuffle(self.spark):
+            q = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("upsertfeed"))
+                .start()
+            )
+            q.awaitTermination()
+
+    def state(self) -> DataFrame:
+        rows = [(k, ts, eid, v)
+                for k, (ts, eid, v) in sorted(self._state.items())]
+        return self.spark.createDataFrame(rows, self._STATE_DDL)
+
+    def log(self) -> DataFrame:
+        return self.spark.read.parquet(self.log_dir)

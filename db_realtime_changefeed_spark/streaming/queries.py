@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..queries import query
 from ..queries._util import DEC
-from .changefeed import ChangefeedRunner, cdc_envelope
+from .changefeed import ChangefeedRunner, UpsertChangefeedRunner, cdc_envelope
 from .replay import (
     build_replay_chunks,
     fresh_sink_name,
@@ -480,3 +480,28 @@ def changefeed_keyed(spark, sf_dir):
     cardinality (the shape of RethinkDB-style per-document feeds);
     the final state must equal the batch per-user aggregate."""
     return _changefeed(spark, sf_dir, key="user_id").state()
+
+
+@query(
+    "changefeed_upsert",
+    oracle="""
+    SELECT user_id, ts, event_id, value
+    FROM (SELECT user_id, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def changefeed_upsert(spark, sf_dir):
+    """§2.I7 point-feed shape: last-writer-wins upsert view per user
+    with {old_val, new_val} change emission — RethinkDB-style
+    per-document changes(). The final state must equal the batch
+    keep-latest query; log coherence is asserted in
+    tests/test_streaming.py."""
+    key = (id(spark), sf_dir, "__upsert__")
+    if key not in _CF_CACHE:
+        runner = UpsertChangefeedRunner(spark, sf_dir)
+        runner.run()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key].state()

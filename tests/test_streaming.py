@@ -87,3 +87,30 @@ def test_changefeed_spark_merge_path_equivalent(spark, sf_smoke):
     lb = {r["event_type"]: r["new_count"]
           for r in b.log().orderBy("batch_id").collect()}
     assert la == lb
+
+
+def test_upsert_changefeed_log_coherent(spark, sf_smoke):
+    """Upsert feed: each key's change chain must link old→new values
+    and end at the state's current value; the first change per key
+    has a NULL old_value."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        UpsertChangefeedRunner,
+    )
+
+    runner = UpsertChangefeedRunner(spark, sf_smoke)
+    runner.run()
+    state = {r["user_id"]: (r["event_id"], r["value"])
+             for r in runner.state().collect()}
+    log = runner.log().orderBy("user_id", "batch_id").collect()
+    assert log, "empty upsert log"
+    last = {}
+    for r in log:
+        prev = last.get(r["user_id"])
+        if prev is None:
+            assert r["old_value"] is None
+        else:
+            assert r["old_value"] == prev[1], "value chain broken"
+            assert r["new_event_id"] > prev[0], "event order broken"
+        last[r["user_id"]] = (r["new_event_id"], r["new_value"])
+    for k, (eid, v) in state.items():
+        assert last[k] == (eid, v), f"log tail != state for user {k}"
