@@ -305,6 +305,41 @@ def dedup_latest(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- SQL-text surface
+
+_SQL_INTERFACE = """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_name, c.c_nationkey)
+SELECT n_name, c_name, n_orders, total_spend, rnk
+FROM (
+  SELECT n.n_name, s.c_name, s.n_orders, s.total_spend,
+         CAST(row_number() OVER (PARTITION BY s.c_nationkey
+                ORDER BY s.total_spend DESC, s.c_custkey) AS INTEGER) AS rnk
+  FROM spend s JOIN nation n ON n.n_nationkey = s.c_nationkey)
+WHERE rnk <= 3
+"""
+
+
+@query("sql_interface", oracle=_SQL_INTERFACE)
+def sql_interface(spark, sf_dir):
+    """The SQL-text entry point: users of a changefeed DB submit
+    query TEXT, not DataFrame calls. catalog.register_views exposes
+    every table as a view and the exact same ANSI string (CTE +
+    join + decimal-stabilized aggregate + window + derived-table
+    filter) runs unmodified on Spark AND on the DuckDB oracle —
+    the strongest possible demonstration that the SQL surface is
+    portable."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_INTERFACE)
+
+
 # -------------------------------------------------------- bucketed join
 
 _BUCKETED: dict = {}

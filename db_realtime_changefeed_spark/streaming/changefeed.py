@@ -280,13 +280,22 @@ class UpsertChangefeedRunner:
 
     _STATE_DDL = "user_id long, ts timestamp, event_id long, value double"
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 delete_on: str | None = None):
+        """`delete_on`: event_type treated as a CDC DELETE — the key
+        is tombstoned (removed from the materialized view, old_value
+        emitted with new_value NULL) until a newer non-delete event
+        re-inserts it."""
         self.spark = spark
         self.sf_dir = sf_dir
+        self.delete_on = delete_on
         self.root = tempfile.mkdtemp(prefix="dbrcf-upsert-")
         self.log_dir = os.path.join(self.root, "changelog")
         os.makedirs(self.log_dir, exist_ok=True)
         self._state: dict[int, tuple] = {}
+        # deleted keys keep their (ts, id) high-water mark so stale
+        # pre-delete events cannot resurrect a newer tombstone
+        self._tombstones: dict[int, tuple] = {}
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         import pyarrow as pa
@@ -294,9 +303,11 @@ class UpsertChangefeedRunner:
 
         winners = (
             batch_df.select("after.user_id", "after.ts",
-                            "after.event_id", "after.value")
+                            "after.event_id", "after.value",
+                            "after.event_type")
             .groupBy("user_id")
-            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .agg(F.max(F.struct("ts", "event_id", "value", "event_type"))
+                 .alias("m"))
             .collect()
         )
         changes = []
@@ -304,9 +315,18 @@ class UpsertChangefeedRunner:
             k, m = r["user_id"], r["m"]
             new = (m["ts"], m["event_id"], m["value"])
             old = self._state.get(k)
-            # LWW: replayed/late batches with stale (ts, id) lose
-            if old is None or new[:2] > old[:2]:
+            # LWW incl. tombstones: a stale (ts, id) always loses
+            prev = old if old is not None else self._tombstones.get(k)
+            if prev is not None and new[:2] <= prev[:2]:
+                continue
+            if self.delete_on is not None and m["event_type"] == self.delete_on:
+                self._tombstones[k] = new
+                if old is not None:
+                    del self._state[k]
+                    changes.append((k, old[2], None, old[1], new[1]))
+            else:
                 self._state[k] = new
+                self._tombstones.pop(k, None)
                 changes.append(
                     (k,
                      old[2] if old else None,

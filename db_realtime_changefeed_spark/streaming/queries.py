@@ -505,3 +505,28 @@ def changefeed_upsert(spark, sf_dir):
         runner.run()
         _CF_CACHE[key] = runner
     return _CF_CACHE[key].state()
+
+
+@query(
+    "changefeed_delete",
+    oracle="""
+    SELECT user_id, ts, event_id, value
+    FROM (SELECT user_id, ts, event_id, value, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def changefeed_delete(spark, sf_dir):
+    """§2.I7 full CDC op coverage: 'error' events act as DELETEs —
+    the key is tombstoned out of the materialized view (old_value
+    emitted, new_value NULL) until a newer event re-inserts it.
+    Final state must equal the batch keep-latest view minus users
+    whose latest event is the delete type."""
+    key = (id(spark), sf_dir, "__upsert_del__")
+    if key not in _CF_CACHE:
+        runner = UpsertChangefeedRunner(spark, sf_dir, delete_on="error")
+        runner.run()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key].state()
