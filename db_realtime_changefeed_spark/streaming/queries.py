@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..queries import query
 from ..queries._util import DEC
-from .changefeed import ChangefeedRunner, UpsertChangefeedRunner, cdc_envelope
+from .changefeed import (
+    ChangefeedRunner,
+    MultiChangefeedRunner,
+    UpsertChangefeedRunner,
+    cdc_envelope,
+)
 from .replay import (
     build_replay_chunks,
     fresh_sink_name,
@@ -527,6 +532,34 @@ def changefeed_delete(spark, sf_dir):
     key = (id(spark), sf_dir, "__upsert_del__")
     if key not in _CF_CACHE:
         runner = UpsertChangefeedRunner(spark, sf_dir, delete_on="error")
+        runner.run()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key].state()
+
+
+@query(
+    "changefeed_multi",
+    oracle="""
+    SELECT 'by_event_type' AS feed, event_type AS key,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_user_id' AS feed, CAST(user_id AS VARCHAR) AS key,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def changefeed_multi(spark, sf_dir):
+    """§2.I7 fan-out: TWO standing queries (per-event-type and
+    per-user) maintained from ONE CDC replay — subscribers share the
+    change-stream scan, the dominant cost at scale. Both final
+    states must equal their batch aggregates (unioned under a feed
+    tag)."""
+    key = (id(spark), sf_dir, "__multi__")
+    if key not in _CF_CACHE:
+        runner = MultiChangefeedRunner(spark, sf_dir)
         runner.run()
         _CF_CACHE[key] = runner
     return _CF_CACHE[key].state()
