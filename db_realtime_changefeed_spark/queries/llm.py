@@ -342,7 +342,7 @@ def llm_knn_lsh(spark, sf_dir):
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
              AS avg_words,
            count(DISTINCT source) AS n_sources,
