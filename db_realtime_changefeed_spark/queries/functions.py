@@ -70,34 +70,39 @@ def fn_string(spark, sf_dir):
            CAST(month(o_orderdate) AS INTEGER) AS mm,
            CAST(day(o_orderdate) AS INTEGER) AS dd,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
            CAST(datediff('day', DATE '1995-01-01',
                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
-           last_day(o_orderdate) AS month_end,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
            CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
            epoch_ms(o_orderdate) AS ems,
-           CAST(o_orderdate AS DATE) AS odate
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate
     FROM orders
     """,
 )
 def fn_date(spark, sf_dir):
     """Date/time family (§2.H2). Spark dayofweek is 1=Sunday,
-    DuckDB 0=Sunday → minus 1 on the Spark side."""
+    DuckDB 0=Sunday → minus 1 on the Spark side. DATE-typed outputs
+    are rendered as ISO strings on BOTH sides: Spark dates reach
+    pandas as objects and DuckDB dates as datetime64, so a
+    dataframe-level comparison would see different schemas for
+    logically equal values."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
+    iso = "yyyy-MM-dd"
     return o.select(
         "o_orderkey",
         F.year(d).alias("yy"),
         F.month(d).alias("mm"),
         F.dayofmonth(d).alias("dd"),
         F.date_trunc("month", d).alias("month_start"),
-        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.date_format(F.date_add(d.cast("date"), 30), iso).alias("plus30"),
         F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
         .alias("days_since"),
-        F.last_day(d).alias("month_end"),
+        F.date_format(F.last_day(d), iso).alias("month_end"),
         (F.dayofweek(d) - F.lit(1)).alias("dow"),
         F.unix_millis(d).alias("ems"),
-        d.cast("date").alias("odate"),
+        F.date_format(d.cast("date"), iso).alias("odate"),
     )
 
 
