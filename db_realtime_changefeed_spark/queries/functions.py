@@ -273,3 +273,34 @@ def fn_map(spark, sf_dir):
         F.element_at(m, "k").alias("m_k"),
         F.element_at(m, "val").alias("m_val"),
     )
+
+
+@query(
+    "fn_hash_encode",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256,
+           lower(hex(p_name)) AS hx,
+           base64(encode(p_name)) AS b64,
+           decode(from_base64(base64(encode(p_name)))) = p_name AS roundtrip
+    FROM part
+    """,
+)
+def fn_hash_encode(spark, sf_dir):
+    """Hash + binary-encoding family (§2.H extra): md5 / sha256 /
+    hex / base64 with a decode round-trip proof. Hex is lowercased
+    on both sides (Spark emits uppercase nibbles, DuckDB lowercase).
+    All JVM built-ins — the content-addressing primitives the dedup
+    operators build on."""
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    b64 = F.base64(F.encode(name, "UTF-8"))
+    return p.select(
+        "p_partkey",
+        F.md5(name).alias("h_md5"),
+        F.sha2(name, 256).alias("h_sha256"),
+        F.lower(F.hex(name)).alias("hx"),
+        b64.alias("b64"),
+        (F.decode(F.unbase64(b64), "UTF-8") == name).alias("roundtrip"),
+    )

@@ -114,3 +114,60 @@ def test_upsert_changefeed_log_coherent(spark, sf_smoke):
         last[r["user_id"]] = (r["new_event_id"], r["new_value"])
     for k, (eid, v) in state.items():
         assert last[k] == (eid, v), f"log tail != state for user {k}"
+
+
+def test_upsert_lww_survives_out_of_order_replay(spark, sf_smoke):
+    """Replay with held-back stragglers (every event_id % 97 == 0
+    arrives LAST, long after newer events): the LWW guard must keep
+    the true latest row per user — state equals the batch keep-latest
+    over ALL events, regardless of arrival order."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        UpsertChangefeedRunner,
+    )
+    from db_realtime_changefeed_spark.streaming.replay import (
+        build_replay_chunks,
+    )
+
+    runner = UpsertChangefeedRunner(spark, sf_smoke)
+    # point the runner's replay at the straggler fixture
+    chunks = build_replay_chunks(spark, sf_smoke, 8, holdback_mod=97)
+    import tempfile
+
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        cdc_envelope,
+    )
+    from db_realtime_changefeed_spark.streaming.replay import (
+        fresh_sink_name,
+        read_events_stream,
+        streaming_shuffle,
+    )
+
+    env = cdc_envelope(read_events_stream(spark, chunks))
+    ckpt = tempfile.mkdtemp(prefix="dbrcf-lww-ckpt-")
+    with streaming_shuffle(spark):
+        q = (
+            env.writeStream.foreachBatch(runner._merge_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(fresh_sink_name("lwwtest"))
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(map(tuple, runner.state().collect()))
+    ev = load_table(spark, sf_smoke, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("user_id", "ts", "event_id", "value")
+            .collect(),
+        )
+    )
+    assert got == want
