@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import dsum, sql_dsum
+from ._util import DEC, dsum, sql_dsum
 
 # ------------------------------------------------------------------ dedup
 
@@ -637,3 +637,71 @@ def llm_multimodal_resize(spark, sf_dir):
     from ..operators.multimodal import build_media_table, resize_blob
 
     return resize_blob(build_media_table(spark, sf_dir), 128)
+
+
+@query(
+    "llm_embedding_centroid",
+    oracle=f"""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           {sql_dsum('CAST(embedding[i] AS DOUBLE)')} / count(*) AS centroid_v
+    FROM embeddings, range(1, 65) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def llm_embedding_centroid(spark, sf_dir):
+    """Per-label centroid vectors (position-wise mean over the
+    64-dim embeddings) — the coarse-quantizer primitive under IVF
+    similarity search (docs/SCALE.md). One posexplode + one
+    decimal-stabilized hash aggregate: shuffle carries (label, pos)
+    partial sums, never vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+             / F.count(F.lit(1))).alias("centroid_v")
+        )
+    )
+
+
+@query("llm_knn_ivf")  # rows-only: probe-set membership is index-specific
+def llm_knn_ivf(spark, sf_dir):
+    """IVF-style ANN (§2.J3 scale path #2, complementing llm_knn_lsh):
+    labels act as the inverted-file cells, the per-cell centroids
+    (llm_embedding_centroid) are the coarse quantizer, and the query
+    searches ONLY its nearest cell — candidate count ~n/cells.
+    Exact cosine re-rank inside the probed cell. At 100 TB the label
+    column comes from k-means and cells are partition keys, so a
+    probe prunes partitions at the scan (tests/test_streaming.py is
+    not involved; tests assert the probe result is a subset of the
+    brute-force ranking)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+              / F.count(F.lit(1))).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.cv).alias("centroid"))
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    ee, qe, ce = F.col("embedding"), F.col("qe"), F.col("centroid")
+    qcos = _dot(ce, qe) / (F.sqrt(_dot(ce, ce)) * F.sqrt(_dot(qe, qe)))
+    best_cell = (
+        cents.crossJoin(F.broadcast(q))
+        .select("label", qcos.alias("qc"))
+        .orderBy(F.col("qc").desc(), F.col("label"))
+        .limit(1)
+        .select(F.col("label").alias("probe_label"))
+    )
+    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(best_cell), F.col("label") == F.col("probe_label"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

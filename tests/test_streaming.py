@@ -171,3 +171,38 @@ def test_upsert_lww_survives_out_of_order_replay(spark, sf_smoke):
         )
     )
     assert got == want
+
+
+def test_knn_ivf_probe_exact_within_cell(spark, sf_oracle):
+    """IVF probe correctness: all results come from ONE cell (the
+    probed label), and they are exactly the top-10 by cosine within
+    that cell as computed independently."""
+    out = QUERIES["llm_knn_ivf"](spark, sf_oracle).collect()
+    labels = {r["label"] for r in out}
+    assert len(labels) == 1, "IVF probe must search a single cell"
+    probe = labels.pop()
+
+    from db_realtime_changefeed_spark.catalog import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    ee, qe = F.col("embedding"), F.col("qe")
+    cos = dot(ee, qe) / (F.sqrt(dot(ee, ee)) * F.sqrt(dot(qe, qe)))
+    want = (
+        e.where((F.col("vec_id") != 0) & (F.col("label") == probe))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [(r["vec_id"], r["cos_sim"]) for r in out] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
