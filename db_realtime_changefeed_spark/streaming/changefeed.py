@@ -87,7 +87,12 @@ class ChangefeedRunner:
     (user_id) alike."""
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 driver_merge: bool = True, key: str = "event_type"):
+                 driver_merge: bool = True, key: str = "event_type",
+                 root: str | None = None):
+        """`root`: pass a previous runner's root to RESTART from its
+        durable state — the pointer file names the current version
+        and the warm cache rebuilds from parquet (crash-recovery
+        semantics; tested in tests/test_streaming.py)."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.driver_merge = driver_merge
@@ -96,7 +101,7 @@ class ChangefeedRunner:
         self._STATE_DDL = (
             f"{key} {self._key_ddl}, cnt long, sum_value decimal(28,6)"
         )
-        self.root = tempfile.mkdtemp(prefix="dbrcf-changefeed-")
+        self.root = root or tempfile.mkdtemp(prefix="dbrcf-changefeed-")
         self.log_dir = os.path.join(self.root, "changelog")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")

@@ -206,3 +206,16 @@ def test_knn_ivf_probe_exact_within_cell(spark, sf_oracle):
     assert [(r["vec_id"], r["cos_sim"]) for r in out] == [
         (r["vec_id"], r["cos_sim"]) for r in want
     ]
+
+
+def test_changefeed_restart_recovers_state(spark, sf_smoke):
+    """Crash-recovery: a NEW runner pointed at a previous runner's
+    root must reload the durable state via the pointer file — the
+    in-memory cache is an optimization, parquet is the truth."""
+    a = ChangefeedRunner(spark, sf_smoke)
+    a.run()
+    b = ChangefeedRunner(spark, sf_smoke, root=a.root)
+    assert b._state is None  # nothing warm — must come from disk
+    sa = sorted(map(tuple, a.state().collect()))
+    sb = sorted(map(tuple, b.state().collect()))
+    assert sa == sb
