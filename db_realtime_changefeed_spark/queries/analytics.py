@@ -617,3 +617,30 @@ def tpch_q14(spark, sf_dir):
         .agg((F.lit(100.0) * dsum(promo) / dsum(rev))
              .alias("promo_revenue_pct"))
     )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.25) AS q1_qty,
+           quantile_cont(l_quantity, 0.75) AS q3_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark, sf_dir):
+    """Exact interpolated median/quartiles per group. Both engines
+    use the same (n-1)*p interpolation over the sorted values, and
+    quantities are small integers, so midpoints are IEEE-exact.
+    (mode() is deliberately NOT graded: its tie-breaking is
+    engine-arbitrary and the fixture's status counts run within 0.2%
+    of each other.) Exact quantiles sort within each group — the
+    scale path is agg_approx's percentile_approx sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.median(q).alias("med_qty"),
+        F.percentile(q, F.lit(0.25)).alias("q1_qty"),
+        F.percentile(q, F.lit(0.75)).alias("q3_qty"),
+    )

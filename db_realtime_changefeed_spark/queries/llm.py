@@ -705,3 +705,97 @@ def llm_knn_ivf(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+_JACCARD_PAIRS_SQL = """
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, lang, n_chars,
+               list_distinct(string_split(text, ' ')) AS ws FROM documents) a
+  JOIN (SELECT doc_id, lang, n_chars,
+               list_distinct(string_split(text, ' ')) AS ws FROM documents) b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 10
+  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+          / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) > 0.5
+"""
+
+
+@query(
+    "llm_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT)
+             AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def llm_dedup_cluster(spark, sf_dir):
+    """Dedup clustering (§2.J extra): connected components over the
+    near-dup pair graph, so each duplicate cluster elects one
+    canonical doc_id (its minimum). The heavy, O(rows)-scaling work
+    — building the blocked candidate-pair list — is the distributed
+    Spark join; the pair LIST is small (it is the dedup rate times
+    the corpus, not the corpus), so components are solved exactly
+    with union-find over the collected pairs and the label map
+    broadcast-joins back onto the full table. Docs outside any pair
+    label themselves. The DuckDB oracle recomputes the same
+    components with a recursive transitive-closure CTE.
+
+    Scale: candidate pairs after blocking/MinHash are routinely
+    union-found driver-side even at corpus scale (pairs << docs);
+    for pathological pair volumes the fallback is the distributed
+    min-label-propagation loop (alternate per-round equi-join +
+    min-aggregate), same join shapes as everything else here."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    jac = inter.cast("double") / (
+        F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+        )
+        .where(jac > 0.5)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            # union by smaller root so the cluster id is the min
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    label_rows = sorted((x, find(x)) for x in parent)
+    labels = spark.createDataFrame(
+        label_rows or [(None, None)], "doc_id long, mapped long"
+    )
+    return d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("mapped", F.col("doc_id")).alias("cluster_id"),
+    )
