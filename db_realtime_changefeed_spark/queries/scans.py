@@ -57,3 +57,51 @@ def scan_pruned(spark, sf_dir):
         )
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+_PARTITIONED: dict = {}
+
+
+def _partitioned_events(spark, sf_dir: str) -> str:
+    """Write events once per (session, sf_dir) as a date-partitioned
+    parquet layout under tmp — the physical layout the catalog would
+    use at 100 TB (docs/SCALE.md 'Scans'). The graded testdata dir is
+    read-only, so the layout demo materializes a copy."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _PARTITIONED:
+        root = tempfile.mkdtemp(prefix="dbrcf-partitioned-")
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(root)
+        )
+        _PARTITIONED[key] = root
+    return _PARTITIONED[key]
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Partition pruning made concrete: events re-laid-out as
+    date-partitioned parquet, scanned with a date predicate that
+    Catalyst turns into PartitionFilters — directories outside the
+    range are never opened (asserted in tests/test_explain.py). This
+    is the scan pattern that turns a 100 TB table into a 5-day read;
+    event_date = date(ts), so the ts-range oracle selects the same
+    rows."""
+    root = _partitioned_events(spark, sf_dir)
+    df = spark.read.parquet(root)
+    return df.where(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") < F.lit("2024-01-15").cast("date"))
+    ).select("event_id", "user_id", "event_type", "value")

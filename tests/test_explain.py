@@ -121,3 +121,12 @@ def test_join_bucketed_no_exchange(spark, sf_oracle):
     # exactly one Exchange node in the whole tree: the post-join
     # aggregate. Any second one means a join input shuffled.
     assert plan.count("Exchange (") == 1, "bucketed join inputs shuffled"
+
+
+def test_partition_pruning(spark, sf_oracle):
+    """The date predicate must become PartitionFilters on the
+    partitioned layout (only in-range directories are read)."""
+    plan = _plan(spark, sf_oracle, "scan_partition_pruned")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_date" in pf, "date predicate not applied at partition level"
