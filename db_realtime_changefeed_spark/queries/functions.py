@@ -304,3 +304,36 @@ def fn_hash_encode(spark, sf_dir):
         b64.alias("b64"),
         (F.decode(F.unbase64(b64), "UTF-8") == name).alias("roundtrip"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 21845) AS xored,
+           event_id << 3 AS shl,
+           event_id >> 4 AS shr,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount,
+           ~event_id AS inverted
+    FROM events
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family (§2.H extra): and/or/xor/shifts/popcount/not on
+    int64 keys — exact integer ops, identical on any engine. The
+    flag-masking and hash-mixing primitives under the partitioning
+    and dedup operators."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(e, 3).alias("shl"),
+        F.shiftright(e, 4).alias("shr"),
+        F.bit_count(e).alias("popcount"),
+        F.bitwise_not(e).alias("inverted"),
+    )
