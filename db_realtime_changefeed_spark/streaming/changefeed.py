@@ -88,15 +88,20 @@ class ChangefeedRunner:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  driver_merge: bool = True, key: str = "event_type",
-                 root: str | None = None):
+                 root: str | None = None, filter_sql: str | None = None):
         """`root`: pass a previous runner's root to RESTART from its
         durable state — the pointer file names the current version
         and the warm cache rebuilds from parquet (crash-recovery
-        semantics; tested in tests/test_streaming.py)."""
+        semantics; tested in tests/test_streaming.py).
+        `filter_sql`: SQL predicate over the CDC payload columns
+        (e.g. "event_type = 'purchase'") — the standing query
+        becomes a FILTERED aggregate; the predicate runs before the
+        keyed delta, so ineligible changes never enter state."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.driver_merge = driver_merge
         self.key = key
+        self.filter_sql = filter_sql
         self._key_ddl, self._key_pa = _KEY_TYPES[key]
         self._STATE_DDL = (
             f"{key} {self._key_ddl}, cnt long, sum_value decimal(28,6)"
@@ -226,8 +231,11 @@ class ChangefeedRunner:
 
     # ---- the standing query ----
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        payload = batch_df.select("after.*")
+        if self.filter_sql is not None:
+            payload = payload.where(self.filter_sql)
         delta = (
-            batch_df.select(f"after.{self.key}", "after.value")
+            payload.select(self.key, "value")
             .groupBy(self.key)
             .agg(
                 F.count(F.lit(1)).alias("d_count"),

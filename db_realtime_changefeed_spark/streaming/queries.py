@@ -538,6 +538,37 @@ def changefeed_delete(spark, sf_dir):
 
 
 @query(
+    "changefeed_filtered",
+    oracle="""
+    SELECT user_id,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def changefeed_filtered(spark, sf_dir):
+    """§2.I7 via the client API: a FILTERED standing query —
+    db.table('events').filter("event_type = 'purchase'")
+      .changes(key='user_id') — the ReQL/CREATE-CHANGEFEED shape.
+    The predicate runs on the change stream before the keyed delta,
+    so non-matching changes never touch state; the final state must
+    equal the filtered batch aggregate."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__filtered__")
+    if key not in _CF_CACHE:
+        _CF_CACHE[key] = (
+            Database(spark, sf_dir)
+            .table("events")
+            .filter("event_type = 'purchase'")
+            .changes(key="user_id")
+        )
+    return _CF_CACHE[key].state()
+
+
+@query(
     "changefeed_multi",
     oracle="""
     SELECT 'by_event_type' AS feed, event_type AS key,
