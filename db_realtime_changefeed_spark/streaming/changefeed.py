@@ -273,6 +273,34 @@ class ChangefeedRunner:
             F.col("sum_value").cast("double").alias("sum_value"),
         )
 
+    def versions(self) -> list[int]:
+        """Batch ids of all retained MVCC state versions."""
+        import re
+
+        out = []
+        for name in os.listdir(self.state_root):
+            m = re.fullmatch(r"v(\d+)(?:\.parquet)?", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def state_at(self, batch_id: int) -> DataFrame:
+        """Time travel: the materialized state AS OF a past batch —
+        MVCC versions are retained, not garbage-collected, so any
+        trigger's view stays readable (the AS OF SYSTEM TIME analogue
+        of versioned changefeed stores)."""
+        for name in (f"v{batch_id}.parquet", f"v{batch_id}"):
+            path = os.path.join(self.state_root, name)
+            if os.path.exists(path):
+                return self.spark.read.parquet(path).select(
+                    self.key,
+                    "cnt",
+                    F.col("sum_value").cast("double").alias("sum_value"),
+                )
+        raise KeyError(
+            f"no state version for batch {batch_id}; have {self.versions()}"
+        )
+
     def log(self) -> DataFrame:
         return self.spark.read.parquet(self.log_dir)
 

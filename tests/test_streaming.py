@@ -219,3 +219,27 @@ def test_changefeed_restart_recovers_state(spark, sf_smoke):
     sa = sorted(map(tuple, a.state().collect()))
     sb = sorted(map(tuple, b.state().collect()))
     assert sa == sb
+
+
+def test_changefeed_time_travel(spark, sf_smoke):
+    """MVCC versions stay readable: state_at(batch) must equal the
+    log-replayed aggregate up to that batch, and the final version
+    equals state()."""
+    runner = ChangefeedRunner(spark, sf_smoke)
+    runner.run()
+    versions = runner.versions()
+    assert len(versions) >= 2, "expected one version per micro-batch"
+    # replay the log up to the middle version and compare counts
+    mid = versions[len(versions) // 2]
+    log = runner.log().where(F.col("batch_id") <= mid)
+    last_per_key = {
+        r["event_type"]: r["new_count"]
+        for r in log.orderBy("batch_id").collect()
+    }
+    got = {r["event_type"]: r["cnt"]
+           for r in runner.state_at(mid).collect()}
+    assert got == last_per_key
+    final = {r["event_type"]: r["cnt"]
+             for r in runner.state_at(versions[-1]).collect()}
+    now = {r["event_type"]: r["cnt"] for r in runner.state().collect()}
+    assert final == now
