@@ -105,3 +105,59 @@ def scan_partition_pruned(spark, sf_dir):
         (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
         & (F.col("event_date") < F.lit("2024-01-15").cast("date"))
     ).select("event_id", "user_id", "event_type", "value")
+
+
+_FORMATS: dict = {}
+
+
+def _format_copy(spark, sf_dir: str, fmt: str) -> str:
+    """Write the events projection once per (session, sf_dir, fmt) in
+    the requested text format — the connector-breadth fixture (the
+    graded dir ships parquet only). Java's shortest-round-trip double
+    rendering makes text round-trips exact."""
+    import tempfile
+
+    key = (id(spark), sf_dir, fmt)
+    if key not in _FORMATS:
+        root = tempfile.mkdtemp(prefix=f"dbrcf-{fmt}-")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.format(fmt)
+            .option("header", "true")
+            .mode("overwrite")
+            .save(root)
+        )
+        _FORMATS[key] = root
+    return _FORMATS[key]
+
+
+_EVENTS_PROJ_DDL = (
+    "event_id long, user_id long, event_type string, value double"
+)
+
+_EVENTS_PROJ_ORACLE = """
+    SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+@query("source_csv", oracle=_EVENTS_PROJ_ORACLE)
+def source_csv(spark, sf_dir):
+    """CSV source connector: schema-asserted read (no inference scan
+    at scale) of a CSV copy of events; the round trip must reproduce
+    the parquet-backed oracle exactly."""
+    path = _format_copy(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(_EVENTS_PROJ_DDL)
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+@query("source_jsonl", oracle=_EVENTS_PROJ_ORACLE)
+def source_jsonl(spark, sf_dir):
+    """JSON-lines source connector: schema-asserted read of a JSONL
+    copy of events (the interchange format of most LLM data
+    pipelines); must reproduce the parquet-backed oracle exactly."""
+    path = _format_copy(spark, sf_dir, "json")
+    return spark.read.schema(_EVENTS_PROJ_DDL).json(path)
