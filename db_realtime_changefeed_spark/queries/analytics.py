@@ -644,3 +644,25 @@ def agg_median(spark, sf_dir):
         F.percentile(q, F.lit(0.25)).alias("q1_qty"),
         F.percentile(q, F.lit(0.75)).alias("q3_qty"),
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_fulfilled
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark, sf_dir):
+    """Boolean aggregates (every/any) + filtered count — exact
+    predicates, engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fulfilled"),
+    )

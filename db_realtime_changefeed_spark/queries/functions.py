@@ -337,3 +337,34 @@ def fn_bitwise(spark, sf_dir):
         F.bit_count(e).alias("popcount"),
         F.bitwise_not(e).alias("inverted"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(sin(l_discount) AS FLOAT) AS s,
+           CAST(cos(l_discount) AS FLOAT) AS c,
+           CAST(tan(l_discount) AS FLOAT) AS t,
+           CAST(atan2(l_quantity, l_extendedprice) AS FLOAT) AS a2,
+           CAST(degrees(l_discount) AS FLOAT) AS deg,
+           CAST(radians(l_quantity) AS FLOAT) AS rad
+    FROM lineitem
+    """,
+)
+def fn_trig(spark, sf_dir):
+    """Trigonometric family (§2.H extra). libm-vs-JVM results can
+    differ by 1 ulp, so outputs are float-stabilized like the fn_math
+    transcendentals (module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d, q, p = F.col("l_discount"), F.col("l_quantity"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sin(d).cast("float").alias("s"),
+        F.cos(d).cast("float").alias("c"),
+        F.tan(d).cast("float").alias("t"),
+        F.atan2(q, p).cast("float").alias("a2"),
+        F.degrees(d).cast("float").alias("deg"),
+        F.radians(q).cast("float").alias("rad"),
+    )
