@@ -666,3 +666,56 @@ def agg_bool(spark, sf_dir):
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fulfilled"),
     )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           (n.n_regionkey = r.r_regionkey) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product — only ever dim×dim (5×25 here);
+    fact-side cross joins are structurally absent from this engine
+    (every fact join is keyed or broadcast-pruned)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_totalprice) OVER w AS cheapest,
+           nth_value(o_totalprice, 3) OVER w AS third_cheapest,
+           last_value(o_totalprice) OVER w AS priciest_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_nth_value(spark, sf_dir):
+    """first/nth/last_value over an explicit running frame with a
+    pinned tie order — the positional window accessors (§2.E extra)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first(p).over(w).alias("cheapest"),
+        F.nth_value(p, 3).over(w).alias("third_cheapest"),
+        F.last(p).over(w).alias("priciest_so_far"),
+    )
