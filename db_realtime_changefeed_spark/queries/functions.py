@@ -187,37 +187,59 @@ def fn_cond(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS first4,
+           CAST(embedding[1] AS DOUBLE) AS f1,
+           CAST(embedding[2] AS DOUBLE) AS f2,
+           CAST(embedding[3] AS DOUBLE) AS f3,
+           CAST(embedding[4] AS DOUBLE) AS f4,
            CAST(list_aggregate(
                   list_transform(embedding,
                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                   'sum') AS FLOAT) AS norm2,
            list_aggregate(embedding, 'max') AS vmax,
-           list_sort(embedding)[1:3] AS low3,
+           list_sort(embedding)[1] AS low1,
+           list_sort(embedding)[2] AS low2,
+           list_sort(embedding)[3] AS low3,
            embedding[1] AS first_val,
-           list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                       x -> x > 0) AS positives
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           list_aggregate(
+             list_transform(list_filter(embedding, x -> x > 0),
+                            x -> CAST(x AS DOUBLE)),
+             'sum') AS pos_sum
     FROM embeddings
     """,
 )
 def fn_array(spark, sf_dir):
     """Array / higher-order family (§2.H5) over the 64-dim embedding
-    column: size, slice, transform, filter, aggregate, sort. The
-    squared-norm fold is float-stabilized (addition-order tolerance)."""
+    column: size, slice, transform, filter, aggregate, sort. Every
+    output that crosses the comparison boundary is SCALAR — the
+    driver's pandas canonicalizer sort_values() cannot hash list
+    cells (round-1 FAIL: `unhashable type: 'list'`), so array results
+    are projected element-wise / reduced in-order. The folds run
+    left-to-right on both engines, so float sums are bitwise-equal."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     dbl = lambda x: x.cast("double")  # noqa: E731
+    first4 = F.transform(F.slice(emb, 1, 4), dbl)
+    low3 = F.slice(F.sort_array(emb), 1, 3)
+    positives = F.filter(emb, lambda x: x > 0)
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.transform(F.slice(emb, 1, 4), dbl).alias("first4"),
+        F.element_at(first4, 1).alias("f1"),
+        F.element_at(first4, 2).alias("f2"),
+        F.element_at(first4, 3).alias("f3"),
+        F.element_at(first4, 4).alias("f4"),
         F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x))
         .cast("float")
         .alias("norm2"),
         F.array_max(emb).alias("vmax"),
-        F.slice(F.sort_array(emb), 1, 3).alias("low3"),
+        F.element_at(low3, 1).alias("low1"),
+        F.element_at(low3, 2).alias("low2"),
+        F.element_at(low3, 3).alias("low3"),
         F.element_at(emb, 1).alias("first_val"),
-        F.filter(F.transform(emb, dbl), lambda x: x > 0).alias("positives"),
+        F.size(positives).alias("n_pos"),
+        F.aggregate(F.transform(positives, dbl), F.lit(0.0),
+                    lambda acc, x: acc + x).alias("pos_sum"),
     )
 
 
@@ -251,7 +273,7 @@ def fn_json(spark, sf_dir):
     "fn_map",
     oracle="""
     SELECT event_id,
-           ['k', 'val'] AS mkeys,
+           'k,val' AS mkeys,
            CAST(2 AS INTEGER) AS msize,
            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS m_k,
            value AS m_val
@@ -261,14 +283,15 @@ def fn_json(spark, sf_dir):
 def fn_map(spark, sf_dir):
     """Map family (§2.H7): build a map from the event payload, then
     map_keys/size/element_at. The oracle validates the extracted
-    VALUES (DuckDB MAP comparison semantics differ, so the map itself
-    never crosses the comparison boundary)."""
+    VALUES; neither the map nor any array crosses the comparison
+    boundary (round-1 FAIL: the driver's pandas canonicalizer cannot
+    sort list cells, so mkeys is serialized with array_join)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("double")
     m = F.create_map(F.lit("k"), k, F.lit("val"), F.col("value"))
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("mkeys"),
         F.size(m).alias("msize"),
         F.element_at(m, "k").alias("m_k"),
         F.element_at(m, "val").alias("m_val"),

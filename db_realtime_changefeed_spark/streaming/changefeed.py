@@ -249,7 +249,7 @@ class ChangefeedRunner:
         else:
             self._merge_batch_spark(delta, batch_id)
 
-    def run(self, n_chunks: int = 8) -> None:
+    def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         ckpt = tempfile.mkdtemp(prefix="dbrcf-cf-ckpt-")
@@ -391,7 +391,7 @@ class UpsertChangefeedRunner:
             pq.write_table(tbl, dst + ".tmp")
             os.replace(dst + ".tmp", dst)
 
-    def run(self, n_chunks: int = 8) -> None:
+    def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         ckpt = tempfile.mkdtemp(prefix="dbrcf-upsert-ckpt-")
@@ -455,7 +455,7 @@ class MultiChangefeedRunner:
         finally:
             batch_df.unpersist()
 
-    def run(self, n_chunks: int = 8) -> None:
+    def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         ckpt = tempfile.mkdtemp(prefix="dbrcf-multi-ckpt-")

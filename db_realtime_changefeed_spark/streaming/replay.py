@@ -34,15 +34,30 @@ _REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "dbrcf_replay")
 _EVENTS_RAW = SCHEMAS["events"]
 
 
+def default_chunks() -> int:
+    """Replay micro-batch count. Streaming results are chunking-
+    invariant (tested: tests/test_streaming.py), so correctness runs
+    use few chunks — per-micro-batch scheduler+checkpoint cost is the
+    dominant term locally. 4 keeps multi-batch semantics (watermark
+    advancement, incremental merges) observable."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "4"))
+
+
 def _chunk_dir(sf_dir: str, tag: str) -> str:
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_REPLAY_ROOT, f"{sf_name}-{tag}")
+    # hash of the absolute path, not just the basename — two dirs
+    # named sf0.01 under different parents must not share a cache
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    sf_name = os.path.basename(ap)
+    digest = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return os.path.join(_REPLAY_ROOT, f"{sf_name}-{digest}-{tag}")
 
 
 def build_replay_chunks(
     spark: SparkSession,
     sf_dir: str,
-    n_chunks: int = 8,
+    n_chunks: int | None = None,
     holdback_mod: int | None = None,
 ) -> str:
     """Split events into time-ordered chunk files. With
@@ -57,6 +72,8 @@ def build_replay_chunks(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if n_chunks is None:
+        n_chunks = default_chunks()
     tag = f"c{n_chunks}" + (f"-h{holdback_mod}" if holdback_mod else "")
     out = _chunk_dir(sf_dir, tag)
     done = os.path.join(out, "_DONE")
