@@ -55,7 +55,14 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: median-of-N per query (machine-load tolerance; VERDICT r1 flagged
+#: single-shot variance up to ~1.4x). Override for quick iteration.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
 def main() -> None:
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark("bench")
@@ -67,19 +74,26 @@ def main() -> None:
     # replay-chunk fixture prep is one-time and cached across runs —
     # build it outside the timed region so the streaming entries
     # measure streaming, not fixture I/O.
+    from db_realtime_changefeed_spark.streaming.queries import _CF_CACHE
     from db_realtime_changefeed_spark.streaming.replay import (
         build_replay_chunks,
     )
 
-    build_replay_chunks(spark, sf_dir, 8)
+    build_replay_chunks(spark, sf_dir)
 
     timings: dict[str, float] = {}
-    t0 = time.perf_counter()
     for name in HEADLINE:
-        t = time.perf_counter()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t, 3)
-    total = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(REPEATS):
+            # memoized changefeed runs must not serve cached state to
+            # later repeats — every sample measures a full run
+            _CF_CACHE.clear()
+            t = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t)
+        timings[name] = round(statistics.median(samples), 3)
+    # headline_total = one pass at median per-query speed
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

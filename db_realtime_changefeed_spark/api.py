@@ -25,10 +25,46 @@ Example::
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import TABLE_NAMES, load_table
 from .streaming.changefeed import ChangefeedRunner
+
+
+class Cursor:
+    """Incremental consumer of a feed's delta log — the resume-token
+    shape of classic changefeed clients: each poll() delivers only
+    the delta rows past the last delivered batch and advances the
+    cursor. Delivery is client-side by definition (the subscriber is
+    a client); the state maintenance it follows stays in Spark."""
+
+    def __init__(self, runner: ChangefeedRunner):
+        self._runner = runner
+        self._next_batch = 0
+
+    @property
+    def position(self) -> int:
+        """The resume token: next batch id to be delivered."""
+        return self._next_batch
+
+    def seek(self, batch_id: int) -> None:
+        """Resume from an explicit token (e.g. after a client crash)."""
+        self._next_batch = batch_id
+
+    def poll(self) -> list:
+        """All not-yet-delivered delta rows, ordered by batch."""
+        rows = (
+            self._runner.log()
+            .where(F.col("batch_id") >= self._next_batch)
+            .orderBy("batch_id")
+            .collect()
+        )
+        if rows:
+            self._next_batch = max(r["batch_id"] for r in rows) + 1
+        return rows
 
 
 class Feed:
@@ -42,6 +78,21 @@ class Feed:
 
     def log(self) -> DataFrame:
         return self._runner.log()
+
+    def cursor(self) -> Cursor:
+        return Cursor(self._runner)
+
+
+class LiveFeed(Feed):
+    """A continuously-running standing query (ProcessingTime trigger):
+    the producer pushes change files with ingest(), subscribers
+    follow with cursor().poll() — no restart between deltas."""
+
+    def ingest(self, parquet_file: str) -> None:
+        self._runner.ingest(parquet_file)
+
+    def stop(self) -> None:
+        self._runner.stop_live()
 
 
 class TableRef:
@@ -65,6 +116,12 @@ class TableRef:
             self._db, self._name, self._predicates + (predicate_sql,)
         )
 
+    def get(self, key_value: int, key: str = "user_id") -> "RowRef":
+        """Point lookup — the `r.table(...).get(k)` shape of document
+        changefeed stores: `.row()` reads the key's current row,
+        `.changes()` registers a per-document feed on it."""
+        return RowRef(self._db, self._name, key, key_value)
+
     def df(self) -> DataFrame:
         out = load_table(self._db.spark, self._db.sf_dir, self._name)
         for p in self._predicates:
@@ -72,12 +129,21 @@ class TableRef:
         return out
 
     def changes(self, key: str = "event_type",
-                driver_merge: bool | str = "auto") -> Feed:
+                driver_merge: bool | str = "auto",
+                mode: str = "replay",
+                processing_time: str = "500 milliseconds") -> Feed:
         """Register a standing keyed count+sum over this table's CDC
-        stream (only `events` replays in this fixture set) and run it
-        to completion over the available changes. Filters apply to
-        the change payload, so rows that never match never touch
-        state."""
+        stream (only `events` replays in this fixture set). Filters
+        apply to the change payload, so rows that never match never
+        touch state.
+
+        `mode="replay"` (default) runs the feed to completion over
+        the available changes and returns. `mode="live"` keeps the
+        standing query RUNNING with a ProcessingTime trigger: push
+        new change files with LiveFeed.ingest(), consume deltas
+        incrementally with Feed.cursor().poll(), stop with
+        LiveFeed.stop() — the subscribe-and-keep-receiving behavior
+        of RethinkDB changes() / CREATE CHANGEFEED."""
         if self._name != "events":
             raise NotImplementedError(
                 "CDC replay fixtures exist only for 'events'"
@@ -92,8 +158,65 @@ class TableRef:
             key=key,
             filter_sql=filter_sql,
         )
+        if mode == "live":
+            runner.start_live(processing_time=processing_time)
+            return LiveFeed(runner)
         runner.run()
         return Feed(runner)
+
+
+class RowRef:
+    """A single key's row in the upsert/document view of a table —
+    the point-lookup path of a changefeed store (RethinkDB
+    `get(k)`, the secondary-index read shape)."""
+
+    def __init__(self, db: "Database", table: str, key: str,
+                 key_value: int):
+        if table != "events":
+            raise NotImplementedError(
+                "CDC replay fixtures exist only for 'events'"
+            )
+        self._db = db
+        self._table = table
+        self._key = key
+        self._key_value = key_value
+
+    def row(self) -> DataFrame:
+        """The key's CURRENT row (last-writer-wins by (ts, event_id))
+        — a point read against the document view. One partition-
+        pruned/predicate-pushed scan + TakeOrdered(1); with a
+        key-partitioned layout this touches one partition."""
+        return (
+            load_table(self._db.spark, self._db.sf_dir, self._table)
+            .where(F.col(self._key) == self._key_value)
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .limit(1)
+        )
+
+    def changes(self, delete_on: str | None = None) -> Feed:
+        """Per-document feed: an upsert/LWW standing query filtered
+        to this key — the envelope predicate runs before the merge,
+        so other keys' changes never touch state."""
+        from .streaming.changefeed import UpsertChangefeedRunner
+
+        runner = UpsertChangefeedRunner(
+            self._db.spark,
+            self._db.sf_dir,
+            delete_on=delete_on,
+            filter_sql=f"after.{self._key} = {int(self._key_value)}",
+        )
+        runner.run()
+        return Feed(runner)
+
+
+#: CREATE CHANGEFEED FOR <table> [WHERE <pred>] [KEY BY <col>]
+#: — the DDL text form (CockroachDB-style) of TableRef.changes().
+_CHANGEFEED_DDL = re.compile(
+    r"^\s*CREATE\s+CHANGEFEED\s+FOR\s+(\w+)"
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"(?:\s+KEY\s+BY\s+(\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class Database:
@@ -106,8 +229,18 @@ class Database:
     def table(self, name: str) -> TableRef:
         return TableRef(self, name)
 
-    def sql(self, query: str) -> DataFrame:
-        """SQL-text surface over the registered views."""
+    def sql(self, query: str):
+        """SQL-text surface. Queries run over the registered views
+        and return a DataFrame. The one DDL statement the engine
+        owns — `CREATE CHANGEFEED FOR t [WHERE pred] [KEY BY col]` —
+        registers and runs a standing query and returns its Feed."""
+        m = _CHANGEFEED_DDL.match(query)
+        if m:
+            table, pred, key = m.group(1), m.group(2), m.group(3)
+            ref = self.table(table.lower())
+            if pred:
+                ref = ref.filter(pred.strip())
+            return ref.changes(key=(key or "event_type").lower())
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)

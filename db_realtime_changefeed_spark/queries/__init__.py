@@ -62,7 +62,7 @@ _GRADE_PRIORITY = [
     # the namesake family — zero official rows in round 1
     "changefeed_core", "changefeed_keyed", "changefeed_upsert",
     "changefeed_delete", "changefeed_filtered", "changefeed_multi",
-    "changefeed_log",
+    "changefeed_live", "changefeed_cdc_ops", "changefeed_log",
     # streaming operators
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_dedup", "stream_stateful_custom", "stream_late_data",

@@ -744,18 +744,14 @@ def llm_dedup_cluster(spark, sf_dir):
     near-dup pair graph, so each duplicate cluster elects one
     canonical doc_id (its minimum). The heavy, O(rows)-scaling work
     — building the blocked candidate-pair list — is the distributed
-    Spark join; the pair LIST is small (it is the dedup rate times
-    the corpus, not the corpus), so components are solved exactly
-    with union-find over the collected pairs and the label map
-    broadcast-joins back onto the full table. Docs outside any pair
+    Spark join; components are solved by operators/components.py:
+    union-find over the collected pairs when the pair list is small
+    (it is the dedup rate times the corpus, not the corpus), and the
+    distributed min-label-propagation loop (per-round equi-join +
+    min-aggregate) past a pair-count threshold — both paths tested
+    equivalent (tests/test_streaming.py). Docs outside any pair
     label themselves. The DuckDB oracle recomputes the same
-    components with a recursive transitive-closure CTE.
-
-    Scale: candidate pairs after blocking/MinHash are routinely
-    union-found driver-side even at corpus scale (pairs << docs);
-    for pathological pair volumes the fallback is the distributed
-    min-label-propagation loop (alternate per-round equi-join +
-    min-aggregate), same join shapes as everything else here."""
+    components with a recursive transitive-closure CTE."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", "lang", "n_chars",
@@ -775,25 +771,11 @@ def llm_dedup_cluster(spark, sf_dir):
         )
         .where(jac > 0.5)
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .collect()
     )
-    parent: dict[int, int] = {}
+    from ..operators.components import connected_components
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for r in pairs:
-        ru, rv = find(r["u"]), find(r["v"])
-        if ru != rv:
-            # union by smaller root so the cluster id is the min
-            lo, hi = (ru, rv) if ru < rv else (rv, ru)
-            parent[hi] = lo
-    label_rows = sorted((x, find(x)) for x in parent)
-    labels = spark.createDataFrame(
-        label_rows or [(None, None)], "doc_id long, mapped long"
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("mapped")
     )
     return d.join(F.broadcast(labels), "doc_id", "left").select(
         "doc_id",

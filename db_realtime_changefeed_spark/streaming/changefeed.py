@@ -323,6 +323,50 @@ class ChangefeedRunner:
             )
             q.awaitTermination()
 
+    def start_live(self, source_dir: str | None = None,
+                   processing_time: str = "500 milliseconds"):
+        """Continuous subscription mode — the namesake behavior a
+        replay-and-terminate run() lacks: the standing query keeps
+        running with a ProcessingTime trigger over a LIVE source
+        directory, merging new change files as they arrive, until
+        stop_live(). Consumers follow the delta log incrementally via
+        Feed.cursor() (api.py) — the resume-token/cursor surface of
+        classic changefeed clients. Returns the live source dir."""
+        self.source_dir = source_dir or tempfile.mkdtemp(
+            prefix="dbrcf-live-src-"
+        )
+        env = cdc_envelope(read_events_stream(self.spark, self.source_dir))
+        with streaming_shuffle(self.spark):
+            # shuffle conf is captured at query start; restored after
+            self._live_query = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(processingTime=processing_time)
+                .queryName(fresh_sink_name("changefeed_live"))
+                .start()
+            )
+        return self.source_dir
+
+    def ingest(self, parquet_file: str) -> None:
+        """Drop one change file into the live source dir (producer
+        side of the feed). File names are sequenced so the file
+        source processes them in ingest order."""
+        import time as _time
+
+        n = len([f for f in os.listdir(self.source_dir)
+                 if f.endswith(".parquet")])
+        dst = os.path.join(self.source_dir, f"live-{n:06d}.parquet")
+        shutil.copyfile(parquet_file, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+        os.utime(dst, (_time.time(), 1_800_000_000.0 + n))
+
+    def stop_live(self) -> None:
+        q = getattr(self, "_live_query", None)
+        if q is not None and q.isActive:
+            q.stop()
+            q.awaitTermination()
+
     def state(self) -> DataFrame:
         df = self._current_state_df()
         assert df is not None, "changefeed produced no state"
@@ -396,15 +440,20 @@ class UpsertChangefeedRunner:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  delete_on: str | None = None, driver_merge: bool = False,
-                 root: str | None = None):
+                 root: str | None = None, filter_sql: str | None = None):
         """`delete_on`: event_type treated as a CDC DELETE — the key
         is tombstoned (removed from the materialized view, old_value
         emitted with new_value NULL) until a newer non-delete event
-        re-inserts it."""
+        re-inserts it.
+        `filter_sql`: predicate over the envelope (e.g.
+        "after.user_id = 42") — the point-lookup feed shape
+        (get(key).changes()): non-matching changes never touch
+        state."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.delete_on = delete_on
         self.driver_merge = driver_merge
+        self.filter_sql = filter_sql
         self.root = root or tempfile.mkdtemp(prefix="dbrcf-upsert-")
         self.log_dir = os.path.join(self.root, "changelog")
         self.state_root = os.path.join(self.root, "state")
@@ -438,23 +487,37 @@ class UpsertChangefeedRunner:
         elif os.path.exists(self.pointer):
             os.remove(self.pointer)
 
-    # ---- executor-side LWW merge (the default; the 100 TB path) ----
-    def _merge_batch_spark(self, batch_df: DataFrame, batch_id: int) -> None:
-        winners = (
-            batch_df.select("after.user_id", "after.ts",
-                            "after.event_id", "after.value",
-                            "after.event_type")
+    def _winners(self, batch_df: DataFrame) -> DataFrame:
+        """Per-key LWW winner of one micro-batch: the (ts, event_id)
+        max, with its delete flag. Partial+final aggregate — one
+        shuffle of keys. Overridden by the op-tagged CDC runner
+        (streaming/cdc_ops.py), which derives the flag from the
+        envelope's `op` instead of interpreting event_type."""
+        is_del = (
+            (F.col("after.event_type") == F.lit(self.delete_on))
+            if self.delete_on is not None
+            else F.lit(False)
+        )
+        return (
+            batch_df.select(
+                "after.user_id", "after.ts", "after.event_id",
+                "after.value", is_del.alias("is_del"),
+            )
             .groupBy("user_id")
-            .agg(F.max(F.struct("ts", "event_id", "value", "event_type"))
+            .agg(F.max(F.struct("ts", "event_id", "value", "is_del"))
                  .alias("m"))
             .select(
                 "user_id",
                 F.col("m.ts").alias("w_ts"),
                 F.col("m.event_id").alias("w_eid"),
                 F.col("m.value").alias("w_val"),
-                F.col("m.event_type").alias("w_et"),
+                F.col("m.is_del").alias("w_del"),
             )
         )
+
+    # ---- executor-side LWW merge (the default; the 100 TB path) ----
+    def _merge_batch_spark(self, batch_df: DataFrame, batch_id: int) -> None:
+        winners = self._winners(batch_df)
         old = self._current_state_df()
         if old is None:
             old = self.spark.createDataFrame([], self._STATE_DDL)
@@ -466,11 +529,7 @@ class UpsertChangefeedRunner:
             & (F.col("w_eid") > F.col("event_id"))
         )
         wins = has_w & (~has_o | newer)
-        is_del = (
-            wins & (F.col("w_et") == F.lit(self.delete_on))
-            if self.delete_on is not None
-            else F.lit(False)
-        )
+        is_del = wins & F.coalesce("w_del", F.lit(False))
         old_visible = has_o & ~F.coalesce("deleted", F.lit(False))
         merged = j.select(
             "user_id",
@@ -568,6 +627,8 @@ class UpsertChangefeedRunner:
             os.replace(dst + ".tmp", dst)
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.filter_sql is not None:
+            batch_df = batch_df.where(self.filter_sql)
         if self.driver_merge:
             self._merge_batch_driver(batch_df, batch_id)
         else:

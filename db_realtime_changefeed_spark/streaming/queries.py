@@ -600,3 +600,78 @@ def changefeed_multi(spark, sf_dir):
         runner.run()
         _CF_CACHE[key] = runner
     return _CF_CACHE[key].state()
+
+
+@query(
+    "changefeed_live",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def changefeed_live(spark, sf_dir):
+    """§2.I7 continuous mode — the namesake's subscribe-and-keep-
+    receiving behavior: the standing query runs with a ProcessingTime
+    trigger (NOT a terminating replay); a producer ingests change
+    files into the live source while it runs; a Cursor consumes the
+    delta batches incrementally (tests assert multi-poll delivery).
+    After all fixture chunks are ingested and absorbed, the live
+    query is stopped and the final state must equal the batch
+    aggregate — same oracle as changefeed_core, reached through the
+    live path."""
+    import glob
+    import os
+    import time
+
+    key = (id(spark), sf_dir, "__live__")
+    if key not in _CF_CACHE:
+        runner = ChangefeedRunner(spark, sf_dir)
+        runner.start_live(processing_time="250 milliseconds")
+        chunks = build_replay_chunks(spark, sf_dir)
+        files = sorted(glob.glob(os.path.join(chunks, "chunk-*.parquet")))
+        total = load_table(spark, sf_dir, "events").count()
+        for f in files:
+            runner.ingest(f)
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            df = runner._current_state_df()
+            if df is not None:
+                got = df.agg(F.sum("cnt")).collect()[0][0] or 0
+                if got >= total:
+                    break
+            time.sleep(0.25)
+        runner.stop_live()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key].state()
+
+
+@query(
+    "changefeed_cdc_ops",
+    oracle="""
+    SELECT user_id, ts, event_id, value
+    FROM (SELECT user_id, ts, event_id, value, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def changefeed_cdc_ops(spark, sf_dir):
+    """§2.A5 completed + §2.I7: a feed over TRUE mixed-op CDC input —
+    envelopes with op in {insert, update, delete}, populated `before`
+    images on update/delete, and NULL `after` on delete (the Debezium
+    shape), synthesized deterministically from the events fixture and
+    merged executor-side by op (streaming/cdc_ops.py). The final
+    materialized view must equal the batch keep-latest per user minus
+    users whose last event is the delete op — proving the op-tagged
+    path end-to-end, not just the insert-only interpretation."""
+    from .cdc_ops import CdcOpsUpsertRunner
+
+    key = (id(spark), sf_dir, "__cdc_ops__")
+    if key not in _CF_CACHE:
+        runner = CdcOpsUpsertRunner(spark, sf_dir)
+        runner.run()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key].state()

@@ -48,3 +48,103 @@ def test_filtered_feed_state_and_log(spark, sf_smoke):
     want = {r["user_id"]: r["count"] for r in batch.collect()}
     assert got == want
     assert feed.log().count() > 0
+
+
+def test_live_feed_cursor_consumes_successive_batches(spark, sf_smoke):
+    """Continuous mode: a live standing query delivers two successive
+    delta batches to a cursor WITHOUT restart — the namesake
+    subscribe-and-keep-receiving behavior."""
+    import glob
+    import os
+    import time
+
+    from db_realtime_changefeed_spark.api import Database
+    from db_realtime_changefeed_spark.streaming.replay import (
+        build_replay_chunks,
+    )
+
+    chunks = build_replay_chunks(spark, sf_smoke, 4)
+    files = sorted(glob.glob(os.path.join(chunks, "chunk-*.parquet")))
+    feed = Database(spark, sf_smoke).table("events").changes(mode="live")
+    cur = feed.cursor()
+
+    def poll_until(timeout=60.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            rows = cur.poll()
+            if rows:
+                return rows
+            time.sleep(0.3)
+        raise AssertionError("cursor received nothing before timeout")
+
+    try:
+        feed.ingest(files[0])
+        rows1 = poll_until()
+        feed.ingest(files[1])
+        rows2 = poll_until()
+    finally:
+        feed.stop()
+    # second poll only delivers batches past the first poll's token
+    assert max(r["batch_id"] for r in rows1) < min(r["batch_id"] for r in rows2)
+    # per-key counts keep growing across the two deliveries
+    tail1 = {r["event_type"]: r["new_count"] for r in rows1}
+    tail2 = {r["event_type"]: r["new_count"] for r in rows2}
+    assert any(tail2[k] > tail1.get(k, 0) for k in tail2)
+    # resume-token seek replays from the start of the log
+    cur.seek(0)
+    replay = cur.poll()
+    assert len(replay) == len(rows1) + len(rows2)
+
+
+def test_point_lookup_row_and_changes(spark, sf_smoke):
+    """get(key): row() is the LWW current row; changes() is a
+    per-document feed whose state matches it and whose log never
+    mentions another key."""
+    from pyspark.sql import functions as F
+
+    from db_realtime_changefeed_spark.api import Database
+    from db_realtime_changefeed_spark.catalog import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    uid = ev.groupBy("user_id").count().orderBy(F.desc("count")) \
+            .first()["user_id"]
+    ref = Database(spark, sf_smoke).table("events").get(uid)
+    row = ref.row().collect()
+    assert len(row) == 1
+    want = (
+        ev.where(F.col("user_id") == uid)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .first()
+    )
+    assert row[0]["event_id"] == want["event_id"]
+
+    feed = ref.changes()
+    state = feed.state().collect()
+    assert len(state) == 1
+    assert state[0]["user_id"] == uid
+    assert state[0]["event_id"] == want["event_id"]
+    log = feed.log().collect()
+    assert log and all(r["user_id"] == uid for r in log)
+
+
+def test_create_changefeed_ddl(spark, sf_smoke):
+    """CREATE CHANGEFEED DDL text form == the fluent form."""
+    from db_realtime_changefeed_spark.api import Database, Feed
+
+    db = Database(spark, sf_smoke)
+    feed = db.sql(
+        "CREATE CHANGEFEED FOR events "
+        "WHERE event_type = 'purchase' KEY BY user_id"
+    )
+    assert isinstance(feed, Feed)
+    fluent = (
+        db.table("events")
+        .filter("event_type = 'purchase'")
+        .changes(key="user_id")
+    )
+    a = sorted(map(tuple, feed.state().collect()))
+    b = sorted(map(tuple, fluent.state().collect()))
+    assert a == b
+    # plain SQL still works through the same entry point
+    n = db.sql("SELECT count(*) AS n FROM events").collect()[0]["n"]
+    assert n > 0

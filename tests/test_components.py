@@ -1,0 +1,65 @@
+"""Connected-components operator: the driver union-find fast path and
+the distributed min-label-propagation fallback must agree exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.operators.components import (
+    _components_distributed,
+    connected_components,
+)
+
+
+def _labels(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_distributed_equals_driver_on_synthetic_graph(spark):
+    # two chains, one triangle-with-bridge, one isolated edge, ids
+    # deliberately out of order so min-label really has to propagate
+    pairs = spark.createDataFrame(
+        [(9, 3), (3, 7), (12, 9),          # component min 3
+         (20, 25), (25, 21), (21, 20), (21, 30),  # component min 20
+         (101, 100)],                      # component min 100
+        "u long, v long",
+    )
+    fast = connected_components(pairs, driver_threshold=1_000_000)
+    dist = connected_components(pairs, driver_threshold=0)
+    assert _labels(fast) == _labels(dist)
+    got = dict(_labels(dist))
+    assert got[12] == 3 and got[7] == 3
+    assert got[30] == 20 and got[25] == 20
+    assert got[101] == 100
+
+
+def test_distributed_path_on_real_neardup_pairs(spark, sf_oracle):
+    """Force the distributed path under llm_dedup_cluster's own pair
+    graph (threshold 0) and check it equals the union-find result."""
+    from db_realtime_changefeed_spark.catalog import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    w = d.select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    jac = inter.cast("double") / (
+        F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+        )
+        .where(jac > 0.5)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .localCheckpoint(eager=True)  # pay the pair join once
+    )
+    assert pairs.count() > 0
+    fast = connected_components(pairs, driver_threshold=1_000_000)
+    dist = _components_distributed(pairs)
+    assert _labels(fast) == _labels(dist)

@@ -341,3 +341,52 @@ def test_feed_log_empty_when_filter_matches_nothing(spark, sf_smoke):
     assert "old_count" in log.columns
     state = feed.state()
     assert state.count() == 0
+
+
+def test_cdc_ops_envelope_producer_invariants(spark, sf_smoke):
+    """Mixed-op envelope correctness: inserts carry no before image,
+    updates carry the SAME USER's previous event as before, deletes
+    carry NULL after; ops partition the table exactly."""
+    from db_realtime_changefeed_spark.streaming.cdc_ops import (
+        cdc_ops_envelope,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    env = cdc_ops_envelope(ev).cache()
+    try:
+        assert env.count() == ev.count()
+        assert env.where("op = 'insert' AND before IS NOT NULL").count() == 0
+        assert env.where("op = 'update' AND before IS NULL").count() == 0
+        assert env.where("op = 'delete' AND after IS NOT NULL").count() == 0
+        assert env.where("op <> 'delete' AND after IS NULL").count() == 0
+        # before images really are the previous event of the same user
+        bad = env.where(
+            "op = 'update' AND (before.user_id <> key"
+            " OR before.event_id >= seq)"
+        ).count()
+        assert bad == 0
+        # update/delete exist at all (the fixture has per-user history)
+        assert env.where("op = 'update'").count() > 0
+        assert env.where("op = 'delete'").count() > 0
+    finally:
+        env.unpersist()
+
+
+def test_cdc_ops_feed_matches_interpreted_delete_feed(spark, sf_smoke):
+    """The op-tagged CDC path must land on exactly the state the
+    event_type-interpreting upsert feed computes, and its log old
+    values must chain like the classic path's."""
+    from db_realtime_changefeed_spark.streaming.cdc_ops import (
+        CdcOpsUpsertRunner,
+    )
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        UpsertChangefeedRunner,
+    )
+
+    a = CdcOpsUpsertRunner(spark, sf_smoke)
+    a.run()
+    b = UpsertChangefeedRunner(spark, sf_smoke, delete_on="error")
+    b.run()
+    sa = sorted(map(tuple, a.state().collect()))
+    sb = sorted(map(tuple, b.state().collect()))
+    assert sa == sb
