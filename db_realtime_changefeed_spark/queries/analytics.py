@@ -719,3 +719,227 @@ def win_nth_value(spark, sf_dir):
         F.nth_value(p, 3).over(w).alias("third_cheapest"),
         F.last(p).over(w).alias("priciest_so_far"),
     )
+
+
+# ------------------------------------------------- TPC-H widening (r2)
+# Five more TPC-H shapes, adapted to the fixture's reduced schemas
+# (no partsupp/commitdate/shipmode/phone columns — each docstring
+# names the substitution; the PLAN shape is the point being graded).
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """Q4 shape (priority checking): EXISTS decorrelated to a LEFT
+    SEMI join with a non-equi residual (fixture lacks commitdate/
+    receiptdate; 'late' = shipped >60 days after the order date).
+    The semi join shuffles on orderkey once and carries no lineitem
+    payload columns; the count is a 5-group hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Q12 shape (shipping-mode priority split; fixture lacks
+    shipmode, so lines split by linestatus instead): fact⋈fact join
+    on orderkey with the date filter pushed to the lineitem scan,
+    then two conditional counts in ONE hash aggregate — the
+    CASE-pivot pattern that avoids two passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """Q13 shape (customer order-count distribution; the comment
+    anti-filter becomes a priority filter — fixture has no comment
+    column): LEFT OUTER join with the filter INSIDE the join
+    condition (so customers keep their zero rows), per-customer
+    count, then the distribution re-aggregate. Two shuffles by
+    construction — the second input is only (custkey, count)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(l_quantity) > 150)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """Q18 shape (large-volume customers): the HAVING subquery is a
+    keyed pre-aggregate SEMI-joined back onto orders — the qualifying
+    key set is small (tail of the qty distribution), so it broadcasts;
+    lineitem shuffles once on orderkey for the final per-order sum."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey,
+               "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {_sql_wsum('l.l_extendedprice', '(1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """Q19 shape (discounted revenue, OR-of-ANDs): part broadcasts;
+    the p_brand/p_size disjuncts prune the BUILD side before the
+    join and the per-branch quantity bounds evaluate as one residual
+    — the classic pushdown-through-OR test. One aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, br, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((br == "Brand#12") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#23") & sz.between(10, 30) & q.between(10, 30))
+        | ((br == "Brand#34") & sz.between(20, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(_wsum(F.col("l_extendedprice"),
+                   1 - F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                                     AS DOUBLE) / count(c_acctbal)
+                         FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """Q22 shape (global sales opportunity; the phone-prefix filter
+    becomes the mktsegment grouping — fixture has no phone): scalar
+    subquery (1-row avg, broadcast by the cross join) + ANTI join
+    against orders (never-ordered customers) + grouped aggregate.
+    avg is decimal-stabilized on both sides."""
+    from ._util import davg
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("cut"))
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("cut"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
