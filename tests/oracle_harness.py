@@ -71,6 +71,17 @@ def run_pair(spark, sf_dir: str, query_fn, oracle: str):
     con = duck_con(sf_dir)
     rel = con.sql(oracle)
     duck_cols = list(rel.columns)
+    # The DRIVER canonicalizes through pandas, where a HUGEINT output
+    # column (DuckDB's sum-of-integers result type) widens to float64
+    # and hash-mismatches Spark's int64 ("900" vs "900.0"). fetchall
+    # preserves Python ints and would mask it — fail loudly instead:
+    # the oracle must CAST such sums to BIGINT.
+    huge = [c for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")]
+    assert not huge, (
+        f"oracle outputs HUGEINT column(s) {huge} — pandas widens these "
+        f"to float64 at the driver; CAST(... AS BIGINT) in the oracle"
+    )
     duck_rows = rel.fetchall()
     con.close()
     return (spark_cols, spark_rows), (duck_cols, duck_rows)
