@@ -781,3 +781,140 @@ def llm_dedup_cluster(spark, sf_dir):
         "doc_id",
         F.coalesce("mapped", F.col("doc_id")).alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------- curation ops (r2)
+
+
+@query(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+               ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3')
+          END
+    """,
+)
+def llm_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling — the language-rebalancing
+    stage of a training-data mix (e.g. keep 1/2 of English, 1/4 of
+    everything else). Selection is an md5-bucket predicate per
+    stratum, so the SAME rows are chosen on any engine, cluster
+    layout, or rerun (df.sample is partition-placement dependent) —
+    reproducibility is what makes data ablations comparable. The
+    predicate is a scan-level filter: no shuffle, no state, trivially
+    100 TB-safe."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(
+        F.col("lang") == "en",
+        bucket.isin(*"01234567"),
+    ).otherwise(bucket.isin(*"0123"))
+    return d.where(keep).select("doc_id", "lang")
+
+
+@query(
+    "llm_ngram_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1]))
+            AS ngram
+          FROM w)
+    SELECT ngram, count(*) AS cnt
+    FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram LIMIT 50
+    """,
+)
+def llm_ngram_stats(spark, sf_dir):
+    """Corpus n-gram frequency (top-50 bigrams) — the vocabulary /
+    boilerplate-detection pass of corpus analysis. Bigrams are built
+    JVM-side with zip_with over two array slices (no explode of
+    characters, no UDF), then one explode + hash aggregate + ordered
+    limit (TakeOrdered — no global sort). At 100 TB the aggregate is
+    the only shuffle and combines map-side; the limit caps the
+    result, not the work set."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "ngram")
+        .limit(50)
+    )
+
+
+@query(
+    "llm_contamination",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1]))
+            AS ngram
+          FROM w),
+    bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, ngram FROM g WHERE doc_id % 50 <> 0),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus
+               GROUP BY doc_id),
+    hits AS (SELECT c.doc_id, count(*) AS n_hit
+             FROM corpus c JOIN bench b ON c.ngram = b.ngram
+             GROUP BY c.doc_id)
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams
+             AS contamination
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def llm_contamination(spark, sf_dir):
+    """Benchmark-contamination detection — the eval-leakage scan
+    every serious training pipeline runs: per corpus document, the
+    fraction of its n-grams that appear in a held-out benchmark set
+    (here: every 50th doc plays the benchmark). The benchmark's
+    DISTINCT n-gram set is small by construction → broadcast; the
+    corpus side is one explode + broadcast semi-ish join + two keyed
+    aggregates sharing the doc_id partitioning. No all-pairs
+    comparison anywhere — cost is O(corpus n-grams), the same shape
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = d.select("doc_id", F.explode(bigrams).alias("ngram"))
+    bench = (
+        g.where(F.col("doc_id") % 50 == 0).select("ngram").distinct()
+    )
+    corpus = g.where(F.col("doc_id") % 50 != 0)
+    totals = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_grams"))
+        .alias("contamination"),
+    )
