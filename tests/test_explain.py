@@ -130,3 +130,33 @@ def test_partition_pruning(spark, sf_oracle):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_date" in pf, "date predicate not applied at partition level"
+
+
+def test_tpch_r2_plan_shapes(spark, sf_oracle):
+    """Round-2 TPC-H adaptations must keep the intended shapes:
+    semi joins stay semi, dims broadcast, the OR-of-ANDs query
+    broadcasts part and reads no extra columns."""
+    assert "LeftSemi" in _plan(spark, sf_oracle, "tpch_q4")
+    q13 = _plan(spark, sf_oracle, "tpch_q13")
+    assert "LeftOuter" in q13
+    q18 = _plan(spark, sf_oracle, "tpch_q18")
+    assert "LeftSemi" in q18 and "Broadcast" in q18
+    q19 = _plan(spark, sf_oracle, "tpch_q19")
+    assert "BroadcastHashJoin" in q19
+    assert "SortMergeJoin" not in q19
+    read_schema = q19.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema, "q19 reads unused columns"
+    q22 = _plan(spark, sf_oracle, "tpch_q22")
+    assert "LeftAnti" in q22 and "Broadcast" in q22
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_oracle):
+    """The benchmark n-gram set must broadcast — the corpus side may
+    never shuffle for the membership join."""
+    plan = _plan(spark, sf_oracle, "llm_contamination")
+    assert "BroadcastHashJoin" in plan, "benchmark set must broadcast"
+
+
+def test_stratified_sample_no_shuffle(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "llm_sample_stratified")
+    assert "Exchange" not in plan, "stratified sampling must not shuffle"
