@@ -943,3 +943,55 @@ def tpch_q22(spark, sf_dir):
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_type, t.type_tag,
+           count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (SELECT DISTINCT event_type,
+                 upper(substr(event_type, 1, 1)) AS type_tag
+          FROM events) t
+      ON e.event_type = t.event_type
+    GROUP BY e.event_type, t.type_tag
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-mitigated join — the 100 TB survival technique for a
+    shuffle join on a heavily skewed key (event_type: 5 values, so a
+    plain shuffle join lands ~1/5 of ALL rows on single reducers).
+    Fact side gets salt = hash(row) % S; the dim side is exploded S
+    ways; the join key becomes (key, salt), spreading each hot key
+    over S reducers. The shuffle strategy is FORCED (shuffle_hash
+    hint) because at fixture scale Spark would broadcast the tiny dim
+    and hide the very skew this operator exists to handle — at 100 TB
+    the dim side is a real table that cannot broadcast. The salt
+    never changes the result (oracle = plain join); AQE's skew-join
+    split is the automatic cousin, salting is the deterministic
+    pre-planned form."""
+    S = 8
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("type_tag", F.upper(F.substring("event_type", 1, 1)))
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    salted_fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(S)).cast("int")
+    )
+    return (
+        salted_fact.join(
+            salted_dim.hint("shuffle_hash"),
+            ["event_type", "salt"],
+        )
+        .groupBy("event_type", "type_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )

@@ -160,3 +160,11 @@ def test_contamination_benchmark_broadcasts(spark, sf_oracle):
 def test_stratified_sample_no_shuffle(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "llm_sample_stratified")
     assert "Exchange" not in plan, "stratified sampling must not shuffle"
+
+
+def test_salted_join_spreads_skew(spark, sf_oracle):
+    """The salted join must actually shuffle (no broadcast — that
+    would hide the skew it mitigates) and join on (key, salt)."""
+    plan = _plan(spark, sf_oracle, "join_skew_salted")
+    assert "BroadcastHashJoin" not in plan, "salting demo must shuffle"
+    assert "salt" in plan
