@@ -63,3 +63,26 @@ def test_distributed_path_on_real_neardup_pairs(spark, sf_oracle):
     fast = connected_components(pairs, driver_threshold=1_000_000)
     dist = _components_distributed(pairs)
     assert _labels(fast) == _labels(dist)
+
+
+def test_components_property_random_graphs(spark):
+    """Property check on random graphs: the distributed min-label
+    propagation must equal union-find exactly (bounded examples —
+    each distributed run is several Spark jobs)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(4):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes * 3), rng.randrange(n_nodes * 3))
+            for _ in range(n_edges)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "u long, v long")
+        fast = connected_components(pairs, driver_threshold=1_000_000)
+        dist = connected_components(pairs, driver_threshold=0)
+        assert _labels(fast) == _labels(dist), f"mismatch on {edges}"

@@ -1,0 +1,41 @@
+"""Registry invariants: the grading-priority list must name real
+queries and fully control the head of the registry iteration order —
+a typo here would silently waste the driver's grading budget."""
+
+from __future__ import annotations
+
+from db_realtime_changefeed_spark.queries import (
+    _GRADE_PRIORITY,
+    all_oracles,
+    all_queries,
+)
+
+
+def test_priority_names_are_registered():
+    qs = all_queries()
+    missing = [n for n in _GRADE_PRIORITY if n not in qs]
+    assert not missing, f"priority names not registered: {missing}"
+    assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY), "dupes"
+
+
+def test_priority_controls_registry_head():
+    qs = list(all_queries())
+    assert qs[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
+    # oracles iterate in the same order (driver zips them by name)
+    oracle_names = [n for n in all_queries() if n in all_oracles()]
+    assert list(all_oracles()) == oracle_names
+
+
+def test_every_query_runs_or_has_oracle():
+    """Every registered query either has an oracle (hash-graded) or
+    is a deliberate rows-only op — keep that set explicit."""
+    rows_only = set(all_queries()) - set(all_oracles())
+    assert rows_only == {
+        "agg_approx",
+        "llm_dedup_minhash",
+        "llm_dedup_simhash",
+        "llm_knn_lsh",
+        "llm_knn_ivf",
+        "stream_late_data",
+        "changefeed_log",
+    }, f"unexpected rows-only set: {sorted(rows_only)}"
