@@ -702,12 +702,22 @@ class MultiChangefeedRunner:
             )
             for k in keys
         }
+        # (batch_id, resolved_ts): every feed has merged ALL changes
+        # with ts <= resolved_ts once the batch commits — the
+        # CockroachDB-style resolved-timestamp surface. Consistency
+        # across feeds is per-micro-batch atomic by construction:
+        # all feeds merge inside ONE foreachBatch invocation, which
+        # is Structured Streaming's transaction boundary.
+        self._resolved: list[tuple[int, object]] = []
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
             for k in self.keys:
                 self.feeds[k]._merge_batch(batch_df, batch_id)
+            hwm = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            if hwm is not None:
+                self._resolved.append((batch_id, hwm))
         finally:
             batch_df.unpersist()
 
@@ -739,3 +749,13 @@ class MultiChangefeedRunner:
             )
             out = part if out is None else out.unionByName(part)
         return out
+
+    def resolved(self) -> DataFrame:
+        """Resolved-timestamp log: after batch b commits, EVERY feed
+        reflects exactly the changes with ts <= resolved_ts(b), so a
+        cross-feed read at any committed batch (state_at) is a
+        transactionally consistent snapshot. Monotonicity and
+        cross-feed agreement are asserted in tests."""
+        return self.spark.createDataFrame(
+            self._resolved, "batch_id long, resolved_ts timestamp"
+        )

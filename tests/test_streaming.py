@@ -390,3 +390,35 @@ def test_cdc_ops_feed_matches_interpreted_delete_feed(spark, sf_smoke):
     sa = sorted(map(tuple, a.state().collect()))
     sb = sorted(map(tuple, b.state().collect()))
     assert sa == sb
+
+
+def test_multi_feed_resolved_timestamps_consistent(spark, sf_smoke):
+    """Transactional consistency across feeds: resolved timestamps
+    are monotone, and at EVERY committed batch both feeds' versioned
+    states describe the same prefix of the change stream (their
+    total event counts agree) — the resolved-timestamp read
+    guarantee of multi-feed changefeed systems."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        MultiChangefeedRunner,
+    )
+
+    runner = MultiChangefeedRunner(spark, sf_smoke)
+    runner.run()
+    res = runner.resolved().orderBy("batch_id").collect()
+    assert res, "no resolved timestamps recorded"
+    ts_list = [r["resolved_ts"] for r in res]
+    assert ts_list == sorted(ts_list), "resolved ts not monotone"
+
+    fa = runner.feeds[runner.keys[0]]
+    fb = runner.feeds[runner.keys[1]]
+    assert fa.versions() == fb.versions(), "feeds committed different batches"
+    ev = load_table(spark, sf_smoke, "events")
+    for r in res:
+        b, rts = r["batch_id"], r["resolved_ts"]
+        na = sum(x["cnt"] for x in fa.state_at(b).collect())
+        nb = sum(x["cnt"] for x in fb.state_at(b).collect())
+        assert na == nb, f"batch {b}: feeds disagree ({na} vs {nb})"
+        # the resolved-ts read guarantee: the snapshot at batch b
+        # holds exactly the events with ts <= resolved_ts(b)
+        want = ev.where(F.col("ts") <= F.lit(rts)).count()
+        assert na == want, f"batch {b}: snapshot != ts-prefix"
