@@ -64,7 +64,8 @@ _GRADE_PRIORITY = [
     "changefeed_delete", "changefeed_filtered", "changefeed_multi",
     "changefeed_live", "changefeed_cdc_ops", "changefeed_log",
     # streaming operators
-    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_tumbling", "stream_tumbling_append", "stream_sliding",
+    "stream_session",
     "stream_dedup", "stream_stateful_custom", "stream_late_data",
     "source_stream_replay", "sink_memory", "sink_parquet",
     "source_cdc_envelope", "join_stream_static", "join_stream_stream",

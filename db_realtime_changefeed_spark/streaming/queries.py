@@ -675,3 +675,39 @@ def changefeed_cdc_ops(spark, sf_dir):
         runner.run()
         _CF_CACHE[key] = runner
     return _CF_CACHE[key].state()
+
+
+@query(
+    "stream_tumbling_append",
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events, m
+    WHERE time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE <= m.wm
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_append(spark, sf_dir):
+    """§2.I1 in APPEND mode — the form that writes to real sinks at
+    100 TB (complete mode re-emits everything per trigger; append
+    emits each window exactly once when the watermark closes it, so
+    state is dropped and the sink only ever receives finals). Under
+    full in-order replay the emitted set is exactly the windows with
+    window_end <= max(ts) - watermark — the oracle computes that
+    closed-window set in SQL, upgrading what SURVEY §2.I expected to
+    be a rows-only check into a hash-graded one."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = _to_table(agg, "tumbappend", "append")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n", "sum_value"
+    )
