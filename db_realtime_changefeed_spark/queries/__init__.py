@@ -65,7 +65,7 @@ _GRADE_PRIORITY = [
     "changefeed_live", "changefeed_cdc_ops", "changefeed_log",
     # streaming operators
     "stream_tumbling", "stream_tumbling_append", "stream_sliding",
-    "stream_session",
+    "stream_session", "stream_session_append",
     "stream_dedup", "stream_stateful_custom", "stream_late_data",
     "source_stream_replay", "sink_memory", "sink_parquet",
     "source_cdc_envelope", "join_stream_static", "join_stream_stream",

@@ -711,3 +711,49 @@ def stream_tumbling_append(spark, sf_dir):
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "n", "sum_value"
     )
+
+
+@query(
+    "stream_session_append",
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess, m
+    GROUP BY user_id, sid, m.wm
+    HAVING max(ts) + INTERVAL 30 MINUTE <= m.wm
+    """,
+)
+def stream_session_append(spark, sf_dir):
+    """§2.I3 in APPEND mode: each session emits exactly once when the
+    watermark passes its end (last event + gap) and its state drops —
+    the bounded-memory form session state needs at 100 TB. The
+    emitted set under full replay is exactly the sessions with
+    session_end <= max(ts) - watermark; the oracle reconstructs it
+    with the lag/cumsum chain + the closed-session HAVING filter —
+    hash-graded watermark semantics for gap windows."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = _to_table(agg, "sessappend", "append")
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
