@@ -918,3 +918,58 @@ def llm_contamination(spark, sf_dir):
         (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_grams"))
         .alias("contamination"),
     )
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, label, amax,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 127.0 / amax))
+               AS qv
+      FROM s)
+    SELECT vec_id, label,
+           CAST(amax AS DOUBLE) AS scale,
+           CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+           CAST(list_aggregate(list_transform(qv, v -> v * v), 'sum')
+                AS BIGINT) AS q_norm2
+    FROM q
+    """,
+)
+def llm_embedding_quantize(spark, sf_dir):
+    """Int8 vector quantization — the compression stage that makes
+    billion-vector ANN affordable (4x smaller than float32, SIMD
+    integer dot products). Per-vector symmetric scale = max |x|;
+    q = floor(x * 127 / scale) — floor, not round, because the two
+    engines' round() tie-break rules differ while floor of identical
+    IEEE doubles is identical. Whole pipeline is higher-order
+    functions on the scan (no shuffle, no UDF); the graded columns
+    are scalar digests of the quantized vector (min/max/norm), since
+    the driver's canonicalizer cannot sort array cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(dbl(x))))
+    s = e.select("vec_id", "label", "embedding", amax.alias("amax"))
+    qv = F.transform(
+        "embedding", lambda x: F.floor(dbl(x) * F.lit(127.0) / F.col("amax"))
+    )
+    q = s.select("vec_id", "label", "amax", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.col("amax").cast("double").alias("scale"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate(
+            F.transform("qv", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("q_norm2"),
+    )
