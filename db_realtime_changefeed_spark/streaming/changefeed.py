@@ -414,6 +414,34 @@ class ChangefeedRunner:
             .parquet(self.log_dir)
         )
 
+    def compact(self, keep_last: int = 2) -> list[int]:
+        """Retention/GC policy for MVCC state versions: drop all but
+        the newest `keep_last` versions (never the CURRENT one). The
+        changelog is NOT touched — it is the feed's durable history;
+        state versions are merely snapshots that can be GC'd once no
+        reader pins them. Time-travel (state_at) and at-least-once
+        rewind past the retention horizon fail loudly afterwards —
+        the same contract as AS OF SYSTEM TIME retention windows.
+        Returns the batch ids removed."""
+        versions = self.versions()
+        current = self._pointer_batch()
+        keep = set(versions[-keep_last:])
+        if current is not None:
+            keep.add(current)
+        removed = []
+        for b in versions:
+            if b in keep:
+                continue
+            for name in (f"v{b}.parquet", f"v{b}"):
+                path = os.path.join(self.state_root, name)
+                if os.path.isfile(path):
+                    os.remove(path)
+                    removed.append(b)
+                elif os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(b)
+        return removed
+
 
 class UpsertChangefeedRunner:
     """Point-changefeed / upsert semantics — the other half of the
