@@ -973,3 +973,71 @@ def llm_embedding_quantize(spark, sf_dir):
             lambda acc, v: acc + v,
         ).alias("q_norm2"),
     )
+
+
+@query(
+    "llm_knn_ivf_multiprobe",
+    oracle=f"""
+    WITH pm AS (
+      SELECT label, i AS pos,
+             {sql_dsum('CAST(embedding[i] AS DOUBLE)')} / count(*) AS cv
+      FROM embeddings, range(1, 65) AS t(i)
+      GROUP BY label, i),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid
+             FROM pm GROUP BY label),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qc AS (SELECT c.label,
+                  {_sql_dot('c.centroid', 'q.qe')}
+                    / (sqrt({_sql_dot('c.centroid', 'c.centroid')})
+                     * sqrt({_sql_dot('q.qe', 'q.qe')})) AS qcos
+           FROM cent c, q),
+    probes AS (SELECT label FROM qc ORDER BY qcos DESC, label LIMIT 2)
+    SELECT e.vec_id, e.label,
+           {_sql_dot('e.embedding', 'q.qe')}
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+              * sqrt({_sql_dot('q.qe', 'q.qe')})) AS cos_sim
+    FROM embeddings e JOIN probes p ON e.label = p.label, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def llm_knn_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN (nprobe=2): the recall/cost dial of real
+    IVF indexes — probing the 2 nearest cells instead of 1 recovers
+    neighbors that fall just across a cell boundary, at 2x candidate
+    cost (still ~2n/cells, never the corpus). Fully ORACLE-CHECKED,
+    unlike the single-probe llm_knn_ivf (rows-only): the centroid
+    computation is decimal-stabilized, every cosine is the same
+    left-to-right fold on both engines, and probe selection /
+    ranking carry explicit tie-breaks, so the entire index walk is
+    bit-deterministic cross-engine. At 100 TB cells are partition
+    keys and nprobe=k prunes to k partitions at the scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+              / F.count(F.lit(1))).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.cv).alias("centroid"))
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    ee, qe, ce = F.col("embedding"), F.col("qe"), F.col("centroid")
+    qcos = _dot(ce, qe) / (F.sqrt(_dot(ce, ce)) * F.sqrt(_dot(qe, qe)))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select("label", qcos.alias("qc"))
+        .orderBy(F.col("qc").desc(), F.col("label"))
+        .limit(2)
+        .select(F.col("label").alias("probe_label"))
+    )
+    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("label") == F.col("probe_label"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
