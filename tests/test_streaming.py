@@ -496,3 +496,34 @@ def test_live_feed_restart_resumes(spark, sf_smoke):
         pq.read_metadata(f).num_rows for f in files[:2]
     )
     assert n2 == expected, f"resumed feed double- or under-counted: {n2}"
+
+
+def test_multitable_resolved_snapshot_consistency(spark, sf_smoke):
+    """Multi-TABLE feed: at every committed batch, each table's
+    state slice holds exactly that table's rows with ts <= its
+    high-water mark, and resolved_ts = min across tables is
+    monotone — a read at resolved_ts is complete for every table."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+    )
+
+    runner = MultiTableChangefeedRunner(spark, sf_smoke)
+    runner.run()
+    res = runner.resolved()
+    assert res, "no resolved entries"
+    rts = [r[2] for r in res]
+    assert rts == sorted(rts), "resolved not monotone"
+    ev = load_table(spark, sf_smoke, "events")
+    orders = load_table(spark, sf_smoke, "orders")
+    src = {"events": (ev, "ts"), "orders": (orders, "o_orderdate")}
+    for batch_id, hwms, _ in res:
+        st = runner.state_at(batch_id)
+        for tbl, (df, tscol) in src.items():
+            got = (
+                st.where(F.col("tbl") == tbl)
+                .agg(F.sum("cnt")).collect()[0][0] or 0
+            )
+            want = df.where(F.col(tscol) <= F.lit(hwms[tbl])).count()
+            assert got == want, (
+                f"batch {batch_id} {tbl}: {got} != ts-prefix {want}"
+            )
