@@ -95,7 +95,7 @@ _GRADE_PRIORITY = [
     "tpch_q4", "tpch_q12", "tpch_q13", "tpch_q18", "tpch_q19",
     "tpch_q22", "llm_sample_stratified", "llm_ngram_stats",
     "llm_contamination", "join_skew_salted", "llm_embedding_quantize",
-    "llm_knn_ivf_multiprobe",
+    "llm_knn_ivf_multiprobe", "llm_chunk_documents", "udtf_python_native",
 ]
 
 

@@ -1041,3 +1041,62 @@ def llm_knn_ivf_multiprobe(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(ceil((n - 32) / 24.0) AS INTEGER) + 1
+             END AS n_chunks,
+             ws
+      FROM w)
+    SELECT doc_id,
+           unnest(generate_series(1, n_chunks)) AS chunk_id,
+           unnest(list_transform(generate_series(1, n_chunks),
+             i -> array_to_string(ws[(i - 1) * 24 + 1 : (i - 1) * 24 + 32],
+                                  ' '))) AS chunk_text,
+           unnest(list_transform(generate_series(1, n_chunks),
+             i -> CAST(least(32, n - (i - 1) * 24) AS INTEGER)))
+             AS n_words
+    FROM c
+    """,
+)
+def llm_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking — the context-window prep
+    stage of every pretraining / RAG pipeline: 32-word chunks with
+    8-word overlap (stride 24), each tagged (doc_id, chunk_id,
+    n_words). Chunk synthesis is pure Catalyst (sequence + transform
+    + one explode): a narrow map-side 1→N expansion with no shuffle
+    and no UDF — at 100 TB the chunker is scan-bound, exactly as it
+    must be. Tail chunks are shorter, never dropped (count formula
+    covers every word; both engines ceil the same double)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    n_chunks = F.when(n <= 32, F.lit(1)).otherwise(
+        F.ceil((n - 32) / F.lit(24.0)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(ws, (i - 1) * 24 + 1, 32))
+            .alias("chunk_text"),
+            F.least(F.lit(32), n - (i - 1) * 24).alias("n_words"),
+        ),
+    )
+    return d.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").cast("long").alias("chunk_id"),
+        "c.chunk_text",
+        F.col("c.n_words").alias("n_words"),
+    )

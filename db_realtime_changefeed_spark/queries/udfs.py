@@ -146,3 +146,51 @@ def udtf_lateral(spark, sf_dir):
     return d.select("doc_id", "text").mapInPandas(
         explode_words, "doc_id long, pos int, word string"
     )
+
+
+@query(
+    "udtf_python_native",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    c AS (SELECT doc_id, term, count(*) AS cnt
+          FROM t GROUP BY doc_id, term),
+    r AS (SELECT doc_id, term, cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, term) AS rn
+          FROM c)
+    SELECT doc_id, term, CAST(cnt AS INTEGER) AS cnt
+    FROM r WHERE rn <= 3
+    """,
+)
+def udtf_python_native(spark, sf_dir):
+    """§2.K4 completed with the NATIVE Python UDTF API (PySpark
+    3.5+/4.x `@udtf`, invoked via LATERAL): per-document top-3 terms.
+    This grades the UDTF API surface itself — the oracle proves the
+    same result is SQL-expressible (unnest + group + rank), and the
+    engine's scale path for this exact computation is the Catalyst
+    form (explode + count + WindowGroupLimit, cf. win_topk_per_group);
+    a row-at-a-time Python UDTF is never the hot path, which is why
+    it appears exactly once in the graded surface, as API coverage."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, cnt int")
+    class TopTerms:
+        def eval(self, text: str, k: int):
+            from collections import Counter
+
+            top = sorted(
+                Counter(text.split()).items(), key=lambda t: (-t[1], t[0])
+            )[:k]
+            for term, cnt in top:
+                yield term, cnt
+
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("top_terms_py", TopTerms)
+    return spark.sql(
+        "SELECT d.doc_id, t.term, t.cnt "
+        "FROM documents d, LATERAL top_terms_py(d.text, 3) t"
+    )
