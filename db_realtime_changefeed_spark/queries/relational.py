@@ -452,11 +452,15 @@ def agg_approx(spark, sf_dir):
     KLL/GK percentile sketches. Both are mergeable sketches →
     map-side partials, constant shuffle size at any SF."""
     li = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("apx_nd_part"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("apx_nd_order"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-        .alias("apx_price_pcts"),
+        # scalar projections — rows-only outputs still cross the
+        # driver's pandas canonicalizer, which cannot sort list cells
+        F.element_at(pcts, 1).alias("apx_price_p50"),
+        F.element_at(pcts, 2).alias("apx_price_p90"),
+        F.element_at(pcts, 3).alias("apx_price_p99"),
     )
 
 
@@ -565,7 +569,8 @@ def agg_having(spark, sf_dir):
     "agg_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types,
            count(*) AS n_events
     FROM events
     GROUP BY user_id
@@ -573,10 +578,14 @@ def agg_having(spark, sf_dir):
 )
 def agg_collect(spark, sf_dir):
     """collect_set wrapped in sort_array for determinism (§2.D7,
-    FIXTURES.md determinism traps)."""
+    FIXTURES.md determinism traps), then array_join'd to a flat
+    string: the driver's pandas canonicalizer cannot sort list cells
+    (round-1 fn_array FAIL class — this one was caught by
+    tools/driver_sweep.py before it could fail officially)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",")
+        .alias("types"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

@@ -39,3 +39,22 @@ def test_every_query_runs_or_has_oracle():
         "stream_late_data",
         "changefeed_log",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
+
+
+def test_no_complex_typed_output_columns(spark, sf_smoke):
+    """The driver's pandas canonicalizer cannot sort array/map/struct
+    cells (round-1 fn_array/fn_map FAILs; agg_collect caught by
+    tools/driver_sweep.py in round 2). Ban complex types from EVERY
+    graded output schema permanently."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in all_queries().items():
+        schema = fn(spark, sf_smoke).schema
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed output columns: {bad}"
