@@ -86,7 +86,7 @@ _GRADE_PRIORITY = [
     "udtf_lateral",
     # scans / sources
     "scan_parquet", "scan_pruned", "scan_partition_pruned",
-    "source_csv", "source_jsonl",
+    "source_csv", "source_jsonl", "source_orc",
     # remaining round-1-unscored relational
     "filter_date", "distinct_rows", "sort_multi", "topk_limit",
     "set_union_all", "set_union", "set_intersect", "set_intersect_all",

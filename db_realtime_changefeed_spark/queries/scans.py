@@ -161,3 +161,16 @@ def source_jsonl(spark, sf_dir):
     pipelines); must reproduce the parquet-backed oracle exactly."""
     path = _format_copy(spark, sf_dir, "json")
     return spark.read.schema(_EVENTS_PROJ_DDL).json(path)
+
+
+@query("source_orc", oracle=_EVENTS_PROJ_ORACLE)
+def source_orc(spark, sf_dir):
+    """ORC source connector (§2.A2 breadth): the second columnar
+    format Spark ships natively — same vectorized reader +
+    pushdown/pruning machinery as parquet, so a lake standardized on
+    ORC runs this engine unchanged. Schema-asserted read of an ORC
+    copy of the events projection; must reproduce the parquet-backed
+    oracle exactly (binary columnar round-trip, no text rendering
+    involved)."""
+    path = _format_copy(spark, sf_dir, "orc")
+    return spark.read.schema(_EVENTS_PROJ_DDL).orc(path)
