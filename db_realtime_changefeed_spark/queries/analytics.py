@@ -995,3 +995,120 @@ def join_skew_salted(spark, sf_dir):
             dsum("value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {_sql_wsum('l.l_extendedprice', '(1 - l.l_discount)')} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """Q7 shape (volume shipping between two nations): a 6-way join
+    where every dimension (supplier, customer, both nation aliases)
+    broadcasts and only lineitem⋈orders shuffles; the nation-pair
+    disjunction prunes both broadcast builds before the fact rows
+    arrive. Per-year decimal-stabilized revenue."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(_wsum(F.col("l_extendedprice"),
+                   1 - F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(19,2))
+               * CAST((1 - l.l_discount) AS DECIMAL(19,2)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                              THEN volume ELSE CAST(0 AS DECIMAL(19,2)) END)
+                     AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """Q8 shape (national market share): the share of ASIA-region
+    customer volume supplied by one nation, per year. All dims
+    broadcast; the two decimal volume sums ride ONE aggregate and
+    the share is a single IEEE division of their exact values —
+    bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice").cast(_DECF)
+           * (1 - F.col("l_discount")).cast(_DECF))
+    zero = F.lit(0).cast("decimal(18,2)")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)
+                      .otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
