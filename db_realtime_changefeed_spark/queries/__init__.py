@@ -92,7 +92,7 @@ _GRADE_PRIORITY = [
     "set_union_all", "set_union", "set_intersect", "set_intersect_all",
     "set_except", "set_except_all",
     # new in round 2 (never graded) — before the round-1-green tail
-    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q18", "tpch_q19",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
     "tpch_q22", "llm_sample_stratified", "llm_ngram_stats",
     "llm_contamination", "join_skew_salted", "llm_embedding_quantize",
     "llm_knn_ivf_multiprobe", "llm_chunk_documents", "udtf_python_native",

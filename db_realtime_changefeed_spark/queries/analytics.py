@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import dsum, sql_dsum
+from ._util import davg, dsum, sql_dsum
 
 # Exact second moments: cast each FACTOR to decimal before
 # multiplying — the double product of two prices carries rounding
@@ -1111,4 +1111,84 @@ def tpch_q8(spark, sf_dir):
                 / F.sum(vol).cast("double")
             ).alias("mkt_share")
         )
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {_sql_wsum('l_extendedprice', '(1 - l_discount)')} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """Q15 shape (top supplier): the revenue 'view' is a keyed
+    pre-aggregate computed ONCE and reused for both the max (a 1-row
+    broadcast) and the final equality filter — no second scan of
+    lineitem. Revenue is the exact decimal product-sum, so the
+    max-equality join cannot suffer float-tie divergence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_wsum(F.col("l_extendedprice"),
+                   1 - F.col("l_discount")).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) AS small_cut
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12' AND l.l_quantity < pa.small_cut
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Q17 shape (small-quantity-order revenue): the correlated
+    per-part average decorrelates into one keyed pre-aggregate joined
+    back on partkey — lineitem is scanned twice but shuffled on the
+    same key both times, and the brand filter broadcasts from part.
+    The 0.2*avg threshold is one IEEE multiply of a decimal-exact
+    average — identical on both engines, so the strict < cannot flip
+    on ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.lit(0.2) * davg("l_quantity")).alias("small_cut"))
+    )
+    return (
+        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#12")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("small_cut"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
