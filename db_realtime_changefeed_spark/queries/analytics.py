@@ -1,8 +1,12 @@
-"""Round-1 widening beyond SURVEY §2.Z: statistical aggregates,
+"""Analytics widening beyond SURVEY §2.Z: statistical aggregates,
 pivot/unpivot reshaping, deterministic sampling, scalar/correlated
 subquery patterns, distribution window functions, keep-latest dedup,
-and TPC-H-shaped composite workloads (q3/q5/q6/q10/q14 adapted to
-the measured star schema — FIXTURES.md).
+the salted skew join, and TPC-H-shaped composite workloads — 16 of
+the 22 TPC-H query shapes (q1 lives as agg_groupby; q3/q4/q5/q6/q7/
+q8/q10/q12/q13/q14/q15/q17/q18/q19/q22 here), every shape the
+fixture's reduced star schema supports (q2/q9/q11/q16/q20/q21 need
+partsupp or receipt/commit dates, which the fixture omits —
+FIXTURES.md). Adaptations are named per docstring.
 
 Determinism: every float aggregate routes through exact DECIMAL
 moments (_util.py), and derived statistics (variance, correlation)
