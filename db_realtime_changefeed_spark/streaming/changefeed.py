@@ -369,7 +369,10 @@ class ChangefeedRunner:
 
     def state(self) -> DataFrame:
         df = self._current_state_df()
-        assert df is not None, "changefeed produced no state"
+        if df is None:
+            # a live feed polled before its first commit has a valid,
+            # EMPTY materialized state — not an error
+            df = self.spark.createDataFrame([], self._STATE_DDL)
         return df.select(
             self.key,
             "cnt",

@@ -527,3 +527,59 @@ def test_multitable_resolved_snapshot_consistency(spark, sf_smoke):
             assert got == want, (
                 f"batch {batch_id} {tbl}: {got} != ts-prefix {want}"
             )
+
+
+def test_multitable_restart_no_double_count(spark, sf_smoke):
+    """Multi-table runner restarted from the same root must not
+    re-merge committed batches (checkpoint under root)."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+    )
+
+    a = MultiTableChangefeedRunner(spark, sf_smoke)
+    a.run()
+    sa = sorted(map(tuple, a.state().collect()))
+    b = MultiTableChangefeedRunner(spark, sf_smoke, root=a.root)
+    b.run()
+    sb = sorted(map(tuple, b.state().collect()))
+    assert sa == sb
+
+
+def test_live_filtered_feed(spark, sf_smoke):
+    """Predicate + live mode compose: a filtered standing query in
+    continuous mode only ever merges matching changes."""
+    import glob
+    import os
+    import time
+
+    from db_realtime_changefeed_spark.api import Database
+    from db_realtime_changefeed_spark.streaming.replay import (
+        build_replay_chunks,
+    )
+
+    chunks = build_replay_chunks(spark, sf_smoke, 4)
+    files = sorted(glob.glob(os.path.join(chunks, "chunk-*.parquet")))
+    feed = (
+        Database(spark, sf_smoke)
+        .table("events")
+        .filter("event_type = 'purchase'")
+        .changes(key="event_type", mode="live")
+    )
+    try:
+        for f in files:
+            feed.ingest(f)
+        ev = load_table(spark, sf_smoke, "events")
+        want = ev.where("event_type = 'purchase'").count()
+        deadline = time.time() + 60
+        got = -1
+        while time.time() < deadline:
+            rows = feed.state().collect()
+            got = sum(r["cnt"] for r in rows)
+            if got == want and all(
+                r["event_type"] == "purchase" for r in rows
+            ):
+                break
+            time.sleep(0.3)
+        assert got == want, f"live filtered feed: {got} != {want}"
+    finally:
+        feed.stop()
