@@ -744,6 +744,9 @@ class MultiChangefeedRunner:
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
+            # re-delivered batch: drop its (and later) resolved
+            # entries before re-appending — no duplicate tokens
+            self._resolved = [r for r in self._resolved if r[0] < batch_id]
             for k in self.keys:
                 self.feeds[k]._merge_batch(batch_df, batch_id)
             hwm = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]

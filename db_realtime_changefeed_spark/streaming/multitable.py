@@ -146,6 +146,10 @@ class MultiTableChangefeedRunner:
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._last_batch is not None and batch_id <= self._last_batch:
             self._rewind_before(batch_id)
+            # a replayed batch re-resolves itself and everything
+            # after it; high-water marks stay (they are cumulative
+            # maxima, still valid under at-least-once)
+            self._resolved = [r for r in self._resolved if r[0] < batch_id]
         batch_df.persist()
         try:
             delta = (
