@@ -96,6 +96,7 @@ _GRADE_PRIORITY = [
     "tpch_q22", "llm_sample_stratified", "llm_ngram_stats",
     "llm_contamination", "join_skew_salted", "llm_embedding_quantize",
     "llm_knn_ivf_multiprobe", "llm_chunk_documents", "udtf_python_native",
+    "win_sessionize", "cohort_retention", "funnel_conversion",
 ]
 
 

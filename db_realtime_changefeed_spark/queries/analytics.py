@@ -1196,3 +1196,166 @@ def tpch_q17(spark, sf_dir):
         .where(F.col("l_quantity") < F.col("small_cut"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
+
+
+# --------------------------------------------- event analytics (r2)
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps)
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           min(ts) AS session_start, max(ts) AS last_event,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def win_sessionize(spark, sf_dir):
+    """BATCH gap sessionization — the window-chain form of
+    session_window (lag → new-session flag → running sum → per-
+    session aggregate), the shape used to sessionize historical data
+    where no stream is running. Two window passes share ONE
+    (user_id, ts) sort/partitioning, then a keyed aggregate on the
+    same key prefix — a single shuffle of user_id at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.select("user_id", "ts", is_new.alias("is_new"))
+        .select("user_id", "ts",
+                F.sum("is_new").over(run).alias("sess_id"))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS INTEGER)
+               AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+           count(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention — the canonical event-analytics rollup: users
+    grouped by first-activity week, counted in each subsequent week
+    they return. The per-user first-seen aggregate joins back on
+    user_id (same partitioning both sides), the distinct collapses
+    repeat activity, and the final rollup is a small keyed aggregate.
+    Week arithmetic is integer-exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (F.date_trunc("week", F.col("ts")).cast("long")
+                     - F.col("cohort_week").cast("long"))
+                    / (7 * 24 * 3600)
+                ).cast("int")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_viewed_after,
+           (SELECT count(*) FROM p) AS n_purchased_after,
+           CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM s) AS conversion
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (signup → view → purchase, each step
+    strictly after the previous) — the batch twin of the stateful
+    streaming funnel (stream_stateful_custom), graded as its own
+    aggregate: step counts + end-to-end conversion rate. Each stage
+    is a keyed min-aggregate semi-joined forward; all three stages
+    shuffle on the same user_id key."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where("event_type = 'signup'").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    v = (
+        ev.where("event_type = 'view'")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where("event_type = 'purchase'")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_viewed_after",
+        "n_purchased_after",
+        (F.col("n_purchased_after").cast("double") / F.col("n_signup"))
+        .alias("conversion"),
+    )
