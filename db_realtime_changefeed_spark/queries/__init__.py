@@ -63,6 +63,7 @@ _GRADE_PRIORITY = [
     "changefeed_core", "changefeed_keyed", "changefeed_upsert",
     "changefeed_delete", "changefeed_filtered", "changefeed_multi",
     "changefeed_live", "changefeed_cdc_ops", "changefeed_multitable",
+    "changefeed_join_view",
     "changefeed_log",
     # streaming operators
     "stream_tumbling", "stream_tumbling_append", "stream_sliding",

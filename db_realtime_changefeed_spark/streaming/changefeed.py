@@ -793,3 +793,70 @@ class MultiChangefeedRunner:
         return self.spark.createDataFrame(
             self._resolved, "batch_id long, resolved_ts timestamp"
         )
+
+
+class JoinViewRunner:
+    """Incrementally-maintained JOIN view — the third standing-query
+    shape next to the aggregate rollup (ChangefeedRunner) and the
+    point/upsert view (UpsertChangefeedRunner): a filtered change
+    stream enriched against a dimension table, materialized
+    append-only. Per micro-batch the DELTA join runs (batch rows ⋈
+    broadcast dim — never a re-join of history), and the result lands
+    in a per-batch file overwritten on replay, so at-least-once
+    delivery appends each change exactly once. At 100 TB this is the
+    canonical IVM shape for enrichment pipelines: per-batch cost is
+    O(new rows), the view is partitioned by arrival batch, and the
+    dim swap-in is a broadcast refresh."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 filter_sql: str = "event_type = 'purchase'",
+                 root: str | None = None):
+        from ..catalog import load_table
+
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.filter_sql = filter_sql
+        self.root = root or tempfile.mkdtemp(prefix="dbrcf-joinview-")
+        self.view_dir = os.path.join(self.root, "view")
+        self.ckpt = os.path.join(self.root, "checkpoint")
+        os.makedirs(self.view_dir, exist_ok=True)
+        self._dim = load_table(spark, sf_dir, "customer")
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select("after.*")
+            .where(self.filter_sql)
+            .join(
+                F.broadcast(self._dim),
+                F.col("c_custkey") == F.col("user_id") + 1,
+            )
+            .select("event_id", "user_id", "c_name", "c_mktsegment",
+                    "value")
+        )
+        out = os.path.join(self.view_dir, f"batch-{batch_id:05d}")
+        delta.write.mode("overwrite").parquet(out)
+
+    def run(self, n_chunks: int | None = None) -> None:
+        chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
+        env = cdc_envelope(read_events_stream(self.spark, chunks))
+        with streaming_shuffle(self.spark):
+            q = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("joinview"))
+                .start()
+            )
+            q.awaitTermination()
+
+    def view(self) -> DataFrame:
+        if not _has_parquet(self.view_dir):
+            return self.spark.createDataFrame(
+                [], "event_id long, user_id long, c_name string, "
+                    "c_mktsegment string, value double"
+            )
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.view_dir)
+        )

@@ -791,3 +791,29 @@ def changefeed_multitable(spark, sf_dir):
         runner.run()
         _CF_CACHE[key] = runner
     return _CF_CACHE[key].state()
+
+
+@query(
+    "changefeed_join_view",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def changefeed_join_view(spark, sf_dir):
+    """§2.I7 third standing-query shape: an incrementally-maintained
+    JOIN view (streaming/changefeed.py JoinViewRunner) — per batch,
+    only NEW matching changes join the broadcast dimension and append
+    to the materialized view; history is never re-joined. The final
+    view must equal the batch join over all events — the IVM
+    guarantee for enrichment pipelines."""
+    key = (id(spark), sf_dir, "__join_view__")
+    if key not in _CF_CACHE:
+        from .changefeed import JoinViewRunner
+
+        runner = JoinViewRunner(spark, sf_dir)
+        runner.run()
+        _CF_CACHE[key] = runner
+    return _CF_CACHE[key].view()
