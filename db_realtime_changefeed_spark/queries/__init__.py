@@ -98,6 +98,7 @@ _GRADE_PRIORITY = [
     "llm_contamination", "join_skew_salted", "llm_embedding_quantize",
     "llm_knn_ivf_multiprobe", "llm_chunk_documents", "udtf_python_native",
     "win_sessionize", "cohort_retention", "funnel_conversion",
+    "stream_sliding_append", "agg_distinct_twostage", "llm_corpus_dedup",
 ]
 
 

@@ -1359,3 +1359,27 @@ def funnel_conversion(spark, sf_dir):
         (F.col("n_purchased_after").cast("double") / F.col("n_signup"))
         .alias("conversion"),
     )
+
+
+@query(
+    "agg_distinct_twostage",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_twostage(spark, sf_dir):
+    """COUNT DISTINCT under key skew, decomposed into two stages:
+    stage 1 dedups on (key, salt-spread distinct value) — the heavy
+    shuffle spreads each hot key's values over all partitions instead
+    of one reducer building a giant dedup set — stage 2 counts the
+    now-unique pairs per key. This is the canonical rewrite Spark's
+    own planner applies for single count-distincts (expand +
+    two-phase aggregate); written explicitly here it stays correct
+    for combinations the planner can't split, and the oracle proves
+    it equals the direct form."""
+    ev = load_table(spark, sf_dir, "events")
+    stage1 = ev.select("event_type", "user_id").distinct()
+    return stage1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

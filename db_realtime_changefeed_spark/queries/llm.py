@@ -1100,3 +1100,33 @@ def llm_chunk_documents(spark, sf_dir):
         "c.chunk_text",
         F.col("c.n_words").alias("n_words"),
     )
+
+
+@query(
+    "llm_corpus_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
+      FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM h
+    WHERE doc_id = (SELECT min(doc_id) FROM h h2 WHERE h2.th = h.th)
+    """,
+)
+def llm_corpus_dedup(spark, sf_dir):
+    """The MATERIALIZED output of exact dedup — the deduplicated
+    corpus itself (keep the minimum doc_id per normalized-text hash),
+    which is what a training pipeline actually writes downstream
+    (llm_dedup_exact reports the groups; this emits the survivors).
+    One hash shuffle + WindowGroupLimit keep-first — the same
+    rn=1 pattern as dedup_latest, pushed into the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    w = Window.partitionBy("th").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", h.alias("th"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -817,3 +817,37 @@ def changefeed_join_view(spark, sf_dir):
         runner.run()
         _CF_CACHE[key] = runner
     return _CF_CACHE[key].view()
+
+
+@query(
+    "stream_sliding_append",
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    expanded AS (
+      SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS window_start
+      FROM events)
+    SELECT window_start, count(*) AS n
+    FROM expanded, m
+    WHERE window_start + INTERVAL 10 MINUTE <= m.wm
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_append(spark, sf_dir):
+    """§2.I2 in APPEND mode (completing the append trio with
+    tumbling/session): each 10-minute/5-minute-slide window emits
+    exactly once when the watermark passes its end. Emitted set =
+    windows with window_end <= max(ts) - watermark; the oracle
+    expands each event into its two windows and applies the same
+    closed-window filter."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = _to_table(agg, "slideappend", "append")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n"
+    )
