@@ -99,6 +99,7 @@ _GRADE_PRIORITY = [
     "llm_knn_ivf_multiprobe", "llm_chunk_documents", "udtf_python_native",
     "win_sessionize", "cohort_retention", "funnel_conversion",
     "stream_sliding_append", "agg_distinct_twostage", "llm_corpus_dedup",
+    "fn_string_distance", "join_range_bucketed",
 ]
 
 

@@ -1383,3 +1383,52 @@ def agg_distinct_twostage(spark, sf_dir):
     return stage1.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts - INTERVAL 5 MINUTE
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """Range join via TIME BUCKETING — the strategy that survives
+    100 TB where a broadcast nested-loop range join cannot: each
+    event lands in one 5-minute bucket; candidates are the EQUI join
+    on (user_id, bucket) with the probe side expanded into its three
+    neighboring buckets (any |Δts| <= 5min pair must share or border
+    a bucket); the exact range predicate filters residuals. Work is
+    O(true pairs + bucket collisions), shuffled on composite keys —
+    never a cross product. The oracle is the plain range join."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("long") / 300)
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("u_a"),
+        F.col("ts").alias("ts_a"),
+        bucket.alias("b_a"),
+    )
+    # probe side expands to bucket-1, bucket, bucket+1
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("u_b"),
+        F.col("ts").alias("ts_b"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("b_b"),
+    )
+    return (
+        a.join(b, (F.col("u_a") == F.col("u_b"))
+               & (F.col("b_a") == F.col("b_b")))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select("id_a", "id_b")
+    )

@@ -391,3 +391,37 @@ def fn_trig(spark, sf_dir):
         F.degrees(d).cast("float").alias("deg"),
         F.radians(q).cast("float").alias("rad"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_brand) AS INTEGER) AS lev_brand,
+           CAST(levenshtein(p_name, reverse(p_name)) AS INTEGER)
+             AS lev_palin,
+           translate(p_brand, '#', '_') AS brand_t,
+           reverse(p_type) AS type_rev,
+           repeat(left(p_type, 2), 2) AS type_rep,
+           left(p_name, 8) AS name_l,
+           right(p_name, 4) AS name_r
+    FROM part
+    """,
+)
+def fn_string_distance(spark, sf_dir):
+    """String-distance + manipulation family (§2.H1 extension):
+    levenshtein — the verify primitive of fuzzy dedup — plus
+    translate/reverse/repeat/left/right. All JVM built-ins with
+    identical semantics in DuckDB."""
+    p = load_table(spark, sf_dir, "part")
+    name, brand, ptype = F.col("p_name"), F.col("p_brand"), F.col("p_type")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(name, brand).alias("lev_brand"),
+        F.levenshtein(name, F.reverse(name)).alias("lev_palin"),
+        F.translate(brand, "#", "_").alias("brand_t"),
+        F.reverse(ptype).alias("type_rev"),
+        F.repeat(F.substring(ptype, 1, 2), 2).alias("type_rep"),
+        F.substring(name, 1, 8).alias("name_l"),
+        name.substr(F.length(name) - 3, F.lit(4)).alias("name_r"),
+    )
