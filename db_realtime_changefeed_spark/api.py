@@ -95,6 +95,22 @@ class LiveFeed(Feed):
         self._runner.stop_live()
 
 
+class TableFeed:
+    """A standing per-primary-key aggregate feed over a non-events
+    table, served by the normalized multi-table envelope replay."""
+
+    def __init__(self, runner, table: str):
+        self._runner = runner
+        self._table = table
+
+    def state(self) -> DataFrame:
+        return (
+            self._runner.state()
+            .where(F.col("tbl") == self._table)
+            .select("key", "cnt", "sum_value")
+        )
+
+
 class TableRef:
     """A lazily-filtered table reference. Relational use: `.df()`
     (full DataFrame API from there). Feed use: `.changes(key=...)`.
@@ -143,11 +159,32 @@ class TableRef:
         new change files with LiveFeed.ingest(), consume deltas
         incrementally with Feed.cursor().poll(), stop with
         LiveFeed.stop() — the subscribe-and-keep-receiving behavior
-        of RethinkDB changes() / CREATE CHANGEFEED."""
+        of RethinkDB changes() / CREATE CHANGEFEED.
+
+        Tables other than `events` (currently: orders) replay through
+        the normalized multi-table envelope and serve a per-primary-
+        key count+sum feed (streaming/multitable.py); filters and
+        live mode are events-only for now."""
+        from .streaming.multitable import _TABLE_MAP
+
         if self._name != "events":
-            raise NotImplementedError(
-                "CDC replay fixtures exist only for 'events'"
+            if self._name not in _TABLE_MAP:
+                raise NotImplementedError(
+                    f"no CDC replay mapping for {self._name!r}; "
+                    f"tables with feeds: "
+                    f"{('events', *(_TABLE_MAP.keys() - {'events'}))}"
+                )
+            if self._predicates or mode != "replay":
+                raise NotImplementedError(
+                    "filters and live mode are events-only for now"
+                )
+            from .streaming.multitable import MultiTableChangefeedRunner
+
+            runner = MultiTableChangefeedRunner(
+                self._db.spark, self._db.sf_dir, tables=(self._name,)
             )
+            runner.run()
+            return TableFeed(runner, self._name)
         filter_sql = None
         if self._predicates:
             filter_sql = " AND ".join(f"({p})" for p in self._predicates)

@@ -148,3 +148,24 @@ def test_create_changefeed_ddl(spark, sf_smoke):
     # plain SQL still works through the same entry point
     n = db.sql("SELECT count(*) AS n FROM events").collect()[0]["n"]
     assert n > 0
+
+
+def test_changes_on_orders_table(spark, sf_smoke):
+    """Feeds are not events-only: orders replays through the
+    normalized envelope and serves a per-custkey aggregate feed."""
+    from pyspark.sql import functions as F
+
+    from db_realtime_changefeed_spark.api import Database
+    from db_realtime_changefeed_spark.catalog import load_table
+
+    feed = Database(spark, sf_smoke).table("orders").changes()
+    got = {r["key"]: (r["cnt"], round(r["sum_value"], 2))
+           for r in feed.state().collect()}
+    want = {
+        str(r["o_custkey"]): (r["cnt"], round(r["s"], 2))
+        for r in load_table(spark, sf_smoke, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert got == want
