@@ -111,6 +111,18 @@ class TableFeed:
         )
 
 
+class LiveTableFeed(TableFeed):
+    """A continuously-running table feed: the producer pushes change
+    files (the table's own schema) with ingest(); consumers poll
+    state(); stop() ends the standing query."""
+
+    def ingest(self, parquet_file: str) -> None:
+        self._runner.ingest(self._table, parquet_file)
+
+    def stop(self) -> None:
+        self._runner.stop_live()
+
+
 class TableRef:
     """A lazily-filtered table reference. Relational use: `.df()`
     (full DataFrame API from there). Feed use: `.changes(key=...)`.
@@ -144,7 +156,7 @@ class TableRef:
             out = out.where(p)
         return out
 
-    def changes(self, key: str = "event_type",
+    def changes(self, key: str | None = None,
                 driver_merge: bool | str = "auto",
                 mode: str = "replay",
                 processing_time: str = "500 milliseconds") -> Feed:
@@ -163,8 +175,11 @@ class TableRef:
 
         Tables other than `events` (currently: orders) replay through
         the normalized multi-table envelope and serve a per-primary-
-        key count+sum feed (streaming/multitable.py); filters and
-        live mode are events-only for now."""
+        key count+sum feed (streaming/multitable.py). Filters (over
+        the envelope-mapped columns — the key, ts, and value columns)
+        and live mode work there too; only custom keys stay
+        events-only (a non-events feed aggregates by its table's
+        primary key)."""
         from .streaming.multitable import _TABLE_MAP
 
         if self._name != "events":
@@ -174,17 +189,29 @@ class TableRef:
                     f"tables with feeds: "
                     f"{('events', *(_TABLE_MAP.keys() - {'events'}))}"
                 )
-            if self._predicates or mode != "replay":
+            primary_key = _TABLE_MAP[self._name][0]
+            if key is not None and key != primary_key:
+                # a silently-ignored KEY BY would return a feed keyed
+                # by the wrong column — reject loudly instead
                 raise NotImplementedError(
-                    "filters and live mode are events-only for now"
+                    f"feeds on {self._name!r} aggregate by its primary "
+                    f"key {primary_key!r}; custom keys are events-only"
                 )
             from .streaming.multitable import MultiTableChangefeedRunner
 
             runner = MultiTableChangefeedRunner(
-                self._db.spark, self._db.sf_dir, tables=(self._name,)
+                self._db.spark, self._db.sf_dir, tables=(self._name,),
+                filter_sql=(
+                    " AND ".join(f"({p})" for p in self._predicates)
+                    if self._predicates else None
+                ),
             )
+            if mode == "live":
+                runner.start_live(processing_time=processing_time)
+                return LiveTableFeed(runner, self._name)
             runner.run()
             return TableFeed(runner, self._name)
+        key = key or "event_type"
         filter_sql = None
         if self._predicates:
             filter_sql = " AND ".join(f"({p})" for p in self._predicates)
@@ -277,7 +304,9 @@ class Database:
             ref = self.table(table.lower())
             if pred:
                 ref = ref.filter(pred.strip())
-            return ref.changes(key=(key or "event_type").lower())
+            # no KEY BY → table default (event_type for events, the
+            # primary key for envelope-replayed tables)
+            return ref.changes(key=key.lower() if key else None)
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)

@@ -157,8 +157,14 @@ class ChangefeedRunner:
         return int(m.group(1)) if m else None
 
     def _current_state_df(self) -> DataFrame | None:
-        if self._state is not None:
-            rows = [(k, c, s) for k, (c, s) in sorted(self._state.items())]
+        # grab ONE reference: the merge thread never mutates a
+        # published dict (it builds a fresh one and swaps the
+        # reference after the pointer flip), so whichever dict we see
+        # is a complete committed snapshot — no torn mid-batch reads
+        # even while start_live()'s foreachBatch thread is merging
+        state = self._state
+        if state is not None:
+            rows = [(k, c, s) for k, (c, s) in sorted(state.items())]
             return self.spark.createDataFrame(rows, self._STATE_DDL)
         if not os.path.exists(self.pointer):
             return None
@@ -176,17 +182,28 @@ class ChangefeedRunner:
         """At-least-once replay support: a re-delivered batch must
         merge onto the state AS OF the preceding batch, not onto its
         own result. MVCC versions are retained, so rewinding is a
-        pointer flip (or pointer removal back to the empty state)."""
-        prev = [v for v in self.versions() if v < batch_id]
+        pointer flip (or pointer removal back to the empty state).
+
+        Replaying past the retention horizon FAILS LOUDLY (the
+        compact() contract): batch ids are consecutive, so batch b>0
+        must rebase onto version b-1 exactly — silently merging onto
+        an older surviving version (or the empty state) would corrupt
+        counts/sums without any error."""
         self._state = None
-        if prev:
-            b = max(prev)
-            for name in (f"v{b}", f"v{b}.parquet"):
-                if os.path.exists(os.path.join(self.state_root, name)):
-                    self._flip_pointer(name)
-                    return
-        if os.path.exists(self.pointer):
-            os.remove(self.pointer)
+        if batch_id == 0:
+            if os.path.exists(self.pointer):
+                os.remove(self.pointer)
+            return
+        b = batch_id - 1
+        for name in (f"v{b}", f"v{b}.parquet"):
+            if os.path.exists(os.path.join(self.state_root, name)):
+                self._flip_pointer(name)
+                return
+        raise RuntimeError(
+            f"cannot rewind to version v{b} for replayed batch "
+            f"{batch_id}: it was garbage-collected by compact(); "
+            f"retained versions: {self.versions()}"
+        )
 
     # ---- driver-side merge (small key space) ----
     def _merge_batch_driver(self, delta_rows, batch_id: int) -> None:
@@ -203,7 +220,11 @@ class ChangefeedRunner:
                     for r in prev.collect()
                 }
             )
-        state, changes = self._state, []
+        # copy-on-write: mutate a PRIVATE dict; the published
+        # self._state stays frozen until the atomic swap below, so a
+        # concurrent state() call (live mode) never sees a half-
+        # applied batch or a dict changing size mid-iteration
+        state, changes = dict(self._state), []
         for r in sorted(delta_rows, key=lambda r: r[self.key]):
             k = r[self.key]
             old_c, old_s = state.get(k, (0, Decimal(0)))
@@ -242,6 +263,10 @@ class ChangefeedRunner:
         pq.write_table(state_tbl, path + ".tmp")
         os.replace(path + ".tmp", path)
         self._flip_pointer(version)
+        # publish the new warm cache only after the durable pointer
+        # flip — reference assignment is atomic, so readers see either
+        # the previous committed snapshot or this one, never a mix
+        self._state = state
 
     # ---- Spark-side merge (large key space; the 100 TB path) ----
     def _merge_batch_spark(self, delta: DataFrame, batch_id: int) -> None:
@@ -512,11 +537,20 @@ class UpsertChangefeedRunner:
         return self.spark.read.parquet(os.path.join(self.state_root, v))
 
     def _rewind_before(self, batch_id: int) -> None:
-        prev = [v for v in self.versions() if v < batch_id]
-        if prev:
-            self._flip_pointer(f"v{max(prev)}")
-        elif os.path.exists(self.pointer):
-            os.remove(self.pointer)
+        # same loud-failure contract as ChangefeedRunner._rewind_before
+        if batch_id == 0:
+            if os.path.exists(self.pointer):
+                os.remove(self.pointer)
+            return
+        b = batch_id - 1
+        if os.path.exists(os.path.join(self.state_root, f"v{b}")):
+            self._flip_pointer(f"v{b}")
+            return
+        raise RuntimeError(
+            f"cannot rewind to version v{b} for replayed batch "
+            f"{batch_id}: it was garbage-collected; "
+            f"retained versions: {self.versions()}"
+        )
 
     def _winners(self, batch_df: DataFrame) -> DataFrame:
         """Per-key LWW winner of one micro-batch: the (ts, event_id)

@@ -60,15 +60,53 @@ def _envelope(df: DataFrame, tbl: str) -> DataFrame:
     )
 
 
+def rewrite_filter(tbl: str, predicate_sql: str) -> str:
+    """Rewrite a predicate over TABLE columns (the user-facing names,
+    e.g. ``o_totalprice > 100000``) into the normalized envelope's
+    column names (``value > 100000``) so it can run against the
+    change stream per micro-batch. Only the three columns the
+    envelope carries (key/ts/value) are filterable; a predicate
+    touching any other table column fails loudly rather than
+    silently dropping the condition. At 100 TB this predicate is
+    what a CDC source would push into the changefeed scan."""
+    from ..catalog import SCHEMAS
+
+    key, ts, val = _TABLE_MAP[tbl]
+    mapping = {key: "key", ts: "ts", val: "value"}
+    out = predicate_sql
+    for src, dst in mapping.items():
+        out = re.sub(rf"\b{re.escape(src)}\b", dst, out)
+    for col in SCHEMAS[tbl].fieldNames():
+        if col not in mapping and re.search(rf"\b{re.escape(col)}\b", out):
+            raise NotImplementedError(
+                f"feed filters on {tbl!r} support only its envelope "
+                f"columns {sorted(mapping)}; {col!r} is not in the "
+                "change envelope"
+            )
+    return out
+
+
 def build_table_chunks(
     spark: SparkSession, sf_dir: str, tbl: str,
     n_chunks: int | None = None,
 ) -> str:
     """Normalize one table to the envelope and write time-ordered
-    chunk files (same layout contract as replay.py). Idempotent."""
+    chunk files (same layout contract as replay.py). Idempotent.
+
+    Chunk boundaries are cut at ts-GROUP edges, never inside a group
+    of rows sharing one ts: the per-table high-water mark after a
+    chunk is max(ts) of that chunk, and the resolved-ts contract
+    ("a read at resolved_ts is complete for every table") requires
+    every row at the hwm ts to be inside the committed prefix.
+    o_orderdate has ~6x duplication, so raw row-count slicing would
+    routinely split a group and silently break the guarantee."""
+    import numpy as np
+
     if n_chunks is None:
         n_chunks = default_chunks()
-    out = _chunk_dir(sf_dir, f"mt-{tbl}-c{n_chunks}")
+    # tag versioned (mtg) so stale row-sliced chunk caches from
+    # earlier builds are never reused
+    out = _chunk_dir(sf_dir, f"mtg-{tbl}-c{n_chunks}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -76,9 +114,19 @@ def build_table_chunks(
     os.makedirs(out, exist_ok=True)
     env = _envelope(load_table(spark, sf_dir, tbl), tbl)
     t = env.orderBy("ts", "key").toArrow()
-    per = (t.num_rows + n_chunks - 1) // n_chunks
+    n = t.num_rows
+    ts = t.column("ts").to_numpy(zero_copy_only=False)
+    per = (n + n_chunks - 1) // n_chunks
+    bounds = [0]
+    for i in range(1, n_chunks):
+        b = min(i * per, n)
+        if 0 < b < n:
+            # advance to the end of the ts group straddling b
+            b = int(np.searchsorted(ts, ts[b - 1], side="right"))
+        bounds.append(max(b, bounds[-1]))
+    bounds.append(n)
     for i in range(n_chunks):
-        _write_chunk(t.slice(i * per, per), out, i)
+        _write_chunk(t.slice(bounds[i], bounds[i + 1] - bounds[i]), out, i)
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -93,10 +141,27 @@ class MultiTableChangefeedRunner:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: tuple[str, ...] = ("events", "orders"),
-                 root: str | None = None):
+                 root: str | None = None, filter_sql: str | None = None):
+        """`filter_sql`: predicate over the source table's OWN column
+        names (rewritten per table onto the envelope via
+        rewrite_filter) — the standing query becomes a filtered
+        aggregate; non-matching changes never enter state. High-water
+        marks still advance on every processed change (filtered-out
+        rows ARE processed), so resolved timestamps keep their
+        completeness meaning."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables
+        self.filter_sql = filter_sql
+        if filter_sql is not None:
+            # per-table rewrite; raises loudly on non-envelope columns
+            parts = [
+                f"(tbl = '{t}' AND ({rewrite_filter(t, filter_sql)}))"
+                for t in tables
+            ]
+            self._env_filter = " OR ".join(parts)
+        else:
+            self._env_filter = None
         self.root = root or tempfile.mkdtemp(prefix="dbrcf-mtable-")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
@@ -137,11 +202,21 @@ class MultiTableChangefeedRunner:
         return sorted(out)
 
     def _rewind_before(self, batch_id: int) -> None:
-        prev = [v for v in self.versions() if v < batch_id]
-        if prev:
-            self._flip_pointer(f"v{max(prev)}")
-        elif os.path.exists(self.pointer):
-            os.remove(self.pointer)
+        # same loud-failure contract as ChangefeedRunner._rewind_before:
+        # batch b>0 rebases onto version b-1 exactly, or raises
+        if batch_id == 0:
+            if os.path.exists(self.pointer):
+                os.remove(self.pointer)
+            return
+        b = batch_id - 1
+        if os.path.exists(os.path.join(self.state_root, f"v{b}")):
+            self._flip_pointer(f"v{b}")
+            return
+        raise RuntimeError(
+            f"cannot rewind to version v{b} for replayed batch "
+            f"{batch_id}: it was garbage-collected; "
+            f"retained versions: {self.versions()}"
+        )
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._last_batch is not None and batch_id <= self._last_batch:
@@ -152,8 +227,13 @@ class MultiTableChangefeedRunner:
             self._resolved = [r for r in self._resolved if r[0] < batch_id]
         batch_df.persist()
         try:
+            eligible = (
+                batch_df.where(self._env_filter)
+                if self._env_filter is not None
+                else batch_df
+            )
             delta = (
-                batch_df.groupBy("tbl", "key")
+                eligible.groupBy("tbl", "key")
                 .agg(
                     F.count(F.lit(1)).alias("d_count"),
                     F.sum(F.col("value").cast(_STATE_DEC)).cast(_STATE_DEC)
@@ -193,18 +273,23 @@ class MultiTableChangefeedRunner:
             batch_df.unpersist()
         self._last_batch = batch_id
 
-    def run(self, n_chunks: int | None = None) -> None:
-        streams = []
-        for tbl in self.tables:
-            d = build_table_chunks(self.spark, self.sf_dir, tbl, n_chunks)
-            streams.append(
-                self.spark.readStream.schema(ENVELOPE_DDL)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(d)
-            )
+    def _union_streams(self, dirs: list[str]) -> DataFrame:
+        streams = [
+            self.spark.readStream.schema(ENVELOPE_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            for d in dirs
+        ]
         env = streams[0]
         for s in streams[1:]:
             env = env.unionByName(s)
+        return env
+
+    def run(self, n_chunks: int | None = None) -> None:
+        env = self._union_streams([
+            build_table_chunks(self.spark, self.sf_dir, tbl, n_chunks)
+            for tbl in self.tables
+        ])
         with streaming_shuffle(self.spark):
             q = (
                 env.writeStream.foreachBatch(self._merge_batch)
@@ -216,9 +301,67 @@ class MultiTableChangefeedRunner:
             )
             q.awaitTermination()
 
+    # ---- continuous subscription mode (live feeds on any table) ----
+    def start_live(self, processing_time: str = "500 milliseconds"):
+        """Keep the standing query RUNNING over per-table live source
+        dirs (ProcessingTime trigger): producers push change files
+        with ingest(tbl, file), consumers poll state(); stop with
+        stop_live(). Same merge/MVCC path as run() — mode only
+        changes the trigger and the source dirs."""
+        self.live_root = os.path.join(self.root, "live-src")
+        self._live_seq: dict[str, int] = {}
+        dirs = []
+        for tbl in self.tables:
+            d = os.path.join(self.live_root, tbl)
+            os.makedirs(d, exist_ok=True)
+            dirs.append(d)
+        env = self._union_streams(dirs)
+        with streaming_shuffle(self.spark):
+            self._live_query = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(processingTime=processing_time)
+                .queryName(fresh_sink_name("mtable_live"))
+                .start()
+            )
+        return self.live_root
+
+    def ingest(self, tbl: str, parquet_file: str) -> None:
+        """Producer side of a live feed: normalize one change file
+        (the TABLE's own schema) to the envelope and drop it into the
+        table's live source dir, sequenced for in-order pickup."""
+        import time as _time
+
+        from ..catalog import SCHEMAS
+
+        df = self.spark.read.schema(SCHEMAS[tbl]).parquet(parquet_file)
+        if tbl == "events":  # ns→µs, as load_table does
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        t = _envelope(df, tbl).toArrow()
+        import pyarrow.parquet as pq
+
+        n = self._live_seq.get(tbl, 0)
+        dst = os.path.join(self.live_root, tbl, f"live-{n:06d}.parquet")
+        pq.write_table(t, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+        os.utime(dst, (_time.time(), 1_800_000_000.0 + n))
+        self._live_seq[tbl] = n + 1
+
+    def stop_live(self) -> None:
+        q = getattr(self, "_live_query", None)
+        if q is not None and q.isActive:
+            q.stop()
+            q.awaitTermination()
+
     def state(self) -> DataFrame:
         df = self._current_state_df()
-        assert df is not None, "multi-table feed produced no state"
+        if df is None:
+            # a live feed polled before its first commit has a valid,
+            # EMPTY materialized state — not an error
+            df = self.spark.createDataFrame([], self._STATE_DDL)
         return df.select(
             "tbl",
             F.col("key").cast("string").alias("key"),

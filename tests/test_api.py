@@ -169,3 +169,86 @@ def test_changes_on_orders_table(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_orders_feed_filtered(spark, sf_smoke):
+    """Filters on a non-events feed: the predicate (over the table's
+    own column names) is rewritten onto the change envelope and runs
+    before the keyed delta."""
+    feed = (
+        Database(spark, sf_smoke)
+        .table("orders")
+        .filter("o_totalprice > 200000")
+        .changes()
+    )
+    got = {r["key"]: (r["cnt"], round(r["sum_value"], 2))
+           for r in feed.state().collect()}
+    want = {
+        str(r["o_custkey"]): (r["cnt"], round(r["s"], 2))
+        for r in load_table(spark, sf_smoke, "orders")
+        .where("o_totalprice > 200000")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_orders_feed_live(spark, sf_smoke, tmp_path):
+    """Live mode on a non-events feed: push orders change files with
+    ingest(), poll state() until both land."""
+    import time
+
+    orders = load_table(spark, sf_smoke, "orders")
+    half = orders.where("o_orderkey % 2 = 0")
+    rest = orders.where("o_orderkey % 2 = 1")
+    f1, f2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    half.write.parquet(f1)
+    rest.write.parquet(f2)
+    feed = Database(spark, sf_smoke).table("orders").changes(mode="live")
+    try:
+        feed.ingest(f1)
+        feed.ingest(f2)
+        want = orders.count()
+        deadline = time.time() + 60
+        got = -1
+        while time.time() < deadline:
+            got = sum(r["cnt"] for r in feed.state().collect())
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want, f"live orders feed saw {got} of {want} rows"
+    finally:
+        feed.stop()
+
+
+def test_orders_feed_custom_key_rejected(spark, sf_smoke):
+    """A non-default KEY BY on a non-events feed must fail loudly,
+    never silently aggregate by the wrong column."""
+    with pytest.raises(NotImplementedError, match="primary key"):
+        Database(spark, sf_smoke).table("orders").changes(key="o_orderdate")
+    # the table's own primary key is accepted (no-op spelling)
+    feed = (Database(spark, sf_smoke).table("orders")
+            .changes(key="o_custkey"))
+    assert feed.state().count() > 0
+
+
+def test_orders_filter_unmapped_column_rejected(spark, sf_smoke):
+    """Predicates on columns the change envelope does not carry must
+    fail loudly, never silently drop the condition."""
+    with pytest.raises(NotImplementedError, match="o_orderstatus"):
+        (Database(spark, sf_smoke).table("orders")
+         .filter("o_orderstatus = 'F'").changes())
+
+
+def test_create_changefeed_ddl_on_orders(spark, sf_smoke):
+    """CREATE CHANGEFEED FOR orders WHERE ... — DDL path for a
+    non-events table, with a filter."""
+    feed = Database(spark, sf_smoke).sql(
+        "CREATE CHANGEFEED FOR orders WHERE o_totalprice > 200000"
+    )
+    got = sum(r["cnt"] for r in feed.state().collect())
+    want = (load_table(spark, sf_smoke, "orders")
+            .where("o_totalprice > 200000").count())
+    assert got == want

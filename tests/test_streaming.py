@@ -4,6 +4,9 @@ coherence."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from db_realtime_changefeed_spark.catalog import load_table
@@ -583,3 +586,84 @@ def test_live_filtered_feed(spark, sf_smoke):
         assert got == want, f"live filtered feed: {got} != {want}"
     finally:
         feed.stop()
+
+
+@pytest.mark.parametrize("n_chunks", [6, 8])
+def test_multitable_chunks_never_split_ts_group(spark, sf_smoke, n_chunks):
+    """Chunk boundaries must cut at ts-group edges: o_orderdate has
+    heavy duplication, and a group straddling a boundary would let a
+    high-water mark claim completeness for a ts whose rows are only
+    partially merged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        build_table_chunks,
+    )
+
+    for tbl in ("events", "orders"):
+        d = build_table_chunks(spark, sf_smoke, tbl, n_chunks)
+        files = sorted(glob.glob(os.path.join(d, "chunk-*.parquet")))
+        assert len(files) == n_chunks
+        last_ts = None
+        total = 0
+        for f in files:
+            t = pq.read_table(f, columns=["ts"])
+            total += t.num_rows
+            if t.num_rows == 0:
+                continue
+            col = t.column("ts").to_pylist()
+            if last_ts is not None:
+                assert col[0] > last_ts, (
+                    f"{tbl} c{n_chunks}: ts group split across "
+                    f"{os.path.basename(f)}"
+                )
+            last_ts = col[-1]
+        want = load_table(spark, sf_smoke, tbl).count()
+        assert total == want
+
+
+def test_multitable_resolved_consistency_nondefault_chunks(spark, sf_smoke):
+    """The resolved-ts completeness guarantee must hold at ANY chunk
+    count, not just the default 4 (regression: row-count slicing
+    split o_orderdate groups at 6/8/16 chunks)."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+    )
+
+    runner = MultiTableChangefeedRunner(spark, sf_smoke)
+    runner.run(n_chunks=6)
+    res = runner.resolved()
+    assert res
+    src = {
+        "events": (load_table(spark, sf_smoke, "events"), "ts"),
+        "orders": (load_table(spark, sf_smoke, "orders"), "o_orderdate"),
+    }
+    for batch_id, hwms, _ in res:
+        st = runner.state_at(batch_id)
+        for tbl, (df, tscol) in src.items():
+            got = (
+                st.where(F.col("tbl") == tbl)
+                .agg(F.sum("cnt")).collect()[0][0] or 0
+            )
+            want = df.where(F.col(tscol) <= F.lit(hwms[tbl])).count()
+            assert got == want, (
+                f"batch {batch_id} {tbl}: {got} != ts-prefix {want}"
+            )
+
+
+def test_rewind_past_retention_horizon_raises(spark, sf_smoke):
+    """compact()'s loud-failure contract: replaying a batch whose
+    predecessor version was GC'd must raise, not silently rebase onto
+    an older version or the empty state."""
+    runner = ChangefeedRunner(spark, sf_smoke, key="event_type")
+    runner.run()
+    last = runner._last_batch
+    assert last is not None and last > 0
+    runner.compact(keep_last=1)
+    assert runner.versions() == [last]
+    with pytest.raises(RuntimeError, match="garbage-collected"):
+        runner._rewind_before(last)
+    # rewind to batch 0 (empty initial state) stays legal
+    runner._rewind_before(0)
