@@ -155,6 +155,51 @@ def llm_dedup_simhash(spark, sf_dir):
     return sim.orderBy("doc_id")
 
 
+def _banded_jaccard_pairs(spark, sf_dir):
+    """Shared blocked candidate-pair builder for the Jaccard verify
+    stage: pairs with same lang, |Δn_chars| <= 10, doc_a < doc_b,
+    with word-set Jaccard attached.
+
+    The length band is part of the SHUFFLE KEY, not a post-join
+    filter: each doc lands in one floor(n_chars/10) bucket, the
+    probe side is exploded into its ±1 neighboring buckets (any
+    |Δn_chars| <= 10 pair must share or border a bucket since the
+    bucket width equals the band), and the join is the EQUI join on
+    (lang, bucket) with the exact |Δ| <= 10 predicate as a residual
+    filter — the join_range_bucketed pattern (analytics.py). lang
+    alone has ~5 distinct values, so at 100 TB a lang-only equi key
+    degenerates to O(n²/5) pair enumeration on 5 hot keys; the
+    composite key keeps work O(true pairs + bucket collisions)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(10))
+    w = d.select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "lang",
+        F.col("n_chars").alias("nc_a"), F.col("ws").alias("ws_a"),
+        bucket.alias("bk"),
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "lang",
+        F.col("n_chars").alias("nc_b"), F.col("ws").alias("ws_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+    )
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    )
+    return (
+        a.join(b, ["lang", "bk"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 10)
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 @query(
     "llm_dedup_ngram_jaccard",
     oracle="""
@@ -175,31 +220,12 @@ def llm_dedup_simhash(spark, sf_dir):
 )
 def llm_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-set Jaccard over blocked candidate pairs (§2.J
-    extra). Blocking key (lang, ~n_chars) bounds the pair count —
-    the all-pairs form would not survive scale; the blocked form is
-    the standard verify stage after MinHash candidates."""
-    d = load_table(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id", "lang", "n_chars",
-        F.array_distinct(F.split("text", " ")).alias("ws"),
-    )
-    a, b = w.alias("a"), w.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    jac = inter.cast("double") / (
-        F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    )
+    extra) — the standard verify stage after MinHash candidates.
+    Candidate generation is the banded (lang, n_chars-bucket) equi
+    join (_banded_jaccard_pairs); the all-pairs and lang-only-
+    blocked forms would not survive scale."""
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        _banded_jaccard_pairs(spark, sf_dir)
         .where(F.col("jaccard") > 0.5)
     )
 
@@ -236,7 +262,13 @@ def _sql_dot(x, y):
 def llm_neardup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (§2.J extra), label-blocked.
     Cosines are bitwise-identical to DuckDB (sequential double fold
-    on both sides), so the 0.35 threshold cuts the same set."""
+    on both sides), so the 0.35 threshold cuts the same set.
+
+    EXACT DEMO ONLY — label has few distinct values, so this is
+    O(n²/labels) within each block and does NOT survive 100 TB.
+    The production path is llm_neardup_embedding_lsh (banded
+    hyperplane signatures in the shuffle key, same verify stage) or
+    llm_knn_lsh / llm_knn_ivf for top-k retrieval."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
@@ -250,6 +282,125 @@ def llm_neardup_embedding(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
+        .where(F.col("cos_sim") > 0.35)
+    )
+
+
+#: banded-LSH near-dup: 4 bands x 4 hyperplanes (AND within a band,
+#: OR across bands). Plane weights are small integers from a fixed
+#: affine-mod formula — exactly representable doubles, so Spark and
+#: DuckDB compute bit-identical projections with no libm involved.
+_NDL_BANDS, _NDL_ROWS = 4, 4
+
+
+def _ndl_proj(emb, p: int):
+    """Projection of `emb` onto deterministic pseudo-plane p: weight
+    for dim i (0-based) = ((p*131 + i*17) % 7) - 3 ∈ [-3, 3]."""
+    idx = F.sequence(F.lit(0), F.size(emb) - 1)
+    w = F.transform(
+        idx, lambda i: ((F.lit(p * 131) + i * 17) % 7 - 3).cast("double")
+    )
+    return F.aggregate(
+        F.zip_with(emb, w, lambda x, wv: x.cast("double") * wv),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ndl_sql_proj(p_expr: str) -> str:
+    """The same projection in DuckDB SQL (i is 1-based there)."""
+    return (
+        "list_aggregate(list_transform(range(1, len(e.embedding)+1),"
+        f" i -> CAST(e.embedding[i] AS DOUBLE)"
+        f" * CAST((({p_expr})*131 + (i-1)*17) % 7 - 3 AS DOUBLE)),"
+        " 'sum')"
+    )
+
+
+def _ndl_sql_band_hash() -> str:
+    return " + ".join(
+        f"(CASE WHEN {_ndl_sql_proj(f'b.band*{_NDL_ROWS}+{r}')} > 0"
+        f" THEN {2 ** r} ELSE 0 END)"
+        for r in range(_NDL_ROWS)
+    )
+
+
+@query(
+    "llm_neardup_embedding_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    sig AS (
+      SELECT e.vec_id, e.label, b.band,
+             {_ndl_sql_band_hash()} AS bh
+      FROM e, (SELECT unnest(range({_NDL_BANDS})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT s1.vec_id AS vec_a, s2.vec_id AS vec_b
+      FROM sig s1 JOIN sig s2
+        ON s1.label = s2.label AND s1.band = s2.band AND s1.bh = s2.bh
+       AND s1.vec_id < s2.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {_sql_dot('ea.embedding', 'eb.embedding')}
+             / (sqrt({_sql_dot('ea.embedding', 'ea.embedding')})
+              * sqrt({_sql_dot('eb.embedding', 'eb.embedding')})) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {_sql_dot('ea.embedding', 'eb.embedding')}
+             / (sqrt({_sql_dot('ea.embedding', 'ea.embedding')})
+              * sqrt({_sql_dot('eb.embedding', 'eb.embedding')})) > 0.35
+    """,
+)
+def llm_neardup_embedding_lsh(spark, sf_dir):
+    """Banded-LSH near-dup over embeddings — the scale form of
+    llm_neardup_embedding: candidate pairs come from an EQUI join
+    whose shuffle key is (label, band, band_hash), never a
+    label-only block. 4 bands of 4 deterministic hyperplane sign
+    bits each (OR-amplified across bands); candidates are deduped,
+    exact cosine re-verifies, and the 0.35 threshold cuts the final
+    set. Output = the exact variant's pairs RESTRICTED to
+    band-collision survivors — approximate by design, but fully
+    deterministic (integer plane weights, bit-identical folds), so
+    the DuckDB oracle reproduces it hash-exactly. At 100 TB the
+    shuffle key has ~labels × bands × 2^rows distinct values and
+    work is O(collisions), not O(n²/labels)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def band_hash(band: int):
+        bits = [
+            F.when(_ndl_proj(emb, band * _NDL_ROWS + r) > 0, F.lit(2 ** r))
+            .otherwise(F.lit(0))
+            for r in range(_NDL_ROWS)
+        ]
+        return sum(bits[1:], bits[0])
+
+    sig = e.select(
+        "vec_id", "label",
+        F.posexplode(
+            F.array(*[band_hash(bd) for bd in range(_NDL_BANDS)])
+        ).alias("band", "bh"),
+    )
+    s1 = sig.select(F.col("vec_id").alias("vec_a"),
+                    "label", "band", "bh")
+    s2 = sig.select(F.col("vec_id").alias("vec_b"),
+                    "label", "band", "bh")
+    cand = (
+        s1.join(s2, ["label", "band", "bh"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("emb_b"))
+    xa, xb = F.col("emb_a"), F.col("emb_b")
+    cos = _dot(xa, xb) / (F.sqrt(_dot(xa, xa)) * F.sqrt(_dot(xb, xb)))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") > 0.35)
     )
 
@@ -753,24 +904,10 @@ def llm_dedup_cluster(spark, sf_dir):
     label themselves. The DuckDB oracle recomputes the same
     components with a recursive transitive-closure CTE."""
     d = load_table(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id", "lang", "n_chars",
-        F.array_distinct(F.split("text", " ")).alias("ws"),
-    )
-    a, b = w.alias("a"), w.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    jac = inter.cast("double") / (
-        F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
-        )
-        .where(jac > 0.5)
-        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        _banded_jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") > 0.5)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
     from ..operators.components import connected_components
 

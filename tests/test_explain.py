@@ -168,3 +168,30 @@ def test_salted_join_spreads_skew(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "join_skew_salted")
     assert "BroadcastHashJoin" not in plan, "salting demo must shuffle"
     assert "salt" in plan
+
+
+def test_banded_jaccard_composite_shuffle_key(spark, sf_oracle):
+    """The Jaccard verify stage must join on (lang, n_chars-bucket),
+    never on lang alone — a lang-only equi key (5 distinct values)
+    degenerates to per-language all-pairs at scale."""
+    plan = _plan(spark, sf_oracle, "llm_dedup_ngram_jaccard")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the equi-join keys must include the bucket column next to lang
+    key_lines = [ln for ln in plan.splitlines() if "keys [" in ln]
+    assert key_lines, "no hash-join key lines in plan"
+    assert any("lang" in ln and "bk" in ln for ln in key_lines), (
+        f"bucket not in join keys: {key_lines}"
+    )
+
+
+def test_neardup_lsh_composite_shuffle_key(spark, sf_oracle):
+    """Banded-LSH near-dup joins on (label, band, band-hash) — the
+    non-degenerate key that replaces the label-only block."""
+    plan = _plan(spark, sf_oracle, "llm_neardup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    key_lines = [ln for ln in plan.splitlines() if "keys [" in ln]
+    assert any(
+        "label" in ln and "band" in ln and "bh" in ln for ln in key_lines
+    ), f"band hash not in join keys: {key_lines}"
