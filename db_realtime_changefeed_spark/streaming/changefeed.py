@@ -140,6 +140,14 @@ class ChangefeedRunner:
         self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.state_root, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
+        # Spark-merge path state layout: hash-bucketed MVCC store so a
+        # micro-batch rewrites only the buckets its delta touches
+        # (state_store.py) — the partial-rewrite design 100 TB needs
+        from .state_store import BucketedMvccState
+
+        self._store = BucketedMvccState(
+            self.spark, self.state_root, self._STATE_DDL, self.key
+        )
         # warm cache of current state {key: (cnt, sum)} — group-key
         # cardinality sized, driver-merge path only. Parquet remains
         # the source of truth; a restarted runner re-reads via the
@@ -166,8 +174,11 @@ class ChangefeedRunner:
         if state is not None:
             rows = [(k, c, s) for k, (c, s) in sorted(state.items())]
             return self.spark.createDataFrame(rows, self._STATE_DDL)
-        if not os.path.exists(self.pointer):
+        b = self._pointer_batch()
+        if b is None:
             return None
+        if self._store.has_version(b):
+            return self._store.df_at(b)
         with open(self.pointer) as f:
             v = f.read().strip()
         return self.spark.read.parquet(os.path.join(self.state_root, v))
@@ -195,6 +206,9 @@ class ChangefeedRunner:
                 os.remove(self.pointer)
             return
         b = batch_id - 1
+        if self._store.has_version(b):
+            self._flip_pointer(f"v{b}")
+            return
         for name in (f"v{b}", f"v{b}.parquet"):
             if os.path.exists(os.path.join(self.state_root, name)):
                 self._flip_pointer(name)
@@ -271,9 +285,23 @@ class ChangefeedRunner:
     # ---- Spark-side merge (large key space; the 100 TB path) ----
     def _merge_batch_spark(self, delta: DataFrame, batch_id: int) -> None:
         spark = self.spark
-        old = self._current_state_df()
-        if old is None:
+        delta = delta.persist()
+        # the batch's delta names the buckets it can change; the old-
+        # state read is PRUNED to those bucket paths, and the commit
+        # below rewrites only them — untouched state is never read,
+        # rewritten, or copied (manifest carries it forward)
+        touched = self._store.touched_buckets(delta, self.key)
+        base = self._pointer_batch()
+        base_bucketed = base is not None and self._store.has_version(base)
+        if base is None:
             old = spark.createDataFrame([], self._STATE_DDL)
+        elif base_bucketed:
+            old = self._store.df_at(base, buckets=touched)
+        else:
+            # legacy whole-dir layout (e.g. a driver-merge run being
+            # continued on this path): migrate with one full rewrite
+            old = self._current_state_df()
+            touched = list(range(self._store.n_buckets))
         zero = F.lit(0).cast(_STATE_DEC)
         merged = (
             old.join(delta, self.key, "full")
@@ -298,18 +326,21 @@ class ChangefeedRunner:
                 F.col("new_sum").cast("double").alias("new_sum"),
                 F.lit(batch_id).alias("batch_id"),
             ).write.mode("overwrite").parquet(log_path)
-            version = f"v{batch_id}"
-            path = os.path.join(self.state_root, version)
-            shutil.rmtree(path, ignore_errors=True)  # idempotent re-run
-            merged.select(
-                self.key,
-                F.col("new_count").alias("cnt"),
-                F.col("new_sum").alias("sum_value"),
-            ).write.mode("overwrite").parquet(path)
-            self._flip_pointer(version)
+            self._store.commit(
+                batch_id,
+                base if base_bucketed else None,
+                merged.select(
+                    self.key,
+                    F.col("new_count").alias("cnt"),
+                    F.col("new_sum").alias("sum_value"),
+                ),
+                touched,
+            )
+            self._flip_pointer(f"v{batch_id}")
             self._state = None  # parquet is authoritative on this path
         finally:
             merged.unpersist()
+            delta.unpersist()
 
     # ---- the standing query ----
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -405,12 +436,13 @@ class ChangefeedRunner:
         )
 
     def versions(self) -> list[int]:
-        """Batch ids of all retained MVCC state versions."""
-        out = []
+        """Batch ids of all retained MVCC state versions (driver-path
+        single files and bucketed-store manifests alike)."""
+        out = set(self._store.versions())
         for name in os.listdir(self.state_root):
             m = re.fullmatch(r"v(\d+)(?:\.parquet)?", name)
             if m:
-                out.append(int(m.group(1)))
+                out.add(int(m.group(1)))
         return sorted(out)
 
     def state_at(self, batch_id: int) -> DataFrame:
@@ -418,6 +450,12 @@ class ChangefeedRunner:
         MVCC versions are retained, not garbage-collected, so any
         trigger's view stays readable (the AS OF SYSTEM TIME analogue
         of versioned changefeed stores)."""
+        if self._store.has_version(batch_id):
+            return self._store.df_at(batch_id).select(
+                self.key,
+                "cnt",
+                F.col("sum_value").cast("double").alias("sum_value"),
+            )
         for name in (f"v{batch_id}.parquet", f"v{batch_id}"):
             path = os.path.join(self.state_root, name)
             if os.path.exists(path):
@@ -456,7 +494,7 @@ class ChangefeedRunner:
         keep = set(versions[-keep_last:])
         if current is not None:
             keep.add(current)
-        removed = []
+        removed = list(self._store.gc(keep))
         for b in versions:
             if b in keep:
                 continue
@@ -468,7 +506,7 @@ class ChangefeedRunner:
                 elif os.path.isdir(path):
                     shutil.rmtree(path)
                     removed.append(b)
-        return removed
+        return sorted(set(removed))
 
 
 class UpsertChangefeedRunner:
@@ -517,6 +555,11 @@ class UpsertChangefeedRunner:
         self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.state_root, exist_ok=True)
+        from .state_store import BucketedMvccState
+
+        self._store = BucketedMvccState(
+            self.spark, self.state_root, self._STATE_DDL, "user_id"
+        )
         # driver-path state; LWW replays are inherently idempotent
         # here (a stale (ts, id) never beats the high-water mark)
         self._state: dict[int, tuple] = {}
@@ -530,8 +573,11 @@ class UpsertChangefeedRunner:
     versions = ChangefeedRunner.versions
 
     def _current_state_df(self) -> DataFrame | None:
-        if not os.path.exists(self.pointer):
+        b = self._pointer_batch()
+        if b is None:
             return None
+        if self._store.has_version(b):
+            return self._store.df_at(b)
         with open(self.pointer) as f:
             v = f.read().strip()
         return self.spark.read.parquet(os.path.join(self.state_root, v))
@@ -543,7 +589,9 @@ class UpsertChangefeedRunner:
                 os.remove(self.pointer)
             return
         b = batch_id - 1
-        if os.path.exists(os.path.join(self.state_root, f"v{b}")):
+        if self._store.has_version(b) or os.path.exists(
+            os.path.join(self.state_root, f"v{b}")
+        ):
             self._flip_pointer(f"v{b}")
             return
         raise RuntimeError(
@@ -582,10 +630,19 @@ class UpsertChangefeedRunner:
 
     # ---- executor-side LWW merge (the default; the 100 TB path) ----
     def _merge_batch_spark(self, batch_df: DataFrame, batch_id: int) -> None:
-        winners = self._winners(batch_df)
-        old = self._current_state_df()
-        if old is None:
+        winners = self._winners(batch_df).persist()
+        # pruned read + partial rewrite: only the buckets this
+        # batch's keys hash into are read and rewritten (state_store)
+        touched = self._store.touched_buckets(winners, "user_id")
+        base = self._pointer_batch()
+        base_bucketed = base is not None and self._store.has_version(base)
+        if base is None:
             old = self.spark.createDataFrame([], self._STATE_DDL)
+        elif base_bucketed:
+            old = self._store.df_at(base, buckets=touched)
+        else:
+            old = self._current_state_df()
+            touched = list(range(self._store.n_buckets))
         j = old.join(winners, "user_id", "full")
         has_w = F.col("w_eid").isNotNull()
         has_o = F.col("event_id").isNotNull()
@@ -623,19 +680,22 @@ class UpsertChangefeedRunner:
                 F.col("log_new_eid").alias("new_event_id"),
                 F.lit(batch_id).alias("batch_id"),
             ).write.mode("overwrite").parquet(log_path)
-            version = f"v{batch_id}"
-            path = os.path.join(self.state_root, version)
-            shutil.rmtree(path, ignore_errors=True)
-            merged.select(
-                "user_id",
-                F.col("n_ts").alias("ts"),
-                F.col("n_eid").alias("event_id"),
-                F.col("n_val").alias("value"),
-                F.col("n_del").alias("deleted"),
-            ).write.mode("overwrite").parquet(path)
-            self._flip_pointer(version)
+            self._store.commit(
+                batch_id,
+                base if base_bucketed else None,
+                merged.select(
+                    "user_id",
+                    F.col("n_ts").alias("ts"),
+                    F.col("n_eid").alias("event_id"),
+                    F.col("n_val").alias("value"),
+                    F.col("n_del").alias("deleted"),
+                ),
+                touched,
+            )
+            self._flip_pointer(f"v{batch_id}")
         finally:
             merged.unpersist()
+            winners.unpersist()
 
     # ---- driver-side merge (equivalence-test path) ----
     def _merge_batch_driver(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -667,3 +667,59 @@ def test_rewind_past_retention_horizon_raises(spark, sf_smoke):
         runner._rewind_before(last)
     # rewind to batch 0 (empty initial state) stays legal
     runner._rewind_before(0)
+
+
+def test_bucketed_partial_state_rewrites(spark, sf_smoke):
+    """Entity-keyed state is hash-bucketed: a micro-batch rewrites
+    ONLY the buckets its delta touches; every other bucket is carried
+    forward by manifest reference, never rewritten (the partial-
+    rewrite property whole-dir state lacks at 100 TB)."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        UpsertChangefeedRunner,
+    )
+
+    r = UpsertChangefeedRunner(
+        spark, sf_smoke, filter_sql="after.user_id = 7"
+    )
+    r.run()
+    store = r._store
+    vs = store.versions()
+    assert len(vs) >= 2
+    bucket_of_key = None
+    for b in vs:
+        written = [
+            k for k in range(store.n_buckets)
+            if os.path.isdir(
+                os.path.join(store.buckets_root, f"b{k}", f"v{b}")
+            )
+        ]
+        # one filtered key -> at most its single bucket per batch
+        assert len(written) <= 1 < store.n_buckets
+        if written:
+            bucket_of_key = (bucket_of_key or written[0])
+            assert written == [bucket_of_key]
+    # the final manifest references exactly that one bucket
+    man = store.manifest(vs[-1])
+    assert set(man) == {bucket_of_key}
+    # and the materialized row is the LWW winner for the key
+    row = r.state().collect()
+    assert len(row) == 1 and row[0]["user_id"] == 7
+
+
+def test_bucketed_state_carry_forward(spark, sf_smoke):
+    """Full keyed feed: version N's manifest may reference bucket
+    dirs written by older batches (carry-forward), and state_at
+    stays exact for every retained version."""
+    runner = ChangefeedRunner(spark, sf_smoke, key="user_id")
+    runner.run()
+    store = runner._store
+    vs = store.versions()
+    assert vs, "spark-merge path should use the bucketed store"
+    # every version's state must equal the ts-prefix recompute done
+    # in test_state_time_travel; here assert the cheap invariants:
+    # manifests are complete and the union read matches state()
+    total = runner.state().agg(F.sum("cnt")).collect()[0][0]
+    want = load_table(spark, sf_smoke, "events").count()
+    assert total == want
+    last_man = store.manifest(vs[-1])
+    assert all(v <= vs[-1] for v in last_man.values())
