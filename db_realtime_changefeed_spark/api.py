@@ -82,6 +82,14 @@ class Feed:
     def cursor(self) -> Cursor:
         return Cursor(self._runner)
 
+    def subscribe(self, callback, name: str = "default"):
+        """PUSH delivery — the complement of the poll cursor: the
+        callback receives (batch_id, delta_rows) for every committed
+        batch, unacked history first, then live batches as they
+        commit, exactly once per batch id across upstream retries
+        (durable per-name ack; see streaming/push.py)."""
+        return self._runner.subscribe(callback, name)
+
 
 class LiveFeed(Feed):
     """A continuously-running standing query (ProcessingTime trigger):

@@ -154,6 +154,13 @@ class ChangefeedRunner:
         # pointer.
         self._state: dict[str, tuple[int, Decimal]] | None = None
         self._last_batch = self._pointer_batch()
+        # push-delivery subscribers (streaming/push.py); the lock
+        # serializes live pushes against subscription catch-up so
+        # every subscriber sees batch ids strictly increasing
+        import threading
+
+        self._subscribers: list = []
+        self._sub_lock = threading.Lock()
 
     # ---- state versioning (MVCC pointer flip) ----
     def _pointer_batch(self) -> int | None:
@@ -364,6 +371,41 @@ class ChangefeedRunner:
         else:
             self._merge_batch_spark(delta, batch_id)
         self._last_batch = batch_id
+        self._push(batch_id)
+
+    # ---- push delivery (streaming/push.py) ----
+    def _push(self, batch_id: int) -> None:
+        """Deliver one committed batch's delta rows to every
+        subscriber. Runs AFTER the state/log commit (so a crash
+        before here re-delivers the batch — at-least-once upstream);
+        each subscriber's durable ack dedupes to exactly-once."""
+        if not self._subscribers:
+            return
+        from .push import read_batch_log
+
+        rows = read_batch_log(self.log_dir, batch_id)
+        if not rows:
+            return
+        with self._sub_lock:
+            for s in self._subscribers:
+                s.deliver(batch_id, rows)
+
+    def subscribe(self, callback, name: str = "default"):
+        """Register a push subscriber: `callback(batch_id, rows)` is
+        invoked once per committed batch with that batch's {old,new}
+        delta rows (list of dicts), in batch order. History the
+        subscriber has not acked is delivered immediately (catch-up),
+        then live batches push as they commit. Returns the
+        Subscriber (its durable ack file keys resume-on-restart)."""
+        from .push import Subscriber, log_batches, read_batch_log
+
+        sub = Subscriber(self, callback, name)
+        with self._sub_lock:
+            for b in log_batches(self.log_dir):
+                if b > sub.acked:
+                    sub.deliver(b, read_batch_log(self.log_dir, b))
+            self._subscribers.append(sub)
+        return sub
 
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
@@ -560,6 +602,10 @@ class UpsertChangefeedRunner:
         self._store = BucketedMvccState(
             self.spark, self.state_root, self._STATE_DDL, "user_id"
         )
+        import threading
+
+        self._subscribers: list = []
+        self._sub_lock = threading.Lock()
         # driver-path state; LWW replays are inherently idempotent
         # here (a stale (ts, id) never beats the high-water mark)
         self._state: dict[int, tuple] = {}
@@ -571,6 +617,8 @@ class UpsertChangefeedRunner:
     _pointer_batch = ChangefeedRunner._pointer_batch
     _flip_pointer = ChangefeedRunner._flip_pointer
     versions = ChangefeedRunner.versions
+    _push = ChangefeedRunner._push
+    subscribe = ChangefeedRunner.subscribe
 
     def _current_state_df(self) -> DataFrame | None:
         b = self._pointer_batch()
@@ -761,6 +809,7 @@ class UpsertChangefeedRunner:
                 self._rewind_before(batch_id)
             self._merge_batch_spark(batch_df, batch_id)
         self._last_batch = batch_id
+        self._push(batch_id)
 
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)

@@ -31,6 +31,7 @@ from .changefeed import (
 )
 from .replay import (
     build_replay_chunks,
+    default_chunks,
     fresh_sink_name,
     read_events_stream,
     run_available_now,
@@ -467,6 +468,56 @@ def changefeed_log(spark, sf_dir):
     tests/test_streaming.py; graded rows-only because batch
     boundaries (not values) depend on replay chunking."""
     return _changefeed(spark, sf_dir).log()
+
+
+@query(
+    "changefeed_push",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT event_type, value,
+             CAST(floor(rn / ceil(n / {default_chunks()}.0)) AS BIGINT)
+               AS batch_id
+      FROM numbered
+    ), per AS (
+      SELECT event_type, batch_id,
+             count(*) AS d_cnt,
+             sum(CAST(value AS DECIMAL(18,6))) AS d_sum
+      FROM chunked GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(d_cnt) OVER w - d_cnt AS BIGINT) AS old_count,
+           CAST(sum(d_cnt) OVER w AS BIGINT) AS new_count,
+           CAST(sum(d_sum) OVER w - d_sum AS DOUBLE) AS old_sum,
+           CAST(sum(d_sum) OVER w AS DOUBLE) AS new_sum,
+           batch_id
+    FROM per
+    WINDOW w AS (PARTITION BY event_type ORDER BY batch_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def changefeed_push(spark, sf_dir):
+    """Push delivery (the subscriber surface, streaming/push.py):
+    grade exactly what a push subscriber RECEIVES — every committed
+    batch's {old,new} delta rows, delivered to a callback in batch
+    order with durable-ack exactly-once semantics. The oracle
+    recomputes the per-chunk cumulative old/new counts and decimal
+    sums per event_type (replay chunking is deterministic: events
+    ordered by event_id split into equal slices), so a dropped,
+    duplicated, or reordered push breaks the hash."""
+    import uuid
+
+    runner = _changefeed(spark, sf_dir)
+    got: list[dict] = []
+    runner.subscribe(
+        lambda b, rows: got.extend(rows),
+        name=f"grade-{uuid.uuid4().hex[:8]}",
+    )
+    return spark.createDataFrame(got, runner._LOG_DDL)
 
 
 @query(

@@ -723,3 +723,67 @@ def test_bucketed_state_carry_forward(spark, sf_smoke):
     assert total == want
     last_man = store.manifest(vs[-1])
     assert all(v <= vs[-1] for v in last_man.values())
+
+
+def test_push_subscriber_exactly_once_across_retry(spark, sf_smoke):
+    """Push delivery: a subscriber's callback sees every committed
+    batch exactly once — catch-up covers history, the durable ack
+    dedupes a simulated at-least-once redelivery, and a restarted
+    subscriber with the same name resumes instead of replaying."""
+    from db_realtime_changefeed_spark.streaming.push import log_batches
+
+    runner = ChangefeedRunner(spark, sf_smoke, key="event_type")
+    runner.run()
+    seen: list[tuple[int, int]] = []
+    sub = runner.subscribe(
+        lambda b, rows: seen.append((b, len(rows))), name="eo-test"
+    )
+    batches = log_batches(runner.log_dir)
+    assert [b for b, _ in seen] == batches, "catch-up must be in order"
+    n0 = len(seen)
+    # simulated at-least-once redelivery of the last committed batch
+    runner._push(batches[-1])
+    assert len(seen) == n0, "redelivered batch must not reach callback"
+    # a NEW subscriber with the SAME name resumes from the ack file
+    seen2: list[int] = []
+    runner.subscribe(lambda b, rows: seen2.append(b), name="eo-test")
+    assert seen2 == [], "restarted subscriber must not replay acked batches"
+    # a fresh name replays everything once
+    seen3: list[int] = []
+    runner.subscribe(lambda b, rows: seen3.append(b), name="eo-fresh")
+    assert seen3 == batches
+    # delivered content equals the durable delta log, row for row
+    total_rows = sum(n for _, n in seen)
+    assert total_rows == runner.log().count()
+
+
+def test_push_subscriber_live_feed(spark, sf_smoke):
+    """Live mode: a subscriber receives each ingested change's delta
+    via push, without polling."""
+    import glob
+    import time
+
+    from db_realtime_changefeed_spark.streaming.replay import (
+        build_replay_chunks,
+    )
+
+    chunks = build_replay_chunks(spark, sf_smoke, 4)
+    files = sorted(glob.glob(os.path.join(chunks, "chunk-*.parquet")))
+    runner = ChangefeedRunner(spark, sf_smoke, key="event_type")
+    got: list[int] = []
+    runner.subscribe(lambda b, rows: got.append(b), name="live-sub")
+    runner.start_live()
+    try:
+        runner.ingest(files[0])
+        deadline = time.time() + 60
+        while time.time() < deadline and not got:
+            time.sleep(0.25)
+        assert got, "no push delivery from live batch"
+        n1 = len(got)
+        runner.ingest(files[1])
+        while time.time() < deadline and len(got) == n1:
+            time.sleep(0.25)
+        assert len(got) > n1, "second ingest not pushed"
+    finally:
+        runner.stop_live()
+    assert got == sorted(got), "pushes must arrive in batch order"
