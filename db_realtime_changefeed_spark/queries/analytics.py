@@ -1432,3 +1432,55 @@ def join_range_bucketed(spark, sf_dir):
         )
         .select("id_a", "id_b")
     )
+
+
+@query(
+    "gapfill_time_series",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds)
+    SELECT d.day,
+           CAST(coalesce(x.n, 0) AS BIGINT) AS n,
+           coalesce(x.sum_value, 0.0) AS sum_value
+    FROM days d LEFT JOIN daily x USING (day)
+    """,
+)
+def gapfill_time_series(spark, sf_dir):
+    """Time-series gap fill — the dense-calendar rollup dashboards
+    need: aggregate per day, then LEFT JOIN a generated complete day
+    spine so missing days appear as explicit zeros. The spine is
+    sequence()+explode over the min/max bounds (a 1-row broadcast —
+    never a driver loop); the daily aggregate is one shuffle of
+    O(days) groups. At 100 TB the spine stays O(days) while the
+    fact aggregation is the usual partial+final shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "value")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )

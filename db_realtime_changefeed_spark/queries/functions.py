@@ -425,3 +425,36 @@ def fn_string_distance(spark, sf_dir):
         F.substring(name, 1, 8).alias("name_l"),
         name.substr(F.length(name) - 3, F.lit(4)).alias("name_r"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_num,
+           CAST(len(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS n_no_vowels,
+           regexp_matches(text, '[0-9]{2,}') AS has_long_num,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             AS n_alpha_runs
+    FROM documents
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    """§2.H regex family: extract / global replace / match test /
+    extract-all count. Patterns stay within the common subset of
+    Java regex (Spark) and RE2 (DuckDB) — character classes and
+    bounded repetition — so both engines tokenize identically.
+    Scan-bound scalar expressions; whole-stage codegen, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_num"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias(
+            "n_no_vowels"
+        ),
+        F.col("text").rlike(r"[0-9]{2,}").alias("has_long_num"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"([A-Za-z]+)"), 1)
+        ).alias("n_alpha_runs"),
+    )

@@ -1113,6 +1113,101 @@ def llm_embedding_quantize(spark, sf_dir):
 
 
 @query(
+    "llm_knn_quantized",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 127.0 / amax))
+               AS qv
+      FROM s),
+    qq AS (SELECT qv AS qvq, embedding AS qe FROM q8 WHERE vec_id = 0),
+    coarse AS (
+      SELECT a.vec_id, a.label, a.embedding,
+             list_aggregate(list_transform(range(1, len(a.qv)+1),
+                                           i -> a.qv[i] * qq.qvq[i]),
+                            'sum') AS qdot,
+             list_aggregate(list_transform(a.qv, v -> v * v), 'sum')
+               AS qn2,
+             list_aggregate(list_transform(qq.qvq, v -> v * v), 'sum')
+               AS qn2q
+      FROM q8 a, qq WHERE a.vec_id <> 0),
+    top50 AS (
+      SELECT vec_id, label, embedding,
+             CAST(qdot AS DOUBLE)
+               / sqrt(CAST(qn2 AS DOUBLE) * CAST(qn2q AS DOUBLE)) AS qcos
+      FROM coarse ORDER BY qcos DESC, vec_id ASC LIMIT 50)
+    SELECT t.vec_id, t.label,
+           {_sql_dot('t.embedding', 'qq.qe')}
+             / (sqrt({_sql_dot('t.embedding', 't.embedding')})
+              * sqrt({_sql_dot('qq.qe', 'qq.qe')})) AS cos_sim
+    FROM top50 t, qq
+    ORDER BY cos_sim DESC, t.vec_id ASC LIMIT 10
+    """,
+)
+def llm_knn_quantized(spark, sf_dir):
+    """KNN over int8-quantized vectors with exact float rescoring —
+    the two-stage retrieval every production vector store runs:
+    coarse rank ALL vectors by quantized cosine (integer dot products
+    over floor(x*127/amax) codes — 4x less memory traffic, SIMD int
+    math at scale, and exact cross-engine determinism since every
+    intermediate is an integer or an IEEE op on integers), keep the
+    top 50, then rescore just those with the exact float cosine and
+    return the top 10. At 100 TB the coarse stage is the only full
+    scan (of codes, not floats) and the rescore touches 50 rows.
+    Composes llm_embedding_quantize's code layout with
+    llm_similarity_knn's exact math."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(dbl(x))))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(dbl(x) * F.lit(127.0) / F.col("amax")),
+    )
+    q8 = (
+        e.select("vec_id", "label", "embedding", amax.alias("amax"))
+        .select("vec_id", "label", "embedding", qv.alias("qv"))
+    )
+    qq = q8.where(F.col("vec_id") == 0).select(
+        F.col("qv").alias("qvq"), F.col("embedding").alias("qe")
+    )
+    int_dot = F.aggregate(
+        F.zip_with("qv", "qvq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sq_norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        q8.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id", "label", "embedding", "qe",
+            (int_dot.cast("double")
+             / F.sqrt(sq_norm("qv").cast("double")
+                      * sq_norm("qvq").cast("double"))).alias("qcos"),
+        )
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    ee, qe = F.col("embedding"), F.col("qe")
+    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
+    return (
+        coarse.select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
     "llm_knn_ivf_multiprobe",
     oracle=f"""
     WITH pm AS (
@@ -1266,4 +1361,65 @@ def llm_corpus_dedup(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+      FROM tf JOIN df USING (term), n),
+    r AS (SELECT doc_id, term, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score
+    FROM r WHERE rn <= 3
+    """,
+)
+def llm_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document (§2.J4 extra) — the keyword
+    extraction stage of corpus curation. IDF is the LOG-FREE rational
+    form N/df (one exact IEEE division and multiply), because libm
+    log() is not guaranteed bit-identical across engines while
+    integer-derived division is — rankings are the same monotone
+    order. Shape at 100 TB: one explode + two term-keyed
+    aggregations + one term-keyed join (the vocabulary join shuffles
+    (term, df) pairs, never documents), then a per-doc window with a
+    group-limit pushdown for the top-3."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            (F.col("tf").cast("double")
+             * (F.col("n").cast("double") / F.col("df").cast("double"))
+             ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score")
     )

@@ -471,6 +471,55 @@ def changefeed_log(spark, sf_dir):
 
 
 @query(
+    "sink_update",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS cn
+      FROM events
+    ), chunked AS (
+      SELECT event_type, value,
+             CAST(floor(rn / ceil(cn / {default_chunks()}.0)) AS BIGINT)
+               AS chunk
+      FROM numbered
+    ), per AS (
+      SELECT event_type, chunk,
+             count(*) AS d_cnt,
+             sum(CAST(value AS DECIMAL(18,6))) AS d_sum
+      FROM chunked GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(d_cnt) OVER w AS BIGINT) AS n,
+           CAST(sum(d_sum) OVER w AS DOUBLE) AS sum_value
+    FROM per
+    WINDOW w AS (PARTITION BY event_type ORDER BY chunk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def sink_update(spark, sf_dir):
+    """§2.A4 completion: UPDATE-mode sink for a rollup feed — each
+    trigger emits only the keys whose aggregate changed, carrying the
+    new cumulative value (the rollup-feed delivery mode next to
+    append and complete). The memory sink therefore accumulates one
+    row per (key, updating trigger); the oracle reconstructs exactly
+    that set from the deterministic replay chunking. Update mode is
+    what a real rollup feed pushes downstream at 100 TB: O(changed
+    keys) per trigger, not O(all keys) like complete mode."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = _to_table(agg, "sinkupd", "update")
+    return spark.table(name)
+
+
+@query(
     "changefeed_push",
     oracle=f"""
     WITH numbered AS (
