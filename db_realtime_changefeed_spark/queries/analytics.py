@@ -1484,3 +1484,28 @@ def gapfill_time_series(spark, sf_dir):
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query("agg_sketch_hll")  # rows-only: the HLL sketch estimate is
+# engine-specific (Apache DataSketches), so no cross-engine oracle
+def agg_sketch_hll(spark, sf_dir):
+    """Sketch-family aggregate: HyperLogLog distinct-count sketches
+    (Apache DataSketches via hll_sketch_agg) next to the exact
+    count, with the relative error surfaced. Sketches are THE
+    100 TB cardinality tool: the sketch is a few KB, merges
+    associatively across partitions (one partial+final shuffle like
+    any aggregate), and unions across time windows for free —
+    exact distinct needs a full shuffle of the keys themselves.
+    Accuracy is asserted in tests (<2% at lgK=12)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )

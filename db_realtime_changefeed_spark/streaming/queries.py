@@ -894,6 +894,39 @@ def changefeed_multitable(spark, sf_dir):
 
 
 @query(
+    "changefeed_table_filtered",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) AS key,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_custkey
+    """,
+)
+def changefeed_table_filtered(spark, sf_dir):
+    """Filtered standing query on a NON-events table through the
+    fluent API — db.table('orders').filter(...).changes(): the
+    predicate (written against the table's own columns) is rewritten
+    onto the change envelope (multitable.rewrite_filter) and runs
+    before the keyed delta every micro-batch, so non-matching
+    changes never enter state. Grades the api.py surface end to end:
+    parse -> envelope replay -> filtered merge -> materialized
+    state."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__table_filtered__")
+    if key not in _CF_CACHE:
+        _CF_CACHE[key] = (
+            Database(spark, sf_dir)
+            .table("orders")
+            .filter("o_totalprice > 200000")
+            .changes()
+        )
+    return _CF_CACHE[key].state()
+
+
+@query(
     "changefeed_join_view",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
@@ -951,3 +984,81 @@ def stream_sliding_append(spark, sf_dir):
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "n"
     )
+
+
+@query("stream_session_timeout")  # rows-only: timeout firing is
+# trigger-boundary-dependent (engine-specific), like stream_late_data
+def stream_session_timeout(spark, sf_dir):
+    """§2.I6 variant with STATE TIMEOUTS: custom per-user
+    sessionization via applyInPandasWithState + EventTimeTimeout —
+    the pattern for session logic the built-in session_window cannot
+    express (per-session custom accumulators, emit-on-close). A
+    session closes when a later event exceeds the 30-minute gap
+    (data-driven rollover) or when the event-time watermark passes
+    session end + gap (timeout fires for idle keys). Emitted rows
+    are CLOSED sessions; invariants (gap property, containment in
+    the batch sessionization) are asserted in tests.
+
+    Scale: state is O(1) per live key, sharded by user across the
+    state store; timeouts are how idle-key state gets evicted at
+    100 TB instead of accumulating forever."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = 30 * 60 * 1000
+
+    def sessionize(key, pdf_iter, state):
+        import pandas as pd
+
+        def emit(s):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(s[0], unit="us")],
+                    "session_end": [pd.Timestamp(s[1], unit="us")],
+                    "n_events": [s[2]],
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                yield emit(state.get)
+            state.remove()
+            return
+        cur = state.get if state.exists else None
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf[["ts"]])
+        if rows:
+            import pandas as pd
+
+            ts_us = (
+                pd.concat(rows)["ts"].sort_values().astype("int64") // 1000
+            )
+            for t in ts_us:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_ms * 1000:
+                    cur = (cur[0], t, cur[2] + 1)
+                else:
+                    yield emit(cur)
+                    cur = (t, t, 1)
+        if cur is not None:
+            state.update(cur)
+            # close the session once the watermark passes end + gap
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+
+    stream = _replayed(spark, sf_dir)
+    result = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            "user_id long, session_start timestamp, "
+            "session_end timestamp, n_events long",
+            "start long, end long, n long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = _to_table(result, "sesstimeout", "append")
+    return spark.table(name)

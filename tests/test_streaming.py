@@ -787,3 +787,54 @@ def test_push_subscriber_live_feed(spark, sf_smoke):
     finally:
         runner.stop_live()
     assert got == sorted(got), "pushes must arrive in batch order"
+
+
+def test_session_timeout_sessions_are_true_sessions(spark, sf_smoke):
+    """Every session emitted by the stateful-timeout sessionizer must
+    be a true 30-minute-gap session of the batch recompute (same
+    user, same start/end/count), and only closed sessions emit."""
+    out = QUERIES["stream_session_timeout"](spark, sf_smoke).collect()
+    assert out, "no sessions emitted"
+    ev = load_table(spark, sf_smoke, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.lag("ts").over(w)
+    new_sess = (
+        F.col("ts").cast("long") - F.coalesce(gap.cast("long"), F.lit(0))
+        > 1800
+    ).cast("int")
+    sess = (
+        ev.select("user_id", "ts")
+        .withColumn("roll", F.sum(new_sess).over(w))
+        .groupBy("user_id", "roll")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess.collect()
+    }
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out
+    }
+    assert emitted and emitted <= batch, (
+        f"{len(emitted - batch)} emitted sessions not in batch recompute"
+    )
+    # no duplicates: each session emitted at most once
+    assert len(emitted) == len(out)
+
+
+def test_hll_sketch_accuracy(spark, sf_smoke):
+    """HLL estimates must be within 2% of exact distincts at lgK=12
+    (far above the sketch's theoretical error at these sizes)."""
+    for r in QUERIES["agg_sketch_hll"](spark, sf_smoke).collect():
+        err = abs(r["approx_users"] - r["exact_users"]) / max(
+            r["exact_users"], 1
+        )
+        assert err < 0.02, (r["event_type"], r["approx_users"],
+                            r["exact_users"])
