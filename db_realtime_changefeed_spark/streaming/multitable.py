@@ -167,6 +167,13 @@ class MultiTableChangefeedRunner:
         self.pointer = os.path.join(self.root, "CURRENT")
         self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.state_root, exist_ok=True)
+        # bucketed MVCC store on the composite (tbl, key) — partial
+        # state rewrites per micro-batch (state_store.py)
+        from .state_store import BucketedMvccState
+
+        self._store = BucketedMvccState(
+            self.spark, self.state_root, self._STATE_DDL, ["tbl", "key"]
+        )
         # cumulative per-table high-water marks + resolved log:
         # (batch_id, {tbl: hwm}, resolved_ts)
         self._hwm: dict[str, object] = {}
@@ -187,18 +194,21 @@ class MultiTableChangefeedRunner:
         os.replace(tmp, self.pointer)
 
     def _current_state_df(self) -> DataFrame | None:
-        if not os.path.exists(self.pointer):
+        b = self._pointer_batch()
+        if b is None:
             return None
+        if self._store.has_version(b):
+            return self._store.df_at(b)
         with open(self.pointer) as f:
             v = f.read().strip()
         return self.spark.read.parquet(os.path.join(self.state_root, v))
 
     def versions(self) -> list[int]:
-        out = []
+        out = set(self._store.versions())
         for name in os.listdir(self.state_root):
             m = re.fullmatch(r"v(\d+)", name)
             if m:
-                out.append(int(m.group(1)))
+                out.add(int(m.group(1)))
         return sorted(out)
 
     def _rewind_before(self, batch_id: int) -> None:
@@ -209,7 +219,9 @@ class MultiTableChangefeedRunner:
                 os.remove(self.pointer)
             return
         b = batch_id - 1
-        if os.path.exists(os.path.join(self.state_root, f"v{b}")):
+        if self._store.has_version(b) or os.path.exists(
+            os.path.join(self.state_root, f"v{b}")
+        ):
             self._flip_pointer(f"v{b}")
             return
         raise RuntimeError(
@@ -239,10 +251,19 @@ class MultiTableChangefeedRunner:
                     F.sum(F.col("value").cast(_STATE_DEC)).cast(_STATE_DEC)
                     .alias("d_sum"),
                 )
-            )
-            old = self._current_state_df()
-            if old is None:
+            ).persist()
+            # pruned read + partial rewrite of only touched buckets
+            touched = self._store.touched_buckets(delta)
+            base = self._pointer_batch()
+            base_bucketed = (base is not None
+                             and self._store.has_version(base))
+            if base is None:
                 old = self.spark.createDataFrame([], self._STATE_DDL)
+            elif base_bucketed:
+                old = self._store.df_at(base, buckets=touched)
+            else:  # legacy whole-dir layout: migrate via full rewrite
+                old = self._current_state_df()
+                touched = list(range(self._store.n_buckets))
             zero = F.lit(0).cast(_STATE_DEC)
             merged = old.join(delta, ["tbl", "key"], "full").select(
                 "tbl",
@@ -253,11 +274,11 @@ class MultiTableChangefeedRunner:
                  + F.coalesce("d_sum", zero)).cast(_STATE_DEC)
                 .alias("sum_value"),
             )
-            version = f"v{batch_id}"
-            path = os.path.join(self.state_root, version)
-            shutil.rmtree(path, ignore_errors=True)
-            merged.write.mode("overwrite").parquet(path)
-            self._flip_pointer(version)
+            self._store.commit(
+                batch_id, base if base_bucketed else None, merged, touched
+            )
+            delta.unpersist()
+            self._flip_pointer(f"v{batch_id}")
             # per-table high-water marks → resolved = min across tables
             for r in (
                 batch_df.groupBy("tbl").agg(F.max("ts").alias("m")).collect()
@@ -370,6 +391,8 @@ class MultiTableChangefeedRunner:
         )
 
     def state_at(self, batch_id: int) -> DataFrame:
+        if self._store.has_version(batch_id):
+            return self._store.df_at(batch_id)
         path = os.path.join(self.state_root, f"v{batch_id}")
         if not os.path.exists(path):
             raise KeyError(f"no version v{batch_id}; have {self.versions()}")

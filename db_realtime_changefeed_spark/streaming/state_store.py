@@ -53,11 +53,14 @@ class BucketedMvccState:
     """
 
     def __init__(self, spark: SparkSession, state_root: str, ddl: str,
-                 key_col: str, n_buckets: int | None = None):
+                 key_col: str | list[str],
+                 n_buckets: int | None = None):
         self.spark = spark
         self.root = state_root
         self.ddl = ddl
-        self.key_col = key_col
+        self.key_cols = (
+            [key_col] if isinstance(key_col, str) else list(key_col)
+        )
         self.n_buckets = n_buckets or default_state_buckets()
         self.buckets_root = os.path.join(state_root, "buckets")
         os.makedirs(self.buckets_root, exist_ok=True)
@@ -69,8 +72,10 @@ class BucketedMvccState:
     def _bucket_dir(self, bucket: int, batch_id: int) -> str:
         return os.path.join(self.buckets_root, f"b{bucket}", f"v{batch_id}")
 
-    def bucket_expr(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+    def bucket_expr(self, *cols):
+        if not cols:
+            cols = [F.col(c) for c in self.key_cols]
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets))
 
     def has_version(self, batch_id: int) -> bool:
         return os.path.exists(self._manifest_path(batch_id))
@@ -103,14 +108,15 @@ class BucketedMvccState:
             return self.spark.createDataFrame([], self.ddl)
         return self.spark.read.schema(self.ddl).parquet(*paths)
 
-    def touched_buckets(self, delta_df: DataFrame, key: str) -> list[int]:
+    def touched_buckets(self, delta_df: DataFrame,
+                        key: str | None = None) -> list[int]:
         """Distinct buckets of the batch's keys — at most B small
         ints cross to the driver, never key-cardinality data."""
-        rows = (
-            delta_df.select(self.bucket_expr(F.col(key)).alias("b"))
-            .distinct()
-            .collect()
+        expr = (
+            self.bucket_expr(F.col(key)) if key is not None
+            else self.bucket_expr()
         )
+        rows = delta_df.select(expr.alias("b")).distinct().collect()
         return sorted(r["b"] for r in rows)
 
     # ---- commit ----
@@ -126,7 +132,7 @@ class BucketedMvccState:
         if touched:
             (
                 merged_df
-                .withColumn("__bucket", self.bucket_expr(F.col(self.key_col)))
+                .withColumn("__bucket", self.bucket_expr())
                 .repartition("__bucket")
                 .write.partitionBy("__bucket")
                 .mode("overwrite")
