@@ -53,6 +53,10 @@ def test_every_query_runs_or_has_oracle():
         "llm_knn_ivf",
         "stream_late_data",
         "changefeed_log",
+        "stream_session_timeout",  # r3: timeout firing is
+        # trigger-boundary-dependent; invariants tested instead
+        "agg_sketch_hll",  # r3: DataSketches estimate is
+        # engine-specific; accuracy tested instead
     }, f"unexpected rows-only set: {sorted(rows_only)}"
 
 
@@ -73,3 +77,18 @@ def test_no_complex_typed_output_columns(spark, sf_smoke):
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"complex-typed output columns: {bad}"
+
+
+def test_stable_order_env_flag(monkeypatch):
+    """SPARK_GRAFT_STABLE_ORDER=1 must yield a deterministic,
+    environment-independent order: _GRADE_PRIORITY first (in list
+    order), then declaration order — regardless of which
+    CORRECTNESS files exist."""
+    monkeypatch.setenv("SPARK_GRAFT_STABLE_ORDER", "1")
+    qs = list(all_queries())
+    rank = {n: i for i, n in enumerate(_GRADE_PRIORITY)}
+    listed = [n for n in qs if n in rank]
+    assert listed == _GRADE_PRIORITY, "stable order must follow the list"
+    assert qs[: len(listed)] == listed, (
+        "listed names must lead in stable mode"
+    )
