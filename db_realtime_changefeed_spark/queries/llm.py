@@ -1423,3 +1423,115 @@ def llm_tfidf(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "score")
     )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT)
+             AS n_long_nums,
+           md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5,
+           CAST(len(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{3,}', '<NUM>', 'g')) AS BIGINT) AS scrubbed_len
+    FROM documents
+    """,
+)
+def llm_pii_scrub(spark, sf_dir):
+    """PII scrubbing (§2.J4 extra) — the redaction pass every
+    training-data pipeline runs before tokenization: detect and
+    replace email-shaped and long-digit-run spans with typed
+    placeholders, emitting match counts and a digest of the scrubbed
+    text (the driver grades scalars, so the scrubbed body is graded
+    by md5+length). Patterns stay in the Java-regex/RE2 common
+    subset. Scan-bound, codegen, no UDF — at 100 TB this is a pure
+    map stage."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    nums = r"[0-9]{3,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), nums, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(f"({email})"), 1))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({nums})"), 1))
+        .cast("long").alias("n_long_nums"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+@query(
+    "llm_repetition_filter",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws,
+             greatest(len(string_split(text, ' ')) - 2, 0) AS n3
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, n3,
+             CASE WHEN n3 > 0 THEN
+               len(list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))))
+             ELSE 0 END AS nd
+      FROM g)
+    SELECT doc_id, lang, CAST(n3 AS BIGINT) AS n_3grams,
+           CAST(nd AS BIGINT) AS n_distinct,
+           CASE WHEN n3 > 0
+                THEN CAST(n3 - nd AS DOUBLE) / CAST(n3 AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio,
+           (n3 > 0 AND CAST(n3 - nd AS DOUBLE) / CAST(n3 AS DOUBLE)
+              > 0.2) AS flagged
+    FROM s
+    """,
+)
+def llm_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter (§2.J4 extra): the
+    fraction of duplicate word 3-grams per document — heavily
+    repetitive docs (boilerplate, scraped nav bars, degenerate
+    generations) get flagged for removal. Computed entirely with
+    higher-order functions on the scan (no explode, no shuffle):
+    per-row transform + array_distinct; the ratio is one exact IEEE
+    division so both engines agree bitwise. Pure map stage at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
+    # guard the index range: sequence(1, n) DESCENDS when n < 1, and
+    # element_at(_, 0) throws under ANSI — short docs get an empty
+    # shingle list instead
+    idx = F.when(
+        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    nd = F.when(n3 > 0, F.size(F.array_distinct(sh))).otherwise(F.lit(0))
+    g = d.select(
+        "doc_id", "lang",
+        n3.cast("long").alias("n_3grams"),
+        nd.cast("long").alias("n_distinct"),
+    )
+    dup = F.when(
+        F.col("n_3grams") > 0,
+        (F.col("n_3grams") - F.col("n_distinct")).cast("double")
+        / F.col("n_3grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id", "lang", "n_3grams", "n_distinct",
+        dup.alias("dup_ratio"),
+        ((F.col("n_3grams") > 0) & (dup > 0.2)).alias("flagged"),
+    )

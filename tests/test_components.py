@@ -86,3 +86,67 @@ def test_components_property_random_graphs(spark):
         fast = connected_components(pairs, driver_threshold=1_000_000)
         dist = connected_components(pairs, driver_threshold=0)
         assert _labels(fast) == _labels(dist), f"mismatch on {edges}"
+
+
+def test_bucketed_store_random_commit_sequences(spark, tmp_path):
+    """Property: for a random sequence of keyed count deltas, the
+    bucketed store's current state after N commits equals a plain
+    dict fold — including replays (recommit of an old batch id after
+    rewind) and GC of old versions."""
+    import random
+
+    from db_realtime_changefeed_spark.streaming.state_store import (
+        BucketedMvccState,
+    )
+
+    rng = random.Random(7)
+    ddl = "k long, cnt long"
+    for trial in range(3):
+        root = str(tmp_path / f"store-{trial}")
+        store = BucketedMvccState(spark, root, ddl, "k", n_buckets=8)
+        expect: dict[int, int] = {}
+        base = None
+        for b in range(5):
+            delta = {
+                rng.randrange(50): rng.randrange(1, 5)
+                for _ in range(rng.randrange(1, 12))
+            }
+            for k, v in delta.items():
+                expect[k] = expect.get(k, 0) + v
+            ddf = spark.createDataFrame(sorted(delta.items()), ddl)
+            touched = store.touched_buckets(ddf, "k")
+            old = (
+                store.df_at(base, buckets=touched)
+                if base is not None
+                else spark.createDataFrame([], ddl)
+            )
+            merged = (
+                old.join(ddf.withColumnRenamed("cnt", "d"), "k", "full")
+                .select(
+                    "k",
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("d", F.lit(0))).alias("cnt"),
+                )
+            )
+            store.commit(b, base, merged, touched)
+            base = b
+            got = {r["k"]: r["cnt"] for r in store.df_at(b).collect()}
+            assert got == expect, f"trial {trial} batch {b}"
+        # replay of the last batch onto its predecessor is idempotent
+        b = 4
+        ddf = spark.createDataFrame(
+            [(k, 0) for k in range(3)], ddl
+        )  # an empty-ish delta replayed differently would diverge;
+        # replay the REAL merge: recompute from version b-1
+        # (here: just recommit the same merged contents)
+        prev = {r["k"]: r["cnt"] for r in store.df_at(b).collect()}
+        touched = store.touched_buckets(store.df_at(b), "k")
+        store.commit(b, b - 1, store.df_at(b), touched)
+        got = {r["k"]: r["cnt"] for r in store.df_at(b).collect()}
+        assert got == prev == expect
+        # GC: keep last two versions; earlier manifests go, state stays
+        removed = store.gc(keep={3, 4})
+        assert set(removed) == {0, 1, 2}
+        assert store.versions() == [3, 4]
+        got = {r["k"]: r["cnt"] for r in store.df_at(4).collect()}
+        assert got == expect
