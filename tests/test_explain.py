@@ -195,3 +195,26 @@ def test_neardup_lsh_composite_shuffle_key(spark, sf_oracle):
     assert any(
         "label" in ln and "band" in ln and "bh" in ln for ln in key_lines
     ), f"band hash not in join keys: {key_lines}"
+
+
+def test_tfidf_group_limit_and_vocab_join(spark, sf_oracle):
+    """TF-IDF: per-doc top-3 must use the window group-limit pushdown,
+    and the corpus-size side must be broadcast."""
+    plan = _plan(spark, sf_oracle, "llm_tfidf")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_filter_is_shuffle_free(spark, sf_oracle):
+    """The repetition quality gate is a pure map stage: higher-order
+    functions on the scan, zero exchanges."""
+    plan = _plan(spark, sf_oracle, "llm_repetition_filter")
+    assert "+- Exchange" not in plan, "repetition filter must not shuffle"
+
+
+def test_knn_quantized_topk_no_global_sort(spark, sf_oracle):
+    """Both stages of quantized KNN take top-k via TakeOrdered (heap),
+    never a global sort."""
+    plan = _plan(spark, sf_oracle, "llm_knn_quantized")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
