@@ -1535,3 +1535,51 @@ def llm_repetition_filter(spark, sf_dir):
         dup.alias("dup_ratio"),
         ((F.col("n_3grams") > 0) & (dup > 0.2)).alias("flagged"),
     )
+
+
+@query(
+    "llm_embedding_gram",
+    oracle=f"""
+    SELECT i - 1 AS i, j - 1 AS j,
+           {sql_dsum('CAST(embedding[i] AS DOUBLE)'
+                     ' * CAST(embedding[j] AS DOUBLE)')} AS g,
+           count(*) AS n
+    FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
+    WHERE i <= j
+    GROUP BY 1, 2
+    """,
+)
+def llm_embedding_gram(spark, sf_dir):
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    input to PCA / whitening / OPQ rotation in embedding pipelines.
+    Each row expands to its upper-triangle (i, j, x_i*x_j) products
+    via higher-order functions (flatten of nested transforms — no
+    join, no per-row Python), then ONE partial+final aggregate over
+    d*(d+1)/2 = 2080 groups. The shuffle carries 2080 partial sums
+    per task regardless of corpus size — the map-side-combine
+    property that makes covariance estimation O(rows) with O(d²)
+    communication at 100 TB. Decimal-stabilized sums keep the matrix
+    bit-identical to the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    d = F.size(emb)
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at(emb, i + 1).cast("double")
+                     * F.element_at(emb, j + 1).cast("double")).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        e.select(F.explode(tri).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(dsum("p").alias("g"), F.count(F.lit(1)).alias("n"))
+    )
