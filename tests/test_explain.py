@@ -218,3 +218,14 @@ def test_knn_quantized_topk_no_global_sort(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "llm_knn_quantized")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_interval_composite_shuffle_key(spark, sf_oracle):
+    """join_interval must equi-join on (user_id, epoch), never on
+    user_id alone — a power-law user would otherwise make the join
+    quadratic in their event count."""
+    plan = _plan(spark, sf_oracle, "join_interval")
+    key_lines = [ln for ln in plan.splitlines() if "keys [" in ln]
+    assert any("user_id" in ln and "bk" in ln for ln in key_lines), (
+        f"epoch bucket not in join keys: {key_lines}"
+    )
