@@ -222,7 +222,14 @@ def join_stream_stream(spark, sf_dir):
     """,
 )
 def stream_tumbling(spark, sf_dir):
-    """§2.I1: tumbling 10-minute windows per event_type."""
+    """§2.I1: tumbling 10-minute windows per event_type.
+
+    COMPLETE-mode GRADING FORM ONLY: complete output retains and
+    re-emits every window each trigger — unbounded state as the
+    window count grows, so it does NOT scale; it exists here so
+    the full window set is gradable in one table. The production
+    form is the append-mode twin (stream_tumbling_append) — watermark-closed
+    windows only, bounded state."""
     agg = (
         _replayed(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -253,7 +260,14 @@ def stream_tumbling(spark, sf_dir):
 )
 def stream_sliding(spark, sf_dir):
     """§2.I2: sliding windows (10 min size, 5 min slide) — each event
-    lands in exactly two windows; the oracle expands both starts."""
+    lands in exactly two windows; the oracle expands both starts.
+
+    COMPLETE-mode GRADING FORM ONLY: complete output retains and
+    re-emits every window each trigger — unbounded state as the
+    window count grows, so it does NOT scale; it exists here so
+    the full window set is gradable in one table. The production
+    form is the append-mode twin (stream_sliding_append) — watermark-closed
+    windows only, bounded state."""
     agg = (
         _replayed(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -289,7 +303,14 @@ def stream_sliding(spark, sf_dir):
 def stream_session(spark, sf_dir):
     """§2.I3: gap-based session windows (30-min inactivity) per user.
     Spark's session_window end = last event + gap; the oracle
-    reconstructs sessions with a lag/cumsum chain."""
+    reconstructs sessions with a lag/cumsum chain.
+
+    COMPLETE-mode GRADING FORM ONLY: complete output retains and
+    re-emits every window each trigger — unbounded state as the
+    window count grows, so it does NOT scale; it exists here so
+    the full window set is gradable in one table. The production
+    form is the append-mode twin (stream_session_append) — watermark-closed
+    windows only, bounded state."""
     agg = (
         _replayed(spark, sf_dir)
         .withWatermark("ts", "1 hour")
