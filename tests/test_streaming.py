@@ -838,3 +838,23 @@ def test_hll_sketch_accuracy(spark, sf_smoke):
         )
         assert err < 0.02, (r["event_type"], r["approx_users"],
                             r["exact_users"])
+
+
+def test_push_subscriber_upsert_runner(spark, sf_smoke):
+    """Push delivery works on the upsert/LWW runner too: the
+    subscriber receives every batch's {old_value,new_value} rows
+    once, matching the durable log."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        UpsertChangefeedRunner,
+    )
+    from db_realtime_changefeed_spark.streaming.push import log_batches
+
+    r = UpsertChangefeedRunner(spark, sf_smoke)
+    r.run()
+    seen: list[tuple[int, int]] = []
+    r.subscribe(lambda b, rows: seen.append((b, len(rows))), name="up")
+    assert [b for b, _ in seen] == log_batches(r.log_dir)
+    assert sum(n for _, n in seen) == r.log().count()
+    n0 = len(seen)
+    r._push(seen[-1][0])  # redelivery dedupes
+    assert len(seen) == n0
