@@ -1583,3 +1583,70 @@ def llm_embedding_gram(spark, sf_dir):
         .groupBy("i", "j")
         .agg(dsum("p").alias("g"), F.count(F.lit(1)).alias("n"))
     )
+
+
+_NDL_PAIRS_SQL = f"""
+      SELECT c.vec_a, c.vec_b
+      FROM (
+        SELECT DISTINCT s1.vec_id AS vec_a, s2.vec_id AS vec_b
+        FROM sig s1 JOIN sig s2
+          ON s1.label = s2.label AND s1.band = s2.band AND s1.bh = s2.bh
+         AND s1.vec_id < s2.vec_id) c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE {_sql_dot('ea.embedding', 'eb.embedding')}
+              / (sqrt({_sql_dot('ea.embedding', 'ea.embedding')})
+               * sqrt({_sql_dot('eb.embedding', 'eb.embedding')})) > 0.35
+"""
+
+
+@query(
+    "llm_semantic_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, label, embedding FROM embeddings),
+    sig AS (
+      SELECT e.vec_id, e.label, b.band,
+             {_ndl_sql_band_hash()} AS bh
+      FROM e, (SELECT unnest(range({_NDL_BANDS})) AS band) b
+    ),
+    pairs AS ({_NDL_PAIRS_SQL}),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, x.b FROM reach r JOIN edges x ON r.b = x.a)
+    SELECT v.vec_id,
+           CAST(least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS BIGINT)
+             AS cluster_id
+    FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+    GROUP BY v.vec_id
+    """,
+)
+def llm_semantic_dedup_cluster(spark, sf_dir):
+    """End-to-end SEMANTIC dedup (§2.J composition): banded-LSH
+    near-dup candidate pairs (llm_neardup_embedding_lsh — composite
+    shuffle key, exact cosine verify) fed into connected components
+    (operators/components.py), so each near-duplicate cluster elects
+    its minimum vec_id as canonical — the embedding-space analogue of
+    the text-side llm_dedup_cluster, and the deduplication shape
+    frontier-scale training pipelines actually run (SemDeDup-style).
+    Every stage is the scale form: no all-pairs block, pair list ~
+    dup-rate x corpus, label map broadcast back. The oracle replays
+    the identical deterministic pipeline with a recursive
+    transitive-closure CTE."""
+    pairs = llm_neardup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    from ..operators.components import connected_components
+
+    labels = connected_components(pairs).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("mapped")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.join(F.broadcast(labels), "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("mapped", F.col("vec_id")).alias("cluster_id"),
+    )
