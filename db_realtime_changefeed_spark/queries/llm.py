@@ -1650,3 +1650,32 @@ def llm_semantic_dedup_cluster(spark, sf_dir):
         "vec_id",
         F.coalesce("mapped", F.col("vec_id")).alias("cluster_id"),
     )
+
+
+@query(
+    "llm_split_train_val_test",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def llm_split_train_val_test(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test split (§2.J4 extra) by
+    content-independent hash bucketing: the first md5 byte of the id
+    decides membership, so the split is stable across runs, machines,
+    partitionings, and incremental corpus growth (a doc never changes
+    split when others are added) — the reproducibility property
+    random() splits lack. Scan-bound filter; the hash predicate
+    evaluates inside codegen at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id", "lang",
+        F.when(h < "cc", "train").when(h < "e6", "val")
+        .otherwise("test").alias("split"),
+    )

@@ -714,3 +714,105 @@ def set_except(spark, sf_dir):
 def set_except_all(spark, sf_dir):
     a, b = _set_sides(spark, sf_dir)
     return a.exceptAll(b)
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.value,
+           c.event_id AS click_id, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.event_id <= c.event_id
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join (§2.C6 variant): each purchase matched to
+    the EARLIEST FOLLOWING click of the same user — the lookahead
+    direction (next-touch attribution). Same scalable union-merge
+    form as join_asof, mirrored: one shuffle on user_id, one sort,
+    first-non-null over the forward-unbounded frame."""
+    ev = _t(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    tagged = ev.where(is_click | (F.col("event_type") == "purchase")).select(
+        "user_id", "event_id", "value", is_click.alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    click_id = F.when(F.col("is_click"), F.col("event_id"))
+    click_val = F.when(F.col("is_click"), F.col("value"))
+    return (
+        tagged
+        .withColumn("click_id", F.first(click_id, ignorenulls=True).over(w))
+        .withColumn("click_value",
+                    F.first(click_val, ignorenulls=True).over(w))
+        .where(~F.col("is_click"))
+        .select("user_id", "event_id", "value", "click_id", "click_value")
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT user_id, event_id, value, click_id, click_value
+    FROM (
+      SELECT p.user_id, p.event_id, p.value,
+             c.event_id AS click_id, c.value AS click_value,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(c.event_id - p.event_id), c.event_id
+             ) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id)
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (§2.C6 variant): each purchase matched to
+    the CLOSEST click of the same user in either direction (ties →
+    the earlier click). Computed as backward + forward union-merge
+    passes (two windows over one sort — still one shuffle on
+    user_id) then a per-row nearest pick; never the O(clicks ×
+    purchases) join the oracle uses."""
+    ev = _t(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    tagged = ev.where(is_click | (F.col("event_type") == "purchase")).select(
+        "user_id", "event_id", "value", is_click.alias("is_click"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    cid = F.when(F.col("is_click"), F.col("event_id"))
+    cval = F.when(F.col("is_click"), F.col("value"))
+    t = (
+        tagged
+        .withColumn("b_id", F.last(cid, ignorenulls=True).over(wb))
+        .withColumn("b_val", F.last(cval, ignorenulls=True).over(wb))
+        .withColumn("f_id", F.first(cid, ignorenulls=True).over(wf))
+        .withColumn("f_val", F.first(cval, ignorenulls=True).over(wf))
+        .where(~F.col("is_click"))
+    )
+    db = F.abs(F.col("b_id") - F.col("event_id"))
+    df_ = F.abs(F.col("f_id") - F.col("event_id"))
+    # nearest; tie -> lower event_id, which is the backward click
+    pick_b = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (db <= df_)
+    )
+    return t.select(
+        "user_id", "event_id", "value",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id"))
+        .alias("click_id"),
+        F.when(pick_b, F.col("b_val")).otherwise(F.col("f_val"))
+        .alias("click_value"),
+    )
