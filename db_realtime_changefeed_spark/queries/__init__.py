@@ -100,6 +100,17 @@ _GRADE_PRIORITY = [
     "win_sessionize", "cohort_retention", "funnel_conversion",
     "stream_sliding_append", "agg_distinct_twostage", "llm_corpus_dedup",
     "fn_string_distance", "join_range_bucketed",
+    # new in round 3 (never graded), highest-value first — these rank
+    # directly after the round-2 ungraded block, so whatever grading
+    # budget remains past the 47 lands on the namesake/scale-critical
+    # additions before the long tail
+    "changefeed_push", "changefeed_table_filtered",
+    "llm_neardup_embedding_lsh", "llm_knn_quantized", "sink_update",
+    "llm_semantic_dedup_cluster", "llm_tfidf", "llm_pii_scrub",
+    "llm_repetition_filter", "llm_embedding_gram", "fn_regexp",
+    "gapfill_time_series", "join_asof_forward", "join_asof_nearest",
+    "llm_split_train_val_test", "stream_session_timeout",
+    "agg_sketch_hll",
 ]
 
 
