@@ -71,10 +71,7 @@ SCHEMAS: dict[str, T.StructType] = {
     ]),
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
-        # Parquet holds timestamp[ns] (int64). With
-        # spark.sql.legacy.parquet.nanosAsLong=true we read the raw
-        # nanos and convert to a µs TimestampType in load_table.
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -96,6 +93,58 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES = tuple(SCHEMAS)
 
+# Raw-read variant for a timestamp[ns] physical layout: Spark's
+# vectorized reader cannot narrow ns→µs directly, so ts comes in as
+# the raw int64 nanos and load_table converts.
+EVENTS_NS_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
+_TS_UNIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Physical type of `column` in a parquet file (or the first file
+    of a directory), e.g. 'timestamp[us]' or 'timestamp[ns]'. The
+    driver regenerates testdata between rounds and has shipped BOTH
+    layouts (round ≤3: timestamp[ns]; round 4: timestamp[us]), so the
+    loader sniffs the footer instead of hard-coding either. One
+    driver-side footer read per (path, column), cached.
+
+    An empty DIRECTORY (a live-feed source dir polled before its
+    first ingest) reports the canonical 'timestamp[us]': live files
+    are always produced from load_table output, which is µs by
+    construction. Not cached — the answer could change once files
+    arrive under a hypothetical ns layout."""
+    key = (path, column)
+    if key not in _TS_UNIT_CACHE:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if not files:
+                return "timestamp[us]"
+            p = files[0]
+        _TS_UNIT_CACHE[key] = str(pq.read_schema(p).field(column).type)
+    return _TS_UNIT_CACHE[key]
+
+
+def ns_to_us(df: DataFrame, column: str = "ts") -> DataFrame:
+    """int64-nanos → µs TimestampType with integer floor division
+    (values are post-epoch, so floor == DuckDB's truncation).
+    `DIV 1000` stays in int64 — a double roundtrip would lose
+    precision at 1.7e18."""
+    return df.withColumn(
+        column, F.timestamp_micros(F.expr(f"{column} DIV 1000"))
+    )
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -105,13 +154,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-asserted parquet read. Column pruning + predicate
     pushdown flow through automatically (verified in tests via
     explain() — SURVEY.md §4)."""
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ns→µs with integer floor division (values are post-epoch,
-        # so floor == DuckDB's truncation). `ts DIV 1000` stays in
-        # int64 — a double roundtrip would lose precision at 1.7e18.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    path = table_path(sf_dir, name)
+    if name == "events" and parquet_ts_unit(path) == "timestamp[ns]":
+        df = spark.read.schema(EVENTS_NS_SCHEMA).parquet(path)
+        return ns_to_us(df)
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -354,13 +354,19 @@ class MultiTableChangefeedRunner:
         table's live source dir, sequenced for in-order pickup."""
         import time as _time
 
-        from ..catalog import SCHEMAS
+        from ..catalog import (
+            EVENTS_NS_SCHEMA,
+            SCHEMAS,
+            ns_to_us,
+            parquet_ts_unit,
+        )
 
-        df = self.spark.read.schema(SCHEMAS[tbl]).parquet(parquet_file)
-        if tbl == "events":  # ns→µs, as load_table does
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
+        # same physical-layout sniffing as catalog.load_table
+        if tbl == "events" and parquet_ts_unit(parquet_file) == "timestamp[ns]":
+            df = self.spark.read.schema(EVENTS_NS_SCHEMA).parquet(parquet_file)
+            df = ns_to_us(df)
+        else:
+            df = self.spark.read.schema(SCHEMAS[tbl]).parquet(parquet_file)
         t = _envelope(df, tbl).toArrow()
         import pyarrow.parquet as pq
 

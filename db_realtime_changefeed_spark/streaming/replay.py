@@ -23,15 +23,10 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS
+from ..catalog import EVENTS_NS_SCHEMA, SCHEMAS, ns_to_us, parquet_ts_unit
 
 _REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "dbrcf_replay")
-
-# Streaming reads go through the same raw schema as batch (ts read as
-# int64 nanos, converted after).
-_EVENTS_RAW = SCHEMAS["events"]
 
 
 def default_chunks() -> int:
@@ -44,13 +39,18 @@ def default_chunks() -> int:
 
 
 def _chunk_dir(sf_dir: str, tag: str) -> str:
-    # hash of the absolute path, not just the basename — two dirs
-    # named sf0.01 under different parents must not share a cache
+    # hash of the absolute path AND the source file's (size, mtime) —
+    # two dirs named sf0.01 under different parents must not share a
+    # cache, and a driver-side testdata REGENERATION (which has
+    # changed the physical timestamp layout between rounds) must
+    # invalidate chunks cached under /tmp from an earlier round.
     import hashlib
 
     ap = os.path.abspath(os.path.normpath(sf_dir))
     sf_name = os.path.basename(ap)
-    digest = hashlib.md5(ap.encode()).hexdigest()[:8]
+    st = os.stat(os.path.join(ap, "events.parquet"))
+    fingerprint = f"{ap}|{st.st_size}|{st.st_mtime_ns}"
+    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:8]
     return os.path.join(_REPLAY_ROOT, f"{sf_name}-{digest}-{tag}")
 
 
@@ -116,14 +116,21 @@ def _write_chunk(tbl, out: str, idx: int) -> None:
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """readStream over event chunks with the ns→µs conversion the
-    batch catalog applies."""
-    df = (
-        spark.readStream.schema(_EVENTS_RAW)
+    """readStream over event chunks with the same physical-layout
+    sniffing the batch catalog applies (chunk files preserve the
+    source table's timestamp type bit-for-bit)."""
+    if parquet_ts_unit(path) == "timestamp[ns]":
+        df = (
+            spark.readStream.schema(EVENTS_NS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return ns_to_us(df)
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 @contextlib.contextmanager
