@@ -111,6 +111,11 @@ _GRADE_PRIORITY = [
     "gapfill_time_series", "join_asof_forward", "join_asof_nearest",
     "llm_split_train_val_test", "stream_session_timeout",
     "agg_sketch_hll",
+    # new in round 4 (never graded) — the TPC-H suite completion
+    # first (with these, all 22 shapes are registered), then the
+    # round-4 pipeline/streaming additions
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
+    "tpch_q21",
 ]
 
 

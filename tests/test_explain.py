@@ -229,3 +229,26 @@ def test_join_interval_composite_shuffle_key(spark, sf_oracle):
     assert any("user_id" in ln and "bk" in ln for ln in key_lines), (
         f"epoch bucket not in join keys: {key_lines}"
     )
+
+
+def test_tpch_r4_plan_shapes(spark, sf_oracle):
+    """Round-4 TPC-H completions (q2/q9/q11/q16/q20/q21) must keep
+    the intended shapes: all dims broadcast, correlations stay
+    semi/anti, and no accidental cartesian products anywhere."""
+    q2 = _plan(spark, sf_oracle, "tpch_q2")
+    assert "BroadcastHashJoin" in q2
+    assert "CartesianProduct" not in q2
+    q9 = _plan(spark, sf_oracle, "tpch_q9")
+    assert "BroadcastHashJoin" in q9
+    assert q9.count("HashAggregate") >= 2, "q9 needs map-side partials"
+    q11 = _plan(spark, sf_oracle, "tpch_q11")
+    # the scalar threshold joins back as a broadcast of ONE row
+    assert "BroadcastNestedLoopJoin" in q11 or "BroadcastHashJoin" in q11
+    assert "CartesianProduct" not in q11
+    q16 = _plan(spark, sf_oracle, "tpch_q16")
+    assert "LeftAnti" in q16 and "Broadcast" in q16
+    q20 = _plan(spark, sf_oracle, "tpch_q20")
+    assert "LeftSemi" in q20 and "Broadcast" in q20
+    q21 = _plan(spark, sf_oracle, "tpch_q21")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
