@@ -116,6 +116,8 @@ _GRADE_PRIORITY = [
     # round-4 pipeline/streaming additions
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
     "tpch_q21",
+    "llm_bm25", "llm_winnowing", "ts_ohlc_bars",
+    "stream_dedup_watermark",
 ]
 
 

@@ -1891,3 +1891,53 @@ def tpch_q21(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=f"""
+    WITH o AS (
+      SELECT date_trunc('day', ts) AS day, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('day', ts),
+                                event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('day', ts),
+                                event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT day, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           {sql_dsum('value')} AS volume,
+           count(*) AS n_ticks
+    FROM o
+    GROUP BY day, event_type
+    """,
+)
+def ts_ohlc_bars(spark, sf_dir):
+    """Time-series OHLC downsampling (open/high/low/close bars per
+    day × event_type) — the standard tick-to-bar rollup of a
+    financial/metrics store. Spark-first: open/close are min_by/
+    max_by over the (ts, event_id) tuple — ONE hash aggregate with
+    map-side partials, no window pass, no second shuffle (the oracle
+    uses window functions only because DuckDB's arg_min over a
+    composite key needs them). The (ts, event_id) tie-break makes
+    both engines pick the same row even if two ticks share a
+    timestamp. Volume rides the exact decimal path."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

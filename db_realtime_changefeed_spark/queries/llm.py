@@ -1679,3 +1679,144 @@ def llm_split_train_val_test(spark, sf_dir):
         F.when(h < "cc", "train").when(h < "e6", "val")
         .otherwise("test").alias("split"),
     )
+
+
+# ------------------------------------------------------- retrieval (r4)
+
+@query(
+    "llm_bm25",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+           FROM w WHERE term IN ('join', 'scan', 'filter')
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                       / count(*) AS avgdl
+              FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE)
+                         + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                          / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN df USING (term), stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+    """,
+)
+def llm_bm25(spark, sf_dir):
+    """BM25 ranking (k1=1.2, b=0.75) of documents against a fixed
+    term set — the classic retrieval scorer a training-data pipeline
+    uses for quality-weighted sampling and query-based corpus
+    selection. Pure Catalyst: one explode for term frequencies
+    (filtered to the query terms BEFORE the shuffle, so the exploded
+    stream is tiny), document frequencies as a broadcast-sized
+    per-term aggregate, corpus stats as a one-row broadcast. At
+    100 TB the only full-corpus pass is the tokenize scan; both
+    aggregates shuffle (term, doc) pairs for 3 terms only. Scores
+    are rounded to 6 dp on BOTH engines before the top-k so the one
+    transcendental (ln) cannot flip the boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).select("doc_id", F.size("words").alias("dl"),
+             F.explode("words").alias("term"))
+    tf = (
+        words.where(F.col("term").isin("join", "scan", "filter"))
+        .groupBy("doc_id", "term")
+        .agg(F.any_value("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.select(F.size(F.split("text", " ")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df").cast("double")
+           + F.lit(0.5)) / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_term = (
+        F.col("tf").cast("double") * F.lit(2.2)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75)
+                        * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_term), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "llm_winnowing",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(words) - 1),
+                   i -> md5(array_to_string(words[i:i+2], ' '))) AS grams
+          FROM w WHERE len(words) >= 3),
+    m AS (SELECT doc_id,
+                 list_transform(range(1, len(grams) - 2),
+                   j -> list_aggregate(grams[j:j+3], 'min')) AS mins
+          FROM g WHERE len(grams) >= 4)
+    SELECT doc_id,
+           len(list_distinct(mins)) AS n_fp,
+           md5(array_to_string(list_sort(list_distinct(mins)), ''))
+             AS fp_digest
+    FROM m
+    """,
+)
+def llm_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    — the MOSS algorithm): hash every 3-word gram, then keep the
+    minimum hash of each sliding window of 4 grams; the distinct
+    window-mins are the fingerprint set. Guarantees any shared run
+    of ≥6 words between two documents shares a fingerprint —
+    positional, unlike MinHash's set-level signature. Map-ONLY at
+    any scale: per-document higher-order functions (transform/
+    slice/array_min), zero shuffles, zero Python. Output is the
+    scalar digest of the sorted fingerprint set (the registry bans
+    array columns — round-1 FAIL class)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("words")).where(
+        F.size("words") >= 3
+    )
+    grams = words.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(words) - 2),"
+            " i -> md5(cast(concat_ws(' ', slice(words, i, 3)) as binary)))"
+        ).alias("grams"),
+    ).where(F.size("grams") >= 4)
+    mins = grams.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(grams) - 3),"
+            " j -> array_min(slice(grams, j, 4)))"
+        ).alias("mins"),
+    )
+    return mins.select(
+        "doc_id",
+        F.size(F.array_distinct("mins")).cast("long").alias("n_fp"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.array_distinct("mins")))
+            .cast("binary")
+        ).alias("fp_digest"),
+    )

@@ -1083,3 +1083,31 @@ def stream_session_timeout(spark, sf_dir):
     )
     name = _to_table(result, "sesstimeout", "append")
     return spark.table(name)
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a doubled replay: unlike
+    dropDuplicates (stream_dedup), state for a key is EVICTED once
+    the watermark passes it, so state size is bounded by the
+    watermark horizon instead of growing with total distinct keys —
+    the form you run forever at 100 TB/day. The duplicate copies
+    co-arrive (union of two identical file streams, so every trigger
+    reads one chunk of each), far inside the 45-day horizon, which
+    makes the collapse back to one copy per event_id deterministic
+    and lets a plain-row oracle grade an otherwise best-effort API."""
+    doubled = _replayed(spark, sf_dir).unionByName(
+        _replayed(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = _to_table(deduped, "dedupwm", "append")
+    return spark.table(name)
