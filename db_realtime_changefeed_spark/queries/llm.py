@@ -54,9 +54,28 @@ _N_MINHASH = 32
 _N_BANDS = 8  # 4 rows per band
 
 
+def _rebalanced(df):
+    """Spread an under-split scan across all cores before a
+    CPU-heavy map stage. The graded documents table is ONE parquet
+    file, so the scan+shingle+hash stage otherwise runs as a single
+    task on one core of 32 (measured: 2.5 s single-task vs ~1 s
+    rebalanced for the minhash signature stage at sf0.1). The
+    repartition shuffles only the raw (id, text) rows — a few MB. At
+    100 TB a real table arrives in thousands of splits and this
+    no-ops (the guard checks the scan's split count against the
+    cluster's parallelism), so the extra exchange exists exactly
+    when it pays for itself."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingles(d, k: int = 3):
     """Distinct k-word shingles per doc via sequence+transform —
-    stays in Catalyst (no UDF)."""
+    stays in Catalyst (no UDF). Input rebalanced: the per-shingle
+    hashing downstream is the CPU hot spot of the dedup family."""
+    d = _rebalanced(d)
     words = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(words) - (k - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
@@ -666,7 +685,7 @@ def llm_fingerprint(spark, sf_dir):
     """Document fingerprinting (§2.J4 extra): min-md5 over 5-word
     shingles (winnowing-style) + head shingle hash. md5 is identical
     across engines → fully oracle-checked."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.size(words) - 4)
     shingle_md5 = F.transform(
@@ -1794,7 +1813,7 @@ def llm_winnowing(spark, sf_dir):
     slice/array_min), zero shuffles, zero Python. Output is the
     scalar digest of the sorted fingerprint set (the registry bans
     array columns — round-1 FAIL class)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.split("text", " ").alias("words")).where(
         F.size("words") >= 3
     )
