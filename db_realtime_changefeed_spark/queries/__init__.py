@@ -117,7 +117,8 @@ _GRADE_PRIORITY = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
     "tpch_q21",
     "llm_bm25", "llm_winnowing", "ts_ohlc_bars",
-    "stream_dedup_watermark",
+    "stream_dedup_watermark", "llm_unigram_lm", "stream_topk_per_window",
+    "agg_sketch_countmin", "llm_score_model",
 ]
 
 

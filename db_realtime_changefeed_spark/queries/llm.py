@@ -1839,3 +1839,202 @@ def llm_winnowing(spark, sf_dir):
             .cast("binary")
         ).alias("fp_digest"),
     )
+
+
+@query(
+    "llm_unigram_lm",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    cnt AS (SELECT term, count(*) AS c FROM w GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
+                   count(*) AS vocab FROM cnt),
+    p AS (SELECT term,
+                 (CAST(c AS DOUBLE) + 1.0)
+                   / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)) AS prob
+          FROM cnt, tot),
+    scored AS (
+      SELECT w.doc_id, count(*) AS n_tok,
+             sum(ln(p.prob)) AS logp
+      FROM w JOIN p USING (term)
+      GROUP BY w.doc_id)
+    SELECT doc_id, n_tok,
+           round(-logp / CAST(n_tok AS DOUBLE), 6) AS nll_per_token
+    FROM scored
+    """,
+)
+def llm_unigram_lm(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet-style perplexity
+    proxy): train add-one-smoothed unigram probabilities on the
+    corpus itself, then score each document by negative log
+    likelihood per token — the standard cheap quality filter before
+    an expensive LM pass. Spark-first: term counts are one shuffle
+    of (term, count) partials; the probability table joins back as a
+    BROADCAST (vocabulary ≪ corpus — at 100 TB the vocab is still
+    ~millions of rows); scoring is a second (doc_id, partials)
+    shuffle. Scores round to 6 dp on both engines so the ln cannot
+    flip a hash."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _rebalanced(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    cnt = w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    p = cnt.join(F.broadcast(tot)).select(
+        "term",
+        ((F.col("c").cast("double") + F.lit(1.0))
+         / (F.col("n_tokens") + F.col("vocab").cast("double"))
+         ).alias("prob"),
+    )
+    return (
+        w.join(F.broadcast(p), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.log("prob")).alias("logp"),
+        )
+        .select(
+            "doc_id", "n_tok",
+            F.round(-F.col("logp") / F.col("n_tok").cast("double"), 6)
+            .alias("nll_per_token"),
+        )
+    )
+
+
+@query(
+    "agg_sketch_countmin",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    truth AS (SELECT term, count(*) AS true_count FROM w GROUP BY term)
+    SELECT term, true_count
+    FROM truth ORDER BY true_count DESC, term LIMIT 20
+    """,
+)
+def agg_sketch_countmin(spark, sf_dir):
+    """Count-min sketch expressed as pure DataFrame ops: every token
+    increments d=4 hashed buckets of width w=64; a term's estimate
+    is the MIN over its 4 buckets — always ≥ the true count, with
+    overestimate bounded by collisions. The sketch table is d×w=256
+    rows REGARDLESS of corpus size — the fixed-size summary you
+    ship from every partition at 100 TB, merged by addition (the
+    groupBy below IS the merge). Graded output: the exact top-20
+    terms with true counts (hash families are engine-specific, so
+    the estimate column is asserted in tests — est ≥ true, and
+    est = true for the heavy hitters at this width — rather than
+    hash-compared)."""
+    est = countmin_estimates(spark, sf_dir)
+    return (
+        est.orderBy(F.col("true_count").desc(), "term")
+        .limit(20)
+        .select("term", "true_count")
+    )
+
+
+def countmin_estimates(spark, sf_dir):
+    """(term, true_count, cm_est) for every term — the full sketch
+    pipeline; agg_sketch_countmin grades the deterministic columns,
+    tests assert the sketch guarantees on cm_est."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _rebalanced(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    depth, width = 4, 64
+    # sketch: one explode to (d, bucket), one groupBy → 256 rows
+    sketch = (
+        w.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col("term")),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ])
+            ).alias("hb")
+        )
+        .groupBy("hb.d", "hb.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = w.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.select(
+        "term", "true_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("d"),
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.col("term")),
+                        F.lit(width),
+                    ).alias("bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("hb"),
+    ).select("term", "true_count", "hb.d", "hb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cm_est"))
+    )
+
+
+@query(
+    "llm_score_model",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) / 1000.0 AS f_len,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0
+               AS f_tokens,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS f_en
+      FROM documents)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(0.8 * f_len + 0.5 * f_tokens
+                                    + 0.3 * f_en - 1.2))), 6)
+             AS model_score
+    FROM f
+    """,
+)
+def llm_score_model(spark, sf_dir):
+    """Batch model-inference plumbing: featurize in Catalyst, then
+    score inside an Arrow-batched mapInPandas worker — the exact
+    shape of running a real classifier/reward model over a corpus
+    (the 'model' here is a fixed-weight logistic so DuckDB can
+    oracle it; swap `_score_batch` for an ONNX/torch call and
+    nothing else changes). Scale: featurization is scan-local, the
+    model worker sees vectorized pandas batches (one Python process
+    per core, no per-row overhead), output is (id, score) —
+    shuffle-free end to end."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / 1000.0).alias("f_len"),
+        (F.size(F.split("text", " ")).cast("double") / 100.0)
+        .alias("f_tokens"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("f_en"),
+    )
+
+    def _score_batch(batches):
+        import numpy as np
+
+        for pdf in batches:
+            z = (0.8 * pdf["f_len"] + 0.5 * pdf["f_tokens"]
+                 + 0.3 * pdf["f_en"] - 1.2)
+            out = pdf[["doc_id"]].copy()
+            out["model_score"] = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+            yield out
+
+    return feats.mapInPandas(
+        _score_batch, schema="doc_id long, model_score double"
+    )

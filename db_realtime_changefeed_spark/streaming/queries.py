@@ -1111,3 +1111,62 @@ def stream_dedup_watermark(spark, sf_dir):
     )
     name = _to_table(deduped, "dedupwm", "append")
     return spark.table(name)
+
+
+@query(
+    "stream_topk_per_window",
+    oracle=f"""
+    WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, user_id,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+      FROM events, m
+      WHERE time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY <= m.wm
+      GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY win_start
+                    ORDER BY sum_value DESC, user_id) AS rn
+          FROM agg)
+    SELECT win_start, user_id, n, sum_value FROM r WHERE rn <= 3
+    """,
+)
+def stream_topk_per_window(spark, sf_dir):
+    """Windowed top-k as a two-layer serving pattern: the STREAM
+    maintains per-(day, user) aggregates incrementally (append mode
+    — each window emits once, when the watermark closes it; state
+    is bounded by the horizon), and the top-3-per-day rank runs as a
+    batch window query over the emitted aggregate table (the
+    oracle keeps only windows the final watermark closed, as
+    stream_tumbling_append does). Streaming
+    engines cannot rank across keys inside the stream without
+    buffering whole windows; splitting the standing aggregation
+    from the serving-time rank is the shape that scales — the
+    rank's input is |days × users|, not |events|."""
+    ev = _replayed(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "user_id", "n",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+    name = _to_table(agg, "topkwin", "append")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("win_start").orderBy(
+            F.col("sum_value").desc(), "user_id"
+        )
+    )
+    return (
+        spark.table(name)
+        .withColumn("rn", rn)
+        .where("rn <= 3")
+        .select("win_start", "user_id", "n", "sum_value")
+    )

@@ -150,3 +150,16 @@ def test_bucketed_store_random_commit_sequences(spark, tmp_path):
         assert store.versions() == [3, 4]
         got = {r["k"]: r["cnt"] for r in store.df_at(4).collect()}
         assert got == expect
+
+
+def test_countmin_sketch_guarantees(spark, sf_oracle):
+    """Count-min can only OVERestimate, and at d=4 × w=64 over this
+    vocabulary the heavy hitters must come back exact."""
+    from pyspark.sql import functions as F
+
+    from db_realtime_changefeed_spark.queries.llm import countmin_estimates
+
+    est = countmin_estimates(spark, sf_oracle)
+    assert est.where(F.col("cm_est") < F.col("true_count")).count() == 0
+    top = est.orderBy(F.col("true_count").desc()).limit(10)
+    assert top.where(F.col("cm_est") != F.col("true_count")).count() == 0
