@@ -119,6 +119,7 @@ _GRADE_PRIORITY = [
     "llm_bm25", "llm_winnowing", "ts_ohlc_bars",
     "stream_dedup_watermark", "llm_unigram_lm", "stream_topk_per_window",
     "agg_sketch_countmin", "llm_score_model",
+    "stream_schema_evolution", "source_python_datasource",
 ]
 
 

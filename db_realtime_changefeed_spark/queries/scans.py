@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_path
 from . import query
 from ._util import dsum, sql_dsum
 
@@ -174,3 +174,73 @@ def source_orc(spark, sf_dir):
     involved)."""
     path = _format_copy(spark, sf_dir, "orc")
     return spark.read.schema(_EVENTS_PROJ_DDL).orc(path)
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def source_python_datasource(spark, sf_dir):
+    """Custom connector via the Python DataSource API (Spark 4): a
+    columnar events source whose partition PLANNING mirrors a real
+    table format — one input partition per parquet row group, each
+    task opening only its row group (the split model object-store
+    connectors use; at 100 TB planning yields thousands of
+    independent splits and the cluster fans out over them). The
+    classes are defined in-function so cloudpickle ships them by
+    VALUE — the source works on executors with no PYTHONPATH
+    coupling to this repo. Round-trip graded against the parquet
+    oracle."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    path = table_path(sf_dir, "events")
+
+    class _RowGroupPartition(InputPartition):
+        def __init__(self, idx):
+            self.idx = idx
+
+    class _EventsReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def partitions(self):
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(self.path).metadata
+            return [
+                _RowGroupPartition(i) for i in range(md.num_row_groups)
+            ]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(self.path)
+            tbl = pf.read_row_group(
+                partition.idx,
+                columns=["event_id", "user_id", "event_type", "value"],
+            )
+            # arrow batches stream straight through — no row loop
+            yield from tbl.to_batches()
+
+    class EventsDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dbrcf_events"
+
+        def schema(self):
+            return ("event_id long, user_id long, event_type string,"
+                    " value double")
+
+        def reader(self, schema):
+            return _EventsReader(self.options)
+
+    spark.dataSource.register(EventsDataSource)
+    return (
+        spark.read.format("dbrcf_events").option("path", path).load()
+    )

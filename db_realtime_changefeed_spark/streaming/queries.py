@@ -1170,3 +1170,65 @@ def stream_topk_per_window(spark, sf_dir):
         .where("rn <= 3")
         .select("win_start", "user_id", "n", "sum_value")
     )
+
+
+@query(
+    "stream_schema_evolution",
+    oracle=f"""
+    WITH c AS (SELECT 2 * CAST(ceil(count(*) / 4.0) AS BIGINT) AS cut
+               FROM events)
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value,
+           count(CASE WHEN event_id >= c.cut THEN 1 END) AS n_v2,
+           CAST(sum(CASE WHEN event_id >= c.cut
+                         THEN CAST(value * 2.0 AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS sum_v2
+    FROM events, c
+    GROUP BY event_type
+    """,
+)
+def stream_schema_evolution(spark, sf_dir):
+    """Mid-stream ADD COLUMN survival: the second half of the replay
+    gains `v2` (build_evolving_chunks); the standing query holds the
+    WIDENED schema from the start, the parquet source fills NULLs
+    for pre-evolution files, and the aggregate distinguishes
+    'column absent' from 'value present' by null-skipping count/sum
+    — no restart, no history rewrite, no checkpoint surgery. This is
+    the schema-evolution contract a year-long changefeed needs; at
+    100 TB the same widened-schema read is how you roll a column
+    into a live table without stopping its feeds. The oracle
+    reconstructs v2 from the deterministic fixture rule
+    (v2 = value*2 for the second half of event_ids)."""
+    from pyspark.sql import types as T
+
+    from ..catalog import SCHEMAS
+    from .replay import build_evolving_chunks
+
+    path = build_evolving_chunks(spark, sf_dir, 4)
+    wide = T.StructType(
+        list(SCHEMAS["events"].fields)
+        + [T.StructField("v2", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(wide)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = (
+        stream.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),
+            F.count("v2").alias("n_v2"),
+            F.sum(F.col("v2").cast(DEC)).alias("sv2"),
+        )
+        .select(
+            "event_type", "n",
+            F.col("sv").cast("double").alias("sum_value"),
+            "n_v2",
+            F.col("sv2").cast("double").alias("sum_v2"),
+        )
+    )
+    name = _to_table(agg, "evolve", "complete")
+    return spark.table(name)

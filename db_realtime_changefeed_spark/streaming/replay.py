@@ -179,3 +179,47 @@ def fresh_sink_name(base: str) -> str:
     """Memory-sink names are session-global; make each run unique."""
     _SINK_SEQ[0] += 1
     return f"{base}_{_SINK_SEQ[0]}"
+
+
+def build_evolving_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """Schema-evolution fixture: time-ordered event chunks where the
+    SECOND HALF of the stream gains a new column `v2` (:= value * 2,
+    deterministic so an oracle can reconstruct it) — the add-column
+    DDL a long-lived changefeed must survive. Old chunk files simply
+    lack the column; a reader holding the widened schema gets NULLs
+    for them from the parquet reader itself, no rewrite of history.
+    Idempotent per (sf_dir, n_chunks); normalized through
+    load_table first so both physical timestamp layouts feed the
+    same fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..catalog import load_table
+
+    tag = f"evolve-c{n_chunks}"
+    out = _chunk_dir(sf_dir, tag)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")  # event_id monotone with ts (FIXTURES.md)
+        .toArrow()
+    )
+    n = t.num_rows
+    per = (n + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        sl = t.slice(i * per, per)
+        if i >= n_chunks // 2:
+            v2 = pc.multiply(
+                sl.column("value"), pa.scalar(2.0, pa.float64())
+            )
+            sl = sl.append_column("v2", v2)
+        _write_chunk(sl, out, i)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
