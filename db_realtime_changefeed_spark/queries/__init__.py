@@ -120,6 +120,8 @@ _GRADE_PRIORITY = [
     "stream_dedup_watermark", "llm_unigram_lm", "stream_topk_per_window",
     "agg_sketch_countmin", "llm_score_model",
     "stream_schema_evolution", "source_python_datasource",
+    "fn_variant", "sql_pipe_syntax", "sql_recursive_cte",
+    "join_lateral_correlated",
 ]
 
 

@@ -1941,3 +1941,119 @@ def ts_ohlc_bars(spark, sf_dir):
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+# ------------------------------------------- Spark-4 SQL surface (r4)
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod
+    FROM events
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """The VARIANT type (Spark 4): parse the JSON props column once
+    into the binary variant encoding, then extract typed fields with
+    variant_get — the open-schema path a changefeed uses for
+    free-form payloads. Unlike string json_extract per field, the
+    parse cost is paid once per row and extraction is a binary walk
+    (the same design as the variant/BSON columns in modern
+    warehouses). Scan-local, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.select(
+        "event_id", k.alias("k"), (k % 10).alias("k_mod")
+    )
+
+
+_PIPE_SQL_SPARK = """
+FROM lineitem
+|> WHERE l_quantity > 10.0
+|> AGGREGATE CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty, count(*) AS n
+   GROUP BY l_returnflag, l_linestatus
+"""
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty, count(*) AS n
+    FROM lineitem
+    WHERE l_quantity > 10.0
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's |> operator chain): the same
+    filter→aggregate expressed as a linear pipeline. Catalyst lowers
+    it to the identical plan as the ANSI form — the oracle IS that
+    ANSI form, so the grade proves the equivalence."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL_SPARK)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST('2001-06-01' AS DATE)
+)
+SELECT CAST(months.m AS TIMESTAMP) AS month_start,
+       count(o.o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders o
+  ON o.o_orderdate >= CAST(months.m AS TIMESTAMP)
+ AND o.o_orderdate < CAST(CAST(m + INTERVAL 1 MONTH AS DATE)
+                          AS TIMESTAMP)
+GROUP BY months.m
+"""
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4): generate the month ladder spanning
+    the orders table, then count orders per month INCLUDING empty
+    months — the gap-free calendar spine reports need, produced by
+    iteration instead of a pre-materialized dimension. The exact
+    same WITH RECURSIVE text runs on both engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT r.r_name, t.n_name, t.total_bal
+FROM region r,
+LATERAL (
+  SELECT n.n_name,
+         CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_bal
+  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY total_bal DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+@query("join_lateral_correlated", oracle=_LATERAL_SQL)
+def join_lateral_correlated(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT:
+    top-2 nations by supplier balance FOR EACH region — the
+    top-k-per-outer-row shape that decorrelates into a ranked
+    window join (same family as win_topk_per_group, but written as
+    the SQL a user would bring from Postgres). Identical text on
+    both engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
