@@ -1897,7 +1897,8 @@ def tpch_q21(spark, sf_dir):
     "ts_ohlc_bars",
     oracle=f"""
     WITH o AS (
-      SELECT date_trunc('day', ts) AS day, event_type, value,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, value,
              row_number() OVER (PARTITION BY date_trunc('day', ts),
                                 event_type
                                 ORDER BY ts, event_id) AS rn_a,
