@@ -121,7 +121,7 @@ _GRADE_PRIORITY = [
     "agg_sketch_countmin", "llm_score_model",
     "stream_schema_evolution", "source_python_datasource",
     "fn_variant", "sql_pipe_syntax", "sql_recursive_cte",
-    "join_lateral_correlated",
+    "join_lateral_correlated", "udtf_map_in_arrow", "udtf_cogrouped_map",
 ]
 
 

@@ -194,3 +194,100 @@ def udtf_python_native(spark, sf_dir):
         "SELECT d.doc_id, t.term, t.cnt "
         "FROM documents d, LATERAL top_terms_py(d.text, 3) t"
     )
+
+
+@query(
+    "udtf_map_in_arrow",
+    oracle="""
+    SELECT event_id, value,
+           value * 1.1 + CAST(user_id AS DOUBLE) AS adjusted
+    FROM events
+    """,
+)
+def udtf_map_in_arrow(spark, sf_dir):
+    """mapInArrow — the zero-copy tier below mapInPandas: batches
+    arrive as pyarrow RecordBatches and never materialize a pandas
+    frame, so there is no index/dtype conversion cost on either
+    side. The right escape hatch when the Python logic is itself
+    Arrow-native (compute kernels, Arrow-backed model runtimes).
+    Shuffle-free; the oracle re-expresses the kernel arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def _kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            # same IEEE op order as the oracle (mul then add) →
+            # bitwise-identical doubles; no round() anywhere — the
+            # engines' round kernels differ in the last ulp
+            adj = pc.add(
+                pc.multiply(t.column("value"), pa.scalar(1.1)),
+                pc.cast(t.column("user_id"), pa.float64()),
+            )
+            out = pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "value": t.column("value"),
+                    "adjusted": adj,
+                }
+            )
+            yield from out.to_batches()
+
+    return ev.mapInArrow(
+        _kernel, schema="event_id long, value double, adjusted double"
+    )
+
+
+@query(
+    "udtf_cogrouped_map",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.value,
+           c.event_id AS click_id, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.event_id >= c.event_id
+    """,
+)
+def udtf_cogrouped_map(spark, sf_dir):
+    """Cogrouped applyInPandas (§2.K extra): both sides grouped on
+    user_id, each group PAIR handed to one pandas worker that runs
+    merge_asof — the escape hatch for per-key algorithms needing
+    both sides in memory at once. The oracle is the SAME ASOF join
+    the pure-Catalyst join_asof grades against, so this proves the
+    cogrouped path computes identical semantics. Scale: one shuffle
+    of each side on user_id; per-group memory is the bound to watch
+    (power-law users), which is why the Catalyst form is the
+    default and this the fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+
+    def _asof(left, right):
+        left = left.sort_values("event_id")
+        right = right.sort_values("click_id")
+        out = pd.merge_asof(
+            left, right.drop(columns=["user_id"]),
+            left_on="event_id", right_on="click_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        return out[["user_id", "event_id", "value",
+                    "click_id", "click_value"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _asof,
+            schema="user_id long, event_id long, value double,"
+                   " click_id long, click_value double",
+        )
+    )
