@@ -2038,3 +2038,99 @@ def llm_score_model(spark, sf_dir):
     return feats.mapInPandas(
         _score_batch, schema="doc_id long, model_score double"
     )
+
+
+@query(
+    "llm_pipeline_end_to_end",
+    oracle="""
+    WITH survivors AS (
+      SELECT doc_id, lang, n_chars, text,
+             row_number() OVER (
+               PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ',
+                                                     'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents),
+    clean AS (
+      SELECT doc_id, lang, n_chars, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_distinct(string_split(text, ' ')) AS ws
+      FROM survivors
+      WHERE rn = 1 AND n_chars >= 60
+        AND len(string_split(text, ' ')) >= 20),
+    neardup_losers AS (
+      SELECT DISTINCT b.doc_id AS loser
+      FROM clean a JOIN clean b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 10
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            > 0.5),
+    final AS (SELECT * FROM clean
+              WHERE doc_id NOT IN (SELECT loser FROM neardup_losers))
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_chars
+    FROM final GROUP BY lang
+    """,
+)
+def llm_pipeline_end_to_end(spark, sf_dir):
+    """The whole training-data pipeline as ONE composed dataflow —
+    exact dedup (normalized-hash, keep-first), quality gate (length
+    + token floor), blocked near-dup removal (banded word-set
+    Jaccard > 0.5, drop the younger of each pair), then per-language
+    corpus statistics. Every stage is a form already graded alone
+    (llm_dedup_exact / quality gates / llm_dedup_ngram_jaccard);
+    this proves they COMPOSE without driver-side glue: one plan,
+    shuffles = dedup hash + banded pair key + final stats, the
+    text column never shuffles after `clean`. The near-dup drop is
+    a broadcast ANTI join (losers ≪ corpus). At 100 TB each stage
+    keeps its standalone scale shape."""
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
+    norm = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    rn = F.row_number().over(
+        Window.partitionBy(norm).orderBy("doc_id")
+    )
+    toks = F.size(F.split("text", " "))
+    clean = (
+        d.withColumn("rn", rn)
+        .where(
+            (F.col("rn") == 1) & (F.col("n_chars") >= 60) & (toks >= 20)
+        )
+        .select(
+            "doc_id", "lang", "n_chars",
+            toks.alias("n_tokens"),
+            F.array_distinct(F.split("text", " ")).alias("ws"),
+        )
+    )
+    bucket = F.floor(F.col("n_chars") / F.lit(10))
+    a = clean.select(
+        F.col("doc_id").alias("doc_a"), "lang",
+        F.col("n_chars").alias("nc_a"), F.col("ws").alias("ws_a"),
+        bucket.alias("bk"),
+    )
+    b = clean.select(
+        F.col("doc_id").alias("doc_b"), "lang",
+        F.col("n_chars").alias("nc_b"), F.col("ws").alias("ws_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+    )
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    )
+    losers = (
+        a.join(b, ["lang", "bk"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 10)
+            & (jac > 0.5)
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = clean.join(F.broadcast(losers), "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        dsum("n_chars").alias("total_chars"),
+    )
