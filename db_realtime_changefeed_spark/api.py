@@ -68,10 +68,15 @@ class Cursor:
 
 
 class Feed:
-    """A standing query: materialized state + change log."""
+    """A standing query: materialized state + change log.
 
-    def __init__(self, runner: ChangefeedRunner):
+    `cursor_start` is the batch id new cursors begin at —
+    0 for full catch-up (initial_scan='yes'), the registration-time
+    log end for initial_scan='no'."""
+
+    def __init__(self, runner: ChangefeedRunner, cursor_start: int = 0):
         self._runner = runner
+        self._cursor_start = cursor_start
 
     def state(self) -> DataFrame:
         return self._runner.state()
@@ -80,7 +85,10 @@ class Feed:
         return self._runner.log()
 
     def cursor(self) -> Cursor:
-        return Cursor(self._runner)
+        c = Cursor(self._runner)
+        if self._cursor_start:
+            c.seek(self._cursor_start)
+        return c
 
     def subscribe(self, callback, name: str = "default"):
         """PUSH delivery — the complement of the poll cursor: the
@@ -89,6 +97,27 @@ class Feed:
         commit, exactly once per batch id across upstream retries
         (durable per-name ack; see streaming/push.py)."""
         return self._runner.subscribe(callback, name)
+
+
+class SnapshotFeed(Feed):
+    """initial_scan='only': one materialized scan, no delta surface —
+    the log/cursor/push endpoints do not exist rather than silently
+    returning history the caller opted out of."""
+
+    def log(self) -> DataFrame:
+        raise NotImplementedError(
+            "initial_scan='only' feeds are snapshots; no delta log"
+        )
+
+    def cursor(self) -> Cursor:
+        raise NotImplementedError(
+            "initial_scan='only' feeds are snapshots; no cursor"
+        )
+
+    def subscribe(self, callback, name: str = "default"):
+        raise NotImplementedError(
+            "initial_scan='only' feeds are snapshots; no push delivery"
+        )
 
 
 class LiveFeed(Feed):
@@ -167,7 +196,8 @@ class TableRef:
     def changes(self, key: str | None = None,
                 driver_merge: bool | str = "auto",
                 mode: str = "replay",
-                processing_time: str = "500 milliseconds") -> Feed:
+                processing_time: str = "500 milliseconds",
+                initial_scan: str = "yes") -> Feed:
         """Register a standing keyed count+sum over this table's CDC
         stream (only `events` replays in this fixture set). Filters
         apply to the change payload, so rows that never match never
@@ -181,6 +211,17 @@ class TableRef:
         LiveFeed.stop() — the subscribe-and-keep-receiving behavior
         of RethinkDB changes() / CREATE CHANGEFEED.
 
+        `initial_scan` (the CREATE CHANGEFEED option) controls what a
+        NEW consumer sees of history (events-table feeds):
+        - "yes" (default): full catch-up — cursors start at batch 0,
+          delivering every historical delta before new ones.
+        - "no": the feed's cursors start AT registration time — only
+          deltas committed afterwards are delivered (state is still
+          maintained from the full history; in replay mode the
+          history IS the replay, so a fresh cursor starts drained).
+        - "only": one snapshot, no standing deltas — returns the
+          materialized state; the delta log is not exposed.
+
         Tables other than `events` (currently: orders) replay through
         the normalized multi-table envelope and serve a per-primary-
         key count+sum feed (streaming/multitable.py). Filters (over
@@ -190,7 +231,23 @@ class TableRef:
         primary key)."""
         from .streaming.multitable import _TABLE_MAP
 
+        if initial_scan not in ("yes", "no", "only"):
+            raise ValueError(
+                f"initial_scan must be 'yes'|'no'|'only', got "
+                f"{initial_scan!r}"
+            )
+        if initial_scan == "only" and mode == "live":
+            raise ValueError(
+                "initial_scan='only' is a one-shot snapshot; it cannot "
+                "run as a live feed"
+            )
         if self._name != "events":
+            if initial_scan == "no":
+                raise NotImplementedError(
+                    f"initial_scan='no' needs a delta cursor; feeds on "
+                    f"{self._name!r} expose state only (events-only "
+                    "feature)"
+                )
             if self._name not in _TABLE_MAP:
                 raise NotImplementedError(
                     f"no CDC replay mapping for {self._name!r}; "
@@ -234,6 +291,16 @@ class TableRef:
             runner.start_live(processing_time=processing_time)
             return LiveFeed(runner)
         runner.run()
+        if initial_scan == "only":
+            return SnapshotFeed(runner)
+        if initial_scan == "no":
+            # registration time == now: new cursors skip the whole
+            # committed history and deliver only future deltas
+            end = (
+                runner.log().agg(F.max("batch_id")).collect()[0][0]
+            )
+            return Feed(runner, cursor_start=(end + 1 if end is not None
+                                              else 0))
         return Feed(runner)
 
 

@@ -252,3 +252,33 @@ def test_create_changefeed_ddl_on_orders(spark, sf_smoke):
     want = (load_table(spark, sf_smoke, "orders")
             .where("o_totalprice > 200000").count())
     assert got == want
+
+
+def test_initial_scan_options(spark, sf_smoke):
+    """CockroachDB-style initial_scan: 'yes' delivers history, 'no'
+    starts cursors at registration time, 'only' is a snapshot with
+    no delta surface."""
+    db = Database(spark, sf_smoke)
+
+    full = db.table("events").changes(initial_scan="yes")
+    assert len(full.cursor().poll()) > 0, "yes must deliver history"
+
+    no_scan = db.table("events").changes(initial_scan="no")
+    assert no_scan.cursor().poll() == [], (
+        "no: a fresh cursor must start drained in replay mode"
+    )
+    assert no_scan.state().count() > 0, "state is still maintained"
+
+    snap = db.table("events").changes(initial_scan="only")
+    assert snap.state().count() > 0
+    with pytest.raises(NotImplementedError):
+        snap.log()
+    with pytest.raises(NotImplementedError):
+        snap.cursor()
+
+    with pytest.raises(ValueError):
+        db.table("events").changes(initial_scan="maybe")
+    with pytest.raises(ValueError):
+        db.table("events").changes(mode="live", initial_scan="only")
+    with pytest.raises(NotImplementedError):
+        db.table("orders").changes(initial_scan="no")
