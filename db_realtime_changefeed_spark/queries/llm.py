@@ -2134,3 +2134,106 @@ def llm_pipeline_end_to_end(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         dsum("n_chars").alias("total_chars"),
     )
+
+
+def kmeans_embeddings(spark, sf_dir, k: int = 8, n_iter: int = 5):
+    """Distributed Lloyd's k-means over the embedding column —
+    the iterative-algorithm pattern (docs/SCALE.md): each round is
+    ONE assign-and-aggregate pass (broadcast centroids → argmin
+    cosine-free L2 via Catalyst HOFs → posexplode → decimal-exact
+    per-(cluster, pos) partial sums), with localCheckpoint cutting
+    the lineage between rounds exactly like the components
+    propagation loop. Deterministic end to end: init is the first k
+    vec_ids (data order is a parquet read of unique ids), distance
+    ties break toward the lower cluster id, and the decimal sums
+    make every centroid bit-reproducible regardless of partitioning.
+    Returns (assignments DF, centroids DF, inertia history list)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    init = (
+        e.orderBy("vec_id").limit(k)
+        .select(
+            F.monotonically_increasing_id().alias("_c"),
+            F.col("embedding").alias("centroid"),
+        )
+        .select(
+            (F.row_number().over(Window.orderBy("_c")) - 1)
+            .alias("cluster"),
+            "centroid",
+        )
+    )
+    cents = [
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in init.collect()
+    ]
+    inertia_hist = []
+    assigned = None
+    for _ in range(n_iter):
+        # distance to each centroid via HOFs; argmin with id tiebreak
+        dist_cols = []
+        for cid, cv in cents:
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            d2 = F.aggregate(
+                F.zip_with(
+                    "embedding", arr,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dist_cols.append(F.struct(d2.alias("d2"),
+                                      F.lit(cid).alias("cluster")))
+        best = F.array_min(F.array(*dist_cols))
+        assigned = e.select(
+            "vec_id", "embedding",
+            best["cluster"].alias("cluster"), best["d2"].alias("d2"),
+        ).localCheckpoint(eager=True)
+        inertia = assigned.agg(
+            F.sum(F.col("d2").cast(DEC)).cast("double")
+        ).collect()[0][0]
+        inertia_hist.append(float(inertia))
+        new_cents = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum(F.col("v").cast("double").cast(DEC))
+                 .cast("double") / F.count(F.lit(1))).alias("cv")
+            )
+            .orderBy("cluster", "pos")
+            .collect()
+        )
+        by_c: dict = {}
+        for r in new_cents:
+            by_c.setdefault(int(r["cluster"]), []).append(float(r["cv"]))
+        # empty clusters keep their previous centroid
+        cents = [
+            (cid, by_c.get(cid, cv)) for cid, cv in cents
+        ]
+    centroids = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents],
+        "cluster int, centroid array<double>",
+    )
+    return assigned.select("vec_id", "cluster", "d2"), centroids, \
+        inertia_hist
+
+
+@query("llm_kmeans")  # rows-only: iterative algorithm (explicitly the
+# non-SQL-expressible class); invariants pytest-asserted instead —
+# monotone inertia, full coverage, deterministic reruns
+def llm_kmeans(spark, sf_dir):
+    """K-means cluster assignments over the embeddings table (k=8,
+    5 Lloyd rounds) — the missing iterative-algorithm operator
+    class. Per round: centroids BROADCAST as literals (k×64 doubles
+    — always driver-sized), one scan assigns via codegen'd HOF
+    arithmetic, one decimal-exact aggregate re-estimates; k×64
+    numbers cross the driver per round, never vectors. At 100 TB
+    the same loop runs with centroid literals swapped for a
+    broadcast join; rounds stay O(scan)."""
+    assigned, _, _ = kmeans_embeddings(spark, sf_dir)
+    return assigned.select(
+        "vec_id", "cluster", F.round("d2", 6).alias("d2")
+    )

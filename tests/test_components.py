@@ -163,3 +163,27 @@ def test_countmin_sketch_guarantees(spark, sf_oracle):
     assert est.where(F.col("cm_est") < F.col("true_count")).count() == 0
     top = est.orderBy(F.col("true_count").desc()).limit(10)
     assert top.where(F.col("cm_est") != F.col("true_count")).count() == 0
+
+
+def test_kmeans_invariants(spark, sf_oracle):
+    """Lloyd's must have monotone non-increasing inertia, cover every
+    vector exactly once, and be bit-deterministic across reruns
+    (decimal-stabilized centroid updates)."""
+    from pyspark.sql import functions as F
+
+    from db_realtime_changefeed_spark.queries.llm import kmeans_embeddings
+
+    a, cents, hist = kmeans_embeddings(spark, sf_oracle)
+    n_vecs = a.count()
+    assert a.select("vec_id").distinct().count() == n_vecs
+    assert cents.count() == 8
+    assert all(
+        hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1)
+    ), f"inertia not monotone: {hist}"
+    a2, _, hist2 = kmeans_embeddings(spark, sf_oracle)
+    assert hist == hist2
+    assert (
+        a.select("vec_id", "cluster")
+        .exceptAll(a2.select("vec_id", "cluster"))
+        .count() == 0
+    )
