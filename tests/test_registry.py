@@ -57,6 +57,8 @@ def test_every_query_runs_or_has_oracle():
         # trigger-boundary-dependent; invariants tested instead
         "agg_sketch_hll",  # r3: DataSketches estimate is
         # engine-specific; accuracy tested instead
+        "llm_kmeans",  # r4: iterative algorithm (the explicitly
+        # non-SQL-expressible class); invariants tested instead
     }, f"unexpected rows-only set: {sorted(rows_only)}"
 
 
