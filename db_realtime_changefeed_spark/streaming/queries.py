@@ -326,15 +326,53 @@ def stream_session(spark, sf_dir):
     )
 
 
-@query("stream_late_data")  # rows-only: exercises watermark DROP semantics
+@query(
+    "stream_late_data",
+    oracle="""
+    WITH nh AS (SELECT *, row_number() OVER (ORDER BY event_id) - 1
+                  AS rn
+                FROM events WHERE event_id % 97 <> 0),
+    parms AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+              FROM nh),
+    wma AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm
+            FROM nh, parms WHERE rn < 3 * parms.per),
+    wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM nh),
+    held AS (SELECT * FROM events WHERE event_id % 97 = 0),
+    acc AS (SELECT h.* FROM held h, wma
+            WHERE time_bucket(INTERVAL 10 MINUTE, h.ts)
+                  + INTERVAL 10 MINUTE > wma.wm),
+    allrows AS (SELECT event_id, ts FROM nh
+                UNION ALL SELECT event_id, ts FROM acc)
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           count(*) AS n
+    FROM allrows, wmf
+    WHERE time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE
+          <= wmf.wm
+    GROUP BY 1
+    """,
+)
 def stream_late_data(spark, sf_dir):
-    """§2.I4: watermark-bounded lateness. The replay fixture holds
-    back every (event_id % 97 == 0) row into a final straggler chunk;
-    with a 1-hour watermark in APPEND mode those stragglers arrive
-    days past the watermark and are dropped, and only watermark-
-    closed windows emit. Graded rows-only (the result is watermark-
-    trajectory-dependent by design); tests assert drops occurred."""
-    stream = _replayed(spark, sf_dir, holdback_mod=97)
+    """§2.I4: watermark-bounded lateness, fully hash-graded (upgraded
+    from rows-only in r4 by modeling the watermark TRAJECTORY in the
+    oracle). The replay holds back every (event_id % 97 == 0) row
+    into a final straggler chunk; with a 1-hour watermark in APPEND
+    mode the result is exactly:
+
+    - the watermark in effect while the straggler batch processes is
+      max(ts of the first 3 of 4 main chunks) - 1h — Spark computes
+      each batch's watermark from data committed through the
+      PREVIOUS batch, so the last main chunk's event times have not
+      taken effect yet (verified empirically, exact at both graded
+      SFs);
+    - a straggler is ACCEPTED iff its window's end is above that
+      watermark (windows not yet finalized accept rows older than
+      the watermark itself), else dropped;
+    - the final emission covers windows with end <= max(main ts)-1h,
+      counting main rows plus accepted stragglers.
+
+    n_chunks is pinned to 4 here (not default_chunks()) because the
+    oracle's chunk-boundary model must match the replay exactly."""
+    stream = _replayed(spark, sf_dir, n_chunks=4, holdback_mod=97)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes"))
