@@ -520,12 +520,48 @@ def changefeed_core(spark, sf_dir):
     return _changefeed(spark, sf_dir).state()
 
 
-@query("changefeed_log")  # rows-only: delta log shape is trigger-dependent
+# The per-chunk cumulative {old,new} delta reconstruction: replay
+# chunking is deterministic (event_id-ordered, ceil(n/chunks) rows per
+# chunk), so the whole delta log is SQL-reconstructable — shared by
+# changefeed_push and changefeed_log (upgraded from rows-only in r4).
+_DELTA_LOG_ORACLE = f"""
+    WITH numbered AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT event_type, value,
+             CAST(floor(rn / ceil(n / {default_chunks()}.0)) AS BIGINT)
+               AS batch_id
+      FROM numbered
+    ), per AS (
+      SELECT event_type, batch_id,
+             count(*) AS d_cnt,
+             sum(CAST(value AS DECIMAL(18,6))) AS d_sum
+      FROM chunked GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(d_cnt) OVER w - d_cnt AS BIGINT) AS old_count,
+           CAST(sum(d_cnt) OVER w AS BIGINT) AS new_count,
+           CAST(sum(d_sum) OVER w - d_sum AS DOUBLE) AS old_sum,
+           CAST(sum(d_sum) OVER w AS DOUBLE) AS new_sum,
+           batch_id
+    FROM per
+    WINDOW w AS (PARTITION BY event_type ORDER BY batch_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("changefeed_log", oracle=_DELTA_LOG_ORACLE)
 def changefeed_log(spark, sf_dir):
-    """§2.I7 feed side: the {old,new} per-trigger delta rows. The
-    batch count per key and monotone new_count are asserted in
-    tests/test_streaming.py; graded rows-only because batch
-    boundaries (not values) depend on replay chunking."""
+    """§2.I7 feed side: the {old,new} per-trigger delta rows,
+    hash-graded (upgraded from rows-only in r4): replay chunk
+    boundaries are deterministic functions of (n, chunk count), so
+    the full delta log — batch ids included — is reconstructable in
+    SQL (_DELTA_LOG_ORACLE, shared with changefeed_push). Monotone
+    new_count and per-key batch counts stay asserted in
+    tests/test_streaming.py."""
     return _changefeed(spark, sf_dir).log()
 
 
@@ -580,33 +616,7 @@ def sink_update(spark, sf_dir):
 
 @query(
     "changefeed_push",
-    oracle=f"""
-    WITH numbered AS (
-      SELECT event_type, value,
-             row_number() OVER (ORDER BY event_id) - 1 AS rn,
-             count(*) OVER () AS n
-      FROM events
-    ), chunked AS (
-      SELECT event_type, value,
-             CAST(floor(rn / ceil(n / {default_chunks()}.0)) AS BIGINT)
-               AS batch_id
-      FROM numbered
-    ), per AS (
-      SELECT event_type, batch_id,
-             count(*) AS d_cnt,
-             sum(CAST(value AS DECIMAL(18,6))) AS d_sum
-      FROM chunked GROUP BY 1, 2
-    )
-    SELECT event_type,
-           CAST(sum(d_cnt) OVER w - d_cnt AS BIGINT) AS old_count,
-           CAST(sum(d_cnt) OVER w AS BIGINT) AS new_count,
-           CAST(sum(d_sum) OVER w - d_sum AS DOUBLE) AS old_sum,
-           CAST(sum(d_sum) OVER w AS DOUBLE) AS new_sum,
-           batch_id
-    FROM per
-    WINDOW w AS (PARTITION BY event_type ORDER BY batch_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
+    oracle=_DELTA_LOG_ORACLE,
 )
 def changefeed_push(spark, sf_dir):
     """Push delivery (the subscriber surface, streaming/push.py):

@@ -51,7 +51,6 @@ def test_every_query_runs_or_has_oracle():
         "llm_dedup_simhash",
         "llm_knn_lsh",
         "llm_knn_ivf",
-        "changefeed_log",
         "stream_session_timeout",  # r3: timeout firing is
         # trigger-boundary-dependent; invariants tested instead
         "agg_sketch_hll",  # r3: DataSketches estimate is
