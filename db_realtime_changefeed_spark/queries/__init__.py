@@ -122,7 +122,7 @@ _GRADE_PRIORITY = [
     "stream_schema_evolution", "source_python_datasource",
     "fn_variant", "sql_pipe_syntax", "sql_recursive_cte",
     "join_lateral_correlated", "udtf_map_in_arrow", "udtf_cogrouped_map",
-    "llm_pipeline_end_to_end", "llm_kmeans",
+    "llm_pipeline_end_to_end", "llm_kmeans", "win_session_dynamic_gap",
 ]
 
 

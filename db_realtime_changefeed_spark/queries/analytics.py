@@ -2058,3 +2058,60 @@ def join_lateral_correlated(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "win_session_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'error' THEN INTERVAL 60 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events),
+    p AS (
+      SELECT user_id, ts, value, gap,
+             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_end
+      FROM g),
+    s AS (
+      SELECT user_id, ts, value, gap,
+             sum(CASE WHEN prev_end IS NULL OR ts > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM p)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts + gap) AS session_end,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def win_session_dynamic_gap(spark, sf_dir):
+    """Session windows with a DATA-DEPENDENT gap: error events hold
+    the session open for 60 minutes, everything else 30 — the
+    per-event-type inactivity policy real sessionization needs.
+    Spark-first: `session_window(ts, CASE ...)` is a native dynamic
+    gap (one shuffle on user_id, sessions merged inside the
+    aggregate); the oracle reconstructs the merge with a running
+    max(ts + gap) — an event opens a new session iff it starts after
+    every earlier event's reach."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("60 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
