@@ -150,14 +150,73 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Physical types the forced-schema fast path is KNOWN to read
+# correctly for each logical type. Anything outside this map routes
+# through the adaptive fallback instead of silently misreading —
+# round 4's testdata regeneration (timestamp[ns] → timestamp[us])
+# proved that a layout drift under a forced schema can corrupt values
+# without erroring.
+_SAFE_PHYSICAL: dict[str, set[str]] = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "double": {"double"},
+    "string": {"string", "large_string"},
+    "timestamp": {"timestamp[us]", "timestamp[ms]"},
+    "array<float>": {"list<element: float>", "list<item: float>"},
+}
+
+_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _layout_mode(path: str, name: str) -> str:
+    """'fast' when every column's physical type is known-safe for the
+    forced-schema read; 'events_ns' for the legacy int64-nanos events
+    layout; 'adaptive' otherwise (footer read once per path)."""
+    key = (path, name)
+    if key not in _LAYOUT_CACHE:
+        import pyarrow.parquet as pq
+
+        phys = {f.name: str(f.type) for f in pq.read_schema(path)}
+        if (name == "events"
+                and phys.get("ts") == "timestamp[ns]"):
+            _LAYOUT_CACHE[key] = "events_ns"
+        else:
+            ok = all(
+                phys.get(f.name) in _SAFE_PHYSICAL.get(
+                    f.dataType.simpleString(), set())
+                for f in SCHEMAS[name].fields
+                if f.name in phys
+            ) and all(f.name in phys for f in SCHEMAS[name].fields)
+            _LAYOUT_CACHE[key] = "fast" if ok else "adaptive"
+    return _LAYOUT_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-asserted parquet read. Column pruning + predicate
     pushdown flow through automatically (verified in tests via
-    explain() — SURVEY.md §4)."""
+    explain() — SURVEY.md §4).
+
+    Layout drift protection: the footer is sniffed once per (path,
+    table). Known layouts use the forced-schema fast path (full
+    pushdown); the legacy int64-nanos events layout converts; any
+    UNKNOWN physical layout falls back to Spark's inferred read with
+    per-column casts to the canonical logical schema — slower (casts
+    can block pushdown) but correct, so a future testdata
+    regeneration degrades performance instead of corrupting values."""
     path = table_path(sf_dir, name)
-    if name == "events" and parquet_ts_unit(path) == "timestamp[ns]":
+    mode = _layout_mode(path, name)
+    if mode == "events_ns":
         df = spark.read.schema(EVENTS_NS_SCHEMA).parquet(path)
         return ns_to_us(df)
+    if mode == "adaptive":
+        df = spark.read.parquet(path)
+        cols = []
+        for f in SCHEMAS[name].fields:
+            c = F.col(f.name)
+            if df.schema[f.name].dataType != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        return df.select(*cols)
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
