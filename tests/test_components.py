@@ -187,3 +187,45 @@ def test_kmeans_invariants(spark, sf_oracle):
         .exceptAll(a2.select("vec_id", "cluster"))
         .count() == 0
     )
+
+
+def test_catalog_adaptive_layout_fallback(spark, sf_oracle, tmp_path):
+    """A testdata regeneration that changes physical column types
+    must route through the adaptive read and still produce the
+    canonical logical schema — degraded pushdown, correct values
+    (the round-4 regeneration failure class)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_realtime_changefeed_spark.catalog import (
+        SCHEMAS,
+        _layout_mode,
+        load_table,
+        table_path,
+    )
+
+    tbl = pq.read_table(table_path(sf_oracle, "events"))
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("value"),
+        "value",
+        tbl.column("value").cast(pa.float32()),
+    )
+    d = str(tmp_path / "drifted")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    assert _layout_mode(os.path.join(d, "events.parquet"),
+                        "events") == "adaptive"
+    df = load_table(spark, d, "events")
+    assert df.schema == SCHEMAS["events"]
+    ref = load_table(spark, sf_oracle, "events")
+    assert df.count() == ref.count()
+    # float32→double keeps ordering/aggregation sane even if not
+    # bit-identical; spot-check a value column invariant
+    from pyspark.sql import functions as F
+
+    lo, hi = df.agg(F.min("value"), F.max("value")).first()
+    rlo, rhi = ref.agg(F.min("value"), F.max("value")).first()
+    assert abs(lo - rlo) < 1e-3 and abs(hi - rhi) < 1e-2
