@@ -142,31 +142,85 @@ def llm_dedup_minhash(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
-@query("llm_dedup_simhash")  # rows-only: engine-specific hash
+@query(
+    "llm_dedup_simhash",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, w, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    bits AS (
+      SELECT doc_id,
+             sum(CASE WHEN substring(md5(w), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b0,
+             sum(CASE WHEN substring(md5(w), 2, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b1,
+             sum(CASE WHEN substring(md5(w), 3, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b2,
+             sum(CASE WHEN substring(md5(w), 4, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b3,
+             sum(CASE WHEN substring(md5(w), 5, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b4,
+             sum(CASE WHEN substring(md5(w), 6, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b5,
+             sum(CASE WHEN substring(md5(w), 7, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b6,
+             sum(CASE WHEN substring(md5(w), 8, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b7,
+             sum(CASE WHEN substring(md5(w), 9, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b8,
+             sum(CASE WHEN substring(md5(w), 10, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b9,
+             sum(CASE WHEN substring(md5(w), 11, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b10,
+             sum(CASE WHEN substring(md5(w), 12, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b11,
+             sum(CASE WHEN substring(md5(w), 13, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b12,
+             sum(CASE WHEN substring(md5(w), 14, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b13,
+             sum(CASE WHEN substring(md5(w), 15, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b14,
+             sum(CASE WHEN substring(md5(w), 16, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b15,
+             sum(CASE WHEN substring(md5(w), 17, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b16,
+             sum(CASE WHEN substring(md5(w), 18, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b17,
+             sum(CASE WHEN substring(md5(w), 19, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b18,
+             sum(CASE WHEN substring(md5(w), 20, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b19,
+             sum(CASE WHEN substring(md5(w), 21, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b20,
+             sum(CASE WHEN substring(md5(w), 22, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b21,
+             sum(CASE WHEN substring(md5(w), 23, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b22,
+             sum(CASE WHEN substring(md5(w), 24, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b23,
+             sum(CASE WHEN substring(md5(w), 25, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b24,
+             sum(CASE WHEN substring(md5(w), 26, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b25,
+             sum(CASE WHEN substring(md5(w), 27, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b26,
+             sum(CASE WHEN substring(md5(w), 28, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b27,
+             sum(CASE WHEN substring(md5(w), 29, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b28,
+             sum(CASE WHEN substring(md5(w), 30, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b29,
+             sum(CASE WHEN substring(md5(w), 31, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b30,
+             sum(CASE WHEN substring(md5(w), 32, 1) IN ('1','3','5','7','9','b','d','f') THEN cnt ELSE -cnt END) AS b31
+      FROM wc GROUP BY doc_id)
+    SELECT doc_id,
+           CAST((CASE WHEN b0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN b1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN b2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN b3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN b4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN b5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN b6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN b7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN b8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN b9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN b16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN b17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN b18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN b19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN b20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN b21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN b22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN b23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN b24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN b25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN b26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN b27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN b28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN b29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN b30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN b31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits ORDER BY doc_id
+    """,
+)
 def llm_dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per document: sign of the weighted sum of each
-    hash bit over the doc's words. Pure integer Catalyst expressions
-    → deterministic; one explode + one groupBy at any scale."""
-    d = load_table(spark, sf_dir, "documents")
+    """32-bit SimHash per document: sign of the count-weighted sum of
+    each hash bit over the doc's words. Hash-graded (upgraded from
+    rows-only in r4): the bit source is the LOW BIT OF EACH HEX DIGIT
+    of md5(word) — md5 renders identically on both engines, so the
+    whole fingerprint is cross-engine exact, unlike the previous
+    xxhash64 family. Pure integer Catalyst expressions; one explode +
+    one groupBy at any scale."""
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.xxhash64("w")
+    hexd = F.md5(F.col("w").cast("binary"))
+    odd_digits = ["1", "3", "5", "7", "9", "b", "d", "f"]
     bit_sums = wc.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-                .otherwise(-F.col("cnt"))
-            ).alias(f"b{i}")
-            for i in range(64)
+                F.when(
+                    F.substring(hexd, i + 1, 1).isin(*odd_digits),
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"b{i}".format(i=i))
+            for i in range(32)
         ]
     )
     sim = bit_sums.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
-                .otherwise(0)
-                for i in range(64)
+                F.when(F.col(f"b{i}".format(i=i)) > 0,
+                       F.lit(2 ** i).cast("long")).otherwise(0)
+                for i in range(32)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
