@@ -515,30 +515,41 @@ def llm_similarity_knn(spark, sf_dir):
 _N_PLANES = 8
 
 
-@query("llm_knn_lsh")  # rows-only: approximate by construction
+@query(
+    "llm_knn_lsh",
+    oracle="""
+    WITH sig AS (
+      SELECT e.vec_id, e.label,
+             (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((0)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((1)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((2)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((3)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((4)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((5)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((6)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(((7)*131 + (i-1)*17) % 7 - 3 AS DOUBLE)), 'sum') > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM embeddings e),
+    q AS (
+      SELECT s.bucket AS qbucket, ev.embedding AS qe
+      FROM sig s JOIN embeddings ev ON ev.vec_id = s.vec_id
+      WHERE s.vec_id = 0)
+    SELECT s.vec_id, s.label, s.bucket,
+           list_aggregate(list_transform(range(1, len(ev.embedding)+1), i -> CAST(ev.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, len(ev.embedding)+1), i -> CAST(ev.embedding[i] AS DOUBLE) * CAST(ev.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, len(q.qe)+1), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum'))) AS cos_sim
+    FROM sig s
+    JOIN embeddings ev ON ev.vec_id = s.vec_id, q
+    WHERE s.vec_id <> 0 AND s.bucket = q.qbucket
+    ORDER BY cos_sim DESC, s.vec_id LIMIT 10
+    """,
+)
 def llm_knn_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (§2.J3 scale path): random-hyperplane
-    signatures (8 planes → 256 buckets) from a deterministic
-    per-dimension pseudo-plane, candidates = same-bucket equi-join
+    """LSH-bucketed ANN (§2.J3 scale path): hyperplane signatures
+    (8 planes → 256 buckets), candidates = same-bucket equi-join
     against the query signature, exact cosine re-rank inside the
-    bucket. At 100 TB the bucket join replaces the all-pairs scan;
-    multiple probe tables (signature rotations) trade recall for
-    cost — see docs/SCALE.md."""
+    bucket. Hash-graded (upgraded from rows-only in r4): plane
+    weights are the same small-integer affine-mod family as
+    llm_neardup_embedding_lsh — exactly representable doubles, so
+    both engines compute bit-identical projections and the bucket
+    assignment is cross-engine exact. At 100 TB the bucket join
+    replaces the all-pairs scan; multiple probe tables (signature
+    rotations) trade recall for cost — see docs/SCALE.md."""
     e = load_table(spark, sf_dir, "embeddings")
-    # deterministic pseudo-random hyperplanes: plane p, dim i weight =
-    # sin(p*131 + i*17) — fixed, engine-independent, no RNG state.
-    def plane_proj(emb, p):
-        idx = F.sequence(F.lit(0), F.size(emb) - 1)
-        w = F.transform(idx, lambda i: F.sin(F.lit(p * 131.0) + i.cast("double") * 17.0))
-        return F.aggregate(
-            F.zip_with(emb, w, lambda x, wv: x.cast("double") * wv),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
     def signature(emb):
         bits = [
-            F.when(plane_proj(emb, p) > 0, F.lit(2**p)).otherwise(F.lit(0))
+            F.when(_ndl_proj(emb, p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
             for p in range(_N_PLANES)
         ]
         return sum(bits[1:], bits[0])
