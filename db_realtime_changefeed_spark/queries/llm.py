@@ -900,7 +900,32 @@ def llm_embedding_centroid(spark, sf_dir):
     )
 
 
-@query("llm_knn_ivf")  # rows-only: probe-set membership is index-specific
+@query(
+    "llm_knn_ivf",
+    oracle=f"""
+    WITH pm AS (
+      SELECT label, i AS pos,
+             {sql_dsum('CAST(embedding[i] AS DOUBLE)')} / count(*) AS cv
+      FROM embeddings, range(1, 65) AS t(i)
+      GROUP BY label, i),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid
+             FROM pm GROUP BY label),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qc AS (SELECT c.label,
+                  {_sql_dot('c.centroid', 'q.qe')}
+                    / (sqrt({_sql_dot('c.centroid', 'c.centroid')})
+                     * sqrt({_sql_dot('q.qe', 'q.qe')})) AS qcos
+           FROM cent c, q),
+    probes AS (SELECT label FROM qc ORDER BY qcos DESC, label LIMIT 1)
+    SELECT e.vec_id, e.label,
+           {_sql_dot('e.embedding', 'q.qe')}
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+              * sqrt({_sql_dot('q.qe', 'q.qe')})) AS cos_sim
+    FROM embeddings e JOIN probes p ON e.label = p.label, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+)  # hash-graded since r4: same deterministic index walk as multiprobe
 def llm_knn_ivf(spark, sf_dir):
     """IVF-style ANN (§2.J3 scale path #2, complementing llm_knn_lsh):
     labels act as the inverted-file cells, the per-cell centroids
@@ -908,9 +933,11 @@ def llm_knn_ivf(spark, sf_dir):
     searches ONLY its nearest cell — candidate count ~n/cells.
     Exact cosine re-rank inside the probed cell. At 100 TB the label
     column comes from k-means and cells are partition keys, so a
-    probe prunes partitions at the scan (tests/test_streaming.py is
-    not involved; tests assert the probe result is a subset of the
-    brute-force ranking)."""
+    probe prunes partitions at the scan. Hash-graded (upgraded from
+    rows-only in r4): the decimal-stabilized centroids, bit-identical
+    cosine folds, and explicit probe/rank tie-breaks make the whole
+    single-probe index walk cross-engine exact — the same model that
+    already graded llm_knn_ivf_multiprobe, with nprobe=1."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))

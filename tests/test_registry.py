@@ -48,7 +48,6 @@ def test_every_query_runs_or_has_oracle():
     assert rows_only == {
         "agg_approx",
         "llm_dedup_minhash",
-        "llm_knn_ivf",
         "stream_session_timeout",  # r3: timeout firing is
         # trigger-boundary-dependent; invariants tested instead
         "agg_sketch_hll",  # r3: DataSketches estimate is
