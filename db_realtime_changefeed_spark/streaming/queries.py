@@ -1055,8 +1055,32 @@ def stream_sliding_append(spark, sf_dir):
     )
 
 
-@query("stream_session_timeout")  # rows-only: timeout firing is
-# trigger-boundary-dependent (engine-specific), like stream_late_data
+@query(
+    "stream_session_timeout",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps),
+    agg AS (
+      SELECT user_id, sid, min(ts) AS session_start,
+             max(ts) AS session_end, count(*) AS n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY sid DESC) AS rdesc
+      FROM sess GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE rdesc > 1
+       OR session_end + INTERVAL 30 MINUTE <=
+          (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
 def stream_session_timeout(spark, sf_dir):
     """§2.I6 variant with STATE TIMEOUTS: custom per-user
     sessionization via applyInPandasWithState + EventTimeTimeout —
@@ -1067,6 +1091,14 @@ def stream_session_timeout(spark, sf_dir):
     session end + gap (timeout fires for idle keys). Emitted rows
     are CLOSED sessions; invariants (gap property, containment in
     the batch sessionization) are asserted in tests.
+
+    Hash-graded (upgraded from rows-only in r4): every non-final
+    session closes by data-driven rollover, and a user's FINAL
+    session emits iff its timeout timestamp (end + gap) is at or
+    below the final watermark — AvailableNow runs a closing batch
+    with the fully-advanced watermark (max ts − 10 min), verified
+    exact empirically, so the emitted set is the plain batch
+    sessionization minus still-open final sessions.
 
     Scale: state is O(1) per live key, sharded by user across the
     state store; timeouts are how idle-key state gets evicted at

@@ -48,8 +48,6 @@ def test_every_query_runs_or_has_oracle():
     assert rows_only == {
         "agg_approx",
         "llm_dedup_minhash",
-        "stream_session_timeout",  # r3: timeout firing is
-        # trigger-boundary-dependent; invariants tested instead
         "agg_sketch_hll",  # r3: DataSketches estimate is
         # engine-specific; accuracy tested instead
         "llm_kmeans",  # r4: iterative algorithm (the explicitly
