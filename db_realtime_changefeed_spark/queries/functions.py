@@ -458,3 +458,80 @@ def fn_regexp(spark, sf_dir):
             F.regexp_extract_all("text", F.lit(r"([A-Za-z]+)"), 1)
         ).alias("n_alpha_runs"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents)
+    SELECT doc_id,
+           len(list_filter(ws, x -> len(x) > 4)) AS n_long,
+           CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+                AS BIGINT) AS total_len,
+           CASE WHEN len(list_filter(ws, x -> x = 'error')) > 0
+                THEN true ELSE false END AS has_error,
+           CASE WHEN len(list_filter(ws, x -> len(x) = 0)) = 0
+                THEN true ELSE false END AS all_nonempty,
+           array_to_string(list_transform(ws[1:3], x -> upper(x)), '-')
+             AS head_upper
+    FROM w
+    """,
+)
+def fn_higher_order(spark, sf_dir):
+    """The array higher-order-function family in one graded pass:
+    filter, transform+aggregate (a fold), exists, forall, and
+    slice+transform — all JVM-codegen'd lambdas, zero Python, the
+    §2.H5 tools that keep per-row array logic OUT of UDFs. DuckDB's
+    list_* family mirrors each (exists/forall expressed as filter
+    counts there)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(ws, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(ws, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("total_len"),
+        F.exists(ws, lambda x: x == "error").alias("has_error"),
+        F.forall(ws, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.array_join(
+            F.transform(F.slice(ws, 1, 3), lambda x: F.upper(x)), "-"
+        ).alias("head_upper"),
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    SELECT lower(event_type) AS et_norm, count(*) AS n,
+           min(event_id) AS first_id
+    FROM events
+    GROUP BY lower(event_type)
+    """,
+)
+def fn_collation(spark, sf_dir):
+    """Collation-aware grouping (Spark 4): grouping on a
+    UTF8_LCASE-collated column folds case at the COLLATION level —
+    no lower() rewrite of the data, and the collation travels with
+    the column through joins and aggregates. The oracle is the
+    lower()-normalized equivalent (DuckDB's NOCASE collation golfs
+    the same result); output normalizes for the hash compare."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("event_type COLLATE UTF8_LCASE").alias("et"),
+            "event_id",
+        )
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("first_id"),
+        )
+        .select(
+            F.lower(F.col("et")).cast("string").alias("et_norm"),
+            "n", "first_id",
+        )
+    )
