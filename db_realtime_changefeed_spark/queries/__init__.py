@@ -123,7 +123,7 @@ _GRADE_PRIORITY = [
     "fn_variant", "sql_pipe_syntax", "sql_recursive_cte",
     "join_lateral_correlated", "udtf_map_in_arrow", "udtf_cogrouped_map",
     "llm_pipeline_end_to_end", "llm_kmeans", "win_session_dynamic_gap",
-    "fn_higher_order", "fn_collation",
+    "fn_higher_order", "fn_collation", "llm_embedding_pca",
 ]
 
 

@@ -2329,3 +2329,156 @@ def llm_kmeans(spark, sf_dir):
     return assigned.select(
         "vec_id", "cluster", F.round("d2", 6).alias("d2")
     )
+
+
+def _gram_full(spark, sf_dir):
+    """Full symmetric gram matrix (i, j, g) as a DataFrame — the
+    upper-triangle aggregate (llm_embedding_gram's shape) mirrored
+    across the diagonal. g values are decimal-stabilized sums cast
+    to double, so they are bit-identical to the DuckDB oracle's."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    d = F.size(emb)
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.alias("i"), j.alias("j"),
+                    (F.element_at(emb, i + 1).cast("double")
+                     * F.element_at(emb, j + 1).cast("double"))
+                    .alias("p"),
+                ),
+            ),
+        )
+    )
+    upper = (
+        e.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum(F.col("t.p").cast(DEC)).cast("double").alias("g"))
+    )
+    lower = upper.where(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "g"
+    )
+    return upper.unionByName(lower)
+
+
+_PCA_SQL_GM = """
+    WITH upper_g AS (
+      SELECT i - 1 AS i, j - 1 AS j,
+             {gsum} AS g
+      FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
+      WHERE i <= j GROUP BY 1, 2),
+    gfull AS (SELECT i, j, g FROM upper_g
+              UNION ALL
+              SELECT j AS i, i AS j, g FROM upper_g WHERE i <> j),
+    gm AS (SELECT list(glist ORDER BY i) AS gmat
+           FROM (SELECT i, list(g ORDER BY j) AS glist
+                 FROM gfull GROUP BY i)),
+    it0 AS (SELECT gmat,
+                   list_transform(range(1, 65), x -> 1.0) AS v
+            FROM gm),
+    {iters}
+    SELECT e.vec_id, e.label,
+           list_aggregate(list_transform(range(1, 65),
+             k -> CAST(e.embedding[k] AS DOUBLE) * it3.v[k]), 'sum')
+             AS pc1
+    FROM embeddings e, it3
+"""
+
+
+def _pca_sql_iter(k: int) -> str:
+    """One power-iteration CTE: w = G·v via per-row sequential list
+    folds, then normalize — the same left-to-right addition order as
+    Spark's aggregate(), so the trajectory is bitwise identical (no
+    decimal casts whose tie-rounding differs between engines)."""
+    return f"""it{k} AS (
+      SELECT gmat,
+             list_transform(w, x -> x / nrm) AS v
+      FROM (
+        SELECT gmat, w,
+               sqrt(list_aggregate(list_transform(w, x -> x * x),
+                                   'sum')) AS nrm
+        FROM (
+          SELECT gmat,
+                 list_transform(gmat, row ->
+                   list_aggregate(list_transform(range(1, 65),
+                     kk -> row[kk] * v[kk]), 'sum')) AS w
+          FROM it{k - 1})))"""
+
+
+@query(
+    "llm_embedding_pca",
+    oracle=_PCA_SQL_GM.format(
+        gsum=sql_dsum("CAST(embedding[i] AS DOUBLE)"
+                      " * CAST(embedding[j] AS DOUBLE)"),
+        iters=",\n    ".join(_pca_sql_iter(k) for k in (1, 2, 3)),
+    ),
+)
+def llm_embedding_pca(spark, sf_dir):
+    """First principal component by POWER ITERATION, entirely
+    in-engine and hash-graded: 3 iterations of v ← normalize(G·v)
+    from an all-ones start over the distributed gram matrix, then
+    every embedding projected onto the eigenvector. The gram entries
+    ride decimal-exact sums (bit-identical across engines); the
+    iteration and projection use SEQUENTIAL left-to-right folds —
+    the same order on both engines, so the whole trajectory is
+    bitwise reproducible with no decimal tie-rounding involved.
+    Scale: the corpus is touched exactly twice (gram build: O(d²)
+    communication; projection: one scan) — the iteration itself
+    runs on a 64×64 matrix, broadcast-sized at any corpus size. The
+    pattern extends to top-k components via deflation or block
+    iteration."""
+    gmat_df = (
+        _gram_full(spark, sf_dir)
+        .groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "g"))).alias("gr"))
+        .select("i", F.transform("gr", lambda st: st.g).alias("glist"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "glist")))
+             .alias("rows"))
+        .select(F.transform("rows", lambda st: st.glist).alias("gmat"))
+        .localCheckpoint(eager=True)
+    )
+    df = gmat_df.withColumn(
+        "v", F.transform(F.sequence(F.lit(1), F.lit(64)),
+                         lambda _: F.lit(1.0))
+    )
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    for _ in range(3):
+        df = df.withColumn(
+            "w",
+            F.transform(
+                F.col("gmat"),
+                lambda row: F.aggregate(
+                    F.zip_with(row, F.col("v"), mul), F.lit(0.0), add
+                ),
+            ),
+        )
+        df = df.withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("w"), lambda x: x * x),
+                    F.lit(0.0), add,
+                )
+            ),
+        )
+        df = df.withColumn(
+            "v", F.transform(F.col("w"), lambda x: x / F.col("nrm"))
+        ).drop("w", "nrm")
+    vrow = df.select("v")
+    e = load_table(spark, sf_dir, "embeddings")
+    pc1 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.col("v"), mul,
+        ),
+        F.lit(0.0), add,
+    )
+    return (
+        e.crossJoin(F.broadcast(vrow))
+        .select("vec_id", "label", pc1.alias("pc1"))
+    )
