@@ -124,6 +124,7 @@ _GRADE_PRIORITY = [
     "join_lateral_correlated", "udtf_map_in_arrow", "udtf_cogrouped_map",
     "llm_pipeline_end_to_end", "llm_kmeans", "win_session_dynamic_gap",
     "fn_higher_order", "fn_collation", "llm_embedding_pca",
+    "fn_try_errors",
 ]
 
 

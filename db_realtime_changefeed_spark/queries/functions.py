@@ -535,3 +535,41 @@ def fn_collation(spark, sf_dir):
             "n", "first_id",
         )
     )
+
+
+@query(
+    "fn_try_errors",
+    oracle="""
+    SELECT event_id,
+           value / nullif(CAST(event_id % 5 AS DOUBLE), 0.0)
+             AS safe_div,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+             AS k_int,
+           TRY_CAST(event_type AS INTEGER) AS bad_int,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE round(value / CAST(event_id % 5 AS DOUBLE), 6)
+           END AS safe_div_r
+    FROM events
+    """,
+)
+def fn_try_errors(spark, sf_dir):
+    """ANSI-mode error-safe functions (§2.H extra): under Spark 4's
+    ANSI defaults, division by zero and bad casts THROW — the try_*
+    family is the sanctioned way to get SQL-classic NULL semantics
+    per-expression instead of disabling ANSI globally. try_divide
+    (zero divisors → NULL), try_cast on a JSON-extracted field and
+    on a hopeless string. Scan-local; DuckDB's nullif/TRY_CAST
+    mirror each."""
+    ev = load_table(spark, sf_dir, "events")
+    denom = (F.col("event_id") % 5).cast("double")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.when(denom == 0.0, None)
+                     .otherwise(denom)).alias("safe_div"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)")
+        .alias("k_int"),
+        F.expr("try_cast(event_type AS int)").alias("bad_int"),
+        F.round(F.try_divide(F.col("value"),
+                             F.when(denom == 0.0, None)
+                             .otherwise(denom)), 6).alias("safe_div_r"),
+    )
