@@ -129,14 +129,21 @@ _GRADE_PRIORITY = [
 
 
 def _officially_green() -> set[str]:
-    """Names with an all-green row (or a completed rows-only check)
-    in ANY driver correctness file, across all rounds. Used to
-    self-rotate the registry each round: already-green queries yield
-    their place at the front of the grading order to queries that
-    still lack an official row — no manual reordering needed between
-    rounds. (Union across rounds because the driver grades ~50
-    queries per round: a query green in round 1 but ungraded in
-    round 2 still has its official row.)"""
+    """Names with an all-green row (or a completed rows-only check on a
+    query that STILL has no oracle) in ANY driver correctness file,
+    across all rounds. Used to self-rotate the registry each round:
+    already-green queries yield their place at the front of the grading
+    order to queries that still lack an official row — no manual
+    reordering needed between rounds. (Union across rounds because the
+    driver grades ~50 queries per round: a query green in round 1 but
+    ungraded in round 2 still has its official row.)
+
+    The rows-only amnesty is granted only while the query remains
+    absent from ORACLES: once an oracle is added to a formerly
+    rows-only query, its old `err: no_oracle` record no longer
+    represents the best achievable grade, so the query re-fronts until
+    it earns an official hash row (VERDICT r4 item 1 — without this,
+    upgraded queries parked behind the ~50-query budget forever)."""
     import glob
     import json
     import os
@@ -156,8 +163,10 @@ def _officially_green() -> set[str]:
             if row.get("hash_match") is True:
                 green.add(name)
             elif (row.get("err") == "no_oracle"
-                  and row.get("spark_rows") is not None):
-                green.add(name)  # rows-only: as graded as it can get
+                  and row.get("spark_rows") is not None
+                  and name not in ORACLES):
+                # rows-only AND still oracle-less: as graded as it can get
+                green.add(name)
     return green
 
 

@@ -74,6 +74,70 @@ def test_no_complex_typed_output_columns(spark, sf_smoke):
     assert not bad, f"complex-typed output columns: {bad}"
 
 
+def test_rows_only_amnesty_revoked_by_oracle_upgrade(tmp_path, monkeypatch):
+    """VERDICT r4 item 1: a completed rows-only record (`err:
+    no_oracle`) counts as officially green ONLY while the query still
+    has no oracle. Once an oracle is added, the query must re-front so
+    the driver's budget reaches its new hash check. Also pins
+    failed != green: an official FAIL keeps the query at the front."""
+    import json
+
+    from db_realtime_changefeed_spark.queries import (
+        ORACLES,
+        _officially_green,
+        load_all,
+    )
+
+    load_all()
+    some_oracle = next(iter(ORACLES))
+    p = tmp_path / "CORRECTNESS_r99.json"
+    p.write_text(json.dumps({
+        # rows-only record on a query that NOW has an oracle → not green
+        some_oracle: {"hash_match": None, "err": "no_oracle",
+                      "spark_rows": 5},
+        # rows-only record on a genuinely oracle-less query → green
+        "llm_kmeans": {"hash_match": None, "err": "no_oracle",
+                       "spark_rows": 5},
+        # official FAIL → never green
+        "fn_string": {"hash_match": False, "rows_match": True,
+                      "err": None, "spark_rows": 5, "oracle_rows": 5},
+        # official hash pass → green
+        "fn_date": {"hash_match": True, "rows_match": True,
+                    "err": None, "spark_rows": 5, "oracle_rows": 5},
+    }))
+    import glob as glob_mod
+
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(p)])
+    green = _officially_green()
+    assert some_oracle not in green, "amnesty must die with the upgrade"
+    assert "llm_kmeans" in green, "oracle-less rows-only stays green"
+    assert "fn_string" not in green, "failed != green"
+    assert "fn_date" in green
+
+
+def test_oracle_backed_ungraded_queries_front():
+    """Durable form of the r5 rotation goal: every query that HAS an
+    oracle but lacks an official hash-green row must precede every
+    officially-green query in the grading order."""
+    from db_realtime_changefeed_spark.queries import (
+        _officially_green,
+        all_oracles,
+    )
+
+    green = _officially_green()
+    qs = list(all_queries())
+    oracles = set(all_oracles())
+    pending = [n for n in qs if n in oracles and n not in green]
+    if pending:
+        worst_pending = max(qs.index(n) for n in pending)
+        first_green = min(
+            (qs.index(n) for n in qs if n in green), default=len(qs))
+        assert worst_pending < first_green, (
+            f"oracle-backed ungraded queries parked behind green ones: "
+            f"{[n for n in pending if qs.index(n) >= first_green]}"
+        )
+
+
 def test_stable_order_env_flag(monkeypatch):
     """SPARK_GRAFT_STABLE_ORDER=1 must yield a deterministic,
     environment-independent order: _GRADE_PRIORITY first (in list
