@@ -287,20 +287,28 @@ class TableRef:
             key=key,
             filter_sql=filter_sql,
         )
-        if mode == "live":
-            runner.start_live(processing_time=processing_time)
-            return LiveFeed(runner)
-        runner.run()
-        if initial_scan == "only":
-            return SnapshotFeed(runner)
-        if initial_scan == "no":
+        def _registration_cursor_start() -> int:
             # registration time == now: new cursors skip the whole
             # committed history and deliver only future deltas
             end = (
                 runner.log().agg(F.max("batch_id")).collect()[0][0]
             )
-            return Feed(runner, cursor_start=(end + 1 if end is not None
-                                              else 0))
+            return end + 1 if end is not None else 0
+
+        if mode == "live":
+            # initial_scan='no' applies to live feeds too: capture the
+            # registration-time log end BEFORE the standing query
+            # starts, so cursors see only deltas committed afterwards
+            # (a fresh runner has no history; a restarted root may).
+            start = (_registration_cursor_start()
+                     if initial_scan == "no" else 0)
+            runner.start_live(processing_time=processing_time)
+            return LiveFeed(runner, cursor_start=start)
+        runner.run()
+        if initial_scan == "only":
+            return SnapshotFeed(runner)
+        if initial_scan == "no":
+            return Feed(runner, cursor_start=_registration_cursor_start())
         return Feed(runner)
 
 

@@ -103,7 +103,18 @@ EVENTS_NS_SCHEMA = T.StructType(
     ]
 )
 
-_TS_UNIT_CACHE: dict[tuple[str, str], str] = {}
+_TS_UNIT_CACHE: dict[tuple[str, str, int, int], str] = {}
+
+
+def _file_stamp(path: str) -> tuple[int, int]:
+    """(size, mtime_ns) cache-key component: an in-process testdata
+    regeneration (the round-4 failure class — same path, new physical
+    layout) must miss the footer caches, mirroring the replay chunk
+    cache's fingerprint (streaming/replay.py:_chunk_dir)."""
+    import os
+
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
 
 
 def parquet_ts_unit(path: str, column: str = "ts") -> str:
@@ -112,26 +123,27 @@ def parquet_ts_unit(path: str, column: str = "ts") -> str:
     driver regenerates testdata between rounds and has shipped BOTH
     layouts (round ≤3: timestamp[ns]; round 4: timestamp[us]), so the
     loader sniffs the footer instead of hard-coding either. One
-    driver-side footer read per (path, column), cached.
+    driver-side footer read per (file, column, size, mtime) — the
+    file-stamp key re-sniffs after an in-process regeneration.
 
     An empty DIRECTORY (a live-feed source dir polled before its
     first ingest) reports the canonical 'timestamp[us]': live files
     are always produced from load_table output, which is µs by
     construction. Not cached — the answer could change once files
     arrive under a hypothetical ns layout."""
-    key = (path, column)
-    if key not in _TS_UNIT_CACHE:
-        import glob
-        import os
+    import glob
+    import os
 
+    p = path
+    if os.path.isdir(p):
+        files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not files:
+            return "timestamp[us]"
+        p = files[0]
+    key = (p, column, *_file_stamp(p))
+    if key not in _TS_UNIT_CACHE:
         import pyarrow.parquet as pq
 
-        p = path
-        if os.path.isdir(p):
-            files = sorted(glob.glob(os.path.join(p, "*.parquet")))
-            if not files:
-                return "timestamp[us]"
-            p = files[0]
         _TS_UNIT_CACHE[key] = str(pq.read_schema(p).field(column).type)
     return _TS_UNIT_CACHE[key]
 
@@ -165,14 +177,15 @@ _SAFE_PHYSICAL: dict[str, set[str]] = {
     "array<float>": {"list<element: float>", "list<item: float>"},
 }
 
-_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+_LAYOUT_CACHE: dict[tuple[str, str, int, int], str] = {}
 
 
 def _layout_mode(path: str, name: str) -> str:
     """'fast' when every column's physical type is known-safe for the
     forced-schema read; 'events_ns' for the legacy int64-nanos events
-    layout; 'adaptive' otherwise (footer read once per path)."""
-    key = (path, name)
+    layout; 'adaptive' otherwise (footer read once per file state —
+    the (size, mtime) key component re-sniffs after a regeneration)."""
+    key = (path, name, *_file_stamp(path))
     if key not in _LAYOUT_CACHE:
         import pyarrow.parquet as pq
 

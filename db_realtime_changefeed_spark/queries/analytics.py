@@ -1963,9 +1963,10 @@ def fn_variant(spark, sf_dir):
     parse cost is paid once per row and extraction is a binary walk
     (the same design as the variant/BSON columns in modern
     warehouses). Scan-local, no shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'int')")
     return ev.select(
         "event_id", k.alias("k"), (k % 10).alias("k_mod")
     )

@@ -1811,14 +1811,14 @@ def llm_split_train_val_test(spark, sf_dir):
               FROM documents),
     scored AS (
       SELECT tf.doc_id,
-             sum(
+             CAST(sum(CAST(
                ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE)
                          + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
                * (CAST(tf.tf AS DOUBLE) * 2.2)
                / (CAST(tf.tf AS DOUBLE)
                   + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
                                           / stats.avgdl)))
-             ) AS score
+             AS DECIMAL(18,6))) AS DOUBLE) AS score
       FROM tf JOIN df USING (term), stats
       GROUP BY tf.doc_id)
     SELECT doc_id, round(score, 6) AS bm25
@@ -1868,7 +1868,9 @@ def llm_bm25(spark, sf_dir):
         tf.join(F.broadcast(df), "term")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * tf_term), 6).alias("bm25"))
+        # per-term DEC quantization before the sum: addend order can
+        # no longer move the 6-dp boundary (FIXTURES.md float rule)
+        .agg(F.round(dsum(idf * tf_term), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(50)
     )
@@ -1948,7 +1950,8 @@ def llm_winnowing(spark, sf_dir):
           FROM cnt, tot),
     scored AS (
       SELECT w.doc_id, count(*) AS n_tok,
-             sum(ln(p.prob)) AS logp
+             CAST(sum(CAST(ln(p.prob) AS DECIMAL(18,6))) AS DOUBLE)
+               AS logp
       FROM w JOIN p USING (term)
       GROUP BY w.doc_id)
     SELECT doc_id, n_tok,
@@ -1987,7 +1990,10 @@ def llm_unigram_lm(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
-            F.sum(F.log("prob")).alias("logp"),
+            # each ln(prob) term quantized to DEC before the sum so
+            # Spark's partial-aggregation addend order cannot diverge
+            # from DuckDB's (FIXTURES.md float-aggregate rule)
+            dsum(F.log("prob")).alias("logp"),
         )
         .select(
             "doc_id", "n_tok",

@@ -106,7 +106,7 @@ def build_table_chunks(
         n_chunks = default_chunks()
     # tag versioned (mtg) so stale row-sliced chunk caches from
     # earlier builds are never reused
-    out = _chunk_dir(sf_dir, f"mtg-{tbl}-c{n_chunks}")
+    out = _chunk_dir(sf_dir, f"mtg-{tbl}-c{n_chunks}", table=tbl)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

@@ -38,19 +38,33 @@ def default_chunks() -> int:
     return int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "4"))
 
 
-def _chunk_dir(sf_dir: str, tag: str) -> str:
-    # hash of the absolute path AND the source file's (size, mtime) —
-    # two dirs named sf0.01 under different parents must not share a
-    # cache, and a driver-side testdata REGENERATION (which has
-    # changed the physical timestamp layout between rounds) must
-    # invalidate chunks cached under /tmp from an earlier round.
+def _chunk_dir(sf_dir: str, tag: str, table: str = "events") -> str:
+    # hash of the absolute path AND the BACKING table file's
+    # (size, mtime) — two dirs named sf0.01 under different parents
+    # must not share a cache, and a driver-side testdata REGENERATION
+    # (which has changed the physical timestamp layout between rounds)
+    # must invalidate chunks cached under /tmp from an earlier round.
+    # The fingerprint tracks the specific table each cache replays
+    # (multitable caches orders chunks: an orders-only regeneration
+    # must invalidate THEM, and must not be masked by an unchanged
+    # events.parquet). A missing table file falls back to
+    # fingerprinting every *.parquet in sf_dir rather than raising.
+    import glob
     import hashlib
 
     ap = os.path.abspath(os.path.normpath(sf_dir))
     sf_name = os.path.basename(ap)
-    st = os.stat(os.path.join(ap, "events.parquet"))
-    fingerprint = f"{ap}|{st.st_size}|{st.st_mtime_ns}"
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:8]
+    backing = os.path.join(ap, f"{table}.parquet")
+    try:
+        st = os.stat(backing)
+        stamp = f"{table}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        parts = []
+        for p in sorted(glob.glob(os.path.join(ap, "*.parquet"))):
+            s = os.stat(p)
+            parts.append(f"{os.path.basename(p)}|{s.st_size}|{s.st_mtime_ns}")
+        stamp = ";".join(parts) or "empty"
+    digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:8]
     return os.path.join(_REPLAY_ROOT, f"{sf_name}-{digest}-{tag}")
 
 

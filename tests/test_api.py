@@ -282,3 +282,43 @@ def test_initial_scan_options(spark, sf_smoke):
         db.table("events").changes(mode="live", initial_scan="only")
     with pytest.raises(NotImplementedError):
         db.table("orders").changes(initial_scan="no")
+
+
+def test_live_initial_scan_no_skips_preexisting_history(
+        spark, sf_smoke, monkeypatch):
+    """ADVICE r4: initial_scan='no' must not be silently ignored in
+    live mode — cursors of a live feed registered over a root that
+    already holds committed history start AT registration time, not
+    at batch 0. The standing query itself is stubbed out: this pins
+    the cursor_start wiring, which live-stream machinery tests cover
+    elsewhere."""
+    from db_realtime_changefeed_spark import api
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        ChangefeedRunner,
+    )
+
+    seed = ChangefeedRunner(spark, sf_smoke)
+    seed.run()
+    assert seed.log().count() > 0, "fixture must produce history"
+
+    real_init = ChangefeedRunner.__init__
+
+    def restarted_init(self, spark_, sf_dir, **kw):
+        kw["root"] = seed.root  # resume the seeded durable state
+        real_init(self, spark_, sf_dir, **kw)
+
+    monkeypatch.setattr(ChangefeedRunner, "__init__", restarted_init)
+    monkeypatch.setattr(
+        ChangefeedRunner, "start_live",
+        lambda self, *a, **kw: None,  # wiring test: no standing query
+    )
+
+    db = Database(spark, sf_smoke)
+    opted_out = db.table("events").changes(mode="live", initial_scan="no")
+    assert opted_out.cursor().poll() == [], (
+        "live + initial_scan='no' must skip pre-registration history"
+    )
+    caught_up = db.table("events").changes(mode="live", initial_scan="yes")
+    assert len(caught_up.cursor().poll()) > 0, (
+        "live + initial_scan='yes' still delivers full catch-up"
+    )

@@ -229,3 +229,61 @@ def test_catalog_adaptive_layout_fallback(spark, sf_oracle, tmp_path):
     lo, hi = df.agg(F.min("value"), F.max("value")).first()
     rlo, rhi = ref.agg(F.min("value"), F.max("value")).first()
     assert abs(lo - rlo) < 1e-3 and abs(hi - rhi) < 1e-2
+
+
+def test_catalog_caches_invalidate_on_regeneration(sf_oracle, tmp_path):
+    """ADVICE r4: the footer caches are keyed by (path, size,
+    mtime_ns), so regenerating a file IN PLACE with a different
+    physical layout must re-sniff — not serve the stale decision for
+    the life of the driver process. The replay chunk cache must
+    likewise move to a new directory."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from db_realtime_changefeed_spark.catalog import (
+        _layout_mode,
+        parquet_ts_unit,
+        table_path,
+    )
+    from db_realtime_changefeed_spark.streaming.replay import _chunk_dir
+
+    d = str(tmp_path / "regen")
+    os.makedirs(d)
+    p = os.path.join(d, "events.parquet")
+    shutil.copyfile(table_path(sf_oracle, "events"), p)
+
+    unit0 = parquet_ts_unit(p)
+    mode0 = _layout_mode(p, "events")
+    chunks0 = _chunk_dir(d, "c4")
+    assert mode0 in ("fast", "events_ns")
+
+    # regenerate in place with ts as int64-nanos (the legacy layout)
+    tbl = pq.read_table(p)
+    import pyarrow as pa
+
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        idx, "ts", tbl.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(tbl, p)
+    os.utime(p, ns=(os.stat(p).st_atime_ns,
+                    os.stat(p).st_mtime_ns + 1_000_000))
+
+    assert parquet_ts_unit(p) == "timestamp[ns]" != unit0
+    assert _layout_mode(p, "events") == "events_ns"
+    assert _chunk_dir(d, "c4") != chunks0, (
+        "chunk cache dir must change when the backing file changes"
+    )
+    # per-table fingerprint: an orders-only cache keys off orders
+    shutil.copyfile(table_path(sf_oracle, "orders"),
+                    os.path.join(d, "orders.parquet"))
+    o0 = _chunk_dir(d, "mtg-orders-c4", table="orders")
+    e0 = _chunk_dir(d, "c4")
+    os.utime(os.path.join(d, "orders.parquet"),
+             ns=(0, os.stat(os.path.join(d, "orders.parquet"))
+                 .st_mtime_ns + 1_000_000))
+    assert _chunk_dir(d, "mtg-orders-c4", table="orders") != o0
+    assert _chunk_dir(d, "c4") == e0, (
+        "events cache must not churn on an orders-only regeneration"
+    )
