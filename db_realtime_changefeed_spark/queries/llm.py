@@ -90,7 +90,9 @@ def llm_dedup_minhash(spark, sf_dir):
     shingle→xxhash64→32 seeded re-hashes→per-doc min→8 bands of 4→
     band-bucket self-join. The only join is an equi-join on
     (band_idx, band_hash) — candidate generation is O(collisions),
-    not O(n²), which is the property that survives 100 TB."""
+    not O(n²), which is the property that survives 100 TB.
+    Hash-graded twin: llm_dedup_minhash_md5 (same plan, portable md5
+    family) — this xxhash64 form stays the scale path."""
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d).withColumn("h", F.xxhash64("shingle"))
     # seeded hash family via xxhash64(seed, h): ANSI-safe (no long
@@ -140,6 +142,122 @@ def llm_dedup_minhash(spark, sf_dir):
         lambda acc, x: acc + x,
     ) / F.lit(float(_N_MINHASH))
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def _minhash_md5_oracle() -> str:
+    """DuckDB twin of llm_dedup_minhash_md5, generated from the same
+    (_N_MINHASH, _N_BANDS) constants so the two engines cannot drift."""
+    rpb = _N_MINHASH // _N_BANDS
+    mins = ",\n             ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}"
+        for i in range(_N_MINHASH)
+    )
+    band_hashes = ",\n             ".join(
+        "md5(" + " || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        + f") AS bh{b}"
+        for b in range(_N_BANDS)
+    )
+    carry = ", ".join(f"mh{i}" for i in range(_N_MINHASH))
+    union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, bh{b} AS band_hash, {carry} "
+        "FROM bands"
+        for b in range(_N_BANDS)
+    )
+    eq_count = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_MINHASH)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                 i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+      FROM w WHERE len(words) >= 3),
+    m AS (
+      SELECT doc_id,
+             {mins}
+      FROM s GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, {carry},
+             {band_hashes}
+      FROM m),
+    x AS ({union})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({eq_count} AS DOUBLE) / {float(_N_MINHASH)} AS est_jaccard
+    FROM x a JOIN x b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+@query("llm_dedup_minhash_md5", oracle=_minhash_md5_oracle())
+def llm_dedup_minhash_md5(spark, sf_dir):
+    """Portable-hash twin of llm_dedup_minhash: the SAME banded-LSH
+    plan (shingle → 32-fn min-hash signature → 8 bands of 4 →
+    band-bucket equi self-join, O(collisions) candidates) with the
+    hash family swapped from Spark's xxhash64 to md5 hex strings —
+    md5 renders identically in every engine and hex strings compare
+    bytewise the same everywhere, so the full pipeline is
+    cross-engine exact and hash-GRADED (the r4 simhash-upgrade
+    pattern). xxhash64 stays the documented scale path: md5-per-
+    shingle-per-function costs ~3x (measured r4), confined to this
+    twin. Min-hash i = min over shingles of md5('i|' || shingle);
+    band hash = md5 of its 4 concatenated member hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))
+                      .cast("binary"))
+            ).alias(f"mh{i}")
+            for i in range(_N_MINHASH)
+        ]
+    )
+    rpb = _N_MINHASH // _N_BANDS
+    mh_cols = [F.col(f"mh{i}") for i in range(_N_MINHASH)]
+    bands = mins.select(
+        "doc_id",
+        *mh_cols,
+        F.array(
+            *[
+                F.md5(
+                    F.concat(*[F.col(f"mh{b * rpb + r}")
+                               for r in range(rpb)]).cast("binary")
+                )
+                for b in range(_N_BANDS)
+            ]
+        ).alias("band_hashes"),
+    )
+    exploded = bands.select(
+        "doc_id", *mh_cols,
+        F.posexplode("band_hashes").alias("band_idx", "band_hash"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    eq_count = sum(
+        [
+            (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
+            for i in range(_N_MINHASH)
+        ],
+        F.lit(0),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (eq_count.cast("double") / F.lit(float(_N_MINHASH)))
+            .alias("est_jaccard"),
+        )
+        .distinct()
+    )
 
 
 @query(
