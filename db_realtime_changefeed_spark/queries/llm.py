@@ -19,6 +19,8 @@ thresholds and orderings agree exactly.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -62,13 +64,35 @@ def _rebalanced(df):
     rebalanced for the minhash signature stage at sf0.1). The
     repartition shuffles only the raw (id, text) rows — a few MB. At
     100 TB a real table arrives in thousands of splits and this
-    no-ops (the guard checks the scan's split count against the
-    cluster's parallelism), so the extra exchange exists exactly
-    when it pays for itself."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    no-ops, so the extra exchange exists exactly when it pays for
+    itself. The split estimate comes from the scan's file list vs
+    `spark.sql.files.maxPartitionBytes` — pure metadata, no RDD
+    materialization or plan analysis (r4 cleanup note); a derived
+    frame with no input files (in-memory fixtures) conservatively
+    rebalances."""
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
         return df.repartition(target)
-    return df
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728").strip().lower()
+    m = _re.fullmatch(r"(\d+)\s*([kmg]?b?)", raw)
+    unit = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+            "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    max_split = (int(m.group(1)) * unit[m.group(2)]) if m else 128 << 20
+    splits = 0
+    for f in files:
+        try:
+            size = os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df.repartition(target)  # non-local fs: be safe
+        splits += max(1, -(-size // max_split))
+        if splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def _shingles(d, k: int = 3):

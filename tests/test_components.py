@@ -231,6 +231,41 @@ def test_catalog_adaptive_layout_fallback(spark, sf_oracle, tmp_path):
     assert abs(lo - rlo) < 1e-3 and abs(hi - rhi) < 1e-2
 
 
+def test_decode_image_optional_probe(monkeypatch):
+    """decode_image routes through PIL when importable and raises a
+    loud NotImplementedError otherwise — never a silent fake."""
+    import pytest
+
+    from db_realtime_changefeed_spark.operators import multimodal as mm
+
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG...")
+        # simulate an installed codec: the same call path activates it
+        class FakeImg:
+            width, height, mode = 2, 3, "L"
+
+            def tobytes(self):
+                return b"\x00" * 6
+
+        class FakePIL:
+            @staticmethod
+            def open(fp):
+                return FakeImg()
+
+        monkeypatch.setattr(mm, "_PILImage", FakePIL)
+        payload = b"\x89PNG..."
+    else:  # real codec available: round-trip an actual image
+        import io
+
+        buf = io.BytesIO()
+        mm._PILImage.new("L", (2, 3)).save(buf, format="PNG")
+        payload = buf.getvalue()
+    w, h, mode, px = mm.decode_image(payload)
+    assert (w > 0 and h > 0 and isinstance(mode, str)
+            and isinstance(px, bytes))
+
+
 def test_catalog_caches_invalidate_on_regeneration(sf_oracle, tmp_path):
     """ADVICE r4: the footer caches are keyed by (path, size,
     mtime_ns), so regenerating a file IN PLACE with a different
