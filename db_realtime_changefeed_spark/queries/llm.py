@@ -2630,3 +2630,156 @@ def llm_embedding_pca(spark, sf_dir):
         e.crossJoin(F.broadcast(vrow))
         .select("vec_id", "label", pc1.alias("pc1"))
     )
+
+
+@query(
+    "llm_pmi_collocations",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1]))
+            AS bg
+          FROM w),
+    cxy AS (SELECT bg, count(*) AS c_xy FROM g GROUP BY bg),
+    u AS (SELECT term, count(*) AS c
+          FROM (SELECT unnest(ws) AS term FROM w) GROUP BY term),
+    nb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n_b FROM cxy),
+    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_u FROM u)
+    SELECT bg, c_xy,
+           round(ln((CAST(c_xy AS DOUBLE) / nb.n_b)
+                    / ((CAST(ux.c AS DOUBLE) / nu.n_u)
+                       * (CAST(uy.c AS DOUBLE) / nu.n_u))), 6) AS pmi
+    FROM cxy
+    JOIN u ux ON ux.term = string_split(bg, ' ')[1]
+    JOIN u uy ON uy.term = string_split(bg, ' ')[2]
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE c_xy >= 3
+    ORDER BY pmi DESC, bg LIMIT 30
+    """,
+)
+def llm_pmi_collocations(spark, sf_dir):
+    """Bigram collocation mining by pointwise mutual information —
+    the boilerplate/fixed-phrase detector of corpus analysis (high
+    PMI = words that co-occur far more than chance; used to find
+    template strings and tokenizer merge candidates). Spark-first:
+    bigram and unigram counts are two map-side-combined hash
+    aggregates; the unigram table and the two one-row totals join
+    back as BROADCASTs (vocab ≪ corpus), so the only full-corpus
+    work is the tokenize scan — at 100 TB nothing wider than
+    (term, count) ever shuffles. The PMI expression is the same
+    double-arithmetic tree on both engines and rounds to 6 dp, so
+    ln cannot flip the hash; min-support c_xy >= 3 keeps the
+    top-30 stable."""
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    cxy = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    u = (
+        d.select(F.explode(ws).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = cxy.agg(F.sum("c_xy").cast("double").alias("n_b"))
+    nu = u.agg(F.sum("c").cast("double").alias("n_u"))
+    parts = F.split(F.col("bg"), " ")
+    ux = u.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
+    uy = u.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("n_b"))
+            / ((F.col("c_x").cast("double") / F.col("n_u"))
+               * (F.col("c_y").cast("double") / F.col("n_u")))
+        ),
+        6,
+    )
+    return (
+        cxy.where(F.col("c_xy") >= 3)
+        .withColumn("x", parts.getItem(0))
+        .withColumn("y", parts.getItem(1))
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .join(F.broadcast(nb))
+        .join(F.broadcast(nu))
+        .select("bg", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bg")
+        .limit(30)
+    )
+
+
+@query(
+    "llm_neardup_verify_md5",
+    oracle=f"""
+    WITH cand AS ({_minhash_md5_oracle()}),
+    vsh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+               AS shingle
+      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    sets AS (SELECT doc_id, count(*) AS n_sh FROM vsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.est_jaccard, count(*) AS n_int
+      FROM cand c
+      JOIN vsh a ON a.doc_id = c.doc_a
+      JOIN vsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b, c.est_jaccard)
+    SELECT i.doc_a, i.doc_b, i.est_jaccard,
+           round(CAST(i.n_int AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE), 6)
+             AS true_jaccard
+    FROM inter i
+    JOIN sets sa ON sa.doc_id = i.doc_a
+    JOIN sets sb ON sb.doc_id = i.doc_b
+    """,
+)
+def llm_neardup_verify_md5(spark, sf_dir):
+    """End-to-end near-dup with VERIFY stage (the MinHashLSH →
+    exact-rerank shape every production dedup ships): banded-LSH
+    candidates from the portable md5 MinHash (llm_dedup_minhash_md5)
+    re-scored with EXACT shingle-set Jaccard — estimate and truth
+    side by side, fully hash-graded. Scale shape: the verify join
+    touches only candidate pairs (O(collisions), not O(n²)); the
+    intersection is a shingle equi-join restricted to those pairs,
+    so per-pair work is bounded by document length. The final
+    Jaccard is one integer division rounded to 6 dp — identical on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = llm_dedup_minhash_md5(spark, sf_dir)
+    sh = _shingles(d)
+    sets = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"),
+                  F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_id"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_sh").alias("n_b"))
+    tj = F.round(
+        F.col("n_int").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_int")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", tj.alias("true_jaccard"))
+    )
