@@ -120,14 +120,16 @@ def _format_copy(spark, sf_dir: str, fmt: str) -> str:
     key = (id(spark), sf_dir, fmt)
     if key not in _FORMATS:
         root = tempfile.mkdtemp(prefix=f"dbrcf-{fmt}-")
-        (
+        writer = (
             load_table(spark, sf_dir, "events")
             .select("event_id", "user_id", "event_type", "value")
             .write.format(fmt)
             .option("header", "true")
             .mode("overwrite")
-            .save(root)
         )
+        if fmt == "xml":
+            writer = writer.option("rowTag", "event")
+        writer.save(root)
         _FORMATS[key] = root
     return _FORMATS[key]
 
@@ -174,6 +176,80 @@ def source_orc(spark, sf_dir):
     involved)."""
     path = _format_copy(spark, sf_dir, "orc")
     return spark.read.schema(_EVENTS_PROJ_DDL).orc(path)
+
+
+@query(
+    "join_dpp",
+    oracle="""
+    WITH dim AS (
+        SELECT CAST(gs AS DATE) AS d, isodow(gs) - 1 AS dow
+        FROM generate_series(TIMESTAMP '2024-01-01',
+                             TIMESTAMP '2024-02-10',
+                             INTERVAL 1 DAY) t(gs)
+        WHERE gs >= TIMESTAMP '2024-01-10'
+          AND gs <  TIMESTAMP '2024-01-15'
+    )
+    SELECT dim.d, dim.dow, count(*) AS n_events
+    FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
+    GROUP BY dim.d, dim.dow
+    """,
+)
+def join_dpp(spark, sf_dir):
+    """Dynamic partition pruning (§2.A2/§2.C breadth): the fact side
+    is the date-partitioned events layout; the dim side is a date
+    spine with a selective filter. Catalyst inserts a
+    dynamicpruningexpression on the fact scan (asserted in
+    tests/test_explain.py), so only the dim's surviving dates'
+    directories are ever opened — the join-driven twin of
+    scan_partition_pruned's static pruning. At 100 TB this is THE
+    mechanism that turns `fact JOIN filtered_dim` into a 5-day read
+    without the user repeating the filter on the fact. weekday() is
+    Monday=0 in Spark; the oracle uses isodow-1 for the same
+    convention."""
+    root = _partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(root)
+    dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-02-10").cast("date"),
+                )
+            ).alias("d")
+        )
+        .withColumn("dow", F.expr("weekday(d)").cast("long"))
+        .where(
+            (F.col("d") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("d") < F.lit("2024-01-15").cast("date"))
+        )
+    )
+    return (
+        fact.join(dim, fact.event_date == dim.d)
+        .groupBy("d", "dow")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query("source_xml", oracle=_EVENTS_PROJ_ORACLE)
+def source_xml(spark, sf_dir):
+    """XML source connector (built into Spark 4 core — the spark-xml
+    package graduated upstream): schema-asserted read of an XML copy
+    of the events projection, one <event> element per row. XML is the
+    interchange format legacy enterprise feeds still emit; the graded
+    round trip proves entity escaping, null-element elision, and
+    Java's shortest-round-trip double rendering reproduce the
+    parquet-backed oracle exactly. Scale note: the XML reader splits
+    by file (no intra-file splitting), so at 100 TB the layout rule
+    is many moderate files — the writer here emits one part per
+    input split already."""
+    path = _format_copy(spark, sf_dir, "xml")
+    return (
+        spark.read.schema(_EVENTS_PROJ_DDL)
+        .option("rowTag", "event")
+        .format("xml")
+        .load(path)
+    )
 
 
 @query(

@@ -252,3 +252,16 @@ def test_tpch_r4_plan_shapes(spark, sf_oracle):
     q21 = _plan(spark, sf_oracle, "tpch_q21")
     assert "LeftSemi" in q21 and "LeftAnti" in q21
     assert "CartesianProduct" not in q21
+
+
+def test_join_dpp_dynamic_pruning(spark, sf_oracle):
+    """join_dpp's fact scan must carry a dynamicpruningexpression in
+    its PartitionFilters — the dim filter reaches the fact scan at
+    runtime, so only surviving dates' directories are opened. The
+    executedPlan is used because formatted explain under AQE hides
+    the pruning subquery until finalization."""
+    from db_realtime_changefeed_spark.queries import all_queries
+
+    df = all_queries()["join_dpp"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP did not fire"

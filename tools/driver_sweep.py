@@ -49,8 +49,17 @@ def main() -> int:
             f"read_parquet('{sf}/{t}.parquet')"
         )
     qs, osql = entry.queries(), entry.oracle_sql()
-    n_smoke = len(entry.entry(spark).collect())
-    print(f"smoke rows: {n_smoke}; queries: {len(qs)}; oracles: {len(osql)}")
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 2
+        qs = {n: qs[n] for n in only}
+    else:
+        n_smoke = len(entry.entry(spark).collect())
+        print(f"smoke rows: {n_smoke}; queries: {len(qs)}; "
+              f"oracles: {len(osql)}")
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
