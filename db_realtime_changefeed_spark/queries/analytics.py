@@ -1944,6 +1944,176 @@ def ts_ohlc_bars(spark, sf_dir):
     )
 
 
+_EWMA_WEIGHTS = [0.5 ** (j + 1) for j in range(8)]  # dyadic: exact
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    SELECT user_id, event_id,
+           value * 0.5
+           + COALESCE(lag(value, 1) OVER w, 0) * 0.25
+           + COALESCE(lag(value, 2) OVER w, 0) * 0.125
+           + COALESCE(lag(value, 3) OVER w, 0) * 0.0625
+           + COALESCE(lag(value, 4) OVER w, 0) * 0.03125
+           + COALESCE(lag(value, 5) OVER w, 0) * 0.015625
+           + COALESCE(lag(value, 6) OVER w, 0) * 0.0078125
+           + COALESCE(lag(value, 7) OVER w, 0) * 0.00390625 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user — the
+    smoothing pass every metrics/monitoring store offers. Truncated
+    form: weights a(1-a)^j over the last 8 ticks with a DYADIC
+    a=0.5, so every weight is a power of two — each product is an
+    exact IEEE scaling and the fixed left-associated 8-term sum
+    evaluates bit-identically in Spark and DuckDB (no aggregation
+    reorder exists to destabilize it; see _util.py for why
+    free-order double sums would). Scale shape: one window pass,
+    state bounded at 8 rows per partition cursor; the truncation is
+    also the production choice — an untruncated EWMA's weights
+    underflow past ~40 lags anyway at a=0.5."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    term0 = F.col("value") * F.lit(_EWMA_WEIGHTS[0])
+    expr = term0
+    for j in range(1, 8):
+        expr = expr + (
+            F.coalesce(F.lag("value", j).over(w), F.lit(0.0))
+            * F.lit(_EWMA_WEIGHTS[j])
+        )
+    return ev.select("user_id", "event_id", expr.alias("ewma"))
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_DEC = "decimal(28,12)"
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+        FROM edges
+    ),
+    r0 AS (
+        SELECT n_nationkey AS node,
+               CAST(1.0 AS DOUBLE) / 25 AS r
+        FROM nation
+    ),
+    r1 AS (
+        SELECT n.n_nationkey AS node,
+               CAST(0.006 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+               CAST(COALESCE(sum(CAST(q.r * q.p AS {_PR_DEC.upper()})), 0)
+                    AS DOUBLE) AS r
+        FROM nation n
+        LEFT JOIN (SELECT p.dst, p.p, r0.r
+                   FROM p JOIN r0 ON r0.node = p.src) q
+               ON q.dst = n.n_nationkey
+        GROUP BY 1
+    ),
+    r2 AS (
+        SELECT n.n_nationkey AS node,
+               CAST(0.006 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+               CAST(COALESCE(sum(CAST(q.r * q.p AS {_PR_DEC.upper()})), 0)
+                    AS DOUBLE) AS r
+        FROM nation n
+        LEFT JOIN (SELECT p.dst, p.p, r1.r
+                   FROM p JOIN r1 ON r1.node = p.src) q
+               ON q.dst = n.n_nationkey
+        GROUP BY 1
+    ),
+    r3 AS (
+        SELECT n.n_nationkey AS node,
+               CAST(0.006 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+               CAST(COALESCE(sum(CAST(q.r * q.p AS {_PR_DEC.upper()})), 0)
+                    AS DOUBLE) AS r
+        FROM nation n
+        LEFT JOIN (SELECT p.dst, p.p, r2.r
+                   FROM p JOIN r2 ON r2.node = p.src) q
+               ON q.dst = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT r3.node, nn.n_name AS name, r3.r AS rank
+    FROM r3 JOIN nation nn ON nn.n_nationkey = r3.node
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the nation trade graph — the
+    canonical iterative-graph workload, expressed as a bounded plan
+    so it stays hash-gradable (llm_kmeans covers the open-ended
+    iterative class). Edges: customer-nation → supplier-nation
+    weighted by lineitem count. The heavy stage is building the edge
+    list (one orderkey shuffle join; customer/supplier/nation
+    broadcast); after the 625-row aggregation the three damped
+    iterations run on broadcast-sized state, so at 100 TB the corpus
+    is touched exactly once. Determinism: each contribution
+    r(s)·p(s,t) is quantized to DECIMAL(28,12) before the per-node
+    sum (free-order double addition is the one nondeterminism here
+    — _util.py), division and the damping affine map are single
+    correctly-rounded IEEE ops, and all constants are double-cast
+    literals in both engines. Dangling mass is not redistributed
+    (documented leak variant); nodes without in-edges decay to the
+    teleport base."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    p = edges.select(
+        "src",
+        "dst",
+        (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias(
+            "p"
+        ),
+    )
+    base = F.lit(0.006)  # (1-d)/N as an exact double literal
+    ranks = nation.select(
+        F.col("n_nationkey").alias("node"),
+        (F.lit(1.0) / F.lit(25)).alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = p.join(ranks, ranks.node == p.src).select(
+            p.dst, (F.col("r") * F.col("p")).cast(_PR_DEC).alias("c")
+        )
+        ranks = (
+            nation.join(contrib, contrib.dst == nation.n_nationkey, "left")
+            .groupBy(F.col("n_nationkey").alias("node"))
+            .agg(
+                (
+                    base
+                    + F.lit(_PR_DAMP)
+                    * F.coalesce(F.sum("c"), F.lit(0)).cast("double")
+                ).alias("r")
+            )
+        )
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select("node", F.col("n_name").alias("name"), F.col("r").alias("rank"))
+
+
 # ------------------------------------------- Spark-4 SQL surface (r4)
 
 @query(

@@ -2783,3 +2783,87 @@ def llm_neardup_verify_md5(spark, sf_dir):
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", "est_jaccard", tj.alias("true_jaccard"))
     )
+
+
+_PARA_W = 10  # words per paragraph unit
+
+
+@query(
+    "llm_dedup_paragraphs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    ch AS (
+        SELECT doc_id, i AS chunk_idx,
+               md5(array_to_string(
+                   ws[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ')) AS h
+        FROM w, UNNEST(range(CAST(ceil(len(ws)/{_PARA_W}.0) AS BIGINT)))
+                t(i)
+    ),
+    owned AS (
+        SELECT doc_id, chunk_idx,
+               (row_number() OVER (PARTITION BY h
+                                   ORDER BY doc_id, chunk_idx) = 1)
+               AS kept
+        FROM ch
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM owned GROUP BY doc_id
+    """,
+)
+def llm_dedup_paragraphs(spark, sf_dir):
+    """Cross-corpus paragraph-level exact dedup (the CCNet pass that
+    removes boilerplate shared across pages: headers, licenses,
+    navigation). The fixture corpus has no newlines, so the
+    paragraph unit is a deterministic 10-word window — which is also
+    the robust choice at scale, where newline conventions vary by
+    source. Each unit is md5-fingerprinted (portable across engines;
+    16 bytes — the TEXT never shuffles), ownership goes to the
+    lexicographically first (doc_id, chunk_idx) occurrence via one
+    window pass over the fingerprint key, and the per-doc report
+    counts kept vs dropped units. At 100 TB: shuffle payload is
+    (hash, doc_id, idx) triples only, the window partitions by
+    fingerprint (uniform key), and the output is a per-doc summary —
+    the full-text rewrite would reuse the same kept flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_units = F.ceil(F.size(ws) / F.lit(float(_PARA_W))).cast("int")
+    d = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_units - 1),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.split("text", " "),
+                            i * F.lit(_PARA_W) + F.lit(1),
+                            F.lit(_PARA_W),
+                        ),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    kept = (
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+        )
+        == 1
+    )
+    return (
+        d.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias(
+                "n_dropped"
+            ),
+        )
+    )
