@@ -2867,3 +2867,82 @@ def llm_dedup_paragraphs(spark, sf_dir):
             ),
         )
     )
+
+
+_PACK_CAP = 512  # tokens per packed training sequence
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH d AS (SELECT lang, doc_id,
+                      len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT lang, doc_id, n_tok,
+                 CAST(COALESCE(sum(n_tok) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM d),
+    x AS (SELECT lang, doc_id, n_tok, s,
+                 UNNEST(range(s // {_PACK_CAP},
+                              (s + n_tok - 1) // {_PACK_CAP} + 1))
+                     AS bin_id
+          FROM c)
+    SELECT lang, bin_id, count(*) AS n_docs,
+           CAST(sum(LEAST(s + n_tok, (bin_id + 1) * {_PACK_CAP})
+                    - GREATEST(s, bin_id * {_PACK_CAP})) AS BIGINT)
+               AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM x GROUP BY lang, bin_id
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Training-sequence packing — the GPT-style concat-then-split
+    pass that turns ragged documents into fixed 512-token training
+    windows with zero padding waste. Documents are concatenated in
+    doc_id order within each language shard (a running token-offset
+    window), each doc's token span is mapped to the bin range it
+    covers, and the bin range is exploded so a boundary doc
+    contributes its exact overlap to both neighbors. All integer
+    arithmetic — exact on any engine. Scale shape: the cumulative
+    offset partitions by shard key (lang here; a 100 TB pipeline
+    uses many hash shards the same way), so packing parallelizes
+    per shard and no global sort exists; output is one row per
+    packed sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "s", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    )
+    cap = F.lit(_PACK_CAP).cast("long")
+    x = c.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        "s",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {_PACK_CAP}"),
+                F.expr(f"(s + n_tok - 1) DIV {_PACK_CAP}"),
+            )
+        ).alias("bin_id"),
+    )
+    overlap = F.least(
+        F.col("s") + F.col("n_tok"), (F.col("bin_id") + 1) * cap
+    ) - F.greatest(F.col("s"), F.col("bin_id") * cap)
+    return x.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(overlap).alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

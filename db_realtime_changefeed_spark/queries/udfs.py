@@ -243,6 +243,53 @@ def udtf_map_in_arrow(spark, sf_dir):
 
 
 @query(
+    "udtf_grouped_map_arrow",
+    oracle="""
+    SELECT event_id, event_type,
+           (value - min(value) OVER (PARTITION BY event_type))
+           / (max(value) OVER (PARTITION BY event_type)
+              - min(value) OVER (PARTITION BY event_type)) AS scaled
+    FROM events
+    """,
+)
+def udtf_grouped_map_arrow(spark, sf_dir):
+    """groupBy().applyInArrow (Spark 4) — the grouped-map tier of
+    the Arrow-native escape hatch: each group arrives as ONE pyarrow
+    Table (no pandas materialization), the kernel is pure Arrow
+    compute. Demo kernel: per-event_type min-max scaling. min/max
+    are order-insensitive and exact, subtraction and division are
+    single correctly-rounded IEEE ops, so the Arrow kernel and the
+    oracle's window form agree bitwise. Same per-group memory bound
+    as applyInPandas (documented in udtf_grouped_map); the Catalyst
+    window equivalent in the oracle is the production path when the
+    kernel is expressible."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def _kernel(key, table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(table.column("value"))
+        rng = pc.subtract(mm["max"], mm["min"])
+        scaled = pc.divide(
+            pc.subtract(table.column("value"), mm["min"]), rng
+        )
+        return pa.table(
+            {
+                "event_id": table.column("event_id"),
+                "event_type": table.column("event_type"),
+                "scaled": scaled,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        _kernel, schema="event_id long, event_type string, scaled double"
+    )
+
+
+@query(
     "udtf_cogrouped_map",
     oracle="""
     SELECT p.user_id, p.event_id, p.value,

@@ -208,6 +208,81 @@ def join_stream_stream(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "join_stream_stream_outer",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      ts AS p_ts, value AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type='purchase'),
+               (SELECT max(ts) FROM events WHERE event_type='click'))
+               - INTERVAL 30 MINUTE AS w)
+    SELECT p.purchase_id, p.user_id, p.purchase_value, c.click_id
+    FROM p JOIN c ON p.user_id = c.c_user
+       AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+       AND c.c_ts <= p.p_ts
+    UNION ALL
+    SELECT p.purchase_id, p.user_id, p.purchase_value,
+           CAST(NULL AS BIGINT) AS click_id
+    FROM p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM c
+                      WHERE p.user_id = c.c_user
+                        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+                        AND c.c_ts <= p.p_ts)
+    """,
+)
+def join_stream_stream_outer(spark, sf_dir):
+    """§2.C8c: stream-stream LEFT OUTER join — purchases get their
+    matching clicks immediately (same inner semantics as
+    join_stream_stream), and a purchase with NO click in the
+    preceding 10 minutes emits exactly one null-extended row once
+    the watermark proves no future click can match it. The oracle
+    models the eviction boundary exactly: each withWatermark node
+    sits AFTER its event_type filter, so the global watermark is
+    min(max purchase ts, max click ts) - 30min as of data committed
+    through the previous batch; AvailableNow's closing no-data
+    micro-batch runs with that fully-advanced watermark and flushes
+    every unmatched purchase with p_ts strictly below it — the
+    unmatched purchases above the final watermark are still in
+    state, deliberately unflushed (verified empirically at sf0.001 /
+    0.01 / 0.1). At scale this is the bounded-state join: state
+    holds only rows within the watermark horizon on either side."""
+    ev1 = _replayed(spark, sf_dir)
+    p = (
+        ev1.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+        "left_outer",
+    ).select("purchase_id", "user_id", "purchase_value", "click_id")
+    name = _to_table(joined, "ss_outer")
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------- §2.I
 
 @query(
