@@ -2286,3 +2286,59 @@ def win_session_dynamic_gap(spark, sf_dir):
             "n_events", "sum_value",
         )
     )
+
+
+@query(
+    "scd2_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    changes AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE prev IS NULL OR event_type <> prev),
+    versions AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS valid_to,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                   AS version
+        FROM changes)
+    SELECT user_id, version, event_type AS attr, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versions
+    """,
+)
+def scd2_build(spark, sf_dir):
+    """Type-2 slowly-changing dimension build from an append-only
+    event log — the warehouse pattern that turns a change stream
+    into validity-interval history (the batch complement of the
+    changefeed family's MVCC state). Per user: collapse consecutive
+    events with an unchanged attribute (lag pass), then stamp each
+    surviving change with [valid_from, valid_to) via lead, a version
+    number, and an is_current flag on the open interval. Both window
+    passes share the user_id partitioning → ONE shuffle; at 100 TB
+    this is the standard one-pass history rebuild, and incremental
+    maintenance rides the changefeed instead. (ts, event_id)
+    tie-break keeps both engines deterministic on same-timestamp
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(
+            F.col("prev").isNull()
+            | (F.col("event_type") != F.col("prev"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wv).alias("version"),
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

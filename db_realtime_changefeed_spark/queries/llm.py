@@ -2946,3 +2946,90 @@ def llm_pack_sequences(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "llm_dsir_weights",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    cnt AS (SELECT term, count(*) AS c,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_en
+            FROM w GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all,
+                   CAST(sum(c_en) AS DOUBLE) AS n_en,
+                   count(*) AS vocab FROM cnt),
+    p AS (SELECT term,
+                 (CAST(c AS DOUBLE) + 1.0)
+                   / (tot.n_all + CAST(tot.vocab AS DOUBLE)) AS pr,
+                 (CAST(c_en AS DOUBLE) + 1.0)
+                   / (tot.n_en + CAST(tot.vocab AS DOUBLE)) AS pt
+          FROM cnt, tot),
+    scored AS (
+      SELECT w.doc_id, any_value(w.lang) AS lang, count(*) AS n_tok,
+             CAST(sum(CAST(ln(p.pt) - ln(p.pr) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS lr
+      FROM w JOIN p USING (term)
+      GROUP BY w.doc_id)
+    SELECT doc_id, lang, n_tok,
+           round(lr / CAST(n_tok AS DOUBLE), 6) AS dsir_weight
+    FROM scored
+    """,
+)
+def llm_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by the
+    per-token log-likelihood ratio between a TARGET unigram LM
+    (here: the English slice, standing in for a high-quality
+    reference like Wikipedia) and the RAW-corpus LM — the standard
+    cheap way to pick pretraining data that 'looks like' a trusted
+    distribution. Both LMs are add-one smoothed over the shared
+    corpus vocabulary so every term has mass under both. Plan shape
+    mirrors llm_unigram_lm: one (term) shuffle builds both count
+    columns in a single aggregate, totals and the probability table
+    broadcast back (vocab ≪ corpus), scoring is one (doc_id)
+    shuffle; each ln-ratio term is DEC-quantized pre-sum
+    (FIXTURES.md float rule), final weight rounds to 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _rebalanced(d).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    cnt = w.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+            "c_en"
+        ),
+    )
+    tot = cnt.agg(
+        F.sum("c").cast("double").alias("n_all"),
+        F.sum("c_en").cast("double").alias("n_en"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    p = cnt.join(F.broadcast(tot)).select(
+        "term",
+        ((F.col("c").cast("double") + F.lit(1.0))
+         / (F.col("n_all") + F.col("vocab").cast("double"))
+         ).alias("pr"),
+        ((F.col("c_en").cast("double") + F.lit(1.0))
+         / (F.col("n_en") + F.col("vocab").cast("double"))
+         ).alias("pt"),
+    )
+    return (
+        w.join(F.broadcast(p), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tok"),
+            dsum(F.log("pt") - F.log("pr")).alias("lr"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.round(
+                F.col("lr") / F.col("n_tok").cast("double"), 6
+            ).alias("dsir_weight"),
+        )
+    )

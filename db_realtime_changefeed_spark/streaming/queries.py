@@ -922,6 +922,56 @@ def changefeed_cdc_ops(spark, sf_dir):
 
 
 @query(
+    "stream_chained_agg",
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    b AS (SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w10,
+                 time_bucket(INTERVAL 1 HOUR, ts) AS h,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2, 3)
+    SELECT h AS hour_start, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_subwindows
+    FROM b, m
+    WHERE h + INTERVAL 1 HOUR <= m.wm
+    GROUP BY h, event_type
+    """,
+)
+def stream_chained_agg(spark, sf_dir):
+    """Chained stateful operators in ONE streaming query (Spark 4
+    lifted the single-stateful-operator restriction): a 10-minute
+    windowed count rolls up into an hourly aggregate over the
+    window column itself — the two-tier serving rollup
+    (fine-grained recent + coarse historical) that previously
+    needed two queries and an intermediate topic/table. Both tiers
+    run in append mode off one watermark; an hour emits exactly
+    once, when the watermark closes it, carrying both the event
+    total and how many sub-windows had data. The oracle computes
+    the same two-level rollup with the closed-hour set
+    (hour_end <= max(ts) - 1h), the stream_tumbling_append boundary
+    model one level up. State at scale: 6 sub-windows per open hour
+    per key — constant per key, watermark-pruned."""
+    ev = _replayed(spark, sf_dir).withWatermark("ts", "1 hour")
+    lvl1 = ev.groupBy(F.window("ts", "10 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lvl2 = lvl1.groupBy(
+        F.window(F.col("window"), "1 hour"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_subwindows"),
+    )
+    out = lvl2.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "n_subwindows",
+    )
+    name = _to_table(out, "chained_agg", "append")
+    return spark.table(name)
+
+
+@query(
     "stream_tumbling_append",
     oracle="""
     WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
