@@ -3033,3 +3033,61 @@ def llm_dsir_weights(spark, sf_dir):
             ).alias("dsir_weight"),
         )
     )
+
+
+@query(
+    "llm_word_entropy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    cnt AS (SELECT doc_id, term, count(*) AS c
+            FROM w GROUP BY doc_id, term),
+    tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+                   count(*) AS n_types
+            FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id, CAST(tot.n AS BIGINT) AS n_tok, tot.n_types,
+           round(CAST(sum(CAST(
+                     -(CAST(c AS DOUBLE) / tot.n)
+                       * ln(CAST(c AS DOUBLE) / tot.n)
+                     AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy,
+           round(CAST(tot.n_types AS DOUBLE) / tot.n, 6) AS ttr
+    FROM cnt JOIN tot USING (doc_id)
+    GROUP BY cnt.doc_id, tot.n, tot.n_types
+    """,
+)
+def llm_word_entropy(spark, sf_dir):
+    """Word-distribution entropy + type-token ratio — the
+    information-theoretic quality gates (Gopher/FineWeb family):
+    near-zero entropy flags keyword-stuffed or template pages, low
+    TTR flags repetitive generation. Per doc: H = -Σ (c/n)·ln(c/n)
+    over word frequencies. One (doc_id, term) shuffle builds the
+    frequency table, per-doc totals join back on the same doc_id
+    partitioning, each entropy term is DEC-quantized pre-sum
+    (FIXTURES.md float rule) and the result rounds to 6 dp. The
+    text itself never shuffles — only (doc_id, term, count)
+    triples."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _rebalanced(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    cnt = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_types")
+        .agg(dsum(-p * F.log(p)).alias("h"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tok"),
+            "n_types",
+            F.round("h", 6).alias("entropy"),
+            F.round(
+                F.col("n_types").cast("double") / F.col("n"), 6
+            ).alias("ttr"),
+        )
+    )
