@@ -2499,3 +2499,37 @@ def agg_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.75)"), 6).alias("q75"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("q95"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Bitmap-based exact COUNT DISTINCT (the Kylin/Doris trick,
+    Spark 3.5+ bitmap functions): keys map to (bucket, bit) pairs,
+    each (group, bucket) builds a fixed 4 KB bitmap via
+    bitmap_construct_agg, and distinct = sum of bitmap popcounts.
+    Two-stage like agg_distinct_twostage but the inner state is a
+    CONSTANT-SIZE bitmap instead of the key set — at 100 TB the
+    shuffle carries (group, bucket, 4KB) rows bounded by the key
+    domain/32768, not by row count, and bitmaps OR-merge
+    associatively. Result is exactly count(DISTINCT), which is the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_users"))
+    )

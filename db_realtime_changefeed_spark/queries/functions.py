@@ -573,3 +573,49 @@ def fn_try_errors(spark, sf_dir):
                              F.when(denom == 0.0, None)
                              .otherwise(denom)), 6).alias("safe_div_r"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS qlang,
+           replace(substr(text, 1, 11), ' ', '+') AS enc,
+           substr(text, 1, 11) AS roundtrip
+    FROM documents
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL function family (§2.H breadth): parse_url component
+    extraction (HOST / PATH / a named QUERY parameter) plus
+    url_encode/url_decode round-tripping — the normalization pass a
+    web-crawl pipeline runs before URL-keyed dedup. URLs are
+    constructed from fixture columns, so the oracle can state the
+    expected components directly; the encode check exploits that
+    document text is strictly [a-z ] (verified), where
+    x-www-form-urlencoded is exactly space→'+'. All JVM built-ins,
+    shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 11).alias("snippet"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+        F.url_encode("snippet").alias("enc"),
+        F.url_decode(F.url_encode("snippet")).alias("roundtrip"),
+    )

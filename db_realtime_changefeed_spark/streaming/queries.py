@@ -283,6 +283,85 @@ def join_stream_stream_outer(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "join_stream_stream_full",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type='purchase'),
+               (SELECT max(ts) FROM events WHERE event_type='click'))
+               - INTERVAL 30 MINUTE AS w)
+    SELECT p.purchase_id, c.click_id
+    FROM p JOIN c ON p.user_id = c.c_user
+       AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+       AND c.c_ts <= p.p_ts
+    UNION ALL
+    SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+    FROM p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM c
+                      WHERE p.user_id = c.c_user
+                        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+                        AND c.c_ts <= p.p_ts)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id
+    FROM c, wm
+    WHERE c.c_ts + INTERVAL 10 MINUTE < wm.w
+      AND NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = c.c_user
+                        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+                        AND c.c_ts <= p.p_ts)
+    """,
+)
+def join_stream_stream_full(spark, sf_dir):
+    """§2.C8d: FULL outer stream-stream join — both sides emit
+    null-extended rows once state eviction proves no future partner
+    can exist, with ASYMMETRIC eviction horizons derived from the
+    time-bound condition: an unmatched purchase needs the watermark
+    past p_ts (no future click can satisfy c_ts <= p_ts), while an
+    unmatched click must wait until the watermark passes
+    c_ts + 10min (a purchase as late as c_ts + 10min could still
+    claim it). The oracle states both horizons against the final
+    watermark (min of the two sides' post-filter maxima - 30min,
+    the join_stream_stream_outer model); verified empirically at
+    sf0.001 / 0.01 / 0.1. The asymmetry is the point of grading
+    this variant: it proves eviction follows the condition algebra,
+    not a single global horizon."""
+    p = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+        "full_outer",
+    ).select("purchase_id", "click_id")
+    name = _to_table(joined, "ss_full")
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------- §2.I
 
 @query(

@@ -140,3 +140,17 @@ def test_outer_join_null_rows_subset_of_inner_misses(spark, sf_smoke):
         r["purchase_id"] for r in matched
     }
     assert not overlap, "a purchase emitted both matched and null rows"
+
+
+def test_full_outer_asymmetric_eviction(spark, sf_smoke):
+    """Full-outer emits three disjoint classes; matched pairs equal
+    the inner join; no id appears both matched and null-extended."""
+    rows = QUERIES["join_stream_stream_full"](spark, sf_smoke).collect()
+    inner_n = QUERIES["join_stream_stream"](spark, sf_smoke).count()
+    matched = [r for r in rows if r["purchase_id"] is not None
+               and r["click_id"] is not None]
+    null_p = {r["click_id"] for r in rows if r["purchase_id"] is None}
+    null_c = {r["purchase_id"] for r in rows if r["click_id"] is None}
+    assert len(matched) == inner_n
+    assert not (null_p & {r["click_id"] for r in matched})
+    assert not (null_c & {r["purchase_id"] for r in matched})
