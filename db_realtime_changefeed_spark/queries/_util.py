@@ -43,3 +43,25 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     return (f"CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
             f" / count({expr})")
+
+
+def dround6_div(num: Column, den: Column) -> Column:
+    """Tie-deterministic 6-dp round of a RATIONAL quotient.
+
+    round(num/den, 6) is unsafe when num is an exact decimal (or
+    integer) and den an integer: the quotient can land EXACTLY on a
+    6-dp midpoint (observed: -0.088309/26 = -0.0033965), where
+    Spark's HALF_UP and DuckDB's scaled-nearbyint disagree. Both
+    engines computing floor(num*1e6/den + 0.5)/1e6 instead resolve
+    the tie identically (floor of the same IEEE double), and agree
+    with round() everywhere else. Pair with sql_dround6_div."""
+    return (
+        F.floor(num * F.lit(1000000.0) / den + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0)
+    )
+
+
+def sql_dround6_div(num: str, den: str) -> str:
+    return (
+        f"FLOOR(({num}) * 1000000.0 / ({den}) + 0.5) / 1000000.0"
+    )

