@@ -3090,3 +3090,41 @@ def llm_word_entropy(spark, sf_dir):
             ).alias("ttr"),
         )
     )
+
+
+from . import ORACLES as _REGISTERED_ORACLES  # noqa: E402
+
+
+@query(
+    "llm_ann_recall",
+    oracle=f"""
+    SELECT 10 AS k, count(*) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM ({_REGISTERED_ORACLES['llm_similarity_knn']}) bf
+    JOIN ({_REGISTERED_ORACLES['llm_knn_lsh']}) l
+      ON bf.vec_id = l.vec_id
+    """,
+)
+def llm_ann_recall(spark, sf_dir):
+    """ANN index quality evaluation — recall@10 of the LSH index
+    against the exact brute-force top-10 for the same query vector:
+    the acceptance metric every ANN deployment monitors before
+    trading exactness for speed. Composed from the two graded
+    pipelines (llm_similarity_knn = ground truth, llm_knn_lsh =
+    candidate index) with a semi-join on the returned ids; the
+    oracle REUSES those queries' registered oracle texts verbatim as
+    subqueries, so this check can never drift from the queries it
+    evaluates. recall = overlap/10 is a 1-dp-safe quotient. At
+    scale: both sides are top-k results (k rows) — the evaluation
+    join is driver-trivial regardless of corpus size; sampling more
+    query vectors fans out the same shape."""
+    bf = llm_similarity_knn(spark, sf_dir).select("vec_id")
+    lsh = llm_knn_lsh(spark, sf_dir).select(F.col("vec_id").alias("l_id"))
+    overlap = bf.join(lsh, bf.vec_id == lsh.l_id)
+    return overlap.agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(10)).alias(
+            "recall_at_10"
+        ),
+    )
