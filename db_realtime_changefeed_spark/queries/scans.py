@@ -320,3 +320,60 @@ def source_python_datasource(spark, sf_dir):
     return (
         spark.read.format("dbrcf_events").option("path", path).load()
     )
+
+
+_BINDIRS: dict = {}
+
+
+def _binary_corpus(spark, sf_dir: str) -> str:
+    """Write each document's text bytes as one file per doc (once
+    per session+sf_dir) — the on-disk shape of an image/audio corpus
+    whose blobs ride individual object-store keys."""
+    import os
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _BINDIRS:
+        root = tempfile.mkdtemp(prefix="dbrcf-bin-")
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(root, f"doc-{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        _BINDIRS[key] = root
+    return _BINDIRS[key]
+
+
+@query(
+    "source_binary",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def source_binary(spark, sf_dir):
+    """binaryFile source connector — the ingestion path for
+    image/audio/video corpora (§2.J multimodal): blobs arrive as
+    one file per object with (path, length, content), exactly how a
+    100 TB media lake lands before the mapInPandas decode stage
+    (operators/multimodal.py). Each document's bytes are written as
+    an individual file; the graded read parses the id back out of
+    the path and checksums the content — byte length and md5 must
+    match the source table exactly (the text is ASCII, so DuckDB's
+    strlen/md5 over the string are byte-accurate). Scale note: one
+    input partition per file (or per range for large blobs);
+    Spark's binaryFile reader also exposes pathGlobFilter /
+    modifiedAfter for incremental ingest."""
+    root = _binary_corpus(spark, sf_dir)
+    df = spark.read.format("binaryFile").load(root)
+    return df.select(
+        F.regexp_extract(
+            F.col("path"), r"doc-(\d+)\.bin$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )

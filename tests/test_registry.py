@@ -151,3 +151,32 @@ def test_stable_order_env_flag(monkeypatch):
     assert qs[: len(listed)] == listed, (
         "listed names must lead in stable mode"
     )
+
+
+def test_rounded_quotients_are_tie_audited():
+    """round(p/q, 6) on a RATIONAL quotient can land exactly on a
+    6-dp midpoint, where Spark and DuckDB round in opposite
+    directions (observed at sf0.1: -0.088309/26 = -0.0033965 in
+    llm_dsir_weights). Such sites must use _util.dround6_div /
+    sql_dround6_div (floor(p*1e6/q+0.5)/1e6 — tie-deterministic) or
+    be explicitly audited here. Allowlisted as safe:
+    - llm_score_model: sigmoid output is transcendental — an exact
+      decimal midpoint has measure zero;
+    - fn_try_errors: 4-dp values over divisors 1-4 terminate by the
+      6th decimal (d in {1,2,4}: power-of-two scaling; d=3: thirds
+      of integers never yield exact .5 multiples of 1e-6)."""
+    import re
+
+    import __spark_entry__ as e
+
+    AUDITED_SAFE = {"llm_score_model", "fn_try_errors"}
+    offenders = [
+        name
+        for name, sql in e.oracle_sql().items()
+        if name not in AUDITED_SAFE
+        and re.search(r"round\s*\([^()]*/", sql, re.IGNORECASE)
+    ]
+    assert not offenders, (
+        f"unaudited rounded quotients (use dround6_div or audit): "
+        f"{offenders}"
+    )
