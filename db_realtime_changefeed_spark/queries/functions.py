@@ -619,3 +619,77 @@ def fn_url(spark, sf_dir):
         F.url_encode("snippet").alias("enc"),
         F.url_decode(F.url_encode("snippet")).alias("roundtrip"),
     )
+
+
+@query(
+    "fn_crypto",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha,
+           base64(CAST(text AS BLOB)) AS b64,
+           text AS aes_roundtrip
+    FROM documents
+    """,
+)
+def fn_crypto(spark, sf_dir):
+    """Cryptographic / encoding functions (§2.H breadth): SHA-256
+    content addressing (the digest layer under dataset manifests and
+    dedup ledgers), base64 transport encoding, and an AES-ECB
+    encrypt→decrypt round trip proving the cipher pair inverts (ECB
+    chosen because GCM's random IV is nondeterministic by design;
+    real deployments use GCM — the round-trip contract is what's
+    graded, and its oracle is simply the original text). SHA-256 and
+    base64 outputs are bit-compared against DuckDB's
+    implementations."""
+    d = load_table(spark, sf_dir, "documents")
+    key = "0123456789abcdef"
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        # Spark's base64 MIME-chunks long output with CRLF every 76
+        # chars (java.util.Base64 MIME encoder); strip to the RFC 4648
+        # canonical form DuckDB emits
+        F.regexp_replace(
+            F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+        ).alias("b64"),
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'ECB'),"
+            f" '{key}', 'ECB') AS STRING)"
+        ).alias("aes_roundtrip"),
+    )
+
+
+@query(
+    "fn_xpath",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS x_id,
+           event_type AS x_type,
+           user_id AS x_user
+    FROM events
+    """,
+)
+def fn_xpath(spark, sf_dir):
+    """XPath extraction functions (§2.H breadth, pairing with the
+    source_xml connector): xpath_string / xpath_long pull fields out
+    of embedded XML fragments — the legacy-feed parsing path when
+    payloads arrive as XML strings inside a column rather than as
+    whole documents. The fragment is built from fixture columns
+    ([a-z] event types — no escaping needed), so the oracle states
+    the expected extractions directly from the source columns."""
+    ev = load_table(spark, sf_dir, "events")
+    frag = F.concat(
+        F.lit("<e><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><t>"),
+        F.col("event_type"),
+        F.lit("</t><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u></e>"),
+    )
+    return ev.withColumn("frag", frag).select(
+        "event_id",
+        F.expr("xpath_string(frag, '/e/id')").alias("x_id"),
+        F.expr("xpath_string(frag, '/e/t')").alias("x_type"),
+        F.expr("xpath_long(frag, '/e/u')").alias("x_user"),
+    )
