@@ -328,7 +328,11 @@ _BINDIRS: dict = {}
 def _binary_corpus(spark, sf_dir: str) -> str:
     """Write each document's text bytes as one file per doc (once
     per session+sf_dir) — the on-disk shape of an image/audio corpus
-    whose blobs ride individual object-store keys."""
+    whose blobs ride individual object-store keys. The driver-side
+    collect here is FIXTURE machinery only (bounded: the documents
+    table at graded SFs); a production media lake's blobs already
+    exist as files — only the graded read path below is the
+    operator."""
     import os
     import tempfile
 
