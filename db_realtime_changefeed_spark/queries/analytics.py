@@ -2533,3 +2533,122 @@ def agg_bitmap_distinct(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.expr("sum(bitmap_count(bm))").alias("n_users"))
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.value,
+           CASE WHEN c.event_id IS NOT NULL
+                 AND p.ts - c.ts <= INTERVAL 5 MINUTE
+                THEN c.event_id END AS click_id,
+           CASE WHEN c.event_id IS NOT NULL
+                 AND p.ts - c.ts <= INTERVAL 5 MINUTE
+                THEN c.value END AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.event_id >= c.event_id
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness TOLERANCE (§2.C6 + the
+    feature-store contract): match the latest preceding click only
+    if it is at most 5 minutes old, else null — exactly pandas
+    merge_asof(tolerance=...). Same scalable union-merge plan as
+    join_asof (one user_id shuffle + one sort, no range join); the
+    carried click timestamp is compared against the purchase time
+    and stale matches null out in projection. DuckDB's ASOF JOIN
+    has no tolerance argument, so the oracle applies the same
+    post-filter to the unbounded match — semantically identical
+    because tolerance only ever REMOVES the single latest match."""
+    ev = load_table(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    tagged = ev.where(
+        is_click | (F.col("event_type") == "purchase")
+    ).select("user_id", "event_id", "ts", "value", is_click.alias("is_click"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        tagged.withColumn(
+            "c_id",
+            F.last(
+                F.when(F.col("is_click"), F.col("event_id")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .withColumn(
+            "c_val",
+            F.last(
+                F.when(F.col("is_click"), F.col("value")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .withColumn(
+            "c_ts",
+            F.last(
+                F.when(F.col("is_click"), F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .where(~F.col("is_click"))
+    )
+    fresh = F.col("c_id").isNotNull() & (
+        F.col("ts").cast("long") - F.col("c_ts").cast("long") <= 300
+    )
+    return carried.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(fresh, F.col("c_id")).alias("click_id"),
+        F.when(fresh, F.col("c_val")).alias("click_value"),
+    )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_of_type
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(sum(first_of_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_types_so_far
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running DISTINCT count per user — how many distinct event
+    types has this user produced up to each event (the engagement-
+    breadth signal). A naive distinct-in-window is quadratic;
+    the scalable form flags each (user, type)'s FIRST occurrence
+    (one window) and running-sums the flags (second window on the
+    same user_id partitioning → still ONE shuffle). Pure integer
+    math, (ts, event_id) tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "first_of_type",
+            F.when(F.row_number().over(wf) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_of_type").over(wr).alias("n_types_so_far"),
+        )
+    )
