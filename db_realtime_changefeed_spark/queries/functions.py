@@ -693,3 +693,31 @@ def fn_xpath(spark, sf_dir):
         F.expr("xpath_string(frag, '/e/t')").alias("x_type"),
         F.expr("xpath_long(frag, '/e/u')").alias("x_user"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               p_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked,
+           regexp_replace(p_brand, '[0-9]', '*', 'g') AS brand_masked
+    FROM part
+    """,
+)
+def fn_mask(spark, sf_dir):
+    """Data-masking functions (§2.H breadth, the display-layer
+    complement of llm_pii_scrub's removal pass): mask() shape-
+    preserving redaction (upper→X, lower→x, digit→n) and a custom
+    digit mask. DuckDB has no mask(), so the oracle states the
+    character-class semantics as a regexp chain — which also
+    documents exactly what mask() does."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("mask(p_name)").alias("masked"),
+        F.expr("mask(p_brand, NULL, NULL, '*', NULL)").alias(
+            "brand_masked"
+        ),
+    )

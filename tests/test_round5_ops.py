@@ -154,3 +154,68 @@ def test_full_outer_asymmetric_eviction(spark, sf_smoke):
     assert len(matched) == inner_n
     assert not (null_p & {r["click_id"] for r in matched})
     assert not (null_c & {r["purchase_id"] for r in matched})
+
+
+def test_asof_tolerance_bounds_staleness(spark, sf_smoke):
+    """Every non-null match is within 300s; nulled rows either had
+    no preceding click or only a stale one — never a fresh one."""
+    from db_realtime_changefeed_spark.catalog import load_table
+
+    tol = QUERIES["join_asof_tolerance"](spark, sf_smoke)
+    base = QUERIES["join_asof"](spark, sf_smoke).select(
+        F.col("event_id"), F.col("click_id").alias("any_click")
+    )
+    ev = load_table(spark, sf_smoke, "events").select(
+        F.col("event_id").alias("cid"), F.col("ts").alias("c_ts")
+    )
+    pts = load_table(spark, sf_smoke, "events").select(
+        F.col("event_id").alias("event_id"), F.col("ts").alias("p_ts")
+    )
+    checked = (
+        tol.join(pts, "event_id")
+        .join(ev, tol.click_id == ev.cid, "left")
+        .withColumn(
+            "gap", F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+        )
+    )
+    stale_matches = checked.where(
+        F.col("click_id").isNotNull() & (F.col("gap") > 300)
+    ).count()
+    assert stale_matches == 0, "a match exceeded the tolerance"
+    # nulled-but-matchable rows must be exactly the stale asof matches
+    fresh_nulled = (
+        tol.where(F.col("click_id").isNull())
+        .join(base, "event_id")
+        .join(pts, "event_id")
+        .join(ev, F.col("any_click") == ev.cid)
+        .where(F.col("p_ts").cast("long") - F.col("c_ts").cast("long") <= 300)
+        .count()
+    )
+    assert fresh_nulled == 0, "a fresh match was wrongly nulled"
+
+
+def test_running_distinct_final_equals_count_distinct(spark, sf_smoke):
+    """The last running value per user equals countDistinct."""
+    from db_realtime_changefeed_spark.catalog import load_table
+    from pyspark.sql import Window
+
+    run = QUERIES["win_running_distinct"](spark, sf_smoke)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_types_so_far"), F.desc("event_id")
+    )
+    finals = (
+        run.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_types_so_far")
+    )
+    truth = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+    )
+    diverged = (
+        finals.join(truth, "user_id")
+        .where(F.col("n_types_so_far") != F.col("k"))
+        .count()
+    )
+    assert diverged == 0
