@@ -2629,10 +2629,14 @@ def win_running_distinct(spark, sf_dir):
     types has this user produced up to each event (the engagement-
     breadth signal). A naive distinct-in-window is quadratic;
     the scalable form flags each (user, type)'s FIRST occurrence
-    (one window) and running-sums the flags (second window on the
-    same user_id partitioning → still ONE shuffle). Pure integer
-    math, (ts, event_id) tie-break."""
-    ev = load_table(spark, sf_dir, "events")
+    (one window) and running-sums the flags (second window). An
+    explicit repartition on user_id makes BOTH windows accept the
+    same exchange — HashPartitioning(user_id) satisfies the
+    (user_id, event_type) clustering requirement too (subset rule),
+    where the default plan would shuffle twice; plan-asserted to
+    exactly one exchange. Pure integer math, (ts, event_id)
+    tie-break."""
+    ev = load_table(spark, sf_dir, "events").repartition("user_id")
     wf = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
     )

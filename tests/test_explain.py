@@ -265,3 +265,36 @@ def test_join_dpp_dynamic_pruning(spark, sf_oracle):
     df = all_queries()["join_dpp"](spark, sf_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP did not fire"
+
+
+def test_pagerank_edge_build_broadcasts_dims(spark, sf_oracle):
+    """graph_pagerank's corpus-scale stage is the edge build: the
+    lineitem-orders join may shuffle, but customer/supplier/nation
+    ride broadcasts and nothing is a cartesian product."""
+    plan = _plan(spark, sf_oracle, "graph_pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_distinct_two_stage(spark, sf_oracle):
+    """agg_bitmap_distinct must keep the two-aggregate shape: the
+    bitmap build (group, bucket) then the popcount rollup."""
+    plan = _plan(spark, sf_oracle, "agg_bitmap_distinct")
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_asof_tolerance_single_shuffle(spark, sf_oracle):
+    """The tolerance variant must not add a join: same single
+    user_id exchange + window as join_asof."""
+    plan = _plan(spark, sf_oracle, "join_asof_tolerance")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+        "tolerance should be projection arithmetic, not a join"
+    )
+    assert plan.count("+- Exchange") <= 1
+
+
+def test_running_distinct_one_shuffle(spark, sf_oracle):
+    """Both windows share the user_id partitioning → exactly one
+    hash exchange in the plan."""
+    plan = _plan(spark, sf_oracle, "win_running_distinct")
+    assert plan.count("+- Exchange") == 1
