@@ -1358,33 +1358,59 @@ def funnel_conversion(spark, sf_dir):
     """Ordered funnel conversion (signup → view → purchase, each step
     strictly after the previous) — the batch twin of the stateful
     streaming funnel (stream_stateful_custom), graded as its own
-    aggregate: step counts + end-to-end conversion rate. Each stage
-    is a keyed min-aggregate semi-joined forward; all three stages
-    shuffle on the same user_id key."""
-    ev = load_table(spark, sf_dir, "events")
-    s = ev.where("event_type = 'signup'").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
+    aggregate: step counts + end-to-end conversion rate. Single-pass
+    plan: events shuffle ONCE on user_id, the three stage times
+    chain as per-user window minimums (each conditioned on the
+    previous stage's time — no new exchange, every window reuses the
+    partitioning), and one global aggregate counts users per stage.
+    The previous three-semi-join form scanned events three times and
+    shuffled eight; this plan scans once and shuffles twice (user_id
+    + the final 1-row rollup). Plan-asserted in test_explain."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "view", "purchase")
     )
-    v = (
-        ev.where("event_type = 'view'")
-        .join(s, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.repartition("user_id")
+        .withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).over(wu),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
-    p = (
-        ev.where("event_type = 'purchase'")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    agg = staged.agg(
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n_signup"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n_viewed_after"),
+        F.count_distinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("n_purchased_after"),
     )
-    counts = (
-        s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed_after")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
-    )
-    return counts.select(
+    return agg.select(
         "n_signup",
         "n_viewed_after",
         "n_purchased_after",

@@ -298,3 +298,15 @@ def test_running_distinct_one_shuffle(spark, sf_oracle):
     hash exchange in the plan."""
     plan = _plan(spark, sf_oracle, "win_running_distinct")
     assert plan.count("+- Exchange") == 1
+
+
+def test_funnel_single_scan(spark, sf_oracle):
+    """funnel_conversion must keep the single-pass shape: one events
+    scan, no joins, at most 3 exchanges (user_id + the distinct-user
+    rollup) — the prior 3-scan/8-shuffle form is banned."""
+    plan = _plan(spark, sf_oracle, "funnel_conversion")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("+- Exchange") <= 3
+    # formatted explain names each node twice (tree + details):
+    # one scan = 2 mentions; the old 3-scan form showed 6
+    assert plan.count("Scan parquet") <= 2, "events must be scanned once"
