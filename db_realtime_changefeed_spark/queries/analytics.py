@@ -1306,16 +1306,20 @@ def win_sessionize(spark, sf_dir):
 def cohort_retention(spark, sf_dir):
     """Cohort retention — the canonical event-analytics rollup: users
     grouped by first-activity week, counted in each subsequent week
-    they return. The per-user first-seen aggregate joins back on
-    user_id (same partitioning both sides), the distinct collapses
-    repeat activity, and the final rollup is a small keyed aggregate.
-    Week arithmetic is integer-exact on both engines."""
+    they return. Single-pass plan: the per-user first-seen week is a
+    window minimum over ONE user_id exchange (no groupBy+self-join,
+    so events scan once); the distinct that collapses repeat
+    activity reuses that partitioning (HashPartitioning(user_id)
+    satisfies the wider distinct key — subset rule), leaving only
+    the small (cohort, offset) rollup as a second exchange. Week
+    arithmetic is integer-exact on both engines."""
     ev = load_table(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    wu = Window.partitionBy("user_id")
     activity = (
-        ev.join(first_seen, "user_id")
+        ev.repartition("user_id")
+        .withColumn(
+            "cohort_week", F.date_trunc("week", F.min("ts").over(wu))
+        )
         .select(
             "user_id",
             "cohort_week",

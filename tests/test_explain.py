@@ -310,3 +310,13 @@ def test_funnel_single_scan(spark, sf_oracle):
     # formatted explain names each node twice (tree + details):
     # one scan = 2 mentions; the old 3-scan form showed 6
     assert plan.count("Scan parquet") <= 2, "events must be scanned once"
+
+
+def test_cohort_single_scan_two_exchanges(spark, sf_oracle):
+    """cohort_retention: window first-seen over one user_id exchange
+    (no groupBy+self-join), distinct reuses it (subset rule), small
+    rollup second — one scan, exactly two exchanges."""
+    plan = _plan(spark, sf_oracle, "cohort_retention")
+    assert "Join" not in plan, "cohort must not self-join"
+    assert plan.count("+- Exchange") == 2
+    assert plan.count("Scan parquet") <= 2
