@@ -2151,6 +2151,13 @@ def graph_pagerank(spark, sf_dir):
             "p"
         ),
     )
+    # Materialize the transition table ONCE as a literal local
+    # relation (≤ 25×25 rows regardless of corpus size — the same
+    # bounded-driver-state pattern as llm_kmeans' centroids).
+    # Without this, each iteration's lineage re-executes the
+    # corpus-scale edge build: the executed plan showed 24 file
+    # scans; now the corpus is touched exactly once.
+    p = spark.createDataFrame(p.collect(), schema=p.schema)
     base = F.lit(0.006)  # (1-d)/N as an exact double literal
     ranks = nation.select(
         F.col("n_nationkey").alias("node"),
