@@ -2693,3 +2693,59 @@ def win_running_distinct(spark, sf_dir):
             F.sum("first_of_type").over(wr).alias("n_types_so_far"),
         )
     )
+
+
+_MODERN_SQL = """
+    SELECT o_orderstatus, n, total,
+           total / n AS avg_price,
+           avg_price * 2 AS double_avg
+    FROM (
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+      FROM orders
+      GROUP BY ALL
+    ) t
+"""
+
+
+@query("sql_modern_syntax", oracle=_MODERN_SQL)
+def sql_modern_syntax(spark, sf_dir):
+    """Modern-SQL ergonomics, one text on both engines: GROUP BY ALL
+    (grouping keys inferred from the non-aggregate select list) and
+    LATERAL COLUMN ALIASES (avg_price referenced by the very next
+    select item, no repeated expression / no extra subquery). Both
+    features parse and evaluate identically in Spark 4 and DuckDB,
+    so the oracle IS the query — the strongest portability
+    statement, same as sql_interface. (Spark does not yet allow a
+    lateral alias to feed GROUP BY ALL itself, which is why the
+    aggregate sits in the derived table.)"""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MODERN_SQL)
+
+
+@query(
+    "sql_identifier",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_identifier(spark, sf_dir):
+    """The IDENTIFIER() clause: table names as bind parameters —
+    the injection-safe form of dynamic-table dashboards (string
+    concatenation into FROM is the classic SQL-injection hole this
+    kills). The template stays constant; `args` binds the table
+    name at execution. Complements sql_params (value binding)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM IDENTIFIER(:tbl) GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders"},
+    )
