@@ -2749,3 +2749,50 @@ def sql_identifier(spark, sf_dir):
         """,
         args={"tbl": "orders"},
     )
+
+
+@query(
+    "pivot_transpose",
+    oracle="""
+    SELECT 'n' AS key,
+           CAST(count(*) FILTER (WHERE event_type = 'click')
+                AS DOUBLE) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error')
+                AS DOUBLE) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                AS DOUBLE) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')
+                AS DOUBLE) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view')
+                AS DOUBLE) AS view
+    FROM events
+    UNION ALL
+    SELECT 'sum_value',
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'click') AS DOUBLE),
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'error') AS DOUBLE),
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE),
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'signup') AS DOUBLE),
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'view') AS DOUBLE)
+    FROM events
+    """,
+)
+def pivot_transpose(spark, sf_dir):
+    """DataFrame.transpose() (Spark 4): rows become columns keyed by
+    the index column — the metric-matrix flip every reporting layer
+    does (metrics down, dimensions across). The input is a 5-row
+    grouped aggregate (decimal-stabilized sum), so transpose runs on
+    broadcast-sized data after the one real aggregation; the oracle
+    states the transposed result as conditional aggregates. Both
+    measures cast to double (transpose requires a uniform value
+    type)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("sum_value"),
+    )
+    return agg.transpose("event_type")
