@@ -114,3 +114,33 @@ def test_entry_golden(spark):
     with open(path) as f:
         golden = json.load(f)
     assert json.loads(json.dumps(rows, default=str)) == golden
+
+
+@given(
+    num=st.integers(min_value=-10**9, max_value=10**9),
+    den=st.integers(min_value=1, max_value=10**4),
+)
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dround6_div_matches_round_off_ties(spark, num, den):
+    """dround6_div == round(num/den, 6) whenever the quotient is NOT
+    a 6-dp midpoint; at midpoints it is half-up deterministic
+    (floor(x+0.5)) on both engines by construction."""
+    import duckdb
+
+    from db_realtime_changefeed_spark.queries._util import (
+        dround6_div, sql_dround6_div)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(num), float(den))], "p double, q double")
+    got = df.select(dround6_div(F.col("p"), F.col("q")).alias("r")).collect()[0].r
+    duck = duckdb.sql(
+        f"SELECT {sql_dround6_div(str(float(num)), str(float(den)))}"
+    ).fetchone()[0]
+    assert got == duck, f"engines disagree: {got} vs {duck}"
+    # off-tie agreement with plain round
+    scaled = float(num) * 1e6 / float(den)
+    if abs(scaled - (int(scaled) + 0.5)) > 1e-9 and abs(scaled) < 2**52:
+        assert got == round(scaled) / 1e6 or abs(
+            got - round(scaled) / 1e6
+        ) <= 1e-6, "diverged from round() off a tie"

@@ -858,3 +858,24 @@ def test_push_subscriber_upsert_runner(spark, sf_smoke):
     n0 = len(seen)
     r._push(seen[-1][0])  # redelivery dedupes
     assert len(seen) == n0
+
+
+def test_transform_with_state_gated(spark, sf_smoke):
+    """transformWithStateInPandas is protobuf-gated (module
+    docstring): with protobuf present the running-totals processor
+    must reproduce the batch aggregate; without it, construction
+    must fail LOUDLY (no silent fake)."""
+    import pytest as _pytest
+
+    from db_realtime_changefeed_spark.streaming import (
+        transform_with_state as tws,
+    )
+    from db_realtime_changefeed_spark.streaming.queries import _replayed
+
+    stream = _replayed(spark, sf_smoke).select("user_id", "value")
+    if not tws.HAVE_PROTOBUF:
+        with _pytest.raises(ImportError, match="protobuf"):
+            tws.build_running_totals(stream)
+        return
+    out = tws.build_running_totals(stream)  # pragma: no cover
+    assert set(out.columns) == {"user_id", "total", "n"}
