@@ -2796,3 +2796,45 @@ def pivot_transpose(spark, sf_dir):
         dsum("value").alias("sum_value"),
     )
     return agg.transpose("event_type")
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+               AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """GROUPING()/grouping_id disambiguation (§2.D5 completion):
+    in a rollup, a NULL key value is ambiguous — was the row
+    aggregated over that column, or is the data value NULL? The
+    GROUPING() flag answers it authoritatively; every BI layer on
+    top of rollup output depends on this. Identical semantics both
+    engines (gid composed from per-column flags, which DuckDB and
+    Spark both expose, rather than engine-specific grouping_id
+    bit orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2
+                + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "priority"
+            ),
+            "gid",
+            "n",
+        )
+    )

@@ -3128,3 +3128,103 @@ def llm_ann_recall(spark, sf_dir):
             "recall_at_10"
         ),
     )
+
+
+@query(
+    "llm_dedup_paragraphs_rewrite",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    ch AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(
+                   ws[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ')
+                   AS chunk
+        FROM w, UNNEST(range(CAST(ceil(len(ws)/{_PARA_W}.0) AS BIGINT)))
+                t(i)
+    ),
+    owned AS (
+        SELECT doc_id, chunk_idx, chunk,
+               (row_number() OVER (PARTITION BY md5(chunk)
+                                   ORDER BY doc_id, chunk_idx) = 1)
+               AS kept
+        FROM ch
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx)
+                   FILTER (WHERE kept) AS clean_text
+        FROM owned GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN clean_text IS NULL THEN 0
+                ELSE CAST(strlen(clean_text) AS BIGINT) END
+               AS clean_chars,
+           md5(COALESCE(clean_text, '')) AS clean_digest
+    FROM rebuilt
+    """,
+)
+def llm_dedup_paragraphs_rewrite(spark, sf_dir):
+    """The REWRITE stage of paragraph dedup — llm_dedup_paragraphs
+    reports kept/dropped counts; this emits the cleaned document
+    itself (graded as length + md5 so the hash stays scalar): the
+    surviving 10-word units re-joined in original order, duplicates
+    gone. Spark side keeps determinism without an ordered string
+    aggregate (collect order is shuffle-dependent): the kept units
+    are collected as (idx, chunk) structs, array_sort'ed — struct
+    order sorts by idx first — then joined. A doc whose every unit
+    was claimed elsewhere (an exact duplicate) rewrites to the
+    empty string. Same shuffle shape as the report query; the full
+    text reassembles per doc_id, touching each unit exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_units = F.ceil(F.size(ws) / F.lit(float(_PARA_W))).cast("int")
+    d = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_units - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.split("text", " "),
+                        i * F.lit(_PARA_W) + F.lit(1),
+                        F.lit(_PARA_W),
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    kept = (
+        F.row_number().over(
+            Window.partitionBy(F.md5("chunk")).orderBy(
+                "doc_id", "chunk_idx"
+            )
+        )
+        == 1
+    )
+    rebuilt = (
+        d.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_digest"),
+    )
