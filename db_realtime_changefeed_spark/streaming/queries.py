@@ -897,6 +897,42 @@ def changefeed_filtered(spark, sf_dir):
 
 
 @query(
+    "changefeed_snapshot",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+    FROM events
+    WHERE value > 50.0
+    GROUP BY event_type
+    """,
+)
+def changefeed_snapshot(spark, sf_dir):
+    """§2.I7 via the client API: initial_scan='only' — the one-shot
+    snapshot form of CREATE CHANGEFEED (a consumer wants the current
+    materialized answer WITHOUT subscribing to history or deltas).
+    db.table('events').filter('value > 50')
+      .changes(key='event_type', initial_scan='only') returns a
+    SnapshotFeed whose state is graded here; its log()/cursor()/
+    subscribe() raise rather than leak the opted-out delta history
+    (contract pinned in tests/test_api.py). The snapshot equals the
+    filtered batch aggregate — the same MVCC state the standing
+    feed would serve, read once."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__snapshot__")
+    if key not in _CF_CACHE:
+        _CF_CACHE[key] = (
+            Database(spark, sf_dir)
+            .table("events")
+            .filter("value > 50.0")
+            .changes(key="event_type", initial_scan="only")
+        )
+    return _CF_CACHE[key].state()
+
+
+@query(
     "changefeed_multi",
     oracle="""
     SELECT 'by_event_type' AS feed, event_type AS key,
