@@ -3228,3 +3228,134 @@ def llm_dedup_paragraphs_rewrite(spark, sf_dir):
         F.length("clean_text").cast("long").alias("clean_chars"),
         F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_digest"),
     )
+
+
+_RECALL_QIDS = (0, 100, 200, 300, 400)
+
+
+def _lsh_bucket_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_ndl_sql_proj(str(p))} > 0 THEN {2 ** p} "
+        f"ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    return f"({terms})"
+
+
+_COS_EV_Q = (
+    f"{_sql_dot('ev.embedding', 'q.qe')}"
+    f" / (sqrt({_sql_dot('ev.embedding', 'ev.embedding')})"
+    f" * sqrt({_sql_dot('q.qe', 'q.qe')}))"
+)
+
+
+@query(
+    "llm_ann_recall_multi",
+    oracle=f"""
+    WITH sig AS (
+        SELECT e.vec_id, {_lsh_bucket_sql()} AS bucket
+        FROM embeddings e),
+    qs AS (
+        SELECT s.vec_id AS qid, s.bucket AS qbucket, ev.embedding AS qe
+        FROM sig s JOIN embeddings ev ON ev.vec_id = s.vec_id
+        WHERE s.vec_id IN {_RECALL_QIDS}),
+    cand AS (
+        SELECT q.qid, s.vec_id, {_COS_EV_Q} AS cos
+        FROM sig s
+        JOIN embeddings ev ON ev.vec_id = s.vec_id
+        JOIN qs q ON s.bucket = q.qbucket AND s.vec_id <> q.qid),
+    lsh AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM cand) t WHERE rn <= 10),
+    allp AS (
+        SELECT q.qid, ev.vec_id, {_COS_EV_Q} AS cos
+        FROM embeddings ev JOIN qs q ON ev.vec_id <> q.qid),
+    bf AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM allp) t WHERE rn <= 10),
+    hits AS (
+        SELECT lsh.qid, lsh.vec_id FROM lsh
+        JOIN bf ON bf.qid = lsh.qid AND bf.vec_id = lsh.vec_id)
+    SELECT q.qid, count(h.vec_id) AS n_overlap,
+           CAST(count(h.vec_id) AS DOUBLE) / 10 AS recall_at_10
+    FROM qs q LEFT JOIN hits h ON h.qid = q.qid
+    GROUP BY q.qid
+    """,
+)
+def llm_ann_recall_multi(spark, sf_dir):
+    """Multi-probe index-quality evaluation — recall@10 of the LSH
+    index for FIVE query vectors at once (llm_ann_recall generalizes
+    from its single probe): the per-query recall distribution is
+    what an ANN deployment actually monitors, since bucket-local
+    quality varies. One signature pass over the corpus serves all
+    probes; the query set broadcasts; LSH candidates come from the
+    bucket equi-join and the brute-force truth from a
+    corpus × 5-query broadcast product ranked per query — at 100 TB
+    the truth side runs on a SAMPLE of queries exactly like this.
+    Queries whose bucket holds < 10 candidates score their recall
+    against a short candidate list (qid 0's bucket at sf0.01, for
+    example), which is precisely the operational signal."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def signature(emb):
+        bits = [
+            F.when(_ndl_proj(emb, p) > 0, F.lit(2 ** p)).otherwise(
+                F.lit(0)
+            )
+            for p in range(_N_PLANES)
+        ]
+        return sum(bits[1:], bits[0])
+
+    sig = e.select(
+        "vec_id", "embedding", signature(F.col("embedding")).alias("bucket")
+    )
+    qs = sig.where(F.col("vec_id").isin(*_RECALL_QIDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("qe"),
+    )
+    ee, qe = F.col("embedding"), F.col("qe")
+    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    cand = (
+        sig.join(
+            F.broadcast(qs),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cos.alias("cos"))
+    )
+    lsh = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    allp = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos"))
+    )
+    bf = (
+        allp.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = lsh.join(bf, ["qid", "vec_id"])
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .groupBy("qid")
+        .agg(
+            F.count("vec_id").alias("n_overlap"),
+            (F.count("vec_id").cast("double") / F.lit(10)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
