@@ -161,6 +161,65 @@ def join_stream_static(spark, sf_dir):
 
 
 @query(
+    "join_stream_scd",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    changes AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE prev IS NULL OR event_type <> prev),
+    versions AS (
+        SELECT user_id, event_type AS attr, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS valid_to,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                   AS version
+        FROM changes)
+    SELECT e.event_id, e.user_id, v.attr, v.version, e.value
+    FROM events e
+    JOIN versions v ON v.user_id = e.user_id
+       AND v.valid_from <= e.ts
+       AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_stream_scd(spark, sf_dir):
+    """Stream enrichment against a type-2 dimension — the
+    point-in-time-correct lookup (C8a's temporal upgrade): each
+    streamed purchase joins the dim VERSION whose validity interval
+    covers its event time, not the latest row (the classic
+    training-data leak this pattern prevents). The dim is
+    scd2_build's output (imported — one definition, two graded
+    consumers), broadcast to the stream so the interval predicate
+    evaluates map-side with no stream-side shuffle; intervals
+    partition each user's timeline (pytest-proven contiguous), so
+    every purchase matches exactly one version on both engines."""
+    from ..queries.analytics import scd2_build
+
+    ev = _replayed(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    dim = scd2_build(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "attr",
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.d_user)
+        & (dim.valid_from <= ev.ts)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+    ).select("event_id", "user_id", "attr", "version", "value")
+    name = _to_table(joined, "ss_scd")
+    return spark.table(name)
+
+
+@query(
     "join_stream_stream",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
