@@ -3359,3 +3359,105 @@ def llm_ann_recall_multi(spark, sf_dir):
             ),
         )
     )
+
+
+_BLM_LAMBDA = 0.75  # interpolation weight: exact dyadic double
+
+
+@query(
+    "llm_bigram_lm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1]))
+              AS bg
+          FROM w),
+    cxy AS (SELECT bg, count(*) AS c_xy FROM g GROUP BY bg),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(sum(c_xy) AS DOUBLE) AS c_ctx
+            FROM cxy GROUP BY 1),
+    u AS (SELECT term, count(*) AS c
+          FROM (SELECT unnest(ws) AS term FROM w) GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_u, count(*) AS vocab
+            FROM u),
+    p AS (SELECT cxy.bg,
+                 CAST({_BLM_LAMBDA} AS DOUBLE)
+                   * (CAST(cxy.c_xy AS DOUBLE) / ctx.c_ctx)
+                 + CAST({1 - _BLM_LAMBDA} AS DOUBLE)
+                   * ((CAST(u.c AS DOUBLE) + 1.0)
+                      / (tot.n_u + CAST(tot.vocab AS DOUBLE))) AS prob
+          FROM cxy
+          JOIN ctx ON ctx.w1 = string_split(cxy.bg, ' ')[1]
+          JOIN u ON u.term = string_split(cxy.bg, ' ')[2]
+          CROSS JOIN tot)
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           CAST(sum(CAST(ln(p.prob) AS DECIMAL(18,6))) AS DOUBLE)
+               AS bg_logp
+    FROM g JOIN p USING (bg)
+    GROUP BY g.doc_id
+    """,
+)
+def llm_bigram_lm(spark, sf_dir):
+    """Interpolated bigram language-model scoring — the KenLM-class
+    upgrade of llm_unigram_lm's quality proxy: p(w2|w1) =
+    λ·c(w1w2)/c(w1·) + (1-λ)·p_add1(w2), λ=0.75 (exact dyadic).
+    The context totals derive FROM the bigram table (no third
+    corpus scan); bigram/unigram/context tables broadcast back and
+    scoring is one (doc_id) aggregate of DEC-quantized ln terms.
+    Emits the per-doc TOTAL log-prob plus the bigram count (the
+    dsir lesson: a normalized quotient can land on a rounding
+    midpoint; consumers divide downstream). Same shuffle classes as
+    unigram_lm — (bigram) partial counts and (doc_id) partials,
+    text never re-shuffles."""
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    cxy = g.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    ctx = (
+        cxy.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
+        .agg(F.sum("c_xy").cast("double").alias("c_ctx"))
+    )
+    u = (
+        d.select(F.explode(ws).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = u.agg(
+        F.sum("c").cast("double").alias("n_u"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    prob = (
+        F.lit(_BLM_LAMBDA)
+        * (F.col("c_xy").cast("double") / F.col("c_ctx"))
+        + F.lit(1 - _BLM_LAMBDA)
+        * ((F.col("c").cast("double") + F.lit(1.0))
+           / (F.col("n_u") + F.col("vocab").cast("double")))
+    )
+    p = (
+        cxy.join(
+            F.broadcast(ctx),
+            F.split("bg", " ").getItem(0) == F.col("w1"),
+        )
+        .join(
+            F.broadcast(u),
+            F.split("bg", " ").getItem(1) == F.col("term"),
+        )
+        .join(F.broadcast(tot))
+        .select("bg", prob.alias("prob"))
+    )
+    return (
+        g.join(F.broadcast(p), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dsum(F.log("prob")).alias("bg_logp"),
+        )
+    )
