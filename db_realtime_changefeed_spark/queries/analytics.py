@@ -2838,3 +2838,55 @@ def agg_grouping_id(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "win_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    islands AS (
+        SELECT user_id, d,
+               CAST(d AS DATE) - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER)
+                   AS grp
+        FROM days),
+    streaks AS (
+        SELECT user_id, grp, count(*) AS len,
+               min(d) AS streak_start
+        FROM islands GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           min(streak_start) AS first_active
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streak(spark, sf_dir):
+    """Gaps-and-islands by CALENDAR DAY — the consecutive-active-days
+    streak (engagement analytics' other island pattern; win_sessionize
+    covers the time-gap variant). The island key is the classic
+    date-minus-rank trick: consecutive days share (d - row_number)
+    exactly, any gap shifts it. Distinct days, the ranking window,
+    and both aggregates all share the user_id partitioning — the
+    subset rule keeps this at ONE data shuffle after the explicit
+    repartition. Pure integer/date arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.repartition("user_id")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.sum("len").alias("n_active_days"),
+        F.min("streak_start").alias("first_active"),
+    )
