@@ -2890,3 +2890,33 @@ def win_streak(spark, sf_dir):
         F.sum("len").alias("n_active_days"),
         F.min("streak_start").alias("first_active"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram per group — the profiling primitive
+    behind every column-statistics page. Fixed width-50 buckets
+    (floor(value/50): data-independent bounds, so two engines — or
+    two partitions — can never disagree on bucket edges; min/max
+    per bucket come free in the same single hash aggregate).
+    Scale note: fixed-width bucketing is a pure map-side
+    expression; the data-DEPENDENT variant (equi-depth) is
+    agg_approx's percentile sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

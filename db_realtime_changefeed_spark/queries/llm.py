@@ -3461,3 +3461,74 @@ def llm_bigram_lm(spark, sf_dir):
             dsum(F.log("prob")).alias("bg_logp"),
         )
     )
+
+
+@query(
+    "llm_vocab_growth",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+    first_seen AS (
+        SELECT term, min(doc_id) AS first_doc
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1])) AS term
+              FROM w) t
+        GROUP BY term),
+    bucketed AS (
+        SELECT CAST(floor(first_doc * 10.0 / n.n_docs) AS BIGINT)
+                   AS decile,
+               count(*) AS new_terms
+        FROM first_seen, n GROUP BY 1)
+    SELECT decile, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_size
+    FROM bucketed
+    """,
+)
+def llm_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law): how many NEW terms each
+    successive tenth of the corpus contributes, plus the cumulative
+    vocabulary — the sublinearity check that tells you whether more
+    data still buys lexical coverage (a flat tail says the corpus
+    is saturating; a hot tail flags contamination or language
+    drift). The unit is BIGRAMS: the fixture's unigram vocabulary
+    (~40 words) saturates inside the first decile, while the bigram
+    space keeps growing corpus-long — which is also the honest
+    real-world choice, where n-gram novelty outlives unigram
+    novelty. Each unit's first occurrence is one aggregate —
+    min(doc_id) — then per-decile counts and a 10-row cumulative
+    window. The corpus is tokenized once; only (term, min_doc)
+    pairs shuffle. Integer-exact throughout."""
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()
+    ws = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    first_seen = (
+        d.select("doc_id", F.explode(bigrams).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    # floor() explicitly on BOTH engines: DuckDB's CAST(double AS
+    # BIGINT) ROUNDS half-even while Spark's cast truncates — an
+    # implicit-cast trap worth this comment
+    bucketed = first_seen.groupBy(
+        F.floor(F.col("first_doc") * 10 / F.lit(n_docs))
+        .cast("long")
+        .alias("decile")
+    ).agg(F.count(F.lit(1)).alias("new_terms"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bucketed.select(
+        "decile",
+        "new_terms",
+        F.sum("new_terms").over(w).alias("vocab_size"),
+    )
