@@ -180,3 +180,30 @@ def test_rounded_quotients_are_tie_audited():
         f"unaudited rounded quotients (use dround6_div or audit): "
         f"{offenders}"
     )
+
+
+def test_no_unfloored_casts_over_divisions():
+    """DuckDB's CAST(double AS BIGINT/INTEGER) ROUNDS half-even;
+    Spark's cast TRUNCATES. Any oracle casting a quotient to an
+    integer type must wrap it in floor/ceil/round explicitly (found
+    live in llm_vocab_growth's decile bucketing)."""
+    import re
+
+    import __spark_entry__ as e
+
+    offenders = []
+    for name, sql in e.oracle_sql().items():
+        for m in re.finditer(
+            r"CAST\(([^()]*(?:\([^()]*\))?[^()]*)\s+AS\s+"
+            r"(BIGINT|INTEGER)\)",
+            sql,
+            re.I,
+        ):
+            inner = m.group(1)
+            if "/" in inner and not re.search(
+                r"floor|ceil|round", inner, re.I
+            ):
+                offenders.append((name, m.group(0)[:60]))
+    assert not offenders, (
+        f"unfloored integer casts over divisions: {offenders}"
+    )
