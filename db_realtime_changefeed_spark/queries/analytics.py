@@ -2920,3 +2920,426 @@ def agg_histogram(spark, sf_dir):
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# ------------------------------------------------- round-5 continuation
+# Statistical regression, ordered string aggregation, IGNORE NULLS
+# windows, series autocorrelation, distributed triangle counting, and
+# the partitioned write-path layout demo.
+
+
+@query(
+    "agg_regression",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             {_sql_wsum('l_quantity', 'l_quantity')} AS sxx,
+             {sql_dsum('l_extendedprice')} AS sy,
+             {_sql_wsum('l_extendedprice', 'l_extendedprice')} AS syy,
+             {_sql_wsum('l_quantity', 'l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Per-group OLS regression (slope/intercept/R²) of extended
+    price on quantity — the REGR_SLOPE/REGR_INTERCEPT/REGR_R2 family
+    computed from exact DECIMAL moments instead of the native
+    streaming aggregates, because the native versions accumulate
+    doubles in partition order (Spark) vs vector order (DuckDB) and
+    are therefore not hash-gradable across engines (the agg_stats
+    determinism analysis applies verbatim). One hash aggregate
+    produces the five moments; the closed-form combination is
+    written token-identically in both engines so the final IEEE
+    arithmetic agrees bitwise. Scale: map-side partial moments, one
+    3-group shuffle — the same plan REGR_* itself would produce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        _wsum(F.col("l_quantity"), F.col("l_quantity")).alias("sxx"),
+        dsum("l_extendedprice").alias("sy"),
+        _wsum(F.col("l_extendedprice"),
+              F.col("l_extendedprice")).alias("syy"),
+        _wsum(F.col("l_quantity"),
+              F.col("l_extendedprice")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    WITH cn AS (
+      SELECT c.c_mktsegment AS seg, n.n_name AS nat,
+             count(*) AS n_cust
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT seg, nat, n_cust,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY n_cust DESC, nat) AS rn
+      FROM cn)
+    SELECT seg,
+           string_agg(nat, ',' ORDER BY n_cust DESC, nat) AS top_nations,
+           CAST(sum(n_cust) AS BIGINT) AS top_cust
+    FROM ranked WHERE rn <= 3
+    GROUP BY seg
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (ORDER
+    BY), the SQL:2016 ordered-set aggregate Spark 4.0 added (DuckDB
+    spells it string_agg with an ORDER BY argument). Per market
+    segment: the top-3 customer nations by count, concatenated in
+    rank order. Two hash aggregates plus one tiny ranking window;
+    the dimension join broadcasts. The (count DESC, name) sort key
+    is total, so both the row_number cut and the inside-aggregate
+    order are deterministic — the general LISTAGG trap (partial
+    orders concatenate nondeterministically) is designed out. The
+    Spark side goes through spark.sql to grade the WITHIN GROUP
+    parser surface too."""
+    c = load_table(spark, sf_dir, "customer")
+    nt = load_table(spark, sf_dir, "nation")
+    cn = (
+        c.join(F.broadcast(nt),
+               nt.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"),
+                 F.col("n_name").alias("nat"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    w = Window.partitionBy("seg").orderBy(
+        F.col("n_cust").desc(), F.col("nat"))
+    ranked = cn.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 3)
+    ranked.createOrReplaceTempView("agg_listagg_ranked")
+    return spark.sql("""
+        SELECT seg,
+               listagg(nat, ',')
+                   WITHIN GROUP (ORDER BY n_cust DESC, nat)
+                   AS top_nations,
+               CAST(sum(n_cust) AS BIGINT) AS top_cust
+        FROM agg_listagg_ranked GROUP BY seg
+    """)
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL
+                  ELSE value END AS obs
+      FROM events)
+    SELECT user_id, event_id, obs,
+           last_value(obs IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS filled,
+           lag(obs IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_obs,
+           count(obs)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS n_obs
+    FROM v
+    """,
+)
+def win_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation — last-observation-carried-
+    forward (LOCF) gap-fill, the sensor/metrics staple: clicks carry
+    no reading (modelled as NULL), and every row sees the latest
+    non-null observation at-or-before it plus the strictly-previous
+    one. last_value/lag IGNORE NULLS run in the same cumulative
+    (ts, event_id) frame, so one window sort serves all three
+    outputs; no value arithmetic happens (values are PICKED, not
+    summed), so doubles pass through untouched and both engines
+    agree exactly. Scale: one (user_id) shuffle, linear frame scan
+    — gapfill_time_series covers the interpolating variant."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.col("value"))
+    v = ev.select("user_id", "event_id", "ts", obs.alias("obs"))
+    v.createOrReplaceTempView("win_ignore_nulls_v")
+    return spark.sql("""
+        SELECT user_id, event_id, obs,
+               last_value(obs) IGNORE NULLS
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS filled,
+               lag(obs) IGNORE NULLS
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_obs,
+               count(obs)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS n_obs
+        FROM win_ignore_nulls_v
+    """)
+
+
+_AC_DEC = "DECIMAL(30,6)"
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             {sql_dsum('value')} AS x
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT x, lag(x) OVER (ORDER BY d) AS y FROM daily),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS {_AC_DEC})) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS {_AC_DEC})) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS {_AC_DEC})) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS {_AC_DEC})) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS {_AC_DEC})) AS DOUBLE) AS syy
+      FROM pairs WHERE y IS NOT NULL)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS autocorr_lag1
+    FROM m
+    """,
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily total — the seasonality /
+    persistence diagnostic run before any forecasting model. Three
+    stages, each with the repo's determinism discipline: the daily
+    roll-up is an exact DECIMAL sum; the lag pairing is a pure pick
+    over the date order (values copied, not re-accumulated); the
+    correlation comes from DECIMAL(30,6) second moments (daily
+    totals reach ~1e6 at sf0.1, squares ~1e12 — scale 6 keeps the
+    cast exact-deterministic) combined with a token-identical
+    closed form. Scale: day cardinality is tiny (one row per day),
+    so the single-partition lag window is a non-issue; the heavy
+    lifting is the map-side partial sum over events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        dsum("value").alias("x"))
+    w = Window.orderBy("d")
+    pairs = daily.select("x", F.lag("x").over(w).alias("y")).where(
+        F.col("y").isNotNull())
+
+    def dec(c):
+        return F.sum(c.cast(_AC_DEC.lower())).cast("double")
+
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        n.cast("bigint").alias("n_pairs"),
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx)
+            * F.sqrt(n * syy - sy * sy))).alias("autocorr_lag1"),
+    )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM pairs
+        UNION ALL SELECT v FROM pairs) t
+      GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v)
+                  THEN p.u ELSE p.v END AS s,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v)
+                  THEN p.v ELSE p.u END AS t
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v),
+    wedges AS (
+      SELECT least(e1.t, e2.t) AS a, greatest(e1.t, e2.t) AS b
+      FROM oriented e1 JOIN oriented e2
+        ON e1.s = e2.s AND e1.t < e2.t),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedges w JOIN pairs p ON p.u = w.a AND p.v = w.b)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           n_triangles,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           CAST(3.0 * n_triangles AS DOUBLE)
+             / (SELECT CAST(sum(d * (d - 1) / 2) AS DOUBLE) FROM deg)
+               AS transitivity
+    FROM tri
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Distributed triangle counting over the part co-purchase graph
+    (nodes = parts, edge = appeared in the same order; a
+    deterministic orderkey % 4 sample bounds graph density). The
+    plan is the MapReduce-era degree-orientation algorithm (Suri &
+    Vassilvitskii, WWW'11): orient every edge from its
+    lower-(degree, id) endpoint, enumerate wedges only from
+    out-neighbours, close them against the edge set — wedge volume
+    drops from sum C(deg,2) to sum C(outdeg,2), which is the
+    difference between quadratic-in-hub-degree and O(m^1.5) on
+    skewed graphs. Degrees broadcast (one row per node); the wedge
+    closure joins against the edge set by (a, b). Pure integer
+    counts; the transitivity ratio is one IEEE division of exact
+    integers written identically on both sides."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.broadcast(deg).alias("du")
+    dv = F.broadcast(deg).alias("dv")
+    lower_first = (
+        F.struct(F.col("du.d"), F.col("u"))
+        < F.struct(F.col("dv.d"), F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v"))
+                .alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u"))
+                .alias("t"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
+                & (F.col("e1.t") < F.col("e2.t")))
+        .select(F.least("e1.t", "e2.t").alias("a"),
+                F.greatest("e1.t", "e2.t").alias("b"))
+    )
+    tri = wedges.join(
+        F.broadcast(pairs),
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+            .alias("n_wedges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double")
+            .alias("w_dbl"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.join(F.broadcast(stats)).join(F.broadcast(n_edges))
+        .select(
+            "n_nodes", "n_edges", "n_triangles", "n_wedges",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("w_dbl"))
+                .alias("transitivity"),
+        )
+    )
+
+
+_LAYOUT_ROOT = "/tmp/spark_graft_layout"
+
+
+def _layout_dir(sf_dir: str) -> str:
+    """Fingerprinted cache dir for the written layout (the replay
+    _chunk_dir contract: absolute path + backing-file (size,
+    mtime_ns), so a driver-side testdata regeneration invalidates
+    the written copy instead of serving a stale layout)."""
+    import hashlib
+    import os
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    backing = os.path.join(ap, "lineitem.parquet")
+    try:
+        st = os.stat(backing)
+        stamp = f"{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = "missing"
+    digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:8]
+    return f"{_LAYOUT_ROOT}-{os.path.basename(ap)}-{digest}"
+
+
+@query(
+    "layout_partitioned_write",
+    oracle=f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+           count(*) AS n,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m') IN ('1996-03', '1996-04')
+    GROUP BY 1
+    """,
+)
+def layout_partitioned_write(spark, sf_dir):
+    """Write-path layout management — the missing half of
+    layout_zorder's story: lineitem is REWRITTEN as a
+    ship-month-partitioned parquet lake
+    (repartitionByRange(ym, orderkey) BEFORE write.partitionBy(ym),
+    so each task owns a contiguous month range and every partition
+    directory gets O(1) files instead of one-file-per-task-per-month
+    — the small-files explosion that kills 100 TB lakes), then read
+    back with a month predicate that Spark resolves by PARTITION
+    PRUNING: the two-month aggregate scans two directories, not 82.
+    The written copy is cached per (sf_dir, lineitem fingerprint)
+    under /tmp, mirroring the streaming replay chunk cache. The
+    oracle aggregates the original table directly — identical
+    results prove the rewrite is lossless."""
+    import os
+
+    out = _layout_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li_w = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+        )
+        (li_w.repartitionByRange(8, "ym", "l_orderkey")
+             .write.mode("overwrite").partitionBy("ym").parquet(out))
+    lake = spark.read.parquet(out)
+    return (
+        lake.where(F.col("ym").isin("1996-03", "1996-04"))
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

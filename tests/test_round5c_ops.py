@@ -1,0 +1,146 @@
+"""Semantic invariants for the round-5 third-wave operators
+(regression, ordered LISTAGG, IGNORE NULLS navigation, series
+autocorrelation, triangle counting, partitioned write layout) —
+properties the differential oracle can't express."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.catalog import load_table
+from db_realtime_changefeed_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def test_regression_matches_numpy(spark, sf_smoke):
+    """Slope/intercept/R² must agree with an independent pandas OLS
+    on the same rows to float precision."""
+    got = {r.l_returnflag: r for r in
+           QUERIES["agg_regression"](spark, sf_smoke).collect()}
+    pdf = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        x = g["l_quantity"].astype(float)
+        y = g["l_extendedprice"].astype(float)
+        n = len(g)
+        sxy = (x * y).sum() - x.sum() * y.sum() / n
+        sxx = (x * x).sum() - x.sum() ** 2 / n
+        syy = (y * y).sum() - y.sum() ** 2 / n
+        slope = sxy / sxx
+        r = got[flag]
+        assert r.n == n
+        assert abs(r.slope - slope) / abs(slope) < 1e-9
+        assert abs(r.intercept - (y.mean() - slope * x.mean())) < 1e-3
+        assert abs(r.r2 - sxy * sxy / (sxx * syy)) < 1e-9
+        assert 0.0 < r.r2 <= 1.0
+
+
+def test_listagg_top3_order_and_sum(spark, sf_smoke):
+    """Each segment lists at most 3 nations; the listagg order is
+    (count DESC, name); top_cust re-derives from an independent
+    groupBy."""
+    rows = QUERIES["agg_listagg"](spark, sf_smoke).collect()
+    c = load_table(spark, sf_smoke, "customer")
+    nt = load_table(spark, sf_smoke, "nation")
+    counts = (
+        c.join(nt, nt.n_nationkey == c.c_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_seg: dict[str, list[tuple[int, str]]] = {}
+    for r in counts:
+        by_seg.setdefault(r.c_mktsegment, []).append((r.n, r.n_name))
+    for r in rows:
+        ordered = sorted(by_seg[r.seg], key=lambda t: (-t[0], t[1]))[:3]
+        assert r.top_nations == ",".join(name for _, name in ordered)
+        assert r.top_cust == sum(n for n, _ in ordered)
+
+
+def test_ignore_nulls_is_groupwise_ffill(spark, sf_smoke):
+    """`filled` must equal a pandas groupby-ffill of the nulled
+    observation series, and `prev_obs` the strictly-previous
+    observation."""
+    pdf = (
+        QUERIES["win_ignore_nulls"](spark, sf_smoke)
+        .join(load_table(spark, sf_smoke, "events")
+              .select("event_id", "ts"), "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    g = pdf.groupby("user_id")["obs"]
+    assert pdf["filled"].equals(g.ffill())
+    shifted = g.apply(lambda s: s.ffill().shift(1)).reset_index(
+        level=0, drop=True)
+    assert pdf["prev_obs"].equals(shifted)
+
+
+def test_autocorr_bounds(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    n_days = ev.select(F.col("ts").cast("date")).distinct().count()
+    r = QUERIES["ts_autocorr"](spark, sf_smoke).collect()[0]
+    assert r.n_pairs == n_days - 1
+    assert -1.0 <= r.autocorr_lag1 <= 1.0
+
+
+def test_triangles_match_bruteforce(spark, sf_smoke):
+    """Degree-oriented count must equal the naive all-triples count
+    on the smoke graph."""
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            edges.add((u, v))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1 for u, v in edges
+        for w in adj[u] & adj[v] if v < w
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    got = QUERIES["graph_triangles"](spark, sf_smoke).collect()[0]
+    assert got.n_nodes == len(adj)
+    assert got.n_edges == len(edges)
+    assert got.n_triangles == tri
+    assert got.n_wedges == wedges
+    assert abs(got.transitivity - 3.0 * tri / wedges) < 1e-12
+
+
+def test_layout_write_prunes_partitions(spark, sf_smoke):
+    """The read-back plan must carry a partition filter on ym (the
+    written layout prunes at the directory level), and the lake must
+    hold every ship month exactly once."""
+    import os
+
+    from db_realtime_changefeed_spark.queries.analytics import _layout_dir
+
+    df = QUERIES["layout_partitioned_write"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ym" in plan
+    out = _layout_dir(sf_smoke)
+    months = sorted(
+        d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("ym=")
+    )
+    expected = sorted(
+        r.ym for r in load_table(spark, sf_smoke, "lineitem")
+        .select(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .distinct().collect()
+    )
+    assert months == expected
+    assert {r.ym for r in df.collect()} == {"1996-03", "1996-04"}
