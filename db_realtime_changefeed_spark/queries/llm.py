@@ -3364,9 +3364,10 @@ def llm_ann_recall_multi(spark, sf_dir):
 _BLM_LAMBDA = 0.75  # interpolation weight: exact dyadic double
 
 
-@query(
-    "llm_bigram_lm",
-    oracle=f"""
+# Shared CTE chain for the interpolated bigram LM: `scored` holds the
+# per-doc (n_bigrams, bg_logp) that both the raw scoring query and the
+# perplexity bucketing query consume.
+_BLM_CTES = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents),
     g AS (SELECT doc_id,
@@ -3391,12 +3392,21 @@ _BLM_LAMBDA = 0.75  # interpolation weight: exact dyadic double
           FROM cxy
           JOIN ctx ON ctx.w1 = string_split(cxy.bg, ' ')[1]
           JOIN u ON u.term = string_split(cxy.bg, ' ')[2]
-          CROSS JOIN tot)
-    SELECT g.doc_id, count(*) AS n_bigrams,
-           CAST(sum(CAST(ln(p.prob) AS DECIMAL(18,6))) AS DOUBLE)
-               AS bg_logp
-    FROM g JOIN p USING (bg)
-    GROUP BY g.doc_id
+          CROSS JOIN tot),
+    scored AS (
+        SELECT g.doc_id, count(*) AS n_bigrams,
+               CAST(sum(CAST(ln(p.prob) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS bg_logp
+        FROM g JOIN p USING (bg)
+        GROUP BY g.doc_id)
+"""
+
+
+@query(
+    "llm_bigram_lm",
+    oracle=f"""
+    {_BLM_CTES}
+    SELECT doc_id, n_bigrams, bg_logp FROM scored
     """,
 )
 def llm_bigram_lm(spark, sf_dir):
@@ -3411,6 +3421,13 @@ def llm_bigram_lm(spark, sf_dir):
     midpoint; consumers divide downstream). Same shuffle classes as
     unigram_lm — (bigram) partial counts and (doc_id) partials,
     text never re-shuffles."""
+    return _bigram_doc_scores(spark, sf_dir)
+
+
+def _bigram_doc_scores(spark, sf_dir):
+    """Per-doc (n_bigrams, bg_logp) under the interpolated bigram LM
+    — the shared plan behind llm_bigram_lm (raw scores) and
+    llm_perplexity_buckets (CCNet-style tiering)."""
     d = _rebalanced(load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     n = F.size(ws)
@@ -3531,4 +3548,49 @@ def llm_vocab_growth(spark, sf_dir):
         "decile",
         "new_terms",
         F.sum("new_terms").over(w).alias("vocab_size"),
+    )
+
+
+@query(
+    "llm_perplexity_buckets",
+    oracle=f"""
+    {_BLM_CTES},
+    ce AS (SELECT doc_id, (-bg_logp) / n_bigrams AS ce FROM scored),
+    bk AS (SELECT ce,
+                  ntile(3) OVER (ORDER BY ce, doc_id) AS bucket
+           FROM ce)
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS mean_ce,
+           min(ce) AS min_ce, max(ce) AS max_ce
+    FROM bk GROUP BY bucket
+    """,
+)
+def llm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity tiering (Wenzek et al., LREC 2020):
+    split the corpus into head/middle/tail thirds by language-model
+    score and profile each tier — the standard recipe for choosing
+    which slice of a crawl feeds training. The score is per-bigram
+    CROSS-ENTROPY (-logp/n) from the shared interpolated-bigram LM
+    plan; perplexity = exp(ce) is monotone in it, and exp() is
+    deliberately not materialized (JVM StrictMath vs libm can differ
+    in the last ulp — ce keeps both engines exact). The tier cut is
+    ntile(3) over the total (ce, doc_id) order, so ties cannot
+    straddle tiers nondeterministically. Scale honesty: global ntile
+    is a single-partition sort of ONE ROW PER DOC (not per token);
+    at 100 TB the cut becomes approx-percentile thresholds
+    broadcast back — the same trade agg_quantiles documents."""
+    base = _bigram_doc_scores(spark, sf_dir)
+    ce = base.select(
+        "doc_id",
+        ((-F.col("bg_logp")) / F.col("n_bigrams")).alias("ce"),
+    )
+    w = Window.orderBy("ce", "doc_id")
+    bk = ce.select("ce", F.ntile(3).over(w).alias("bucket"))
+    return bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("ce").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("mean_ce"),
+        F.min("ce").alias("min_ce"),
+        F.max("ce").alias("max_ce"),
     )

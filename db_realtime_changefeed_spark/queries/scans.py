@@ -381,3 +381,102 @@ def source_binary(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+@query(
+    "source_python_datasource_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def source_python_datasource_stream(spark, sf_dir):
+    """STREAMING half of the Python DataSource API (Spark 4):
+    the same row-group-splitting events connector as
+    source_python_datasource, but exposed through
+    DataSourceStreamReader — offsets are row-group cursors, the
+    planner hands each micro-batch a (start, end) row-group range,
+    and read() executes ON EXECUTORS per split (this is the
+    partition-planned reader, not the driver-side
+    SimpleDataSourceStreamReader convenience class). latestOffset
+    admits the whole file, so Trigger.AvailableNow drains it in one
+    planned batch, exactly how a backfill against a real stream
+    (Kafka topic, CDC slot) bootstraps. The memory-sink round trip
+    is graded against the parquet oracle — proving offset planning
+    loses and duplicates nothing."""
+    import tempfile
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    path = table_path(sf_dir, "events")
+
+    class _RgRange(InputPartition):
+        def __init__(self, lo, hi):
+            self.lo, self.hi = lo, hi
+
+    class _EventsStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def _num_row_groups(self):
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(self.path).metadata.num_row_groups
+
+        def initialOffset(self):
+            return {"rg": 0}
+
+        def latestOffset(self):
+            return {"rg": self._num_row_groups()}
+
+        def partitions(self, start, end):
+            return [_RgRange(i, i + 1)
+                    for i in range(start["rg"], end["rg"])]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(self.path)
+            for i in range(partition.lo, partition.hi):
+                tbl = pf.read_row_group(
+                    i,
+                    columns=["event_id", "user_id",
+                             "event_type", "value"],
+                )
+                yield from tbl.to_batches()
+
+        def commit(self, end):
+            pass
+
+    class EventsStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dbrcf_events_stream"
+
+        def schema(self):
+            return ("event_id long, user_id long, event_type string,"
+                    " value double")
+
+        def streamReader(self, schema):
+            return _EventsStreamReader(self.options)
+
+    spark.dataSource.register(EventsStreamSource)
+    stream = (
+        spark.readStream.format("dbrcf_events_stream")
+        .option("path", path).load()
+    )
+    name = f"pyds_stream_{abs(hash(path)) % 10**8}"
+    ckpt = tempfile.mkdtemp(prefix="dbrcf-pyds-ckpt-")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -338,3 +338,34 @@ def udtf_cogrouped_map(spark, sf_dir):
                    " click_id long, click_value double",
         )
     )
+
+
+@query(
+    "udf_scalar_arrow",
+    oracle="""
+    SELECT p_partkey,
+           replace(p_brand, 'Brand#', 'B') || '/'
+               || CAST(p_size // 10 AS VARCHAR) AS bin
+    FROM part
+    """,
+)
+def udf_scalar_arrow(spark, sf_dir):
+    """Arrow-optimized Python UDF (§2.K extra) — Spark 4's
+    useArrow=True variant of the classic scalar udf(): Arrow batch
+    transfer like a pandas UDF, but the wrapped function keeps the
+    one-value-in/one-value-out signature, so existing per-row
+    lambdas upgrade without a rewrite. Registered as deliberate API
+    coverage on the PART DIMENSION (thousands of rows, never a
+    fact-table hot path): per-element Python still runs inside the
+    batch, so udf_scalar_pandas' vectorized form remains the
+    production path the module docstring mandates. Pure string/int
+    arithmetic — engine-exact."""
+
+    @F.udf("string", useArrow=True)
+    def brand_bin(brand: str, size: int) -> str:
+        return f"{brand.replace('Brand#', 'B')}/{size // 10}"
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", brand_bin("p_brand", "p_size").alias("bin")
+    )

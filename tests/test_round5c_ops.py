@@ -144,3 +144,42 @@ def test_layout_write_prunes_partitions(spark, sf_smoke):
     )
     assert months == expected
     assert {r.ym for r in df.collect()} == {"1996-03", "1996-04"}
+
+
+def test_perplexity_buckets_partition_docs(spark, sf_smoke):
+    """Tiers 1..3 cover every scoreable doc exactly once, sizes are
+    balanced (ntile), and tier ce-ranges are ordered and disjoint."""
+    rows = sorted(
+        QUERIES["llm_perplexity_buckets"](spark, sf_smoke).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == [1, 2, 3]
+    n_scoreable = (
+        load_table(spark, sf_smoke, "documents")
+        .where(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_scoreable
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_ce <= hi.min_ce
+        assert lo.min_ce <= lo.mean_ce <= lo.max_ce
+
+
+def test_arrow_udf_matches_python(spark, sf_smoke):
+    got = {r.p_partkey: r.bin
+           for r in QUERIES["udf_scalar_arrow"](spark, sf_smoke).collect()}
+    src = load_table(spark, sf_smoke, "part").collect()
+    for r in src:
+        assert got[r.p_partkey] == (
+            f"{r.p_brand.replace('Brand#', 'B')}/{r.p_size // 10}"
+        )
+
+
+def test_stream_datasource_exactly_once(spark, sf_smoke):
+    """Offset-planned streaming read must deliver every event exactly
+    once — no loss, no duplication across planned partitions."""
+    df = QUERIES["source_python_datasource_stream"](spark, sf_smoke)
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert df.count() == n_events
+    assert df.select("event_id").distinct().count() == n_events
