@@ -3343,3 +3343,151 @@ def layout_partitioned_write(spark, sf_dir):
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "fn_sql_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf(spark, sf_dir):
+    """SQL-language scalar UDF (CREATE FUNCTION ... RETURN expr, the
+    SQL:2016 / Spark 3.5+ feature): business logic named ONCE in the
+    catalog and reused across queries, with none of a Python UDF's
+    serialization cost — Catalyst INLINES the body at parse time, so
+    the plan is bit-identical to writing the expression inline
+    (whole-stage codegen, pushdown, everything). disc_price is the
+    TPC-H discounted-revenue rule; the oracle inlines the same
+    arithmetic, proving the inlining claim. The per-row product is
+    identical IEEE math on both engines; the sum rides the DEC
+    path."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+            p DOUBLE, d DOUBLE) RETURNS DOUBLE
+        RETURN p * (1.0 - d)
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS avg_price
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n_above
+    FROM orders, thr
+    WHERE o_totalprice > thr.avg_price
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark, sf_dir):
+    """SQL session variables (DECLARE VARIABLE / SET VAR, Spark 4):
+    a scalar computed by one statement feeds the next WITHOUT client
+    round-tripping the value through strings — the session-scripting
+    surface BI layers and migration runbooks use. The threshold is
+    SET from a scalar subquery (the DEC-stabilized mean, so the
+    value itself is engine-exact); the consuming query references
+    the variable like a constant, which Catalyst folds — the plan
+    filters on a literal, no re-computation. The oracle inlines the
+    same subquery via a CTE."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_thr DOUBLE")
+    spark.sql("""
+        SET VAR price_thr = (
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*)
+          FROM orders)
+    """)
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > price_thr
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_execute_immediate(spark, sf_dir):
+    """EXECUTE IMMEDIATE (Spark 4): SQL text held in a session
+    variable runs with parameter-marker binding (USING), the dynamic-
+    SQL surface stored procedures and migration tools rely on —
+    composed dynamically but still INJECTION-SAFE, because the value
+    arrives as a typed bind, never string-spliced. Complements
+    sql_params (static text, bound values) and sql_identifier
+    (bound table names). The oracle inlines the bound constant."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql("""
+        SET VAR stmt =
+          'SELECT o_orderstatus, count(*) AS n
+           FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
+    """)
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 150000.0")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                  ELSE c_nationkey END AS k
+      FROM customer),
+    s AS (
+      SELECT CASE WHEN s_acctbal < 0 THEN NULL
+                  ELSE s_nationkey END AS k
+      FROM supplier)
+    SELECT c.k, count(*) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics dedup and
+    reconciliation jobs need when "unknown" is itself a join class
+    (here: delinquent customers pair with delinquent suppliers).
+    Critically this is still a HASH join in Spark — <=> is an
+    EqualNullSafe key, not a theta condition, so the plan is
+    shuffle/broadcast hash join, not a nested loop; at 100 TB that
+    distinction is the whole game. The skew caveat is real (a fat
+    NULL class hashes to ONE partition — join_skew_salted shows the
+    fix); the supplier side broadcasts here."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_nationkey")).alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("s_nationkey")).alias("ck"))
+    return (
+        c.join(F.broadcast(s), c.k.eqNullSafe(s.ck))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

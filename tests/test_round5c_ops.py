@@ -183,3 +183,71 @@ def test_stream_datasource_exactly_once(spark, sf_smoke):
     n_events = load_table(spark, sf_smoke, "events").count()
     assert df.count() == n_events
     assert df.select("event_id").distinct().count() == n_events
+
+
+def test_sql_udf_inlines_to_codegen(spark, sf_smoke):
+    """The SQL UDF must inline — no Python evaluation node may
+    appear, and results equal the hand-inlined expression."""
+    df = QUERIES["fn_sql_udf"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    inline = (
+        load_table(spark, sf_smoke, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum((F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount")))
+                   .cast("decimal(18,6)")).cast("double").alias("revenue"))
+        .collect()
+    )
+    got = {r.l_returnflag: r.revenue for r in df.collect()}
+    for r in inline:
+        assert got[r.l_returnflag] == r.revenue
+
+
+def test_session_variable_threshold(spark, sf_smoke):
+    """The variable-driven filter must agree with an explicit
+    two-step computation of the same threshold."""
+    rows = QUERIES["sql_session_variables"](spark, sf_smoke).collect()
+    o = load_table(spark, sf_smoke, "orders")
+    thr = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+         .cast("double") / F.count(F.lit(1))).alias("t")
+    ).collect()[0].t
+    expect = {
+        r.o_orderpriority: r.n
+        for r in o.where(F.col("o_totalprice") > thr)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.o_orderpriority: r.n_above for r in rows} == expect
+
+
+def test_execute_immediate_binds(spark, sf_smoke):
+    rows = QUERIES["sql_execute_immediate"](spark, sf_smoke).collect()
+    o = load_table(spark, sf_smoke, "orders")
+    expect = {
+        r.o_orderstatus: r.n
+        for r in o.where(F.col("o_totalprice") > 150000.0)
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.o_orderstatus: r.n for r in rows} == expect
+
+
+def test_null_safe_join_matches_null_class(spark, sf_smoke):
+    """NULL<=>NULL must MATCH: the NULL group's pair count is the
+    product of the two delinquent populations, and the plan stays a
+    hash join (EqualNullSafe is a join KEY, not a theta filter)."""
+    df = QUERIES["join_null_safe"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    c_neg = (load_table(spark, sf_smoke, "customer")
+             .where(F.col("c_acctbal") < 0).count())
+    s_neg = (load_table(spark, sf_smoke, "supplier")
+             .where(F.col("s_acctbal") < 0).count())
+    null_row = [r for r in df.collect() if r.k is None]
+    if c_neg * s_neg == 0:
+        assert null_row == []  # inner join: empty side, no NULL class
+    else:
+        assert len(null_row) == 1
+        assert null_row[0].n_pairs == c_neg * s_neg
