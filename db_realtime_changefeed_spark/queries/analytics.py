@@ -3528,3 +3528,131 @@ def join_null_safe(spark, sf_dir):
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "fn_sql_tvf",
+    oracle="""
+    SELECT o_orderkey, CAST(k AS INT) AS k,
+           o_totalprice / 3 AS amount
+    FROM orders, generate_series(1, 3) t(k)
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def fn_sql_tvf(spark, sf_dir):
+    """SQL-language TABLE function (CREATE FUNCTION ... RETURNS
+    TABLE) applied via correlated LATERAL — the declarative cousin
+    of udtf_lateral's Python UDTF: a three-way installment schedule
+    expands each urgent order into rows, the TVF body referencing
+    the outer column. Catalyst inlines the body like fn_sql_udf's
+    scalar (the plan is a plain generate/explode — no function-call
+    machinery at run time), so row expansion stays whole-stage
+    codegen. The per-row division is one IEEE op, identical on both
+    engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION installments(
+            total DOUBLE, n INT) RETURNS TABLE(k INT, amount DOUBLE)
+        RETURN SELECT i AS k, total / n AS amount
+               FROM (SELECT explode(sequence(1, n)) AS i)
+    """)
+    return spark.sql("""
+        SELECT o_orderkey, s.k, s.amount
+        FROM orders, LATERAL installments(o_totalprice, 3) s
+        WHERE o_orderpriority = '1-URGENT'
+    """)
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders)
+    SELECT o_orderpriority,
+           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+           max(CASE WHEN rmax = 1 THEN o_totalprice END) AS top_price,
+           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS low_order,
+           max(CASE WHEN rmin = 1 THEN o_totalprice END) AS low_price
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax(spark, sf_dir):
+    """MAX_BY / MIN_BY — the argmax aggregates (which ROW holds the
+    extreme, not just the extreme value) with a composite
+    (o_totalprice, o_orderkey) ordering key so price ties resolve
+    deterministically: max_by takes the struct-max (price, then
+    key), min_by the struct-min. ONE hash aggregate per group — the
+    plan a row_number window needs a full sort for (the oracle uses
+    exactly that window form, proving the aggregate picks the same
+    rows). At 100 TB this is the difference between a partial-
+    aggregating shuffle of 5 groups and a global per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by("o_orderkey", key).alias("low_order"),
+        F.min("o_totalprice").alias("low_price"),
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type,
+             round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*) FILTER (WHERE d.ad > 3 * m.mad) AS n_outliers,
+           count(*) AS n,
+           max(d.med) AS med, max(m.mad) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection by median absolute deviation — the
+    outlier rule that survives the outliers themselves (3×MAD ≈
+    4.5σ under normality; mean/stddev z-scores move WITH the
+    anomalies they hunt). Exact two-pass form: per-type median,
+    then median of absolute deviations, both medians 6-dp rounded
+    through the agg_quantiles-proven percentile/quantile_cont
+    equivalence; the tiny per-type statistics broadcast back onto
+    the stream of deviations. Scale honesty: exact medians buffer
+    each group (ObjectHashAggregate) — at 100 TB both passes
+    switch to approx_percentile sketches, same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"))
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ad") > 3 * F.col("mad"), 1))
+                .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+        )
+    )

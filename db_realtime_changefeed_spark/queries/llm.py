@@ -3594,3 +3594,104 @@ def llm_perplexity_buckets(spark, sf_dir):
         F.min("ce").alias("min_ce"),
         F.max("ce").alias("max_ce"),
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, lang,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
+      FROM documents WHERE doc_id % 5 = 4),
+    corpus AS (
+      SELECT DISTINCT
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
+      FROM documents WHERE doc_id % 5 <> 4),
+    fresh AS (
+      SELECT b.doc_id, b.lang, b.th
+      FROM batch b LEFT JOIN corpus c USING (th)
+      WHERE c.th IS NULL),
+    kept AS (
+      SELECT doc_id, lang, th,
+             row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+      FROM fresh)
+    SELECT doc_id, lang, th FROM kept WHERE rn = 1
+    """,
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL exact dedup — the shape every continuously-fed
+    corpus actually runs: an incoming batch (doc_id%5=4 is the
+    deterministic stand-in) dedups against the existing corpus
+    (anti-join on the normalized-text hash) and then within itself
+    (keep-first per hash), emitting only genuinely new documents.
+    Both sides shuffle 16-byte hashes, never text — the anti-join
+    probes the corpus's DISTINCT hash set, and at 100 TB that set
+    is the bloom-filter / state-store half of the streaming twin
+    (stream_dedup). Same normalization as llm_corpus_dedup, so the
+    union of (corpus survivors + incremental survivors) equals a
+    full-corpus dedup — the consistency a rolling pipeline needs."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    batch = (
+        d.where(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "lang", h.alias("th"))
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 5 != 4)
+        .select(h.alias("th")).distinct()
+    )
+    fresh = batch.join(corpus, "th", "left_anti")
+    w = Window.partitionBy("th").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "th")
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1]))
+              AS bg
+          FROM w),
+    cxy AS (SELECT bg, count(*) AS c FROM g GROUP BY bg)
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           count(*) FILTER (WHERE cxy.c = 1) AS n_novel
+    FROM g JOIN cxy USING (bg)
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY — how many of a doc's bigrams
+    occur nowhere else in the corpus (corpus count = 1). High
+    novelty marks original text worth keeping; near-zero novelty
+    marks boilerplate/template families that near-dup passes then
+    confirm (the cheap pre-filter before MinHash). Counts are
+    emitted raw (consumers divide; the dsir midpoint lesson) —
+    integer-exact on both engines. Shuffle classes: (bigram)
+    counts, broadcast back onto the exploded stream, one (doc_id)
+    aggregate — text itself never re-shuffles."""
+    d = _rebalanced(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    cxy = g.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        g.join(F.broadcast(cxy), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("n_novel"),
+        )
+    )

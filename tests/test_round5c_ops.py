@@ -251,3 +251,98 @@ def test_null_safe_join_matches_null_class(spark, sf_smoke):
     else:
         assert len(null_row) == 1
         assert null_row[0].n_pairs == c_neg * s_neg
+
+
+def test_sql_tvf_expands_three_rows_per_order(spark, sf_smoke):
+    df = QUERIES["fn_sql_tvf"](spark, sf_smoke)
+    o = load_table(spark, sf_smoke, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    assert df.count() == 3 * urgent.count()
+    back = (
+        df.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k_rows"),
+             F.sum("amount").alias("total"))
+        .join(urgent.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    )
+    bad = back.where(
+        (F.col("k_rows") != 3)
+        | (F.abs(F.col("total") - F.col("o_totalprice")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+
+def test_argmax_agrees_with_window(spark, sf_smoke):
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_smoke, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc())
+    expect = {
+        r.o_orderpriority: r.o_orderkey
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1).collect()
+    }
+    got = {r.o_orderpriority: r.top_order
+           for r in QUERIES["agg_argmax"](spark, sf_smoke).collect()}
+    assert got == expect
+
+
+def test_mad_outliers_match_pandas(spark, sf_smoke):
+    rows = {r.event_type: r
+            for r in QUERIES["ts_anomaly_mad"](spark, sf_smoke).collect()}
+    pdf = (load_table(spark, sf_smoke, "events")
+           .select("event_type", "value").toPandas())
+    for et, g in pdf.groupby("event_type"):
+        med = round(g["value"].quantile(0.5, interpolation="linear"), 6)
+        ad = (g["value"] - med).abs()
+        mad = round(ad.quantile(0.5, interpolation="linear"), 6)
+        r = rows[et]
+        assert r.n == len(g)
+        assert abs(r.med - med) < 1e-9
+        assert abs(r.mad - mad) < 1e-9
+        assert r.n_outliers == int((ad > 3 * mad).sum())
+
+
+def test_incremental_dedup_consistency(spark, sf_smoke):
+    """Survivors carry hashes absent from the corpus side, are unique
+    per hash, and cover every batch-only hash exactly once."""
+    surv = QUERIES["llm_dedup_incremental"](spark, sf_smoke).cache()
+    d = load_table(spark, sf_smoke, "documents")
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    corpus_th = {r.th for r in d.where(F.col("doc_id") % 5 != 4)
+                 .select(h.alias("th")).distinct().collect()}
+    batch_th = {r.th for r in d.where(F.col("doc_id") % 5 == 4)
+                .select(h.alias("th")).distinct().collect()}
+    got_th = [r.th for r in surv.collect()]
+    assert len(got_th) == len(set(got_th))
+    assert set(got_th) == batch_th - corpus_th
+    surv.unpersist()
+
+
+def test_ngram_novelty_totals(spark, sf_smoke):
+    df = QUERIES["llm_ngram_novelty"](spark, sf_smoke)
+    bad = df.where(F.col("n_novel") > F.col("n_bigrams")).count()
+    assert bad == 0
+    d = load_table(spark, sf_smoke, "documents")
+    ws = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    singletons = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg").count().where(F.col("count") == 1).count()
+    )
+    total_novel = df.agg(F.sum("n_novel")).collect()[0][0]
+    assert total_novel == singletons
+
+
+def test_partitioned_sink_layout(spark, sf_smoke):
+    df = QUERIES["sink_parquet_partitioned"](spark, sf_smoke)
+    n = (load_table(spark, sf_smoke, "events")
+         .where(F.col("event_type").isin("purchase", "signup")).count())
+    assert df.count() == n
+    assert {r.event_type for r in
+            df.select("event_type").distinct().collect()} == {
+                "purchase", "signup"}
