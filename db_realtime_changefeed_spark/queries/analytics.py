@@ -3656,3 +3656,75 @@ def ts_anomaly_mad(spark, sf_dir):
             F.max("mad").alias("mad"),
         )
     )
+
+
+@query(
+    "merge_into_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey AS k, c_name AS name,
+             c_acctbal + 100.0 AS new_bal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 500000, 'new-' || c_name,
+             CAST(0.0 AS DOUBLE), 'I'
+      FROM customer WHERE c_custkey % 25 = 0)
+    SELECT b.c_custkey AS k,
+           coalesce(d.name, b.c_name) AS name,
+           CASE WHEN d.op = 'U' THEN d.new_bal
+                ELSE b.c_acctbal END AS balance
+    FROM customer b LEFT JOIN delta d ON d.k = b.c_custkey
+    WHERE d.op IS NULL OR d.op <> 'D'
+    UNION ALL
+    SELECT d.k, d.name, d.new_bal
+    FROM delta d LEFT JOIN customer b ON b.c_custkey = d.k
+    WHERE d.op = 'I' AND b.c_custkey IS NULL
+    """,
+)
+def merge_into_upsert(spark, sf_dir):
+    """MERGE INTO semantics as a pure DataFrame composition — the
+    lakehouse table-maintenance primitive (WHEN MATCHED UPDATE /
+    WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT) expressed as ONE
+    full-outer-shaped plan, for engines without a writable v2 table
+    format: base LEFT JOIN delta resolves update/delete/carry-over,
+    the anti-joined remainder of the delta inserts. The delta here
+    is deterministic (every 10th customer updates, every 70th
+    deletes, 4% insert as fresh keys). Scale shape: ONE shuffle of
+    each side on the merge key — exactly the join a real MERGE
+    executes under Delta/Iceberg — and the two delta references
+    hit a sub-percent table slice (Catalyst pushes the modular
+    filters to the scan). The rewrite-scope trade (copy-on-write
+    whole-partition rewrite vs merge-on-read deletion vectors) is
+    a storage-format concern on top of this same join."""
+    c = load_table(spark, sf_dir, "customer")
+    upd = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") + 100.0).alias("new_bal"),
+        F.when(F.col("c_custkey") % 7 == 0, "D").otherwise("U")
+            .alias("op"),
+    )
+    ins = c.where(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 500000).alias("k"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("name"),
+        F.lit(0.0).alias("new_bal"),
+        F.lit("I").alias("op"),
+    )
+    delta = upd.unionAll(ins)
+    merged = (
+        c.join(delta, delta.k == c.c_custkey, "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.coalesce("name", "c_name").alias("name"),
+            F.when(F.col("op") == "U", F.col("new_bal"))
+                .otherwise(F.col("c_acctbal")).alias("balance"),
+        )
+    )
+    inserts = (
+        delta.where(F.col("op") == "I")
+        .join(c, delta.k == c.c_custkey, "left_anti")
+        .select("k", "name", F.col("new_bal").alias("balance"))
+    )
+    return merged.unionAll(inserts)

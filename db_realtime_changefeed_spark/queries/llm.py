@@ -3695,3 +3695,69 @@ def llm_ngram_novelty(spark, sf_dir):
             F.count(F.when(F.col("c") == 1, 1)).alias("n_novel"),
         )
     )
+
+
+@query(
+    "llm_dsir_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    cnt AS (SELECT term, count(*) AS c,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_en
+            FROM w GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all,
+                   CAST(sum(c_en) AS DOUBLE) AS n_en,
+                   count(*) AS vocab FROM cnt),
+    p AS (SELECT term,
+                 (CAST(c AS DOUBLE) + 1.0)
+                   / (tot.n_all + CAST(tot.vocab AS DOUBLE)) AS pr,
+                 (CAST(c_en AS DOUBLE) + 1.0)
+                   / (tot.n_en + CAST(tot.vocab AS DOUBLE)) AS pt
+          FROM cnt, tot),
+    lr AS (
+      SELECT w.doc_id, any_value(w.lang) AS lang, count(*) AS n_tok,
+             CAST(sum(CAST(ln(p.pt) - ln(p.pr) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS dsir_lr
+      FROM w JOIN p USING (term)
+      GROUP BY w.doc_id),
+    u AS (
+      SELECT *,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 6) AS BIGINT) AS DOUBLE)
+               / 16777216.0 AS unif
+      FROM lr)
+    SELECT doc_id, lang, n_tok, dsir_lr
+    FROM u
+    WHERE unif < least(exp(2.0 * (dsir_lr - 0.5)), 1.0)
+    """,
+)
+def llm_dsir_resample(spark, sf_dir):
+    """The SAMPLING half of DSIR (Xie et al., NeurIPS 2023):
+    llm_dsir_weights scores docs by target/raw log-likelihood ratio;
+    this query actually draws the resampled corpus — a per-doc
+    Bernoulli with p = min(exp(2(lr-0.5)), 1), tempered/shifted so
+    the fixture's ratios spread over (0,1) and target-like docs
+    dominate the draw. The coin is the REPRODUCIBLE kind:
+    uniform = first 24 md5 bits of doc_id (the split-query's
+    content-independent hash discipline), so membership is stable
+    across runs/machines/partitionings and docs keep or lose their
+    seat independently of corpus growth. The emitted columns are
+    all deterministic (DEC-stabilized lr; the exp() appears ONLY
+    inside the comparison, where a last-ulp engine difference
+    could matter only if the 24-bit uniform landed within ~1e-16
+    of the threshold). One extra codegen filter over the weights
+    plan — no new shuffle."""
+    lr = llm_dsir_weights(spark, sf_dir)
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+            16, 10,
+        ).cast("bigint").cast("double")
+        / F.lit(16777216.0)
+    )
+    return lr.where(
+        unif < F.least(
+            F.exp(2.0 * (F.col("dsir_lr") - 0.5)), F.lit(1.0))
+    ).select("doc_id", "lang", "n_tok", "dsir_lr")

@@ -346,3 +346,48 @@ def test_partitioned_sink_layout(spark, sf_smoke):
     assert {r.event_type for r in
             df.select("event_type").distinct().collect()} == {
                 "purchase", "signup"}
+
+
+def test_merge_semantics(spark, sf_smoke):
+    """Delete/update/insert/carry-over classes must land exactly."""
+    merged = {r.k: r for r in
+              QUERIES["merge_into_upsert"](spark, sf_smoke).collect()}
+    base = {r.c_custkey: r
+            for r in load_table(spark, sf_smoke, "customer").collect()}
+    for k, b in base.items():
+        if k % 10 == 0 and k % 7 == 0:
+            assert k not in merged  # deleted
+        elif k % 10 == 0:
+            assert abs(merged[k].balance - (b.c_acctbal + 100.0)) < 1e-9
+        else:
+            assert merged[k].balance == b.c_acctbal
+    for k, b in base.items():
+        if k % 25 == 0:
+            ins = merged[k + 500000]
+            assert ins.balance == 0.0
+            assert ins.name == f"new-{b.c_name}"
+    assert len(merged) == (
+        len(base)
+        - sum(1 for k in base if k % 10 == 0 and k % 7 == 0)
+        + sum(1 for k in base if k % 25 == 0)
+    )
+
+
+def test_dsir_resample_rule(spark, sf_smoke):
+    """Kept set is exactly the weights rows passing the deterministic
+    hash-Bernoulli rule."""
+    import math
+
+    from db_realtime_changefeed_spark.queries.llm import llm_dsir_weights
+
+    kept = {r.doc_id for r in
+            QUERIES["llm_dsir_resample"](spark, sf_smoke).collect()}
+    weights = llm_dsir_weights(spark, sf_smoke).collect()
+    assert 0 < len(kept) < len(weights)
+    import hashlib
+
+    for r in weights:
+        u = int(hashlib.md5(str(r.doc_id).encode())
+                .hexdigest()[:6], 16) / 16777216.0
+        p = min(math.exp(2.0 * (r.dsir_lr - 0.5)), 1.0)
+        assert (r.doc_id in kept) == (u < p)
