@@ -3728,3 +3728,85 @@ def merge_into_upsert(spark, sf_dir):
         .select("k", "name", F.col("new_bal").alias("balance"))
     )
     return merged.unionAll(inserts)
+
+
+@query(
+    "subquery_null_semantics",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_custkey END AS nk
+      FROM orders)
+    SELECT 'not_in' AS variant, count(*) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT nk FROM o)
+    UNION ALL
+    SELECT 'not_exists', count(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.nk = c.c_custkey)
+    """,
+)
+def subquery_null_semantics(spark, sf_dir):
+    """The NOT IN null trap, graded: against a subquery whose key
+    column CONTAINS NULL (pending orders), ANSI three-valued logic
+    makes `x NOT IN (...)` never TRUE — the whole filter collapses
+    to zero rows — while NOT EXISTS (Spark's null-aware anti join)
+    returns the customers genuinely without orders. Both engines
+    implement the standard exactly, so the pair is
+    differential-checkable; the query exists because every
+    migration hits this once. Plan note: Spark compiles the NOT IN
+    to a NULL-aware anti join (one extra null-check pass), NOT a
+    per-row subquery — still one shuffle pair at scale."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH o AS (
+          SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                      ELSE o_custkey END AS nk
+          FROM orders)
+        SELECT 'not_in' AS variant, count(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT nk FROM o)
+        UNION ALL
+        SELECT 'not_exists', count(*)
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.nk = c.c_custkey)
+    """)
+
+
+@query(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'click') AS DOUBLE)
+               AS click,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchase,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'view') AS DOUBLE)
+               AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def sql_pivot_syntax(spark, sf_dir):
+    """The SQL PIVOT clause (relational-op syntax, not the
+    DataFrame .pivot() API that pivot_wide grades): value sums
+    rotate into columns for an explicit IN list, so the plan is a
+    single hash aggregate — no distinct-values pre-job, no second
+    shuffle. The aggregate inside PIVOT rides the DEC path; the
+    oracle is the equivalent ANSI FILTER form (DuckDB's PIVOT
+    syntax differs, which is exactly why the FILTER spelling is
+    the portability baseline)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT * FROM (
+          SELECT user_id, event_type, value FROM events)
+        PIVOT (
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+          FOR event_type IN ('click', 'purchase', 'view'))
+    """)

@@ -1721,3 +1721,58 @@ def sink_parquet_partitioned(spark, sf_dir):
     return spark.read.parquet(out).select(
         "event_type", "event_id", "user_id", "value"
     )
+
+
+@query(
+    "join_stream_stream_semi",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.value AS purchase_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 10 MINUTE
+          AND c.ts <= p.ts)
+    """,
+)
+def join_stream_stream_semi(spark, sf_dir):
+    """§2.C8d: stream-stream LEFT SEMI join — attributed purchases
+    (those with at least one click in the preceding 10 minutes)
+    WITHOUT duplicating per click, the dedup-free attribution form
+    (the inner join emits one row per matching click;
+    multi-click users would then need a distinct). Same watermark +
+    time-bound state pruning as the inner/outer variants; a
+    purchase emits AT MOST ONCE, on its first match, so with full
+    in-order replay the appended result equals the batch EXISTS."""
+    p = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+        "left_semi",
+    ).select("purchase_id", "user_id", "purchase_value")
+    name = _to_table(joined, "ss_semi")
+    return spark.table(name)

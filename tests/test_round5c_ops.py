@@ -391,3 +391,46 @@ def test_dsir_resample_rule(spark, sf_smoke):
                 .hexdigest()[:6], 16) / 16777216.0
         p = min(math.exp(2.0 * (r.dsir_lr - 0.5)), 1.0)
         assert (r.doc_id in kept) == (u < p)
+
+
+def test_stream_semi_no_duplicates(spark, sf_smoke):
+    """Semi join emits each attributed purchase exactly once, and the
+    attributed set equals the distinct purchases of the inner join."""
+    semi = QUERIES["join_stream_stream_semi"](spark, sf_smoke).cache()
+    assert semi.count() == semi.select("purchase_id").distinct().count()
+    inner_ids = {
+        r.purchase_id for r in
+        QUERIES["join_stream_stream"](spark, sf_smoke)
+        .select("purchase_id").distinct().collect()
+    }
+    assert {r.purchase_id for r in semi.collect()} == inner_ids
+    semi.unpersist()
+
+
+def test_not_in_collapses_on_null(spark, sf_smoke):
+    rows = {r.variant: r.n for r in
+            QUERIES["subquery_null_semantics"](spark, sf_smoke).collect()}
+    o = load_table(spark, sf_smoke, "orders")
+    has_pending = o.where(F.col("o_orderstatus") == "P").count() > 0
+    c = load_table(spark, sf_smoke, "customer")
+    with_nonpending = (
+        c.join(o.where(F.col("o_orderstatus") != "P"),
+               o.o_custkey == c.c_custkey, "left_semi").count()
+    )
+    expect_ne = c.count() - with_nonpending
+    assert rows["not_exists"] == expect_ne
+    if has_pending:
+        assert rows["not_in"] == 0  # three-valued logic collapse
+    else:
+        assert rows["not_in"] == expect_ne
+
+
+def test_pivot_syntax_matches_dataframe_pivot(spark, sf_smoke):
+    got = QUERIES["sql_pivot_syntax"](spark, sf_smoke)
+    ev = load_table(spark, sf_smoke, "events")
+    df = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    )
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
