@@ -3810,3 +3810,86 @@ def sql_pivot_syntax(spark, sf_dir):
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
           FOR event_type IN ('click', 'purchase', 'view'))
     """)
+
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'lineitem_orphans' AS rule, (
+      SELECT count(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+    UNION ALL
+    SELECT 'orders_orphans', (
+      SELECT count(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_dup_keys', (
+      SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', (
+      SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_range', (
+      SELECT count(*) FROM lineitem
+      WHERE l_discount < 0 OR l_discount > 0.5)
+    UNION ALL
+    SELECT 'events_null_user', (
+      SELECT count(*) FROM events WHERE user_id IS NULL)
+    """,
+)
+def dq_audit(spark, sf_dir):
+    """Data-quality audit — the constraint checks a warehouse runs
+    before promoting a load (and the shape dbt tests / Deequ
+    compile to): referential integrity by ANTI JOIN (orphaned
+    facts), key uniqueness by count-vs-distinct, domain ranges by
+    predicate counts, null guards. Each rule is one aggregate over
+    one table pair; Catalyst pushes every predicate to the scan and
+    the anti joins broadcast their dimension side. Zero rows bad on
+    the shipped fixture — the query grades that the AUDIT agrees,
+    not that the data is dirty; on a violating load each row names
+    its rule with a count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(rule, cnt_df):
+        return cnt_df.select(F.lit(rule).alias("rule"),
+                             F.col("n_bad"))
+
+    li_orph = one(
+        "lineitem_orphans",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad")),
+    )
+    o_orph = one(
+        "orders_orphans",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad")),
+    )
+    dup = one(
+        "customer_dup_keys",
+        c.agg((F.count(F.lit(1))
+               - F.countDistinct("c_custkey")).alias("n_bad")),
+    )
+    qty = one(
+        "lineitem_nonpositive_qty",
+        li.where(F.col("l_quantity") <= 0)
+        .agg(F.count(F.lit(1)).alias("n_bad")),
+    )
+    disc = one(
+        "lineitem_discount_range",
+        li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5))
+        .agg(F.count(F.lit(1)).alias("n_bad")),
+    )
+    nulls = one(
+        "events_null_user",
+        ev.where(F.col("user_id").isNull())
+        .agg(F.count(F.lit(1)).alias("n_bad")),
+    )
+    return (
+        li_orph.unionAll(o_orph).unionAll(dup)
+        .unionAll(qty).unionAll(disc).unionAll(nulls)
+    )

@@ -3761,3 +3761,107 @@ def llm_dsir_resample(spark, sf_dir):
         unif < F.least(
             F.exp(2.0 * (F.col("dsir_lr") - 0.5)), F.lit(1.0))
     ).select("doc_id", "lang", "n_tok", "dsir_lr")
+
+
+_KNNJ_SIG_SQL = " + ".join(
+    f"(CASE WHEN {_ndl_sql_proj(str(p))} > 0 THEN {2 ** p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+_KNNJ_COS_SQL = (
+    f"{_sql_dot('ev.embedding', 'q.qe')}"
+    f" / (sqrt({_sql_dot('ev.embedding', 'ev.embedding')})"
+    f" * sqrt({_sql_dot('q.qe', 'q.qe')}))"
+)
+
+
+@query(
+    "llm_knn_join",
+    oracle=f"""
+    WITH sig AS (
+      SELECT e.vec_id, e.label, {_KNNJ_SIG_SQL} AS bucket
+      FROM embeddings e),
+    q AS (
+      SELECT s.vec_id AS qid, s.bucket AS qbucket, ev.embedding AS qe
+      FROM sig s JOIN embeddings ev ON ev.vec_id = s.vec_id
+      WHERE s.vec_id % 50 = 0),
+    cand AS (
+      SELECT q.qid, s.vec_id, s.label,
+             {_KNNJ_COS_SQL} AS cos_sim
+      FROM sig s
+      JOIN embeddings ev ON ev.vec_id = s.vec_id
+      JOIN q ON s.bucket = q.qbucket
+      WHERE s.vec_id % 50 <> 0),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand)
+    SELECT qid, vec_id, label, cos_sim FROM r WHERE rn <= 5
+    """,
+)
+def llm_knn_join(spark, sf_dir):
+    """k-NN JOIN — the MULTI-query form of llm_knn_lsh, and the
+    operator that actually runs at scale (single-query top-k is a
+    lookup; batch retrieval for RAG indexing / dedup candidate
+    generation is a JOIN): every 50th vector is a query, all
+    queries' signatures broadcast at once, candidates come from ONE
+    shared bucket equi-join against the corpus signatures, and
+    per-query top-5 is a (qid) window cut — no per-query scan, no
+    N× plan. Cosines are the same bit-identical sequential folds
+    as the single-query path. At 100 TB the broadcast holds only
+    (qid, bucket, query vector) — queries in the thousands fit in
+    tens of MB; corpus-scale query sets switch the broadcast to a
+    bucket-partitioned shuffle join, same plan shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def signature(emb):
+        bits = [
+            F.when(_ndl_proj(emb, p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+            for p in range(_N_PLANES)
+        ]
+        return sum(bits[1:], bits[0])
+
+    sig = e.select("vec_id", "label", "embedding",
+                   signature(F.col("embedding")).alias("bucket"))
+    q = sig.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    ee, qe = F.col("embedding"), F.col("qe")
+    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
+    cand = (
+        sig.where(F.col("vec_id") % 50 != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("qid", "vec_id", "label", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id", "label", "cos_sim")
+    )
+
+
+@query(
+    "llm_language_confusion",
+    oracle=f"""
+    SELECT true_lang, pred_lang, count(*) AS n
+    FROM ({_REGISTERED_ORACLES['llm_lang_id']}) b
+    GROUP BY true_lang, pred_lang
+    """,
+)
+def llm_language_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the evaluation rollup every
+    classifier in the cleaning pipeline needs before its output
+    gates data: counts per (labelled, predicted) pair over
+    llm_lang_id's stopword scorer (one extra 25-cell aggregate on
+    top of the shared per-doc plan; the oracle wraps the SAME
+    registered lang-id oracle, so scorer and rollup can never
+    drift apart). The diagonal is accuracy; off-diagonal hot spots
+    say which stopword lists collide."""
+    return (
+        llm_lang_id(spark, sf_dir)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

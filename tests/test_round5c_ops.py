@@ -434,3 +434,32 @@ def test_pivot_syntax_matches_dataframe_pivot(spark, sf_smoke):
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
     )
     assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+
+def test_knn_join_topk_per_query(spark, sf_smoke):
+    """Every query gets at most 5 neighbours, none is the query
+    itself, and each list is ordered by descending cosine."""
+    rows = QUERIES["llm_knn_join"](spark, sf_smoke).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+        assert r.vec_id % 50 != 0
+        assert r.qid % 50 == 0
+    for qid, lst in by_q.items():
+        assert len(lst) <= 5
+        sims = [r.cos_sim for r in lst]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_language_confusion_totals(spark, sf_smoke):
+    rows = QUERIES["llm_language_confusion"](spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    assert all(r.n > 0 for r in rows)
+
+
+def test_dq_audit_clean_fixture(spark, sf_smoke):
+    rows = {r.rule: r.n_bad for r in
+            QUERIES["dq_audit"](spark, sf_smoke).collect()}
+    assert len(rows) == 6
+    assert all(v == 0 for v in rows.values()), rows
