@@ -480,3 +480,76 @@ def source_python_datasource_stream(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_PERMISSIVE_DIRS: dict = {}
+
+_N_CORRUPT_LINES = 7
+
+
+def _csv_with_corruption(spark, sf_dir: str) -> str:
+    """The CSV events copy plus one extra file of deliberately
+    malformed lines (non-numeric ids, wrong arity) — the fixture for
+    grading PERMISSIVE-mode error handling. Built once per
+    (session, sf_dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _PERMISSIVE_DIRS:
+        src = _format_copy(spark, sf_dir, "csv")
+        root = tempfile.mkdtemp(prefix="dbrcf-csvbad-")
+        for f in os.listdir(src):
+            if f.endswith(".csv"):
+                shutil.copy(os.path.join(src, f), os.path.join(root, f))
+        bad = ["event_id,user_id,event_type,value"]  # header line
+        # every line must be TYPE-corrupt: PERMISSIVE null-fills
+        # short rows rather than flagging them, so arity alone does
+        # not land in _corrupt_record
+        bad += [f"not-a-number,{i},click,oops" for i in range(5)]
+        bad += ["way,too,many,fields,in,this,line",
+                "1,user?,click,not-a-double"]
+        with open(os.path.join(root, "zz-corrupt.csv"), "w") as fh:
+            fh.write("\n".join(bad) + "\n")
+        _PERMISSIVE_DIRS[key] = root
+    return _PERMISSIVE_DIRS[key]
+
+
+@query(
+    "source_csv_permissive",
+    oracle=f"""
+    SELECT 'good' AS klass, count(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    UNION ALL
+    SELECT 'corrupt', {_N_CORRUPT_LINES}, CAST(NULL AS DOUBLE)
+    """,
+)
+def source_csv_permissive(spark, sf_dir):
+    """Malformed-input handling on the CSV connector: PERMISSIVE
+    mode routes every unparseable line into a _corrupt_record
+    column instead of failing the job (FAILFAST) or silently
+    dropping data (DROPMALFORMED) — the only mode a 100 TB ingest
+    can run, because one bad line in a billion must neither kill
+    the cluster nor vanish unaudited. Seven deliberately broken
+    lines (bad types, wrong arity) ride alongside the clean copy;
+    the graded output is the audit: good-row count and checksum
+    unchanged, corrupt count exactly the injected lines. The
+    corrupt rows carry the raw line for quarantine — the
+    dead-letter pattern."""
+    path = _csv_with_corruption(spark, sf_dir)
+    df = (
+        spark.read.schema(_EVENTS_PROJ_DDL + ", _corrupt_record string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    klass = F.when(F.col("_corrupt_record").isNull(), "good").otherwise(
+        "corrupt")
+    return df.groupBy(klass.alias("klass")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.when(F.col("_corrupt_record").isNull(),
+                    F.col("value"))).alias("sum_value"),
+    )

@@ -1776,3 +1776,87 @@ def join_stream_stream_semi(spark, sf_dir):
     ).select("purchase_id", "user_id", "purchase_value")
     name = _to_table(joined, "ss_semi")
     return spark.table(name)
+
+
+@query(
+    "changefeed_log_compacted",
+    oracle=f"""
+    WITH log AS ({_DELTA_LOG_ORACLE}),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY batch_id DESC) AS rn
+      FROM log)
+    SELECT event_type, old_count, new_count, old_sum, new_sum,
+           batch_id
+    FROM r WHERE rn = 1
+    """,
+)
+def changefeed_log_compacted(spark, sf_dir):
+    """LOG COMPACTION over the changefeed delta log — what a feed
+    store runs when consumers only need the latest state per key
+    plus the offset that produced it (Kafka compacted-topic
+    semantics): keep each key's newest {old,new} row, discard
+    superseded history. One keep-latest window over the log
+    (WindowGroupLimit pushes the rn=1 cut into the shuffle). The
+    compacted row's new_* equals the live aggregate — asserted
+    against changefeed_core in tests — so a consumer bootstrapping
+    from the compacted log plus the live tail loses nothing."""
+    from pyspark.sql import Window
+
+    log = _changefeed(spark, sf_dir).log()
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "sink_parquet_resumed",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def sink_parquet_resumed(spark, sf_dir):
+    """CHECKPOINT RESUME across restarts — the exactly-once claim
+    streaming sinks actually make: the first query drains the
+    first half of the replay chunks to a parquet sink and STOPS;
+    a brand-new query object with the SAME checkpoint location
+    picks up at the recorded offset and drains the remainder. The
+    read-back equals the full table — nothing lost at the restart
+    boundary, nothing re-emitted from before it. (Offsets live in
+    the checkpoint's WAL; the file sink's manifest makes the
+    output atomic per batch — the same pair that survives a real
+    driver crash.)"""
+    import glob
+    import os
+    import shutil
+
+    chunks = build_replay_chunks(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(chunks, "chunk-*.parquet")))
+    staging = tempfile.mkdtemp(prefix="dbrcf-resume-src-")
+    out = tempfile.mkdtemp(prefix="dbrcf-resume-out-")
+    ckpt = tempfile.mkdtemp(prefix="dbrcf-resume-ckpt-")
+
+    def _run_half(upto):
+        for f in files[:upto]:
+            dst = os.path.join(staging, os.path.basename(f))
+            if not os.path.exists(dst):
+                shutil.copy2(f, dst)  # copy2 keeps replay-order mtime
+        q = (
+            read_events_stream(spark, staging)
+            .select("event_id", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run_half(len(files) // 2)   # first run: half the data, then stop
+    _run_half(len(files))        # restart from the same checkpoint
+    return spark.read.parquet(out)

@@ -463,3 +463,40 @@ def test_dq_audit_clean_fixture(spark, sf_smoke):
             QUERIES["dq_audit"](spark, sf_smoke).collect()}
     assert len(rows) == 6
     assert all(v == 0 for v in rows.values()), rows
+
+
+def test_compacted_log_matches_live_state(spark, sf_smoke):
+    """The compacted row per key equals the final live aggregate and
+    carries the highest batch id."""
+    comp = {r.event_type: r for r in
+            QUERIES["changefeed_log_compacted"](spark, sf_smoke).collect()}
+    live = {r.event_type: r for r in
+            QUERIES["changefeed_core"](spark, sf_smoke).collect()}
+    full_log = QUERIES["changefeed_log"](spark, sf_smoke).collect()
+    max_batch: dict[str, int] = {}
+    for r in full_log:
+        max_batch[r.event_type] = max(
+            max_batch.get(r.event_type, -1), r.batch_id)
+    for et, r in comp.items():
+        assert r.batch_id == max_batch[et]
+        assert r.new_count == live[et].cnt
+    assert set(comp) == set(live)
+
+
+def test_resumed_sink_no_loss_no_dup(spark, sf_smoke):
+    df = QUERIES["sink_parquet_resumed"](spark, sf_smoke)
+    n = load_table(spark, sf_smoke, "events").count()
+    assert df.count() == n
+    assert df.select("event_id").distinct().count() == n
+
+
+def test_permissive_quarantines_exactly_injected(spark, sf_smoke):
+    from db_realtime_changefeed_spark.queries.scans import (
+        _N_CORRUPT_LINES,
+    )
+
+    rows = {r.klass: r for r in
+            QUERIES["source_csv_permissive"](spark, sf_smoke).collect()}
+    assert rows["corrupt"].n == _N_CORRUPT_LINES
+    assert rows["corrupt"].sum_value is None
+    assert rows["good"].n == load_table(spark, sf_smoke, "events").count()
