@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import DEC, dround6_div, dsum, sql_dsum
+from ._util import (DEC, dround6_div, dsum, sql_dround6_div,
+                    sql_dsum)
 
 # ------------------------------------------------------------------ dedup
 
@@ -3555,12 +3556,14 @@ def llm_vocab_growth(spark, sf_dir):
     "llm_perplexity_buckets",
     oracle=f"""
     {_BLM_CTES},
-    ce AS (SELECT doc_id, (-bg_logp) / n_bigrams AS ce FROM scored),
-    bk AS (SELECT ce,
+    ce AS (SELECT doc_id, (-bg_logp) / n_bigrams AS ce,
+                  {sql_dround6_div('-bg_logp', 'n_bigrams')} AS ce_q
+           FROM scored),
+    bk AS (SELECT ce, ce_q,
                   ntile(3) OVER (ORDER BY ce, doc_id) AS bucket
            FROM ce)
     SELECT bucket, count(*) AS n_docs,
-           CAST(sum(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           CAST(sum(CAST(ce_q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
                AS mean_ce,
            min(ce) AS min_ce, max(ce) AS max_ce
     FROM bk GROUP BY bucket
@@ -3576,20 +3579,28 @@ def llm_perplexity_buckets(spark, sf_dir):
     deliberately not materialized (JVM StrictMath vs libm can differ
     in the last ulp — ce keeps both engines exact). The tier cut is
     ntile(3) over the total (ce, doc_id) order, so ties cannot
-    straddle tiers nondeterministically. Scale honesty: global ntile
-    is a single-partition sort of ONE ROW PER DOC (not per token);
-    at 100 TB the cut becomes approx-percentile thresholds
-    broadcast back — the same trade agg_quantiles documents."""
+    straddle tiers nondeterministically. The tier MEAN sums the
+    dround6_div-quantized ce, not a bare DECIMAL cast: ce is a
+    6-dp decimal over a small integer, so it CAN land exactly on a
+    6-dp cast midpoint where Spark's HALF_UP and DuckDB's half-even
+    disagree by 1e-6 (observed once at sf0.01 — the dsir lesson
+    again); min/max/ordering use the raw ce (pure picks). Scale
+    honesty: global ntile is a single-partition sort of ONE ROW PER
+    DOC (not per token); at 100 TB the cut becomes approx-percentile
+    thresholds broadcast back — the same trade agg_quantiles
+    documents."""
     base = _bigram_doc_scores(spark, sf_dir)
     ce = base.select(
         "doc_id",
         ((-F.col("bg_logp")) / F.col("n_bigrams")).alias("ce"),
+        dround6_div(-F.col("bg_logp"), F.col("n_bigrams"))
+            .alias("ce_q"),
     )
     w = Window.orderBy("ce", "doc_id")
-    bk = ce.select("ce", F.ntile(3).over(w).alias("bucket"))
+    bk = ce.select("ce", "ce_q", F.ntile(3).over(w).alias("bucket"))
     return bk.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum(F.col("ce").cast(DEC)).cast("double")
+        (F.sum(F.col("ce_q").cast(DEC)).cast("double")
          / F.count(F.lit(1))).alias("mean_ce"),
         F.min("ce").alias("min_ce"),
         F.max("ce").alias("max_ce"),
