@@ -500,3 +500,37 @@ def test_permissive_quarantines_exactly_injected(spark, sf_smoke):
     assert rows["corrupt"].n == _N_CORRUPT_LINES
     assert rows["corrupt"].sum_value is None
     assert rows["good"].n == load_table(spark, sf_smoke, "events").count()
+
+
+def test_filter_gate_matches_components(spark, sf_smoke):
+    """The fused gate must agree with the three standalone component
+    queries joined row by row."""
+    gate = {r.doc_id: r for r in
+            QUERIES["llm_filter_gate"](spark, sf_smoke).collect()}
+    q = {r.doc_id: r.quality for r in
+         QUERIES["llm_quality_score"](spark, sf_smoke).collect()}
+    rep = {r.doc_id: r.flagged for r in
+           QUERIES["llm_repetition_filter"](spark, sf_smoke).collect()}
+    lid = {r.doc_id: r.pred_lang for r in
+           QUERIES["llm_lang_id"](spark, sf_smoke).collect()}
+    for doc_id, g in gate.items():
+        keep = q[doc_id] >= 0.5 and not rep[doc_id] and lid[doc_id] != "und"
+        assert g.keep == keep
+        if keep:
+            assert g.reason is None
+        elif q[doc_id] < 0.5:
+            assert g.reason == "low_quality"
+        elif rep[doc_id]:
+            assert g.reason == "repetitive"
+        else:
+            assert g.reason == "unknown_lang"
+
+
+def test_minhash_error_within_theory(spark, sf_smoke):
+    """Mean estimator error of a k=32 sketch should sit well inside
+    a few theoretical standard errors (~0.09 at J=0.5)."""
+    r = QUERIES["llm_minhash_error_eval"](spark, sf_smoke).collect()[0]
+    assert r.n_pairs > 0
+    assert 0.0 <= r.mean_abs_err <= 0.25
+    assert r.max_abs_err <= 1.0
+    assert 0.0 <= r.mean_est <= 1.0
