@@ -369,3 +369,66 @@ def udf_scalar_arrow(spark, sf_dir):
     return p.select(
         "p_partkey", brand_bin("p_brand", "p_size").alias("bin")
     )
+
+
+@query(
+    "udtf_polymorphic",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    c AS (SELECT doc_id, term, count(*) AS cnt
+          FROM u GROUP BY doc_id, term),
+    r AS (SELECT doc_id, term,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, term) AS rn
+          FROM c)
+    SELECT doc_id,
+           max(CASE WHEN rn = 1 THEN term END) AS term_1,
+           max(CASE WHEN rn = 2 THEN term END) AS term_2,
+           max(CASE WHEN rn = 3 THEN term END) AS term_3
+    FROM r GROUP BY doc_id
+    """,
+)
+def udtf_polymorphic(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (§2.K4 extra, Spark 4): the static
+    analyze() hook computes the OUTPUT SCHEMA from the call's
+    constant arguments at plan time — top_terms_wide(text, 3) emits
+    columns term_1..term_3, (text, 5) would emit five, one
+    registration serving every arity (the dynamic-schema contract
+    behind built-ins like variant_explode). Same API-coverage
+    posture as udtf_python_native: a per-row Python UDTF is never
+    the hot path, and the oracle proves the k=3 instance is plain
+    rank + conditional aggregation in Catalyst."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TopTermsWide:
+        @staticmethod
+        def analyze(text: AnalyzeArgument,
+                    k: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(1, k.value + 1):
+                st = st.add(f"term_{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, k: int):
+            from collections import Counter
+
+            top = sorted(
+                Counter(text.split()).items(),
+                key=lambda t: (-t[1], t[0]),
+            )[:k]
+            row = [t for t, _ in top] + [None] * (k - len(top))
+            yield tuple(row)
+
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("top_terms_wide", TopTermsWide)
+    return spark.sql(
+        "SELECT d.doc_id, w.* "
+        "FROM documents d, LATERAL top_terms_wide(d.text, 3) w"
+    )
