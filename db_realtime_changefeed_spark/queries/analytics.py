@@ -3891,3 +3891,50 @@ def dq_audit(spark, sf_dir):
     stack = ", ".join(f"'{r}', {r}" for r in rules)
     return wide.selectExpr(
         f"stack({len(rules)}, {stack}) AS (rule, n_bad)")
+
+
+@query(
+    "agg_skew_profile",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, count(*) AS sz
+      FROM lineitem GROUP BY l_orderkey),
+    s AS (
+      SELECT count(*) AS n_groups,
+             CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(max(sz) AS BIGINT) AS max_size,
+             round(quantile_cont(sz, 0.5), 6) AS p50,
+             round(quantile_cont(sz, 0.99), 6) AS p99
+      FROM g)
+    SELECT n_groups, n_rows, max_size, p50, p99,
+           CAST(max_size AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) / n_groups) AS skew_ratio
+    FROM s
+    """,
+)
+def agg_skew_profile(spark, sf_dir):
+    """Join-key SKEW diagnostics — the profile run BEFORE deciding
+    between a plain shuffle join, AQE skew splitting, or explicit
+    salting (join_skew_salted is the treatment; this is the
+    diagnosis): group-size distribution of the fact table's join
+    key, reporting cardinality, max group, p50/p99, and the
+    max-to-mean skew ratio. One partial-aggregating shuffle on the
+    key, then a 6-number reduce — the statistics a 1000-executor
+    job computes in seconds and saves hours with. The skew ratio is
+    the number AQE's skewedPartitionFactor thresholds against;
+    ratios ≫ 5 mean the biggest key dominates a partition and
+    salting/AQE splitting pays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("sz").alias("n_rows"),
+        F.max("sz").alias("max_size"),
+        F.round(F.expr("percentile(sz, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(sz, 0.99)"), 6).alias("p99"),
+    ).select(
+        "n_groups", "n_rows", "max_size", "p50", "p99",
+        (F.col("max_size").cast("double")
+         / (F.col("n_rows").cast("double") / F.col("n_groups")))
+        .alias("skew_ratio"),
+    )
