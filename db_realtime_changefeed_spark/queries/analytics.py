@@ -3938,3 +3938,50 @@ def agg_skew_profile(spark, sf_dir):
          / (F.col("n_rows").cast("double") / F.col("n_groups")))
         .alias("skew_ratio"),
     )
+
+
+@query(
+    "ts_seasonal_naive_eval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             {sql_dsum('value')} AS x
+      FROM events GROUP BY 1, 2),
+    paired AS (
+      SELECT d, x,
+             lag(x, 7) OVER (ORDER BY d) AS pred
+      FROM daily)
+    SELECT count(*) AS n_days,
+           CAST(sum(CAST(abs(x - pred) AS DECIMAL(30,6)))
+                AS DOUBLE) / count(*) AS mae,
+           max(abs(x - pred)) AS max_abs_err
+    FROM paired WHERE pred IS NOT NULL
+    """,
+)
+def ts_seasonal_naive_eval(spark, sf_dir):
+    """Seasonal-naive forecast backtest — THE baseline every
+    forecasting effort must beat before shipping anything fancier:
+    predict each day's total with the value seven days earlier
+    (lag-7 over the daily series) and score mean / max absolute
+    error over the evaluable days. Errors are |x - pred| of two
+    already-DEC-stabilized daily sums — exact doubles — and the MAE
+    sums them at DECIMAL(30,6) (daily totals ~1e6 at sf0.1; abs
+    errors bounded by them). The day series is tiny, so the lag
+    window's single partition is a non-issue; the cost is one
+    map-side partial sum over events, shared shape with
+    ts_autocorr."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        dsum("value").alias("x"))
+    w = Window.orderBy("d")
+    paired = daily.select(
+        "x", F.lag("x", 7).over(w).alias("pred")
+    ).where(F.col("pred").isNotNull())
+    err = F.abs(F.col("x") - F.col("pred"))
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum(err.cast("decimal(30,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mae"),
+        F.max(err).alias("max_abs_err"),
+    )

@@ -4025,3 +4025,80 @@ def llm_minhash_error_eval(spark, sf_dir):
         (F.sum(F.col("est_jaccard").cast(DEC)).cast("double")
          / F.count(F.lit(1))).alias("mean_est"),
     )
+
+
+@query(
+    "llm_lang_id_chargram",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+                 generate_series(1, len(text) - 2),
+                 i -> substr(text, i, 3))) AS g
+      FROM documents),
+    prof_c AS (
+      SELECT lang AS plang, g, count(*) AS c
+      FROM tri GROUP BY lang, g),
+    prof AS (
+      SELECT plang, g FROM (
+        SELECT plang, g,
+               row_number() OVER (PARTITION BY plang
+                                  ORDER BY c DESC, g) AS rn
+        FROM prof_c) WHERE rn <= 20),
+    hits AS (
+      SELECT t.doc_id, any_value(t.lang) AS true_lang, p.plang,
+             count(*) AS h
+      FROM tri t JOIN prof p ON p.g = t.g
+      GROUP BY t.doc_id, p.plang),
+    best AS (
+      SELECT doc_id, true_lang, plang AS pred_lang, h,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, plang) AS rn
+      FROM hits)
+    SELECT doc_id, true_lang, pred_lang, CAST(h AS BIGINT) AS n_hits
+    FROM best WHERE rn = 1
+    """,
+)
+def llm_lang_id_chargram(spark, sf_dir):
+    """Char-trigram language ID — the TextCat/CLD family, and a
+    TRAIN/APPLY demo in one plan: the PROFILE (top-20 trigrams per
+    labelled language, deterministic (count DESC, gram) cut) is
+    built from the corpus, broadcast back, and every doc is scored
+    by profile hits with an argmax over (hits DESC, lang) — the
+    same fit-transform shape a real model-apply job has, with the
+    model as a broadcast relation instead of a binary blob.
+    Complements llm_lang_id (word stopwords, fixed lists): here
+    the features are LEARNED from the data. Shuffles: trigram
+    counts partial-aggregate map-side; the profile is ~100 rows;
+    per-doc scoring re-aggregates on (doc_id, lang)."""
+    d = load_table(spark, sf_dir, "documents")
+    # substring over a dynamic start index needs the SQL expr form
+    tri = d.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 0)),"
+            " i -> substring(text, i, 3))")).alias("g"),
+    )
+    prof_c = tri.groupBy(F.col("lang").alias("plang"), "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    wprof = Window.partitionBy("plang").orderBy(
+        F.col("c").desc(), F.col("g"))
+    prof = (
+        prof_c.withColumn("rn", F.row_number().over(wprof))
+        .where(F.col("rn") <= 20).select("plang", "g")
+    )
+    hits = (
+        tri.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.first("lang").alias("true_lang"),
+             F.count(F.lit(1)).alias("h"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("h").desc(), F.col("plang"))
+    return (
+        hits.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "true_lang",
+                F.col("plang").alias("pred_lang"),
+                F.col("h").alias("n_hits"))
+    )

@@ -534,3 +534,25 @@ def test_minhash_error_within_theory(spark, sf_smoke):
     assert 0.0 <= r.mean_abs_err <= 0.25
     assert r.max_abs_err <= 1.0
     assert 0.0 <= r.mean_est <= 1.0
+
+
+def test_chargram_langid_structure(spark, sf_smoke):
+    """Every doc gets exactly one verdict with at least one profile
+    hit, and accuracy clears the 1-in-5 chance floor (the synthetic
+    corpus shares one vocabulary across languages — see
+    llm_lang_id's docstring — so high accuracy is not expected)."""
+    rows = QUERIES["llm_lang_id_chargram"](spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert len(rows) == n_docs
+    langs = {"en", "es", "de", "fr", "zh"}
+    assert all(r.pred_lang in langs and r.n_hits >= 1 for r in rows)
+    acc = sum(1 for r in rows if r.pred_lang == r.true_lang) / len(rows)
+    assert acc > 0.2, f"chargram accuracy {acc:.2f} below chance"
+
+
+def test_seasonal_naive_eval_day_count(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    n_days = ev.select(F.col("ts").cast("date")).distinct().count()
+    r = QUERIES["ts_seasonal_naive_eval"](spark, sf_smoke).collect()[0]
+    assert r.n_days == n_days - 7
+    assert 0.0 <= r.mae <= r.max_abs_err
