@@ -553,3 +553,43 @@ def source_csv_permissive(spark, sf_dir):
         dsum(F.when(F.col("_corrupt_record").isNull(),
                     F.col("value"))).alias("sum_value"),
     )
+
+
+@query(
+    "scan_observed_metrics",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS n_purchases,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    """,
+)
+def scan_observed_metrics(spark, sf_dir):
+    """The Observation API (§2.A extra) — metrics PIGGYBACKED on a
+    pass the job was doing anyway: df.observe() attaches named
+    aggregates that accumulate DURING the scan (zero extra reads,
+    zero extra shuffles — the same accumulator channel Structured
+    Streaming's observed metrics use), here flushed by a noop-sink
+    write, which is exactly the 'validate while loading' pattern: a
+    100 TB ingest gets its row counts and checksums for free
+    instead of re-scanning for a dq_audit afterwards. The observed
+    row comes back driver-side (bounded: ONE row) and is re-wrapped
+    as a DataFrame for grading against the direct aggregate."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+            .alias("n_purchases"),
+        dsum("value").alias("sum_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_purchases"], m["sum_value"])],
+        "n_rows long, n_purchases long, sum_value double",
+    )
