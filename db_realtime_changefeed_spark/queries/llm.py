@@ -4102,3 +4102,57 @@ def llm_lang_id_chargram(spark, sf_dir):
                 F.col("plang").alias("pred_lang"),
                 F.col("h").alias("n_hits"))
     )
+
+
+@query(
+    "llm_neardup_verify_edit",
+    oracle=f"""
+    WITH cand AS ({_minhash_md5_oracle()}),
+    t AS (SELECT doc_id, substr(text, 1, 80) AS head,
+                 len(substr(text, 1, 80)) AS hlen
+          FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist,
+           FLOOR((1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
+                    / greatest(a.hlen, b.hlen)) * 1000000.0 + 0.5)
+             / 1000000.0 AS edit_sim
+    FROM cand c
+    JOIN t a ON a.doc_id = c.doc_a
+    JOIN t b ON b.doc_id = c.doc_b
+    """,
+)
+def llm_neardup_verify_edit(spark, sf_dir):
+    """Edit-distance VERIFY on the LSH candidate pairs — the
+    character-level second opinion next to llm_neardup_verify_md5's
+    set-based Jaccard: Levenshtein catches reorder-free
+    near-duplicates (OCR noise, small insertions) that shingle sets
+    score identically, and disagreement between the two verifiers
+    is itself a signal (template text vs edited text). Distance runs
+    on 80-char heads — the production bound, since full-document
+    DP is O(len²) per pair and the candidates already share
+    signatures; similarity is 1 - d/max(len), tie-quantized at 6 dp.
+    Integer DP is engine-exact; the join touches candidates only."""
+    cand = llm_dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    heads = d.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("head"),
+        F.length(F.substring("text", 1, 80)).alias("hlen"),
+    )
+    a = heads.select(F.col("doc_id").alias("doc_a"),
+                     F.col("head").alias("ha"),
+                     F.col("hlen").alias("la"))
+    b = heads.select(F.col("doc_id").alias("doc_b"),
+                     F.col("head").alias("hb"),
+                     F.col("hlen").alias("lb"))
+    lev = F.levenshtein("ha", "hb")
+    sim = (F.lit(1.0) - lev.cast("double")
+           / F.greatest("la", "lb"))
+    sim_q = (F.floor(sim * F.lit(1000000.0) + F.lit(0.5))
+             .cast("double") / F.lit(1000000.0))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                lev.cast("bigint").alias("edit_dist"),
+                sim_q.alias("edit_sim"))
+    )
