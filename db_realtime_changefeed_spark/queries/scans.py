@@ -593,3 +593,53 @@ def scan_observed_metrics(spark, sf_dir):
         [(m["n_rows"], m["n_purchases"], m["sum_value"])],
         "n_rows long, n_purchases long, sum_value double",
     )
+
+
+_EVOLVED_DIRS: dict = {}
+
+
+def _evolved_copy(spark, sf_dir: str) -> str:
+    """Two parquet batches with DIFFERENT schemas in one directory —
+    the before/after of an ADD COLUMN migration (batch A lacks
+    event_type). Built once per (session, sf_dir)."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _EVOLVED_DIRS:
+        root = tempfile.mkdtemp(prefix="dbrcf-evolve-")
+        ev = load_table(spark, sf_dir, "events")
+        (ev.where(F.col("event_id") % 2 == 0)
+           .select("event_id", "value")
+           .write.mode("append").parquet(root))
+        (ev.where(F.col("event_id") % 2 == 1)
+           .select("event_id", "event_type", "value")
+           .write.mode("append").parquet(root))
+        _EVOLVED_DIRS[key] = root
+    return _EVOLVED_DIRS[key]
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+           value
+    FROM events
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """BATCH-side schema evolution — mergeSchema over a directory
+    whose parquet batches predate and postdate an ADD COLUMN (the
+    companion of stream_schema_evolution's streaming story): the
+    reader unions the footers into the widest schema and
+    null-fills the old files' missing column, which is how a lake
+    keeps a decade of files readable without rewriting history.
+    Scale note: mergeSchema footer-merges EVERY file at planning
+    time — at 100 TB the production posture is a table format
+    (Delta/Iceberg) holding ONE schema in metadata; this query
+    grades the raw-parquet semantics that underlie it."""
+    path = _evolved_copy(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        .select("event_id", "event_type", "value")
+    )
