@@ -3985,3 +3985,77 @@ def ts_seasonal_naive_eval(spark, sf_dir):
          / F.count(F.lit(1))).alias("mae"),
         F.max(err).alias("max_abs_err"),
     )
+
+
+@query(
+    "ts_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             {sql_dsum('value')} AS x
+      FROM events GROUP BY 1),
+    pre AS (
+      SELECT d, x,
+             CAST(sum(CAST(x AS DECIMAL(30,6))) OVER
+                  (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS DOUBLE) AS s,
+             row_number() OVER (ORDER BY d) AS t,
+             count(*) OVER () AS n,
+             CAST(sum(CAST(x AS DECIMAL(30,6))) OVER () AS DOUBLE)
+                 AS tot
+      FROM daily),
+    cand AS (
+      SELECT d, s / t AS left_mean,
+             (tot - s) / (n - t) AS right_mean,
+             abs(s / t - (tot - s) / (n - t)) AS shift
+      FROM pre WHERE t < n),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY shift DESC, d) AS rn
+      FROM cand)
+    SELECT d AS split_day, left_mean, right_mean, shift
+    FROM best WHERE rn = 1
+    """,
+)
+def ts_changepoint(spark, sf_dir):
+    """Single mean-shift CHANGEPOINT over the daily series — the
+    binary-segmentation primitive (AMOC: at-most-one-change) behind
+    every regression-detection dashboard: for each candidate split
+    day, compare the mean before vs after and report the split that
+    maximizes the shift. Prefix sums come from one cumulative
+    window over DECIMAL-stabilized daily totals, so every candidate
+    mean is an identical IEEE division on both engines and the
+    argmax (shift DESC, day tiebreak) cannot diverge. The day
+    series is one row per day — the windows are trivially small;
+    the heavy lifting is the map-side events roll-up. Recursive
+    segmentation at scale = re-run per segment (iterations
+    logarithmic in segments)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        dsum("value").alias("x"))
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = daily.select(
+        "d",
+        F.sum(F.col("x").cast("decimal(30,6)")).over(w_cum)
+            .cast("double").alias("s"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).over(w_all)
+            .cast("double").alias("tot"),
+    )
+    left_mean = F.col("s") / F.col("t")
+    right_mean = (F.col("tot") - F.col("s")) / (F.col("n") - F.col("t"))
+    cand = pre.where(F.col("t") < F.col("n")).select(
+        "d", left_mean.alias("left_mean"),
+        right_mean.alias("right_mean"),
+        F.abs(left_mean - right_mean).alias("shift"),
+    )
+    wbest = Window.orderBy(F.col("shift").desc(), F.col("d"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(F.col("d").alias("split_day"),
+                "left_mean", "right_mean", "shift")
+    )
