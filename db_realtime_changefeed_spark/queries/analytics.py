@@ -4059,3 +4059,78 @@ def ts_changepoint(spark, sf_dir):
         .select(F.col("d").alias("split_day"),
                 "left_mean", "right_mean", "shift")
     )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders WHERE o_orderkey % 100 = 0)
+    SELECT o_orderkey, d,
+           CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(d - INTERVAL 90 DAY AS DATE) AS minus_90d,
+           last_day(d) AS month_end,
+           CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+           date_diff('day', CAST(date_trunc('year', d) AS DATE), d)
+               AS day_of_year0
+    FROM t
+    """,
+)
+def fn_interval(spark, sf_dir):
+    """INTERVAL arithmetic (§2.H2 completion): the calendar algebra
+    SLAs and billing cycles are written in — month addition WITH
+    end-of-month clamping (Jan 31 + 3 months = Apr 30, verified
+    identical in both engines), day offsets, last_day, quarter
+    truncation, and elapsed days since year start. All
+    integer/calendar math — no floats anywhere — evaluated inside
+    codegen on the scan. The fixture's order dates are timestamps;
+    the explicit DATE cast is the portability guard (DuckDB's
+    date + INTERVAL returns TIMESTAMP, Spark's DATE — both sides
+    re-cast)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.date_sub(d, 90).alias("minus_90d"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.datediff(d, F.date_trunc("year", d).cast("date"))
+            .alias("day_of_year0"),
+    )
+
+
+@query(
+    "win_frame_range_numeric",
+    oracle="""
+    SELECT event_id, event_type, value,
+           count(*) OVER w AS n_near,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS sum_near
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value
+                 RANGE BETWEEN 25.0 PRECEDING AND 25.0 FOLLOWING)
+    """,
+)
+def win_frame_range_numeric(spark, sf_dir):
+    """NUMERIC range frames (§2.E4's other half — win_frame_range
+    covers time offsets): for every event, aggregate over peers of
+    the same type whose VALUE lies within ±25 — a value-
+    neighbourhood density profile, the window form of a band join
+    (C5) when the band is per-row. Frame membership compares the
+    same IEEE doubles on both engines (no arithmetic on the bound
+    column), and the in-frame sum rides the DEC path. One
+    (event_type) shuffle + sort; Spark's range-frame cursor is
+    linear in partition size."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("win_rangenum_v")
+    return spark.sql("""
+        SELECT event_id, event_type, value,
+               count(*) OVER w AS n_near,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS sum_near
+        FROM win_rangenum_v
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     RANGE BETWEEN 25.0 PRECEDING AND 25.0 FOLLOWING)
+    """)
