@@ -1860,3 +1860,70 @@ def sink_parquet_resumed(spark, sf_dir):
     _run_half(len(files) // 2)   # first run: half the data, then stop
     _run_half(len(files))        # restart from the same checkpoint
     return spark.read.parquet(out)
+
+
+@query(
+    "changefeed_resolved",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT ts, row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events),
+    chunked AS (
+      SELECT ts,
+             CAST(floor(rn / ceil(n / {default_chunks()}.0)) AS BIGINT)
+               AS batch_id
+      FROM numbered),
+    per AS (
+      SELECT batch_id, max(ts) AS batch_max, count(*) AS n_rows
+      FROM chunked GROUP BY batch_id)
+    SELECT batch_id, n_rows,
+           max(batch_max) OVER (ORDER BY batch_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS resolved_ts
+    FROM per
+    """,
+)
+def changefeed_resolved(spark, sf_dir):
+    """RESOLVED timestamps — the changefeed's progress contract
+    (CockroachDB's `resolved` option, Kafka connectors' watermark
+    messages): after each batch the feed emits the timestamp below
+    which NO further rows will ever appear, which is what lets a
+    downstream consumer close books/windows safely. Emitted from a
+    real foreachBatch pass over the replayed stream: per micro-
+    batch max event time and row count, with the resolved front as
+    the running max (monotone by construction — asserted in
+    tests). Replay chunk boundaries are deterministic functions of
+    (n, chunk count) — the same contract the delta-log oracle
+    leans on — so the whole progress history is reconstructable in
+    SQL. Driver state: one tuple per batch."""
+    from .replay import build_replay_chunks, read_events_stream
+
+    chunks = build_replay_chunks(spark, sf_dir)
+    acc: list = []
+
+    def emit(df, batch_id):
+        r = df.agg(F.max("ts").alias("m"),
+                   F.count(F.lit(1)).alias("n")).collect()[0]
+        if r.n:
+            acc.append((batch_id, r.n, r.m))
+
+    q = (
+        read_events_stream(spark, chunks)
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="dbrcf-resolved-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.createDataFrame(
+        acc, "batch_id long, n_rows long, batch_max timestamp")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return out.select(
+        "batch_id", "n_rows",
+        F.max("batch_max").over(w).alias("resolved_ts"),
+    )

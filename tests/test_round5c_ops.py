@@ -556,3 +556,18 @@ def test_seasonal_naive_eval_day_count(spark, sf_smoke):
     r = QUERIES["ts_seasonal_naive_eval"](spark, sf_smoke).collect()[0]
     assert r.n_days == n_days - 7
     assert 0.0 <= r.mae <= r.max_abs_err
+
+
+def test_resolved_front_is_monotone_and_complete(spark, sf_smoke):
+    """Resolved timestamps never regress, every event is below the
+    final front, and batch row counts sum to the table."""
+    rows = sorted(
+        QUERIES["changefeed_resolved"](spark, sf_smoke).collect(),
+        key=lambda r: r.batch_id,
+    )
+    fronts = [r.resolved_ts for r in rows]
+    assert fronts == sorted(fronts)
+    ev = load_table(spark, sf_smoke, "events")
+    assert sum(r.n_rows for r in rows) == ev.count()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    assert fronts[-1] == max_ts
