@@ -4134,3 +4134,75 @@ def win_frame_range_numeric(spark, sf_dir):
         WINDOW w AS (PARTITION BY event_type ORDER BY value
                      RANGE BETWEEN 25.0 PRECEDING AND 25.0 FOLLOWING)
     """)
+
+
+_CM_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CM_PAIRS = [(a, b) for i, a in enumerate(_CM_VARS)
+             for b in _CM_VARS[i + 1:]]
+
+
+def _cm_sql_corr(a: str, b: str) -> str:
+    return (f"(n * sxy_{a}_{b} - sx_{a} * sx_{b})"
+            f" / (sqrt(n * sxx_{a} - sx_{a} * sx_{a})"
+            f" * sqrt(n * sxx_{b} - sx_{b} * sx_{b}))")
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {", ".join(f"{sql_dsum(v)} AS sx_{v}" for v in _CM_VARS)},
+             {", ".join(f"{_sql_wsum(v, v)} AS sxx_{v}"
+                        for v in _CM_VARS)},
+             {", ".join(f"{_sql_wsum(a, b)} AS sxy_{a}_{b}"
+                        for a, b in _CM_PAIRS)}
+      FROM lineitem)
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT '{a}' AS var_a, '{b}' AS var_b,"
+          f" {_cm_sql_corr(a, b)} AS corr FROM m"
+          for a, b in _CM_PAIRS)}
+    ) t
+    """,
+)
+def agg_corr_matrix(spark, sf_dir):
+    """Pairwise correlation MATRIX over the four lineitem measures —
+    the profiling pass feature selection and anomaly dashboards
+    start from, generalizing agg_stats' single pair to all six.
+    ONE hash aggregate computes every first/second moment (4 sums,
+    4 squares, 6 cross-products — 15 decimal accumulators riding
+    one scan); the closed forms combine them with token-identical
+    IEEE arithmetic on both engines. Long-form (var_a, var_b, corr)
+    output so downstream code joins on variable names instead of
+    parsing column labels. At 100 TB this is the textbook
+    map-side-combine shape: accumulator count is O(k²) in COLUMNS,
+    constant in rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [dsum(v).alias(f"sx_{v}") for v in _CM_VARS]
+    aggs += [_wsum(F.col(v), F.col(v)).alias(f"sxx_{v}")
+             for v in _CM_VARS]
+    aggs += [_wsum(F.col(a), F.col(b)).alias(f"sxy_{a}_{b}")
+             for a, b in _CM_PAIRS]
+    m = li.agg(*aggs)
+
+    def corr(a, b):
+        n = F.col("n")
+        sxy, sa, sb = (F.col(f"sxy_{a}_{b}"), F.col(f"sx_{a}"),
+                       F.col(f"sx_{b}"))
+        sxxa, sxxb = F.col(f"sxx_{a}"), F.col(f"sxx_{b}")
+        return ((n * sxy - sa * sb)
+                / (F.sqrt(n * sxxa - sa * sa)
+                   * F.sqrt(n * sxxb - sb * sb)))
+
+    wide = m.select(*[
+        corr(a, b).alias(f"c_{a}_{b}") for a, b in _CM_PAIRS
+    ])
+    # stack() long-forms the single wide row — a per-pair UNION of
+    # the aggregate would re-execute the scan once per pair
+    stack = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in _CM_PAIRS)
+    return wide.selectExpr(
+        f"stack({len(_CM_PAIRS)}, {stack})"
+        " AS (var_a, var_b, corr)")
