@@ -4206,3 +4206,70 @@ def agg_corr_matrix(spark, sf_dir):
     return wide.selectExpr(
         f"stack({len(_CM_PAIRS)}, {stack})"
         " AS (var_a, var_b, corr)")
+
+
+# Synthetic-but-deterministic coordinates: the fixture carries no
+# geo columns, so each user gets a stable pseudo-location derived
+# from its id — the OPERATOR (haversine + nearest-k) is the graded
+# surface, exactly like the multimodal family's deterministic fake.
+_GEO_LAT = "(CAST((user_id * 37) % 160 AS DOUBLE) - 80.0 + 0.25)"
+_GEO_LON = "(CAST((user_id * 73) % 360 AS DOUBLE) - 180.0 + 0.25)"
+_GEO_QLAT, _GEO_QLON = 42.0, -71.0
+_GEO_R = 6371.0  # mean Earth radius, km
+
+
+def _sql_haversine(lat, lon, qlat, qlon):
+    return (
+        f"2.0 * {_GEO_R} * asin(sqrt("
+        f"pow(sin(radians(({lat}) - ({qlat})) / 2.0), 2.0)"
+        f" + cos(radians({qlat})) * cos(radians({lat}))"
+        f" * pow(sin(radians(({lon}) - ({qlon})) / 2.0), 2.0)))"
+    )
+
+
+@query(
+    "geo_nearest",
+    oracle=f"""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             {_GEO_LAT} AS lat, {_GEO_LON} AS lon
+      FROM events),
+    d AS (
+      SELECT user_id, lat, lon,
+             {_sql_haversine('lat', 'lon', _GEO_QLAT, _GEO_QLON)}
+                 AS dist_km
+      FROM pts)
+    SELECT user_id, lat, lon, round(dist_km, 6) AS dist_km
+    FROM d
+    ORDER BY dist_km, user_id
+    LIMIT 20
+    """,
+)
+def geo_nearest(spark, sf_dir):
+    """Geospatial nearest-k — the getNearest/ST_Distance staple of
+    every realtime-feed database, as pure Catalyst trig: haversine
+    great-circle distance from a query point to each user's
+    location, TakeOrdered top-20 (per-partition heap, no global
+    sort). sin/cos/asin agree across engines (fn_trig grades that
+    directly); the 6-dp round guards display-level drift, and the
+    (distance, user_id) order makes the k-cut deterministic. At
+    scale the refinement is standard: a geohash/S2 cell grid as
+    partition key turns the all-points scan into a ring search
+    around the query cell — the same bucket-then-verify shape as
+    llm_knn_lsh. Locations are id-derived stand-ins (no geo columns
+    in the fixture); the operator is the graded artifact."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.selectExpr(
+        "user_id", f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon"
+    ).distinct()
+    d = pts.selectExpr(
+        "user_id", "lat", "lon",
+        f"{_sql_haversine('lat', 'lon', _GEO_QLAT, _GEO_QLON)}"
+        " AS dist_km",
+    )
+    return (
+        d.select("user_id", "lat", "lon",
+                 F.round("dist_km", 6).alias("dist_km"))
+        .orderBy("dist_km", "user_id")
+        .limit(20)
+    )
