@@ -320,3 +320,46 @@ def test_cohort_single_scan_two_exchanges(spark, sf_oracle):
     assert "Join" not in plan, "cohort must not self-join"
     assert plan.count("+- Exchange") == 2
     assert plan.count("Scan parquet") <= 2
+
+
+def test_knn_join_broadcasts_queries(spark, sf_oracle):
+    """The multi-query ANN join must broadcast the query side (tiny)
+    and never degrade to a nested loop."""
+    plan = _plan(spark, sf_oracle, "llm_knn_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_single_key_joins(spark, sf_oracle):
+    """MERGE resolves with equi-joins only — no cartesian, no nested
+    loop — and both delta slices push their modular filters to the
+    scan."""
+    plan = _plan(spark, sf_oracle, "merge_into_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_dq_audit_scan_budget(spark, sf_oracle):
+    """The audit reads each table once: 4 tables + 2 join-probe
+    sides = at most 6 scan nodes (formatted plans list each node
+    twice — tree + details — hence the ×2; the naive
+    rule-per-subquery form had 9 scan nodes)."""
+    plan = _plan(spark, sf_oracle, "dq_audit")
+    n_scans = plan.split("== Physical Plan ==")[-1].count("Scan parquet")
+    assert n_scans <= 12, f"{n_scans // 2} scans — audit re-reading tables"
+
+
+def test_filter_gate_single_scan_no_shuffle(spark, sf_oracle):
+    """The fused gate is map-only: one documents scan node (×2 in
+    the formatted listing), zero exchanges."""
+    plan = _plan(spark, sf_oracle, "llm_filter_gate")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("Scan parquet") <= 2
+    assert "Exchange" not in body
+
+
+def test_geo_nearest_heap_topk(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "geo_nearest")
+    assert "TakeOrderedAndProject" in plan, "nearest-k must heap, not sort"
