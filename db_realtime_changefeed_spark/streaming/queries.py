@@ -1927,3 +1927,127 @@ def changefeed_resolved(spark, sf_dir):
         "batch_id", "n_rows",
         F.max("batch_max").over(w).alias("resolved_ts"),
     )
+
+
+@query(
+    "stream_scd2_maintain",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    changes AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE prev IS NULL OR event_type <> prev),
+    versions AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS valid_to,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                   AS version
+        FROM changes)
+    SELECT user_id, version, event_type AS attr, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versions
+    """,
+)
+def stream_scd2_maintain(spark, sf_dir):
+    """INCREMENTALLY MAINTAINED SCD2 — the streaming twin of
+    scd2_build, and the materialization a changefeed database
+    exists to keep: each micro-batch merges its events into the
+    type-2 dimension (close the open version on an attribute
+    change, open the successor, carry untouched runs forward), and
+    the final table must equal the batch build exactly — the SAME
+    oracle grades both, which proves micro-batch boundaries leak
+    nothing (a run spanning batches keeps its valid_from and
+    version; a change closes the prior version with the change's
+    timestamp even when they arrive batches apart).
+
+    Mechanics per batch: the carried open-version rows join the
+    batch as pseudo-events (event_id -1 sorts them first),
+    applyInPandas detects runs PER USER on executors, CLOSED
+    versions append straight to a parquet spill (executor-side,
+    never through the driver), and only the open-version row per
+    touched user returns to the carried state — driver state is
+    bounded by USER CARDINALITY, the same small-key-class routing
+    changefeed.py documents; the executor-side state-store variant
+    (applyInPandasWithState) is the path when keys outgrow it."""
+    import pandas as pd
+
+    from .replay import build_replay_chunks, read_events_stream
+
+    chunks = build_replay_chunks(spark, sf_dir)
+    closed_dir = tempfile.mkdtemp(prefix="dbrcf-scd2m-closed-")
+    carried: dict = {}  # user_id -> (attr, valid_from, version)
+
+    out_schema = ("user_id long, version long, attr string,"
+                  " valid_from timestamp, valid_to timestamp,"
+                  " is_current boolean")
+
+    def merge(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        carried_rows = [
+            (u, a, vf, -1, v) for u, (a, vf, v) in carried.items()
+        ]
+        carried_df = spark.createDataFrame(
+            carried_rows,
+            "user_id long, event_type string, ts timestamp,"
+            " event_id long, base_version long",
+        ) if carried_rows else None
+        ev = batch_df.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lit(None).cast("long").alias("base_version"),
+        )
+        combined = (
+            ev.unionByName(carried_df) if carried_df is not None else ev
+        )
+
+        def runs(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            start = pdf["event_type"].ne(
+                pdf["event_type"].shift()).cumsum()
+            firsts = pdf.groupby(start.values, sort=True).first()
+            base = (int(firsts["base_version"].iloc[0])
+                    if pd.notna(firsts["base_version"].iloc[0]) else 1)
+            n = len(firsts)
+            out = pd.DataFrame({
+                "user_id": firsts["user_id"].values,
+                "version": [base + i for i in range(n)],
+                "attr": firsts["event_type"].values,
+                "valid_from": firsts["ts"].values,
+                "valid_to": list(firsts["ts"].values[1:]) + [pd.NaT],
+                "is_current": [False] * (n - 1) + [True],
+            })
+            return out
+
+        merged = combined.groupBy("user_id").applyInPandas(
+            runs, schema=out_schema)
+        merged.where(~F.col("is_current")).write.mode("append").parquet(
+            closed_dir)
+        for r in merged.where(F.col("is_current")).collect():
+            carried[r.user_id] = (r.attr, r.valid_from, r.version)
+
+    q = (
+        read_events_stream(spark, chunks)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="dbrcf-scd2m-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    currents = spark.createDataFrame(
+        [(u, v, a, vf, None, True)
+         for u, (a, vf, v) in carried.items()],
+        out_schema,
+    )
+    import os
+
+    closed = (
+        spark.read.schema(out_schema).parquet(closed_dir)
+        if os.listdir(closed_dir) else
+        spark.createDataFrame([], out_schema)
+    )
+    return closed.unionByName(currents)

@@ -571,3 +571,25 @@ def test_resolved_front_is_monotone_and_complete(spark, sf_smoke):
     assert sum(r.n_rows for r in rows) == ev.count()
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     assert fronts[-1] == max_ts
+
+
+def test_stream_scd2_matches_batch_and_chunking_invariant(
+        spark, sf_smoke, monkeypatch):
+    """The incrementally maintained dimension equals the batch build
+    row for row, under BOTH the default chunking and a different
+    micro-batch count (boundaries must leak nothing)."""
+    batch = QUERIES["scd2_build"](spark, sf_smoke)
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.version, r.attr, r.valid_from, r.valid_to,
+             r.is_current)
+            for r in df.collect()
+        )
+
+    expected = canon(batch)
+    assert canon(
+        QUERIES["stream_scd2_maintain"](spark, sf_smoke)) == expected
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CHUNKS", "7")
+    assert canon(
+        QUERIES["stream_scd2_maintain"](spark, sf_smoke)) == expected
