@@ -4156,3 +4156,96 @@ def llm_neardup_verify_edit(spark, sf_dir):
                 lev.cast("bigint").alias("edit_dist"),
                 sim_q.alias("edit_sim"))
     )
+
+
+@query(
+    "llm_pipeline_attrition",
+    oracle="""
+    WITH survivors AS (
+      SELECT doc_id, lang, n_chars, text,
+             row_number() OVER (
+               PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ',
+                                                     'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, lang, n_chars, text, (rn = 1) AS s_exact,
+             (rn = 1 AND n_chars >= 60
+              AND len(string_split(text, ' ')) >= 20) AS s_quality
+      FROM survivors),
+    clean AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct(string_split(text, ' ')) AS ws
+      FROM flagged WHERE s_quality),
+    neardup_losers AS (
+      SELECT DISTINCT b.doc_id AS loser
+      FROM clean a JOIN clean b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 10
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            > 0.5)
+    SELECT 0 AS stage_idx, 'input' AS stage,
+           count(*) AS n_surviving FROM flagged
+    UNION ALL
+    SELECT 1, 'exact_dedup', count(*) FROM flagged WHERE s_exact
+    UNION ALL
+    SELECT 2, 'quality_length', count(*) FROM flagged WHERE s_quality
+    UNION ALL
+    SELECT 3, 'near_dedup', count(*) FROM flagged
+    WHERE s_quality
+      AND doc_id NOT IN (SELECT loser FROM neardup_losers)
+    """,
+)
+def llm_pipeline_attrition(spark, sf_dir):
+    """The ATTRITION FUNNEL of the cleaning pipeline — the one-page
+    report every corpus release publishes (how many docs each stage
+    costs): survivors after exact dedup, after the length/token
+    quality gate, after near-dup removal, against the raw input.
+    Same stage definitions as llm_pipeline_end_to_end (its oracle's
+    CTEs, re-expressed as per-doc FLAGS so all four counts ride ONE
+    corpus scan plus the near-dup candidate join — not one scan per
+    stage); monotone by construction, which the test asserts. At
+    100 TB this shape is why flags beat materializing per-stage
+    tables: the report costs one pass, and each stage's loss is
+    auditable without re-running the pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    flagged = d.select(
+        "doc_id", "lang", "n_chars", "text",
+        (F.row_number().over(w) == 1).alias("s_exact"),
+    ).withColumn(
+        "s_quality",
+        F.col("s_exact") & (F.col("n_chars") >= 60)
+        & (F.size(F.split("text", " ")) >= 20),
+    )
+    clean = flagged.where("s_quality").select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a, b = clean.alias("a"), clean.alias("b")
+    inter = F.size(F.array_intersect("a.ws", "b.ws"))
+    jac = inter.cast("double") / (
+        F.size("a.ws") + F.size("b.ws") - inter)
+    losers = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10))
+        .where(jac > 0.5)
+        .select(F.col("b.doc_id").alias("loser"))
+        .distinct()
+    )
+    final_flag = flagged.join(
+        losers, flagged.doc_id == losers.loser, "left")
+    counts = final_flag.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.col("s_exact"), 1)).alias("n_exact"),
+        F.count(F.when(F.col("s_quality"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("s_quality")
+                       & F.col("loser").isNull(), 1)).alias("n_final"),
+    )
+    return counts.selectExpr(
+        "stack(4, 0, 'input', n_input, 1, 'exact_dedup', n_exact,"
+        " 2, 'quality_length', n_quality, 3, 'near_dedup', n_final)"
+        " AS (stage_idx, stage, n_surviving)")

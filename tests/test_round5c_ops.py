@@ -593,3 +593,19 @@ def test_stream_scd2_matches_batch_and_chunking_invariant(
     monkeypatch.setenv("SPARK_GRAFT_STREAM_CHUNKS", "7")
     assert canon(
         QUERIES["stream_scd2_maintain"](spark, sf_smoke)) == expected
+
+
+def test_attrition_monotone_and_consistent(spark, sf_smoke):
+    """Stage survivors never increase, input equals the corpus, and
+    the final stage matches llm_pipeline_end_to_end's doc total."""
+    rows = sorted(
+        QUERIES["llm_pipeline_attrition"](spark, sf_smoke).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    counts = [r.n_surviving for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] == load_table(spark, sf_smoke, "documents").count()
+    final_docs = sum(
+        r.n_docs for r in
+        QUERIES["llm_pipeline_end_to_end"](spark, sf_smoke).collect())
+    assert counts[-1] == final_docs
