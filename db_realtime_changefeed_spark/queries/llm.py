@@ -4249,3 +4249,53 @@ def llm_pipeline_attrition(spark, sf_dir):
         "stack(4, 0, 'input', n_input, 1, 'exact_dedup', n_exact,"
         " 2, 'quality_length', n_quality, 3, 'near_dedup', n_final)"
         " AS (stage_idx, stage, n_surviving)")
+
+
+@query(
+    "llm_cluster_best_rep",
+    oracle=f"""
+    WITH base AS ({_REGISTERED_ORACLES['llm_dedup_cluster']}),
+    j AS (
+      SELECT b.doc_id, b.cluster_id, d.n_chars
+      FROM base b JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS nm
+      FROM j)
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(n_chars AS BIGINT) AS rep_n_chars,
+           CAST(nm AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_cluster_best_rep(spark, sf_dir):
+    """Representative SELECTION for dedup clusters — production
+    dedup keeps the BEST member of each near-dup family, not the
+    arbitrary minimum id (the longest doc usually carries the most
+    content; Lee et al. and the CCNet pipeline both keep-longest):
+    per connected component, the (n_chars DESC, doc_id) leader,
+    with the member count for audit. One keep-first window over the
+    labelled docs; components come from the shared
+    operators/components.py machinery and the oracle wraps the
+    REGISTERED llm_dedup_cluster oracle, so labelling drift
+    hash-fails. Singleton docs are their own cluster and rep."""
+    labels = llm_dedup_cluster(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars")
+    j = labels.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("nm", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("rep_n_chars"),
+            F.col("nm").cast("bigint").alias("n_members"),
+        )
+    )
