@@ -125,6 +125,25 @@ _GRADE_PRIORITY = [
     "llm_pipeline_end_to_end", "llm_kmeans", "win_session_dynamic_gap",
     "fn_higher_order", "fn_collation", "llm_embedding_pca",
     "fn_try_errors",
+    # VERDICT r4 item 1: the three r4 oracle upgrades must earn
+    # official hash rows — rank them ahead of everything else
+    # ungraded (import order alone would park them near pos 58,
+    # outside the ~50-query budget), with the md5 MinHash twin
+    # that makes the near-dup family gradable
+    "llm_dedup_simhash", "llm_knn_lsh", "llm_knn_ivf",
+    "llm_dedup_minhash_md5",
+    # round-5 continuation (never graded) — the entries whose
+    # OFFICIAL grading exercises the most machinery go first
+    # (streaming restarts, foreachBatch materializations, the
+    # Python streaming data source, the written-layout round trips);
+    # the rest of the continuation follows import order after the
+    # earlier ungraded round-5 block
+    "stream_scd2_maintain", "changefeed_resolved",
+    "changefeed_log_compacted", "sink_parquet_resumed",
+    "sink_parquet_partitioned", "source_python_datasource_stream",
+    "join_stream_stream_semi", "llm_knn_join", "llm_filter_gate",
+    "merge_into_upsert", "graph_triangles", "layout_partitioned_write",
+    "source_csv_permissive", "udtf_polymorphic",
 ]
 
 
