@@ -2051,3 +2051,42 @@ def stream_scd2_maintain(spark, sf_dir):
         spark.createDataFrame([], out_schema)
     )
     return closed.unionByName(currents)
+
+
+_ASOF_BATCH = 1
+
+
+@query(
+    "changefeed_state_asof",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events),
+    chunked AS (
+      SELECT event_type, value,
+             CAST(floor(rn / ceil(n / {default_chunks()}.0)) AS BIGINT)
+               AS batch_id
+      FROM numbered)
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+    FROM chunked WHERE batch_id <= {_ASOF_BATCH}
+    GROUP BY event_type
+    """,
+)
+def changefeed_state_asof(spark, sf_dir):
+    """TIME TRAVEL on the changefeed's materialized state — the AS
+    OF SYSTEM TIME analogue: MVCC versions are retained per batch
+    (write-new-version + pointer flip, never in-place), so any past
+    trigger's view stays readable after the feed has moved on. This
+    grades state_at(batch 1) of the 4-batch replay: exactly the
+    aggregate over the first two micro-batches' rows, which the
+    deterministic chunk boundaries make SQL-reconstructable (the
+    delta-log oracle's chunking contract). Readers never block
+    writers and vice versa — the version a reader opened remains
+    immutable; compaction (runner.compact) is the explicit GC,
+    and reads past its horizon raise rather than silently serve
+    the wrong version."""
+    return _changefeed(spark, sf_dir).state_at(_ASOF_BATCH)
