@@ -4299,3 +4299,99 @@ def llm_cluster_best_rep(spark, sf_dir):
             F.col("nm").cast("bigint").alias("n_members"),
         )
     )
+
+
+_SIL_D2 = (
+    "list_aggregate(list_transform(range(1, len(e.embedding)+1),"
+    " i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+    " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), 'sum')"
+)
+
+
+@query(
+    "llm_label_silhouette",
+    oracle=f"""
+    WITH pm AS (
+      SELECT label, i AS pos,
+             {sql_dsum('CAST(embedding[i] AS DOUBLE)')} / count(*)
+                 AS cv
+      FROM embeddings, range(1, 65) AS t(i)
+      GROUP BY label, i),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid
+             FROM pm GROUP BY label),
+    dist AS (
+      SELECT e.vec_id, e.label AS own, c.label AS clab,
+             sqrt({_SIL_D2}) AS d
+      FROM embeddings e, cent c),
+    per_vec AS (
+      SELECT vec_id, own,
+             max(CASE WHEN clab = own THEN d END) AS d_own,
+             min(CASE WHEN clab <> own THEN d END) AS d_other
+      FROM dist GROUP BY vec_id, own),
+    s AS (
+      SELECT own AS label,
+             (d_other - d_own) / greatest(d_own, d_other) AS sil
+      FROM per_vec)
+    SELECT label, count(*) AS n,
+           CAST(sum(CAST(FLOOR(sil * 1000000.0 + 0.5) / 1000000.0
+                         AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS mean_silhouette,
+           min(sil) AS min_sil, max(sil) AS max_sil
+    FROM s GROUP BY label
+    """,
+)
+def llm_label_silhouette(spark, sf_dir):
+    """Silhouette score per label — the clustering-quality metric
+    (simplified/centroid form: distances to CLUSTER CENTROIDS, as
+    in scalable silhouette implementations, not all-pairs): s =
+    (b - a)/max(a, b) with a = distance to the own-label centroid
+    and b = the nearest other centroid. Positive means the label
+    structure is real; ≈0 means overlapping clouds — the number
+    that tells you whether label-blocked dedup (llm_neardup_
+    embedding) and IVF cells (llm_knn_ivf) can work on this
+    corpus. Centroids are the DEC-stabilized per-dim means
+    (llm_embedding_centroid's aggregate); distances are sequential
+    folds + sqrt (engine-exact, as every cosine query proves); the
+    per-label mean quantizes each s with the tie-deterministic
+    floor round. Scale: 5 centroids broadcast; one pass over the
+    vectors; the (vec, centroid) expansion is k×, not n²."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+              / F.count(F.lit(1))).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv")))
+             .alias("pc"))
+        .select(F.col("label").alias("clab"),
+                F.transform("pc", lambda s: s.cv).alias("centroid"))
+    )
+    diff2 = F.zip_with(
+        "embedding", "centroid",
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    d = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
+    dist = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("label").alias("own"), "clab",
+                d.alias("d"))
+    )
+    per_vec = dist.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("clab") == F.col("own"), F.col("d")))
+            .alias("d_own"),
+        F.min(F.when(F.col("clab") != F.col("own"), F.col("d")))
+            .alias("d_other"),
+    )
+    sil = (F.col("d_other") - F.col("d_own")) / F.greatest(
+        "d_own", "d_other")
+    s = per_vec.select(F.col("own").alias("label"), sil.alias("sil"))
+    sil_q = (F.floor(F.col("sil") * 1000000.0 + 0.5).cast("double")
+             / F.lit(1000000.0))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(sil_q.cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("mean_silhouette"),
+        F.min("sil").alias("min_sil"),
+        F.max("sil").alias("max_sil"),
+    )
