@@ -4273,3 +4273,118 @@ def geo_nearest(spark, sf_dir):
         .orderBy("dist_km", "user_id")
         .limit(20)
     )
+
+
+# ------------------------------------------------ row-pattern matching
+
+@query(
+    "seq_match_recognize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           length(seq) AS n_events,
+           len(regexp_extract_all(seq, 'vc*p')) AS n_matches,
+           regexp_extract(seq, 'vc*p') AS first_match
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
+    """,
+)
+def seq_match_recognize(spark, sf_dir):
+    """SQL:2016 MATCH_RECOGNIZE analog (Flink/Trino CEP): detect the
+    row pattern VIEW CLICK* PURCHASE — contiguous in event order —
+    per user timeline. Spark lacks the clause, so the pattern engine
+    is regex over a symbolized timeline: one char per event (the
+    fixture's five types have distinct initials), string-assembled
+    in deterministic (ts, event_id) order via array_sort over
+    structs, then regexp_count/extract find non-overlapping
+    leftmost matches — the same matching semantics MATCH_RECOGNIZE
+    AFTER MATCH SKIP PAST LAST ROW uses. One shuffle (groupBy
+    user_id); per-key state is the user's timeline string, the same
+    bound every sessionizer here carries. At 100 TB the symbolize+
+    aggregate stays map-side partial; regexes evaluate codegen-side
+    on the grouped strings — no Python, no window re-shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = ev.select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    seq = (
+        sym.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.regexp_count(F.col("seq"), F.lit("vc*p"))
+            .cast("long").alias("n_matches"),
+            F.regexp_extract("seq", "vc*p", 0).alias("first_match"),
+        )
+        .where(F.col("n_matches") >= 1)
+    )
+
+
+@query(
+    "seq_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    t AS (
+      SELECT prev, event_type AS curr, count(*) AS n
+      FROM o WHERE prev IS NOT NULL
+      GROUP BY prev, event_type),
+    tot AS (SELECT prev, sum(n) AS row_n FROM t GROUP BY prev)
+    SELECT t.prev, t.curr, t.n,
+           FLOOR(CAST(t.n AS DOUBLE) * 1000000.0
+                 / CAST(tot.row_n AS DOUBLE) + 0.5) / 1000000.0 AS p
+    FROM t JOIN tot ON t.prev = tot.prev
+    """,
+)
+def seq_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    paths (clickstream path analysis): P(next = curr | prev), from
+    lag() pairs in deterministic (ts, event_id) order. One window
+    shuffle on user_id builds the pairs; the 5x5 count matrix
+    crosses a second tiny shuffle; row-normalization is a window
+    SUM over the 25-row matrix itself — NOT a groupBy+join back to
+    the pair pipeline, which would re-execute the fact scan and
+    the user_id window a second time (plan-audited: the join form
+    showed 6 exchanges, this one 3, with the fact side scanned
+    once). Probabilities quantize via the rational floor-round
+    (_util.dround6_div semantics) because n/row_n can land exactly
+    on a 6-dp midpoint where the engines' round kernels disagree."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type",
+                  F.lag("event_type").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+    )
+    t = (
+        pairs.groupBy(F.col("prev"), F.col("event_type").alias("curr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_n = F.sum("n").over(Window.partitionBy("prev"))
+    return t.select(
+        "prev", "curr", "n",
+        (F.floor(F.col("n").cast("double") * F.lit(1000000.0)
+                 / row_n.cast("double") + F.lit(0.5))
+         .cast("double") / F.lit(1000000.0)).alias("p"),
+    )

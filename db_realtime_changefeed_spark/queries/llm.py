@@ -4395,3 +4395,61 @@ def llm_label_silhouette(spark, sf_dir):
         F.min("sil").alias("min_sil"),
         F.max("sil").alias("max_sil"),
     )
+
+
+# --------------------------------------------- weighted priority sample
+
+@query(
+    "llm_sample_weighted",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+             ((CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) + 0.5) / 4294967296.0) AS u
+      FROM documents)
+    SELECT doc_id, lang, n_chars,
+           FLOOR(u * 1000000.0 / CAST(n_chars AS DOUBLE) + 0.5)
+             / 1000000.0 AS key6
+    FROM k
+    ORDER BY u / CAST(n_chars AS DOUBLE), doc_id
+    LIMIT 50
+    """,
+)
+def llm_sample_weighted(spark, sf_dir):
+    """Deterministic weighted priority sample (data-mixing op): pick
+    the k=50 docs of a weight-biased race, weight = n_chars (longer
+    docs proportionally likelier), reproducible across engines,
+    machines, and partitionings — the property df.sample(weights)
+    cannot give. Each doc gets an EXACT uniform u = (first 4 md5
+    bytes + 0.5) / 2^32 (a dyadic rational: the +0.5 and the
+    power-of-two divide are exact in IEEE, so Spark and DuckDB hold
+    bit-identical doubles), races with key u/w, and the k smallest
+    keys win; pairwise P(i beats j) = w_i/(w_i+w_j). The classic
+    Efraimidis-Spirakis A-ES variant (key = u^(1/w)) is a one-line
+    swap when cross-engine bit-parity is not required — pow()'s
+    last-ulp is libm-specific, so the graded form stays rational.
+    Map-only scoring + TakeOrdered heap top-k: no shuffle, no
+    global sort, scan-bound at any corpus size. Displayed key6
+    quantizes via the floor-round (u/w is rational and CAN land on
+    a 6-dp midpoint — _util.dround6_div semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long").cast("double") + F.lit(0.5))
+        / F.lit(4294967296.0)
+    )
+    w = F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "lang", "n_chars", u.alias("u"))
+        .select(
+            "doc_id", "lang", "n_chars",
+            (F.floor(F.col("u") * F.lit(1000000.0)
+                     / F.col("n_chars").cast("double") + F.lit(0.5))
+             .cast("double") / F.lit(1000000.0)).alias("key6"),
+            (F.col("u") / F.col("n_chars").cast("double")).alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(50)
+        .drop("_k")
+    )

@@ -1,0 +1,92 @@
+"""Semantic invariants for the round-5 fourth-wave operators
+(row-pattern matching, Markov transitions, weighted priority
+sampling) — properties the differential oracle can't express:
+agreement with an independent pure-Python re-computation and
+distributional sanity of the derived statistics."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.catalog import load_table
+from db_realtime_changefeed_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def test_match_recognize_agrees_with_python_re(spark, sf_smoke):
+    """Per-user match counts must equal Python's re module applied to
+    the same symbolized timeline (independent ordering + matcher)."""
+    got = {r.user_id: r for r in
+           QUERIES["seq_match_recognize"](spark, sf_smoke).collect()}
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    timelines: dict[int, list] = {}
+    for r in ev:
+        timelines.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type[0]))
+    n_expected_users = 0
+    for uid, rows in timelines.items():
+        seq = "".join(s for _, _, s in sorted(rows))
+        matches = re.findall(r"vc*p", seq)
+        if matches:
+            n_expected_users += 1
+            r = got[uid]
+            assert r.n_events == len(seq)
+            assert r.n_matches == len(matches)
+            assert r.first_match == matches[0]
+        else:
+            assert uid not in got
+    assert len(got) == n_expected_users
+    assert n_expected_users > 0
+
+
+def test_transition_matrix_rows_normalize(spark, sf_smoke):
+    """Each prev-state's probabilities sum to 1 (within the 6-dp
+    quantization of at most 5 cells), and total transition count is
+    n_events - n_users_with_events (one lag-null per user)."""
+    rows = QUERIES["seq_transition_matrix"](spark, sf_smoke).collect()
+    ev = load_table(spark, sf_smoke, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_prev[r.prev] = by_prev.get(r.prev, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) <= 5e-6, (prev, total)
+
+
+def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
+    """The 50 winners must be exactly the 50 smallest u/w keys
+    recomputed independently with hashlib, and the weight bias must
+    show: mean n_chars of winners > corpus mean (longer docs are
+    proportionally likelier)."""
+    got = QUERIES["llm_sample_weighted"](spark, sf_smoke).collect()
+    assert len(got) == 50
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    keyed = []
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        keyed.append((u / r.n_chars, r.doc_id, r.n_chars))
+    keyed.sort()
+    expect_ids = [doc_id for _, doc_id, _ in keyed[:50]]
+    assert [r.doc_id for r in got] == expect_ids
+    mean_all = sum(n for _, _, n in keyed) / len(keyed)
+    mean_win = sum(r.n_chars for r in got) / 50.0
+    assert mean_win > mean_all
+    for r, (k, _, _) in zip(got, keyed[:50]):
+        import math
+        assert abs(r.key6 - math.floor(k * 1e6 + 0.5) / 1e6) < 1e-12
