@@ -4388,3 +4388,110 @@ def seq_transition_matrix(spark, sf_dir):
                  / row_n.cast("double") + F.lit(0.5))
          .cast("double") / F.lit(1000000.0)).alias("p"),
     )
+
+
+# ----------------------------------------------- distribution drift
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+    WITH longf AS (
+      SELECT (ts < TIMESTAMP '2024-01-16') AS is_base,
+             'event_type' AS feature, event_type AS bucket
+      FROM events
+      UNION ALL
+      SELECT (ts < TIMESTAMP '2024-01-16') AS is_base,
+             'value' AS feature,
+             'b' || CAST(CAST(least(floor(value / 50.0), 9) AS INTEGER)
+                         AS VARCHAR) AS bucket
+      FROM events),
+    g AS (
+      SELECT feature, bucket,
+             count(*) FILTER (WHERE is_base) AS n_base,
+             count(*) FILTER (WHERE NOT is_base) AS n_cur
+      FROM longf GROUP BY feature, bucket),
+    p AS (
+      SELECT feature, bucket, n_base, n_cur,
+             (CAST(n_base AS DOUBLE) + 0.5)
+               / (sum(CAST(n_base AS DOUBLE))
+                    OVER (PARTITION BY feature)
+                  + 0.5 * count(*) OVER (PARTITION BY feature))
+               AS p_base,
+             (CAST(n_cur AS DOUBLE) + 0.5)
+               / (sum(CAST(n_cur AS DOUBLE))
+                    OVER (PARTITION BY feature)
+                  + 0.5 * count(*) OVER (PARTITION BY feature))
+               AS p_cur
+      FROM g)
+    SELECT feature, bucket, n_base, n_cur,
+           FLOOR(p_base * 1000000.0 + 0.5) / 1000000.0 AS p_base6,
+           FLOOR(p_cur * 1000000.0 + 0.5) / 1000000.0 AS p_cur6,
+           FLOOR((p_cur - p_base) * ln(p_cur / p_base) * 1000000.0
+                 + 0.5) / 1000000.0 AS psi_term6
+    FROM p
+    """,
+)
+def dq_drift_psi(spark, sf_dir):
+    """Population Stability Index drift monitor (the train/serve and
+    week-over-week distribution-shift check every production data
+    pipeline runs): per-bucket PSI terms of event_type (categorical)
+    and value (10 fixed-width bins, tail-capped) between the first
+    15 days (baseline) and the rest (current). ONE fact scan feeds
+    both features — each row explodes into its two (feature, bucket)
+    assignments map-side, so adding features widens the explode
+    array, never re-reads the fact table; one shuffle groups the
+    long form; per-feature marginals are window sums over the tiny
+    bucket matrix (same no-rejoin shape as seq_transition_matrix).
+    Probabilities are Laplace-smoothed (+0.5 per bucket) so a bucket
+    empty in one period contributes a finite term instead of ln(0).
+    All inputs to ln() are bit-identical rationals in both engines
+    (integral counts sum exactly in doubles); each term quantizes
+    via the 6-dp floor-round, and (p_cur - p_base) * ln(p_cur /
+    p_base) >= 0 termwise, so quantization preserves sign. At 100 TB
+    the grouped matrix is |features| x |buckets| rows — driver-tiny
+    regardless of fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    val_bucket = F.concat(
+        F.lit("b"),
+        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+        .cast("int").cast("string"),
+    )
+    long_form = ev.select(
+        (F.col("ts") < cut).alias("is_base"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("feature"),
+                    F.col("event_type").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("value").alias("feature"),
+                    val_bucket.alias("bucket"),
+                ),
+            )
+        ).alias("fb"),
+    ).select("is_base", "fb.feature", "fb.bucket")
+    g = long_form.groupBy("feature", "bucket").agg(
+        F.count(F.when(F.col("is_base"), 1)).alias("n_base"),
+        F.count(F.when(~F.col("is_base"), 1)).alias("n_cur"),
+    )
+    wf = Window.partitionBy("feature")
+    nb = F.count(F.lit(1)).over(wf)
+    p_base = (F.col("n_base").cast("double") + F.lit(0.5)) / (
+        F.sum(F.col("n_base").cast("double")).over(wf) + F.lit(0.5) * nb
+    )
+    p_cur = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.sum(F.col("n_cur").cast("double")).over(wf) + F.lit(0.5) * nb
+    )
+
+    def r6(c):
+        return (F.floor(c * F.lit(1000000.0) + F.lit(0.5))
+                .cast("double") / F.lit(1000000.0))
+
+    return g.select(
+        "feature", "bucket", "n_base", "n_cur",
+        r6(p_base).alias("p_base6"),
+        r6(p_cur).alias("p_cur6"),
+        r6((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi_term6"),
+    )

@@ -64,6 +64,44 @@ def test_transition_matrix_rows_normalize(spark, sf_smoke):
         assert abs(total - 1.0) <= 5e-6, (prev, total)
 
 
+def test_drift_psi_agrees_with_python(spark, sf_smoke):
+    """Each PSI term must be non-negative ((x-y)ln(x/y) >= 0) and
+    equal an independent Python re-computation; bucket counts must
+    account for every event exactly once per feature."""
+    import math
+
+    rows = QUERIES["dq_drift_psi"](spark, sf_smoke).collect()
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    from collections import Counter
+    base: dict[str, Counter] = {"event_type": Counter(), "value": Counter()}
+    cur: dict[str, Counter] = {"event_type": Counter(), "value": Counter()}
+    cutoff = __import__("datetime").datetime(2024, 1, 16)
+    for r in ev:
+        side = base if r.ts < cutoff else cur
+        side["event_type"][r.event_type] += 1
+        side["value"]["b%d" % min(int(r.value // 50), 9)] += 1
+    for feat in ("event_type", "value"):
+        feat_rows = [r for r in rows if r.feature == feat]
+        assert sum(r.n_base + r.n_cur for r in feat_rows) == len(ev)
+        buckets = {r.bucket for r in feat_rows}
+        nb = len(buckets)
+        tot_b = sum(base[feat].values())
+        tot_c = sum(cur[feat].values())
+        for r in feat_rows:
+            assert r.n_base == base[feat][r.bucket]
+            assert r.n_cur == cur[feat][r.bucket]
+            pb = (r.n_base + 0.5) / (tot_b + 0.5 * nb)
+            pc = (r.n_cur + 0.5) / (tot_c + 0.5 * nb)
+            term = (pc - pb) * math.log(pc / pb)
+            assert r.psi_term6 >= 0.0
+            assert abs(r.psi_term6
+                       - math.floor(term * 1e6 + 0.5) / 1e6) < 1e-12
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
