@@ -4495,3 +4495,93 @@ def dq_drift_psi(spark, sf_dir):
         r6(p_cur).alias("p_cur6"),
         r6((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi_term6"),
     )
+
+
+@query(
+    "dq_profile_columns",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n,
+             count(l_orderkey) AS nn_ok,
+             count(DISTINCT l_orderkey) AS nd_ok,
+             CAST(min(l_orderkey) AS VARCHAR) AS mn_ok,
+             CAST(max(l_orderkey) AS VARCHAR) AS mx_ok,
+             count(l_quantity) AS nn_qty,
+             count(DISTINCT l_quantity) AS nd_qty,
+             CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+               AS mn_qty,
+             CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+               AS mx_qty,
+             count(l_returnflag) AS nn_rf,
+             count(DISTINCT l_returnflag) AS nd_rf,
+             CAST(min(l_returnflag) AS VARCHAR) AS mn_rf,
+             CAST(max(l_returnflag) AS VARCHAR) AS mx_rf,
+             count(l_shipdate) AS nn_sd,
+             count(DISTINCT l_shipdate) AS nd_sd,
+             strftime(min(l_shipdate), '%Y-%m-%d') AS mn_sd,
+             strftime(max(l_shipdate), '%Y-%m-%d') AS mx_sd
+      FROM lineitem)
+    SELECT 'l_orderkey' AS col_name, n,
+           n - nn_ok AS n_null, nd_ok AS n_distinct,
+           mn_ok AS min_val, mx_ok AS max_val FROM a
+    UNION ALL
+    SELECT 'l_quantity', n, n - nn_qty, nd_qty, mn_qty, mx_qty FROM a
+    UNION ALL
+    SELECT 'l_returnflag', n, n - nn_rf, nd_rf, mn_rf, mx_rf FROM a
+    UNION ALL
+    SELECT 'l_shipdate', n, n - nn_sd, nd_sd, mn_sd, mx_sd FROM a
+    """,
+)
+def dq_profile_columns(spark, sf_dir):
+    """ANALYZE-TABLE-style column statistics profile (the catalog
+    stats a cost-based optimizer feeds on, and the first screen of
+    every data-catalog UI): per column — row count, null count,
+    exact distinct count, min, max — for a key, a measure, a
+    category, and a date column of the fact table, long-formed as
+    one row per column. ONE aggregate pass over ONE scan: the four
+    count(DISTINCT)s share a single Expand-based aggregate (each
+    distinct column multiplies the expand factor — the documented
+    trade for exact profiling; approx_count_distinct drops the
+    expand entirely and is the 100 TB default, kept off here so the
+    oracle grades exact values). Min/max render as strings so mixed
+    column types share one long schema; doubles print through a
+    DECIMAL(18,2) cast because the fixture's measures carry 2-dp
+    values (FIXTURES.md) — both engines then format identically.
+    The stack() long-forming of the single wide row is driver-free
+    and scan count stays 1 no matter how many columns join the
+    profile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("nn_ok"),
+        F.count_distinct(F.col("l_orderkey")).alias("nd_ok"),
+        F.min("l_orderkey").cast("string").alias("mn_ok"),
+        F.max("l_orderkey").cast("string").alias("mx_ok"),
+        F.count("l_quantity").alias("nn_qty"),
+        F.count_distinct(F.col("l_quantity")).alias("nd_qty"),
+        F.min("l_quantity").cast("decimal(18,2)").cast("string")
+        .alias("mn_qty"),
+        F.max("l_quantity").cast("decimal(18,2)").cast("string")
+        .alias("mx_qty"),
+        F.count("l_returnflag").alias("nn_rf"),
+        F.count_distinct(F.col("l_returnflag")).alias("nd_rf"),
+        F.min("l_returnflag").cast("string").alias("mn_rf"),
+        F.max("l_returnflag").cast("string").alias("mx_rf"),
+        F.count("l_shipdate").alias("nn_sd"),
+        F.count_distinct(F.col("l_shipdate")).alias("nd_sd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
+    )
+    stack = ", ".join(
+        f"'{col}', n - nn_{s}, nd_{s}, mn_{s}, mx_{s}"
+        for col, s in [
+            ("l_orderkey", "ok"), ("l_quantity", "qty"),
+            ("l_returnflag", "rf"), ("l_shipdate", "sd"),
+        ]
+    )
+    return wide.selectExpr(
+        "n",
+        f"stack(4, {stack})"
+        " AS (col_name, n_null, n_distinct, min_val, max_val)",
+    ).select("col_name", "n", "n_null", "n_distinct",
+             "min_val", "max_val")

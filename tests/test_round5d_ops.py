@@ -102,6 +102,35 @@ def test_drift_psi_agrees_with_python(spark, sf_smoke):
                        - math.floor(term * 1e6 + 0.5) / 1e6) < 1e-12
 
 
+def test_profile_columns_matches_pandas(spark, sf_smoke):
+    """Profile rows must equal an independent pandas recomputation,
+    and the physical plan must read the fact table exactly once
+    (one Expand-based aggregate serves all distinct counts)."""
+    rows = {r.col_name: r for r in
+            QUERIES["dq_profile_columns"](spark, sf_smoke).collect()}
+    pdf = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    ).toPandas()
+    assert set(rows) == {"l_orderkey", "l_quantity",
+                         "l_returnflag", "l_shipdate"}
+    for col, r in rows.items():
+        s = pdf[col]
+        assert r.n == len(pdf)
+        assert r.n_null == int(s.isna().sum())
+        assert r.n_distinct == s.nunique()
+    assert rows["l_orderkey"].min_val == str(int(pdf["l_orderkey"].min()))
+    assert rows["l_quantity"].max_val == (
+        "%.2f" % pdf["l_quantity"].max())
+    assert rows["l_shipdate"].min_val == str(
+        pdf["l_shipdate"].min().date())
+    plan = (
+        QUERIES["dq_profile_columns"](spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
