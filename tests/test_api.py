@@ -322,3 +322,36 @@ def test_live_initial_scan_no_skips_preexisting_history(
     assert len(caught_up.cursor().poll()) > 0, (
         "live + initial_scan='yes' still delivers full catch-up"
     )
+
+
+def test_changefeed_log_chains_per_key(spark, sf_smoke):
+    """Per-key delivery-order guarantee: ordered by batch_id, each
+    key's log entries must CHAIN — entry N's new_count/new_sum is
+    entry N+1's old_count/old_sum, the first entry starts from
+    empty, and the last entry's new values equal the final state.
+    A lost, duplicated, or reordered delta breaks the chain, so
+    this is the invariant a downstream consumer materializing the
+    feed relies on."""
+    feed = Database(spark, sf_smoke).table("events").changes(
+        key="user_id")
+    log = feed.log().collect()
+    assert log, "fixture must produce changefeed history"
+    by_key: dict = {}
+    for r in sorted(log, key=lambda r: r["batch_id"]):
+        prev = by_key.get(r["user_id"])
+        if prev is None:
+            assert (r["old_count"] or 0) == 0, (
+                "first delta for a key must start from empty state")
+        else:
+            assert r["old_count"] == prev["new_count"], (
+                f"count chain broken for user {r['user_id']}")
+            assert abs((r["old_sum"] or 0.0)
+                       - (prev["new_sum"] or 0.0)) < 1e-9, (
+                f"sum chain broken for user {r['user_id']}")
+        assert r["new_count"] >= 1
+        by_key[r["user_id"]] = r
+    state = {r["user_id"]: r for r in feed.state().collect()}
+    assert set(state) == set(by_key)
+    for uid, last in by_key.items():
+        assert state[uid]["cnt"] == last["new_count"], (
+            "final state must equal the last chained delta")
