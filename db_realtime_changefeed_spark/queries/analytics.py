@@ -4585,3 +4585,65 @@ def dq_profile_columns(spark, sf_dir):
         " AS (col_name, n_null, n_distinct, min_val, max_val)",
     ).select("col_name", "n", "n_null", "n_distinct",
              "min_val", "max_val")
+
+
+@query(
+    "dq_table_diff",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+               AS cnt_v1,
+             count(*) AS cnt_v2,
+             CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+                  AS DOUBLE) AS sum_v1,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_v2
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id)
+    SELECT user_id,
+           CASE WHEN cnt_v1 = 0 THEN 'added'
+                ELSE 'modified' END AS change_type,
+           cnt_v1, cnt_v2,
+           coalesce(sum_v1, 0.0) AS sum_v1, sum_v2
+    FROM v
+    WHERE cnt_v1 <> cnt_v2
+    """,
+)
+def dq_table_diff(spark, sf_dir):
+    """Keyed table diff between two versions of a materialized state
+    (the data-reconciliation op behind migration validation and
+    backfill audits): per-user purchase count/revenue as of day 15
+    (v1) vs the full window (v2), emitting only keys that changed,
+    classified added (absent from v1) or modified. The general form
+    is a full outer join of two snapshots on key comparing row
+    hashes; here both versions derive from ONE source, so the diff
+    fuses into a single scan with FILTERed conditional aggregates —
+    half the I/O and no join at all, the shape to prefer whenever
+    the old version is reconstructible by predicate (time travel,
+    as-of filters). Sums route through exact DECIMAL (FIXTURES.md
+    determinism rule); 'removed' cannot occur under a append-only
+    source and the CASE documents that contract."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    in_v1 = F.col("ts") < cut
+    v = ev.groupBy("user_id").agg(
+        F.count(F.when(in_v1, 1)).alias("cnt_v1"),
+        F.count(F.lit(1)).alias("cnt_v2"),
+        F.sum(F.when(in_v1, F.col("value")).cast(
+            "decimal(18,6)")).cast("double").alias("sum_v1"),
+        dsum("value").alias("sum_v2"),
+    )
+    return (
+        v.where(F.col("cnt_v1") != F.col("cnt_v2"))
+        .select(
+            "user_id",
+            F.when(F.col("cnt_v1") == 0, "added")
+            .otherwise("modified").alias("change_type"),
+            "cnt_v1", "cnt_v2",
+            F.coalesce("sum_v1", F.lit(0.0)).alias("sum_v1"),
+            "sum_v2",
+        )
+    )

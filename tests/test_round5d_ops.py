@@ -131,6 +131,38 @@ def test_profile_columns_matches_pandas(spark, sf_smoke):
     assert "Expand" in plan
 
 
+def test_table_diff_agrees_with_two_snapshot_join(spark, sf_smoke):
+    """The fused single-scan diff must emit exactly the keys (and
+    classifications) that the naive two-snapshot outer-join diff
+    produces."""
+    import datetime
+
+    got = {r.user_id: r for r in
+           QUERIES["dq_table_diff"](spark, sf_smoke).collect()}
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    cut = datetime.datetime(2024, 1, 16)
+    v1: dict[int, int] = {}
+    v2: dict[int, int] = {}
+    for r in ev:
+        v2[r.user_id] = v2.get(r.user_id, 0) + 1
+        if r.ts < cut:
+            v1[r.user_id] = v1.get(r.user_id, 0) + 1
+    expect = {
+        uid: ("added" if uid not in v1 else "modified")
+        for uid, n2 in v2.items() if v1.get(uid, 0) != n2
+    }
+    assert {u: r.change_type for u, r in got.items()} == expect
+    for uid, r in got.items():
+        assert r.cnt_v1 == v1.get(uid, 0)
+        assert r.cnt_v2 == v2[uid]
+        assert r.cnt_v1 < r.cnt_v2  # append-only: counts only grow
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
