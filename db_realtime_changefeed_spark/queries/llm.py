@@ -4453,3 +4453,47 @@ def llm_sample_weighted(spark, sf_dir):
         .limit(50)
         .drop("_k")
     )
+
+
+@query(
+    "llm_mix_quota",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             CASE lang WHEN 'en' THEN 80 ELSE 30 END AS target_n
+      FROM documents)
+    SELECT doc_id, lang, rn, target_n
+    FROM r WHERE rn <= target_n
+    """,
+)
+def llm_mix_quota(spark, sf_dir):
+    """Quota mixture sampling (the data-mixing op behind Pile/DoReMi
+    -style domain rebalancing): build a training mix that hits an
+    exact per-language composition — 80 en / 30 each otherwise —
+    regardless of the corpus's native skew, by ranking each
+    language's docs on a content-independent hash and cutting at
+    the quota. Differs from llm_sample_stratified (per-stratum RATE
+    predicate: scan-only but count varies with corpus size) in that
+    quotas are EXACT counts, which a rate cannot give; the price is
+    one window shuffle on the stratum key. A language with fewer
+    docs than quota contributes everything it has (the cut is a
+    <=). The hash ranking makes the mix reproducible and stable
+    under corpus growth everywhere EXCEPT at the quota boundary —
+    documented: a new doc hashing inside the top-k evicts exactly
+    the old rank-k doc, the minimal possible churn. At 100 TB
+    rank-then-cut per stratum is the two-phase TakeOrdered shape:
+    per-partition heaps of size quota, then a per-stratum merge —
+    no full sort materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    target = F.when(F.col("lang") == "en", 80).otherwise(30)
+    return (
+        d.select("doc_id", "lang",
+                 F.row_number().over(w).alias("rn"),
+                 target.cast("long").alias("target_n"))
+        .where(F.col("rn") <= F.col("target_n"))
+    )

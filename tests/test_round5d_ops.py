@@ -163,6 +163,31 @@ def test_table_diff_agrees_with_two_snapshot_join(spark, sf_smoke):
         assert r.cnt_v1 < r.cnt_v2  # append-only: counts only grow
 
 
+def test_mix_quota_exact_counts_and_ranking(spark, sf_smoke):
+    """Each language contributes exactly min(quota, available) docs,
+    and the selected set is the top-quota of an independent Python
+    md5 ranking."""
+    rows = QUERIES["llm_mix_quota"](spark, sf_smoke).collect()
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    got_by_lang: dict[str, set] = {}
+    for r in rows:
+        got_by_lang.setdefault(r.lang, set()).add(r.doc_id)
+        assert r.target_n == (80 if r.lang == "en" else 30)
+        assert 1 <= r.rn <= r.target_n
+    for lang, ids in by_lang.items():
+        quota = 80 if lang == "en" else 30
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        assert got_by_lang.get(lang, set()) == set(ranked[:quota])
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
