@@ -2090,3 +2090,79 @@ def changefeed_state_asof(spark, sf_dir):
     and reads past its horizon raise rather than silently serve
     the wrong version."""
     return _changefeed(spark, sf_dir).state_at(_ASOF_BATCH)
+
+
+@query(
+    "stream_match_recognize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps),
+    s AS (
+      SELECT user_id, min(ts) AS session_start,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM sess GROUP BY user_id, sess_id)
+    SELECT user_id, session_start,
+           length(seq) AS n_events,
+           len(regexp_extract_all(seq, 'vc*p')) AS n_matches,
+           regexp_extract(seq, 'vc*p') AS first_match
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
+    """,
+)
+def stream_match_recognize(spark, sf_dir):
+    """Streaming CEP — the streaming twin of seq_match_recognize
+    (Flink MATCH_RECOGNIZE's natural home): detect VIEW CLICK*
+    PURCHASE inside 30-min gap sessions as the stream replays.
+    Session windows bound the CEP state the way a production
+    pattern engine must (an unsessionized per-user timeline grows
+    without limit; a session closes at the watermark and its
+    pattern evaluation is final) — symbolize map-side, session_
+    window-aggregate the ordered symbol structs, run the regex on
+    the closed session's string. The oracle rebuilds identical
+    sessions with the lag/cumsum chain stream_session grades.
+
+    COMPLETE-mode GRADING FORM ONLY (same contract as
+    stream_session: complete re-emits every window each trigger and
+    does not scale; the bounded-state production path is the
+    watermark-closed append form those twins demonstrate)."""
+    agg = (
+        _replayed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("sym"))
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    name = _to_table(agg, "cep", "complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.length("seq").cast("long").alias("n_events"),
+            F.regexp_count(F.col("seq"), F.lit("vc*p"))
+            .cast("long").alias("n_matches"),
+            F.regexp_extract("seq", "vc*p", 0).alias("first_match"),
+        )
+        .where(F.col("n_matches") >= 1)
+    )

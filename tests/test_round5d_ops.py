@@ -188,6 +188,45 @@ def test_mix_quota_exact_counts_and_ranking(spark, sf_smoke):
         assert got_by_lang.get(lang, set()) == set(ranked[:quota])
 
 
+def test_stream_cep_agrees_with_batch_sessions(spark, sf_smoke):
+    """The streaming session CEP must produce exactly the matches a
+    pure-Python 30-min-gap sessionizer + re matcher finds on the
+    same events."""
+    got = {(r.user_id, r.session_start): r for r in
+           QUERIES["stream_match_recognize"](spark, sf_smoke).collect()}
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    import datetime
+    gap = datetime.timedelta(minutes=30)
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type[0]))
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        sess: list = []
+        for row in rows:
+            if sess and row[0] - sess[-1][0] > gap:
+                expect[(uid, sess[0][0])] = "".join(s for _, _, s in sess)
+                sess = []
+            sess.append(row)
+        if sess:
+            expect[(uid, sess[0][0])] = "".join(s for _, _, s in sess)
+    expect_matched = {
+        k: seq for k, seq in expect.items() if re.search(r"vc*p", seq)
+    }
+    assert set(got) == set(expect_matched)
+    for k, r in got.items():
+        matches = re.findall(r"vc*p", expect_matched[k])
+        assert r.n_matches == len(matches)
+        assert r.first_match == matches[0]
+        assert r.n_events == len(expect_matched[k])
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
