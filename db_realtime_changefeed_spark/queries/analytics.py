@@ -4647,3 +4647,74 @@ def dq_table_diff(spark, sf_dir):
             "sum_v2",
         )
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             epoch_us(min(e.ts)) - epoch_us(any_value(v.v_ts))
+               AS latency_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+      GROUP BY e.user_id)
+    SELECT CASE WHEN latency_us < 3600000000 THEN 'lt_1h'
+                WHEN latency_us < 21600000000 THEN 'lt_6h'
+                WHEN latency_us < 86400000000 THEN 'lt_24h'
+                ELSE 'ge_24h' END AS bucket,
+           count(*) AS n_users,
+           FLOOR(CAST(sum(latency_us) AS DOUBLE) * 1000000.0
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0) + 0.5)
+             / 1000000.0 AS avg_latency_s
+    FROM p
+    GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution (the time-to-convert report
+    every product-analytics stack pairs with its funnel): seconds
+    from a user's FIRST view to their first purchase at-or-after
+    it, bucketed into latency bands with per-band mean. One window
+    shuffle on user_id computes the first-view timestamp alongside
+    each event; the purchase-side min then groups on the SAME key,
+    so Catalyst reuses the partitioning instead of exchanging again
+    (the join-back form the oracle uses would rescan the fact
+    table). Latencies live as exact microsecond integers until the
+    single display division, which floor-rounds (the mean of exact
+    integers over a count is the rational-midpoint class —
+    _util.dround6_div semantics). Funnel_conversion grades WHO
+    converts; this grades HOW FAST — the pairing dashboards need.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id")
+    v_ts = F.min(F.when(F.col("event_type") == "view",
+                        F.col("ts"))).over(w_all)
+    lat = (
+        ev.select("user_id", "ts", "event_type", v_ts.alias("v_ts"))
+        .where((F.col("event_type") == "purchase")
+               & F.col("v_ts").isNotNull()
+               & (F.col("ts") >= F.col("v_ts")))
+        .groupBy("user_id")
+        .agg((F.unix_micros(F.min("ts"))
+              - F.unix_micros(F.any_value("v_ts"))).alias("latency_us"))
+    )
+    bucket = (
+        F.when(F.col("latency_us") < 3600000000, "lt_1h")
+        .when(F.col("latency_us") < 21600000000, "lt_6h")
+        .when(F.col("latency_us") < 86400000000, "lt_24h")
+        .otherwise("ge_24h")
+    )
+    return (
+        lat.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.floor(F.sum("latency_us").cast("double") * F.lit(1000000.0)
+                     / (F.count(F.lit(1)).cast("double")
+                        * F.lit(1000000.0)) + F.lit(0.5))
+             .cast("double") / F.lit(1000000.0)).alias("avg_latency_s"),
+        )
+    )

@@ -227,6 +227,43 @@ def test_stream_cep_agrees_with_batch_sessions(spark, sf_smoke):
         assert r.n_events == len(expect_matched[k])
 
 
+def test_time_to_convert_agrees_with_python(spark, sf_smoke):
+    """Bucketed latency counts and per-bucket means must equal an
+    independent Python recomputation of first-view -> first
+    at-or-after purchase per user."""
+    got = {r.bucket: r for r in
+           QUERIES["funnel_time_to_convert"](spark, sf_smoke).collect()}
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    first_view: dict[int, object] = {}
+    for r in ev:
+        if r.event_type == "view":
+            if r.user_id not in first_view or r.ts < first_view[r.user_id]:
+                first_view[r.user_id] = r.ts
+    first_p: dict[int, object] = {}
+    for r in ev:
+        if (r.event_type == "purchase" and r.user_id in first_view
+                and r.ts >= first_view[r.user_id]):
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    import math
+    buckets: dict[str, list] = {}
+    for uid, p_ts in first_p.items():
+        us = int((p_ts - first_view[uid]).total_seconds() * 1e6)
+        b = ("lt_1h" if us < 3_600_000_000 else
+             "lt_6h" if us < 21_600_000_000 else
+             "lt_24h" if us < 86_400_000_000 else "ge_24h")
+        buckets.setdefault(b, []).append(us)
+    assert set(got) == set(buckets)
+    for b, vals in buckets.items():
+        assert got[b].n_users == len(vals)
+        want = math.floor(sum(vals) / len(vals) + 0.5) / 1e6
+        assert abs(got[b].avg_latency_s - want) < 1e-9
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
