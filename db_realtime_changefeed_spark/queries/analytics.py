@@ -4718,3 +4718,58 @@ def funnel_time_to_convert(spark, sf_dir):
              .cast("double") / F.lit(1000000.0)).alias("avg_latency_s"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             sum(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                     ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS w
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(any_value(w) AS BIGINT) AS total_qty,
+           min(CASE WHEN 2 * cumw >= w THEN price END)
+             AS wmedian_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (ClickHouse quantileExactWeighted /
+    Postgres percentile ordered-set with weights): the smallest
+    l_extendedprice whose cumulative l_quantity weight reaches half
+    the group total — the price at which half the shipped QUANTITY
+    is cheaper, which an unweighted median cannot express. One
+    window shuffle builds the cumulative weights (weights stay
+    exact BIGINTs — the fixture's quantities are integral,
+    FIXTURES.md); the extraction aggregate groups on the SAME key
+    so the partitioning is reused. Price ties are safe: whichever
+    tied row crosses the half-total first, the crossing PRICE is
+    identical, so the result does not depend on intra-tie order.
+    At 100 TB the exact form sorts each group once (the window
+    sort); the sketch path is approx_percentile over
+    weight-expanded values or a t-digest with weighted inserts —
+    same extraction rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("long")
+    wcum = (
+        Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wq).over(wcum).alias("cumw"),
+        F.sum(wq).over(wall).alias("w"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.any_value("w").alias("total_qty"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("w"),
+                     F.col("price"))).alias("wmedian_price"),
+    )

@@ -4497,3 +4497,54 @@ def llm_mix_quota(spark, sf_dir):
                  target.cast("long").alias("target_n"))
         .where(F.col("rn") <= F.col("target_n"))
     )
+
+
+@query(
+    "llm_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lang, n_chars,
+             quantile_cont(n_chars, 0.05)
+               OVER (PARTITION BY lang) AS p05,
+             quantile_cont(n_chars, 0.95)
+               OVER (PARTITION BY lang) AS p95
+      FROM documents)
+    SELECT doc_id, lang, n_chars,
+           round(p05, 6) AS p05,
+           round(p95, 6) AS p95,
+           round(least(greatest(CAST(n_chars AS DOUBLE), p05), p95), 6)
+             AS clipped,
+           (CAST(n_chars AS DOUBLE) < p05
+            OR CAST(n_chars AS DOUBLE) > p95) AS is_clipped
+    FROM p
+    """,
+)
+def llm_winsorize(spark, sf_dir):
+    """Per-stratum winsorization (the robust-preprocessing step that
+    keeps outlier documents from dominating length-weighted
+    training statistics): clip n_chars to each language's exact
+    [p05, p95] band, flagging what was clipped. The thresholds are
+    WINDOW percentiles over the stratum — one scan, one shuffle —
+    instead of an aggregate+join-back (two scans); percentile()'s
+    linear interpolation matches DuckDB's quantile_cont to 6 dp
+    exactly as agg_quantiles grades. Honesty note for 100 TB: exact
+    window percentiles buffer each stratum, so the scale path swaps
+    in approx_percentile thresholds computed once and broadcast —
+    identical clip logic, sketch-bounded state (same contract
+    agg_quantiles documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("double")
+    p05 = F.expr("percentile(n_chars, 0.05)"
+                 " OVER (PARTITION BY lang)")
+    p95 = F.expr("percentile(n_chars, 0.95)"
+                 " OVER (PARTITION BY lang)")
+    withp = d.select("doc_id", "lang", "n_chars",
+                     p05.alias("p05"), p95.alias("p95"))
+    return withp.select(
+        "doc_id", "lang", "n_chars",
+        F.round("p05", 6).alias("p05"),
+        F.round("p95", 6).alias("p95"),
+        F.round(F.least(F.greatest(nc, F.col("p05")), F.col("p95")), 6)
+        .alias("clipped"),
+        ((nc < F.col("p05")) | (nc > F.col("p95"))).alias("is_clipped"),
+    )

@@ -264,6 +264,60 @@ def test_time_to_convert_agrees_with_python(spark, sf_smoke):
         assert abs(got[b].avg_latency_s - want) < 1e-9
 
 
+def test_winsorize_thresholds_and_clip(spark, sf_smoke):
+    """Per-lang thresholds must equal numpy's linear-interpolation
+    percentiles; every clipped value sits inside [p05, p95] and the
+    flag agrees with the raw value's position."""
+    import numpy as np
+
+    rows = QUERIES["llm_winsorize"](spark, sf_smoke).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        vals = np.array([r.n_chars for r in rs], dtype=float)
+        p05 = round(float(np.percentile(vals, 5)), 6)
+        p95 = round(float(np.percentile(vals, 95)), 6)
+        for r in rs:
+            assert abs(r.p05 - p05) < 1e-9
+            assert abs(r.p95 - p95) < 1e-9
+            assert r.p05 - 1e-9 <= r.clipped <= r.p95 + 1e-9
+            assert r.is_clipped == (r.n_chars < r.p05
+                                    or r.n_chars > r.p95)
+            if not r.is_clipped:
+                assert abs(r.clipped - r.n_chars) < 1e-9
+
+
+def test_weighted_median_matches_python_cumsum(spark, sf_smoke):
+    """The weighted median must be the smallest price whose
+    cumulative quantity weight reaches half the group total, per an
+    independent Python cumsum."""
+    got = {r.l_returnflag: r for r in
+           QUERIES["agg_weighted_median"](spark, sf_smoke).collect()}
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, int(r.l_quantity)))
+    assert set(got) == set(groups)
+    for flag, pairs in groups.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        median = None
+        for price, wgt in pairs:
+            cum += wgt
+            if 2 * cum >= total:
+                median = price
+                break
+        assert got[flag].total_qty == total
+        assert abs(got[flag].wmedian_price - median) < 1e-9
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
