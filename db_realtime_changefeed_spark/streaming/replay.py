@@ -170,9 +170,12 @@ def streaming_shuffle(spark: SparkSession, n: int | None = None):
 
 def run_available_now(
     stream_df: DataFrame, sink_name: str, output_mode: str = "append"
-) -> None:
+) -> str:
     """Execute a streaming DataFrame to completion (AvailableNow) into
-    a fresh in-memory sink table + fresh checkpoint."""
+    a fresh in-memory sink table + fresh checkpoint. Returns the
+    checkpoint location so callers can introspect the run's state
+    store (scan_state_store reads it back via the Spark-4
+    `statestore` batch source)."""
     ckpt = tempfile.mkdtemp(prefix=f"dbrcf-ckpt-{sink_name}-")
     with streaming_shuffle(stream_df.sparkSession):
         q = (
@@ -184,6 +187,7 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+    return ckpt
 
 
 _SINK_SEQ = [0]

@@ -318,6 +318,19 @@ def test_weighted_median_matches_python_cumsum(spark, sf_smoke):
         assert abs(got[flag].wmedian_price - median) < 1e-9
 
 
+def test_state_store_reader_matches_batch_agg(spark, sf_smoke):
+    """The state read back from the checkpoint must hold exactly the
+    batch aggregate of the replayed input — nothing extra resident,
+    nothing missing."""
+    got = {r.event_type: r.n for r in
+           QUERIES["scan_state_store"](spark, sf_smoke).collect()}
+    want = {r.event_type: r.n for r in (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .collect())}
+    assert got == want
+
+
 def test_weighted_sample_is_topk_of_python_race(spark, sf_smoke):
     """The 50 winners must be exactly the 50 smallest u/w keys
     recomputed independently with hashlib, and the weight bias must
