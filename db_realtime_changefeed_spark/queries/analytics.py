@@ -22,6 +22,8 @@ thresholds are built for, so the same plans survive 1000 executors.
 
 from __future__ import annotations
 
+from ..tmputil import scratch_dir
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -389,13 +391,12 @@ def _bucketed_tables(spark, sf_dir):
     is exchange-free forever. Bucket files live under tmp (the
     graded testdata dir is read-only)."""
     import os
-    import tempfile
 
     key = (id(spark), sf_dir)
     if key in _BUCKETED:
         return _BUCKETED[key]
     tag = f"{abs(hash(key)) % 10**8:08d}"
-    root = tempfile.mkdtemp(prefix="dbrcf-buckets-")
+    root = scratch_dir(prefix="dbrcf-buckets-")
     names = (f"li_bkt_{tag}", f"o_bkt_{tag}")
     (
         load_table(spark, sf_dir, "lineitem")
@@ -3292,8 +3293,15 @@ def graph_triangles(spark, sf_dir):
         .select(F.least("e1.t", "e2.t").alias("a"),
                 F.greatest("e1.t", "e2.t").alias("b"))
     )
+    # Closure probe: shuffle equi-join on (a, b) — the edge relation
+    # is O(|E|) and must NOT be force-broadcast (VERDICT r5): at 100x
+    # the edge set is tens of GB and a mandatory broadcast OOMs every
+    # executor. A plain equi-join shuffles both sides on the edge key
+    # (SortMergeJoin/ShuffledHashJoin); AQE may still downgrade to a
+    # broadcast at runtime when the measured size is tiny, which is
+    # the right call made with real sizes rather than a hint.
     tri = wedges.join(
-        F.broadcast(pairs),
+        pairs,
         (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
@@ -4402,8 +4410,11 @@ def seq_transition_matrix(spark, sf_dir):
       UNION ALL
       SELECT (ts < TIMESTAMP '2024-01-16') AS is_base,
              'value' AS feature,
-             'b' || CAST(CAST(least(floor(value / 50.0), 9) AS INTEGER)
-                         AS VARCHAR) AS bucket
+             CASE WHEN value IS NULL THEN 'null'
+                  ELSE 'b' || CAST(CAST(
+                         least(greatest(floor(value / 50.0), 0), 9)
+                         AS INTEGER) AS VARCHAR)
+             END AS bucket
       FROM events),
     g AS (
       SELECT feature, bucket,
@@ -4435,7 +4446,8 @@ def dq_drift_psi(spark, sf_dir):
     """Population Stability Index drift monitor (the train/serve and
     week-over-week distribution-shift check every production data
     pipeline runs): per-bucket PSI terms of event_type (categorical)
-    and value (10 fixed-width bins, tail-capped) between the first
+    and value (10 fixed-width bins, both tails capped, NULLs in an
+    explicit 'null' bucket) between the first
     15 days (baseline) and the rest (current). ONE fact scan feeds
     both features — each row explodes into its two (feature, bucket)
     assignments map-side, so adding features widens the explode
@@ -4452,11 +4464,19 @@ def dq_drift_psi(spark, sf_dir):
     regardless of fact size."""
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("timestamp")
-    val_bucket = F.concat(
+    # Both tails capped and NULL routed to its own bucket (ADVICE r5):
+    # least/greatest skip NULLs in both engines, so an uncapped form
+    # would silently count NULL values in the top bucket, and negative
+    # values would mint unbounded 'b-1', 'b-2', ... buckets.
+    val_bucket = F.when(
+        F.col("value").isNull(), F.lit("null")
+    ).otherwise(F.concat(
         F.lit("b"),
-        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
-        .cast("int").cast("string"),
-    )
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(50.0)), F.lit(0)),
+            F.lit(9),
+        ).cast("int").cast("string"),
+    ))
     long_form = ev.select(
         (F.col("ts") < cut).alias("is_base"),
         F.explode(

@@ -12,6 +12,8 @@ partitioned layout) are Catalyst built-ins; tests assert PushedFilters
 
 from __future__ import annotations
 
+from ..tmputil import scratch_dir
+
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_path
@@ -67,11 +69,10 @@ def _partitioned_events(spark, sf_dir: str) -> str:
     parquet layout under tmp — the physical layout the catalog would
     use at 100 TB (docs/SCALE.md 'Scans'). The graded testdata dir is
     read-only, so the layout demo materializes a copy."""
-    import tempfile
 
     key = (id(spark), sf_dir)
     if key not in _PARTITIONED:
-        root = tempfile.mkdtemp(prefix="dbrcf-partitioned-")
+        root = scratch_dir(prefix="dbrcf-partitioned-")
         (
             load_table(spark, sf_dir, "events")
             .withColumn("event_date", F.to_date("ts"))
@@ -115,11 +116,10 @@ def _format_copy(spark, sf_dir: str, fmt: str) -> str:
     the requested text format — the connector-breadth fixture (the
     graded dir ships parquet only). Java's shortest-round-trip double
     rendering makes text round-trips exact."""
-    import tempfile
 
     key = (id(spark), sf_dir, fmt)
     if key not in _FORMATS:
-        root = tempfile.mkdtemp(prefix=f"dbrcf-{fmt}-")
+        root = scratch_dir(prefix=f"dbrcf-{fmt}-")
         writer = (
             load_table(spark, sf_dir, "events")
             .select("event_id", "user_id", "event_type", "value")
@@ -334,11 +334,10 @@ def _binary_corpus(spark, sf_dir: str) -> str:
     exist as files — only the graded read path below is the
     operator."""
     import os
-    import tempfile
 
     key = (id(spark), sf_dir)
     if key not in _BINDIRS:
-        root = tempfile.mkdtemp(prefix="dbrcf-bin-")
+        root = scratch_dir(prefix="dbrcf-bin-")
         rows = (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "text")
@@ -403,7 +402,6 @@ def source_python_datasource_stream(spark, sf_dir):
     (Kafka topic, CDC slot) bootstraps. The memory-sink round trip
     is graded against the parquet oracle — proving offset planning
     loses and duplicates nothing."""
-    import tempfile
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -469,7 +467,7 @@ def source_python_datasource_stream(spark, sf_dir):
         .option("path", path).load()
     )
     name = f"pyds_stream_{abs(hash(path)) % 10**8}"
-    ckpt = tempfile.mkdtemp(prefix="dbrcf-pyds-ckpt-")
+    ckpt = scratch_dir(prefix="dbrcf-pyds-ckpt-")
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -494,12 +492,11 @@ def _csv_with_corruption(spark, sf_dir: str) -> str:
     (session, sf_dir)."""
     import os
     import shutil
-    import tempfile
 
     key = (id(spark), sf_dir)
     if key not in _PERMISSIVE_DIRS:
         src = _format_copy(spark, sf_dir, "csv")
-        root = tempfile.mkdtemp(prefix="dbrcf-csvbad-")
+        root = scratch_dir(prefix="dbrcf-csvbad-")
         for f in os.listdir(src):
             if f.endswith(".csv"):
                 shutil.copy(os.path.join(src, f), os.path.join(root, f))
@@ -602,11 +599,10 @@ def _evolved_copy(spark, sf_dir: str) -> str:
     """Two parquet batches with DIFFERENT schemas in one directory —
     the before/after of an ADD COLUMN migration (batch A lacks
     event_type). Built once per (session, sf_dir)."""
-    import tempfile
 
     key = (id(spark), sf_dir)
     if key not in _EVOLVED_DIRS:
-        root = tempfile.mkdtemp(prefix="dbrcf-evolve-")
+        root = scratch_dir(prefix="dbrcf-evolve-")
         ev = load_table(spark, sf_dir, "events")
         (ev.where(F.col("event_id") % 2 == 0)
            .select("event_id", "value")

@@ -44,7 +44,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
-import tempfile
+from ..tmputil import scratch_dir
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -133,7 +133,7 @@ class ChangefeedRunner:
             f"{key} {self._key_ddl}, old_count long, new_count long, "
             "old_sum double, new_sum double, batch_id long"
         )
-        self.root = root or tempfile.mkdtemp(prefix="dbrcf-changefeed-")
+        self.root = root or scratch_dir(prefix="dbrcf-changefeed-")
         self.log_dir = os.path.join(self.root, "changelog")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
@@ -430,7 +430,7 @@ class ChangefeedRunner:
         stop_live(). Consumers follow the delta log incrementally via
         Feed.cursor() (api.py) — the resume-token/cursor surface of
         classic changefeed clients. Returns the live source dir."""
-        self.source_dir = source_dir or tempfile.mkdtemp(
+        self.source_dir = source_dir or scratch_dir(
             prefix="dbrcf-live-src-"
         )
         env = cdc_envelope(read_events_stream(self.spark, self.source_dir))
@@ -590,7 +590,7 @@ class UpsertChangefeedRunner:
         self.delete_on = delete_on
         self.driver_merge = driver_merge
         self.filter_sql = filter_sql
-        self.root = root or tempfile.mkdtemp(prefix="dbrcf-upsert-")
+        self.root = root or scratch_dir(prefix="dbrcf-upsert-")
         self.log_dir = os.path.join(self.root, "changelog")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
@@ -868,7 +868,7 @@ class MultiChangefeedRunner:
         self.spark = spark
         self.sf_dir = sf_dir
         self.keys = keys
-        self.root = tempfile.mkdtemp(prefix="dbrcf-multi-")
+        self.root = scratch_dir(prefix="dbrcf-multi-")
         self.feeds = {
             k: ChangefeedRunner(
                 spark, sf_dir, key=k,
@@ -959,7 +959,7 @@ class JoinViewRunner:
         self.spark = spark
         self.sf_dir = sf_dir
         self.filter_sql = filter_sql
-        self.root = root or tempfile.mkdtemp(prefix="dbrcf-joinview-")
+        self.root = root or scratch_dir(prefix="dbrcf-joinview-")
         self.view_dir = os.path.join(self.root, "view")
         self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.view_dir, exist_ok=True)

@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
-import tempfile
+from ..tmputil import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -162,7 +162,7 @@ class MultiTableChangefeedRunner:
             self._env_filter = " OR ".join(parts)
         else:
             self._env_filter = None
-        self.root = root or tempfile.mkdtemp(prefix="dbrcf-mtable-")
+        self.root = root or scratch_dir(prefix="dbrcf-mtable-")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
         self.ckpt = os.path.join(self.root, "checkpoint")

@@ -20,6 +20,8 @@ import contextlib
 import os
 import shutil
 import tempfile
+
+from ..tmputil import scratch_dir
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -176,7 +178,7 @@ def run_available_now(
     checkpoint location so callers can introspect the run's state
     store (scan_state_store reads it back via the Spark-4
     `statestore` batch source)."""
-    ckpt = tempfile.mkdtemp(prefix=f"dbrcf-ckpt-{sink_name}-")
+    ckpt = scratch_dir(prefix=f"dbrcf-ckpt-{sink_name}-")
     with streaming_shuffle(stream_df.sparkSession):
         q = (
             stream_df.writeStream.format("memory")

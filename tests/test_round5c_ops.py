@@ -122,6 +122,28 @@ def test_triangles_match_bruteforce(spark, sf_smoke):
     assert abs(got.transitivity - 3.0 * tri / wedges) < 1e-12
 
 
+def test_triangles_closure_is_not_forced_broadcast(spark, sf_smoke):
+    """VERDICT r5: the wedge-closure probe joins against the O(|E|)
+    edge relation and must not carry a mandatory broadcast hint (at
+    100x the edge set is tens of GB). Broadcast hints are allowed only
+    on the bounded-size sides (degrees: one row per node; the scalar
+    stats rows). The closure join line in the optimized logical plan
+    — the one whose condition equates (u, v) with (a, b) — must be
+    hint-free; AQE downgrading it to broadcast at runtime from real
+    measured sizes is fine and not what this guards against."""
+    import re
+
+    df = QUERIES["graph_triangles"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    closure = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Join Inner, \(\(u#\d+L? = a#\d+L?\)", ln)
+    ]
+    assert closure, "closure join not found in optimized plan"
+    for ln in closure:
+        assert "Hint" not in ln, f"forced hint on closure join: {ln}"
+
+
 def test_layout_write_prunes_partitions(spark, sf_smoke):
     """The read-back plan must carry a partition filter on ym (the
     written layout prunes at the directory level), and the lake must
@@ -593,6 +615,25 @@ def test_stream_scd2_matches_batch_and_chunking_invariant(
     monkeypatch.setenv("SPARK_GRAFT_STREAM_CHUNKS", "7")
     assert canon(
         QUERIES["stream_scd2_maintain"](spark, sf_smoke)) == expected
+
+
+def test_stream_scd2_no_driver_side_open_rows():
+    """VERDICT r5: the maintained dimension's open-version state must
+    never materialize on the driver — no collect() of rows, no
+    createDataFrame re-ship of carried state. The only driver-bound
+    data is the touched-bucket id list inside
+    BucketedMvccState.touched_buckets (O(B) small ints). Guard the
+    function source so a regression to the round-5 carried-dict shape
+    fails loudly."""
+    import inspect
+
+    from db_realtime_changefeed_spark.streaming.queries import (
+        stream_scd2_maintain,
+    )
+
+    src = inspect.getsource(stream_scd2_maintain)
+    assert ".collect()" not in src
+    assert "BucketedMvccState" in src
 
 
 def test_attrition_monotone_and_consistent(spark, sf_smoke):
