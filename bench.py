@@ -50,6 +50,24 @@ HEADLINE = [
     "changefeed_core",
 ]
 
+#: Second bench tier (VERDICT r5 item 5): the post-round-1 surface —
+#: none of these existed when the r1 HEADLINE froze, so regressions in
+#: the ~180 queries added since were invisible to the driver bench.
+#: Chosen for coverage of the expensive shapes: banded near-dup, the
+#:  multi-exchange PMI/LM family, the triangle closure, chained
+#: streaming aggs, SCD2 window build, sequence packing, dynamic
+#: partition pruning, and the wide-profile aggregation.
+TIER2 = [
+    "llm_dedup_minhash_md5",
+    "llm_pmi_collocations",
+    "graph_triangles",
+    "stream_chained_agg",
+    "scd2_build",
+    "llm_pack_sequences",
+    "join_dpp",
+    "dq_profile_columns",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -69,8 +87,13 @@ def main() -> None:
     queries = all_queries()
 
     # JVM/codegen warmup on the smallest table so per-query numbers
-    # measure the operator, not first-call compilation.
+    # measure the operator, not first-call compilation — and one full
+    # pass of the widest fact scan so the OS page cache holds the
+    # parquet bytes before anything is timed (BENCH_r5's scan_parquet
+    # ran first from a cold cache and read 2.46x slower than r4; every
+    # later query then enjoyed warm pages scan_parquet paid for).
     materialize(queries["join_broadcast"](spark, sf_dir))
+    materialize(queries["scan_parquet"](spark, sf_dir))
     # replay-chunk fixture prep is one-time and cached across runs —
     # build it outside the timed region so the streaming entries
     # measure streaming, not fixture I/O.
@@ -81,18 +104,27 @@ def main() -> None:
 
     build_replay_chunks(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(REPEATS):
-            # memoized changefeed runs must not serve cached state to
-            # later repeats — every sample measures a full run
-            _CF_CACHE.clear()
-            t = time.perf_counter()
-            materialize(queries[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t)
-        timings[name] = round(statistics.median(samples), 3)
-    # headline_total = one pass at median per-query speed
+    def run_tier(names):
+        med: dict[str, float] = {}
+        mins: dict[str, float] = {}
+        for name in names:
+            samples = []
+            for _ in range(REPEATS):
+                # memoized changefeed runs must not serve cached state
+                # to later repeats — every sample measures a full run
+                _CF_CACHE.clear()
+                t = time.perf_counter()
+                materialize(queries[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t)
+            med[name] = round(statistics.median(samples), 3)
+            mins[name] = round(min(samples), 3)
+        return med, mins
+
+    timings, timings_min = run_tier(HEADLINE)
+    tier2, tier2_min = run_tier(TIER2)
+    # headline_total = one pass at median per-query speed; tier 2 is
+    # reported alongside but kept OUT of the gate metric so the 2x
+    # baseline comparison stays the same 22-query basket across rounds.
     total = round(sum(timings.values()), 3)
 
     print(
@@ -102,6 +134,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "tier2_total": round(sum(tier2.values()), 3),
+                "queries_tier2": tier2,
+                "queries_tier2_min": tier2_min,
                 "sf": float(sf),
             }
         )
