@@ -36,11 +36,20 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> None:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run.
+    IMPORT ORDER IS LOAD-BEARING: the registry's declaration order
+    feeds the grading rotation's tail ordering, so the round-6 file
+    splits (llm -> llm/llm_curation/llm_pipeline, analytics ->
+    analytics/analytics_sql/analytics_ext) import each part directly
+    after its parent to keep the pre-split order byte-identical."""
     from . import (  # noqa: F401
         analytics,
+        analytics_sql,
+        analytics_ext,
         functions,
         llm,
+        llm_curation,
+        llm_pipeline,
         relational,
         scans,
         udfs,

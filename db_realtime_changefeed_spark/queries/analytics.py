@@ -2184,2612 +2184,3 @@ def graph_pagerank(spark, sf_dir):
     ).select("node", F.col("n_name").alias("name"), F.col("r").alias("rank"))
 
 
-# ------------------------------------------- Spark-4 SQL surface (r4)
-
-@query(
-    "fn_variant",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod
-    FROM events
-    """,
-)
-def fn_variant(spark, sf_dir):
-    """The VARIANT type (Spark 4): parse the JSON props column once
-    into the binary variant encoding, then extract typed fields with
-    variant_get — the open-schema path a changefeed uses for
-    free-form payloads. Unlike string json_extract per field, the
-    parse cost is paid once per row and extraction is a binary walk
-    (the same design as the variant/BSON columns in modern
-    warehouses). Scan-local, no shuffle."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.parse_json("props").alias("v")
-    )
-    k = F.expr("variant_get(v, '$.k', 'int')")
-    return ev.select(
-        "event_id", k.alias("k"), (k % 10).alias("k_mod")
-    )
-
-
-_PIPE_SQL_SPARK = """
-FROM lineitem
-|> WHERE l_quantity > 10.0
-|> AGGREGATE CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-             AS sum_qty, count(*) AS n
-   GROUP BY l_returnflag, l_linestatus
-"""
-
-@query(
-    "sql_pipe_syntax",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-             AS sum_qty, count(*) AS n
-    FROM lineitem
-    WHERE l_quantity > 10.0
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def sql_pipe_syntax(spark, sf_dir):
-    """SQL pipe syntax (Spark 4's |> operator chain): the same
-    filter→aggregate expressed as a linear pipeline. Catalyst lowers
-    it to the identical plan as the ANSI form — the oracle IS that
-    ANSI form, so the grade proves the equivalence."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_PIPE_SQL_SPARK)
-
-
-_RECURSIVE_SQL = """
-WITH RECURSIVE months(m) AS (
-  SELECT CAST('1995-01-01' AS DATE)
-  UNION ALL
-  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-  WHERE m < CAST('2001-06-01' AS DATE)
-)
-SELECT CAST(months.m AS TIMESTAMP) AS month_start,
-       count(o.o_orderkey) AS n_orders
-FROM months
-LEFT JOIN orders o
-  ON o.o_orderdate >= CAST(months.m AS TIMESTAMP)
- AND o.o_orderdate < CAST(CAST(m + INTERVAL 1 MONTH AS DATE)
-                          AS TIMESTAMP)
-GROUP BY months.m
-"""
-
-@query("sql_recursive_cte", oracle=_RECURSIVE_SQL)
-def sql_recursive_cte(spark, sf_dir):
-    """Recursive CTE (Spark 4): generate the month ladder spanning
-    the orders table, then count orders per month INCLUDING empty
-    months — the gap-free calendar spine reports need, produced by
-    iteration instead of a pre-materialized dimension. The exact
-    same WITH RECURSIVE text runs on both engines."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_SQL)
-
-
-_LATERAL_SQL = """
-SELECT r.r_name, t.n_name, t.total_bal
-FROM region r,
-LATERAL (
-  SELECT n.n_name,
-         CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-           AS total_bal
-  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
-  WHERE n.n_regionkey = r.r_regionkey
-  GROUP BY n.n_name
-  ORDER BY total_bal DESC, n.n_name
-  LIMIT 2
-) t
-"""
-
-@query("join_lateral_correlated", oracle=_LATERAL_SQL)
-def join_lateral_correlated(spark, sf_dir):
-    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT:
-    top-2 nations by supplier balance FOR EACH region — the
-    top-k-per-outer-row shape that decorrelates into a ranked
-    window join (same family as win_topk_per_group, but written as
-    the SQL a user would bring from Postgres). Identical text on
-    both engines."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_LATERAL_SQL)
-
-
-@query(
-    "win_session_dynamic_gap",
-    oracle=f"""
-    WITH g AS (
-      SELECT user_id, ts, value,
-             CASE WHEN event_type = 'error' THEN INTERVAL 60 MINUTE
-                  ELSE INTERVAL 30 MINUTE END AS gap
-      FROM events),
-    p AS (
-      SELECT user_id, ts, value, gap,
-             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING) AS prev_end
-      FROM g),
-    s AS (
-      SELECT user_id, ts, value, gap,
-             sum(CASE WHEN prev_end IS NULL OR ts > prev_end
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS UNBOUNDED PRECEDING) AS sess_id
-      FROM p)
-    SELECT user_id, min(ts) AS session_start,
-           max(ts + gap) AS session_end,
-           count(*) AS n_events,
-           {sql_dsum('value')} AS sum_value
-    FROM s GROUP BY user_id, sess_id
-    """,
-)
-def win_session_dynamic_gap(spark, sf_dir):
-    """Session windows with a DATA-DEPENDENT gap: error events hold
-    the session open for 60 minutes, everything else 30 — the
-    per-event-type inactivity policy real sessionization needs.
-    Spark-first: `session_window(ts, CASE ...)` is a native dynamic
-    gap (one shuffle on user_id, sessions merged inside the
-    aggregate); the oracle reconstructs the merge with a running
-    max(ts + gap) — an event opens a new session iff it starts after
-    every earlier event's reach."""
-    ev = load_table(spark, sf_dir, "events")
-    gap = (
-        F.when(F.col("event_type") == "error", F.lit("60 minutes"))
-        .otherwise(F.lit("30 minutes"))
-    )
-    return (
-        ev.groupBy(F.session_window("ts", gap), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events", "sum_value",
-        )
-    )
-
-
-@query(
-    "scd2_build",
-    oracle="""
-    WITH ordered AS (
-        SELECT user_id, event_type, ts, event_id,
-               lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev
-        FROM events),
-    changes AS (
-        SELECT user_id, event_type, ts FROM ordered
-        WHERE prev IS NULL OR event_type <> prev),
-    versions AS (
-        SELECT user_id, event_type, ts AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   AS valid_to,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts)
-                   AS version
-        FROM changes)
-    SELECT user_id, version, event_type AS attr, valid_from, valid_to,
-           (valid_to IS NULL) AS is_current
-    FROM versions
-    """,
-)
-def scd2_build(spark, sf_dir):
-    """Type-2 slowly-changing dimension build from an append-only
-    event log — the warehouse pattern that turns a change stream
-    into validity-interval history (the batch complement of the
-    changefeed family's MVCC state). Per user: collapse consecutive
-    events with an unchanged attribute (lag pass), then stamp each
-    surviving change with [valid_from, valid_to) via lead, a version
-    number, and an is_current flag on the open interval. Both window
-    passes share the user_id partitioning → ONE shuffle; at 100 TB
-    this is the standard one-pass history rebuild, and incremental
-    maintenance rides the changefeed instead. (ts, event_id)
-    tie-break keeps both engines deterministic on same-timestamp
-    events."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.withColumn("prev", F.lag("event_type").over(w))
-        .where(
-            F.col("prev").isNull()
-            | (F.col("event_type") != F.col("prev"))
-        )
-        .select("user_id", "event_type", "ts")
-    )
-    wv = Window.partitionBy("user_id").orderBy("ts")
-    return changes.select(
-        "user_id",
-        F.row_number().over(wv).alias("version"),
-        F.col("event_type").alias("attr"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(wv).alias("valid_to"),
-    ).withColumn("is_current", F.col("valid_to").isNull())
-
-
-def _zorder_expr(a: str, b: str, nbits: int = 16) -> str:
-    """Bit-interleave SQL shared VERBATIM by the Spark query and the
-    DuckDB oracle — integer shifts/masks parse and evaluate
-    identically in both dialects, so the engines cannot drift."""
-    terms = " | ".join(
-        f"((({a} >> {i}) & 1) << {2 * i}) | "
-        f"((({b} >> {i}) & 1) << {2 * i + 1})"
-        for i in range(nbits)
-    )
-    return f"({terms})"
-
-
-_Z_A = "(user_id % 65536)"
-_Z_B = "(CAST(floor(value) AS BIGINT) % 65536)"
-_Z_EXPR = _zorder_expr(_Z_A, _Z_B)
-
-
-@query(
-    "layout_zorder",
-    oracle=f"""
-    WITH z AS (
-        SELECT user_id, CAST(floor(value) AS BIGINT) AS v,
-               {_Z_EXPR} AS zkey
-        FROM events)
-    SELECT zkey >> 14 AS block_id, count(*) AS n_rows,
-           min(user_id) AS min_user, max(user_id) AS max_user,
-           min(v) AS min_v, max(v) AS max_v
-    FROM z GROUP BY 1
-    """,
-)
-def layout_zorder(spark, sf_dir):
-    """Z-order (Morton) clustering key — the multi-dimensional data
-    layout trick behind Delta/Iceberg OPTIMIZE ZORDER: interleaving
-    the bits of two columns gives a single sort/partition key under
-    which ranges of EITHER column map to few key ranges, so min/max
-    file statistics prune on both. Here each event gets a 32-bit
-    Morton key over (user_id, floor(value)); rows are binned by the
-    key's high bits (a pure map-side shift — no global sort needed to
-    demonstrate locality) and each bin reports its bounding box: the
-    tight per-block min/max on BOTH dimensions is exactly the
-    statistic a scan would prune with. At 100 TB the same key feeds
-    repartitionByRange(zkey) + sortWithinPartitions at write time;
-    the interleave expression itself is shared verbatim with the
-    oracle so the engines cannot diverge."""
-    ev = load_table(spark, sf_dir, "events")
-    z = ev.selectExpr(
-        "user_id",
-        "CAST(floor(value) AS BIGINT) AS v",
-        f"{_Z_EXPR} AS zkey",
-    )
-    return z.selectExpr("zkey >> 14 AS block_id", "user_id", "v").groupBy(
-        "block_id"
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("user_id").alias("min_user"),
-        F.max("user_id").alias("max_user"),
-        F.min("v").alias("min_v"),
-        F.max("v").alias("max_v"),
-    )
-
-
-@query(
-    "agg_filtered",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n,
-           count(*) FILTER (WHERE value > 100) AS n_big,
-           count(DISTINCT user_id) FILTER (WHERE value > 100)
-               AS users_big,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE ts >= TIMESTAMP '2024-01-15')
-                AS DOUBLE) AS late_value
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_filtered(spark, sf_dir):
-    """Filtered aggregates — the ANSI FILTER clause (one scan, many
-    conditional aggregates) instead of N self-joins or CASE
-    pyramids. All four aggregates ride the same single hash
-    aggregate; the filtered decimal sum uses the exact-sum path.
-    Identical SQL runs on both engines; the Spark side uses the SQL
-    form deliberately to grade the parser surface too."""
-    ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events_agg_filtered")
-    return spark.sql("""
-        SELECT event_type,
-               count(*) AS n,
-               count(*) FILTER (WHERE value > 100) AS n_big,
-               count(DISTINCT user_id) FILTER (WHERE value > 100)
-                   AS users_big,
-               CAST(sum(CAST(value AS DECIMAL(18,6)))
-                    FILTER (WHERE ts >= TIMESTAMP '2024-01-15')
-                    AS DOUBLE) AS late_value
-        FROM events_agg_filtered GROUP BY event_type
-    """)
-
-
-@query(
-    "agg_quantiles",
-    oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.25), 6) AS q25,
-           round(quantile_cont(value, 0.50), 6) AS q50,
-           round(quantile_cont(value, 0.75), 6) AS q75,
-           round(quantile_cont(value, 0.95), 6) AS q95
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_quantiles(spark, sf_dir):
-    """Exact multi-quantile profile per group — percentile() with
-    linear interpolation, the same formula DuckDB's quantile_cont
-    uses (verified to 6 dp). Honesty note for 100 TB: exact
-    percentiles buffer each group's values (ObjectHashAggregate),
-    so the scale path is agg_approx's approx_percentile sketch —
-    this query grades the exact-sort semantics on groups that fit,
-    the profile DBAs run on samples."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q25"),
-        F.round(F.expr("percentile(value, 0.50)"), 6).alias("q50"),
-        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q75"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("q95"),
-    )
-
-
-@query(
-    "agg_bitmap_distinct",
-    oracle="""
-    SELECT event_type, count(DISTINCT user_id) AS n_users
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_bitmap_distinct(spark, sf_dir):
-    """Bitmap-based exact COUNT DISTINCT (the Kylin/Doris trick,
-    Spark 3.5+ bitmap functions): keys map to (bucket, bit) pairs,
-    each (group, bucket) builds a fixed 4 KB bitmap via
-    bitmap_construct_agg, and distinct = sum of bitmap popcounts.
-    Two-stage like agg_distinct_twostage but the inner state is a
-    CONSTANT-SIZE bitmap instead of the key set — at 100 TB the
-    shuffle carries (group, bucket, 4KB) rows bounded by the key
-    domain/32768, not by row count, and bitmaps OR-merge
-    associatively. Result is exactly count(DISTINCT), which is the
-    oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            "event_type",
-            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
-        )
-        .agg(
-            F.expr(
-                "bitmap_construct_agg(bitmap_bit_position(user_id))"
-            ).alias("bm")
-        )
-        .groupBy("event_type")
-        .agg(F.expr("sum(bitmap_count(bm))").alias("n_users"))
-    )
-
-
-@query(
-    "join_asof_tolerance",
-    oracle="""
-    SELECT p.user_id, p.event_id, p.value,
-           CASE WHEN c.event_id IS NOT NULL
-                 AND p.ts - c.ts <= INTERVAL 5 MINUTE
-                THEN c.event_id END AS click_id,
-           CASE WHEN c.event_id IS NOT NULL
-                 AND p.ts - c.ts <= INTERVAL 5 MINUTE
-                THEN c.value END AS click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.event_id >= c.event_id
-    """,
-)
-def join_asof_tolerance(spark, sf_dir):
-    """As-of join with a staleness TOLERANCE (§2.C6 + the
-    feature-store contract): match the latest preceding click only
-    if it is at most 5 minutes old, else null — exactly pandas
-    merge_asof(tolerance=...). Same scalable union-merge plan as
-    join_asof (one user_id shuffle + one sort, no range join); the
-    carried click timestamp is compared against the purchase time
-    and stale matches null out in projection. DuckDB's ASOF JOIN
-    has no tolerance argument, so the oracle applies the same
-    post-filter to the unbounded match — semantically identical
-    because tolerance only ever REMOVES the single latest match."""
-    ev = load_table(spark, sf_dir, "events")
-    is_click = F.col("event_type") == "click"
-    tagged = ev.where(
-        is_click | (F.col("event_type") == "purchase")
-    ).select("user_id", "event_id", "ts", "value", is_click.alias("is_click"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = (
-        tagged.withColumn(
-            "c_id",
-            F.last(
-                F.when(F.col("is_click"), F.col("event_id")),
-                ignorenulls=True,
-            ).over(w),
-        )
-        .withColumn(
-            "c_val",
-            F.last(
-                F.when(F.col("is_click"), F.col("value")),
-                ignorenulls=True,
-            ).over(w),
-        )
-        .withColumn(
-            "c_ts",
-            F.last(
-                F.when(F.col("is_click"), F.col("ts")), ignorenulls=True
-            ).over(w),
-        )
-        .where(~F.col("is_click"))
-    )
-    fresh = F.col("c_id").isNotNull() & (
-        F.col("ts").cast("long") - F.col("c_ts").cast("long") <= 300
-    )
-    return carried.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.when(fresh, F.col("c_id")).alias("click_id"),
-        F.when(fresh, F.col("c_val")).alias("click_value"),
-    )
-
-
-@query(
-    "win_running_distinct",
-    oracle="""
-    WITH flagged AS (
-        SELECT user_id, event_id, ts,
-               CASE WHEN row_number() OVER (
-                        PARTITION BY user_id, event_type
-                        ORDER BY ts, event_id) = 1
-                    THEN 1 ELSE 0 END AS first_of_type
-        FROM events)
-    SELECT user_id, event_id,
-           CAST(sum(first_of_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS n_types_so_far
-    FROM flagged
-    """,
-)
-def win_running_distinct(spark, sf_dir):
-    """Running DISTINCT count per user — how many distinct event
-    types has this user produced up to each event (the engagement-
-    breadth signal). A naive distinct-in-window is quadratic;
-    the scalable form flags each (user, type)'s FIRST occurrence
-    (one window) and running-sums the flags (second window). An
-    explicit repartition on user_id makes BOTH windows accept the
-    same exchange — HashPartitioning(user_id) satisfies the
-    (user_id, event_type) clustering requirement too (subset rule),
-    where the default plan would shuffle twice; plan-asserted to
-    exactly one exchange. Pure integer math, (ts, event_id)
-    tie-break."""
-    ev = load_table(spark, sf_dir, "events").repartition("user_id")
-    wf = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
-    )
-    wr = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        ev.withColumn(
-            "first_of_type",
-            F.when(F.row_number().over(wf) == 1, 1).otherwise(0),
-        )
-        .select(
-            "user_id",
-            "event_id",
-            F.sum("first_of_type").over(wr).alias("n_types_so_far"),
-        )
-    )
-
-
-_MODERN_SQL = """
-    SELECT o_orderstatus, n, total,
-           total / n AS avg_price,
-           avg_price * 2 AS double_avg
-    FROM (
-      SELECT o_orderstatus, count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                 AS total
-      FROM orders
-      GROUP BY ALL
-    ) t
-"""
-
-
-@query("sql_modern_syntax", oracle=_MODERN_SQL)
-def sql_modern_syntax(spark, sf_dir):
-    """Modern-SQL ergonomics, one text on both engines: GROUP BY ALL
-    (grouping keys inferred from the non-aggregate select list) and
-    LATERAL COLUMN ALIASES (avg_price referenced by the very next
-    select item, no repeated expression / no extra subquery). Both
-    features parse and evaluate identically in Spark 4 and DuckDB,
-    so the oracle IS the query — the strongest portability
-    statement, same as sql_interface. (Spark does not yet allow a
-    lateral alias to feed GROUP BY ALL itself, which is why the
-    aggregate sits in the derived table.)"""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_MODERN_SQL)
-
-
-@query(
-    "sql_identifier",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def sql_identifier(spark, sf_dir):
-    """The IDENTIFIER() clause: table names as bind parameters —
-    the injection-safe form of dynamic-table dashboards (string
-    concatenation into FROM is the classic SQL-injection hole this
-    kills). The template stays constant; `args` binds the table
-    name at execution. Complements sql_params (value binding)."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS n
-        FROM IDENTIFIER(:tbl) GROUP BY o_orderpriority
-        """,
-        args={"tbl": "orders"},
-    )
-
-
-@query(
-    "pivot_transpose",
-    oracle="""
-    SELECT 'n' AS key,
-           CAST(count(*) FILTER (WHERE event_type = 'click')
-                AS DOUBLE) AS click,
-           CAST(count(*) FILTER (WHERE event_type = 'error')
-                AS DOUBLE) AS error,
-           CAST(count(*) FILTER (WHERE event_type = 'purchase')
-                AS DOUBLE) AS purchase,
-           CAST(count(*) FILTER (WHERE event_type = 'signup')
-                AS DOUBLE) AS signup,
-           CAST(count(*) FILTER (WHERE event_type = 'view')
-                AS DOUBLE) AS view
-    FROM events
-    UNION ALL
-    SELECT 'sum_value',
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'click') AS DOUBLE),
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'error') AS DOUBLE),
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'purchase') AS DOUBLE),
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'signup') AS DOUBLE),
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'view') AS DOUBLE)
-    FROM events
-    """,
-)
-def pivot_transpose(spark, sf_dir):
-    """DataFrame.transpose() (Spark 4): rows become columns keyed by
-    the index column — the metric-matrix flip every reporting layer
-    does (metrics down, dimensions across). The input is a 5-row
-    grouped aggregate (decimal-stabilized sum), so transpose runs on
-    broadcast-sized data after the one real aggregation; the oracle
-    states the transposed result as conditional aggregates. Both
-    measures cast to double (transpose requires a uniform value
-    type)."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("value").alias("sum_value"),
-    )
-    return agg.transpose("event_type")
-
-
-@query(
-    "agg_grouping_id",
-    oracle="""
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
-               AS gid,
-           count(*) AS n
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
-def agg_grouping_id(spark, sf_dir):
-    """GROUPING()/grouping_id disambiguation (§2.D5 completion):
-    in a rollup, a NULL key value is ambiguous — was the row
-    aggregated over that column, or is the data value NULL? The
-    GROUPING() flag answers it authoritatively; every BI layer on
-    top of rollup output depends on this. Identical semantics both
-    engines (gid composed from per-column flags, which DuckDB and
-    Spark both expose, rather than engine-specific grouping_id
-    bit orders)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            (
-                F.grouping("o_orderstatus") * 2
-                + F.grouping("o_orderpriority")
-            ).cast("long").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
-                "priority"
-            ),
-            "gid",
-            "n",
-        )
-    )
-
-
-@query(
-    "win_streak",
-    oracle="""
-    WITH days AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-    islands AS (
-        SELECT user_id, d,
-               CAST(d AS DATE) - CAST(row_number() OVER (
-                   PARTITION BY user_id ORDER BY d) AS INTEGER)
-                   AS grp
-        FROM days),
-    streaks AS (
-        SELECT user_id, grp, count(*) AS len,
-               min(d) AS streak_start
-        FROM islands GROUP BY user_id, grp)
-    SELECT user_id,
-           CAST(max(len) AS BIGINT) AS max_streak,
-           CAST(sum(len) AS BIGINT) AS n_active_days,
-           min(streak_start) AS first_active
-    FROM streaks GROUP BY user_id
-    """,
-)
-def win_streak(spark, sf_dir):
-    """Gaps-and-islands by CALENDAR DAY — the consecutive-active-days
-    streak (engagement analytics' other island pattern; win_sessionize
-    covers the time-gap variant). The island key is the classic
-    date-minus-rank trick: consecutive days share (d - row_number)
-    exactly, any gap shifts it. Distinct days, the ranking window,
-    and both aggregates all share the user_id partitioning — the
-    subset rule keeps this at ONE data shuffle after the explicit
-    repartition. Pure integer/date arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
-    days = (
-        ev.repartition("user_id")
-        .select("user_id", F.col("ts").cast("date").alias("d"))
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("d")
-    islands = days.withColumn(
-        "grp", F.date_sub("d", F.row_number().over(w))
-    )
-    streaks = islands.groupBy("user_id", "grp").agg(
-        F.count(F.lit(1)).alias("len"),
-        F.min("d").alias("streak_start"),
-    )
-    return streaks.groupBy("user_id").agg(
-        F.max("len").alias("max_streak"),
-        F.sum("len").alias("n_active_days"),
-        F.min("streak_start").alias("first_active"),
-    )
-
-
-@query(
-    "agg_histogram",
-    oracle="""
-    SELECT event_type,
-           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-           count(*) AS n,
-           CAST(min(value) AS DOUBLE) AS lo,
-           CAST(max(value) AS DOUBLE) AS hi
-    FROM events
-    GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)
-    """,
-)
-def agg_histogram(spark, sf_dir):
-    """Equi-width histogram per group — the profiling primitive
-    behind every column-statistics page. Fixed width-50 buckets
-    (floor(value/50): data-independent bounds, so two engines — or
-    two partitions — can never disagree on bucket edges; min/max
-    per bucket come free in the same single hash aggregate).
-    Scale note: fixed-width bucketing is a pure map-side
-    expression; the data-DEPENDENT variant (equi-depth) is
-    agg_approx's percentile sketch."""
-    ev = load_table(spark, sf_dir, "events")
-    bucket = F.floor(F.col("value") / F.lit(50.0)).cast("long")
-    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-    )
-
-
-# ------------------------------------------------- round-5 continuation
-# Statistical regression, ordered string aggregation, IGNORE NULLS
-# windows, series autocorrelation, distributed triangle counting, and
-# the partitioned write-path layout demo.
-
-
-@query(
-    "agg_regression",
-    oracle=f"""
-    WITH m AS (
-      SELECT l_returnflag,
-             CAST(count(*) AS DOUBLE) AS n,
-             {sql_dsum('l_quantity')} AS sx,
-             {_sql_wsum('l_quantity', 'l_quantity')} AS sxx,
-             {sql_dsum('l_extendedprice')} AS sy,
-             {_sql_wsum('l_extendedprice', 'l_extendedprice')} AS syy,
-             {_sql_wsum('l_quantity', 'l_extendedprice')} AS sxy
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-               AS intercept,
-           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-    FROM m
-    """,
-)
-def agg_regression(spark, sf_dir):
-    """Per-group OLS regression (slope/intercept/R²) of extended
-    price on quantity — the REGR_SLOPE/REGR_INTERCEPT/REGR_R2 family
-    computed from exact DECIMAL moments instead of the native
-    streaming aggregates, because the native versions accumulate
-    doubles in partition order (Spark) vs vector order (DuckDB) and
-    are therefore not hash-gradable across engines (the agg_stats
-    determinism analysis applies verbatim). One hash aggregate
-    produces the five moments; the closed-form combination is
-    written token-identically in both engines so the final IEEE
-    arithmetic agrees bitwise. Scale: map-side partial moments, one
-    3-group shuffle — the same plan REGR_* itself would produce."""
-    li = load_table(spark, sf_dir, "lineitem")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("l_quantity").alias("sx"),
-        _wsum(F.col("l_quantity"), F.col("l_quantity")).alias("sxx"),
-        dsum("l_extendedprice").alias("sy"),
-        _wsum(F.col("l_extendedprice"),
-              F.col("l_extendedprice")).alias("syy"),
-        _wsum(F.col("l_quantity"),
-              F.col("l_extendedprice")).alias("sxy"),
-    )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return m.select(
-        "l_returnflag",
-        n.cast("bigint").alias("n"),
-        slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
-        (((n * sxy - sx * sy) * (n * sxy - sx * sy))
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"),
-    )
-
-
-@query(
-    "agg_listagg",
-    oracle="""
-    WITH cn AS (
-      SELECT c.c_mktsegment AS seg, n.n_name AS nat,
-             count(*) AS n_cust
-      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
-      GROUP BY 1, 2),
-    ranked AS (
-      SELECT seg, nat, n_cust,
-             row_number() OVER (PARTITION BY seg
-                                ORDER BY n_cust DESC, nat) AS rn
-      FROM cn)
-    SELECT seg,
-           string_agg(nat, ',' ORDER BY n_cust DESC, nat) AS top_nations,
-           CAST(sum(n_cust) AS BIGINT) AS top_cust
-    FROM ranked WHERE rn <= 3
-    GROUP BY seg
-    """,
-)
-def agg_listagg(spark, sf_dir):
-    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (ORDER
-    BY), the SQL:2016 ordered-set aggregate Spark 4.0 added (DuckDB
-    spells it string_agg with an ORDER BY argument). Per market
-    segment: the top-3 customer nations by count, concatenated in
-    rank order. Two hash aggregates plus one tiny ranking window;
-    the dimension join broadcasts. The (count DESC, name) sort key
-    is total, so both the row_number cut and the inside-aggregate
-    order are deterministic — the general LISTAGG trap (partial
-    orders concatenate nondeterministically) is designed out. The
-    Spark side goes through spark.sql to grade the WITHIN GROUP
-    parser surface too."""
-    c = load_table(spark, sf_dir, "customer")
-    nt = load_table(spark, sf_dir, "nation")
-    cn = (
-        c.join(F.broadcast(nt),
-               nt.n_nationkey == c.c_nationkey)
-        .groupBy(F.col("c_mktsegment").alias("seg"),
-                 F.col("n_name").alias("nat"))
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-    )
-    w = Window.partitionBy("seg").orderBy(
-        F.col("n_cust").desc(), F.col("nat"))
-    ranked = cn.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= 3)
-    ranked.createOrReplaceTempView("agg_listagg_ranked")
-    return spark.sql("""
-        SELECT seg,
-               listagg(nat, ',')
-                   WITHIN GROUP (ORDER BY n_cust DESC, nat)
-                   AS top_nations,
-               CAST(sum(n_cust) AS BIGINT) AS top_cust
-        FROM agg_listagg_ranked GROUP BY seg
-    """)
-
-
-@query(
-    "win_ignore_nulls",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN event_type = 'click' THEN NULL
-                  ELSE value END AS obs
-      FROM events)
-    SELECT user_id, event_id, obs,
-           last_value(obs IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS filled,
-           lag(obs IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_obs,
-           count(obs)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS n_obs
-    FROM v
-    """,
-)
-def win_ignore_nulls(spark, sf_dir):
-    """IGNORE NULLS window navigation — last-observation-carried-
-    forward (LOCF) gap-fill, the sensor/metrics staple: clicks carry
-    no reading (modelled as NULL), and every row sees the latest
-    non-null observation at-or-before it plus the strictly-previous
-    one. last_value/lag IGNORE NULLS run in the same cumulative
-    (ts, event_id) frame, so one window sort serves all three
-    outputs; no value arithmetic happens (values are PICKED, not
-    summed), so doubles pass through untouched and both engines
-    agree exactly. Scale: one (user_id) shuffle, linear frame scan
-    — gapfill_time_series covers the interpolating variant."""
-    ev = load_table(spark, sf_dir, "events")
-    obs = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
-        F.col("value"))
-    v = ev.select("user_id", "event_id", "ts", obs.alias("obs"))
-    v.createOrReplaceTempView("win_ignore_nulls_v")
-    return spark.sql("""
-        SELECT user_id, event_id, obs,
-               last_value(obs) IGNORE NULLS
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS filled,
-               lag(obs) IGNORE NULLS
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_obs,
-               count(obs)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS n_obs
-        FROM win_ignore_nulls_v
-    """)
-
-
-_AC_DEC = "DECIMAL(30,6)"
-
-
-@query(
-    "ts_autocorr",
-    oracle=f"""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d,
-             {sql_dsum('value')} AS x
-      FROM events GROUP BY 1),
-    pairs AS (
-      SELECT x, lag(x) OVER (ORDER BY d) AS y FROM daily),
-    m AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(x AS {_AC_DEC})) AS DOUBLE) AS sx,
-             CAST(sum(CAST(y AS {_AC_DEC})) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x * y AS {_AC_DEC})) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(x * x AS {_AC_DEC})) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y * y AS {_AC_DEC})) AS DOUBLE) AS syy
-      FROM pairs WHERE y IS NOT NULL)
-    SELECT CAST(n AS BIGINT) AS n_pairs,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             AS autocorr_lag1
-    FROM m
-    """,
-)
-def ts_autocorr(spark, sf_dir):
-    """Lag-1 autocorrelation of the daily total — the seasonality /
-    persistence diagnostic run before any forecasting model. Three
-    stages, each with the repo's determinism discipline: the daily
-    roll-up is an exact DECIMAL sum; the lag pairing is a pure pick
-    over the date order (values copied, not re-accumulated); the
-    correlation comes from DECIMAL(30,6) second moments (daily
-    totals reach ~1e6 at sf0.1, squares ~1e12 — scale 6 keeps the
-    cast exact-deterministic) combined with a token-identical
-    closed form. Scale: day cardinality is tiny (one row per day),
-    so the single-partition lag window is a non-issue; the heavy
-    lifting is the map-side partial sum over events."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        dsum("value").alias("x"))
-    w = Window.orderBy("d")
-    pairs = daily.select("x", F.lag("x").over(w).alias("y")).where(
-        F.col("y").isNotNull())
-
-    def dec(c):
-        return F.sum(c.cast(_AC_DEC.lower())).cast("double")
-
-    m = pairs.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dec(F.col("x")).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x") * F.col("y")).alias("sxy"),
-        dec(F.col("x") * F.col("x")).alias("sxx"),
-        dec(F.col("y") * F.col("y")).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    return m.select(
-        n.cast("bigint").alias("n_pairs"),
-        ((n * sxy - sx * sy)
-         / (F.sqrt(n * sxx - sx * sx)
-            * F.sqrt(n * syy - sy * sy))).alias("autocorr_lag1"),
-    )
-
-
-_TRI_PAIRS: dict = {}
-
-
-def _copurchase_pairs(spark, sf_dir):
-    """Distinct co-purchase edges (u < v), persisted MEMORY_AND_DISK
-    and memoized per (session, sf_dir, lineitem fingerprint) so the
-    multi-consumer triangle plan materializes the self-join exactly
-    once (and repeat gradings reuse it instead of stacking cache
-    entries)."""
-    import os
-
-    from pyspark import StorageLevel
-
-    ap = os.path.abspath(os.path.normpath(sf_dir))
-    try:
-        st = os.stat(os.path.join(ap, "lineitem.parquet"))
-        fp = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        fp = None
-    key = (id(spark), ap, fp)
-    if key in _TRI_PAIRS:
-        return _TRI_PAIRS[key]
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _TRI_PAIRS[key] = pairs
-    return pairs
-
-
-@query(
-    "graph_triangles",
-    oracle="""
-    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
-                WHERE l_orderkey % 4 = 0),
-    pairs AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    deg AS (
-      SELECT node, count(*) AS d FROM (
-        SELECT u AS node FROM pairs
-        UNION ALL SELECT v FROM pairs) t
-      GROUP BY node),
-    oriented AS (
-      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v)
-                  THEN p.u ELSE p.v END AS s,
-             CASE WHEN (du.d, p.u) < (dv.d, p.v)
-                  THEN p.v ELSE p.u END AS t
-      FROM pairs p
-      JOIN deg du ON du.node = p.u
-      JOIN deg dv ON dv.node = p.v),
-    wedges AS (
-      SELECT least(e1.t, e2.t) AS a, greatest(e1.t, e2.t) AS b
-      FROM oriented e1 JOIN oriented e2
-        ON e1.s = e2.s AND e1.t < e2.t),
-    tri AS (
-      SELECT count(*) AS n_triangles
-      FROM wedges w JOIN pairs p ON p.u = w.a AND p.v = w.b)
-    SELECT (SELECT count(*) FROM deg) AS n_nodes,
-           (SELECT count(*) FROM pairs) AS n_edges,
-           n_triangles,
-           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
-               AS n_wedges,
-           CAST(3.0 * n_triangles AS DOUBLE)
-             / (SELECT CAST(sum(d * (d - 1) / 2) AS DOUBLE) FROM deg)
-               AS transitivity
-    FROM tri
-    """,
-)
-def graph_triangles(spark, sf_dir):
-    """Distributed triangle counting over the part co-purchase graph
-    (nodes = parts, edge = appeared in the same order; a
-    deterministic orderkey % 4 sample bounds graph density). The
-    plan is the MapReduce-era degree-orientation algorithm (Suri &
-    Vassilvitskii, WWW'11): orient every edge from its
-    lower-(degree, id) endpoint, enumerate wedges only from
-    out-neighbours, close them against the edge set — wedge volume
-    drops from sum C(deg,2) to sum C(outdeg,2), which is the
-    difference between quadratic-in-hub-degree and O(m^1.5) on
-    skewed graphs. Degrees broadcast (one row per node); the wedge
-    closure joins against the edge set by (a, b). Pure integer
-    counts; the transitivity ratio is one IEEE division of exact
-    integers written identically on both sides.
-
-    The edge set feeds FOUR downstream consumers (degrees, both
-    orientation joins, the closure probe); DataFrame re-reference
-    re-executes the subtree (28 lineitem scans, 45 exchanges,
-    audited), so pairs is persisted once per (session, fixture
-    fingerprint) — the distributed materialization a multi-pass
-    graph algorithm needs at 100 TB, where a driver-side local
-    relation (pagerank's trick for its 25-node transition table)
-    would not fit."""
-    pairs = _copurchase_pairs(spark, sf_dir)
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = F.broadcast(deg).alias("du")
-    dv = F.broadcast(deg).alias("dv")
-    lower_first = (
-        F.struct(F.col("du.d"), F.col("u"))
-        < F.struct(F.col("dv.d"), F.col("v"))
-    )
-    oriented = (
-        pairs.join(du, F.col("du.node") == F.col("u"))
-        .join(dv, F.col("dv.node") == F.col("v"))
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v"))
-                .alias("s"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u"))
-                .alias("t"),
-        )
-    )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = (
-        e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
-                & (F.col("e1.t") < F.col("e2.t")))
-        .select(F.least("e1.t", "e2.t").alias("a"),
-                F.greatest("e1.t", "e2.t").alias("b"))
-    )
-    # Closure probe: shuffle equi-join on (a, b) — the edge relation
-    # is O(|E|) and must NOT be force-broadcast (VERDICT r5): at 100x
-    # the edge set is tens of GB and a mandatory broadcast OOMs every
-    # executor. A plain equi-join shuffles both sides on the edge key
-    # (SortMergeJoin/ShuffledHashJoin); AQE may still downgrade to a
-    # broadcast at runtime when the measured size is tiny, which is
-    # the right call made with real sizes rather than a hint.
-    tri = wedges.join(
-        pairs,
-        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
-            .alias("n_wedges"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double")
-            .alias("w_dbl"),
-    )
-    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        tri.join(F.broadcast(stats)).join(F.broadcast(n_edges))
-        .select(
-            "n_nodes", "n_edges", "n_triangles", "n_wedges",
-            (F.lit(3.0) * F.col("n_triangles") / F.col("w_dbl"))
-                .alias("transitivity"),
-        )
-    )
-
-
-_LAYOUT_ROOT = "/tmp/spark_graft_layout"
-
-
-def _layout_dir(sf_dir: str) -> str:
-    """Fingerprinted cache dir for the written layout (the replay
-    _chunk_dir contract: absolute path + backing-file (size,
-    mtime_ns), so a driver-side testdata regeneration invalidates
-    the written copy instead of serving a stale layout)."""
-    import hashlib
-    import os
-
-    ap = os.path.abspath(os.path.normpath(sf_dir))
-    backing = os.path.join(ap, "lineitem.parquet")
-    try:
-        st = os.stat(backing)
-        stamp = f"{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        stamp = "missing"
-    digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:8]
-    return f"{_LAYOUT_ROOT}-{os.path.basename(ap)}-{digest}"
-
-
-@query(
-    "layout_partitioned_write",
-    oracle=f"""
-    SELECT strftime(l_shipdate, '%Y-%m') AS ym,
-           count(*) AS n,
-           {sql_dsum('l_extendedprice')} AS revenue
-    FROM lineitem
-    WHERE strftime(l_shipdate, '%Y-%m') IN ('1996-03', '1996-04')
-    GROUP BY 1
-    """,
-)
-def layout_partitioned_write(spark, sf_dir):
-    """Write-path layout management — the missing half of
-    layout_zorder's story: lineitem is REWRITTEN as a
-    ship-month-partitioned parquet lake
-    (repartitionByRange(ym, orderkey) BEFORE write.partitionBy(ym),
-    so each task owns a contiguous month range and every partition
-    directory gets O(1) files instead of one-file-per-task-per-month
-    — the small-files explosion that kills 100 TB lakes), then read
-    back with a month predicate that Spark resolves by PARTITION
-    PRUNING: the two-month aggregate scans two directories, not 82.
-    The written copy is cached per (sf_dir, lineitem fingerprint)
-    under /tmp, mirroring the streaming replay chunk cache. The
-    oracle aggregates the original table directly — identical
-    results prove the rewrite is lossless."""
-    import os
-
-    out = _layout_dir(sf_dir)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        li_w = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice",
-            F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
-        )
-        (li_w.repartitionByRange(8, "ym", "l_orderkey")
-             .write.mode("overwrite").partitionBy("ym").parquet(out))
-    lake = spark.read.parquet(out)
-    return (
-        lake.where(F.col("ym").isin("1996-03", "1996-04"))
-        .groupBy("ym")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dsum("l_extendedprice").alias("revenue"),
-        )
-    )
-
-
-@query(
-    "fn_sql_udf",
-    oracle=f"""
-    SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def fn_sql_udf(spark, sf_dir):
-    """SQL-language scalar UDF (CREATE FUNCTION ... RETURN expr, the
-    SQL:2016 / Spark 3.5+ feature): business logic named ONCE in the
-    catalog and reused across queries, with none of a Python UDF's
-    serialization cost — Catalyst INLINES the body at parse time, so
-    the plan is bit-identical to writing the expression inline
-    (whole-stage codegen, pushdown, everything). disc_price is the
-    TPC-H discounted-revenue rule; the oracle inlines the same
-    arithmetic, proving the inlining claim. The per-row product is
-    identical IEEE math on both engines; the sum rides the DEC
-    path."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    spark.sql("""
-        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
-            p DOUBLE, d DOUBLE) RETURNS DOUBLE
-        RETURN p * (1.0 - d)
-    """)
-    return spark.sql("""
-        SELECT l_returnflag,
-               CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-               count(*) AS n
-        FROM lineitem GROUP BY l_returnflag
-    """)
-
-
-@query(
-    "sql_session_variables",
-    oracle="""
-    WITH thr AS (
-      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*) AS avg_price
-      FROM orders)
-    SELECT o_orderpriority, count(*) AS n_above
-    FROM orders, thr
-    WHERE o_totalprice > thr.avg_price
-    GROUP BY o_orderpriority
-    """,
-)
-def sql_session_variables(spark, sf_dir):
-    """SQL session variables (DECLARE VARIABLE / SET VAR, Spark 4):
-    a scalar computed by one statement feeds the next WITHOUT client
-    round-tripping the value through strings — the session-scripting
-    surface BI layers and migration runbooks use. The threshold is
-    SET from a scalar subquery (the DEC-stabilized mean, so the
-    value itself is engine-exact); the consuming query references
-    the variable like a constant, which Catalyst folds — the plan
-    filters on a literal, no re-computation. The oracle inlines the
-    same subquery via a CTE."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    spark.sql("DECLARE OR REPLACE VARIABLE price_thr DOUBLE")
-    spark.sql("""
-        SET VAR price_thr = (
-          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*)
-          FROM orders)
-    """)
-    return spark.sql("""
-        SELECT o_orderpriority, count(*) AS n_above
-        FROM orders
-        WHERE o_totalprice > price_thr
-        GROUP BY o_orderpriority
-    """)
-
-
-@query(
-    "sql_execute_immediate",
-    oracle="""
-    SELECT o_orderstatus, count(*) AS n
-    FROM orders
-    WHERE o_totalprice > 150000.0
-    GROUP BY o_orderstatus
-    """,
-)
-def sql_execute_immediate(spark, sf_dir):
-    """EXECUTE IMMEDIATE (Spark 4): SQL text held in a session
-    variable runs with parameter-marker binding (USING), the dynamic-
-    SQL surface stored procedures and migration tools rely on —
-    composed dynamically but still INJECTION-SAFE, because the value
-    arrives as a typed bind, never string-spliced. Complements
-    sql_params (static text, bound values) and sql_identifier
-    (bound table names). The oracle inlines the bound constant."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
-    spark.sql("""
-        SET VAR stmt =
-          'SELECT o_orderstatus, count(*) AS n
-           FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
-    """)
-    return spark.sql("EXECUTE IMMEDIATE stmt USING 150000.0")
-
-
-@query(
-    "join_null_safe",
-    oracle="""
-    WITH c AS (
-      SELECT CASE WHEN c_acctbal < 0 THEN NULL
-                  ELSE c_nationkey END AS k
-      FROM customer),
-    s AS (
-      SELECT CASE WHEN s_acctbal < 0 THEN NULL
-                  ELSE s_nationkey END AS k
-      FROM supplier)
-    SELECT c.k, count(*) AS n_pairs
-    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
-    GROUP BY c.k
-    """,
-)
-def join_null_safe(spark, sf_dir):
-    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
-    MATCH each other instead of vanishing — the semantics dedup and
-    reconciliation jobs need when "unknown" is itself a join class
-    (here: delinquent customers pair with delinquent suppliers).
-    Critically this is still a HASH join in Spark — <=> is an
-    EqualNullSafe key, not a theta condition, so the plan is
-    shuffle/broadcast hash join, not a nested loop; at 100 TB that
-    distinction is the whole game. The skew caveat is real (a fat
-    NULL class hashes to ONE partition — join_skew_salted shows the
-    fix); the supplier side broadcasts here."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.when(F.col("c_acctbal") < 0, F.lit(None))
-        .otherwise(F.col("c_nationkey")).alias("k"))
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.when(F.col("s_acctbal") < 0, F.lit(None))
-        .otherwise(F.col("s_nationkey")).alias("ck"))
-    return (
-        c.join(F.broadcast(s), c.k.eqNullSafe(s.ck))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-
-
-@query(
-    "fn_sql_tvf",
-    oracle="""
-    SELECT o_orderkey, CAST(k AS INT) AS k,
-           o_totalprice / 3 AS amount
-    FROM orders, generate_series(1, 3) t(k)
-    WHERE o_orderpriority = '1-URGENT'
-    """,
-)
-def fn_sql_tvf(spark, sf_dir):
-    """SQL-language TABLE function (CREATE FUNCTION ... RETURNS
-    TABLE) applied via correlated LATERAL — the declarative cousin
-    of udtf_lateral's Python UDTF: a three-way installment schedule
-    expands each urgent order into rows, the TVF body referencing
-    the outer column. Catalyst inlines the body like fn_sql_udf's
-    scalar (the plan is a plain generate/explode — no function-call
-    machinery at run time), so row expansion stays whole-stage
-    codegen. The per-row division is one IEEE op, identical on both
-    engines."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    spark.sql("""
-        CREATE OR REPLACE TEMPORARY FUNCTION installments(
-            total DOUBLE, n INT) RETURNS TABLE(k INT, amount DOUBLE)
-        RETURN SELECT i AS k, total / n AS amount
-               FROM (SELECT explode(sequence(1, n)) AS i)
-    """)
-    return spark.sql("""
-        SELECT o_orderkey, s.k, s.amount
-        FROM orders, LATERAL installments(o_totalprice, 3) s
-        WHERE o_orderpriority = '1-URGENT'
-    """)
-
-
-@query(
-    "agg_argmax",
-    oracle="""
-    WITH r AS (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
-             row_number() OVER (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
-      FROM orders)
-    SELECT o_orderpriority,
-           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
-           max(CASE WHEN rmax = 1 THEN o_totalprice END) AS top_price,
-           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS low_order,
-           max(CASE WHEN rmin = 1 THEN o_totalprice END) AS low_price
-    FROM r GROUP BY o_orderpriority
-    """,
-)
-def agg_argmax(spark, sf_dir):
-    """MAX_BY / MIN_BY — the argmax aggregates (which ROW holds the
-    extreme, not just the extreme value) with a composite
-    (o_totalprice, o_orderkey) ordering key so price ties resolve
-    deterministically: max_by takes the struct-max (price, then
-    key), min_by the struct-min. ONE hash aggregate per group — the
-    plan a row_number window needs a full sort for (the oracle uses
-    exactly that window form, proving the aggregate picks the same
-    rows). At 100 TB this is the difference between a partial-
-    aggregating shuffle of 5 groups and a global per-group sort."""
-    o = load_table(spark, sf_dir, "orders")
-    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
-    return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", key).alias("top_order"),
-        F.max("o_totalprice").alias("top_price"),
-        F.min_by("o_orderkey", key).alias("low_order"),
-        F.min("o_totalprice").alias("low_price"),
-    )
-
-
-@query(
-    "ts_anomaly_mad",
-    oracle="""
-    WITH med AS (
-      SELECT event_type,
-             round(quantile_cont(value, 0.5), 6) AS med
-      FROM events GROUP BY event_type),
-    dev AS (
-      SELECT e.event_type, e.value, m.med,
-             abs(e.value - m.med) AS ad
-      FROM events e JOIN med m USING (event_type)),
-    mad AS (
-      SELECT event_type,
-             round(quantile_cont(ad, 0.5), 6) AS mad
-      FROM dev GROUP BY event_type)
-    SELECT d.event_type,
-           count(*) FILTER (WHERE d.ad > 3 * m.mad) AS n_outliers,
-           count(*) AS n,
-           max(d.med) AS med, max(m.mad) AS mad
-    FROM dev d JOIN mad m USING (event_type)
-    GROUP BY d.event_type
-    """,
-)
-def ts_anomaly_mad(spark, sf_dir):
-    """Robust anomaly detection by median absolute deviation — the
-    outlier rule that survives the outliers themselves (3×MAD ≈
-    4.5σ under normality; mean/stddev z-scores move WITH the
-    anomalies they hunt). Exact two-pass form: per-type median,
-    then median of absolute deviations, both medians 6-dp rounded
-    through the agg_quantiles-proven percentile/quantile_cont
-    equivalence; the tiny per-type statistics broadcast back onto
-    the stream of deviations. Scale honesty: exact medians buffer
-    each group (ObjectHashAggregate) — at 100 TB both passes
-    switch to approx_percentile sketches, same shape."""
-    ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "value", "med",
-        F.abs(F.col("value") - F.col("med")).alias("ad"))
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.when(F.col("ad") > 3 * F.col("mad"), 1))
-                .alias("n_outliers"),
-            F.count(F.lit(1)).alias("n"),
-            F.max("med").alias("med"),
-            F.max("mad").alias("mad"),
-        )
-    )
-
-
-@query(
-    "merge_into_upsert",
-    oracle="""
-    WITH delta AS (
-      SELECT c_custkey AS k, c_name AS name,
-             c_acctbal + 100.0 AS new_bal,
-             CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
-      FROM customer WHERE c_custkey % 10 = 0
-      UNION ALL
-      SELECT c_custkey + 500000, 'new-' || c_name,
-             CAST(0.0 AS DOUBLE), 'I'
-      FROM customer WHERE c_custkey % 25 = 0)
-    SELECT b.c_custkey AS k,
-           coalesce(d.name, b.c_name) AS name,
-           CASE WHEN d.op = 'U' THEN d.new_bal
-                ELSE b.c_acctbal END AS balance
-    FROM customer b LEFT JOIN delta d ON d.k = b.c_custkey
-    WHERE d.op IS NULL OR d.op <> 'D'
-    UNION ALL
-    SELECT d.k, d.name, d.new_bal
-    FROM delta d LEFT JOIN customer b ON b.c_custkey = d.k
-    WHERE d.op = 'I' AND b.c_custkey IS NULL
-    """,
-)
-def merge_into_upsert(spark, sf_dir):
-    """MERGE INTO semantics as a pure DataFrame composition — the
-    lakehouse table-maintenance primitive (WHEN MATCHED UPDATE /
-    WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT) expressed as ONE
-    full-outer-shaped plan, for engines without a writable v2 table
-    format: base LEFT JOIN delta resolves update/delete/carry-over,
-    the anti-joined remainder of the delta inserts. The delta here
-    is deterministic (every 10th customer updates, every 70th
-    deletes, 4% insert as fresh keys). Scale shape: ONE shuffle of
-    each side on the merge key — exactly the join a real MERGE
-    executes under Delta/Iceberg — and the two delta references
-    hit a sub-percent table slice (Catalyst pushes the modular
-    filters to the scan). The rewrite-scope trade (copy-on-write
-    whole-partition rewrite vs merge-on-read deletion vectors) is
-    a storage-format concern on top of this same join."""
-    c = load_table(spark, sf_dir, "customer")
-    upd = c.where(F.col("c_custkey") % 10 == 0).select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        (F.col("c_acctbal") + 100.0).alias("new_bal"),
-        F.when(F.col("c_custkey") % 7 == 0, "D").otherwise("U")
-            .alias("op"),
-    )
-    ins = c.where(F.col("c_custkey") % 25 == 0).select(
-        (F.col("c_custkey") + 500000).alias("k"),
-        F.concat(F.lit("new-"), F.col("c_name")).alias("name"),
-        F.lit(0.0).alias("new_bal"),
-        F.lit("I").alias("op"),
-    )
-    delta = upd.unionAll(ins)
-    merged = (
-        c.join(delta, delta.k == c.c_custkey, "left")
-        .where(F.col("op").isNull() | (F.col("op") != "D"))
-        .select(
-            F.col("c_custkey").alias("k"),
-            F.coalesce("name", "c_name").alias("name"),
-            F.when(F.col("op") == "U", F.col("new_bal"))
-                .otherwise(F.col("c_acctbal")).alias("balance"),
-        )
-    )
-    inserts = (
-        delta.where(F.col("op") == "I")
-        .join(c, delta.k == c.c_custkey, "left_anti")
-        .select("k", "name", F.col("new_bal").alias("balance"))
-    )
-    return merged.unionAll(inserts)
-
-
-@query(
-    "subquery_null_semantics",
-    oracle="""
-    WITH o AS (
-      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
-                  ELSE o_custkey END AS nk
-      FROM orders)
-    SELECT 'not_in' AS variant, count(*) AS n
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT nk FROM o)
-    UNION ALL
-    SELECT 'not_exists', count(*)
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.nk = c.c_custkey)
-    """,
-)
-def subquery_null_semantics(spark, sf_dir):
-    """The NOT IN null trap, graded: against a subquery whose key
-    column CONTAINS NULL (pending orders), ANSI three-valued logic
-    makes `x NOT IN (...)` never TRUE — the whole filter collapses
-    to zero rows — while NOT EXISTS (Spark's null-aware anti join)
-    returns the customers genuinely without orders. Both engines
-    implement the standard exactly, so the pair is
-    differential-checkable; the query exists because every
-    migration hits this once. Plan note: Spark compiles the NOT IN
-    to a NULL-aware anti join (one extra null-check pass), NOT a
-    per-row subquery — still one shuffle pair at scale."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql("""
-        WITH o AS (
-          SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
-                      ELSE o_custkey END AS nk
-          FROM orders)
-        SELECT 'not_in' AS variant, count(*) AS n
-        FROM customer
-        WHERE c_custkey NOT IN (SELECT nk FROM o)
-        UNION ALL
-        SELECT 'not_exists', count(*)
-        FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.nk = c.c_custkey)
-    """)
-
-
-@query(
-    "sql_pivot_syntax",
-    oracle="""
-    SELECT user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'click') AS DOUBLE)
-               AS click,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
-               AS purchase,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
-                FILTER (WHERE event_type = 'view') AS DOUBLE)
-               AS view
-    FROM events GROUP BY user_id
-    """,
-)
-def sql_pivot_syntax(spark, sf_dir):
-    """The SQL PIVOT clause (relational-op syntax, not the
-    DataFrame .pivot() API that pivot_wide grades): value sums
-    rotate into columns for an explicit IN list, so the plan is a
-    single hash aggregate — no distinct-values pre-job, no second
-    shuffle. The aggregate inside PIVOT rides the DEC path; the
-    oracle is the equivalent ANSI FILTER form (DuckDB's PIVOT
-    syntax differs, which is exactly why the FILTER spelling is
-    the portability baseline)."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT * FROM (
-          SELECT user_id, event_type, value FROM events)
-        PIVOT (
-          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-          FOR event_type IN ('click', 'purchase', 'view'))
-    """)
-
-
-@query(
-    "dq_audit",
-    oracle="""
-    SELECT 'lineitem_orphans' AS rule, (
-      SELECT count(*) FROM lineitem l
-      WHERE NOT EXISTS (SELECT 1 FROM orders o
-                        WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
-    UNION ALL
-    SELECT 'orders_orphans', (
-      SELECT count(*) FROM orders o
-      WHERE NOT EXISTS (SELECT 1 FROM customer c
-                        WHERE c.c_custkey = o.o_custkey))
-    UNION ALL
-    SELECT 'customer_dup_keys', (
-      SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
-    UNION ALL
-    SELECT 'lineitem_nonpositive_qty', (
-      SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
-    UNION ALL
-    SELECT 'lineitem_discount_range', (
-      SELECT count(*) FROM lineitem
-      WHERE l_discount < 0 OR l_discount > 0.5)
-    UNION ALL
-    SELECT 'events_null_user', (
-      SELECT count(*) FROM events WHERE user_id IS NULL)
-    """,
-)
-def dq_audit(spark, sf_dir):
-    """Data-quality audit — the constraint checks a warehouse runs
-    before promoting a load (and the shape dbt tests / Deequ
-    compile to): referential integrity by ANTI JOIN (orphaned
-    facts), key uniqueness by count-vs-distinct, domain ranges by
-    predicate counts, null guards. Every table is scanned ONCE: the
-    three lineitem rules (orphans + both domain checks) ride one
-    left join + conditional counts in a single aggregate, likewise
-    orders; customer and events each contribute one pass (a naive
-    rule-per-subquery form scanned lineitem three times — plan-
-    audited away). Zero rows bad on the shipped fixture — the query
-    grades that the AUDIT agrees, not that the data is dirty; on a
-    violating load each row names its rule with a count."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    ev = load_table(spark, sf_dir, "events")
-
-    li_rules = (
-        li.join(o.select(F.col("o_orderkey").alias("ok")),
-                li.l_orderkey == F.col("ok"), "left")
-        .agg(
-            F.count(F.when(F.col("ok").isNull(), 1))
-                .alias("lineitem_orphans"),
-            F.count(F.when(F.col("l_quantity") <= 0, 1))
-                .alias("lineitem_nonpositive_qty"),
-            F.count(F.when((F.col("l_discount") < 0)
-                           | (F.col("l_discount") > 0.5), 1))
-                .alias("lineitem_discount_range"),
-        )
-    )
-    o_rules = (
-        o.join(c.select(F.col("c_custkey").alias("ck")),
-               o.o_custkey == F.col("ck"), "left")
-        .agg(F.count(F.when(F.col("ck").isNull(), 1))
-             .alias("orders_orphans"))
-    )
-    c_rules = c.agg(
-        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
-        .alias("customer_dup_keys"))
-    ev_rules = ev.agg(
-        F.count(F.when(F.col("user_id").isNull(), 1))
-        .alias("events_null_user"))
-    wide = (
-        li_rules.join(o_rules).join(c_rules).join(ev_rules)
-    )
-    rules = ["lineitem_orphans", "orders_orphans", "customer_dup_keys",
-             "lineitem_nonpositive_qty", "lineitem_discount_range",
-             "events_null_user"]
-    stack = ", ".join(f"'{r}', {r}" for r in rules)
-    return wide.selectExpr(
-        f"stack({len(rules)}, {stack}) AS (rule, n_bad)")
-
-
-@query(
-    "agg_skew_profile",
-    oracle="""
-    WITH g AS (
-      SELECT l_orderkey, count(*) AS sz
-      FROM lineitem GROUP BY l_orderkey),
-    s AS (
-      SELECT count(*) AS n_groups,
-             CAST(sum(sz) AS BIGINT) AS n_rows,
-             CAST(max(sz) AS BIGINT) AS max_size,
-             round(quantile_cont(sz, 0.5), 6) AS p50,
-             round(quantile_cont(sz, 0.99), 6) AS p99
-      FROM g)
-    SELECT n_groups, n_rows, max_size, p50, p99,
-           CAST(max_size AS DOUBLE)
-             / (CAST(n_rows AS DOUBLE) / n_groups) AS skew_ratio
-    FROM s
-    """,
-)
-def agg_skew_profile(spark, sf_dir):
-    """Join-key SKEW diagnostics — the profile run BEFORE deciding
-    between a plain shuffle join, AQE skew splitting, or explicit
-    salting (join_skew_salted is the treatment; this is the
-    diagnosis): group-size distribution of the fact table's join
-    key, reporting cardinality, max group, p50/p99, and the
-    max-to-mean skew ratio. One partial-aggregating shuffle on the
-    key, then a 6-number reduce — the statistics a 1000-executor
-    job computes in seconds and saves hours with. The skew ratio is
-    the number AQE's skewedPartitionFactor thresholds against;
-    ratios ≫ 5 mean the biggest key dominates a partition and
-    salting/AQE splitting pays."""
-    li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
-    return g.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum("sz").alias("n_rows"),
-        F.max("sz").alias("max_size"),
-        F.round(F.expr("percentile(sz, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(sz, 0.99)"), 6).alias("p99"),
-    ).select(
-        "n_groups", "n_rows", "max_size", "p50", "p99",
-        (F.col("max_size").cast("double")
-         / (F.col("n_rows").cast("double") / F.col("n_groups")))
-        .alias("skew_ratio"),
-    )
-
-
-@query(
-    "ts_seasonal_naive_eval",
-    oracle=f"""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d,
-             dayofweek(CAST(ts AS DATE)) AS dow,
-             {sql_dsum('value')} AS x
-      FROM events GROUP BY 1, 2),
-    paired AS (
-      SELECT d, x,
-             lag(x, 7) OVER (ORDER BY d) AS pred
-      FROM daily)
-    SELECT count(*) AS n_days,
-           CAST(sum(CAST(abs(x - pred) AS DECIMAL(30,6)))
-                AS DOUBLE) / count(*) AS mae,
-           max(abs(x - pred)) AS max_abs_err
-    FROM paired WHERE pred IS NOT NULL
-    """,
-)
-def ts_seasonal_naive_eval(spark, sf_dir):
-    """Seasonal-naive forecast backtest — THE baseline every
-    forecasting effort must beat before shipping anything fancier:
-    predict each day's total with the value seven days earlier
-    (lag-7 over the daily series) and score mean / max absolute
-    error over the evaluable days. Errors are |x - pred| of two
-    already-DEC-stabilized daily sums — exact doubles — and the MAE
-    sums them at DECIMAL(30,6) (daily totals ~1e6 at sf0.1; abs
-    errors bounded by them). The day series is tiny, so the lag
-    window's single partition is a non-issue; the cost is one
-    map-side partial sum over events, shared shape with
-    ts_autocorr."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        dsum("value").alias("x"))
-    w = Window.orderBy("d")
-    paired = daily.select(
-        "x", F.lag("x", 7).over(w).alias("pred")
-    ).where(F.col("pred").isNotNull())
-    err = F.abs(F.col("x") - F.col("pred"))
-    return paired.agg(
-        F.count(F.lit(1)).alias("n_days"),
-        (F.sum(err.cast("decimal(30,6)")).cast("double")
-         / F.count(F.lit(1))).alias("mae"),
-        F.max(err).alias("max_abs_err"),
-    )
-
-
-@query(
-    "ts_changepoint",
-    oracle=f"""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d,
-             {sql_dsum('value')} AS x
-      FROM events GROUP BY 1),
-    pre AS (
-      SELECT d, x,
-             CAST(sum(CAST(x AS DECIMAL(30,6))) OVER
-                  (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND CURRENT ROW) AS DOUBLE) AS s,
-             row_number() OVER (ORDER BY d) AS t,
-             count(*) OVER () AS n,
-             CAST(sum(CAST(x AS DECIMAL(30,6))) OVER () AS DOUBLE)
-                 AS tot
-      FROM daily),
-    cand AS (
-      SELECT d, s / t AS left_mean,
-             (tot - s) / (n - t) AS right_mean,
-             abs(s / t - (tot - s) / (n - t)) AS shift
-      FROM pre WHERE t < n),
-    best AS (
-      SELECT *, row_number() OVER (ORDER BY shift DESC, d) AS rn
-      FROM cand)
-    SELECT d AS split_day, left_mean, right_mean, shift
-    FROM best WHERE rn = 1
-    """,
-)
-def ts_changepoint(spark, sf_dir):
-    """Single mean-shift CHANGEPOINT over the daily series — the
-    binary-segmentation primitive (AMOC: at-most-one-change) behind
-    every regression-detection dashboard: for each candidate split
-    day, compare the mean before vs after and report the split that
-    maximizes the shift. Prefix sums come from one cumulative
-    window over DECIMAL-stabilized daily totals, so every candidate
-    mean is an identical IEEE division on both engines and the
-    argmax (shift DESC, day tiebreak) cannot diverge. The day
-    series is one row per day — the windows are trivially small;
-    the heavy lifting is the map-side events roll-up. Recursive
-    segmentation at scale = re-run per segment (iterations
-    logarithmic in segments)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        dsum("value").alias("x"))
-    w_cum = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, 0)
-    w_all = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    pre = daily.select(
-        "d",
-        F.sum(F.col("x").cast("decimal(30,6)")).over(w_cum)
-            .cast("double").alias("s"),
-        F.row_number().over(Window.orderBy("d")).alias("t"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum(F.col("x").cast("decimal(30,6)")).over(w_all)
-            .cast("double").alias("tot"),
-    )
-    left_mean = F.col("s") / F.col("t")
-    right_mean = (F.col("tot") - F.col("s")) / (F.col("n") - F.col("t"))
-    cand = pre.where(F.col("t") < F.col("n")).select(
-        "d", left_mean.alias("left_mean"),
-        right_mean.alias("right_mean"),
-        F.abs(left_mean - right_mean).alias("shift"),
-    )
-    wbest = Window.orderBy(F.col("shift").desc(), F.col("d"))
-    return (
-        cand.withColumn("rn", F.row_number().over(wbest))
-        .where(F.col("rn") == 1)
-        .select(F.col("d").alias("split_day"),
-                "left_mean", "right_mean", "shift")
-    )
-
-
-@query(
-    "fn_interval",
-    oracle="""
-    WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
-               FROM orders WHERE o_orderkey % 100 = 0)
-    SELECT o_orderkey, d,
-           CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
-           CAST(d - INTERVAL 90 DAY AS DATE) AS minus_90d,
-           last_day(d) AS month_end,
-           CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
-           date_diff('day', CAST(date_trunc('year', d) AS DATE), d)
-               AS day_of_year0
-    FROM t
-    """,
-)
-def fn_interval(spark, sf_dir):
-    """INTERVAL arithmetic (§2.H2 completion): the calendar algebra
-    SLAs and billing cycles are written in — month addition WITH
-    end-of-month clamping (Jan 31 + 3 months = Apr 30, verified
-    identical in both engines), day offsets, last_day, quarter
-    truncation, and elapsed days since year start. All
-    integer/calendar math — no floats anywhere — evaluated inside
-    codegen on the scan. The fixture's order dates are timestamps;
-    the explicit DATE cast is the portability guard (DuckDB's
-    date + INTERVAL returns TIMESTAMP, Spark's DATE — both sides
-    re-cast)."""
-    o = load_table(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    return o.where(F.col("o_orderkey") % 100 == 0).select(
-        "o_orderkey",
-        d.alias("d"),
-        F.add_months(d, 3).alias("plus_3mo"),
-        F.date_sub(d, 90).alias("minus_90d"),
-        F.last_day(d).alias("month_end"),
-        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
-        F.datediff(d, F.date_trunc("year", d).cast("date"))
-            .alias("day_of_year0"),
-    )
-
-
-@query(
-    "win_frame_range_numeric",
-    oracle="""
-    SELECT event_id, event_type, value,
-           count(*) OVER w AS n_near,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-               AS sum_near
-    FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value
-                 RANGE BETWEEN 25.0 PRECEDING AND 25.0 FOLLOWING)
-    """,
-)
-def win_frame_range_numeric(spark, sf_dir):
-    """NUMERIC range frames (§2.E4's other half — win_frame_range
-    covers time offsets): for every event, aggregate over peers of
-    the same type whose VALUE lies within ±25 — a value-
-    neighbourhood density profile, the window form of a band join
-    (C5) when the band is per-row. Frame membership compares the
-    same IEEE doubles on both engines (no arithmetic on the bound
-    column), and the in-frame sum rides the DEC path. One
-    (event_type) shuffle + sort; Spark's range-frame cursor is
-    linear in partition size."""
-    ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("win_rangenum_v")
-    return spark.sql("""
-        SELECT event_id, event_type, value,
-               count(*) OVER w AS n_near,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-                   AS sum_near
-        FROM win_rangenum_v
-        WINDOW w AS (PARTITION BY event_type ORDER BY value
-                     RANGE BETWEEN 25.0 PRECEDING AND 25.0 FOLLOWING)
-    """)
-
-
-_CM_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-_CM_PAIRS = [(a, b) for i, a in enumerate(_CM_VARS)
-             for b in _CM_VARS[i + 1:]]
-
-
-def _cm_sql_corr(a: str, b: str) -> str:
-    return (f"(n * sxy_{a}_{b} - sx_{a} * sx_{b})"
-            f" / (sqrt(n * sxx_{a} - sx_{a} * sx_{a})"
-            f" * sqrt(n * sxx_{b} - sx_{b} * sx_{b}))")
-
-
-@query(
-    "agg_corr_matrix",
-    oracle=f"""
-    WITH m AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n,
-             {", ".join(f"{sql_dsum(v)} AS sx_{v}" for v in _CM_VARS)},
-             {", ".join(f"{_sql_wsum(v, v)} AS sxx_{v}"
-                        for v in _CM_VARS)},
-             {", ".join(f"{_sql_wsum(a, b)} AS sxy_{a}_{b}"
-                        for a, b in _CM_PAIRS)}
-      FROM lineitem)
-    SELECT * FROM (
-      {" UNION ALL ".join(
-          f"SELECT '{a}' AS var_a, '{b}' AS var_b,"
-          f" {_cm_sql_corr(a, b)} AS corr FROM m"
-          for a, b in _CM_PAIRS)}
-    ) t
-    """,
-)
-def agg_corr_matrix(spark, sf_dir):
-    """Pairwise correlation MATRIX over the four lineitem measures —
-    the profiling pass feature selection and anomaly dashboards
-    start from, generalizing agg_stats' single pair to all six.
-    ONE hash aggregate computes every first/second moment (4 sums,
-    4 squares, 6 cross-products — 15 decimal accumulators riding
-    one scan); the closed forms combine them with token-identical
-    IEEE arithmetic on both engines. Long-form (var_a, var_b, corr)
-    output so downstream code joins on variable names instead of
-    parsing column labels. At 100 TB this is the textbook
-    map-side-combine shape: accumulator count is O(k²) in COLUMNS,
-    constant in rows."""
-    li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    aggs += [dsum(v).alias(f"sx_{v}") for v in _CM_VARS]
-    aggs += [_wsum(F.col(v), F.col(v)).alias(f"sxx_{v}")
-             for v in _CM_VARS]
-    aggs += [_wsum(F.col(a), F.col(b)).alias(f"sxy_{a}_{b}")
-             for a, b in _CM_PAIRS]
-    m = li.agg(*aggs)
-
-    def corr(a, b):
-        n = F.col("n")
-        sxy, sa, sb = (F.col(f"sxy_{a}_{b}"), F.col(f"sx_{a}"),
-                       F.col(f"sx_{b}"))
-        sxxa, sxxb = F.col(f"sxx_{a}"), F.col(f"sxx_{b}")
-        return ((n * sxy - sa * sb)
-                / (F.sqrt(n * sxxa - sa * sa)
-                   * F.sqrt(n * sxxb - sb * sb)))
-
-    wide = m.select(*[
-        corr(a, b).alias(f"c_{a}_{b}") for a, b in _CM_PAIRS
-    ])
-    # stack() long-forms the single wide row — a per-pair UNION of
-    # the aggregate would re-execute the scan once per pair
-    stack = ", ".join(
-        f"'{a}', '{b}', c_{a}_{b}" for a, b in _CM_PAIRS)
-    return wide.selectExpr(
-        f"stack({len(_CM_PAIRS)}, {stack})"
-        " AS (var_a, var_b, corr)")
-
-
-# Synthetic-but-deterministic coordinates: the fixture carries no
-# geo columns, so each user gets a stable pseudo-location derived
-# from its id — the OPERATOR (haversine + nearest-k) is the graded
-# surface, exactly like the multimodal family's deterministic fake.
-_GEO_LAT = "(CAST((user_id * 37) % 160 AS DOUBLE) - 80.0 + 0.25)"
-_GEO_LON = "(CAST((user_id * 73) % 360 AS DOUBLE) - 180.0 + 0.25)"
-_GEO_QLAT, _GEO_QLON = 42.0, -71.0
-_GEO_R = 6371.0  # mean Earth radius, km
-
-
-def _sql_haversine(lat, lon, qlat, qlon):
-    return (
-        f"2.0 * {_GEO_R} * asin(sqrt("
-        f"pow(sin(radians(({lat}) - ({qlat})) / 2.0), 2.0)"
-        f" + cos(radians({qlat})) * cos(radians({lat}))"
-        f" * pow(sin(radians(({lon}) - ({qlon})) / 2.0), 2.0)))"
-    )
-
-
-@query(
-    "geo_nearest",
-    oracle=f"""
-    WITH pts AS (
-      SELECT DISTINCT user_id,
-             {_GEO_LAT} AS lat, {_GEO_LON} AS lon
-      FROM events),
-    d AS (
-      SELECT user_id, lat, lon,
-             {_sql_haversine('lat', 'lon', _GEO_QLAT, _GEO_QLON)}
-                 AS dist_km
-      FROM pts)
-    SELECT user_id, lat, lon, round(dist_km, 6) AS dist_km
-    FROM d
-    ORDER BY dist_km, user_id
-    LIMIT 20
-    """,
-)
-def geo_nearest(spark, sf_dir):
-    """Geospatial nearest-k — the getNearest/ST_Distance staple of
-    every realtime-feed database, as pure Catalyst trig: haversine
-    great-circle distance from a query point to each user's
-    location, TakeOrdered top-20 (per-partition heap, no global
-    sort). sin/cos/asin agree across engines (fn_trig grades that
-    directly); the 6-dp round guards display-level drift, and the
-    (distance, user_id) order makes the k-cut deterministic. At
-    scale the refinement is standard: a geohash/S2 cell grid as
-    partition key turns the all-points scan into a ring search
-    around the query cell — the same bucket-then-verify shape as
-    llm_knn_lsh. Locations are id-derived stand-ins (no geo columns
-    in the fixture); the operator is the graded artifact."""
-    ev = load_table(spark, sf_dir, "events")
-    pts = ev.selectExpr(
-        "user_id", f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon"
-    ).distinct()
-    d = pts.selectExpr(
-        "user_id", "lat", "lon",
-        f"{_sql_haversine('lat', 'lon', _GEO_QLAT, _GEO_QLON)}"
-        " AS dist_km",
-    )
-    return (
-        d.select("user_id", "lat", "lon",
-                 F.round("dist_km", 6).alias("dist_km"))
-        .orderBy("dist_km", "user_id")
-        .limit(20)
-    )
-
-
-# ------------------------------------------------ row-pattern matching
-
-@query(
-    "seq_match_recognize",
-    oracle="""
-    WITH s AS (
-      SELECT user_id,
-             string_agg(substr(event_type, 1, 1), ''
-                        ORDER BY ts, event_id) AS seq
-      FROM events GROUP BY user_id)
-    SELECT user_id,
-           length(seq) AS n_events,
-           len(regexp_extract_all(seq, 'vc*p')) AS n_matches,
-           regexp_extract(seq, 'vc*p') AS first_match
-    FROM s
-    WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
-    """,
-)
-def seq_match_recognize(spark, sf_dir):
-    """SQL:2016 MATCH_RECOGNIZE analog (Flink/Trino CEP): detect the
-    row pattern VIEW CLICK* PURCHASE — contiguous in event order —
-    per user timeline. Spark lacks the clause, so the pattern engine
-    is regex over a symbolized timeline: one char per event (the
-    fixture's five types have distinct initials), string-assembled
-    in deterministic (ts, event_id) order via array_sort over
-    structs, then regexp_count/extract find non-overlapping
-    leftmost matches — the same matching semantics MATCH_RECOGNIZE
-    AFTER MATCH SKIP PAST LAST ROW uses. One shuffle (groupBy
-    user_id); per-key state is the user's timeline string, the same
-    bound every sessionizer here carries. At 100 TB the symbolize+
-    aggregate stays map-side partial; regexes evaluate codegen-side
-    on the grouped strings — no Python, no window re-shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    sym = ev.select(
-        "user_id", "ts", "event_id",
-        F.substring("event_type", 1, 1).alias("sym"),
-    )
-    seq = (
-        sym.groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "sym"))
-                    ),
-                    lambda x: x["sym"],
-                ),
-                "",
-            ).alias("seq")
-        )
-    )
-    return (
-        seq.select(
-            "user_id",
-            F.length("seq").cast("long").alias("n_events"),
-            F.regexp_count(F.col("seq"), F.lit("vc*p"))
-            .cast("long").alias("n_matches"),
-            F.regexp_extract("seq", "vc*p", 0).alias("first_match"),
-        )
-        .where(F.col("n_matches") >= 1)
-    )
-
-
-@query(
-    "seq_transition_matrix",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
-      FROM events),
-    t AS (
-      SELECT prev, event_type AS curr, count(*) AS n
-      FROM o WHERE prev IS NOT NULL
-      GROUP BY prev, event_type),
-    tot AS (SELECT prev, sum(n) AS row_n FROM t GROUP BY prev)
-    SELECT t.prev, t.curr, t.n,
-           FLOOR(CAST(t.n AS DOUBLE) * 1000000.0
-                 / CAST(tot.row_n AS DOUBLE) + 0.5) / 1000000.0 AS p
-    FROM t JOIN tot ON t.prev = tot.prev
-    """,
-)
-def seq_transition_matrix(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event
-    paths (clickstream path analysis): P(next = curr | prev), from
-    lag() pairs in deterministic (ts, event_id) order. One window
-    shuffle on user_id builds the pairs; the 5x5 count matrix
-    crosses a second tiny shuffle; row-normalization is a window
-    SUM over the 25-row matrix itself — NOT a groupBy+join back to
-    the pair pipeline, which would re-execute the fact scan and
-    the user_id window a second time (plan-audited: the join form
-    showed 6 exchanges, this one 3, with the fact side scanned
-    once). Probabilities quantize via the rational floor-round
-    (_util.dround6_div semantics) because n/row_n can land exactly
-    on a 6-dp midpoint where the engines' round kernels disagree."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select("user_id", "ts", "event_id", "event_type",
-                  F.lag("event_type").over(w).alias("prev"))
-        .where(F.col("prev").isNotNull())
-    )
-    t = (
-        pairs.groupBy(F.col("prev"), F.col("event_type").alias("curr"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    row_n = F.sum("n").over(Window.partitionBy("prev"))
-    return t.select(
-        "prev", "curr", "n",
-        (F.floor(F.col("n").cast("double") * F.lit(1000000.0)
-                 / row_n.cast("double") + F.lit(0.5))
-         .cast("double") / F.lit(1000000.0)).alias("p"),
-    )
-
-
-# ----------------------------------------------- distribution drift
-
-@query(
-    "dq_drift_psi",
-    oracle="""
-    WITH longf AS (
-      SELECT (ts < TIMESTAMP '2024-01-16') AS is_base,
-             'event_type' AS feature, event_type AS bucket
-      FROM events
-      UNION ALL
-      SELECT (ts < TIMESTAMP '2024-01-16') AS is_base,
-             'value' AS feature,
-             CASE WHEN value IS NULL THEN 'null'
-                  ELSE 'b' || CAST(CAST(
-                         least(greatest(floor(value / 50.0), 0), 9)
-                         AS INTEGER) AS VARCHAR)
-             END AS bucket
-      FROM events),
-    g AS (
-      SELECT feature, bucket,
-             count(*) FILTER (WHERE is_base) AS n_base,
-             count(*) FILTER (WHERE NOT is_base) AS n_cur
-      FROM longf GROUP BY feature, bucket),
-    p AS (
-      SELECT feature, bucket, n_base, n_cur,
-             (CAST(n_base AS DOUBLE) + 0.5)
-               / (sum(CAST(n_base AS DOUBLE))
-                    OVER (PARTITION BY feature)
-                  + 0.5 * count(*) OVER (PARTITION BY feature))
-               AS p_base,
-             (CAST(n_cur AS DOUBLE) + 0.5)
-               / (sum(CAST(n_cur AS DOUBLE))
-                    OVER (PARTITION BY feature)
-                  + 0.5 * count(*) OVER (PARTITION BY feature))
-               AS p_cur
-      FROM g)
-    SELECT feature, bucket, n_base, n_cur,
-           FLOOR(p_base * 1000000.0 + 0.5) / 1000000.0 AS p_base6,
-           FLOOR(p_cur * 1000000.0 + 0.5) / 1000000.0 AS p_cur6,
-           FLOOR((p_cur - p_base) * ln(p_cur / p_base) * 1000000.0
-                 + 0.5) / 1000000.0 AS psi_term6
-    FROM p
-    """,
-)
-def dq_drift_psi(spark, sf_dir):
-    """Population Stability Index drift monitor (the train/serve and
-    week-over-week distribution-shift check every production data
-    pipeline runs): per-bucket PSI terms of event_type (categorical)
-    and value (10 fixed-width bins, both tails capped, NULLs in an
-    explicit 'null' bucket) between the first
-    15 days (baseline) and the rest (current). ONE fact scan feeds
-    both features — each row explodes into its two (feature, bucket)
-    assignments map-side, so adding features widens the explode
-    array, never re-reads the fact table; one shuffle groups the
-    long form; per-feature marginals are window sums over the tiny
-    bucket matrix (same no-rejoin shape as seq_transition_matrix).
-    Probabilities are Laplace-smoothed (+0.5 per bucket) so a bucket
-    empty in one period contributes a finite term instead of ln(0).
-    All inputs to ln() are bit-identical rationals in both engines
-    (integral counts sum exactly in doubles); each term quantizes
-    via the 6-dp floor-round, and (p_cur - p_base) * ln(p_cur /
-    p_base) >= 0 termwise, so quantization preserves sign. At 100 TB
-    the grouped matrix is |features| x |buckets| rows — driver-tiny
-    regardless of fact size."""
-    ev = load_table(spark, sf_dir, "events")
-    cut = F.lit("2024-01-16").cast("timestamp")
-    # Both tails capped and NULL routed to its own bucket (ADVICE r5):
-    # least/greatest skip NULLs in both engines, so an uncapped form
-    # would silently count NULL values in the top bucket, and negative
-    # values would mint unbounded 'b-1', 'b-2', ... buckets.
-    val_bucket = F.when(
-        F.col("value").isNull(), F.lit("null")
-    ).otherwise(F.concat(
-        F.lit("b"),
-        F.least(
-            F.greatest(F.floor(F.col("value") / F.lit(50.0)), F.lit(0)),
-            F.lit(9),
-        ).cast("int").cast("string"),
-    ))
-    long_form = ev.select(
-        (F.col("ts") < cut).alias("is_base"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("event_type").alias("feature"),
-                    F.col("event_type").alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("value").alias("feature"),
-                    val_bucket.alias("bucket"),
-                ),
-            )
-        ).alias("fb"),
-    ).select("is_base", "fb.feature", "fb.bucket")
-    g = long_form.groupBy("feature", "bucket").agg(
-        F.count(F.when(F.col("is_base"), 1)).alias("n_base"),
-        F.count(F.when(~F.col("is_base"), 1)).alias("n_cur"),
-    )
-    wf = Window.partitionBy("feature")
-    nb = F.count(F.lit(1)).over(wf)
-    p_base = (F.col("n_base").cast("double") + F.lit(0.5)) / (
-        F.sum(F.col("n_base").cast("double")).over(wf) + F.lit(0.5) * nb
-    )
-    p_cur = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
-        F.sum(F.col("n_cur").cast("double")).over(wf) + F.lit(0.5) * nb
-    )
-
-    def r6(c):
-        return (F.floor(c * F.lit(1000000.0) + F.lit(0.5))
-                .cast("double") / F.lit(1000000.0))
-
-    return g.select(
-        "feature", "bucket", "n_base", "n_cur",
-        r6(p_base).alias("p_base6"),
-        r6(p_cur).alias("p_cur6"),
-        r6((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi_term6"),
-    )
-
-
-@query(
-    "dq_profile_columns",
-    oracle="""
-    WITH a AS (
-      SELECT count(*) AS n,
-             count(l_orderkey) AS nn_ok,
-             count(DISTINCT l_orderkey) AS nd_ok,
-             CAST(min(l_orderkey) AS VARCHAR) AS mn_ok,
-             CAST(max(l_orderkey) AS VARCHAR) AS mx_ok,
-             count(l_quantity) AS nn_qty,
-             count(DISTINCT l_quantity) AS nd_qty,
-             CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
-               AS mn_qty,
-             CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
-               AS mx_qty,
-             count(l_returnflag) AS nn_rf,
-             count(DISTINCT l_returnflag) AS nd_rf,
-             CAST(min(l_returnflag) AS VARCHAR) AS mn_rf,
-             CAST(max(l_returnflag) AS VARCHAR) AS mx_rf,
-             count(l_shipdate) AS nn_sd,
-             count(DISTINCT l_shipdate) AS nd_sd,
-             strftime(min(l_shipdate), '%Y-%m-%d') AS mn_sd,
-             strftime(max(l_shipdate), '%Y-%m-%d') AS mx_sd
-      FROM lineitem)
-    SELECT 'l_orderkey' AS col_name, n,
-           n - nn_ok AS n_null, nd_ok AS n_distinct,
-           mn_ok AS min_val, mx_ok AS max_val FROM a
-    UNION ALL
-    SELECT 'l_quantity', n, n - nn_qty, nd_qty, mn_qty, mx_qty FROM a
-    UNION ALL
-    SELECT 'l_returnflag', n, n - nn_rf, nd_rf, mn_rf, mx_rf FROM a
-    UNION ALL
-    SELECT 'l_shipdate', n, n - nn_sd, nd_sd, mn_sd, mx_sd FROM a
-    """,
-)
-def dq_profile_columns(spark, sf_dir):
-    """ANALYZE-TABLE-style column statistics profile (the catalog
-    stats a cost-based optimizer feeds on, and the first screen of
-    every data-catalog UI): per column — row count, null count,
-    exact distinct count, min, max — for a key, a measure, a
-    category, and a date column of the fact table, long-formed as
-    one row per column. ONE aggregate pass over ONE scan: the four
-    count(DISTINCT)s share a single Expand-based aggregate (each
-    distinct column multiplies the expand factor — the documented
-    trade for exact profiling; approx_count_distinct drops the
-    expand entirely and is the 100 TB default, kept off here so the
-    oracle grades exact values). Min/max render as strings so mixed
-    column types share one long schema; doubles print through a
-    DECIMAL(18,2) cast because the fixture's measures carry 2-dp
-    values (FIXTURES.md) — both engines then format identically.
-    The stack() long-forming of the single wide row is driver-free
-    and scan count stays 1 no matter how many columns join the
-    profile."""
-    li = load_table(spark, sf_dir, "lineitem")
-    wide = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count("l_orderkey").alias("nn_ok"),
-        F.count_distinct(F.col("l_orderkey")).alias("nd_ok"),
-        F.min("l_orderkey").cast("string").alias("mn_ok"),
-        F.max("l_orderkey").cast("string").alias("mx_ok"),
-        F.count("l_quantity").alias("nn_qty"),
-        F.count_distinct(F.col("l_quantity")).alias("nd_qty"),
-        F.min("l_quantity").cast("decimal(18,2)").cast("string")
-        .alias("mn_qty"),
-        F.max("l_quantity").cast("decimal(18,2)").cast("string")
-        .alias("mx_qty"),
-        F.count("l_returnflag").alias("nn_rf"),
-        F.count_distinct(F.col("l_returnflag")).alias("nd_rf"),
-        F.min("l_returnflag").cast("string").alias("mn_rf"),
-        F.max("l_returnflag").cast("string").alias("mx_rf"),
-        F.count("l_shipdate").alias("nn_sd"),
-        F.count_distinct(F.col("l_shipdate")).alias("nd_sd"),
-        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
-    )
-    stack = ", ".join(
-        f"'{col}', n - nn_{s}, nd_{s}, mn_{s}, mx_{s}"
-        for col, s in [
-            ("l_orderkey", "ok"), ("l_quantity", "qty"),
-            ("l_returnflag", "rf"), ("l_shipdate", "sd"),
-        ]
-    )
-    return wide.selectExpr(
-        "n",
-        f"stack(4, {stack})"
-        " AS (col_name, n_null, n_distinct, min_val, max_val)",
-    ).select("col_name", "n", "n_null", "n_distinct",
-             "min_val", "max_val")
-
-
-@query(
-    "dq_table_diff",
-    oracle="""
-    WITH v AS (
-      SELECT user_id,
-             count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
-               AS cnt_v1,
-             count(*) AS cnt_v2,
-             CAST(sum(CAST(value AS DECIMAL(18,6)))
-                  FILTER (WHERE ts < TIMESTAMP '2024-01-16')
-                  AS DOUBLE) AS sum_v1,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-               AS sum_v2
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY user_id)
-    SELECT user_id,
-           CASE WHEN cnt_v1 = 0 THEN 'added'
-                ELSE 'modified' END AS change_type,
-           cnt_v1, cnt_v2,
-           coalesce(sum_v1, 0.0) AS sum_v1, sum_v2
-    FROM v
-    WHERE cnt_v1 <> cnt_v2
-    """,
-)
-def dq_table_diff(spark, sf_dir):
-    """Keyed table diff between two versions of a materialized state
-    (the data-reconciliation op behind migration validation and
-    backfill audits): per-user purchase count/revenue as of day 15
-    (v1) vs the full window (v2), emitting only keys that changed,
-    classified added (absent from v1) or modified. The general form
-    is a full outer join of two snapshots on key comparing row
-    hashes; here both versions derive from ONE source, so the diff
-    fuses into a single scan with FILTERed conditional aggregates —
-    half the I/O and no join at all, the shape to prefer whenever
-    the old version is reconstructible by predicate (time travel,
-    as-of filters). Sums route through exact DECIMAL (FIXTURES.md
-    determinism rule); 'removed' cannot occur under a append-only
-    source and the CASE documents that contract."""
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase")
-    cut = F.lit("2024-01-16").cast("timestamp")
-    in_v1 = F.col("ts") < cut
-    v = ev.groupBy("user_id").agg(
-        F.count(F.when(in_v1, 1)).alias("cnt_v1"),
-        F.count(F.lit(1)).alias("cnt_v2"),
-        F.sum(F.when(in_v1, F.col("value")).cast(
-            "decimal(18,6)")).cast("double").alias("sum_v1"),
-        dsum("value").alias("sum_v2"),
-    )
-    return (
-        v.where(F.col("cnt_v1") != F.col("cnt_v2"))
-        .select(
-            "user_id",
-            F.when(F.col("cnt_v1") == 0, "added")
-            .otherwise("modified").alias("change_type"),
-            "cnt_v1", "cnt_v2",
-            F.coalesce("sum_v1", F.lit(0.0)).alias("sum_v1"),
-            "sum_v2",
-        )
-    )
-
-
-@query(
-    "funnel_time_to_convert",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, min(ts) AS v_ts
-      FROM events WHERE event_type = 'view' GROUP BY user_id),
-    p AS (
-      SELECT e.user_id,
-             epoch_us(min(e.ts)) - epoch_us(any_value(v.v_ts))
-               AS latency_us
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
-      GROUP BY e.user_id)
-    SELECT CASE WHEN latency_us < 3600000000 THEN 'lt_1h'
-                WHEN latency_us < 21600000000 THEN 'lt_6h'
-                WHEN latency_us < 86400000000 THEN 'lt_24h'
-                ELSE 'ge_24h' END AS bucket,
-           count(*) AS n_users,
-           FLOOR(CAST(sum(latency_us) AS DOUBLE) * 1000000.0
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0) + 0.5)
-             / 1000000.0 AS avg_latency_s
-    FROM p
-    GROUP BY 1
-    """,
-)
-def funnel_time_to_convert(spark, sf_dir):
-    """Conversion-latency distribution (the time-to-convert report
-    every product-analytics stack pairs with its funnel): seconds
-    from a user's FIRST view to their first purchase at-or-after
-    it, bucketed into latency bands with per-band mean. One window
-    shuffle on user_id computes the first-view timestamp alongside
-    each event; the purchase-side min then groups on the SAME key,
-    so Catalyst reuses the partitioning instead of exchanging again
-    (the join-back form the oracle uses would rescan the fact
-    table). Latencies live as exact microsecond integers until the
-    single display division, which floor-rounds (the mean of exact
-    integers over a count is the rational-midpoint class —
-    _util.dround6_div semantics). Funnel_conversion grades WHO
-    converts; this grades HOW FAST — the pairing dashboards need.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    w_all = Window.partitionBy("user_id")
-    v_ts = F.min(F.when(F.col("event_type") == "view",
-                        F.col("ts"))).over(w_all)
-    lat = (
-        ev.select("user_id", "ts", "event_type", v_ts.alias("v_ts"))
-        .where((F.col("event_type") == "purchase")
-               & F.col("v_ts").isNotNull()
-               & (F.col("ts") >= F.col("v_ts")))
-        .groupBy("user_id")
-        .agg((F.unix_micros(F.min("ts"))
-              - F.unix_micros(F.any_value("v_ts"))).alias("latency_us"))
-    )
-    bucket = (
-        F.when(F.col("latency_us") < 3600000000, "lt_1h")
-        .when(F.col("latency_us") < 21600000000, "lt_6h")
-        .when(F.col("latency_us") < 86400000000, "lt_24h")
-        .otherwise("ge_24h")
-    )
-    return (
-        lat.groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            (F.floor(F.sum("latency_us").cast("double") * F.lit(1000000.0)
-                     / (F.count(F.lit(1)).cast("double")
-                        * F.lit(1000000.0)) + F.lit(0.5))
-             .cast("double") / F.lit(1000000.0)).alias("avg_latency_s"),
-        )
-    )
-
-
-@query(
-    "agg_weighted_median",
-    oracle="""
-    WITH c AS (
-      SELECT l_returnflag,
-             l_extendedprice AS price,
-             sum(CAST(l_quantity AS BIGINT))
-               OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
-                     ROWS UNBOUNDED PRECEDING) AS cumw,
-             sum(CAST(l_quantity AS BIGINT))
-               OVER (PARTITION BY l_returnflag) AS w
-      FROM lineitem)
-    SELECT l_returnflag,
-           CAST(any_value(w) AS BIGINT) AS total_qty,
-           min(CASE WHEN 2 * cumw >= w THEN price END)
-             AS wmedian_price
-    FROM c GROUP BY l_returnflag
-    """,
-)
-def agg_weighted_median(spark, sf_dir):
-    """Exact weighted median (ClickHouse quantileExactWeighted /
-    Postgres percentile ordered-set with weights): the smallest
-    l_extendedprice whose cumulative l_quantity weight reaches half
-    the group total — the price at which half the shipped QUANTITY
-    is cheaper, which an unweighted median cannot express. One
-    window shuffle builds the cumulative weights (weights stay
-    exact BIGINTs — the fixture's quantities are integral,
-    FIXTURES.md); the extraction aggregate groups on the SAME key
-    so the partitioning is reused. Price ties are safe: whichever
-    tied row crosses the half-total first, the crossing PRICE is
-    identical, so the result does not depend on intra-tie order.
-    At 100 TB the exact form sorts each group once (the window
-    sort); the sketch path is approx_percentile over
-    weight-expanded values or a t-digest with weighted inserts —
-    same extraction rule."""
-    li = load_table(spark, sf_dir, "lineitem")
-    wq = F.col("l_quantity").cast("long")
-    wcum = (
-        Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("price"),
-        F.sum(wq).over(wcum).alias("cumw"),
-        F.sum(wq).over(wall).alias("w"),
-    )
-    return c.groupBy("l_returnflag").agg(
-        F.any_value("w").alias("total_qty"),
-        F.min(F.when(2 * F.col("cumw") >= F.col("w"),
-                     F.col("price"))).alias("wmedian_price"),
-    )

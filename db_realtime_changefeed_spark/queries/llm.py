@@ -1174,3377 +1174,3 @@ def llm_dedup_cluster(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------- curation ops (r2)
-
-
-@query(
-    "llm_sample_stratified",
-    oracle="""
-    SELECT doc_id, lang
-    FROM documents
-    WHERE CASE WHEN lang = 'en'
-               THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                      IN ('0','1','2','3','4','5','6','7')
-               ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                      IN ('0','1','2','3')
-          END
-    """,
-)
-def llm_sample_stratified(spark, sf_dir):
-    """Stratified deterministic sampling — the language-rebalancing
-    stage of a training-data mix (e.g. keep 1/2 of English, 1/4 of
-    everything else). Selection is an md5-bucket predicate per
-    stratum, so the SAME rows are chosen on any engine, cluster
-    layout, or rerun (df.sample is partition-placement dependent) —
-    reproducibility is what makes data ablations comparable. The
-    predicate is a scan-level filter: no shuffle, no state, trivially
-    100 TB-safe."""
-    d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    keep = F.when(
-        F.col("lang") == "en",
-        bucket.isin(*"01234567"),
-    ).otherwise(bucket.isin(*"0123"))
-    return d.where(keep).select("doc_id", "lang")
-
-
-@query(
-    "llm_ngram_stats",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
-    g AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-                                       i -> ws[i] || ' ' || ws[i+1]))
-            AS ngram
-          FROM w)
-    SELECT ngram, count(*) AS cnt
-    FROM g GROUP BY ngram
-    ORDER BY cnt DESC, ngram LIMIT 50
-    """,
-)
-def llm_ngram_stats(spark, sf_dir):
-    """Corpus n-gram frequency (top-50 bigrams) — the vocabulary /
-    boilerplate-detection pass of corpus analysis. Bigrams are built
-    JVM-side with zip_with over two array slices (no explode of
-    characters, no UDF), then one explode + hash aggregate + ordered
-    limit (TakeOrdered — no global sort). At 100 TB the aggregate is
-    the only shuffle and combines map-side; the limit caps the
-    result, not the work set."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    n = F.size(ws)
-    bigrams = F.zip_with(
-        F.slice(ws, 1, n - 1),
-        F.slice(ws, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    return (
-        d.select(F.explode(bigrams).alias("ngram"))
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "ngram")
-        .limit(50)
-    )
-
-
-@query(
-    "llm_contamination",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
-    g AS (SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(ws) - 1),
-                                       i -> ws[i] || ' ' || ws[i+1]))
-            AS ngram
-          FROM w),
-    bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 50 = 0),
-    corpus AS (SELECT doc_id, ngram FROM g WHERE doc_id % 50 <> 0),
-    totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus
-               GROUP BY doc_id),
-    hits AS (SELECT c.doc_id, count(*) AS n_hit
-             FROM corpus c JOIN bench b ON c.ngram = b.ngram
-             GROUP BY c.doc_id)
-    SELECT t.doc_id, t.n_grams,
-           COALESCE(h.n_hit, 0) AS n_hit,
-           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams
-             AS contamination
-    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
-    """,
-)
-def llm_contamination(spark, sf_dir):
-    """Benchmark-contamination detection — the eval-leakage scan
-    every serious training pipeline runs: per corpus document, the
-    fraction of its n-grams that appear in a held-out benchmark set
-    (here: every 50th doc plays the benchmark). The benchmark's
-    DISTINCT n-gram set is small by construction → broadcast; the
-    corpus side is one explode + broadcast semi-ish join + two keyed
-    aggregates sharing the doc_id partitioning. No all-pairs
-    comparison anywhere — cost is O(corpus n-grams), the same shape
-    at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    n = F.size(ws)
-    bigrams = F.zip_with(
-        F.slice(ws, 1, n - 1),
-        F.slice(ws, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    g = d.select("doc_id", F.explode(bigrams).alias("ngram"))
-    bench = (
-        g.where(F.col("doc_id") % 50 == 0).select("ngram").distinct()
-    )
-    corpus = g.where(F.col("doc_id") % 50 != 0)
-    totals = corpus.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    hits = (
-        corpus.join(F.broadcast(bench), "ngram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return totals.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_grams"))
-        .alias("contamination"),
-    )
-
-
-@query(
-    "llm_embedding_quantize",
-    oracle="""
-    WITH s AS (
-      SELECT vec_id, label, embedding,
-             list_max(list_transform(embedding,
-                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
-      FROM embeddings),
-    q AS (
-      SELECT vec_id, label, amax,
-             list_transform(embedding,
-                            x -> floor(CAST(x AS DOUBLE) * 127.0 / amax))
-               AS qv
-      FROM s)
-    SELECT vec_id, label,
-           CAST(amax AS DOUBLE) AS scale,
-           CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
-           CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
-           CAST(list_aggregate(list_transform(qv, v -> v * v), 'sum')
-                AS BIGINT) AS q_norm2
-    FROM q
-    """,
-)
-def llm_embedding_quantize(spark, sf_dir):
-    """Int8 vector quantization — the compression stage that makes
-    billion-vector ANN affordable (4x smaller than float32, SIMD
-    integer dot products). Per-vector symmetric scale = max |x|;
-    q = floor(x * 127 / scale) — floor, not round, because the two
-    engines' round() tie-break rules differ while floor of identical
-    IEEE doubles is identical. Whole pipeline is higher-order
-    functions on the scan (no shuffle, no UDF); the graded columns
-    are scalar digests of the quantized vector (min/max/norm), since
-    the driver's canonicalizer cannot sort array cells."""
-    e = load_table(spark, sf_dir, "embeddings")
-    dbl = lambda x: x.cast("double")  # noqa: E731
-    amax = F.array_max(F.transform("embedding", lambda x: F.abs(dbl(x))))
-    s = e.select("vec_id", "label", "embedding", amax.alias("amax"))
-    qv = F.transform(
-        "embedding", lambda x: F.floor(dbl(x) * F.lit(127.0) / F.col("amax"))
-    )
-    q = s.select("vec_id", "label", "amax", qv.alias("qv"))
-    return q.select(
-        "vec_id",
-        "label",
-        F.col("amax").cast("double").alias("scale"),
-        F.array_min("qv").alias("q_min"),
-        F.array_max("qv").alias("q_max"),
-        F.aggregate(
-            F.transform("qv", lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("q_norm2"),
-    )
-
-
-@query(
-    "llm_knn_quantized",
-    oracle=f"""
-    WITH s AS (
-      SELECT vec_id, label, embedding,
-             list_max(list_transform(embedding,
-                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
-      FROM embeddings),
-    q8 AS (
-      SELECT vec_id, label, embedding,
-             list_transform(embedding,
-                            x -> floor(CAST(x AS DOUBLE) * 127.0 / amax))
-               AS qv
-      FROM s),
-    qq AS (SELECT qv AS qvq, embedding AS qe FROM q8 WHERE vec_id = 0),
-    coarse AS (
-      SELECT a.vec_id, a.label, a.embedding,
-             list_aggregate(list_transform(range(1, len(a.qv)+1),
-                                           i -> a.qv[i] * qq.qvq[i]),
-                            'sum') AS qdot,
-             list_aggregate(list_transform(a.qv, v -> v * v), 'sum')
-               AS qn2,
-             list_aggregate(list_transform(qq.qvq, v -> v * v), 'sum')
-               AS qn2q
-      FROM q8 a, qq WHERE a.vec_id <> 0),
-    top50 AS (
-      SELECT vec_id, label, embedding,
-             CAST(qdot AS DOUBLE)
-               / sqrt(CAST(qn2 AS DOUBLE) * CAST(qn2q AS DOUBLE)) AS qcos
-      FROM coarse ORDER BY qcos DESC, vec_id ASC LIMIT 50)
-    SELECT t.vec_id, t.label,
-           {_sql_dot('t.embedding', 'qq.qe')}
-             / (sqrt({_sql_dot('t.embedding', 't.embedding')})
-              * sqrt({_sql_dot('qq.qe', 'qq.qe')})) AS cos_sim
-    FROM top50 t, qq
-    ORDER BY cos_sim DESC, t.vec_id ASC LIMIT 10
-    """,
-)
-def llm_knn_quantized(spark, sf_dir):
-    """KNN over int8-quantized vectors with exact float rescoring —
-    the two-stage retrieval every production vector store runs:
-    coarse rank ALL vectors by quantized cosine (integer dot products
-    over floor(x*127/amax) codes — 4x less memory traffic, SIMD int
-    math at scale, and exact cross-engine determinism since every
-    intermediate is an integer or an IEEE op on integers), keep the
-    top 50, then rescore just those with the exact float cosine and
-    return the top 10. At 100 TB the coarse stage is the only full
-    scan (of codes, not floats) and the rescore touches 50 rows.
-    Composes llm_embedding_quantize's code layout with
-    llm_similarity_knn's exact math."""
-    e = load_table(spark, sf_dir, "embeddings")
-    dbl = lambda x: x.cast("double")  # noqa: E731
-    amax = F.array_max(F.transform("embedding", lambda x: F.abs(dbl(x))))
-    qv = F.transform(
-        "embedding",
-        lambda x: F.floor(dbl(x) * F.lit(127.0) / F.col("amax")),
-    )
-    q8 = (
-        e.select("vec_id", "label", "embedding", amax.alias("amax"))
-        .select("vec_id", "label", "embedding", qv.alias("qv"))
-    )
-    qq = q8.where(F.col("vec_id") == 0).select(
-        F.col("qv").alias("qvq"), F.col("embedding").alias("qe")
-    )
-    int_dot = F.aggregate(
-        F.zip_with("qv", "qvq", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    sq_norm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    coarse = (
-        q8.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qq))
-        .select(
-            "vec_id", "label", "embedding", "qe",
-            (int_dot.cast("double")
-             / F.sqrt(sq_norm("qv").cast("double")
-                      * sq_norm("qvq").cast("double"))).alias("qcos"),
-        )
-        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
-        .limit(50)
-    )
-    ee, qe = F.col("embedding"), F.col("qe")
-    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
-    return (
-        coarse.select("vec_id", "label", cos.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(10)
-    )
-
-
-@query(
-    "llm_knn_ivf_multiprobe",
-    oracle=f"""
-    WITH pm AS (
-      SELECT label, i AS pos,
-             {sql_dsum('CAST(embedding[i] AS DOUBLE)')} / count(*) AS cv
-      FROM embeddings, range(1, 65) AS t(i)
-      GROUP BY label, i),
-    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid
-             FROM pm GROUP BY label),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    qc AS (SELECT c.label,
-                  {_sql_dot('c.centroid', 'q.qe')}
-                    / (sqrt({_sql_dot('c.centroid', 'c.centroid')})
-                     * sqrt({_sql_dot('q.qe', 'q.qe')})) AS qcos
-           FROM cent c, q),
-    probes AS (SELECT label FROM qc ORDER BY qcos DESC, label LIMIT 2)
-    SELECT e.vec_id, e.label,
-           {_sql_dot('e.embedding', 'q.qe')}
-             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
-              * sqrt({_sql_dot('q.qe', 'q.qe')})) AS cos_sim
-    FROM embeddings e JOIN probes p ON e.label = p.label, q
-    WHERE e.vec_id <> 0
-    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
-    """,
-)
-def llm_knn_ivf_multiprobe(spark, sf_dir):
-    """Multi-probe IVF ANN (nprobe=2): the recall/cost dial of real
-    IVF indexes — probing the 2 nearest cells instead of 1 recovers
-    neighbors that fall just across a cell boundary, at 2x candidate
-    cost (still ~2n/cells, never the corpus). Fully ORACLE-CHECKED,
-    unlike the single-probe llm_knn_ivf (rows-only): the centroid
-    computation is decimal-stabilized, every cosine is the same
-    left-to-right fold on both engines, and probe selection /
-    ranking carry explicit tie-breaks, so the entire index walk is
-    bit-deterministic cross-engine. At 100 TB cells are partition
-    keys and nprobe=k prunes to k partitions at the scan."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg((F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
-              / F.count(F.lit(1))).alias("cv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s.cv).alias("centroid"))
-    )
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    ee, qe, ce = F.col("embedding"), F.col("qe"), F.col("centroid")
-    qcos = _dot(ce, qe) / (F.sqrt(_dot(ce, ce)) * F.sqrt(_dot(qe, qe)))
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .select("label", qcos.alias("qc"))
-        .orderBy(F.col("qc").desc(), F.col("label"))
-        .limit(2)
-        .select(F.col("label").alias("probe_label"))
-    )
-    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
-    return (
-        e.where(F.col("vec_id") != 0)
-        .join(F.broadcast(probes), F.col("label") == F.col("probe_label"))
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", "label", cos.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(10)
-    )
-
-
-@query(
-    "llm_chunk_documents",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS ws,
-             len(string_split(text, ' ')) AS n
-      FROM documents),
-    c AS (
-      SELECT doc_id, n,
-             CASE WHEN n <= 32 THEN 1
-                  ELSE CAST(ceil((n - 32) / 24.0) AS INTEGER) + 1
-             END AS n_chunks,
-             ws
-      FROM w)
-    SELECT doc_id,
-           unnest(generate_series(1, n_chunks)) AS chunk_id,
-           unnest(list_transform(generate_series(1, n_chunks),
-             i -> array_to_string(ws[(i - 1) * 24 + 1 : (i - 1) * 24 + 32],
-                                  ' '))) AS chunk_text,
-           unnest(list_transform(generate_series(1, n_chunks),
-             i -> CAST(least(32, n - (i - 1) * 24) AS INTEGER)))
-             AS n_words
-    FROM c
-    """,
-)
-def llm_chunk_documents(spark, sf_dir):
-    """Sliding-window document chunking — the context-window prep
-    stage of every pretraining / RAG pipeline: 32-word chunks with
-    8-word overlap (stride 24), each tagged (doc_id, chunk_id,
-    n_words). Chunk synthesis is pure Catalyst (sequence + transform
-    + one explode): a narrow map-side 1→N expansion with no shuffle
-    and no UDF — at 100 TB the chunker is scan-bound, exactly as it
-    must be. Tail chunks are shorter, never dropped (count formula
-    covers every word; both engines ceil the same double)."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    n = F.size(ws)
-    n_chunks = F.when(n <= 32, F.lit(1)).otherwise(
-        F.ceil((n - 32) / F.lit(24.0)).cast("int") + 1
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.concat_ws(" ", F.slice(ws, (i - 1) * 24 + 1, 32))
-            .alias("chunk_text"),
-            F.least(F.lit(32), n - (i - 1) * 24).alias("n_words"),
-        ),
-    )
-    return d.select(
-        "doc_id", F.explode(chunks).alias("c")
-    ).select(
-        "doc_id",
-        F.col("c.chunk_id").cast("long").alias("chunk_id"),
-        "c.chunk_text",
-        F.col("c.n_words").alias("n_words"),
-    )
-
-
-@query(
-    "llm_corpus_dedup",
-    oracle="""
-    WITH h AS (
-      SELECT doc_id, lang, n_chars,
-             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
-      FROM documents)
-    SELECT doc_id, lang, n_chars
-    FROM h
-    WHERE doc_id = (SELECT min(doc_id) FROM h h2 WHERE h2.th = h.th)
-    """,
-)
-def llm_corpus_dedup(spark, sf_dir):
-    """The MATERIALIZED output of exact dedup — the deduplicated
-    corpus itself (keep the minimum doc_id per normalized-text hash),
-    which is what a training pipeline actually writes downstream
-    (llm_dedup_exact reports the groups; this emits the survivors).
-    One hash shuffle + WindowGroupLimit keep-first — the same
-    rn=1 pattern as dedup_latest, pushed into the shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    w = Window.partitionBy("th").orderBy("doc_id")
-    return (
-        d.select("doc_id", "lang", "n_chars", h.alias("th"))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("doc_id", "lang", "n_chars")
-    )
-
-
-@query(
-    "llm_tfidf",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(*) AS n FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf,
-             CAST(tf.tf AS DOUBLE)
-               * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
-      FROM tf JOIN df USING (term), n),
-    r AS (SELECT doc_id, term, tf, score,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY score DESC, term ASC) AS rn
-          FROM scored)
-    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score
-    FROM r WHERE rn <= 3
-    """,
-)
-def llm_tfidf(spark, sf_dir):
-    """TF-IDF top-3 terms per document (§2.J4 extra) — the keyword
-    extraction stage of corpus curation. IDF is the LOG-FREE rational
-    form N/df (one exact IEEE division and multiply), because libm
-    log() is not guaranteed bit-identical across engines while
-    integer-derived division is — rankings are the same monotone
-    order. Shape at 100 TB: one explode + two term-keyed
-    aggregations + one term-keyed join (the vocabulary join shuffles
-    (term, df) pairs, never documents), then a per-doc window with a
-    group-limit pushdown for the top-3."""
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    tf = words.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id", "term", "tf",
-            (F.col("tf").cast("double")
-             * (F.col("n").cast("double") / F.col("df").cast("double"))
-             ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf", "score")
-    )
-
-
-@query(
-    "llm_pii_scrub",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-                '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT)
-             AS n_long_nums,
-           md5(regexp_replace(regexp_replace(text,
-                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
-                 '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5,
-           CAST(len(regexp_replace(regexp_replace(text,
-                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
-                 '[0-9]{3,}', '<NUM>', 'g')) AS BIGINT) AS scrubbed_len
-    FROM documents
-    """,
-)
-def llm_pii_scrub(spark, sf_dir):
-    """PII scrubbing (§2.J4 extra) — the redaction pass every
-    training-data pipeline runs before tokenization: detect and
-    replace email-shaped and long-digit-run spans with typed
-    placeholders, emitting match counts and a digest of the scrubbed
-    text (the driver grades scalars, so the scrubbed body is graded
-    by md5+length). Patterns stay in the Java-regex/RE2 common
-    subset. Scan-bound, codegen, no UDF — at 100 TB this is a pure
-    map stage."""
-    d = load_table(spark, sf_dir, "documents")
-    email = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
-    nums = r"[0-9]{3,}"
-    scrubbed = F.regexp_replace(
-        F.regexp_replace("text", email, "<EMAIL>"), nums, "<NUM>"
-    )
-    return d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(f"({email})"), 1))
-        .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(f"({nums})"), 1))
-        .cast("long").alias("n_long_nums"),
-        F.md5(scrubbed).alias("scrubbed_md5"),
-        F.length(scrubbed).cast("long").alias("scrubbed_len"),
-    )
-
-
-@query(
-    "llm_repetition_filter",
-    oracle="""
-    WITH g AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS ws,
-             greatest(len(string_split(text, ' ')) - 2, 0) AS n3
-      FROM documents),
-    s AS (
-      SELECT doc_id, lang, n3,
-             CASE WHEN n3 > 0 THEN
-               len(list_distinct(list_transform(range(1, len(ws) - 1),
-                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))))
-             ELSE 0 END AS nd
-      FROM g)
-    SELECT doc_id, lang, CAST(n3 AS BIGINT) AS n_3grams,
-           CAST(nd AS BIGINT) AS n_distinct,
-           CASE WHEN n3 > 0
-                THEN CAST(n3 - nd AS DOUBLE) / CAST(n3 AS DOUBLE)
-                ELSE 0.0 END AS dup_ratio,
-           (n3 > 0 AND CAST(n3 - nd AS DOUBLE) / CAST(n3 AS DOUBLE)
-              > 0.2) AS flagged
-    FROM s
-    """,
-)
-def llm_repetition_filter(spark, sf_dir):
-    """Gopher-style repetition quality filter (§2.J4 extra): the
-    fraction of duplicate word 3-grams per document — heavily
-    repetitive docs (boilerplate, scraped nav bars, degenerate
-    generations) get flagged for removal. Computed entirely with
-    higher-order functions on the scan (no explode, no shuffle):
-    per-row transform + array_distinct; the ratio is one exact IEEE
-    division so both engines agree bitwise. Pure map stage at any
-    scale."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
-    # guard the index range: sequence(1, n) DESCENDS when n < 1, and
-    # element_at(_, 0) throws under ANSI — short docs get an empty
-    # shingle list instead
-    idx = F.when(
-        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(ws, i),
-            F.element_at(ws, i + 1),
-            F.element_at(ws, i + 2),
-        ),
-    )
-    nd = F.when(n3 > 0, F.size(F.array_distinct(sh))).otherwise(F.lit(0))
-    g = d.select(
-        "doc_id", "lang",
-        n3.cast("long").alias("n_3grams"),
-        nd.cast("long").alias("n_distinct"),
-    )
-    dup = F.when(
-        F.col("n_3grams") > 0,
-        (F.col("n_3grams") - F.col("n_distinct")).cast("double")
-        / F.col("n_3grams").cast("double"),
-    ).otherwise(F.lit(0.0))
-    return g.select(
-        "doc_id", "lang", "n_3grams", "n_distinct",
-        dup.alias("dup_ratio"),
-        ((F.col("n_3grams") > 0) & (dup > 0.2)).alias("flagged"),
-    )
-
-
-@query(
-    "llm_embedding_gram",
-    oracle=f"""
-    SELECT i - 1 AS i, j - 1 AS j,
-           {sql_dsum('CAST(embedding[i] AS DOUBLE)'
-                     ' * CAST(embedding[j] AS DOUBLE)')} AS g,
-           count(*) AS n
-    FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
-    WHERE i <= j
-    GROUP BY 1, 2
-    """,
-)
-def llm_embedding_gram(spark, sf_dir):
-    """Distributed Gram matrix X^T X over the embedding corpus — the
-    input to PCA / whitening / OPQ rotation in embedding pipelines.
-    Each row expands to its upper-triangle (i, j, x_i*x_j) products
-    via higher-order functions (flatten of nested transforms — no
-    join, no per-row Python), then ONE partial+final aggregate over
-    d*(d+1)/2 = 2080 groups. The shuffle carries 2080 partial sums
-    per task regardless of corpus size — the map-side-combine
-    property that makes covariance estimation O(rows) with O(d²)
-    communication at 100 TB. Decimal-stabilized sums keep the matrix
-    bit-identical to the DuckDB oracle."""
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    d = F.size(emb)
-    tri = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), d - 1),
-            lambda i: F.transform(
-                F.sequence(i, d - 1),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (F.element_at(emb, i + 1).cast("double")
-                     * F.element_at(emb, j + 1).cast("double")).alias("p"),
-                ),
-            ),
-        )
-    )
-    return (
-        e.select(F.explode(tri).alias("t"))
-        .select("t.i", "t.j", "t.p")
-        .groupBy("i", "j")
-        .agg(dsum("p").alias("g"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-_NDL_PAIRS_SQL = f"""
-      SELECT c.vec_a, c.vec_b
-      FROM (
-        SELECT DISTINCT s1.vec_id AS vec_a, s2.vec_id AS vec_b
-        FROM sig s1 JOIN sig s2
-          ON s1.label = s2.label AND s1.band = s2.band AND s1.bh = s2.bh
-         AND s1.vec_id < s2.vec_id) c
-      JOIN embeddings ea ON ea.vec_id = c.vec_a
-      JOIN embeddings eb ON eb.vec_id = c.vec_b
-      WHERE {_sql_dot('ea.embedding', 'eb.embedding')}
-              / (sqrt({_sql_dot('ea.embedding', 'ea.embedding')})
-               * sqrt({_sql_dot('eb.embedding', 'eb.embedding')})) > 0.35
-"""
-
-
-@query(
-    "llm_semantic_dedup_cluster",
-    oracle=f"""
-    WITH RECURSIVE e AS (SELECT vec_id, label, embedding FROM embeddings),
-    sig AS (
-      SELECT e.vec_id, e.label, b.band,
-             {_ndl_sql_band_hash()} AS bh
-      FROM e, (SELECT unnest(range({_NDL_BANDS})) AS band) b
-    ),
-    pairs AS ({_NDL_PAIRS_SQL}),
-    edges AS (
-      SELECT vec_a AS a, vec_b AS b FROM pairs
-      UNION
-      SELECT vec_b, vec_a FROM pairs),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, x.b FROM reach r JOIN edges x ON r.b = x.a)
-    SELECT v.vec_id,
-           CAST(least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS BIGINT)
-             AS cluster_id
-    FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
-    GROUP BY v.vec_id
-    """,
-)
-def llm_semantic_dedup_cluster(spark, sf_dir):
-    """End-to-end SEMANTIC dedup (§2.J composition): banded-LSH
-    near-dup candidate pairs (llm_neardup_embedding_lsh — composite
-    shuffle key, exact cosine verify) fed into connected components
-    (operators/components.py), so each near-duplicate cluster elects
-    its minimum vec_id as canonical — the embedding-space analogue of
-    the text-side llm_dedup_cluster, and the deduplication shape
-    frontier-scale training pipelines actually run (SemDeDup-style).
-    Every stage is the scale form: no all-pairs block, pair list ~
-    dup-rate x corpus, label map broadcast back. The oracle replays
-    the identical deterministic pipeline with a recursive
-    transitive-closure CTE."""
-    pairs = llm_neardup_embedding_lsh(spark, sf_dir).select(
-        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
-    )
-    from ..operators.components import connected_components
-
-    labels = connected_components(pairs).select(
-        F.col("node").alias("vec_id"), F.col("label").alias("mapped")
-    )
-    e = load_table(spark, sf_dir, "embeddings")
-    return e.join(F.broadcast(labels), "vec_id", "left").select(
-        "vec_id",
-        F.coalesce("mapped", F.col("vec_id")).alias("cluster_id"),
-    )
-
-
-@query(
-    "llm_split_train_val_test",
-    oracle="""
-    SELECT doc_id, lang,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
-                THEN 'train'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-                THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    """,
-)
-def llm_split_train_val_test(spark, sf_dir):
-    """Deterministic ~80/10/10 train/val/test split (§2.J4 extra) by
-    content-independent hash bucketing: the first md5 byte of the id
-    decides membership, so the split is stable across runs, machines,
-    partitionings, and incremental corpus growth (a doc never changes
-    split when others are added) — the reproducibility property
-    random() splits lack. Scan-bound filter; the hash predicate
-    evaluates inside codegen at any scale."""
-    d = load_table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return d.select(
-        "doc_id", "lang",
-        F.when(h < "cc", "train").when(h < "e6", "val")
-        .otherwise("test").alias("split"),
-    )
-
-
-# ------------------------------------------------------- retrieval (r4)
-
-@query(
-    "llm_bm25",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS dl,
-             unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
-           FROM w WHERE term IN ('join', 'scan', 'filter')
-           GROUP BY doc_id, term),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    stats AS (SELECT count(*) AS n,
-                     CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
-                       / count(*) AS avgdl
-              FROM documents),
-    scored AS (
-      SELECT tf.doc_id,
-             CAST(sum(CAST(
-               ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE)
-                         + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * 2.2)
-               / (CAST(tf.tf AS DOUBLE)
-                  + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
-                                          / stats.avgdl)))
-             AS DECIMAL(18,6))) AS DOUBLE) AS score
-      FROM tf JOIN df USING (term), stats
-      GROUP BY tf.doc_id)
-    SELECT doc_id, round(score, 6) AS bm25
-    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
-    """,
-)
-def llm_bm25(spark, sf_dir):
-    """BM25 ranking (k1=1.2, b=0.75) of documents against a fixed
-    term set — the classic retrieval scorer a training-data pipeline
-    uses for quality-weighted sampling and query-based corpus
-    selection. Pure Catalyst: one explode for term frequencies
-    (filtered to the query terms BEFORE the shuffle, so the exploded
-    stream is tiny), document frequencies as a broadcast-sized
-    per-term aggregate, corpus stats as a one-row broadcast. At
-    100 TB the only full-corpus pass is the tokenize scan; both
-    aggregates shuffle (term, doc) pairs for 3 terms only. Scores
-    are rounded to 6 dp on BOTH engines before the top-k so the one
-    transcendental (ln) cannot flip the boundary."""
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.split("text", " ").alias("words")
-    ).select("doc_id", F.size("words").alias("dl"),
-             F.explode("words").alias("term"))
-    tf = (
-        words.where(F.col("term").isin("join", "scan", "filter"))
-        .groupBy("doc_id", "term")
-        .agg(F.any_value("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = d.select(F.size(F.split("text", " ")).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n").cast("double") - F.col("df").cast("double")
-           + F.lit(0.5)) / (F.col("df").cast("double") + F.lit(0.5))
-    )
-    tf_term = (
-        F.col("tf").cast("double") * F.lit(2.2)
-    ) / (
-        F.col("tf").cast("double")
-        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75)
-                        * (F.col("dl").cast("double") / F.col("avgdl")))
-    )
-    return (
-        tf.join(F.broadcast(df), "term")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        # per-term DEC quantization before the sum: addend order can
-        # no longer move the 6-dp boundary (FIXTURES.md float rule)
-        .agg(F.round(dsum(idf * tf_term), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(50)
-    )
-
-
-@query(
-    "llm_winnowing",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-               FROM documents),
-    g AS (SELECT doc_id,
-                 list_transform(range(1, len(words) - 1),
-                   i -> md5(array_to_string(words[i:i+2], ' '))) AS grams
-          FROM w WHERE len(words) >= 3),
-    m AS (SELECT doc_id,
-                 list_transform(range(1, len(grams) - 2),
-                   j -> list_aggregate(grams[j:j+3], 'min')) AS mins
-          FROM g WHERE len(grams) >= 4)
-    SELECT doc_id,
-           len(list_distinct(mins)) AS n_fp,
-           md5(array_to_string(list_sort(list_distinct(mins)), ''))
-             AS fp_digest
-    FROM m
-    """,
-)
-def llm_winnowing(spark, sf_dir):
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
-    — the MOSS algorithm): hash every 3-word gram, then keep the
-    minimum hash of each sliding window of 4 grams; the distinct
-    window-mins are the fingerprint set. Guarantees any shared run
-    of ≥6 words between two documents shares a fingerprint —
-    positional, unlike MinHash's set-level signature. Map-ONLY at
-    any scale: per-document higher-order functions (transform/
-    slice/array_min), zero shuffles, zero Python. Output is the
-    scalar digest of the sorted fingerprint set (the registry bans
-    array columns — round-1 FAIL class)."""
-    d = _rebalanced(load_table(spark, sf_dir, "documents"))
-    words = d.select("doc_id", F.split("text", " ").alias("words")).where(
-        F.size("words") >= 3
-    )
-    grams = words.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(words) - 2),"
-            " i -> md5(cast(concat_ws(' ', slice(words, i, 3)) as binary)))"
-        ).alias("grams"),
-    ).where(F.size("grams") >= 4)
-    mins = grams.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(grams) - 3),"
-            " j -> array_min(slice(grams, j, 4)))"
-        ).alias("mins"),
-    )
-    return mins.select(
-        "doc_id",
-        F.size(F.array_distinct("mins")).cast("long").alias("n_fp"),
-        F.md5(
-            F.concat_ws("", F.sort_array(F.array_distinct("mins")))
-            .cast("binary")
-        ).alias("fp_digest"),
-    )
-
-
-@query(
-    "llm_unigram_lm",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    cnt AS (SELECT term, count(*) AS c FROM w GROUP BY term),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
-                   count(*) AS vocab FROM cnt),
-    p AS (SELECT term,
-                 (CAST(c AS DOUBLE) + 1.0)
-                   / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)) AS prob
-          FROM cnt, tot),
-    scored AS (
-      SELECT w.doc_id, count(*) AS n_tok,
-             CAST(sum(CAST(ln(p.prob) AS DECIMAL(18,6))) AS DOUBLE)
-               AS logp
-      FROM w JOIN p USING (term)
-      GROUP BY w.doc_id)
-    SELECT doc_id, n_tok,
-           FLOOR((-logp) * 1000000.0 / CAST(n_tok AS DOUBLE) + 0.5)
-               / 1000000.0 AS nll_per_token
-    FROM scored
-    """,
-)
-def llm_unigram_lm(spark, sf_dir):
-    """Unigram language-model scoring (the CCNet-style perplexity
-    proxy): train add-one-smoothed unigram probabilities on the
-    corpus itself, then score each document by negative log
-    likelihood per token — the standard cheap quality filter before
-    an expensive LM pass. Spark-first: term counts are one shuffle
-    of (term, count) partials; the probability table joins back as a
-    BROADCAST (vocabulary ≪ corpus — at 100 TB the vocab is still
-    ~millions of rows); scoring is a second (doc_id, partials)
-    shuffle. Scores round to 6 dp on both engines so the ln cannot
-    flip a hash."""
-    d = load_table(spark, sf_dir, "documents")
-    w = _rebalanced(d).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    cnt = w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(
-        F.sum("c").cast("double").alias("n_tokens"),
-        F.count(F.lit(1)).alias("vocab"),
-    )
-    p = cnt.join(F.broadcast(tot)).select(
-        "term",
-        ((F.col("c").cast("double") + F.lit(1.0))
-         / (F.col("n_tokens") + F.col("vocab").cast("double"))
-         ).alias("prob"),
-    )
-    return (
-        w.join(F.broadcast(p), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            # each ln(prob) term quantized to DEC before the sum so
-            # Spark's partial-aggregation addend order cannot diverge
-            # from DuckDB's (FIXTURES.md float-aggregate rule)
-            dsum(F.log("prob")).alias("logp"),
-        )
-        .select(
-            "doc_id", "n_tok",
-            # tie-deterministic quotient round: logp is an exact 6-dp
-            # decimal, so logp/n_tok can hit a rounding midpoint where
-            # the engines' round kernels disagree (_util.dround6_div)
-            dround6_div(-F.col("logp"), F.col("n_tok").cast("double"))
-            .alias("nll_per_token"),
-        )
-    )
-
-
-@query(
-    "agg_sketch_countmin",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    truth AS (SELECT term, count(*) AS true_count FROM w GROUP BY term)
-    SELECT term, true_count
-    FROM truth ORDER BY true_count DESC, term LIMIT 20
-    """,
-)
-def agg_sketch_countmin(spark, sf_dir):
-    """Count-min sketch expressed as pure DataFrame ops: every token
-    increments d=4 hashed buckets of width w=64; a term's estimate
-    is the MIN over its 4 buckets — always ≥ the true count, with
-    overestimate bounded by collisions. The sketch table is d×w=256
-    rows REGARDLESS of corpus size — the fixed-size summary you
-    ship from every partition at 100 TB, merged by addition (the
-    groupBy below IS the merge). Graded output: the exact top-20
-    terms with true counts (hash families are engine-specific, so
-    the estimate column is asserted in tests — est ≥ true, and
-    est = true for the heavy hitters at this width — rather than
-    hash-compared)."""
-    est = countmin_estimates(spark, sf_dir)
-    return (
-        est.orderBy(F.col("true_count").desc(), "term")
-        .limit(20)
-        .select("term", "true_count")
-    )
-
-
-def countmin_estimates(spark, sf_dir):
-    """(term, true_count, cm_est) for every term — the full sketch
-    pipeline; agg_sketch_countmin grades the deterministic columns,
-    tests assert the sketch guarantees on cm_est."""
-    d = load_table(spark, sf_dir, "documents")
-    w = _rebalanced(d).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    depth, width = 4, 64
-    # sketch: one explode to (d, bucket), one groupBy → 256 rows
-    sketch = (
-        w.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("d"),
-                        F.pmod(
-                            F.xxhash64(F.lit(i), F.col("term")),
-                            F.lit(width),
-                        ).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ])
-            ).alias("hb")
-        )
-        .groupBy("hb.d", "hb.bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    truth = w.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
-    probes = truth.select(
-        "term", "true_count",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("d"),
-                    F.pmod(
-                        F.xxhash64(F.lit(i), F.col("term")),
-                        F.lit(width),
-                    ).alias("bucket"),
-                )
-                for i in range(depth)
-            ])
-        ).alias("hb"),
-    ).select("term", "true_count", "hb.d", "hb.bucket")
-    return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"])
-        .groupBy("term", "true_count")
-        .agg(F.min("c").alias("cm_est"))
-    )
-
-
-@query(
-    "llm_score_model",
-    oracle="""
-    WITH f AS (
-      SELECT doc_id,
-             CAST(n_chars AS DOUBLE) / 1000.0 AS f_len,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0
-               AS f_tokens,
-             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS f_en
-      FROM documents)
-    SELECT doc_id,
-           round(1.0 / (1.0 + exp(-(0.8 * f_len + 0.5 * f_tokens
-                                    + 0.3 * f_en - 1.2))), 6)
-             AS model_score
-    FROM f
-    """,
-)
-def llm_score_model(spark, sf_dir):
-    """Batch model-inference plumbing: featurize in Catalyst, then
-    score inside an Arrow-batched mapInPandas worker — the exact
-    shape of running a real classifier/reward model over a corpus
-    (the 'model' here is a fixed-weight logistic so DuckDB can
-    oracle it; swap `_score_batch` for an ONNX/torch call and
-    nothing else changes). Scale: featurization is scan-local, the
-    model worker sees vectorized pandas batches (one Python process
-    per core, no per-row overhead), output is (id, score) —
-    shuffle-free end to end."""
-    import pandas as pd  # noqa: F401 (worker-side)
-
-    d = _rebalanced(load_table(spark, sf_dir, "documents"))
-    feats = d.select(
-        "doc_id",
-        (F.col("n_chars").cast("double") / 1000.0).alias("f_len"),
-        (F.size(F.split("text", " ")).cast("double") / 100.0)
-        .alias("f_tokens"),
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("f_en"),
-    )
-
-    def _score_batch(batches):
-        import numpy as np
-
-        for pdf in batches:
-            z = (0.8 * pdf["f_len"] + 0.5 * pdf["f_tokens"]
-                 + 0.3 * pdf["f_en"] - 1.2)
-            out = pdf[["doc_id"]].copy()
-            out["model_score"] = np.round(1.0 / (1.0 + np.exp(-z)), 6)
-            yield out
-
-    return feats.mapInPandas(
-        _score_batch, schema="doc_id long, model_score double"
-    )
-
-
-@query(
-    "llm_pipeline_end_to_end",
-    oracle="""
-    WITH survivors AS (
-      SELECT doc_id, lang, n_chars, text,
-             row_number() OVER (
-               PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ',
-                                                     'g')))
-               ORDER BY doc_id) AS rn
-      FROM documents),
-    clean AS (
-      SELECT doc_id, lang, n_chars, text,
-             len(string_split(text, ' ')) AS n_tokens,
-             list_distinct(string_split(text, ' ')) AS ws
-      FROM survivors
-      WHERE rn = 1 AND n_chars >= 60
-        AND len(string_split(text, ' ')) >= 20),
-    neardup_losers AS (
-      SELECT DISTINCT b.doc_id AS loser
-      FROM clean a JOIN clean b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
-       AND abs(a.n_chars - b.n_chars) <= 10
-      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
-            > 0.5),
-    final AS (SELECT * FROM clean
-              WHERE doc_id NOT IN (SELECT loser FROM neardup_losers))
-    SELECT lang, count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
-             AS total_chars
-    FROM final GROUP BY lang
-    """,
-)
-def llm_pipeline_end_to_end(spark, sf_dir):
-    """The whole training-data pipeline as ONE composed dataflow —
-    exact dedup (normalized-hash, keep-first), quality gate (length
-    + token floor), blocked near-dup removal (banded word-set
-    Jaccard > 0.5, drop the younger of each pair), then per-language
-    corpus statistics. Every stage is a form already graded alone
-    (llm_dedup_exact / quality gates / llm_dedup_ngram_jaccard);
-    this proves they COMPOSE without driver-side glue: one plan,
-    shuffles = dedup hash + banded pair key + final stats, the
-    text column never shuffles after `clean`. The near-dup drop is
-    a broadcast ANTI join (losers ≪ corpus). At 100 TB each stage
-    keeps its standalone scale shape."""
-    d = _rebalanced(load_table(spark, sf_dir, "documents"))
-    norm = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    rn = F.row_number().over(
-        Window.partitionBy(norm).orderBy("doc_id")
-    )
-    toks = F.size(F.split("text", " "))
-    clean = (
-        d.withColumn("rn", rn)
-        .where(
-            (F.col("rn") == 1) & (F.col("n_chars") >= 60) & (toks >= 20)
-        )
-        .select(
-            "doc_id", "lang", "n_chars",
-            toks.alias("n_tokens"),
-            F.array_distinct(F.split("text", " ")).alias("ws"),
-        )
-    )
-    bucket = F.floor(F.col("n_chars") / F.lit(10))
-    a = clean.select(
-        F.col("doc_id").alias("doc_a"), "lang",
-        F.col("n_chars").alias("nc_a"), F.col("ws").alias("ws_a"),
-        bucket.alias("bk"),
-    )
-    b = clean.select(
-        F.col("doc_id").alias("doc_b"), "lang",
-        F.col("n_chars").alias("nc_b"), F.col("ws").alias("ws_b"),
-        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
-    )
-    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
-    jac = inter.cast("double") / (
-        F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
-    )
-    losers = (
-        a.join(b, ["lang", "bk"])
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 10)
-            & (jac > 0.5)
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    final = clean.join(F.broadcast(losers), "doc_id", "left_anti")
-    return final.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        dsum("n_chars").alias("total_chars"),
-    )
-
-
-def kmeans_embeddings(spark, sf_dir, k: int = 8, n_iter: int = 5):
-    """Distributed Lloyd's k-means over the embedding column —
-    the iterative-algorithm pattern (docs/SCALE.md): each round is
-    ONE assign-and-aggregate pass (broadcast centroids → argmin
-    cosine-free L2 via Catalyst HOFs → posexplode → decimal-exact
-    per-(cluster, pos) partial sums), with localCheckpoint cutting
-    the lineage between rounds exactly like the components
-    propagation loop. Deterministic end to end: init is the first k
-    vec_ids (data order is a parquet read of unique ids), distance
-    ties break toward the lower cluster id, and the decimal sums
-    make every centroid bit-reproducible regardless of partitioning.
-    Returns (assignments DF, centroids DF, inertia history list)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    init = (
-        e.orderBy("vec_id").limit(k)
-        .select(
-            F.monotonically_increasing_id().alias("_c"),
-            F.col("embedding").alias("centroid"),
-        )
-        .select(
-            (F.row_number().over(Window.orderBy("_c")) - 1)
-            .alias("cluster"),
-            "centroid",
-        )
-    )
-    cents = [
-        (int(r["cluster"]), [float(x) for x in r["centroid"]])
-        for r in init.collect()
-    ]
-    inertia_hist = []
-    assigned = None
-    for _ in range(n_iter):
-        # distance to each centroid via HOFs; argmin with id tiebreak
-        dist_cols = []
-        for cid, cv in cents:
-            arr = F.array(*[F.lit(float(x)) for x in cv])
-            d2 = F.aggregate(
-                F.zip_with(
-                    "embedding", arr,
-                    lambda a, b: (a.cast("double") - b)
-                    * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            dist_cols.append(F.struct(d2.alias("d2"),
-                                      F.lit(cid).alias("cluster")))
-        best = F.array_min(F.array(*dist_cols))
-        assigned = e.select(
-            "vec_id", "embedding",
-            best["cluster"].alias("cluster"), best["d2"].alias("d2"),
-        ).localCheckpoint(eager=True)
-        inertia = assigned.agg(
-            F.sum(F.col("d2").cast(DEC)).cast("double")
-        ).collect()[0][0]
-        inertia_hist.append(float(inertia))
-        new_cents = (
-            assigned.select(
-                "cluster", F.posexplode("embedding").alias("pos", "v")
-            )
-            .groupBy("cluster", "pos")
-            .agg(
-                (F.sum(F.col("v").cast("double").cast(DEC))
-                 .cast("double") / F.count(F.lit(1))).alias("cv")
-            )
-            .orderBy("cluster", "pos")
-            .collect()
-        )
-        by_c: dict = {}
-        for r in new_cents:
-            by_c.setdefault(int(r["cluster"]), []).append(float(r["cv"]))
-        # empty clusters keep their previous centroid
-        cents = [
-            (cid, by_c.get(cid, cv)) for cid, cv in cents
-        ]
-    centroids = spark.createDataFrame(
-        [(cid, cv) for cid, cv in cents],
-        "cluster int, centroid array<double>",
-    )
-    return assigned.select("vec_id", "cluster", "d2"), centroids, \
-        inertia_hist
-
-
-@query("llm_kmeans")  # rows-only: iterative algorithm (explicitly the
-# non-SQL-expressible class); invariants pytest-asserted instead —
-# monotone inertia, full coverage, deterministic reruns
-def llm_kmeans(spark, sf_dir):
-    """K-means cluster assignments over the embeddings table (k=8,
-    5 Lloyd rounds) — the missing iterative-algorithm operator
-    class. Per round: centroids BROADCAST as literals (k×64 doubles
-    — always driver-sized), one scan assigns via codegen'd HOF
-    arithmetic, one decimal-exact aggregate re-estimates; k×64
-    numbers cross the driver per round, never vectors. At 100 TB
-    the same loop runs with centroid literals swapped for a
-    broadcast join; rounds stay O(scan)."""
-    assigned, _, _ = kmeans_embeddings(spark, sf_dir)
-    return assigned.select(
-        "vec_id", "cluster", F.round("d2", 6).alias("d2")
-    )
-
-
-def _gram_full(spark, sf_dir):
-    """Full symmetric gram matrix (i, j, g) as a DataFrame — the
-    upper-triangle aggregate (llm_embedding_gram's shape) mirrored
-    across the diagonal. g values are decimal-stabilized sums cast
-    to double, so they are bit-identical to the DuckDB oracle's."""
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    d = F.size(emb)
-    tri = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), d - 1),
-            lambda i: F.transform(
-                F.sequence(i, d - 1),
-                lambda j: F.struct(
-                    i.alias("i"), j.alias("j"),
-                    (F.element_at(emb, i + 1).cast("double")
-                     * F.element_at(emb, j + 1).cast("double"))
-                    .alias("p"),
-                ),
-            ),
-        )
-    )
-    upper = (
-        e.select(F.explode(tri).alias("t"))
-        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
-        .agg(F.sum(F.col("t.p").cast(DEC)).cast("double").alias("g"))
-    )
-    lower = upper.where(F.col("i") != F.col("j")).select(
-        F.col("j").alias("i"), F.col("i").alias("j"), "g"
-    )
-    return upper.unionByName(lower)
-
-
-_PCA_SQL_GM = """
-    WITH upper_g AS (
-      SELECT i - 1 AS i, j - 1 AS j,
-             {gsum} AS g
-      FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
-      WHERE i <= j GROUP BY 1, 2),
-    gfull AS (SELECT i, j, g FROM upper_g
-              UNION ALL
-              SELECT j AS i, i AS j, g FROM upper_g WHERE i <> j),
-    gm AS (SELECT list(glist ORDER BY i) AS gmat
-           FROM (SELECT i, list(g ORDER BY j) AS glist
-                 FROM gfull GROUP BY i)),
-    it0 AS (SELECT gmat,
-                   list_transform(range(1, 65), x -> 1.0) AS v
-            FROM gm),
-    {iters}
-    SELECT e.vec_id, e.label,
-           list_aggregate(list_transform(range(1, 65),
-             k -> CAST(e.embedding[k] AS DOUBLE) * it3.v[k]), 'sum')
-             AS pc1
-    FROM embeddings e, it3
-"""
-
-
-def _pca_sql_iter(k: int) -> str:
-    """One power-iteration CTE: w = G·v via per-row sequential list
-    folds, then normalize — the same left-to-right addition order as
-    Spark's aggregate(), so the trajectory is bitwise identical (no
-    decimal casts whose tie-rounding differs between engines)."""
-    return f"""it{k} AS (
-      SELECT gmat,
-             list_transform(w, x -> x / nrm) AS v
-      FROM (
-        SELECT gmat, w,
-               sqrt(list_aggregate(list_transform(w, x -> x * x),
-                                   'sum')) AS nrm
-        FROM (
-          SELECT gmat,
-                 list_transform(gmat, row ->
-                   list_aggregate(list_transform(range(1, 65),
-                     kk -> row[kk] * v[kk]), 'sum')) AS w
-          FROM it{k - 1})))"""
-
-
-@query(
-    "llm_embedding_pca",
-    oracle=_PCA_SQL_GM.format(
-        gsum=sql_dsum("CAST(embedding[i] AS DOUBLE)"
-                      " * CAST(embedding[j] AS DOUBLE)"),
-        iters=",\n    ".join(_pca_sql_iter(k) for k in (1, 2, 3)),
-    ),
-)
-def llm_embedding_pca(spark, sf_dir):
-    """First principal component by POWER ITERATION, entirely
-    in-engine and hash-graded: 3 iterations of v ← normalize(G·v)
-    from an all-ones start over the distributed gram matrix, then
-    every embedding projected onto the eigenvector. The gram entries
-    ride decimal-exact sums (bit-identical across engines); the
-    iteration and projection use SEQUENTIAL left-to-right folds —
-    the same order on both engines, so the whole trajectory is
-    bitwise reproducible with no decimal tie-rounding involved.
-    Scale: the corpus is touched exactly twice (gram build: O(d²)
-    communication; projection: one scan) — the iteration itself
-    runs on a 64×64 matrix, broadcast-sized at any corpus size. The
-    pattern extends to top-k components via deflation or block
-    iteration."""
-    gmat_df = (
-        _gram_full(spark, sf_dir)
-        .groupBy("i")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "g"))).alias("gr"))
-        .select("i", F.transform("gr", lambda st: st.g).alias("glist"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("i", "glist")))
-             .alias("rows"))
-        .select(F.transform("rows", lambda st: st.glist).alias("gmat"))
-        .localCheckpoint(eager=True)
-    )
-    df = gmat_df.withColumn(
-        "v", F.transform(F.sequence(F.lit(1), F.lit(64)),
-                         lambda _: F.lit(1.0))
-    )
-    mul = lambda a, b: a * b  # noqa: E731
-    add = lambda acc, x: acc + x  # noqa: E731
-    for _ in range(3):
-        df = df.withColumn(
-            "w",
-            F.transform(
-                F.col("gmat"),
-                lambda row: F.aggregate(
-                    F.zip_with(row, F.col("v"), mul), F.lit(0.0), add
-                ),
-            ),
-        )
-        df = df.withColumn(
-            "nrm",
-            F.sqrt(
-                F.aggregate(
-                    F.transform(F.col("w"), lambda x: x * x),
-                    F.lit(0.0), add,
-                )
-            ),
-        )
-        df = df.withColumn(
-            "v", F.transform(F.col("w"), lambda x: x / F.col("nrm"))
-        ).drop("w", "nrm")
-    vrow = df.select("v")
-    e = load_table(spark, sf_dir, "embeddings")
-    pc1 = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("embedding"), lambda x: x.cast("double")),
-            F.col("v"), mul,
-        ),
-        F.lit(0.0), add,
-    )
-    return (
-        e.crossJoin(F.broadcast(vrow))
-        .select("vec_id", "label", pc1.alias("pc1"))
-    )
-
-
-@query(
-    "llm_pmi_collocations",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
-    g AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-                                       i -> ws[i] || ' ' || ws[i+1]))
-            AS bg
-          FROM w),
-    cxy AS (SELECT bg, count(*) AS c_xy FROM g GROUP BY bg),
-    u AS (SELECT term, count(*) AS c
-          FROM (SELECT unnest(ws) AS term FROM w) GROUP BY term),
-    nb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n_b FROM cxy),
-    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_u FROM u)
-    SELECT bg, c_xy,
-           round(ln((CAST(c_xy AS DOUBLE) / nb.n_b)
-                    / ((CAST(ux.c AS DOUBLE) / nu.n_u)
-                       * (CAST(uy.c AS DOUBLE) / nu.n_u))), 6) AS pmi
-    FROM cxy
-    JOIN u ux ON ux.term = string_split(bg, ' ')[1]
-    JOIN u uy ON uy.term = string_split(bg, ' ')[2]
-    CROSS JOIN nb CROSS JOIN nu
-    WHERE c_xy >= 3
-    ORDER BY pmi DESC, bg LIMIT 30
-    """,
-)
-def llm_pmi_collocations(spark, sf_dir):
-    """Bigram collocation mining by pointwise mutual information —
-    the boilerplate/fixed-phrase detector of corpus analysis (high
-    PMI = words that co-occur far more than chance; used to find
-    template strings and tokenizer merge candidates). Spark-first:
-    bigram and unigram counts are two map-side-combined hash
-    aggregates; the unigram table and the two one-row totals join
-    back as BROADCASTs (vocab ≪ corpus), so the only full-corpus
-    work is the tokenize scan — at 100 TB nothing wider than
-    (term, count) ever shuffles. The PMI expression is the same
-    double-arithmetic tree on both engines and rounds to 6 dp, so
-    ln cannot flip the hash; min-support c_xy >= 3 keeps the
-    top-30 stable."""
-    d = _rebalanced(load_table(spark, sf_dir, "documents"))
-    ws = F.split("text", " ")
-    n = F.size(ws)
-    bigrams = F.zip_with(
-        F.slice(ws, 1, n - 1),
-        F.slice(ws, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    cxy = (
-        d.select(F.explode(bigrams).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-    )
-    u = (
-        d.select(F.explode(ws).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    nb = cxy.agg(F.sum("c_xy").cast("double").alias("n_b"))
-    nu = u.agg(F.sum("c").cast("double").alias("n_u"))
-    parts = F.split(F.col("bg"), " ")
-    ux = u.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
-    uy = u.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
-    pmi = F.round(
-        F.log(
-            (F.col("c_xy").cast("double") / F.col("n_b"))
-            / ((F.col("c_x").cast("double") / F.col("n_u"))
-               * (F.col("c_y").cast("double") / F.col("n_u")))
-        ),
-        6,
-    )
-    return (
-        cxy.where(F.col("c_xy") >= 3)
-        .withColumn("x", parts.getItem(0))
-        .withColumn("y", parts.getItem(1))
-        .join(F.broadcast(ux), "x")
-        .join(F.broadcast(uy), "y")
-        .join(F.broadcast(nb))
-        .join(F.broadcast(nu))
-        .select("bg", "c_xy", pmi.alias("pmi"))
-        .orderBy(F.col("pmi").desc(), "bg")
-        .limit(30)
-    )
-
-
-@query(
-    "llm_neardup_verify_md5",
-    oracle=f"""
-    WITH cand AS ({_minhash_md5_oracle()}),
-    vsh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-                 range(1, len(string_split(text, ' ')) - 1),
-                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
-               AS shingle
-      FROM documents WHERE len(string_split(text, ' ')) >= 3),
-    sets AS (SELECT doc_id, count(*) AS n_sh FROM vsh GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, c.est_jaccard, count(*) AS n_int
-      FROM cand c
-      JOIN vsh a ON a.doc_id = c.doc_a
-      JOIN vsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY c.doc_a, c.doc_b, c.est_jaccard)
-    SELECT i.doc_a, i.doc_b, i.est_jaccard,
-           FLOOR(CAST(i.n_int AS DOUBLE) * 1000000.0
-                 / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) + 0.5)
-             / 1000000.0 AS true_jaccard
-    FROM inter i
-    JOIN sets sa ON sa.doc_id = i.doc_a
-    JOIN sets sb ON sb.doc_id = i.doc_b
-    """,
-)
-def llm_neardup_verify_md5(spark, sf_dir):
-    """End-to-end near-dup with VERIFY stage (the MinHashLSH →
-    exact-rerank shape every production dedup ships): banded-LSH
-    candidates from the portable md5 MinHash (llm_dedup_minhash_md5)
-    re-scored with EXACT shingle-set Jaccard — estimate and truth
-    side by side, fully hash-graded. Scale shape: the verify join
-    touches only candidate pairs (O(collisions), not O(n²)); the
-    intersection is a shingle equi-join restricted to those pairs,
-    so per-pair work is bounded by document length. The final
-    Jaccard is one integer division rounded to 6 dp — identical on
-    both engines."""
-    d = load_table(spark, sf_dir, "documents")
-    cand = llm_dedup_minhash_md5(spark, sf_dir)
-    sh = _shingles(d)
-    sets = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"),
-                  F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b_id"),
-                  F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("b_id"))
-              & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "est_jaccard")
-        .agg(F.count(F.lit(1)).alias("n_int"))
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"),
-                     F.col("n_sh").alias("n_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"),
-                     F.col("n_sh").alias("n_b"))
-    tj = dround6_div(
-        F.col("n_int").cast("double"),
-        (F.col("n_a") + F.col("n_b") - F.col("n_int")).cast("double"),
-    )
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", "est_jaccard", tj.alias("true_jaccard"))
-    )
-
-
-_PARA_W = 10  # words per paragraph unit
-
-
-@query(
-    "llm_dedup_paragraphs",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
-    ch AS (
-        SELECT doc_id, i AS chunk_idx,
-               md5(array_to_string(
-                   ws[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ')) AS h
-        FROM w, UNNEST(range(CAST(ceil(len(ws)/{_PARA_W}.0) AS BIGINT)))
-                t(i)
-    ),
-    owned AS (
-        SELECT doc_id, chunk_idx,
-               (row_number() OVER (PARTITION BY h
-                                   ORDER BY doc_id, chunk_idx) = 1)
-               AS kept
-        FROM ch
-    )
-    SELECT doc_id, count(*) AS n_chunks,
-           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept,
-           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_dropped
-    FROM owned GROUP BY doc_id
-    """,
-)
-def llm_dedup_paragraphs(spark, sf_dir):
-    """Cross-corpus paragraph-level exact dedup (the CCNet pass that
-    removes boilerplate shared across pages: headers, licenses,
-    navigation). The fixture corpus has no newlines, so the
-    paragraph unit is a deterministic 10-word window — which is also
-    the robust choice at scale, where newline conventions vary by
-    source. Each unit is md5-fingerprinted (portable across engines;
-    16 bytes — the TEXT never shuffles), ownership goes to the
-    lexicographically first (doc_id, chunk_idx) occurrence via one
-    window pass over the fingerprint key, and the per-doc report
-    counts kept vs dropped units. At 100 TB: shuffle payload is
-    (hash, doc_id, idx) triples only, the window partitions by
-    fingerprint (uniform key), and the output is a per-doc summary —
-    the full-text rewrite would reuse the same kept flags."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    n_units = F.ceil(F.size(ws) / F.lit(float(_PARA_W))).cast("int")
-    d = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_units - 1),
-                lambda i: F.md5(
-                    F.array_join(
-                        F.slice(
-                            F.split("text", " "),
-                            i * F.lit(_PARA_W) + F.lit(1),
-                            F.lit(_PARA_W),
-                        ),
-                        " ",
-                    )
-                ),
-            )
-        ).alias("chunk_idx", "h"),
-    )
-    kept = (
-        F.row_number().over(
-            Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
-        )
-        == 1
-    )
-    return (
-        d.withColumn("kept", kept)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias(
-                "n_dropped"
-            ),
-        )
-    )
-
-
-_PACK_CAP = 512  # tokens per packed training sequence
-
-
-@query(
-    "llm_pack_sequences",
-    oracle=f"""
-    WITH d AS (SELECT lang, doc_id,
-                      len(string_split(text, ' ')) AS n_tok
-               FROM documents),
-    c AS (SELECT lang, doc_id, n_tok,
-                 CAST(COALESCE(sum(n_tok) OVER (
-                     PARTITION BY lang ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), 0) AS BIGINT) AS s
-          FROM d),
-    x AS (SELECT lang, doc_id, n_tok, s,
-                 UNNEST(range(s // {_PACK_CAP},
-                              (s + n_tok - 1) // {_PACK_CAP} + 1))
-                     AS bin_id
-          FROM c)
-    SELECT lang, bin_id, count(*) AS n_docs,
-           CAST(sum(LEAST(s + n_tok, (bin_id + 1) * {_PACK_CAP})
-                    - GREATEST(s, bin_id * {_PACK_CAP})) AS BIGINT)
-               AS n_tokens,
-           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM x GROUP BY lang, bin_id
-    """,
-)
-def llm_pack_sequences(spark, sf_dir):
-    """Training-sequence packing — the GPT-style concat-then-split
-    pass that turns ragged documents into fixed 512-token training
-    windows with zero padding waste. Documents are concatenated in
-    doc_id order within each language shard (a running token-offset
-    window), each doc's token span is mapped to the bin range it
-    covers, and the bin range is exploded so a boundary doc
-    contributes its exact overlap to both neighbors. All integer
-    arithmetic — exact on any engine. Scale shape: the cumulative
-    offset partitions by shard key (lang here; a 100 TB pipeline
-    uses many hash shards the same way), so packing parallelizes
-    per shard and no global sort exists; output is one row per
-    packed sequence."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "lang",
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = d.withColumn(
-        "s", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
-    )
-    cap = F.lit(_PACK_CAP).cast("long")
-    x = c.select(
-        "lang",
-        "doc_id",
-        "n_tok",
-        "s",
-        F.explode(
-            F.sequence(
-                F.expr(f"s DIV {_PACK_CAP}"),
-                F.expr(f"(s + n_tok - 1) DIV {_PACK_CAP}"),
-            )
-        ).alias("bin_id"),
-    )
-    overlap = F.least(
-        F.col("s") + F.col("n_tok"), (F.col("bin_id") + 1) * cap
-    ) - F.greatest(F.col("s"), F.col("bin_id") * cap)
-    return x.groupBy("lang", "bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(overlap).alias("n_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
-
-
-@query(
-    "llm_dsir_weights",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    cnt AS (SELECT term, count(*) AS c,
-                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                        AS BIGINT) AS c_en
-            FROM w GROUP BY term),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all,
-                   CAST(sum(c_en) AS DOUBLE) AS n_en,
-                   count(*) AS vocab FROM cnt),
-    p AS (SELECT term,
-                 (CAST(c AS DOUBLE) + 1.0)
-                   / (tot.n_all + CAST(tot.vocab AS DOUBLE)) AS pr,
-                 (CAST(c_en AS DOUBLE) + 1.0)
-                   / (tot.n_en + CAST(tot.vocab AS DOUBLE)) AS pt
-          FROM cnt, tot)
-    SELECT w.doc_id, any_value(w.lang) AS lang, count(*) AS n_tok,
-           CAST(sum(CAST(ln(p.pt) - ln(p.pr) AS DECIMAL(18,6)))
-                AS DOUBLE) AS dsir_lr
-    FROM w JOIN p USING (term)
-    GROUP BY w.doc_id
-    """,
-)
-def llm_dsir_weights(spark, sf_dir):
-    """DSIR importance weights (Data Selection via Importance
-    Resampling, Xie et al. 2023): score every document by the
-    per-token log-likelihood ratio between a TARGET unigram LM
-    (here: the English slice, standing in for a high-quality
-    reference like Wikipedia) and the RAW-corpus LM — the standard
-    cheap way to pick pretraining data that 'looks like' a trusted
-    distribution. Both LMs are add-one smoothed over the shared
-    corpus vocabulary so every term has mass under both. Plan shape
-    mirrors llm_unigram_lm: one (term) shuffle builds both count
-    columns in a single aggregate, totals and the probability table
-    broadcast back (vocab ≪ corpus), scoring is one (doc_id)
-    shuffle; each ln-ratio term is DEC-quantized pre-sum
-    (FIXTURES.md float rule), so the per-doc total dsir_lr is an
-    exact 6-dp decimal — identical on both engines at every SF. The
-    graded output is deliberately the TOTAL log-ratio plus n_tok
-    rather than round(lr/n_tok): the per-token division can land
-    exactly on a 6-dp rounding midpoint (observed at sf0.1:
-    -0.088309/26 = -0.0033965 precisely), where the engines' round
-    kernels disagree — consumers normalize downstream at whatever
-    precision they need."""
-    d = load_table(spark, sf_dir, "documents")
-    w = _rebalanced(d).select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
-    )
-    cnt = w.groupBy("term").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
-            "c_en"
-        ),
-    )
-    tot = cnt.agg(
-        F.sum("c").cast("double").alias("n_all"),
-        F.sum("c_en").cast("double").alias("n_en"),
-        F.count(F.lit(1)).alias("vocab"),
-    )
-    p = cnt.join(F.broadcast(tot)).select(
-        "term",
-        ((F.col("c").cast("double") + F.lit(1.0))
-         / (F.col("n_all") + F.col("vocab").cast("double"))
-         ).alias("pr"),
-        ((F.col("c_en").cast("double") + F.lit(1.0))
-         / (F.col("n_en") + F.col("vocab").cast("double"))
-         ).alias("pt"),
-    )
-    return (
-        w.join(F.broadcast(p), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("lang").alias("lang"),
-            F.count(F.lit(1)).alias("n_tok"),
-            dsum(F.log("pt") - F.log("pr")).alias("dsir_lr"),
-        )
-    )
-
-
-@query(
-    "llm_word_entropy",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    cnt AS (SELECT doc_id, term, count(*) AS c
-            FROM w GROUP BY doc_id, term),
-    tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
-                   count(*) AS n_types
-            FROM cnt GROUP BY doc_id)
-    SELECT cnt.doc_id, CAST(tot.n AS BIGINT) AS n_tok, tot.n_types,
-           round(CAST(sum(CAST(
-                     -(CAST(c AS DOUBLE) / tot.n)
-                       * ln(CAST(c AS DOUBLE) / tot.n)
-                     AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy,
-           FLOOR(CAST(tot.n_types AS DOUBLE) * 1000000.0 / tot.n + 0.5)
-               / 1000000.0 AS ttr
-    FROM cnt JOIN tot USING (doc_id)
-    GROUP BY cnt.doc_id, tot.n, tot.n_types
-    """,
-)
-def llm_word_entropy(spark, sf_dir):
-    """Word-distribution entropy + type-token ratio — the
-    information-theoretic quality gates (Gopher/FineWeb family):
-    near-zero entropy flags keyword-stuffed or template pages, low
-    TTR flags repetitive generation. Per doc: H = -Σ (c/n)·ln(c/n)
-    over word frequencies. One (doc_id, term) shuffle builds the
-    frequency table, per-doc totals join back on the same doc_id
-    partitioning, each entropy term is DEC-quantized pre-sum
-    (FIXTURES.md float rule) and the result rounds to 6 dp. The
-    text itself never shuffles — only (doc_id, term, count)
-    triples."""
-    d = load_table(spark, sf_dir, "documents")
-    w = _rebalanced(d).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    cnt = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("double").alias("n"),
-        F.count(F.lit(1)).alias("n_types"),
-    )
-    p = F.col("c").cast("double") / F.col("n")
-    return (
-        cnt.join(tot, "doc_id")
-        .groupBy("doc_id", "n", "n_types")
-        .agg(dsum(-p * F.log(p)).alias("h"))
-        .select(
-            "doc_id",
-            F.col("n").cast("long").alias("n_tok"),
-            "n_types",
-            F.round("h", 6).alias("entropy"),
-            dround6_div(
-                F.col("n_types").cast("double"), F.col("n")
-            ).alias("ttr"),
-        )
-    )
-
-
-from . import ORACLES as _REGISTERED_ORACLES  # noqa: E402
-
-
-@query(
-    "llm_ann_recall",
-    oracle=f"""
-    SELECT 10 AS k, count(*) AS n_overlap,
-           CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
-    FROM ({_REGISTERED_ORACLES['llm_similarity_knn']}) bf
-    JOIN ({_REGISTERED_ORACLES['llm_knn_lsh']}) l
-      ON bf.vec_id = l.vec_id
-    """,
-)
-def llm_ann_recall(spark, sf_dir):
-    """ANN index quality evaluation — recall@10 of the LSH index
-    against the exact brute-force top-10 for the same query vector:
-    the acceptance metric every ANN deployment monitors before
-    trading exactness for speed. Composed from the two graded
-    pipelines (llm_similarity_knn = ground truth, llm_knn_lsh =
-    candidate index) with a semi-join on the returned ids; the
-    oracle REUSES those queries' registered oracle texts verbatim as
-    subqueries, so this check can never drift from the queries it
-    evaluates. recall = overlap/10 is a 1-dp-safe quotient. At
-    scale: both sides are top-k results (k rows) — the evaluation
-    join is driver-trivial regardless of corpus size; sampling more
-    query vectors fans out the same shape."""
-    bf = llm_similarity_knn(spark, sf_dir).select("vec_id")
-    lsh = llm_knn_lsh(spark, sf_dir).select(F.col("vec_id").alias("l_id"))
-    overlap = bf.join(lsh, bf.vec_id == lsh.l_id)
-    return overlap.agg(
-        F.lit(10).alias("k"),
-        F.count(F.lit(1)).alias("n_overlap"),
-        (F.count(F.lit(1)).cast("double") / F.lit(10)).alias(
-            "recall_at_10"
-        ),
-    )
-
-
-@query(
-    "llm_dedup_paragraphs_rewrite",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
-    ch AS (
-        SELECT doc_id, i AS chunk_idx,
-               array_to_string(
-                   ws[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ')
-                   AS chunk
-        FROM w, UNNEST(range(CAST(ceil(len(ws)/{_PARA_W}.0) AS BIGINT)))
-                t(i)
-    ),
-    owned AS (
-        SELECT doc_id, chunk_idx, chunk,
-               (row_number() OVER (PARTITION BY md5(chunk)
-                                   ORDER BY doc_id, chunk_idx) = 1)
-               AS kept
-        FROM ch
-    ),
-    rebuilt AS (
-        SELECT doc_id,
-               string_agg(chunk, ' ' ORDER BY chunk_idx)
-                   FILTER (WHERE kept) AS clean_text
-        FROM owned GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CASE WHEN clean_text IS NULL THEN 0
-                ELSE CAST(strlen(clean_text) AS BIGINT) END
-               AS clean_chars,
-           md5(COALESCE(clean_text, '')) AS clean_digest
-    FROM rebuilt
-    """,
-)
-def llm_dedup_paragraphs_rewrite(spark, sf_dir):
-    """The REWRITE stage of paragraph dedup — llm_dedup_paragraphs
-    reports kept/dropped counts; this emits the cleaned document
-    itself (graded as length + md5 so the hash stays scalar): the
-    surviving 10-word units re-joined in original order, duplicates
-    gone. Spark side keeps determinism without an ordered string
-    aggregate (collect order is shuffle-dependent): the kept units
-    are collected as (idx, chunk) structs, array_sort'ed — struct
-    order sorts by idx first — then joined. A doc whose every unit
-    was claimed elsewhere (an exact duplicate) rewrites to the
-    empty string. Same shuffle shape as the report query; the full
-    text reassembles per doc_id, touching each unit exactly once."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    n_units = F.ceil(F.size(ws) / F.lit(float(_PARA_W))).cast("int")
-    d = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_units - 1),
-                lambda i: F.array_join(
-                    F.slice(
-                        F.split("text", " "),
-                        i * F.lit(_PARA_W) + F.lit(1),
-                        F.lit(_PARA_W),
-                    ),
-                    " ",
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    kept = (
-        F.row_number().over(
-            Window.partitionBy(F.md5("chunk")).orderBy(
-                "doc_id", "chunk_idx"
-            )
-        )
-        == 1
-    )
-    rebuilt = (
-        d.withColumn("kept", kept)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("kept"),
-                                F.struct("chunk_idx", "chunk"),
-                            )
-                        )
-                    ),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("clean_text")
-        )
-    )
-    return rebuilt.select(
-        "doc_id",
-        F.length("clean_text").cast("long").alias("clean_chars"),
-        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_digest"),
-    )
-
-
-_RECALL_QIDS = (0, 100, 200, 300, 400)
-
-
-def _lsh_bucket_sql() -> str:
-    terms = " + ".join(
-        f"(CASE WHEN {_ndl_sql_proj(str(p))} > 0 THEN {2 ** p} "
-        f"ELSE 0 END)"
-        for p in range(_N_PLANES)
-    )
-    return f"({terms})"
-
-
-_COS_EV_Q = (
-    f"{_sql_dot('ev.embedding', 'q.qe')}"
-    f" / (sqrt({_sql_dot('ev.embedding', 'ev.embedding')})"
-    f" * sqrt({_sql_dot('q.qe', 'q.qe')}))"
-)
-
-
-@query(
-    "llm_ann_recall_multi",
-    oracle=f"""
-    WITH sig AS (
-        SELECT e.vec_id, {_lsh_bucket_sql()} AS bucket
-        FROM embeddings e),
-    qs AS (
-        SELECT s.vec_id AS qid, s.bucket AS qbucket, ev.embedding AS qe
-        FROM sig s JOIN embeddings ev ON ev.vec_id = s.vec_id
-        WHERE s.vec_id IN {_RECALL_QIDS}),
-    cand AS (
-        SELECT q.qid, s.vec_id, {_COS_EV_Q} AS cos
-        FROM sig s
-        JOIN embeddings ev ON ev.vec_id = s.vec_id
-        JOIN qs q ON s.bucket = q.qbucket AND s.vec_id <> q.qid),
-    lsh AS (
-        SELECT qid, vec_id FROM (
-            SELECT qid, vec_id,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY cos DESC, vec_id) AS rn
-            FROM cand) t WHERE rn <= 10),
-    allp AS (
-        SELECT q.qid, ev.vec_id, {_COS_EV_Q} AS cos
-        FROM embeddings ev JOIN qs q ON ev.vec_id <> q.qid),
-    bf AS (
-        SELECT qid, vec_id FROM (
-            SELECT qid, vec_id,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY cos DESC, vec_id) AS rn
-            FROM allp) t WHERE rn <= 10),
-    hits AS (
-        SELECT lsh.qid, lsh.vec_id FROM lsh
-        JOIN bf ON bf.qid = lsh.qid AND bf.vec_id = lsh.vec_id)
-    SELECT q.qid, count(h.vec_id) AS n_overlap,
-           CAST(count(h.vec_id) AS DOUBLE) / 10 AS recall_at_10
-    FROM qs q LEFT JOIN hits h ON h.qid = q.qid
-    GROUP BY q.qid
-    """,
-)
-def llm_ann_recall_multi(spark, sf_dir):
-    """Multi-probe index-quality evaluation — recall@10 of the LSH
-    index for FIVE query vectors at once (llm_ann_recall generalizes
-    from its single probe): the per-query recall distribution is
-    what an ANN deployment actually monitors, since bucket-local
-    quality varies. One signature pass over the corpus serves all
-    probes; the query set broadcasts; LSH candidates come from the
-    bucket equi-join and the brute-force truth from a
-    corpus × 5-query broadcast product ranked per query — at 100 TB
-    the truth side runs on a SAMPLE of queries exactly like this.
-    Queries whose bucket holds < 10 candidates score their recall
-    against a short candidate list (qid 0's bucket at sf0.01, for
-    example), which is precisely the operational signal."""
-    e = load_table(spark, sf_dir, "embeddings")
-
-    def signature(emb):
-        bits = [
-            F.when(_ndl_proj(emb, p) > 0, F.lit(2 ** p)).otherwise(
-                F.lit(0)
-            )
-            for p in range(_N_PLANES)
-        ]
-        return sum(bits[1:], bits[0])
-
-    sig = e.select(
-        "vec_id", "embedding", signature(F.col("embedding")).alias("bucket")
-    )
-    qs = sig.where(F.col("vec_id").isin(*_RECALL_QIDS)).select(
-        F.col("vec_id").alias("qid"),
-        F.col("bucket").alias("qbucket"),
-        F.col("embedding").alias("qe"),
-    )
-    ee, qe = F.col("embedding"), F.col("qe")
-    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("cos").desc(), F.col("vec_id")
-    )
-    cand = (
-        sig.join(
-            F.broadcast(qs),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("qid")),
-        )
-        .select("qid", "vec_id", cos.alias("cos"))
-    )
-    lsh = (
-        cand.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    allp = (
-        e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("cos"))
-    )
-    bf = (
-        allp.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    hits = lsh.join(bf, ["qid", "vec_id"])
-    return (
-        qs.select("qid")
-        .join(hits, "qid", "left")
-        .groupBy("qid")
-        .agg(
-            F.count("vec_id").alias("n_overlap"),
-            (F.count("vec_id").cast("double") / F.lit(10)).alias(
-                "recall_at_10"
-            ),
-        )
-    )
-
-
-_BLM_LAMBDA = 0.75  # interpolation weight: exact dyadic double
-
-
-# Shared CTE chain for the interpolated bigram LM: `scored` holds the
-# per-doc (n_bigrams, bg_logp) that both the raw scoring query and the
-# perplexity bucketing query consume.
-_BLM_CTES = f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
-    g AS (SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(ws) - 1),
-                                       i -> ws[i] || ' ' || ws[i+1]))
-              AS bg
-          FROM w),
-    cxy AS (SELECT bg, count(*) AS c_xy FROM g GROUP BY bg),
-    ctx AS (SELECT string_split(bg, ' ')[1] AS w1,
-                   CAST(sum(c_xy) AS DOUBLE) AS c_ctx
-            FROM cxy GROUP BY 1),
-    u AS (SELECT term, count(*) AS c
-          FROM (SELECT unnest(ws) AS term FROM w) GROUP BY term),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_u, count(*) AS vocab
-            FROM u),
-    p AS (SELECT cxy.bg,
-                 CAST({_BLM_LAMBDA} AS DOUBLE)
-                   * (CAST(cxy.c_xy AS DOUBLE) / ctx.c_ctx)
-                 + CAST({1 - _BLM_LAMBDA} AS DOUBLE)
-                   * ((CAST(u.c AS DOUBLE) + 1.0)
-                      / (tot.n_u + CAST(tot.vocab AS DOUBLE))) AS prob
-          FROM cxy
-          JOIN ctx ON ctx.w1 = string_split(cxy.bg, ' ')[1]
-          JOIN u ON u.term = string_split(cxy.bg, ' ')[2]
-          CROSS JOIN tot),
-    scored AS (
-        SELECT g.doc_id, count(*) AS n_bigrams,
-               CAST(sum(CAST(ln(p.prob) AS DECIMAL(18,6))) AS DOUBLE)
-                   AS bg_logp
-        FROM g JOIN p USING (bg)
-        GROUP BY g.doc_id)
-"""
-
-
-@query(
-    "llm_bigram_lm",
-    oracle=f"""
-    {_BLM_CTES}
-    SELECT doc_id, n_bigrams, bg_logp FROM scored
-    """,
-)
-def llm_bigram_lm(spark, sf_dir):
-    """Interpolated bigram language-model scoring — the KenLM-class
-    upgrade of llm_unigram_lm's quality proxy: p(w2|w1) =
-    λ·c(w1w2)/c(w1·) + (1-λ)·p_add1(w2), λ=0.75 (exact dyadic).
-    The context totals derive FROM the bigram table (no third
-    corpus scan); bigram/unigram/context tables broadcast back and
-    scoring is one (doc_id) aggregate of DEC-quantized ln terms.
-    Emits the per-doc TOTAL log-prob plus the bigram count (the
-    dsir lesson: a normalized quotient can land on a rounding
-    midpoint; consumers divide downstream). Same shuffle classes as
-    unigram_lm — (bigram) partial counts and (doc_id) partials,
-    text never re-shuffles."""
-    return _bigram_doc_scores(spark, sf_dir)
-
-
-def _bigram_doc_scores(spark, sf_dir):
-    """Per-doc (n_bigrams, bg_logp) under the interpolated bigram LM
-    — the shared plan behind llm_bigram_lm (raw scores) and
-    llm_perplexity_buckets (CCNet-style tiering)."""
-    d = _rebalanced(load_table(spark, sf_dir, "documents"))
-    ws = F.split("text", " ")
-    n = F.size(ws)
-    bigrams = F.zip_with(
-        F.slice(ws, 1, n - 1),
-        F.slice(ws, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    g = d.select("doc_id", F.explode(bigrams).alias("bg"))
-    cxy = g.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
-    ctx = (
-        cxy.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
-        .agg(F.sum("c_xy").cast("double").alias("c_ctx"))
-    )
-    u = (
-        d.select(F.explode(ws).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = u.agg(
-        F.sum("c").cast("double").alias("n_u"),
-        F.count(F.lit(1)).alias("vocab"),
-    )
-    prob = (
-        F.lit(_BLM_LAMBDA)
-        * (F.col("c_xy").cast("double") / F.col("c_ctx"))
-        + F.lit(1 - _BLM_LAMBDA)
-        * ((F.col("c").cast("double") + F.lit(1.0))
-           / (F.col("n_u") + F.col("vocab").cast("double")))
-    )
-    p = (
-        cxy.join(
-            F.broadcast(ctx),
-            F.split("bg", " ").getItem(0) == F.col("w1"),
-        )
-        .join(
-            F.broadcast(u),
-            F.split("bg", " ").getItem(1) == F.col("term"),
-        )
-        .join(F.broadcast(tot))
-        .select("bg", prob.alias("prob"))
-    )
-    return (
-        g.join(F.broadcast(p), "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            dsum(F.log("prob")).alias("bg_logp"),
-        )
-    )
-
-
-@query(
-    "llm_vocab_growth",
-    oracle="""
-    WITH n AS (SELECT count(*) AS n_docs FROM documents),
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws
-          FROM documents),
-    first_seen AS (
-        SELECT term, min(doc_id) AS first_doc
-        FROM (SELECT doc_id,
-                     unnest(list_transform(
-                         generate_series(1, len(ws) - 1),
-                         i -> ws[i] || ' ' || ws[i+1])) AS term
-              FROM w) t
-        GROUP BY term),
-    bucketed AS (
-        SELECT CAST(floor(first_doc * 10.0 / n.n_docs) AS BIGINT)
-                   AS decile,
-               count(*) AS new_terms
-        FROM first_seen, n GROUP BY 1)
-    SELECT decile, new_terms,
-           CAST(sum(new_terms) OVER (ORDER BY decile
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS vocab_size
-    FROM bucketed
-    """,
-)
-def llm_vocab_growth(spark, sf_dir):
-    """Vocabulary growth curve (Heaps' law): how many NEW terms each
-    successive tenth of the corpus contributes, plus the cumulative
-    vocabulary — the sublinearity check that tells you whether more
-    data still buys lexical coverage (a flat tail says the corpus
-    is saturating; a hot tail flags contamination or language
-    drift). The unit is BIGRAMS: the fixture's unigram vocabulary
-    (~40 words) saturates inside the first decile, while the bigram
-    space keeps growing corpus-long — which is also the honest
-    real-world choice, where n-gram novelty outlives unigram
-    novelty. Each unit's first occurrence is one aggregate —
-    min(doc_id) — then per-decile counts and a 10-row cumulative
-    window. The corpus is tokenized once; only (term, min_doc)
-    pairs shuffle. Integer-exact throughout."""
-    d = _rebalanced(load_table(spark, sf_dir, "documents"))
-    n_docs = d.count()
-    ws = F.split("text", " ")
-    bigrams = F.zip_with(
-        F.slice(ws, 1, F.size(ws) - 1),
-        F.slice(ws, 2, F.size(ws) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    first_seen = (
-        d.select("doc_id", F.explode(bigrams).alias("term"))
-        .groupBy("term")
-        .agg(F.min("doc_id").alias("first_doc"))
-    )
-    # floor() explicitly on BOTH engines: DuckDB's CAST(double AS
-    # BIGINT) ROUNDS half-even while Spark's cast truncates — an
-    # implicit-cast trap worth this comment
-    bucketed = first_seen.groupBy(
-        F.floor(F.col("first_doc") * 10 / F.lit(n_docs))
-        .cast("long")
-        .alias("decile")
-    ).agg(F.count(F.lit(1)).alias("new_terms"))
-    w = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return bucketed.select(
-        "decile",
-        "new_terms",
-        F.sum("new_terms").over(w).alias("vocab_size"),
-    )
-
-
-@query(
-    "llm_perplexity_buckets",
-    oracle=f"""
-    {_BLM_CTES},
-    ce AS (SELECT doc_id, (-bg_logp) / n_bigrams AS ce,
-                  {sql_dround6_div('-bg_logp', 'n_bigrams')} AS ce_q
-           FROM scored),
-    bk AS (SELECT ce, ce_q,
-                  ntile(3) OVER (ORDER BY ce, doc_id) AS bucket
-           FROM ce)
-    SELECT bucket, count(*) AS n_docs,
-           CAST(sum(CAST(ce_q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-               AS mean_ce,
-           min(ce) AS min_ce, max(ce) AS max_ce
-    FROM bk GROUP BY bucket
-    """,
-)
-def llm_perplexity_buckets(spark, sf_dir):
-    """CCNet-style perplexity tiering (Wenzek et al., LREC 2020):
-    split the corpus into head/middle/tail thirds by language-model
-    score and profile each tier — the standard recipe for choosing
-    which slice of a crawl feeds training. The score is per-bigram
-    CROSS-ENTROPY (-logp/n) from the shared interpolated-bigram LM
-    plan; perplexity = exp(ce) is monotone in it, and exp() is
-    deliberately not materialized (JVM StrictMath vs libm can differ
-    in the last ulp — ce keeps both engines exact). The tier cut is
-    ntile(3) over the total (ce, doc_id) order, so ties cannot
-    straddle tiers nondeterministically. The tier MEAN sums the
-    dround6_div-quantized ce, not a bare DECIMAL cast: ce is a
-    6-dp decimal over a small integer, so it CAN land exactly on a
-    6-dp cast midpoint where Spark's HALF_UP and DuckDB's half-even
-    disagree by 1e-6 (observed once at sf0.01 — the dsir lesson
-    again); min/max/ordering use the raw ce (pure picks). Scale
-    honesty: global ntile is a single-partition sort of ONE ROW PER
-    DOC (not per token); at 100 TB the cut becomes approx-percentile
-    thresholds broadcast back — the same trade agg_quantiles
-    documents."""
-    base = _bigram_doc_scores(spark, sf_dir)
-    ce = base.select(
-        "doc_id",
-        ((-F.col("bg_logp")) / F.col("n_bigrams")).alias("ce"),
-        dround6_div(-F.col("bg_logp"), F.col("n_bigrams"))
-            .alias("ce_q"),
-    )
-    w = Window.orderBy("ce", "doc_id")
-    bk = ce.select("ce", "ce_q", F.ntile(3).over(w).alias("bucket"))
-    return bk.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum(F.col("ce_q").cast(DEC)).cast("double")
-         / F.count(F.lit(1))).alias("mean_ce"),
-        F.min("ce").alias("min_ce"),
-        F.max("ce").alias("max_ce"),
-    )
-
-
-@query(
-    "llm_dedup_incremental",
-    oracle="""
-    WITH batch AS (
-      SELECT doc_id, lang,
-             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
-      FROM documents WHERE doc_id % 5 = 4),
-    corpus AS (
-      SELECT DISTINCT
-             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
-      FROM documents WHERE doc_id % 5 <> 4),
-    fresh AS (
-      SELECT b.doc_id, b.lang, b.th
-      FROM batch b LEFT JOIN corpus c USING (th)
-      WHERE c.th IS NULL),
-    kept AS (
-      SELECT doc_id, lang, th,
-             row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
-      FROM fresh)
-    SELECT doc_id, lang, th FROM kept WHERE rn = 1
-    """,
-)
-def llm_dedup_incremental(spark, sf_dir):
-    """INCREMENTAL exact dedup — the shape every continuously-fed
-    corpus actually runs: an incoming batch (doc_id%5=4 is the
-    deterministic stand-in) dedups against the existing corpus
-    (anti-join on the normalized-text hash) and then within itself
-    (keep-first per hash), emitting only genuinely new documents.
-    Both sides shuffle 16-byte hashes, never text — the anti-join
-    probes the corpus's DISTINCT hash set, and at 100 TB that set
-    is the bloom-filter / state-store half of the streaming twin
-    (stream_dedup). Same normalization as llm_corpus_dedup, so the
-    union of (corpus survivors + incremental survivors) equals a
-    full-corpus dedup — the consistency a rolling pipeline needs."""
-    d = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    batch = (
-        d.where(F.col("doc_id") % 5 == 4)
-        .select("doc_id", "lang", h.alias("th"))
-    )
-    corpus = (
-        d.where(F.col("doc_id") % 5 != 4)
-        .select(h.alias("th")).distinct()
-    )
-    fresh = batch.join(corpus, "th", "left_anti")
-    w = Window.partitionBy("th").orderBy("doc_id")
-    return (
-        fresh.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "th")
-    )
-
-
-@query(
-    "llm_ngram_novelty",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
-    g AS (SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(ws) - 1),
-                                       i -> ws[i] || ' ' || ws[i+1]))
-              AS bg
-          FROM w),
-    cxy AS (SELECT bg, count(*) AS c FROM g GROUP BY bg)
-    SELECT g.doc_id,
-           count(*) AS n_bigrams,
-           count(*) FILTER (WHERE cxy.c = 1) AS n_novel
-    FROM g JOIN cxy USING (bg)
-    GROUP BY g.doc_id
-    """,
-)
-def llm_ngram_novelty(spark, sf_dir):
-    """Per-document n-gram NOVELTY — how many of a doc's bigrams
-    occur nowhere else in the corpus (corpus count = 1). High
-    novelty marks original text worth keeping; near-zero novelty
-    marks boilerplate/template families that near-dup passes then
-    confirm (the cheap pre-filter before MinHash). Counts are
-    emitted raw (consumers divide; the dsir midpoint lesson) —
-    integer-exact on both engines. Shuffle classes: (bigram)
-    counts, broadcast back onto the exploded stream, one (doc_id)
-    aggregate — text itself never re-shuffles."""
-    d = _rebalanced(load_table(spark, sf_dir, "documents"))
-    ws = F.split("text", " ")
-    n = F.size(ws)
-    bigrams = F.zip_with(
-        F.slice(ws, 1, n - 1),
-        F.slice(ws, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    g = d.select("doc_id", F.explode(bigrams).alias("bg"))
-    cxy = g.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        g.join(F.broadcast(cxy), "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.count(F.when(F.col("c") == 1, 1)).alias("n_novel"),
-        )
-    )
-
-
-@query(
-    "llm_dsir_resample",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
-      FROM documents),
-    cnt AS (SELECT term, count(*) AS c,
-                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                        AS BIGINT) AS c_en
-            FROM w GROUP BY term),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all,
-                   CAST(sum(c_en) AS DOUBLE) AS n_en,
-                   count(*) AS vocab FROM cnt),
-    p AS (SELECT term,
-                 (CAST(c AS DOUBLE) + 1.0)
-                   / (tot.n_all + CAST(tot.vocab AS DOUBLE)) AS pr,
-                 (CAST(c_en AS DOUBLE) + 1.0)
-                   / (tot.n_en + CAST(tot.vocab AS DOUBLE)) AS pt
-          FROM cnt, tot),
-    lr AS (
-      SELECT w.doc_id, any_value(w.lang) AS lang, count(*) AS n_tok,
-             CAST(sum(CAST(ln(p.pt) - ln(p.pr) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS dsir_lr
-      FROM w JOIN p USING (term)
-      GROUP BY w.doc_id),
-    u AS (
-      SELECT *,
-             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                      1, 6) AS BIGINT) AS DOUBLE)
-               / 16777216.0 AS unif
-      FROM lr)
-    SELECT doc_id, lang, n_tok, dsir_lr
-    FROM u
-    WHERE unif < least(exp(2.0 * (dsir_lr - 0.5)), 1.0)
-    """,
-)
-def llm_dsir_resample(spark, sf_dir):
-    """The SAMPLING half of DSIR (Xie et al., NeurIPS 2023):
-    llm_dsir_weights scores docs by target/raw log-likelihood ratio;
-    this query actually draws the resampled corpus — a per-doc
-    Bernoulli with p = min(exp(2(lr-0.5)), 1), tempered/shifted so
-    the fixture's ratios spread over (0,1) and target-like docs
-    dominate the draw. The coin is the REPRODUCIBLE kind:
-    uniform = first 24 md5 bits of doc_id (the split-query's
-    content-independent hash discipline), so membership is stable
-    across runs/machines/partitionings and docs keep or lose their
-    seat independently of corpus growth. The emitted columns are
-    all deterministic (DEC-stabilized lr; the exp() appears ONLY
-    inside the comparison, where a last-ulp engine difference
-    could matter only if the 24-bit uniform landed within ~1e-16
-    of the threshold). One extra codegen filter over the weights
-    plan — no new shuffle."""
-    lr = llm_dsir_weights(spark, sf_dir)
-    unif = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
-            16, 10,
-        ).cast("bigint").cast("double")
-        / F.lit(16777216.0)
-    )
-    return lr.where(
-        unif < F.least(
-            F.exp(2.0 * (F.col("dsir_lr") - 0.5)), F.lit(1.0))
-    ).select("doc_id", "lang", "n_tok", "dsir_lr")
-
-
-_KNNJ_SIG_SQL = " + ".join(
-    f"(CASE WHEN {_ndl_sql_proj(str(p))} > 0 THEN {2 ** p} ELSE 0 END)"
-    for p in range(_N_PLANES)
-)
-_KNNJ_COS_SQL = (
-    f"{_sql_dot('ev.embedding', 'q.qe')}"
-    f" / (sqrt({_sql_dot('ev.embedding', 'ev.embedding')})"
-    f" * sqrt({_sql_dot('q.qe', 'q.qe')}))"
-)
-
-
-@query(
-    "llm_knn_join",
-    oracle=f"""
-    WITH sig AS (
-      SELECT e.vec_id, e.label, {_KNNJ_SIG_SQL} AS bucket
-      FROM embeddings e),
-    q AS (
-      SELECT s.vec_id AS qid, s.bucket AS qbucket, ev.embedding AS qe
-      FROM sig s JOIN embeddings ev ON ev.vec_id = s.vec_id
-      WHERE s.vec_id % 50 = 0),
-    cand AS (
-      SELECT q.qid, s.vec_id, s.label,
-             {_KNNJ_COS_SQL} AS cos_sim
-      FROM sig s
-      JOIN embeddings ev ON ev.vec_id = s.vec_id
-      JOIN q ON s.bucket = q.qbucket
-      WHERE s.vec_id % 50 <> 0),
-    r AS (
-      SELECT *, row_number() OVER (PARTITION BY qid
-                   ORDER BY cos_sim DESC, vec_id) AS rn
-      FROM cand)
-    SELECT qid, vec_id, label, cos_sim FROM r WHERE rn <= 5
-    """,
-)
-def llm_knn_join(spark, sf_dir):
-    """k-NN JOIN — the MULTI-query form of llm_knn_lsh, and the
-    operator that actually runs at scale (single-query top-k is a
-    lookup; batch retrieval for RAG indexing / dedup candidate
-    generation is a JOIN): every 50th vector is a query, all
-    queries' signatures broadcast at once, candidates come from ONE
-    shared bucket equi-join against the corpus signatures, and
-    per-query top-5 is a (qid) window cut — no per-query scan, no
-    N× plan. Cosines are the same bit-identical sequential folds
-    as the single-query path. At 100 TB the broadcast holds only
-    (qid, bucket, query vector) — queries in the thousands fit in
-    tens of MB; corpus-scale query sets switch the broadcast to a
-    bucket-partitioned shuffle join, same plan shape."""
-    e = load_table(spark, sf_dir, "embeddings")
-
-    def signature(emb):
-        bits = [
-            F.when(_ndl_proj(emb, p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-            for p in range(_N_PLANES)
-        ]
-        return sum(bits[1:], bits[0])
-
-    sig = e.select("vec_id", "label", "embedding",
-                   signature(F.col("embedding")).alias("bucket"))
-    q = sig.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-    )
-    ee, qe = F.col("embedding"), F.col("qe")
-    cos = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
-    cand = (
-        sig.where(F.col("vec_id") % 50 != 0)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
-        .select("qid", "vec_id", "label", cos.alias("cos_sim"))
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("qid", "vec_id", "label", "cos_sim")
-    )
-
-
-@query(
-    "llm_language_confusion",
-    oracle=f"""
-    SELECT true_lang, pred_lang, count(*) AS n
-    FROM ({_REGISTERED_ORACLES['llm_lang_id']}) b
-    GROUP BY true_lang, pred_lang
-    """,
-)
-def llm_language_confusion(spark, sf_dir):
-    """Language-ID confusion matrix — the evaluation rollup every
-    classifier in the cleaning pipeline needs before its output
-    gates data: counts per (labelled, predicted) pair over
-    llm_lang_id's stopword scorer (one extra 25-cell aggregate on
-    top of the shared per-doc plan; the oracle wraps the SAME
-    registered lang-id oracle, so scorer and rollup can never
-    drift apart). The diagonal is accuracy; off-diagonal hot spots
-    say which stopword lists collide."""
-    return (
-        llm_lang_id(spark, sf_dir)
-        .groupBy("true_lang", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query(
-    "llm_filter_gate",
-    oracle=f"""
-    SELECT q.doc_id,
-           (q.quality >= 0.5 AND NOT r.flagged
-            AND l.pred_lang <> 'und') AS keep,
-           CASE WHEN q.quality < 0.5 THEN 'low_quality'
-                WHEN r.flagged THEN 'repetitive'
-                WHEN l.pred_lang = 'und' THEN 'unknown_lang'
-           END AS reason
-    FROM ({_REGISTERED_ORACLES['llm_quality_score']}) q
-    JOIN ({_REGISTERED_ORACLES['llm_repetition_filter']}) r
-      USING (doc_id)
-    JOIN ({_REGISTERED_ORACLES['llm_lang_id']}) l
-      ON l.doc_id = q.doc_id
-    """,
-)
-def llm_filter_gate(spark, sf_dir):
-    """The GATE — the keep/drop verdict that actually fronts a
-    training pipeline, fusing the three graded component filters
-    (quality band, Gopher repetition, language ID) into ONE map-only
-    pass over the text: every sub-expression is a higher-order
-    function on the same scan, so the corpus is read once and
-    nothing shuffles (the composed-DataFrame form would scan
-    documents three times and join on doc_id). Drift between this
-    fused form and the standalone components is impossible to hide:
-    the ORACLE is literally the three registered component oracles
-    joined, so any divergence hash-fails. Rejected docs carry their
-    FIRST failing rule (priority: quality, repetition, language) —
-    the audit trail reviewers ask for."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    n_words = F.size(ws)
-    uniq_ratio = F.size(F.array_distinct(ws)).cast("double") / n_words
-    quality = (
-        F.when(n_words.between(20, 80), 1.0).otherwise(0.0) * 0.5
-        + F.when(uniq_ratio > 0.4, 1.0).otherwise(0.0) * 0.5
-    )
-    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
-    idx3 = F.sequence(F.lit(1), F.size(ws) - 2)
-    tri = F.transform(
-        idx3,
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1),
-            F.element_at(ws, i + 2)),
-    )
-    nd = F.when(n3 > 0, F.size(F.array_distinct(tri))).otherwise(0)
-    flagged = (n3 > 0) & (
-        (n3 - nd).cast("double") / n3.cast("double") > 0.2)
-
-    def hits(lang):
-        lst = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
-        return F.size(F.filter(ws, lambda w: F.array_contains(lst, w)))
-
-    h = {lg: hits(lg) for lg in _LANG_ORDER}
-    pred = (
-        F.when((h["en"] == 0) & (h["es"] == 0) & (h["de"] == 0)
-               & (h["fr"] == 0), "und")
-        .when((h["en"] >= h["es"]) & (h["en"] >= h["de"])
-              & (h["en"] >= h["fr"]), "en")
-        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
-        .when(h["de"] >= h["fr"], "de")
-        .otherwise("fr")
-    )
-    return d.select(
-        "doc_id",
-        ((quality >= 0.5) & ~flagged & (pred != "und")).alias("keep"),
-        F.when(quality < 0.5, "low_quality")
-        .when(flagged, "repetitive")
-        .when(pred == "und", "unknown_lang")
-        .alias("reason"),
-    )
-
-
-@query(
-    "llm_minhash_error_eval",
-    oracle=f"""
-    WITH est AS ({_minhash_md5_oracle()}),
-    w2 AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(words) - 1),
-                 i -> array_to_string(words[i:i+2], ' '))) AS s
-      FROM w2 WHERE len(words) >= 3),
-    j AS (
-      SELECT e.est_jaccard,
-             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-               AS true_j
-      FROM est e
-      JOIN sh a ON a.doc_id = e.doc_a
-      JOIN sh b ON b.doc_id = e.doc_b)
-    SELECT count(*) AS n_pairs,
-           CAST(sum(CAST(FLOOR(abs(est_jaccard - true_j) * 1000000.0
-                               + 0.5) / 1000000.0
-                         AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-               AS mean_abs_err,
-           max(abs(est_jaccard - true_j)) AS max_abs_err,
-           CAST(sum(CAST(est_jaccard AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*) AS mean_est
-    FROM j
-    """,
-)
-def llm_minhash_error_eval(spark, sf_dir):
-    """MinHash ESTIMATOR ERROR — the evaluation that justifies the
-    sketch: over the banded-LSH candidate pairs, compare the 32-
-    function signature estimate against the EXACT shingle-set
-    Jaccard (one array_intersect per surviving pair — cheap
-    precisely because LSH already cut the pair set). Reported:
-    pair count, mean/max absolute error, mean estimate. The
-    theoretical std-err of a k=32 sketch is sqrt(J(1-J)/32) ≈ 0.09
-    at J=0.5 — the graded numbers let a user CHECK that before
-    trusting the dedup threshold. Determinism: estimates are k/32
-    (exact binaries, 5-dp decimals — cast-safe); the exact-Jaccard
-    terms are arbitrary rationals, so the mean quantizes each term
-    with the floor(x*1e6+0.5) tie-deterministic round; max is a
-    pick. Scale: signatures and pair generation are the SAME plan
-    as the dedup query; the verify join touches candidates only."""
-    est = llm_dedup_minhash_md5(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
-    sets = (
-        _shingles(d).groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("s"))
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"),
-                    F.col("s").alias("sa"))
-    b = sets.select(F.col("doc_id").alias("doc_b"),
-                    F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    true_j = inter.cast("double") / (
-        F.size("sa") + F.size("sb") - inter)
-    j = (
-        est.join(a, "doc_a").join(b, "doc_b")
-        .select("est_jaccard", true_j.alias("true_j"))
-    )
-    err = F.abs(F.col("est_jaccard") - F.col("true_j"))
-    err_q = F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "double") / F.lit(1000000.0)
-    return j.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        (F.sum(err_q.cast(DEC)).cast("double")
-         / F.count(F.lit(1))).alias("mean_abs_err"),
-        F.max(err).alias("max_abs_err"),
-        (F.sum(F.col("est_jaccard").cast(DEC)).cast("double")
-         / F.count(F.lit(1))).alias("mean_est"),
-    )
-
-
-@query(
-    "llm_lang_id_chargram",
-    oracle="""
-    WITH tri AS (
-      SELECT doc_id, lang,
-             unnest(list_transform(
-                 generate_series(1, len(text) - 2),
-                 i -> substr(text, i, 3))) AS g
-      FROM documents),
-    prof_c AS (
-      SELECT lang AS plang, g, count(*) AS c
-      FROM tri GROUP BY lang, g),
-    prof AS (
-      SELECT plang, g FROM (
-        SELECT plang, g,
-               row_number() OVER (PARTITION BY plang
-                                  ORDER BY c DESC, g) AS rn
-        FROM prof_c) WHERE rn <= 20),
-    hits AS (
-      SELECT t.doc_id, any_value(t.lang) AS true_lang, p.plang,
-             count(*) AS h
-      FROM tri t JOIN prof p ON p.g = t.g
-      GROUP BY t.doc_id, p.plang),
-    best AS (
-      SELECT doc_id, true_lang, plang AS pred_lang, h,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY h DESC, plang) AS rn
-      FROM hits)
-    SELECT doc_id, true_lang, pred_lang, CAST(h AS BIGINT) AS n_hits
-    FROM best WHERE rn = 1
-    """,
-)
-def llm_lang_id_chargram(spark, sf_dir):
-    """Char-trigram language ID — the TextCat/CLD family, and a
-    TRAIN/APPLY demo in one plan: the PROFILE (top-20 trigrams per
-    labelled language, deterministic (count DESC, gram) cut) is
-    built from the corpus, broadcast back, and every doc is scored
-    by profile hits with an argmax over (hits DESC, lang) — the
-    same fit-transform shape a real model-apply job has, with the
-    model as a broadcast relation instead of a binary blob.
-    Complements llm_lang_id (word stopwords, fixed lists): here
-    the features are LEARNED from the data. Shuffles: trigram
-    counts partial-aggregate map-side; the profile is ~100 rows;
-    per-doc scoring re-aggregates on (doc_id, lang)."""
-    d = load_table(spark, sf_dir, "documents")
-    # substring over a dynamic start index needs the SQL expr form
-    tri = d.select(
-        "doc_id", "lang",
-        F.explode(F.expr(
-            "transform(sequence(1, greatest(length(text) - 2, 0)),"
-            " i -> substring(text, i, 3))")).alias("g"),
-    )
-    prof_c = tri.groupBy(F.col("lang").alias("plang"), "g").agg(
-        F.count(F.lit(1)).alias("c"))
-    wprof = Window.partitionBy("plang").orderBy(
-        F.col("c").desc(), F.col("g"))
-    prof = (
-        prof_c.withColumn("rn", F.row_number().over(wprof))
-        .where(F.col("rn") <= 20).select("plang", "g")
-    )
-    hits = (
-        tri.join(F.broadcast(prof), "g")
-        .groupBy("doc_id", "plang")
-        .agg(F.first("lang").alias("true_lang"),
-             F.count(F.lit(1)).alias("h"))
-    )
-    wbest = Window.partitionBy("doc_id").orderBy(
-        F.col("h").desc(), F.col("plang"))
-    return (
-        hits.withColumn("rn", F.row_number().over(wbest))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "true_lang",
-                F.col("plang").alias("pred_lang"),
-                F.col("h").alias("n_hits"))
-    )
-
-
-@query(
-    "llm_neardup_verify_edit",
-    oracle=f"""
-    WITH cand AS ({_minhash_md5_oracle()}),
-    t AS (SELECT doc_id, substr(text, 1, 80) AS head,
-                 len(substr(text, 1, 80)) AS hlen
-          FROM documents)
-    SELECT c.doc_a, c.doc_b,
-           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist,
-           FLOOR((1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
-                    / greatest(a.hlen, b.hlen)) * 1000000.0 + 0.5)
-             / 1000000.0 AS edit_sim
-    FROM cand c
-    JOIN t a ON a.doc_id = c.doc_a
-    JOIN t b ON b.doc_id = c.doc_b
-    """,
-)
-def llm_neardup_verify_edit(spark, sf_dir):
-    """Edit-distance VERIFY on the LSH candidate pairs — the
-    character-level second opinion next to llm_neardup_verify_md5's
-    set-based Jaccard: Levenshtein catches reorder-free
-    near-duplicates (OCR noise, small insertions) that shingle sets
-    score identically, and disagreement between the two verifiers
-    is itself a signal (template text vs edited text). Distance runs
-    on 80-char heads — the production bound, since full-document
-    DP is O(len²) per pair and the candidates already share
-    signatures; similarity is 1 - d/max(len), tie-quantized at 6 dp.
-    Integer DP is engine-exact; the join touches candidates only."""
-    cand = llm_dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b")
-    d = load_table(spark, sf_dir, "documents")
-    heads = d.select(
-        "doc_id",
-        F.substring("text", 1, 80).alias("head"),
-        F.length(F.substring("text", 1, 80)).alias("hlen"),
-    )
-    a = heads.select(F.col("doc_id").alias("doc_a"),
-                     F.col("head").alias("ha"),
-                     F.col("hlen").alias("la"))
-    b = heads.select(F.col("doc_id").alias("doc_b"),
-                     F.col("head").alias("hb"),
-                     F.col("hlen").alias("lb"))
-    lev = F.levenshtein("ha", "hb")
-    sim = (F.lit(1.0) - lev.cast("double")
-           / F.greatest("la", "lb"))
-    sim_q = (F.floor(sim * F.lit(1000000.0) + F.lit(0.5))
-             .cast("double") / F.lit(1000000.0))
-    return (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b",
-                lev.cast("bigint").alias("edit_dist"),
-                sim_q.alias("edit_sim"))
-    )
-
-
-@query(
-    "llm_pipeline_attrition",
-    oracle="""
-    WITH survivors AS (
-      SELECT doc_id, lang, n_chars, text,
-             row_number() OVER (
-               PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ',
-                                                     'g')))
-               ORDER BY doc_id) AS rn
-      FROM documents),
-    flagged AS (
-      SELECT doc_id, lang, n_chars, text, (rn = 1) AS s_exact,
-             (rn = 1 AND n_chars >= 60
-              AND len(string_split(text, ' ')) >= 20) AS s_quality
-      FROM survivors),
-    clean AS (
-      SELECT doc_id, lang, n_chars,
-             list_distinct(string_split(text, ' ')) AS ws
-      FROM flagged WHERE s_quality),
-    neardup_losers AS (
-      SELECT DISTINCT b.doc_id AS loser
-      FROM clean a JOIN clean b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
-       AND abs(a.n_chars - b.n_chars) <= 10
-      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
-            > 0.5)
-    SELECT 0 AS stage_idx, 'input' AS stage,
-           count(*) AS n_surviving FROM flagged
-    UNION ALL
-    SELECT 1, 'exact_dedup', count(*) FROM flagged WHERE s_exact
-    UNION ALL
-    SELECT 2, 'quality_length', count(*) FROM flagged WHERE s_quality
-    UNION ALL
-    SELECT 3, 'near_dedup', count(*) FROM flagged
-    WHERE s_quality
-      AND doc_id NOT IN (SELECT loser FROM neardup_losers)
-    """,
-)
-def llm_pipeline_attrition(spark, sf_dir):
-    """The ATTRITION FUNNEL of the cleaning pipeline — the one-page
-    report every corpus release publishes (how many docs each stage
-    costs): survivors after exact dedup, after the length/token
-    quality gate, after near-dup removal, against the raw input.
-    Same stage definitions as llm_pipeline_end_to_end (its oracle's
-    CTEs, re-expressed as per-doc FLAGS so all four counts ride ONE
-    corpus scan plus the near-dup candidate join — not one scan per
-    stage); monotone by construction, which the test asserts. At
-    100 TB this shape is why flags beat materializing per-stage
-    tables: the report costs one pass, and each stage's loss is
-    auditable without re-running the pipeline."""
-    d = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    w = Window.partitionBy(h).orderBy("doc_id")
-    flagged = d.select(
-        "doc_id", "lang", "n_chars", "text",
-        (F.row_number().over(w) == 1).alias("s_exact"),
-    ).withColumn(
-        "s_quality",
-        F.col("s_exact") & (F.col("n_chars") >= 60)
-        & (F.size(F.split("text", " ")) >= 20),
-    )
-    clean = flagged.where("s_quality").select(
-        "doc_id", "lang", "n_chars",
-        F.array_distinct(F.split("text", " ")).alias("ws"),
-    )
-    a, b = clean.alias("a"), clean.alias("b")
-    inter = F.size(F.array_intersect("a.ws", "b.ws"))
-    jac = inter.cast("double") / (
-        F.size("a.ws") + F.size("b.ws") - inter)
-    losers = (
-        a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10))
-        .where(jac > 0.5)
-        .select(F.col("b.doc_id").alias("loser"))
-        .distinct()
-    )
-    final_flag = flagged.join(
-        losers, flagged.doc_id == losers.loser, "left")
-    counts = final_flag.agg(
-        F.count(F.lit(1)).alias("n_input"),
-        F.count(F.when(F.col("s_exact"), 1)).alias("n_exact"),
-        F.count(F.when(F.col("s_quality"), 1)).alias("n_quality"),
-        F.count(F.when(F.col("s_quality")
-                       & F.col("loser").isNull(), 1)).alias("n_final"),
-    )
-    return counts.selectExpr(
-        "stack(4, 0, 'input', n_input, 1, 'exact_dedup', n_exact,"
-        " 2, 'quality_length', n_quality, 3, 'near_dedup', n_final)"
-        " AS (stage_idx, stage, n_surviving)")
-
-
-@query(
-    "llm_cluster_best_rep",
-    oracle=f"""
-    WITH base AS ({_REGISTERED_ORACLES['llm_dedup_cluster']}),
-    j AS (
-      SELECT b.doc_id, b.cluster_id, d.n_chars
-      FROM base b JOIN documents d USING (doc_id)),
-    r AS (
-      SELECT *,
-             row_number() OVER (PARTITION BY cluster_id
-                 ORDER BY n_chars DESC, doc_id) AS rn,
-             count(*) OVER (PARTITION BY cluster_id) AS nm
-      FROM j)
-    SELECT cluster_id, doc_id AS rep_doc_id,
-           CAST(n_chars AS BIGINT) AS rep_n_chars,
-           CAST(nm AS BIGINT) AS n_members
-    FROM r WHERE rn = 1
-    """,
-)
-def llm_cluster_best_rep(spark, sf_dir):
-    """Representative SELECTION for dedup clusters — production
-    dedup keeps the BEST member of each near-dup family, not the
-    arbitrary minimum id (the longest doc usually carries the most
-    content; Lee et al. and the CCNet pipeline both keep-longest):
-    per connected component, the (n_chars DESC, doc_id) leader,
-    with the member count for audit. One keep-first window over the
-    labelled docs; components come from the shared
-    operators/components.py machinery and the oracle wraps the
-    REGISTERED llm_dedup_cluster oracle, so labelling drift
-    hash-fails. Singleton docs are their own cluster and rep."""
-    labels = llm_dedup_cluster(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars")
-    j = labels.join(d, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id"))
-    wc = Window.partitionBy("cluster_id")
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .withColumn("nm", F.count(F.lit(1)).over(wc))
-        .where(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("rep_doc_id"),
-            F.col("n_chars").cast("bigint").alias("rep_n_chars"),
-            F.col("nm").cast("bigint").alias("n_members"),
-        )
-    )
-
-
-_SIL_D2 = (
-    "list_aggregate(list_transform(range(1, len(e.embedding)+1),"
-    " i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
-    " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), 'sum')"
-)
-
-
-@query(
-    "llm_label_silhouette",
-    oracle=f"""
-    WITH pm AS (
-      SELECT label, i AS pos,
-             {sql_dsum('CAST(embedding[i] AS DOUBLE)')} / count(*)
-                 AS cv
-      FROM embeddings, range(1, 65) AS t(i)
-      GROUP BY label, i),
-    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid
-             FROM pm GROUP BY label),
-    dist AS (
-      SELECT e.vec_id, e.label AS own, c.label AS clab,
-             sqrt({_SIL_D2}) AS d
-      FROM embeddings e, cent c),
-    per_vec AS (
-      SELECT vec_id, own,
-             max(CASE WHEN clab = own THEN d END) AS d_own,
-             min(CASE WHEN clab <> own THEN d END) AS d_other
-      FROM dist GROUP BY vec_id, own),
-    s AS (
-      SELECT own AS label,
-             (d_other - d_own) / greatest(d_own, d_other) AS sil
-      FROM per_vec)
-    SELECT label, count(*) AS n,
-           CAST(sum(CAST(FLOOR(sil * 1000000.0 + 0.5) / 1000000.0
-                         AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-               AS mean_silhouette,
-           min(sil) AS min_sil, max(sil) AS max_sil
-    FROM s GROUP BY label
-    """,
-)
-def llm_label_silhouette(spark, sf_dir):
-    """Silhouette score per label — the clustering-quality metric
-    (simplified/centroid form: distances to CLUSTER CENTROIDS, as
-    in scalable silhouette implementations, not all-pairs): s =
-    (b - a)/max(a, b) with a = distance to the own-label centroid
-    and b = the nearest other centroid. Positive means the label
-    structure is real; ≈0 means overlapping clouds — the number
-    that tells you whether label-blocked dedup (llm_neardup_
-    embedding) and IVF cells (llm_knn_ivf) can work on this
-    corpus. Centroids are the DEC-stabilized per-dim means
-    (llm_embedding_centroid's aggregate); distances are sequential
-    folds + sqrt (engine-exact, as every cosine query proves); the
-    per-label mean quantizes each s with the tie-deterministic
-    floor round. Scale: 5 centroids broadcast; one pass over the
-    vectors; the (vec, centroid) expansion is k×, not n²."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg((F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
-              / F.count(F.lit(1))).alias("cv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv")))
-             .alias("pc"))
-        .select(F.col("label").alias("clab"),
-                F.transform("pc", lambda s: s.cv).alias("centroid"))
-    )
-    diff2 = F.zip_with(
-        "embedding", "centroid",
-        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-    )
-    d = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
-    dist = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", F.col("label").alias("own"), "clab",
-                d.alias("d"))
-    )
-    per_vec = dist.groupBy("vec_id", "own").agg(
-        F.max(F.when(F.col("clab") == F.col("own"), F.col("d")))
-            .alias("d_own"),
-        F.min(F.when(F.col("clab") != F.col("own"), F.col("d")))
-            .alias("d_other"),
-    )
-    sil = (F.col("d_other") - F.col("d_own")) / F.greatest(
-        "d_own", "d_other")
-    s = per_vec.select(F.col("own").alias("label"), sil.alias("sil"))
-    sil_q = (F.floor(F.col("sil") * 1000000.0 + 0.5).cast("double")
-             / F.lit(1000000.0))
-    return s.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(sil_q.cast(DEC)).cast("double")
-         / F.count(F.lit(1))).alias("mean_silhouette"),
-        F.min("sil").alias("min_sil"),
-        F.max("sil").alias("max_sil"),
-    )
-
-
-# --------------------------------------------- weighted priority sample
-
-@query(
-    "llm_sample_weighted",
-    oracle="""
-    WITH k AS (
-      SELECT doc_id, lang, n_chars,
-             ((CAST(concat('0x',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS UBIGINT) + 0.5) / 4294967296.0) AS u
-      FROM documents)
-    SELECT doc_id, lang, n_chars,
-           FLOOR(u * 1000000.0 / CAST(n_chars AS DOUBLE) + 0.5)
-             / 1000000.0 AS key6
-    FROM k
-    ORDER BY u / CAST(n_chars AS DOUBLE), doc_id
-    LIMIT 50
-    """,
-)
-def llm_sample_weighted(spark, sf_dir):
-    """Deterministic weighted priority sample (data-mixing op): pick
-    the k=50 docs of a weight-biased race, weight = n_chars (longer
-    docs proportionally likelier), reproducible across engines,
-    machines, and partitionings — the property df.sample(weights)
-    cannot give. Each doc gets an EXACT uniform u = (first 4 md5
-    bytes + 0.5) / 2^32 (a dyadic rational: the +0.5 and the
-    power-of-two divide are exact in IEEE, so Spark and DuckDB hold
-    bit-identical doubles), races with key u/w, and the k smallest
-    keys win; pairwise P(i beats j) = w_i/(w_i+w_j). The classic
-    Efraimidis-Spirakis A-ES variant (key = u^(1/w)) is a one-line
-    swap when cross-engine bit-parity is not required — pow()'s
-    last-ulp is libm-specific, so the graded form stays rational.
-    Map-only scoring + TakeOrdered heap top-k: no shuffle, no
-    global sort, scan-bound at any corpus size. Displayed key6
-    quantizes via the floor-round (u/w is rational and CAN land on
-    a 6-dp midpoint — _util.dround6_div semantics)."""
-    d = load_table(spark, sf_dir, "documents")
-    u = (
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                16, 10).cast("long").cast("double") + F.lit(0.5))
-        / F.lit(4294967296.0)
-    )
-    w = F.col("n_chars").cast("double")
-    return (
-        d.select("doc_id", "lang", "n_chars", u.alias("u"))
-        .select(
-            "doc_id", "lang", "n_chars",
-            (F.floor(F.col("u") * F.lit(1000000.0)
-                     / F.col("n_chars").cast("double") + F.lit(0.5))
-             .cast("double") / F.lit(1000000.0)).alias("key6"),
-            (F.col("u") / F.col("n_chars").cast("double")).alias("_k"),
-        )
-        .orderBy("_k", "doc_id")
-        .limit(50)
-        .drop("_k")
-    )
-
-
-@query(
-    "llm_mix_quota",
-    oracle="""
-    WITH r AS (
-      SELECT doc_id, lang,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-             CASE lang WHEN 'en' THEN 80 ELSE 30 END AS target_n
-      FROM documents)
-    SELECT doc_id, lang, rn, target_n
-    FROM r WHERE rn <= target_n
-    """,
-)
-def llm_mix_quota(spark, sf_dir):
-    """Quota mixture sampling (the data-mixing op behind Pile/DoReMi
-    -style domain rebalancing): build a training mix that hits an
-    exact per-language composition — 80 en / 30 each otherwise —
-    regardless of the corpus's native skew, by ranking each
-    language's docs on a content-independent hash and cutting at
-    the quota. Differs from llm_sample_stratified (per-stratum RATE
-    predicate: scan-only but count varies with corpus size) in that
-    quotas are EXACT counts, which a rate cannot give; the price is
-    one window shuffle on the stratum key. A language with fewer
-    docs than quota contributes everything it has (the cut is a
-    <=). The hash ranking makes the mix reproducible and stable
-    under corpus growth everywhere EXCEPT at the quota boundary —
-    documented: a new doc hashing inside the top-k evicts exactly
-    the old rank-k doc, the minimal possible churn. At 100 TB
-    rank-then-cut per stratum is the two-phase TakeOrdered shape:
-    per-partition heaps of size quota, then a per-stratum merge —
-    no full sort materializes."""
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id")
-    target = F.when(F.col("lang") == "en", 80).otherwise(30)
-    return (
-        d.select("doc_id", "lang",
-                 F.row_number().over(w).alias("rn"),
-                 target.cast("long").alias("target_n"))
-        .where(F.col("rn") <= F.col("target_n"))
-    )
-
-
-@query(
-    "llm_winsorize",
-    oracle="""
-    WITH p AS (
-      SELECT doc_id, lang, n_chars,
-             quantile_cont(n_chars, 0.05)
-               OVER (PARTITION BY lang) AS p05,
-             quantile_cont(n_chars, 0.95)
-               OVER (PARTITION BY lang) AS p95
-      FROM documents)
-    SELECT doc_id, lang, n_chars,
-           round(p05, 6) AS p05,
-           round(p95, 6) AS p95,
-           round(least(greatest(CAST(n_chars AS DOUBLE), p05), p95), 6)
-             AS clipped,
-           (CAST(n_chars AS DOUBLE) < p05
-            OR CAST(n_chars AS DOUBLE) > p95) AS is_clipped
-    FROM p
-    """,
-)
-def llm_winsorize(spark, sf_dir):
-    """Per-stratum winsorization (the robust-preprocessing step that
-    keeps outlier documents from dominating length-weighted
-    training statistics): clip n_chars to each language's exact
-    [p05, p95] band, flagging what was clipped. The thresholds are
-    WINDOW percentiles over the stratum — one scan, one shuffle —
-    instead of an aggregate+join-back (two scans); percentile()'s
-    linear interpolation matches DuckDB's quantile_cont to 6 dp
-    exactly as agg_quantiles grades. Honesty note for 100 TB: exact
-    window percentiles buffer each stratum, so the scale path swaps
-    in approx_percentile thresholds computed once and broadcast —
-    identical clip logic, sketch-bounded state (same contract
-    agg_quantiles documents)."""
-    d = load_table(spark, sf_dir, "documents")
-    nc = F.col("n_chars").cast("double")
-    p05 = F.expr("percentile(n_chars, 0.05)"
-                 " OVER (PARTITION BY lang)")
-    p95 = F.expr("percentile(n_chars, 0.95)"
-                 " OVER (PARTITION BY lang)")
-    withp = d.select("doc_id", "lang", "n_chars",
-                     p05.alias("p05"), p95.alias("p95"))
-    return withp.select(
-        "doc_id", "lang", "n_chars",
-        F.round("p05", 6).alias("p05"),
-        F.round("p95", 6).alias("p95"),
-        F.round(F.least(F.greatest(nc, F.col("p05")), F.col("p95")), 6)
-        .alias("clipped"),
-        ((nc < F.col("p05")) | (nc > F.col("p95"))).alias("is_clipped"),
-    )

@@ -198,7 +198,7 @@ def join_stream_scd(spark, sf_dir):
     evaluates map-side with no stream-side shuffle; intervals
     partition each user's timeline (pytest-proven contiguous), so
     every purchase matches exactly one version on both engines."""
-    from ..queries.analytics import scd2_build
+    from ..queries.analytics_sql import scd2_build
 
     ev = _replayed(spark, sf_dir).where(
         F.col("event_type") == "purchase"

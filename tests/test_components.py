@@ -157,7 +157,7 @@ def test_countmin_sketch_guarantees(spark, sf_oracle):
     vocabulary the heavy hitters must come back exact."""
     from pyspark.sql import functions as F
 
-    from db_realtime_changefeed_spark.queries.llm import countmin_estimates
+    from db_realtime_changefeed_spark.queries.llm_pipeline import countmin_estimates
 
     est = countmin_estimates(spark, sf_oracle)
     assert est.where(F.col("cm_est") < F.col("true_count")).count() == 0
@@ -171,7 +171,7 @@ def test_kmeans_invariants(spark, sf_oracle):
     (decimal-stabilized centroid updates)."""
     from pyspark.sql import functions as F
 
-    from db_realtime_changefeed_spark.queries.llm import kmeans_embeddings
+    from db_realtime_changefeed_spark.queries.llm_pipeline import kmeans_embeddings
 
     a, cents, hist = kmeans_embeddings(spark, sf_oracle)
     n_vecs = a.count()

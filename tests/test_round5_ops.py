@@ -15,7 +15,7 @@ def test_pack_sequences_conserves_tokens(spark, sf_smoke):
     """Packing must conserve every token exactly once, and every bin
     except the last per shard must be filled to exactly 512."""
     from db_realtime_changefeed_spark.catalog import load_table
-    from db_realtime_changefeed_spark.queries.llm import _PACK_CAP
+    from db_realtime_changefeed_spark.queries.llm_pipeline import _PACK_CAP
 
     bins = QUERIES["llm_pack_sequences"](spark, sf_smoke).cache()
     docs = load_table(spark, sf_smoke, "documents")

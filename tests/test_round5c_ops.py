@@ -150,7 +150,7 @@ def test_layout_write_prunes_partitions(spark, sf_smoke):
     hold every ship month exactly once."""
     import os
 
-    from db_realtime_changefeed_spark.queries.analytics import _layout_dir
+    from db_realtime_changefeed_spark.queries.analytics_ext import _layout_dir
 
     df = QUERIES["layout_partitioned_write"](spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -400,7 +400,7 @@ def test_dsir_resample_rule(spark, sf_smoke):
     hash-Bernoulli rule."""
     import math
 
-    from db_realtime_changefeed_spark.queries.llm import llm_dsir_weights
+    from db_realtime_changefeed_spark.queries.llm_pipeline import llm_dsir_weights
 
     kept = {r.doc_id for r in
             QUERIES["llm_dsir_resample"](spark, sf_smoke).collect()}
