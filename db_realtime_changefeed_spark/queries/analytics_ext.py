@@ -1890,3 +1890,292 @@ def agg_weighted_median(spark, sf_dir):
         F.min(F.when(2 * F.col("cumw") >= F.col("w"),
                      F.col("price"))).alias("wmedian_price"),
     )
+
+
+# ------------------------------------------------ round-6 additions
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    walk AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.v AS node, w.label
+      FROM walk w JOIN edges e ON e.u = w.node)
+    SELECT node, min(label) AS component FROM walk GROUP BY node
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components by HASH-MIN label propagation over the
+    co-purchase graph (the dedup-cluster primitive at graph scale —
+    llm_semantic_dedup_cluster's transitive closure is this same
+    algorithm on LSH candidate edges): every node starts labelled
+    with itself; each round a node adopts the minimum label among
+    itself and its neighbours; at fixpoint the label is the
+    component's minimum node id. Each round is ONE shuffle (edges
+    join labels on the source endpoint, groupBy the destination
+    takes the min) — the Pregel message pattern expressed as
+    DataFrame ops; rounds = graph diameter (co-purchase graphs are
+    shallow: hubs collapse distances). Labels persist per round and
+    unpersist after the next round materializes; the driver holds
+    ONE boolean per round (did any label shrink — an aggregate, not
+    rows). The DuckDB oracle reconstructs components via a recursive
+    reachability CTE and takes min(reachable label) — a different
+    algorithm agreeing on the same fixpoint, which is the strongest
+    cross-check the differential harness can express. At 100 TB,
+    hash-min converges in O(diameter) shuffles; the alternating
+    large-star/small-star variant (Kiveris et al.) halves rounds on
+    skewed graphs — same plan shape, noted not needed at this
+    diameter."""
+    from pyspark import StorageLevel
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = (
+        pairs.select("u", "v")
+        .unionAll(pairs.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # one aggregated boolean crosses the driver per round
+        shrank = (
+            labels.alias("o").join(new_labels.alias("n"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not shrank:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1),
+    holes AS (
+      SELECT d,
+             CASE WHEN day(d) % 7 = 2 THEN NULL ELSE v END AS v,
+             v AS v_true
+      FROM daily),
+    anch AS (
+      SELECT d, v, v_true,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS v_prev,
+             last_value(CASE WHEN v IS NOT NULL THEN d END
+                        IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS d_prev,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS v_next,
+             first_value(CASE WHEN v IS NOT NULL THEN d END
+                         IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS d_next
+      FROM holes)
+    SELECT strftime(d, '%Y-%m-%d') AS day, v_true,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v_prev IS NULL THEN v_next
+             WHEN v_next IS NULL THEN v_prev
+             ELSE v_prev + (v_next - v_prev)
+                  * (CAST(date_diff('day', d_prev, d) AS DOUBLE)
+                     / CAST(date_diff('day', d_prev, d_next) AS DOUBLE))
+           END AS v_filled,
+           (v IS NULL) AS was_missing
+    FROM anch
+    """,
+)
+def ts_interpolate(spark, sf_dir):
+    """Linear interpolation of gaps in a daily series — the
+    time-series repair step between gapfill (which inserts the
+    missing ROWS) and modeling (which needs values on every row):
+    a deterministic hole pattern (day-of-month % 7 == 2 — engine-
+    neutral, unlike dayofweek whose Sunday index differs between
+    Spark and DuckDB) is repaired by anchoring each hole
+    to its nearest non-null neighbours on both sides (IGNORE NULLS
+    frame navigation, ONE sort within the window — no self-join
+    per hole) and lerping by calendar distance. Interior math is
+    pure IEEE doubles of exact decimal day-sums and integer day
+    distances written identically in both engines, so the hash
+    matches without quantization. Edge holes degrade to the only
+    available anchor. At 100 TB the window is per-series
+    (partitionBy the series key at real scale — the fixture has
+    one series, the degenerate single-partition case the WARN
+    flags and docs/SCALE.md covers)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        dsum(F.col("value")).alias("v_true"))
+    holes = daily.select(
+        "d", "v_true",
+        F.when(F.dayofmonth("d") % 7 == 2, F.lit(None).cast("double"))
+        .otherwise(F.col("v_true")).alias("v"),
+    )
+    w_prev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("d").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    d_if = F.when(F.col("v").isNotNull(), F.col("d"))
+    anch = holes.select(
+        "d", "v", "v_true",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(d_if, ignorenulls=True).over(w_prev).alias("d_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(d_if, ignorenulls=True).over(w_next).alias("d_next"),
+    )
+    frac = (F.datediff(F.col("d"), F.col("d_prev")).cast("double")
+            / F.datediff(F.col("d_next"), F.col("d_prev"))
+            .cast("double"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .otherwise(F.col("v_prev")
+                   + (F.col("v_next") - F.col("v_prev")) * frac)
+    )
+    return anch.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "v_true",
+        filled.alias("v_filled"),
+        F.col("v").isNull().alias("was_missing"),
+    )
+
+
+@query(
+    "ts_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT d, v,
+             CAST(sum(CAST(v AS DECIMAL(18,6))) OVER
+               (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS equity
+      FROM daily),
+    peaks AS (
+      SELECT d, v, equity,
+             max(equity) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS peak
+      FROM cum)
+    SELECT strftime(d, '%Y-%m-%d') AS day, equity, peak,
+           FLOOR((peak - equity) / peak * 1000000.0 + 0.5)
+             / 1000000.0 AS drawdown6
+    FROM peaks
+    """,
+)
+def ts_drawdown(spark, sf_dir):
+    """Running-peak drawdown of the cumulative daily series — the
+    underwater curve (max drawdown, time-under-water) every
+    risk/monitoring stack computes, and the canonical prefix-max
+    window shape: cumulative sum in exact DECIMAL (floating prefix
+    sums would drift between engines after hundreds of adds), a
+    running max over it, and one relative-loss division per row,
+    floor-quantized to 6 dp (the rational-midpoint class). TWO
+    stacked unbounded-preceding windows over one sort — Catalyst
+    fuses both into a single WindowExec, no second exchange
+    (single-series fixture; partitionBy the instrument key at real
+    scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        dsum(F.col("value")).alias("v"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "d", "v",
+        F.sum(F.col("v").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("equity"),
+    )
+    peaks = cum.select(
+        "d", "equity",
+        F.max("equity").over(w).alias("peak"),
+    )
+    dd6 = (F.floor((F.col("peak") - F.col("equity")) / F.col("peak")
+                   * F.lit(1000000.0) + F.lit(0.5))
+           .cast("double") / F.lit(1000000.0))
+    return peaks.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "equity", "peak", dd6.alias("drawdown6"),
+    )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             max(ts) AS last_seen,
+             count(*) AS n_events
+      FROM events GROUP BY event_type),
+    g AS (SELECT max(ts) AS global_max FROM events)
+    SELECT event_type, last_seen, n_events,
+           epoch_us(g.global_max) - epoch_us(last_seen) AS lag_us,
+           (epoch_us(g.global_max) - epoch_us(last_seen)
+              > 3600000000) AS is_stale
+    FROM per, g
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Per-source freshness monitor — the first data-quality page a
+    pipeline on-call opens (is any feed lagging the high-water
+    mark?): per event_type last-seen timestamp and its lag behind
+    the global maximum, flagged stale past a 1-hour SLO. Lags are
+    exact microsecond integers (unix_micros / epoch_us — the proven
+    cross-engine pair), never floats. ONE scan serves both the
+    per-type aggregates and the global max (the global high-water
+    mark re-aggregates the 5-row per-type table rather than
+    rescanning the fact); the broadcast of the one-row global is
+    free. At 100 TB this is the aggregate-of-aggregate shape:
+    per-partition maxes combine map-side, the monitor table stays
+    |sources| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = per.agg(F.max("last_seen").alias("global_max"))
+    lag = (F.unix_micros(F.col("global_max"))
+           - F.unix_micros(F.col("last_seen")))
+    return per.join(F.broadcast(g)).select(
+        "event_type", "last_seen", "n_events",
+        lag.alias("lag_us"),
+        (lag > 3600000000).alias("is_stale"),
+    )

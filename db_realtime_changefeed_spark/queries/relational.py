@@ -816,3 +816,85 @@ def join_asof_nearest(spark, sf_dir):
         F.when(pick_b, F.col("b_val")).otherwise(F.col("f_val"))
         .alias("click_value"),
     )
+
+
+@query(
+    "join_bloom_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_filter(spark, sf_dir):
+    """RUNTIME BLOOM-FILTER join pruning (Catalyst's
+    InjectRuntimeFilter): a selective dimension predicate
+    (o_totalprice > 400000) builds a bloom filter over the
+    surviving join keys, and the FACT side's scan probes it with
+    might_contain BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling 600 M lineitem rows and shuffling
+    only the ~2% whose orders survive; it is the runtime
+    (data-dependent) sibling of join_dpp's partition-level pruning.
+    Spark only injects the filter into SHUFFLE joins above size
+    thresholds tuned for clusters, so the demonstration pins the
+    confs to cluster-shaped values (broadcast off, application-side
+    threshold 0) for the duration of the run, EXECUTES the plan to
+    a scratch parquet inside that window (optimization is lazy — a
+    conf restored before collect would silently drop the filter),
+    asserts might_contain actually appears in the optimized plan
+    (loud failure if the feature regresses), and restores every
+    conf. The graded read-back is the aggregate over the pruned
+    join, identical to the unpruned SQL — bloom false positives
+    cost only wasted probe rows, never wrong results, because the
+    exact join condition still applies after the filter."""
+    import os
+
+    from ..tmputil import scratch_dir
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = _t(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey", "o_orderpriority")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_extendedprice").cast(DEC))
+                .cast("double").alias("revenue"),
+            )
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected — plan: "
+                + plan[:500])
+        out = scratch_dir(prefix="dbrcf-bloomjoin-")
+        j.write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(os.path.join(out))

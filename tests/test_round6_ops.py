@@ -100,3 +100,155 @@ def test_tail_reader_split_skips_partial_head(sf_smoke):
     ]
     assert sorted(ids) == sorted(expected)
     assert len(ids) == len(set(ids))
+
+
+def test_connected_components_match_bfs(spark, sf_smoke):
+    """Component ids must agree with a driver-side BFS ground truth
+    on the smoke graph: same partition of nodes, and each component
+    labelled by its minimum node id."""
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    expected: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in expected:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        root = min(comp)
+        for n in comp:
+            expected[n] = root
+    got = {
+        r.node: r.component
+        for r in QUERIES["graph_connected_components"](
+            spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_interpolate_bounded_by_anchors(spark, sf_smoke):
+    """Non-missing days pass through untouched; interpolated days lie
+    within the closed interval of their two anchors (linearity)."""
+    rows = sorted(
+        QUERIES["ts_interpolate"](spark, sf_smoke).collect(),
+        key=lambda r: r.day,
+    )
+    series = [(r.day, r.v_true, r.v_filled, r.was_missing)
+              for r in rows]
+    for i, (_, v_true, v_filled, missing) in enumerate(series):
+        if not missing:
+            assert v_filled == v_true
+        else:
+            prevs = [v for _, v, _, m in series[:i] if not m]
+            nexts = [v for _, v, _, m in series[i + 1:] if not m]
+            anchors = ([prevs[-1]] if prevs else []) + \
+                      ([nexts[0]] if nexts else [])
+            assert anchors
+            assert min(anchors) - 1e-9 <= v_filled <= max(anchors) + 1e-9
+
+
+def test_drawdown_invariants(spark, sf_smoke):
+    """Peak is the running max of equity; drawdown in [0, 1); equity
+    never above its peak; first day's drawdown is zero."""
+    rows = sorted(
+        QUERIES["ts_drawdown"](spark, sf_smoke).collect(),
+        key=lambda r: r.day,
+    )
+    run_peak = float("-inf")
+    for r in rows:
+        run_peak = max(run_peak, r.equity)
+        assert abs(r.peak - run_peak) < 1e-9
+        assert r.equity <= r.peak + 1e-9
+        assert 0.0 <= r.drawdown6 < 1.0
+    assert rows[0].drawdown6 == 0.0
+
+
+def test_freshness_high_water_mark(spark, sf_smoke):
+    """Exactly the freshest source has zero lag; every lag is
+    non-negative; stale flag matches the 1-hour SLO cut."""
+    rows = QUERIES["dq_freshness"](spark, sf_smoke).collect()
+    lags = sorted(r.lag_us for r in rows)
+    assert lags[0] == 0
+    assert all(lag >= 0 for lag in lags)
+    for r in rows:
+        assert r.is_stale == (r.lag_us > 3600000000)
+
+
+def test_cursor_resume_reassembles_log_and_drains(spark, sf_smoke):
+    """The resumed consumption equals the full delta log row for
+    row, and a drained cursor polls empty (client exactly-once)."""
+    from db_realtime_changefeed_spark.api import Cursor
+    from db_realtime_changefeed_spark.streaming.queries import (
+        _changefeed,
+    )
+
+    got = QUERIES["changefeed_cursor_resume"](spark, sf_smoke)
+    runner = _changefeed(spark, sf_smoke)
+    full = runner.log()
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    c = Cursor(runner)
+    c.poll()
+    assert c.poll() == []  # drained: nothing re-delivered
+
+
+def test_idempotent_sink_equals_state(spark, sf_smoke):
+    """The idempotent sink's merged totals equal the changefeed's
+    materialized state (same replay, same aggregate)."""
+    got = {
+        r.event_type: (r.cnt, round(r.sum_value, 6))
+        for r in QUERIES["sink_idempotent_merge"](
+            spark, sf_smoke).collect()
+    }
+    want = {
+        r.event_type: (r.cnt, round(float(r.sum_value), 6))
+        for r in QUERIES["changefeed_core"](spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_bloom_join_matches_plain_join_and_restores_confs(
+        spark, sf_smoke):
+    """Bloom pruning must not change results (false positives are
+    re-checked by the exact join), and the conf window must close:
+    broadcast threshold is restored after the run."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    got = {
+        r.o_orderpriority: (r.n_rows, round(r.revenue, 2))
+        for r in QUERIES["join_bloom_filter"](spark, sf_smoke).collect()
+    }
+    assert spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold") == before
+    o = load_table(spark, sf_smoke, "orders").where(
+        F.col("o_totalprice") > 400000)
+    li = load_table(spark, sf_smoke, "lineitem")
+    plain = {
+        r.o_orderpriority: (r.n, round(r.s, 2))
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("s"))
+        .collect()
+    }
+    assert got == plain
