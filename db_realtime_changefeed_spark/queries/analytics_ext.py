@@ -1911,7 +1911,8 @@ def agg_weighted_median(spark, sf_dir):
       SELECT node, node AS label FROM nodes
       UNION
       SELECT e.v AS node, w.label
-      FROM walk w JOIN edges e ON e.u = w.node)
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.label < e.v)
     SELECT node, min(label) AS component FROM walk GROUP BY node
     """,
 )
@@ -1932,7 +1933,10 @@ def graph_connected_components(spark, sf_dir):
     rows). The DuckDB oracle reconstructs components via a recursive
     reachability CTE and takes min(reachable label) — a different
     algorithm agreeing on the same fixpoint, which is the strongest
-    cross-check the differential harness can express. At 100 TB,
+    cross-check the differential harness can express (its
+    `w.label < e.v` prune is sound: the component minimum is smaller
+    than every other member, so it passes every hop and still
+    reaches all of them). At 100 TB,
     hash-min converges in O(diameter) shuffles; the alternating
     large-star/small-star variant (Kiveris et al.) halves rounds on
     skewed graphs — same plan shape, noted not needed at this
@@ -1957,6 +1961,8 @@ def graph_connected_components(spark, sf_dir):
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # change detection rides the SAME join that updates labels —
+        # one shuffle round-trip per iteration, not two
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -1965,15 +1971,13 @@ def graph_connected_components(spark, sf_dir):
                     F.col("label"),
                     F.coalesce("nbr_label", F.col("label")),
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label"))
+                 < F.col("label")).alias("changed"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # one aggregated boolean crosses the driver per round
-        shrank = (
-            labels.alias("o").join(new_labels.alias("n"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
-            .limit(1).count()
-        )
+        shrank = new_labels.where("changed").limit(1).count()
         labels.unpersist()
         labels = new_labels
         if not shrank:
