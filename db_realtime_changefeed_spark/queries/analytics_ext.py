@@ -2183,3 +2183,49 @@ def dq_freshness(spark, sf_dir):
         lag.alias("lag_us"),
         (lag > 3600000000).alias("is_stale"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT l_returnflag, l_quantity, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rk
+      FROM c)
+    SELECT l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS mode_qty,
+           n AS mode_n
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Exact MODE per group with a DETERMINISTIC tie-break — Spark 3.4
+    grew a mode() aggregate, but its tie behavior is arbitrary
+    (whichever value the hash map yields first), which a differential
+    harness cannot grade and a reproducible pipeline should not ship.
+    This is the canonical determinized form: count per (group, value)
+    — ONE hash aggregate with map-side combine, the count table is
+    |groups| x |distinct values| — then a row_number window ordered
+    (count DESC, value ASC) takes the winner. WindowGroupLimit pushes
+    the rk=1 cut into the shuffle (the win_topk_per_group machinery),
+    so the window never materializes full per-group rankings. At
+    100 TB the only full-data pass is the first aggregate; the window
+    runs on the tiny count table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("mode_qty"),
+            F.col("n").alias("mode_n"),
+        )
+    )

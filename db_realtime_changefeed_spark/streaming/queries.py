@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..queries import query
-from ..queries._util import DEC
+from ..queries._util import DEC, dsum
 from .changefeed import (
     ChangefeedRunner,
     MultiChangefeedRunner,
@@ -2388,4 +2388,78 @@ def sink_idempotent_merge(spark, sf_dir):
     ).select(
         "event_type", "cnt",
         F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_quarantine",
+    oracle="""
+    SELECT CASE WHEN value IS NULL OR value < 0 OR value > 190
+                THEN 'quarantine' ELSE 'main' END AS sink,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_quarantine(spark, sf_dir):
+    """DEAD-LETTER ROUTING on a stream — the quarantine pattern every
+    production ingest runs (source_csv_permissive's streaming twin):
+    each micro-batch splits on a validity predicate, good rows append
+    to the MAIN parquet sink and violations to the QUARANTINE sink
+    with the batch id that caught them — the pipeline keeps flowing
+    while bad records await triage instead of poisoning the feed or
+    being dropped silently. One foreachBatch pass writes both sinks
+    (the batch DataFrame is tiny per trigger; at 100 TB you'd persist
+    it per batch before the two-sink fan-out, exactly the
+    stage-then-fan-out shape stream_scd2_maintain uses). Graded on
+    the union of both sinks tagged by route: every input row lands in
+    EXACTLY one sink — a row lost in the split or double-routed
+    fails the hash."""
+    import os
+
+    from .replay import build_replay_chunks, read_events_stream
+
+    chunks = build_replay_chunks(spark, sf_dir)
+    main_dir = scratch_dir(prefix="dbrcf-dlq-main-")
+    quar_dir = scratch_dir(prefix="dbrcf-dlq-quar-")
+    # the upper cut sits inside the fixture's value range so the
+    # quarantine path is genuinely exercised (about 2% of rows)
+    bad = (F.col("value").isNull() | (F.col("value") < 0)
+           | (F.col("value") > 190))
+
+    def route(batch_df, batch_id):
+        rows = batch_df.select(
+            "event_id", "event_type", "value",
+            F.lit(batch_id).alias("batch_id"),
+        )
+        rows.where(~bad).write.mode("append").parquet(main_dir)
+        rows.where(bad).write.mode("append").parquet(quar_dir)
+
+    q = (
+        read_events_stream(spark, chunks)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation",
+                scratch_dir(prefix="dbrcf-dlq-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ddl = ("event_id long, event_type string, value double,"
+           " batch_id long")
+
+    def _read(d, tag):
+        df = (
+            spark.read.schema(ddl).parquet(d)
+            if os.listdir(d) else spark.createDataFrame([], ddl)
+        )
+        return df.select(F.lit(tag).alias("sink"), "event_type",
+                         "value")
+    return (
+        _read(main_dir, "main")
+        .unionByName(_read(quar_dir, "quarantine"))
+        .groupBy("sink", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(F.col("value")).alias("sum_value"))
     )

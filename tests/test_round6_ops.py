@@ -252,3 +252,33 @@ def test_bloom_join_matches_plain_join_and_restores_confs(
         .collect()
     }
     assert got == plain
+
+
+def test_quarantine_partition_of_input(spark, sf_smoke):
+    """Every event lands in exactly one sink; the quarantine holds
+    precisely the predicate violations."""
+    rows = QUERIES["stream_quarantine"](spark, sf_smoke).collect()
+    ev = load_table(spark, sf_smoke, "events")
+    assert sum(r.n for r in rows) == ev.count()
+    n_bad = ev.where(
+        F.col("value").isNull() | (F.col("value") < 0)
+        | (F.col("value") > 190)
+    ).count()
+    assert sum(r.n for r in rows if r.sink == "quarantine") == n_bad
+    assert n_bad > 0  # the fixture genuinely exercises the DLQ path
+
+
+def test_mode_matches_pandas(spark, sf_smoke):
+    """The determinized mode equals a pandas value_counts ground
+    truth with the same (count desc, value asc) tie-break."""
+    got = {r.l_returnflag: (r.mode_qty, r.mode_n)
+           for r in QUERIES["agg_mode"](spark, sf_smoke).collect()}
+    pdf = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        counts = g.groupby("l_quantity").size()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[flag] == (float(best[0]), best[1])
