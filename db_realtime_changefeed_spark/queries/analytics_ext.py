@@ -2229,3 +2229,156 @@ def agg_mode(spark, sf_dir):
             F.col("n").alias("mode_n"),
         )
     )
+
+
+_COMPACT_SMALL = 64
+_COMPACT_TARGET = 4
+
+
+@query(
+    "layout_compaction",
+    oracle=f"""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+      FROM events)
+    SELECT 'small' AS phase, {_COMPACT_SMALL} AS n_files,
+           n_rows, sum_value FROM agg
+    UNION ALL
+    SELECT 'compacted', {_COMPACT_TARGET}, n_rows, sum_value FROM agg
+    """,
+)
+def layout_compaction(spark, sf_dir):
+    """SMALL-FILE COMPACTION — the maintenance job every streaming
+    lake needs (the partitioned streaming sink's docstring names the
+    problem: files multiply by tasks x partitions x batches; a
+    100 TB table of 4 MB files destroys scan throughput via open/
+    footer overhead and makes NameNode/listing the bottleneck). The
+    run materializes the pathological layout (64 shards), compacts
+    by rewriting through repartition({_COMPACT_TARGET}) — at real
+    scale the target count comes from bytes/target_file_size and
+    the rewrite goes partition-by-partition so compaction never
+    holds the whole table — and grades BOTH layouts' file counts
+    and full-table checksums: compaction must change file topology
+    and nothing else. The shard constants are shared verbatim with
+    the oracle SQL (the minhash-constant pattern)."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value")
+    small = scratch_dir(prefix="dbrcf-compact-small-")
+    packed = scratch_dir(prefix="dbrcf-compact-packed-")
+    ev.repartition(_COMPACT_SMALL).write.mode("overwrite").parquet(
+        small)
+    (
+        spark.read.parquet(small)
+        .repartition(_COMPACT_TARGET)
+        .write.mode("overwrite").parquet(packed)
+    )
+
+    def profile(d, phase):
+        n_files = sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return (
+            spark.read.parquet(d)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 dsum(F.col("value")).alias("sum_value"))
+            .select(F.lit(phase).alias("phase"),
+                    F.lit(n_files).alias("n_files"),
+                    "n_rows", "sum_value")
+        )
+    return profile(small, "small").unionByName(
+        profile(packed, "compacted"))
+
+
+_GEO_HLAT = "(CAST((n_nationkey * 61) % 160 AS DOUBLE) - 80.0 + 0.5)"
+_GEO_HLON = "(CAST((n_nationkey * 131) % 360 AS DOUBLE) - 180.0 + 0.5)"
+_GEO_RADIUS_KM = 1500.0
+
+
+@query(
+    "geo_join_radius",
+    oracle=f"""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             {_GEO_LAT} AS lat, {_GEO_LON} AS lon
+      FROM events),
+    hubs AS (
+      SELECT n_nationkey AS hub_id,
+             {_GEO_HLAT} AS hlat, {_GEO_HLON} AS hlon
+      FROM nation),
+    d AS (
+      SELECT user_id, hub_id,
+             {_sql_haversine('lat', 'lon', 'hlat', 'hlon')} AS dist_km
+      FROM pts, hubs)
+    SELECT user_id, hub_id, round(dist_km, 6) AS dist_km
+    FROM d WHERE dist_km <= {_GEO_RADIUS_KM}
+    """,
+)
+def geo_join_radius(spark, sf_dir):
+    """GRID-BUCKETED RADIUS JOIN — geo_nearest's docstring names the
+    scale path ("a geohash/S2 cell grid turns the all-points scan
+    into a ring search"); this operator IS that path, graded against
+    the brute-force cross-join oracle so the pruning is PROVEN
+    lossless: every (user, hub) pair within R km. Users land in one
+    grid cell (cell height R/111 deg latitude; width widened by
+    1/cos(80 deg) — the worst meridian convergence the fixture's
+    |lat| < 80 allows — so adjacency never under-reaches); hubs
+    EXPLODE to their 3x3 neighbor cells plus ANTIMERIDIAN GHOSTS
+    (lon +/- 360 replicas near the seam — haversine is periodic in
+    longitude, so ghost distances are exact); candidates meet on a
+    cell equi-join and the exact haversine keeps only true hits.
+    At 100 TB the candidate volume is |pairs within ~3 cells|, not
+    |users| x |hubs| — the same bucket-then-verify shape as
+    llm_knn_lsh, with geometry supplying the correctness proof the
+    test asserts against brute force."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    nat = load_table(spark, sf_dir, "nation")
+    pts = ev.selectExpr(
+        "user_id", f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon"
+    ).distinct()
+    hubs = nat.selectExpr(
+        "n_nationkey AS hub_id",
+        f"{_GEO_HLAT} AS hlat", f"{_GEO_HLON} AS hlon",
+    )
+    cell_lat = _GEO_RADIUS_KM / 111.0
+    cell_lon = cell_lat / math.cos(math.radians(80.0))
+    p = pts.select(
+        "user_id", "lat", "lon",
+        F.floor(F.col("lat") / cell_lat).alias("clat"),
+        F.floor(F.col("lon") / cell_lon).alias("clon"),
+    )
+    # ghost replicas so pairs straddling the +/-180 seam share cells
+    h = hubs.select(
+        "hub_id", "hlat",
+        F.explode(F.array(
+            F.col("hlon"),
+            F.col("hlon") + 360.0,
+            F.col("hlon") - 360.0,
+        )).alias("hlon"),
+    ).where((F.col("hlon") > -180.0 - 2 * cell_lon)
+            & (F.col("hlon") < 180.0 + 2 * cell_lon))
+    h = h.select(
+        "hub_id", "hlat", "hlon",
+        F.explode(F.sequence(
+            F.floor(F.col("hlat") / cell_lat) - 1,
+            F.floor(F.col("hlat") / cell_lat) + 1,
+        )).alias("clat"),
+    ).select(
+        "hub_id", "hlat", "hlon", "clat",
+        F.explode(F.sequence(
+            F.floor(F.col("hlon") / cell_lon) - 1,
+            F.floor(F.col("hlon") / cell_lon) + 1,
+        )).alias("clon"),
+    )
+    cand = p.join(h, ["clat", "clon"])
+    dist = F.expr(_sql_haversine("lat", "lon", "hlat", "hlon"))
+    return (
+        cand.select("user_id", "hub_id",
+                    F.round(dist, 6).alias("dist_km"))
+        .where(F.col("dist_km") <= _GEO_RADIUS_KM)
+        .distinct()
+    )

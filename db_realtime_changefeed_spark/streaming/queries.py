@@ -2463,3 +2463,53 @@ def stream_quarantine(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              dsum(F.col("value")).alias("sum_value"))
     )
+
+
+@query(
+    "changefeed_bootstrap",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def changefeed_bootstrap(spark, sf_dir):
+    """BOOTSTRAP-THEN-TAIL — the contract every new CDC consumer
+    relies on (Kafka compacted topic + tail, Debezium snapshot +
+    binlog, CockroachDB initial_scan + resolved deltas): start from
+    a MATERIALIZED SNAPSHOT of the feed at batch k (state_at — the
+    MVCC version a bootstrap reads without blocking writers), then
+    apply only the delta-log tail PAST k; the reconstruction must
+    equal the live state exactly — seam-free: a delta replayed
+    across the snapshot boundary double-counts, one dropped at it
+    goes missing, and either fails the hash against the batch
+    aggregate. Application is keep-latest-per-key over the tail
+    (WindowGroupLimit pushes the rn=1 cut into the shuffle) full-
+    outer-merged with the snapshot — keys silent after k keep their
+    snapshot row, keys born after k arrive with no snapshot row."""
+    from pyspark.sql import Window
+
+    runner = _changefeed(spark, sf_dir)
+    k = default_chunks() // 2
+    snap = runner.state_at(k).select(
+        "event_type",
+        F.col("cnt").alias("s_cnt"),
+        F.col("sum_value").alias("s_sum"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("batch_id").desc())
+    tail = (
+        runner.log().where(F.col("batch_id") > k)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type",
+                F.col("new_count").alias("t_cnt"),
+                F.col("new_sum").alias("t_sum"))
+    )
+    return snap.join(tail, "event_type", "full").select(
+        "event_type",
+        F.coalesce("t_cnt", "s_cnt").alias("cnt"),
+        F.coalesce("t_sum", "s_sum").alias("sum_value"),
+    )

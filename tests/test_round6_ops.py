@@ -282,3 +282,65 @@ def test_mode_matches_pandas(spark, sf_smoke):
         counts = g.groupby("l_quantity").size()
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got[flag] == (float(best[0]), best[1])
+
+
+def test_bootstrap_equals_live_state(spark, sf_smoke):
+    """Snapshot-at-k plus the delta tail reconstructs the live state
+    exactly (seam-free bootstrap)."""
+    got = sorted(
+        (r.event_type, r.cnt, round(r.sum_value, 6))
+        for r in QUERIES["changefeed_bootstrap"](
+            spark, sf_smoke).collect()
+    )
+    want = sorted(
+        (r.event_type, r.cnt, round(float(r.sum_value), 6))
+        for r in QUERIES["changefeed_core"](spark, sf_smoke).collect()
+    )
+    assert got == want
+
+
+def test_compaction_preserves_data_and_shrinks_files(spark, sf_smoke):
+    """Both phases hold identical row counts and checksums; the
+    compacted layout has the target file count."""
+    rows = {r.phase: r for r in
+            QUERIES["layout_compaction"](spark, sf_smoke).collect()}
+    assert rows["small"].n_files == 64
+    assert rows["compacted"].n_files == 4
+    assert rows["small"].n_rows == rows["compacted"].n_rows
+    assert float(rows["small"].sum_value) == \
+        float(rows["compacted"].sum_value)
+
+
+def test_grid_radius_join_matches_bruteforce(spark, sf_smoke):
+    """The grid-pruned candidate set must lose NO true pair: compare
+    against the exhaustive cross join at the same radius."""
+    from db_realtime_changefeed_spark.queries.analytics_ext import (
+        _GEO_HLAT,
+        _GEO_HLON,
+        _GEO_LAT,
+        _GEO_LON,
+        _GEO_RADIUS_KM,
+        _sql_haversine,
+    )
+
+    got = sorted(
+        (r.user_id, r.hub_id, r.dist_km)
+        for r in QUERIES["geo_join_radius"](spark, sf_smoke).collect()
+    )
+    ev = load_table(spark, sf_smoke, "events")
+    nat = load_table(spark, sf_smoke, "nation")
+    pts = ev.selectExpr(
+        "user_id", f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon"
+    ).distinct()
+    hubs = nat.selectExpr(
+        "n_nationkey AS hub_id",
+        f"{_GEO_HLAT} AS hlat", f"{_GEO_HLON} AS hlon")
+    brute = sorted(
+        (r.user_id, r.hub_id, r.dist_km)
+        for r in pts.crossJoin(hubs).selectExpr(
+            "user_id", "hub_id",
+            f"round({_sql_haversine('lat', 'lon', 'hlat', 'hlon')}, 6)"
+            " AS dist_km",
+        ).where(F.col("dist_km") <= _GEO_RADIUS_KM).collect()
+    )
+    assert got == brute and len(got) > 0
