@@ -1174,3 +1174,125 @@ def llm_dedup_cluster(spark, sf_dir):
     )
 
 
+
+
+def _doc_chunks(sf_dir: str, n_chunks: int) -> str:
+    """Documents split into doc_id-ordered chunk files with strictly
+    increasing mtimes (the file-stream replay order contract) — the
+    arriving-corpus fixture for streaming dedup. Idempotent per
+    (sf_dir, n_chunks); pyarrow slice-writes, one read."""
+    import math
+    import os
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+    from ..tmputil import scratch_dir
+
+    key = (os.path.abspath(sf_dir), n_chunks)
+    if key in _DOC_CHUNK_DIRS:
+        return _DOC_CHUNK_DIRS[key]
+    out = scratch_dir(prefix="dbrcf-docchunks-")
+    tbl = pq.read_table(table_path(sf_dir, "documents")).sort_by(
+        "doc_id")
+    per = math.ceil(tbl.num_rows / n_chunks)
+    now = time.time()
+    for i in range(n_chunks):
+        piece = tbl.slice(i * per, per)
+        p = os.path.join(out, f"chunk-{i:03d}.parquet")
+        pq.write_table(piece, p)
+        os.utime(p, (now + i, now + i))
+    _DOC_CHUNK_DIRS[key] = out
+    return out
+
+
+_DOC_CHUNK_DIRS: dict = {}
+
+_DEDUP_STREAM_CHUNKS = 4
+
+
+@query(
+    "llm_dedup_streaming",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM documents),
+    chunked AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+               AS text_hash,
+             CAST(floor(rn / ceil(n / {_DEDUP_STREAM_CHUNKS}.0))
+                  AS BIGINT) AS batch_id
+      FROM numbered),
+    k AS (SELECT text_hash, min(doc_id) AS keep_id
+          FROM chunked GROUP BY 1)
+    SELECT c.text_hash, k.keep_id, c.batch_id
+    FROM chunked c JOIN k ON c.doc_id = k.keep_id
+    """,
+)
+def llm_dedup_streaming(spark, sf_dir):
+    """STREAMING exact dedup — the admission gate a continuously-fed
+    training corpus runs (the streaming twin of llm_dedup_exact):
+    documents arrive in micro-batches; a doc is ACCEPTED iff its
+    normalized-text hash has never been seen — first within its own
+    batch (min doc_id per hash), then against the accumulated seen
+    store (left_anti join) — and the accept log records which batch
+    admitted it. Graded against the batch reconstruction: the accept
+    set must equal the global min-doc_id-per-hash keep set with each
+    keeper stamped by the deterministic chunk that contains it — an
+    admission leaked across the batch boundary (re-accepting a hash
+    seen two batches ago) or a batch-local dedup miss both fail the
+    hash. Only (16-byte hash, id) pairs ever shuffle or persist —
+    never text. The per-batch anti-join scans the whole seen store
+    here; at 100 TB the store becomes the hash-BUCKETED layout
+    (streaming/state_store.py) so a batch probes only its buckets'
+    paths, or dropDuplicates-with-state when end-to-end exactly-once
+    matters more than a readable store."""
+    import os
+
+    from ..streaming.replay import streaming_shuffle
+    from ..tmputil import scratch_dir
+
+    chunks = _doc_chunks(sf_dir, _DEDUP_STREAM_CHUNKS)
+    store = scratch_dir(prefix="dbrcf-dedupstream-")
+    store_ddl = "text_hash string, keep_id long, batch_id long"
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+
+    def admit(batch_df, batch_id):
+        firsts = (
+            batch_df.select(F.col("doc_id"), h.alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keep_id"))
+        )
+        seen = (
+            spark.read.schema(store_ddl).parquet(store)
+            .select("text_hash")
+            if os.listdir(store) else None
+        )
+        fresh = (
+            firsts.join(seen, "text_hash", "left_anti")
+            if seen is not None else firsts
+        )
+        fresh.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(store)
+
+    with streaming_shuffle(spark):
+        q = (
+            spark.readStream
+            .schema("doc_id long, text string, lang string,"
+                    " source string, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+            .writeStream.foreachBatch(admit)
+            .option("checkpointLocation",
+                    scratch_dir(prefix="dbrcf-dedupstream-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(store_ddl).parquet(store)

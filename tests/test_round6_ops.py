@@ -344,3 +344,17 @@ def test_grid_radius_join_matches_bruteforce(spark, sf_smoke):
         ).where(F.col("dist_km") <= _GEO_RADIUS_KM).collect()
     )
     assert got == brute and len(got) > 0
+
+
+def test_streaming_dedup_equals_batch_keep_set(spark, sf_smoke):
+    """The streaming admission gate accepts exactly the batch dedup's
+    keep set (min doc_id per normalized hash), each keeper stamped
+    with a valid batch id, one accept per hash."""
+    got = QUERIES["llm_dedup_streaming"](spark, sf_smoke).collect()
+    want = {
+        (r.text_hash, r.keep_id)
+        for r in QUERIES["llm_dedup_exact"](spark, sf_smoke).collect()
+    }
+    assert {(r.text_hash, r.keep_id) for r in got} == want
+    assert len(got) == len({r.text_hash for r in got})
+    assert all(0 <= r.batch_id < 4 for r in got)
