@@ -36,6 +36,7 @@ from .replay import (
     fresh_sink_name,
     read_events_stream,
     run_available_now,
+    streaming_shuffle,
 )
 
 
@@ -2513,3 +2514,52 @@ def changefeed_bootstrap(spark, sf_dir):
         F.coalesce("t_cnt", "s_cnt").alias("cnt"),
         F.coalesce("t_sum", "s_sum").alias("sum_value"),
     )
+
+
+@query(
+    "stream_progress_audit",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events),
+    chunked AS (
+      SELECT CAST(floor(rn / ceil(n / {default_chunks()}.0)) AS BIGINT)
+               AS batch_id
+      FROM numbered)
+    SELECT batch_id, count(*) AS input_rows
+    FROM chunked GROUP BY batch_id
+    """,
+)
+def stream_progress_audit(spark, sf_dir):
+    """PROGRESS OBSERVABILITY — the StreamingQueryProgress feed every
+    streaming operator's on-call dashboard is built from (rows per
+    trigger, batch ids): run the replay to completion, then read the
+    query's recentProgress history back and grade the per-batch
+    numInputRows against the deterministic chunk reconstruction —
+    proving the engine's own telemetry agrees with ground truth (a
+    batch silently split, coalesced, or double-counted by the
+    progress reporter would diverge). Progress objects are
+    driver-side BY DESIGN in Spark (a bounded ring buffer of
+    per-trigger JSON, default 100 entries) — O(batches), never
+    O(rows)."""
+    from .replay import build_replay_chunks, read_events_stream
+
+    chunks = build_replay_chunks(spark, sf_dir)
+    with streaming_shuffle(spark):
+        q = (
+            read_events_stream(spark, chunks)
+            .writeStream.format("noop")
+            .option("checkpointLocation",
+                    scratch_dir(prefix="dbrcf-progress-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = [
+        (int(pr.batchId), int(pr.numInputRows))
+        for pr in q.recentProgress
+        if int(pr.numInputRows) > 0
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, input_rows long")

@@ -358,3 +358,15 @@ def test_streaming_dedup_equals_batch_keep_set(spark, sf_smoke):
     assert {(r.text_hash, r.keep_id) for r in got} == want
     assert len(got) == len({r.text_hash for r in got})
     assert all(0 <= r.batch_id < 4 for r in got)
+
+
+def test_progress_audit_covers_all_rows(spark, sf_smoke):
+    """The progress telemetry accounts for every input row across
+    consecutive batch ids starting at 0."""
+    rows = sorted(
+        QUERIES["stream_progress_audit"](spark, sf_smoke).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert [r.batch_id for r in rows] == list(range(len(rows)))
+    total = load_table(spark, sf_smoke, "events").count()
+    assert sum(r.input_rows for r in rows) == total
