@@ -1982,6 +1982,10 @@ def graph_connected_components(spark, sf_dir):
         labels = new_labels
         if not shrank:
             break
+    # final labels are materialized (the last shrink count ran on
+    # them, MEMORY_AND_DISK never silently evicts to nothing), so the
+    # edge cache can be released for repeat gradings in one session
+    edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
