@@ -1,0 +1,230 @@
+"""Graded queries for the incrementally-maintained standing views.
+
+Every oracle reconstructs, in pure SQL, the state the incremental
+engine must reach after EACH micro-batch: the replay chunking is a
+deterministic function of (row count, chunk count) — events ordered
+by event_id, split into equal slices — so "state after batch b" is
+"the keep-latest-visible view over chunks <= b", and the whole
+trajectory (not just the final state) is hash-graded.  A view that
+drifts by one retraction in any batch breaks the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .replay import default_chunks
+from .views import MaintainedViewsRunner
+
+_NB = default_chunks()
+
+#: Shared oracle scaffold: `vis` = (batch_id, user_id, value,
+#: event_type, event_id) — the visible keep-latest row per user at
+#: each batch-prefix, with 'error' acting as the CDC DELETE type
+#: (the same convention as changefeed_delete).
+_VIS_CTE = f"""
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(floor(rn / ceil(n / {_NB}.0)) AS BIGINT) AS chunk
+      FROM numbered
+    ), batches AS (
+      SELECT DISTINCT chunk AS batch_id FROM chunked
+    ), latest AS (
+      SELECT b.batch_id, c.user_id, c.ts, c.event_id, c.value,
+             c.event_type,
+             row_number() OVER (PARTITION BY b.batch_id, c.user_id
+                                ORDER BY c.ts DESC, c.event_id DESC)
+               AS rrn
+      FROM batches b JOIN chunked c ON c.chunk <= b.batch_id
+    ), vis AS (
+      SELECT batch_id, user_id, value, event_type, event_id
+      FROM latest WHERE rrn = 1 AND event_type <> 'error'
+    )
+"""
+
+_CACHE: dict = {}
+
+
+def _runner(spark, sf_dir) -> MaintainedViewsRunner:
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        r = MaintainedViewsRunner(spark, sf_dir)
+        r.run()
+        _CACHE[key] = r
+    return _CACHE[key]
+
+
+@query(
+    "changefeed_agg_view",
+    oracle=_VIS_CTE + """
+    SELECT batch_id, event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM vis GROUP BY batch_id, event_type
+    """,
+)
+def changefeed_agg_view(spark, sf_dir):
+    """Incremental view maintenance with retractions (the
+    materialized-view half of a changefeed engine): a grouped
+    count/sum view over the LWW base table, updated per micro-batch
+    from the {old,new} delta stream ALONE — an update that moves a
+    user between event_types retracts from the old group and applies
+    to the new; a delete retracts only.  Graded output is the FULL
+    per-batch trajectory (every committed view version), so a single
+    missed retraction in any batch breaks the hash.  Per batch only
+    the groups present in the delta are rewritten (touched-bucket
+    commit in streaming/views.py) — at 100 TB the per-batch view
+    write is O(|delta groups|), never O(|view|), and the base table
+    is never re-scanned."""
+    r = _runner(spark, sf_dir)
+    return r.agg_trajectory()
+
+
+@query(
+    "changefeed_minmax_view",
+    oracle=_VIS_CTE + """
+    SELECT batch_id, event_type,
+           count(*) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM vis GROUP BY batch_id, event_type
+    """,
+)
+def changefeed_minmax_view(spark, sf_dir):
+    """The NON-distributive IVM case: MIN/MAX under deletes cannot be
+    maintained from the answer's deltas (deleting the current minimum
+    needs the runner-up), so the view maintains the classic auxiliary
+    SUPPORT relation (event_type, value) -> multiplicity — which IS
+    delta-maintainable with the same retraction algebra — and folds
+    it to min/max/count at read time.  Trajectory-graded like
+    changefeed_agg_view.  At 100 TB the support relation is bounded
+    by distinct (group, value) pairs, partitioned by its own bucketed
+    store; the per-batch write touches only buckets of values present
+    in the delta."""
+    r = _runner(spark, sf_dir)
+    return r.minmax_trajectory()
+
+
+@query(
+    "changefeed_topk_view",
+    oracle=_VIS_CTE + """
+    , ranked AS (
+      SELECT batch_id, user_id, value, event_id,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY value DESC NULLS LAST,
+                                         event_id ASC) AS rk
+      FROM vis
+    ), topk AS (
+      SELECT batch_id, user_id, value, event_id
+      FROM ranked WHERE rk <= 10
+    ), cur AS (
+      SELECT batch_id AS bb, user_id, value, event_id FROM topk
+    ), prev AS (
+      SELECT batch_id + 1 AS bb, user_id, value, event_id FROM topk
+      WHERE batch_id + 1 <= (SELECT max(chunk) FROM chunked)
+    )
+    SELECT bb AS batch_id, user_id,
+           CASE WHEN prev.event_id IS NULL THEN 'enter'
+                WHEN cur.event_id IS NULL THEN 'leave'
+                ELSE 'update' END AS change,
+           prev.value AS old_value,
+           cur.value AS new_value
+    FROM cur FULL JOIN prev USING (bb, user_id)
+    WHERE cur.event_id IS NULL OR prev.event_id IS NULL
+       OR cur.event_id <> prev.event_id
+    """,
+)
+def changefeed_topk_view(spark, sf_dir):
+    """RethinkDB's orderBy(desc).limit(k).changes(): a maintained
+    top-10 by (value DESC, event_id ASC) over the visible LWW table,
+    emitting enter/leave/update deltas per micro-batch (an 'update'
+    means the member's ROW changed — pure rank shifts from other
+    rows moving do not emit, matching the reference surface).  The
+    per-batch refresh is a TakeOrdered over the committed MVCC state
+    version (per-partition top-k, no shuffle; the driver merges P*k
+    rows); a production deployment backs this read with an ordered
+    secondary index, and everything the driver ever holds is O(k).
+    The oracle reconstructs every batch's true top-k and diffs
+    consecutive batches, so a stale or phantom member in any batch
+    breaks the hash."""
+    r = _runner(spark, sf_dir)
+    return r.topk_log()
+
+
+@query(
+    "changefeed_squash",
+    oracle=_VIS_CTE + """
+    , winspec AS (
+      SELECT DISTINCT CAST(floor(chunk / 2) AS BIGINT) AS w
+      FROM chunked
+    ), maxb AS (SELECT max(chunk) AS mb FROM chunked),
+    s AS (
+      SELECT w.w, v.user_id, v.value, v.event_id
+      FROM winspec w JOIN vis v ON v.batch_id = 2 * w.w - 1
+    ), e AS (
+      SELECT w.w, v.user_id, v.value, v.event_id
+      FROM winspec w
+      JOIN vis v
+        ON v.batch_id = least(2 * w.w + 1, (SELECT mb FROM maxb))
+    )
+    SELECT COALESCE(s.w, e.w) AS window_id,
+           COALESCE(s.user_id, e.user_id) AS user_id,
+           s.value AS old_value,
+           e.value AS new_value,
+           s.event_id AS old_event_id,
+           e.event_id AS new_event_id
+    FROM s FULL JOIN e ON s.w = e.w AND s.user_id = e.user_id
+    WHERE s.event_id IS DISTINCT FROM e.event_id
+    """,
+)
+def changefeed_squash(spark, sf_dir):
+    """Squash delivery (RethinkDB changes(squash=True) / Debezium
+    tombstone coalescing): deltas for the same key within a squash
+    window of 2 micro-batches coalesce into ONE delta from the
+    window-start row to the window-end row, and a net no-op (insert
+    then delete of the same key inside one window) is dropped
+    entirely.  Implemented as a pure derivation over the emitted
+    delta log — first_old via min_by(batch), last_new via
+    max_by(batch), one shuffle on (user, window) — exactly the
+    subscriber-side buffer a real squashing feed runs, so it
+    composes with any upstream view.  first/last emission per
+    (user, window) are struct-min/max keyed on batch_id — unique
+    within the group, so the fold is exact and NULL old/new fields
+    (inserts/deletes) ride along safely.  The oracle reconstructs
+    window-start/window-end visible states per user and keeps rows
+    whose event_id changed across the window."""
+    r = _runner(spark, sf_dir)
+    log = r.delta_log()
+    w = F.floor(F.col("batch_id") / F.lit(2)).cast("long")
+    sq = (
+        log.withColumn("window_id", w)
+        .groupBy("window_id", "user_id")
+        .agg(
+            F.min(F.struct(
+                F.col("batch_id"),
+                F.col("old_value").alias("ov"),
+                F.col("old_event_id").alias("oe"),
+            )).alias("first"),
+            F.max(F.struct(
+                F.col("batch_id"),
+                F.col("new_value").alias("nv"),
+                F.col("new_event_id").alias("ne"),
+            )).alias("last"),
+        )
+        .select(
+            "window_id", "user_id",
+            F.col("first.ov").alias("old_value"),
+            F.col("last.nv").alias("new_value"),
+            F.col("first.oe").alias("old_event_id"),
+            F.col("last.ne").alias("new_event_id"),
+        )
+        .where(~F.col("old_event_id").eqNullSafe(F.col("new_event_id")))
+    )
+    return sq

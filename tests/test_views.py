@@ -1,0 +1,131 @@
+"""Maintained standing-view family (streaming/views.py): incremental
+view maintenance with retractions, the support-relation min/max, the
+top-k enter/leave feed, and squash delivery."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.queries import QUERIES, load_all
+from db_realtime_changefeed_spark.streaming.view_queries import _runner
+
+load_all()
+
+
+def test_agg_view_final_batch_equals_direct_aggregate(spark, sf_smoke):
+    """The last trajectory version must equal a from-scratch grouped
+    aggregate over the visible keep-latest table — i.e. the chain of
+    per-batch retraction folds lands exactly on the batch answer."""
+    traj = QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    last = traj.agg(F.max("batch_id")).collect()[0][0]
+    got = {
+        (r["event_type"]): (r["cnt"], round(r["sum_value"], 6))
+        for r in traj.where(F.col("batch_id") == last).collect()
+    }
+    r = _runner(spark, sf_smoke)
+    direct = (
+        r._base.df_at(last)
+        .where(~F.col("deleted"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("s"))
+        .collect()
+    )
+    want = {r2["event_type"]: (r2["cnt"], round(r2["s"], 6))
+            for r2 in direct}
+    assert got == want
+
+
+def test_agg_view_commit_touches_only_delta_buckets(spark, sf_smoke):
+    """IVM contract: a batch whose delta names only some groups must
+    rewrite only those groups' buckets — later versions carry
+    untouched buckets forward from earlier manifests (mixed version
+    ids in the manifest prove no full-view rewrite happened)."""
+    QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    last = max(r._batches)
+    man = r._agg.manifest(last)
+    # every group fits 4 buckets; if any bucket's version predates
+    # the last batch, that bucket was carried forward, not rewritten
+    assert len(man) <= 4
+    assert all(v <= last for v in man.values())
+
+
+def test_minmax_support_multiset_is_consistent(spark, sf_smoke):
+    """The support relation must be exactly the multiset of visible
+    (event_type, value) rows: every multiplicity positive, and the
+    total count per group equals the visible row count."""
+    QUERIES["changefeed_minmax_view"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    last = max(r._batches)
+    sup = r._support.df_at(last)
+    assert sup.where(F.col("cnt") <= 0).count() == 0
+    sup_n = {
+        r2["event_type"]: r2["n"]
+        for r2 in sup.groupBy("event_type")
+        .agg(F.sum("cnt").alias("n")).collect()
+    }
+    vis_n = {
+        r2["event_type"]: r2["n"]
+        for r2 in r._base.df_at(last).where(~F.col("deleted"))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sup_n == vis_n
+
+
+def test_topk_log_replays_to_final_topk(spark, sf_smoke):
+    """Folding the enter/leave/update log forward must reproduce the
+    membership of the final top-k — the delta stream is complete and
+    minimal (no phantom enters, no missed leaves)."""
+    log = QUERIES["changefeed_topk_view"](spark, sf_smoke).collect()
+    members: set = set()
+    for row in sorted(log, key=lambda r: (r["batch_id"],)):
+        if row["change"] == "enter":
+            assert row["user_id"] not in members
+            members.add(row["user_id"])
+        elif row["change"] == "leave":
+            assert row["user_id"] in members
+            members.discard(row["user_id"])
+        else:
+            assert row["user_id"] in members
+    r = _runner(spark, sf_smoke)
+    assert members == {u for u, _v, _e in r._topk_prev}
+    assert len(members) <= 10
+
+
+def test_squash_drops_net_noops_and_coalesces(spark, sf_smoke):
+    """Squash must never emit a row whose old and new event ids are
+    equal, and each (window, user) appears at most once — multiple
+    per-batch deltas coalesce."""
+    sq = QUERIES["changefeed_squash"](spark, sf_smoke)
+    assert sq.where(
+        F.col("old_event_id").eqNullSafe(F.col("new_event_id"))
+    ).count() == 0
+    dup = (
+        sq.groupBy("window_id", "user_id").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_views_runner_driver_state_is_bounded(spark, sf_smoke):
+    """Scale guard (the stream_scd2_maintain lesson): the runner's
+    driver-side state must be O(k) top-k rows and O(k x batches) log
+    tuples — never entity-cardinality. Also pin the source: no
+    collect() outside the top-k refresh / touched-bucket helpers."""
+    QUERIES["changefeed_topk_view"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    assert len(r._topk_prev) <= r.k
+    assert len(r._topk_log) <= 3 * r.k * len(r._batches)
+    import inspect
+
+    from db_realtime_changefeed_spark.streaming import views as mod
+
+    src = inspect.getsource(mod)
+    collects = src.count(".collect()")
+    assert collects == 1, (
+        "views.py may only collect in the O(k) top-k refresh; "
+        f"found {collects} collect() sites"
+    )
