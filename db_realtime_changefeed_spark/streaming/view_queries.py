@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from .replay import default_chunks
-from .views import MaintainedViewsRunner
+from .views import DeltaJoinViewRunner, MaintainedViewsRunner
 
 _NB = default_chunks()
 
@@ -228,3 +228,101 @@ def changefeed_squash(spark, sf_dir):
         .where(~F.col("old_event_id").eqNullSafe(F.col("new_event_id")))
     )
     return sq
+
+
+def _dj_runner(spark, sf_dir) -> DeltaJoinViewRunner:
+    key = (id(spark), sf_dir, "__deltajoin__")
+    if key not in _CACHE:
+        r = DeltaJoinViewRunner(spark, sf_dir)
+        r.run()
+        _CACHE[key] = r
+    return _CACHE[key]
+
+
+#: Per-batch-prefix latest row per user for ONE event type — the
+#: two mutating join sides of the delta-join view.
+_SIDE_CTE = f"""
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(floor(rn / ceil(n / {_NB}.0)) AS BIGINT) AS chunk
+      FROM numbered
+    ), batches AS (
+      SELECT DISTINCT chunk AS batch_id FROM chunked
+    ), pa AS (
+      SELECT b.batch_id, c.user_id, c.value, c.event_id,
+             row_number() OVER (PARTITION BY b.batch_id, c.user_id
+                                ORDER BY c.ts DESC, c.event_id DESC)
+               AS rrn
+      FROM batches b
+      JOIN chunked c
+        ON c.chunk <= b.batch_id AND c.event_type = 'purchase'
+    ), pb AS (
+      SELECT b.batch_id, c.user_id, c.value, c.event_id,
+             row_number() OVER (PARTITION BY b.batch_id, c.user_id
+                                ORDER BY c.ts DESC, c.event_id DESC)
+               AS rrn
+      FROM batches b
+      JOIN chunked c
+        ON c.chunk <= b.batch_id AND c.event_type = 'click'
+    ), v AS (
+      SELECT a.batch_id, a.user_id,
+             a.value AS purchase_value,
+             a.event_id AS purchase_event_id,
+             k.value AS click_value,
+             k.event_id AS click_event_id
+      FROM (SELECT * FROM pa WHERE rrn = 1) a
+      JOIN (SELECT * FROM pb WHERE rrn = 1) k
+        USING (batch_id, user_id)
+    )
+"""
+
+
+@query(
+    "changefeed_delta_join_view",
+    oracle=_SIDE_CTE + """
+    SELECT batch_id, user_id, purchase_value, purchase_event_id,
+           click_value, click_event_id
+    FROM v
+    """,
+)
+def changefeed_delta_join_view(spark, sf_dir):
+    """Bilinear delta-join IVM (the differential-dataflow /
+    Materialize core shape): V = A join B where BOTH sides mutate —
+    A = latest 'purchase' per user, B = latest 'click' per user,
+    each LWW-maintained in its own bucketed MVCC store.  Per
+    micro-batch only keys touched by dA or dB are re-joined
+    (dV = (A' join B') restricted to changed keys); history is never
+    re-joined, and because all three stores share the bucket
+    function the delta-vs-state reads are bucket-aligned pruned
+    scans.  Trajectory-graded: every batch's view version must equal
+    the SQL join of the two prefix-latest sides."""
+    return _dj_runner(spark, sf_dir).join_trajectory()
+
+
+@query(
+    "changefeed_cascade_view",
+    oracle=_SIDE_CTE + """
+    SELECT batch_id,
+           CAST(floor(click_value / 25.0) AS BIGINT) AS band,
+           count(*) AS cnt,
+           CAST(sum(CAST(purchase_value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_purchase
+    FROM v GROUP BY 1, 2
+    """,
+)
+def changefeed_cascade_view(spark, sf_dir):
+    """View-on-view cascade IVM: a grouped count/sum view maintained
+    ON TOP of the delta-join view's own {old,new} delta stream —
+    each stage of the dataflow sees only the previous stage's
+    deltas, never its full state (the chaining contract that makes
+    Materialize-style dataflows compose).  A changed key retracts
+    its old (band, purchase_value) contribution and applies the new
+    one; bands untouched by a batch are carried forward by manifest
+    reference.  Trajectory-graded per batch like the other
+    maintained views."""
+    return _dj_runner(spark, sf_dir).cascade_trajectory()

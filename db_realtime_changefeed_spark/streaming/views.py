@@ -381,3 +381,244 @@ class MaintainedViewsRunner:
             .option("recursiveFileLookup", "true")
             .parquet(self.log_dir)
         )
+
+
+class DeltaJoinViewRunner:
+    """Bilinear delta-join view maintenance — the differential-
+    dataflow / Materialize core shape: V = A join B where BOTH sides
+    mutate, maintained per micro-batch as
+
+        dV(users) = (A' join B') restricted to keys touched by
+                    dA or dB,
+
+    i.e. only rows whose key saw a change on EITHER side are
+    recomputed; history is never re-joined.  A and B here are two
+    LWW sub-views of the same CDC stream (latest 'purchase' and
+    latest 'click' per user), each in its own BucketedMvccState
+    keyed on user_id with the SAME bucket function — so the
+    delta-vs-state reads are bucket-aligned: at 100 TB the join of
+    touched keys runs bucket-by-bucket against pruned state reads,
+    and the V commit rewrites only those buckets.
+
+    A cascade view (count/sum of purchase value per click-value
+    band) is maintained ON TOP of V's own {old,new} delta stream
+    with the same retraction algebra — view-on-view chaining, each
+    stage seeing only the previous stage's deltas."""
+
+    _SIDE_DDL = "user_id long, ts timestamp, event_id long, value double"
+    _V_DDL = ("user_id long, purchase_value double, "
+              "purchase_event_id long, click_value double, "
+              "click_event_id long")
+    _G_DDL = "band long, cnt long, sum_purchase decimal(18,6)"
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 a_type: str = "purchase", b_type: str = "click"):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.a_type = a_type
+        self.b_type = b_type
+        self.root = scratch_dir(prefix="dbrcf-deltajoin-")
+        self.ckpt = os.path.join(self.root, "checkpoint")
+        self._a = BucketedMvccState(
+            spark, os.path.join(self.root, "sideA"),
+            self._SIDE_DDL, "user_id")
+        self._b = BucketedMvccState(
+            spark, os.path.join(self.root, "sideB"),
+            self._SIDE_DDL, "user_id")
+        self._v = BucketedMvccState(
+            spark, os.path.join(self.root, "view"),
+            self._V_DDL, "user_id")
+        self._g = BucketedMvccState(
+            spark, os.path.join(self.root, "cascade"),
+            self._G_DDL, "band", n_buckets=4)
+        self._batches: list[int] = []
+
+    def _side_winners(self, batch_df: DataFrame,
+                      etype: str) -> DataFrame:
+        return (
+            batch_df.select("after.user_id", "after.ts",
+                            "after.event_id", "after.value",
+                            "after.event_type")
+            .where(F.col("event_type") == F.lit(etype))
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select("user_id",
+                    F.col("m.ts").alias("w_ts"),
+                    F.col("m.event_id").alias("w_eid"),
+                    F.col("m.value").alias("w_val"))
+        )
+
+    def _merge_side(self, store: BucketedMvccState,
+                    winners: DataFrame, batch_id: int,
+                    base: int | None) -> DataFrame:
+        """LWW-merge one side and return the CHANGED KEYS (the side's
+        delta key set) — O(|batch keys|) rows, executor-side."""
+        touched = store.touched_buckets(winners, "user_id")
+        if base is None:
+            old = self.spark.createDataFrame([], self._SIDE_DDL)
+        else:
+            old = store.df_at(base, buckets=touched)
+        j = old.join(winners, "user_id", "full")
+        has_w = F.col("w_eid").isNotNull()
+        has_o = F.col("event_id").isNotNull()
+        newer = (F.col("w_ts") > F.col("ts")) | (
+            (F.col("w_ts") == F.col("ts"))
+            & (F.col("w_eid") > F.col("event_id"))
+        )
+        wins = has_w & (~has_o | newer)
+        merged = j.select(
+            "user_id",
+            F.when(wins, F.col("w_ts")).otherwise(F.col("ts"))
+            .alias("n_ts"),
+            F.when(wins, F.col("w_eid")).otherwise(F.col("event_id"))
+            .alias("n_eid"),
+            F.when(wins, F.col("w_val")).otherwise(F.col("value"))
+            .alias("n_val"),
+            wins.alias("changed"),
+        ).cache()
+        try:
+            store.commit(
+                batch_id, base,
+                merged.select(
+                    "user_id",
+                    F.col("n_ts").alias("ts"),
+                    F.col("n_eid").alias("event_id"),
+                    F.col("n_val").alias("value"),
+                ),
+                touched,
+            )
+            changed = merged.where("changed").select("user_id")
+            changed = changed.persist()
+            changed.count()  # materialize before merged unpersists
+        finally:
+            merged.unpersist()
+        return changed
+
+    @staticmethod
+    def _band(col):
+        return F.floor(F.coalesce(col, F.lit(0.0)) / F.lit(25.0)) \
+                .cast("long")
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_id - 1 if batch_id > 0 else None
+        if base is not None and not self._v.has_version(base):
+            raise RuntimeError(
+                f"replayed batch {batch_id} but view version v{base} "
+                f"is missing; retained: {self._v.versions()}")
+        da = self._merge_side(
+            self._a, self._side_winners(batch_df, self.a_type),
+            batch_id, base)
+        db = self._merge_side(
+            self._b, self._side_winners(batch_df, self.b_type),
+            batch_id, base)
+        try:
+            touched_keys = da.union(db).distinct().persist()
+            v_touched = self._v.touched_buckets(touched_keys, "user_id")
+            # bucket-aligned pruned reads: only the buckets the delta
+            # keys hash into, on all three stores (same key, same B)
+            a_new = self._a.df_at(batch_id, buckets=v_touched)
+            b_new = self._b.df_at(batch_id, buckets=v_touched)
+            new_rows = (
+                touched_keys
+                .join(a_new, "user_id")
+                .select("user_id",
+                        F.col("value").alias("purchase_value"),
+                        F.col("event_id").alias("purchase_event_id"))
+                .join(b_new.select(
+                    "user_id",
+                    F.col("value").alias("click_value"),
+                    F.col("event_id").alias("click_event_id")),
+                    "user_id")
+            )
+            if base is None:
+                v_old = self.spark.createDataFrame([], self._V_DDL)
+            else:
+                v_old = self._v.df_at(base, buckets=v_touched)
+            old_rows = v_old.join(touched_keys, "user_id", "semi")
+            # dV = retract old_rows, apply new_rows (keys not in
+            # new_rows simply disappear — a side lost its row)
+            keep = v_old.join(touched_keys, "user_id", "anti")
+            self._v.commit(batch_id, base,
+                           keep.unionByName(new_rows), v_touched)
+            # ---- cascade fold: the agg view sees ONLY dV ----
+            minus = old_rows.select(
+                self._band(F.col("click_value")).alias("band"),
+                F.lit(-1).alias("d_cnt"),
+                (-F.coalesce(F.col("purchase_value"), F.lit(0.0)))
+                .cast(_DEC).alias("d_sum"))
+            plus = new_rows.select(
+                self._band(F.col("click_value")).alias("band"),
+                F.lit(1).alias("d_cnt"),
+                F.coalesce(F.col("purchase_value"), F.lit(0.0))
+                .cast(_DEC).alias("d_sum"))
+            contrib = (
+                minus.unionByName(plus).groupBy("band")
+                .agg(F.sum("d_cnt").alias("d_cnt"),
+                     F.sum("d_sum").cast(_DEC).alias("d_sum"))
+                .persist()
+            )
+            g_touched = self._g.touched_buckets(contrib, "band")
+            if base is None:
+                g_old = self.spark.createDataFrame([], self._G_DDL)
+            else:
+                g_old = self._g.df_at(base, buckets=g_touched)
+            g_new = (
+                g_old.join(contrib, "band", "full")
+                .select(
+                    "band",
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+                    (F.coalesce(F.col("sum_purchase"),
+                                F.lit(0).cast(_DEC))
+                     + F.coalesce(F.col("d_sum"), F.lit(0).cast(_DEC)))
+                    .cast(_DEC).alias("sum_purchase"),
+                )
+                .where(F.col("cnt") > 0)
+            )
+            try:
+                self._g.commit(batch_id, base, g_new, g_touched)
+            finally:
+                contrib.unpersist()
+            touched_keys.unpersist()
+        finally:
+            da.unpersist()
+            db.unpersist()
+        if batch_id not in self._batches:
+            self._batches.append(batch_id)
+
+    def run(self, n_chunks: int | None = None) -> None:
+        chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
+        env = cdc_envelope(read_events_stream(self.spark, chunks))
+        with streaming_shuffle(self.spark):
+            q = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("deltajoin"))
+                .start()
+            )
+            q.awaitTermination()
+
+    def join_trajectory(self) -> DataFrame:
+        parts = [
+            self._v.df_at(b).select(F.lit(b).alias("batch_id"), "*")
+            for b in self._batches
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def cascade_trajectory(self) -> DataFrame:
+        parts = [
+            self._g.df_at(b).select(
+                F.lit(b).alias("batch_id"), "band", "cnt",
+                F.col("sum_purchase").cast("double")
+                .alias("sum_purchase"))
+            for b in self._batches
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

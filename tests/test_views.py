@@ -129,3 +129,65 @@ def test_views_runner_driver_state_is_bounded(spark, sf_smoke):
         "views.py may only collect in the O(k) top-k refresh; "
         f"found {collects} collect() sites"
     )
+
+
+def test_delta_join_final_equals_direct_join(spark, sf_smoke):
+    """The last trajectory version of the delta-join view must equal
+    a from-scratch join of the two side stores — the chain of
+    touched-key-only merges lands exactly on the batch answer."""
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _dj_runner,
+    )
+
+    traj = QUERIES["changefeed_delta_join_view"](spark, sf_smoke)
+    r = _dj_runner(spark, sf_smoke)
+    last = max(r._batches)
+    got = traj.where(F.col("batch_id") == last).drop("batch_id")
+    a = r._a.df_at(last).select(
+        "user_id", F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_event_id"))
+    b = r._b.df_at(last).select(
+        "user_id", F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"))
+    want = a.join(b, "user_id")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_delta_join_prunes_untouched_buckets(spark, sf_smoke):
+    """IVM contract for the view store: buckets whose keys saw no
+    change in the final batch must be carried forward by manifest
+    reference (their version id predates the final batch)."""
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _dj_runner,
+    )
+
+    QUERIES["changefeed_delta_join_view"](spark, sf_smoke)
+    r = _dj_runner(spark, sf_smoke)
+    last = max(r._batches)
+    man = r._v.manifest(last)
+    assert all(v <= last for v in man.values())
+
+
+def test_cascade_view_consistent_with_join_view(spark, sf_smoke):
+    """Each cascade version must equal the direct grouped aggregate
+    of the SAME version of the join view — stage-2 of the dataflow
+    never drifts from stage-1."""
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _dj_runner,
+    )
+
+    casc = QUERIES["changefeed_cascade_view"](spark, sf_smoke)
+    r = _dj_runner(spark, sf_smoke)
+    for b in r._batches:
+        want = (
+            r._v.df_at(b)
+            .groupBy(F.floor(F.col("click_value") / F.lit(25.0))
+                     .cast("long").alias("band"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("purchase_value").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_purchase"))
+        )
+        got = casc.where(F.col("batch_id") == b).drop("batch_id")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
