@@ -326,3 +326,82 @@ def changefeed_cascade_view(spark, sf_dir):
     reference.  Trajectory-graded per batch like the other
     maintained views."""
     return _dj_runner(spark, sf_dir).cascade_trajectory()
+
+
+_REB = max(1, _NB // 2)
+
+
+@query(
+    "changefeed_index_range_scan",
+    oracle=_VIS_CTE + """
+    SELECT batch_id, user_id, value, event_id
+    FROM vis
+    WHERE value BETWEEN 50.0 AND 250.0
+    """,
+)
+def changefeed_index_range_scan(spark, sf_dir):
+    """Secondary-index range scan (RethinkDB between() on a value
+    index / CREATE INDEX + range predicate): the runner maintains a
+    RANGE-BUCKETED index over the visible LWW rows — bucket =
+    floor(value / 100), clamped — from the delta stream alone (the
+    old row leaves its value band, the new row enters its band; only
+    bands whose values appear in a batch's delta are rewritten).
+    The between(50, 250) read lists ONLY the overlapping band
+    directories from the version manifest — manifest-level partition
+    pruning, the index's reason to exist; at 100 TB the scan cost is
+    O(selectivity), not O(table).  Trajectory-graded: every batch's
+    pruned range read must equal the SQL range predicate over that
+    batch-prefix's visible rows."""
+    r = _runner(spark, sf_dir)
+    return r.index_range_trajectory(50.0, 250.0)
+
+
+@query(
+    "changefeed_consumer_groups",
+    oracle=_VIS_CTE + f"""
+    , cur AS (
+      SELECT batch_id AS bb, user_id, value, event_id FROM vis
+    ), prevv AS (
+      SELECT batch_id + 1 AS bb, user_id, value, event_id FROM vis
+      WHERE batch_id + 1 <= (SELECT max(chunk) FROM chunked)
+    ), dl AS (
+      SELECT bb AS batch_id,
+             user_id,
+             prevv.event_id AS old_event_id,
+             cur.event_id AS new_event_id,
+             cur.value AS new_value
+      FROM cur FULL JOIN prevv USING (bb, user_id)
+      WHERE cur.event_id IS DISTINCT FROM prevv.event_id
+    )
+    SELECT CAST(user_id % (CASE WHEN batch_id < {_REB} THEN 2
+                                ELSE 3 END) AS INTEGER)
+             AS consumer_id,
+           batch_id, user_id, old_event_id, new_event_id, new_value
+    FROM dl
+    """,
+)
+def changefeed_consumer_groups(spark, sf_dir):
+    """Consumer-group delivery with a mid-stream rebalance (the
+    Kafka-group / changefeed-sink contract): 2 consumers own
+    user_id mod 2 for the first half of the stream; at the rebalance
+    batch the group grows to 3 and ownership moves to user_id mod 3.
+    Routing is executor-side — the owner column is a projection and
+    the delta parquet is written partitioned by (batch_id,
+    consumer_id), so each consumer tails its own directory and the
+    fan-out never touches the driver.  Graded on the union of what
+    every consumer RECEIVED, read back from the partitioned delivery
+    tree: the oracle reconstructs the full per-batch delta log
+    (vis-diff between consecutive batch prefixes) and assigns owners
+    by the same deterministic rule — one lost, duplicated, or
+    misrouted delta anywhere (including across the rebalance
+    boundary) breaks the hash."""
+    from .views import ConsumerGroupDispatcher
+
+    r = _runner(spark, sf_dir)
+    key = (id(spark), sf_dir, "__groups__")
+    if key not in _CACHE:
+        d = ConsumerGroupDispatcher(r, n_before=2, n_after=3,
+                                    rebalance_at=_REB)
+        d.dispatch()
+        _CACHE[key] = d
+    return _CACHE[key].received()

@@ -62,6 +62,47 @@ def _has_parquet(root: str) -> bool:
     return False
 
 
+class RangeBucketedIndex(BucketedMvccState):
+    """Secondary index partitioned BY VALUE RANGE instead of key
+    hash: bucket = clamp(floor(value / band_width)).  Maintenance
+    stays O(|delta|) (only bands whose values appear in a batch's
+    delta are rewritten), and a between(lo, hi) read lists only the
+    bands overlapping the predicate — the range-pruning story of a
+    secondary index, expressed as manifest-level partition pruning.
+    At 100 TB band_width is the index granularity knob: narrower
+    bands = sharper pruning, more manifest entries."""
+
+    def __init__(self, spark: SparkSession, state_root: str, ddl: str,
+                 band_width: float, n_bands: int):
+        super().__init__(spark, state_root, ddl, "value",
+                         n_buckets=n_bands)
+        self.band_width = band_width
+
+    def bucket_expr(self, *cols):
+        c = cols[0] if cols else F.col("value")
+        return (
+            F.least(
+                F.greatest(F.floor(c / F.lit(self.band_width)),
+                           F.lit(0)),
+                F.lit(self.n_buckets - 1),
+            ).cast("int")
+        )
+
+    def bands_for(self, lo: float, hi: float) -> list[int]:
+        b0 = max(0, min(int(lo // self.band_width),
+                        self.n_buckets - 1))
+        b1 = max(0, min(int(hi // self.band_width),
+                        self.n_buckets - 1))
+        return list(range(b0, b1 + 1))
+
+    def between(self, batch_id: int, lo: float, hi: float):
+        """Pruned range scan: only overlapping band dirs are read."""
+        return (
+            self.df_at(batch_id, buckets=self.bands_for(lo, hi))
+            .where(F.col("value").between(F.lit(lo), F.lit(hi)))
+        )
+
+
 class MaintainedViewsRunner:
     """One CDC scan, a keyed LWW base table, and three derived views
     maintained incrementally from the per-batch delta stream."""
@@ -73,6 +114,7 @@ class MaintainedViewsRunner:
     _LOG_DDL = ("user_id long, old_value double, new_value double, "
                 "old_event_id bigint, new_event_id bigint, "
                 "old_type string, new_type string, batch_id long")
+    _INDEX_DDL = "user_id long, value double, event_id long"
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  delete_on: str | None = "error", k: int = 10):
@@ -93,6 +135,9 @@ class MaintainedViewsRunner:
         self._support = BucketedMvccState(
             spark, os.path.join(self.root, "supportview"),
             self._SUPPORT_DDL, ["event_type", "value"], n_buckets=4)
+        self._index = RangeBucketedIndex(
+            spark, os.path.join(self.root, "rangeindex"),
+            self._INDEX_DDL, band_width=100.0, n_bands=8)
         self._last_batch: int | None = None
         # top-k view state: O(k) rows, by design (the view IS k rows)
         self._topk_prev: list[tuple] = []
@@ -208,6 +253,7 @@ class MaintainedViewsRunner:
         delta = self.spark.read.schema(self._LOG_DDL).parquet(log_path)
         self._fold_agg(delta, batch_id, base)
         self._fold_support(delta, batch_id, base)
+        self._fold_index(delta, batch_id, base)
         if batch_id not in self._batches:  # retry guard: log once
             self._refresh_topk(batch_id)
             self._batches.append(batch_id)
@@ -297,6 +343,34 @@ class MaintainedViewsRunner:
         finally:
             contrib.unpersist()
 
+    def _fold_index(self, delta: DataFrame, batch_id: int,
+                    base: int | None) -> None:
+        """Range-index maintenance from the delta alone: the user's
+        old row leaves its value band, the new row enters its band;
+        only bands whose values appear in the delta are rewritten."""
+        values = (
+            delta.where(F.col("old_event_id").isNotNull())
+            .select(F.col("old_value").alias("value"))
+            .unionByName(
+                delta.where(F.col("new_event_id").isNotNull())
+                .select(F.col("new_value").alias("value")))
+        )
+        touched = self._index.touched_buckets(values)
+        if base is None:
+            old = self.spark.createDataFrame([], self._INDEX_DDL)
+        else:
+            old = self._index.df_at(base, buckets=touched)
+        removals = delta.select("user_id")
+        additions = delta.where(F.col("new_event_id").isNotNull()) \
+            .select("user_id",
+                    F.col("new_value").alias("value"),
+                    F.col("new_event_id").alias("event_id"))
+        merged = (
+            old.join(removals, "user_id", "anti")
+            .unionByName(additions)
+        )
+        self._index.commit(batch_id, base, merged, touched)
+
     def _refresh_topk(self, batch_id: int) -> None:
         rows = (
             self._base.df_at(batch_id)
@@ -359,6 +433,18 @@ class MaintainedViewsRunner:
                 F.max("value").alias("max_value"),
             ).select(F.lit(b).alias("batch_id"), "event_type", "n",
                      "min_value", "max_value")
+            for b in self._batches
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def index_range_trajectory(self, lo: float, hi: float) -> DataFrame:
+        parts = [
+            self._index.between(b, lo, hi).select(
+                F.lit(b).alias("batch_id"), "user_id", "value",
+                "event_id")
             for b in self._batches
         ]
         out = parts[0]
@@ -622,3 +708,67 @@ class DeltaJoinViewRunner:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+class ConsumerGroupDispatcher:
+    """Hash-partitioned consumer-group delivery over a delta feed —
+    the Kafka-consumer-group / CockroachDB-changefeed-sink contract:
+    N consumers each own a disjoint key slice (owner = user_id mod N),
+    every delta row is delivered to EXACTLY the consumer owning its
+    key at that batch, and a mid-stream REBALANCE (N changes) moves
+    ownership at a batch boundary without dropping or duplicating a
+    single delta.
+
+    Routing is executor-side: each micro-batch's delta parquet is
+    written out partitioned by (batch_id, consumer_id), so at 100 TB
+    the fan-out is a partitioned write (one shuffle-free pass over
+    the delta — the owner column is a projection), and each consumer
+    tails exactly its own directory tree.  Nothing row-sized ever
+    crosses the driver."""
+
+    def __init__(self, runner: MaintainedViewsRunner,
+                 n_before: int = 2, n_after: int = 3,
+                 rebalance_at: int | None = None):
+        self.runner = runner
+        self.n_before = n_before
+        self.n_after = n_after
+        self.rebalance_at = rebalance_at
+        self.delivery = os.path.join(runner.root, "delivery")
+        self._dispatched = False
+
+    def dispatch(self) -> None:
+        if self._dispatched:
+            return
+        reb = self.rebalance_at
+        if reb is None:
+            reb = max(1, len(self.runner._batches) // 2)
+        for b in self.runner._batches:
+            log_path = os.path.join(self.runner.log_dir,
+                                    f"batch-{b:05d}")
+            df = self.runner.spark.read.schema(
+                self.runner._LOG_DDL).parquet(log_path)
+            n = self.n_before if b < reb else self.n_after
+            (
+                df.withColumn(
+                    "consumer_id",
+                    (F.col("user_id") % F.lit(n)).cast("int"))
+                .select("user_id", "old_event_id", "new_event_id",
+                        "new_value", "batch_id", "consumer_id")
+                .write.partitionBy("batch_id", "consumer_id")
+                .mode("append")
+                .parquet(self.delivery)
+            )
+        self._dispatched = True
+
+    def received(self) -> DataFrame:
+        """Everything every consumer received, read back from the
+        partitioned delivery tree (partition columns recovered from
+        the directory layout)."""
+        return (
+            self.runner.spark.read.parquet(self.delivery)
+            .select(
+                F.col("consumer_id").cast("int").alias("consumer_id"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+                "user_id", "old_event_id", "new_event_id", "new_value",
+            )
+        )

@@ -191,3 +191,67 @@ def test_cascade_view_consistent_with_join_view(spark, sf_smoke):
         got = casc.where(F.col("batch_id") == b).drop("batch_id")
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_range_index_reads_only_overlapping_bands(spark, sf_smoke):
+    """The between() read must list ONLY band directories overlapping
+    the predicate — manifest-level partition pruning is the index's
+    contract, not an optimization that may silently disappear."""
+    QUERIES["changefeed_index_range_scan"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    idx = r._index
+    assert idx.bands_for(50.0, 250.0) == [0, 1, 2]
+    last = max(r._batches)
+    pruned = idx.df_at(last, buckets=idx.bands_for(50.0, 250.0))
+    files = [row[0] for row in
+             pruned.select(F.input_file_name()).distinct().collect()]
+    import re
+
+    bands = {int(re.search(r"/b(\d+)/", f).group(1)) for f in files}
+    assert bands <= {0, 1, 2}
+
+
+def test_range_index_equals_base_state_rows(spark, sf_smoke):
+    """The index must hold exactly the visible base rows (projected
+    to user/value/event_id) — no stale entry survives an update that
+    moved a user to another band, no visible row is missing."""
+    QUERIES["changefeed_index_range_scan"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    last = max(r._batches)
+    idx = r._index.df_at(last).select("user_id", "value", "event_id")
+    base = (
+        r._base.df_at(last).where(~F.col("deleted"))
+        .select("user_id", "value", "event_id")
+    )
+    assert idx.exceptAll(base).count() == 0
+    assert base.exceptAll(idx).count() == 0
+
+
+def test_consumer_groups_partition_disjoint_and_rebalanced(
+        spark, sf_smoke):
+    """Every delta row lands with exactly one consumer, ownership
+    follows user_id mod 2 before the rebalance batch and mod 3 from
+    it on, and the union of all consumers equals the delta log."""
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _REB,
+    )
+
+    got = QUERIES["changefeed_consumer_groups"](spark, sf_smoke)
+    # ownership rule, including across the rebalance boundary
+    n = F.when(F.col("batch_id") < _REB, F.lit(2)).otherwise(F.lit(3))
+    bad = got.where(
+        F.col("consumer_id") != (F.col("user_id") % n).cast("int"))
+    assert bad.count() == 0
+    # exactly-once: delivery union == the runner's delta log
+    r = _runner(spark, sf_smoke)
+    log = r.delta_log().select(
+        "batch_id", "user_id", "old_event_id", "new_event_id",
+        "new_value")
+    deliv = got.select(
+        "batch_id", "user_id", "old_event_id", "new_event_id",
+        "new_value")
+    assert deliv.exceptAll(log).count() == 0
+    assert log.exceptAll(deliv).count() == 0
+    # both regimes actually exercised
+    assert got.where(F.col("batch_id") < _REB).count() > 0
+    assert got.where(F.col("batch_id") >= _REB).count() > 0
