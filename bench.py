@@ -66,6 +66,12 @@ TIER2 = [
     "llm_pack_sequences",
     "join_dpp",
     "dq_profile_columns",
+    # round-6 maintained-view machinery: one CDC scan driving the
+    # LWW base merge + agg/support/index folds + top-k refresh per
+    # micro-batch, and the bilinear delta join — the per-batch
+    # multi-store commit cost is what this entry regression-tracks
+    "changefeed_agg_view",
+    "changefeed_delta_join_view",
 ]
 
 
@@ -101,6 +107,9 @@ def main() -> None:
     from db_realtime_changefeed_spark.streaming.replay import (
         build_replay_chunks,
     )
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _CACHE as _VIEW_CACHE,
+    )
 
     build_replay_chunks(spark, sf_dir)
 
@@ -113,6 +122,7 @@ def main() -> None:
                 # memoized changefeed runs must not serve cached state
                 # to later repeats — every sample measures a full run
                 _CF_CACHE.clear()
+                _VIEW_CACHE.clear()
                 t = time.perf_counter()
                 materialize(queries[name](spark, sf_dir))
                 samples.append(time.perf_counter() - t)
