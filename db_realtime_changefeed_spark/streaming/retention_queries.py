@@ -34,11 +34,21 @@ _DELIVERY_DDL = ("kind string, event_type string, batch_id long, "
                  "old_sum double, new_sum double")
 
 
-def retention_gc(runner: ChangefeedRunner, horizon: int) -> list[int]:
+def retention_gc(runner: ChangefeedRunner, horizon: int,
+                 pins: list[int] | None = None) -> list[int]:
     """Apply the retention policy: drop log segments below `horizon`
     and every state version below `horizon - 1` (the snapshot the
     policy pins for expired-cursor recovery stays).  Returns the log
-    batch ids removed."""
+    batch ids removed.
+
+    `pins` are PROTECTED TIMESTAMPS (CockroachDB's protected-ts
+    records / Kafka's consumer-group committed offsets): the resume
+    tokens of still-active subscribers.  The effective horizon never
+    advances past the slowest pin, so an active consumer can always
+    be served by pure delta replay — GC waits for it instead of
+    forcing it through snapshot recovery."""
+    if pins:
+        horizon = min(horizon, min(pins))
     removed = []
     for name in sorted(os.listdir(runner.log_dir)):
         m = re.match(r"batch-(\d+)", name)

@@ -71,3 +71,23 @@ def test_snapshot_plus_tail_reconstructs_final_state(spark, sf_smoke):
     final = r.state()
     assert last.exceptAll(final).count() == 0
     assert final.exceptAll(last).count() == 0
+
+
+def test_pins_hold_back_the_horizon(spark, sf_smoke):
+    """Protected timestamps: an active subscriber pinned at batch 1
+    must hold GC back to 1 even when the policy asks for a later
+    horizon — the pinned consumer stays servable by pure delta
+    replay."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        ChangefeedRunner,
+    )
+    from db_realtime_changefeed_spark.streaming.retention_queries import (
+        retention_gc,
+    )
+
+    r = ChangefeedRunner(spark, sf_smoke)
+    r.run()
+    retention_gc(r, horizon=_H + 1, pins=[1, _H])
+    assert oldest_retained_batch(r) == 1
+    got = resume(r, token=1, allow_snapshot=False)
+    assert got.select(F.min("batch_id")).collect()[0][0] == 1
