@@ -50,6 +50,7 @@ def load_all() -> None:
         llm,
         llm_curation,
         llm_pipeline,
+        llm_mix,
         relational,
         scans,
         udfs,
