@@ -68,10 +68,12 @@ TIER2 = [
     "dq_profile_columns",
     # round-6 maintained-view machinery: one CDC scan driving the
     # LWW base merge + agg/support/index folds + top-k refresh per
-    # micro-batch, and the bilinear delta join — the per-batch
-    # multi-store commit cost is what this entry regression-tracks
+    # micro-batch. ~18 s/run at sf0.1, dominated by per-batch
+    # multi-store commit machinery (many small jobs), which is
+    # exactly what this entry regression-tracks; the delta-join twin
+    # exercises the same store code and is left out to bound bench
+    # wall time.
     "changefeed_agg_view",
-    "changefeed_delta_join_view",
 ]
 
 
