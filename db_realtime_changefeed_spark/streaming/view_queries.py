@@ -147,13 +147,14 @@ def changefeed_topk_view(spark, sf_dir):
     emitting enter/leave/update deltas per micro-batch (an 'update'
     means the member's ROW changed — pure rank shifts from other
     rows moving do not emit, matching the reference surface).  The
-    per-batch refresh is a TakeOrdered over the committed MVCC state
-    version (per-partition top-k, no shuffle; the driver merges P*k
-    rows); a production deployment backs this read with an ordered
-    secondary index, and everything the driver ever holds is O(k).
-    The oracle reconstructs every batch's true top-k and diffs
-    consecutive batches, so a stale or phantom member in any batch
-    breaks the hash."""
+    per-batch refresh reads the ORDERED SECONDARY INDEX (the range-
+    bucketed index the runner maintains anyway): descending value
+    bands, widened until they hold k rows — every unread band is
+    strictly worse than everything read, so the refresh touches
+    O(k + band) rows, never the whole state, and everything the
+    driver ever holds is O(k).  The oracle reconstructs every
+    batch's true top-k and diffs consecutive batches, so a stale or
+    phantom member in any batch breaks the hash."""
     r = _runner(spark, sf_dir)
     return r.topk_log()
 

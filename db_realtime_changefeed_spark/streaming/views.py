@@ -372,15 +372,33 @@ class MaintainedViewsRunner:
         self._index.commit(batch_id, base, merged, touched)
 
     def _refresh_topk(self, batch_id: int) -> None:
-        rows = (
-            self._base.df_at(batch_id)
-            .where(~F.col("deleted"))
-            .orderBy(F.col("value").desc_nulls_last(),
-                     F.col("event_id").asc())
-            .limit(self.k)
-            .select("user_id", "value", "event_id")
-            .collect()
-        )
+        # INDEX-BACKED refresh: the range index holds exactly the
+        # visible rows banded by value, so the k best come from the
+        # highest bands — read descending, widening the band window
+        # until it holds >= k rows (every unread band is strictly
+        # worse than everything already read).  At 100 TB each
+        # refresh reads O(k + band) rows instead of scanning the
+        # whole state; the TakeOrdered-over-full-state equivalent is
+        # what an index-less engine would do (and what this method
+        # did before the index existed — equivalence pinned by
+        # tests/test_views.py::test_range_index_equals_base_state_rows
+        # plus the trajectory oracle).
+        top = self._index.n_buckets - 1
+        lo = top
+        rows: list = []
+        while lo >= 0:
+            rows = (
+                self._index.df_at(batch_id,
+                                  buckets=list(range(lo, top + 1)))
+                .orderBy(F.col("value").desc_nulls_last(),
+                         F.col("event_id").asc())
+                .limit(self.k)
+                .select("user_id", "value", "event_id")
+                .collect()
+            )
+            if len(rows) >= self.k:
+                break
+            lo -= 1
         cur = [(r["user_id"], r["value"], r["event_id"]) for r in rows]
         prev = {u: (v, e) for u, v, e in self._topk_prev}
         seen = set()

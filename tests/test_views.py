@@ -255,3 +255,19 @@ def test_consumer_groups_partition_disjoint_and_rebalanced(
     # both regimes actually exercised
     assert got.where(F.col("batch_id") < _REB).count() > 0
     assert got.where(F.col("batch_id") >= _REB).count() > 0
+
+
+def test_consumer_groups_preserve_per_key_order(spark, sf_smoke):
+    """Per-key delivery order survives the rebalance: for every user
+    the delivered batch ids are strictly increasing regardless of
+    which consumer owned the key at each batch."""
+    got = QUERIES["changefeed_consumer_groups"](spark, sf_smoke)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("batch_id")
+    bad = (
+        got.withColumn("prev", F.lag("batch_id").over(w))
+        .where(F.col("prev") >= F.col("batch_id"))
+        .count()
+    )
+    assert bad == 0
