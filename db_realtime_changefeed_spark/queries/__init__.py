@@ -57,6 +57,7 @@ def load_all() -> None:
         windows,
     )
     from ..streaming import queries as streaming_queries  # noqa: F401
+    from ..streaming import consumer_queries  # noqa: F401
     from ..streaming import view_queries  # noqa: F401
     from ..streaming import retention_queries  # noqa: F401
 
