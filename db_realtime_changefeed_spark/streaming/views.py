@@ -115,17 +115,28 @@ class MaintainedViewsRunner:
                 "old_event_id bigint, new_event_id bigint, "
                 "old_type string, new_type string, batch_id long")
     _INDEX_DDL = "user_id long, value double, event_id long"
+    _TOPK_DDL = ("batch_id long, user_id long, change string, "
+                 "old_value double, new_value double")
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 delete_on: str | None = "error", k: int = 10):
+                 delete_on: str | None = "error", k: int = 10,
+                 root: str | None = None):
+        """`root`: pass a previous runner's root to RESTART from its
+        durable state — every view store is versioned parquet with
+        manifest commits, the top-k delta log is parquet, and the
+        checkpoint under root resumes from committed offsets, so a
+        fresh instance serves identical trajectories without
+        re-processing (crash-recovery; tested)."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.delete_on = delete_on
         self.k = k
-        self.root = scratch_dir(prefix="dbrcf-views-")
+        self.root = root or scratch_dir(prefix="dbrcf-views-")
         self.log_dir = os.path.join(self.root, "changelog")
+        self.topk_dir = os.path.join(self.root, "topklog")
         self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.topk_dir, exist_ok=True)
         self._base = BucketedMvccState(
             spark, os.path.join(self.root, "base"),
             self._STATE_DDL, "user_id")
@@ -138,11 +149,19 @@ class MaintainedViewsRunner:
         self._index = RangeBucketedIndex(
             spark, os.path.join(self.root, "rangeindex"),
             self._INDEX_DDL, band_width=100.0, n_bands=8)
-        self._last_batch: int | None = None
-        # top-k view state: O(k) rows, by design (the view IS k rows)
-        self._topk_prev: list[tuple] = []
-        self._topk_log: list[tuple] = []
-        self._batches: list[int] = []
+        self._last_batch: int | None = (
+            max(self._base.versions()) if self._base.versions()
+            else None)
+        # in-memory cache of the last refreshed top-k — a pure cache:
+        # (batch_id, rows). On miss (restart, retry) the membership
+        # is recomputed from the durable index, never trusted stale.
+        self._topk_cache: tuple[int, list] | None = None
+
+    @property
+    def _batches(self) -> list[int]:
+        """Committed batch ids, derived from the durable base-store
+        manifests — survives restart, immune to retry double-count."""
+        return self._base.versions()
 
     # ---- per-batch base merge + delta emission ----
     def _winners(self, batch_df: DataFrame) -> DataFrame:
@@ -254,9 +273,7 @@ class MaintainedViewsRunner:
         self._fold_agg(delta, batch_id, base)
         self._fold_support(delta, batch_id, base)
         self._fold_index(delta, batch_id, base)
-        if batch_id not in self._batches:  # retry guard: log once
-            self._refresh_topk(batch_id)
-            self._batches.append(batch_id)
+        self._refresh_topk(batch_id)  # idempotent: overwrites batch-N
         self._last_batch = batch_id
 
     # ---- view folds (delta-only; no base-table re-read) ----
@@ -371,18 +388,16 @@ class MaintainedViewsRunner:
         )
         self._index.commit(batch_id, base, merged, touched)
 
-    def _refresh_topk(self, batch_id: int) -> None:
-        # INDEX-BACKED refresh: the range index holds exactly the
-        # visible rows banded by value, so the k best come from the
-        # highest bands — read descending, widening the band window
-        # until it holds >= k rows (every unread band is strictly
-        # worse than everything already read).  At 100 TB each
-        # refresh reads O(k + band) rows instead of scanning the
-        # whole state; the TakeOrdered-over-full-state equivalent is
-        # what an index-less engine would do (and what this method
-        # did before the index existed — equivalence pinned by
-        # tests/test_views.py::test_range_index_equals_base_state_rows
-        # plus the trajectory oracle).
+    def _topk_at(self, batch_id: int) -> list[tuple]:
+        """The k best visible rows as of `batch_id`, served from the
+        RANGE INDEX: read descending value bands, widening the band
+        window until it holds >= k rows (every unread band is
+        strictly worse than everything already read).  At 100 TB
+        each read touches O(k + band) rows instead of scanning the
+        whole state; the TakeOrdered-over-full-state equivalent is
+        what an index-less engine would do (equivalence pinned by
+        tests/test_views.py::test_range_index_equals_base_state_rows
+        plus the trajectory oracle)."""
         top = self._index.n_buckets - 1
         lo = top
         rows: list = []
@@ -399,21 +414,42 @@ class MaintainedViewsRunner:
             if len(rows) >= self.k:
                 break
             lo -= 1
-        cur = [(r["user_id"], r["value"], r["event_id"]) for r in rows]
-        prev = {u: (v, e) for u, v, e in self._topk_prev}
+        return [(r["user_id"], r["value"], r["event_id"]) for r in rows]
+
+    def _refresh_topk(self, batch_id: int) -> None:
+        """Emit this batch's enter/leave/update deltas to the durable
+        top-k log (parquet, one file per batch, OVERWRITTEN on a
+        retry — idempotent).  The previous membership comes from the
+        in-memory cache when warm, else is recomputed from the
+        durable index at batch-1 (restart/retry path) — never
+        trusted from mutable runner state."""
+        cur = self._topk_at(batch_id)
+        if (self._topk_cache is not None
+                and self._topk_cache[0] == batch_id - 1):
+            prev_rows = self._topk_cache[1]
+        elif batch_id > 0:
+            prev_rows = self._topk_at(batch_id - 1)
+        else:
+            prev_rows = []
+        prev = {u: (v, e) for u, v, e in prev_rows}
+        out: list[tuple] = []
         seen = set()
         for u, v, e in cur:
             seen.add(u)
             if u not in prev:
-                self._topk_log.append(
-                    (batch_id, u, "enter", None, v))
+                out.append((batch_id, u, "enter", None, v))
             elif prev[u][1] != e:
-                self._topk_log.append(
-                    (batch_id, u, "update", prev[u][0], v))
+                out.append((batch_id, u, "update", prev[u][0], v))
         for u, (v, e) in prev.items():
             if u not in seen:
-                self._topk_log.append((batch_id, u, "leave", v, None))
-        self._topk_prev = cur
+                out.append((batch_id, u, "leave", v, None))
+        (
+            self.spark.createDataFrame(out, self._TOPK_DDL)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.topk_dir, f"batch-{batch_id:05d}"))
+        )
+        self._topk_cache = (batch_id, cur)
 
     # ---- run ----
     def run(self, n_chunks: int | None = None) -> None:
@@ -471,10 +507,12 @@ class MaintainedViewsRunner:
         return out
 
     def topk_log(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            self._topk_log,
-            "batch_id long, user_id long, change string, "
-            "old_value double, new_value double",
+        if not _has_parquet(self.topk_dir):
+            return self.spark.createDataFrame([], self._TOPK_DDL)
+        return (
+            self.spark.read.schema(self._TOPK_DDL)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.topk_dir)
         )
 
     def delta_log(self) -> DataFrame:
@@ -535,7 +573,12 @@ class DeltaJoinViewRunner:
         self._g = BucketedMvccState(
             spark, os.path.join(self.root, "cascade"),
             self._G_DDL, "band", n_buckets=4)
-        self._batches: list[int] = []
+
+    @property
+    def _batches(self) -> list[int]:
+        """Committed batch ids from the durable view-store manifests
+        — survives restart, immune to retry double-count."""
+        return self._v.versions()
 
     def _side_winners(self, batch_df: DataFrame,
                       etype: str) -> DataFrame:
@@ -687,8 +730,6 @@ class DeltaJoinViewRunner:
         finally:
             da.unpersist()
             db.unpersist()
-        if batch_id not in self._batches:
-            self._batches.append(batch_id)
 
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)

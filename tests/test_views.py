@@ -91,7 +91,7 @@ def test_topk_log_replays_to_final_topk(spark, sf_smoke):
         else:
             assert row["user_id"] in members
     r = _runner(spark, sf_smoke)
-    assert members == {u for u, _v, _e in r._topk_prev}
+    assert members == {u for u, _v, _e in r._topk_at(max(r._batches))}
     assert len(members) <= 10
 
 
@@ -112,13 +112,15 @@ def test_squash_drops_net_noops_and_coalesces(spark, sf_smoke):
 
 def test_views_runner_driver_state_is_bounded(spark, sf_smoke):
     """Scale guard (the stream_scd2_maintain lesson): the runner's
-    driver-side state must be O(k) top-k rows and O(k x batches) log
-    tuples — never entity-cardinality. Also pin the source: no
-    collect() outside the top-k refresh / touched-bucket helpers."""
+    driver-side state must be the O(k) top-k cache — never
+    entity-cardinality (the top-k delta log itself is durable
+    parquet, not driver memory). Also pin the source: no collect()
+    outside the top-k refresh / touched-bucket helpers."""
     QUERIES["changefeed_topk_view"](spark, sf_smoke)
     r = _runner(spark, sf_smoke)
-    assert len(r._topk_prev) <= r.k
-    assert len(r._topk_log) <= 3 * r.k * len(r._batches)
+    assert r._topk_cache is not None
+    assert len(r._topk_cache[1]) <= r.k
+    assert r.topk_log().count() <= 3 * r.k * len(r._batches)
     import inspect
 
     from db_realtime_changefeed_spark.streaming import views as mod
@@ -271,3 +273,28 @@ def test_consumer_groups_preserve_per_key_order(spark, sf_smoke):
         .count()
     )
     assert bad == 0
+
+
+def test_views_runner_restart_serves_identical_trajectories(
+        spark, sf_smoke):
+    """Crash recovery: a brand-new runner instance constructed on the
+    old runner's root (durable stores + parquet logs + checkpoint)
+    must serve identical trajectories and top-k deltas WITHOUT
+    re-processing — and a re-run() on the restored checkpoint is a
+    no-op (availableNow finds no new data)."""
+    from db_realtime_changefeed_spark.streaming.views import (
+        MaintainedViewsRunner,
+    )
+
+    QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    old = _runner(spark, sf_smoke)
+    fresh = MaintainedViewsRunner(spark, sf_smoke, root=old.root)
+    assert fresh._batches == old._batches
+    for name in ("agg_trajectory", "minmax_trajectory", "topk_log"):
+        a = getattr(old, name)()
+        b = getattr(fresh, name)()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    before = fresh._batches
+    fresh.run()  # same checkpoint: no new chunks, nothing reprocessed
+    assert fresh._batches == before
