@@ -21,12 +21,13 @@ classic incremental view maintenance (IVM) with retractions:
   support at read time.
 - **top-k view** — RethinkDB's ``orderBy(desc).limit(k).changes()``:
   the k best rows by (value DESC, event_id ASC) with enter/leave/
-  update deltas emitted per batch.  Each refresh is a TakeOrdered
-  over the committed MVCC state version (per-partition top-k, no
-  shuffle, driver merges P*k rows); a production engine backs this
-  with an ordered secondary index — the read path here is the
-  index-less equivalent, and everything that crosses the driver is
-  O(k), never state-sized.
+  update deltas emitted per batch.  Each refresh reads the RANGE
+  INDEX below descending-band-first with early stop, touching
+  O(k + band) rows, and everything that crosses the driver is O(k),
+  never state-sized.
+- **range index** — the ordered secondary index itself, bucketed by
+  value band; ``between(lo, hi)`` lists only overlapping band dirs
+  from the version manifest (O(selectivity) reads).
 
 All three views hang off ONE CDC scan: the base merge computes the
 full-row delta once per micro-batch and every view folds that same
@@ -252,6 +253,21 @@ class MaintainedViewsRunner:
                 F.col("log_new_type").alias("new_type"),
                 F.lit(batch_id).alias("batch_id"),
             ).write.mode("overwrite").parquet(log_path)
+            # the views fold the COMMITTED delta (read back from the
+            # log — the views see exactly what a subscriber would see)
+            delta = self.spark.read.schema(self._LOG_DDL) \
+                .parquet(log_path)
+            self._fold_agg(delta, batch_id, base)
+            self._fold_support(delta, batch_id, base)
+            self._fold_index(delta, batch_id, base)
+            self._refresh_topk(batch_id)  # idempotent per batch
+            # the BASE commit is the batch's COMMIT POINT and runs
+            # LAST: `_batches` (derived from base versions) then
+            # implies every view fold for that batch is durable — a
+            # crash or live-query stop mid-batch leaves the base at
+            # N-1 and the retry re-runs the idempotent folds, so a
+            # reader never sees a base version whose views are
+            # missing (live-mode crash consistency; tested)
             self._base.commit(
                 batch_id, base,
                 merged.select(
@@ -267,13 +283,6 @@ class MaintainedViewsRunner:
         finally:
             merged.unpersist()
             winners.unpersist()
-        # the views fold the COMMITTED delta (read back from the log
-        # — the views see exactly what a subscriber would see)
-        delta = self.spark.read.schema(self._LOG_DDL).parquet(log_path)
-        self._fold_agg(delta, batch_id, base)
-        self._fold_support(delta, batch_id, base)
-        self._fold_index(delta, batch_id, base)
-        self._refresh_topk(batch_id)  # idempotent: overwrites batch-N
         self._last_batch = batch_id
 
     # ---- view folds (delta-only; no base-table re-read) ----
@@ -464,6 +473,46 @@ class MaintainedViewsRunner:
                 .queryName(fresh_sink_name("viewsfeed"))
                 .start()
             )
+            q.awaitTermination()
+
+    def start_live(self, source_dir: str | None = None,
+                   processing_time: str = "500 milliseconds"):
+        """Continuous maintenance mode: the same per-batch merge+fold
+        runs under a ProcessingTime trigger over a LIVE source dir —
+        every view (agg, support, range index, top-k log) keeps
+        updating as change files arrive, until stop_live().  Returns
+        the live source dir (drop sequenced parquet files in via
+        ingest())."""
+        self.source_dir = source_dir or scratch_dir(
+            prefix="dbrcf-views-live-")
+        env = cdc_envelope(
+            read_events_stream(self.spark, self.source_dir))
+        with streaming_shuffle(self.spark):
+            self._live_query = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(processingTime=processing_time)
+                .queryName(fresh_sink_name("views_live"))
+                .start()
+            )
+        return self.source_dir
+
+    def ingest(self, parquet_file: str) -> None:
+        import shutil as _shutil
+        import time as _time
+
+        n = len([f for f in os.listdir(self.source_dir)
+                 if f.endswith(".parquet")])
+        dst = os.path.join(self.source_dir, f"live-{n:06d}.parquet")
+        _shutil.copyfile(parquet_file, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+        os.utime(dst, (_time.time(), 1_800_000_000.0 + n))
+
+    def stop_live(self) -> None:
+        q = getattr(self, "_live_query", None)
+        if q is not None and q.isActive:
+            q.stop()
             q.awaitTermination()
 
     # ---- view reads (trajectory = every committed version) ----
@@ -685,8 +734,6 @@ class DeltaJoinViewRunner:
             # dV = retract old_rows, apply new_rows (keys not in
             # new_rows simply disappear — a side lost its row)
             keep = v_old.join(touched_keys, "user_id", "anti")
-            self._v.commit(batch_id, base,
-                           keep.unionByName(new_rows), v_touched)
             # ---- cascade fold: the agg view sees ONLY dV ----
             minus = old_rows.select(
                 self._band(F.col("click_value")).alias("band"),
@@ -726,6 +773,12 @@ class DeltaJoinViewRunner:
                 self._g.commit(batch_id, base, g_new, g_touched)
             finally:
                 contrib.unpersist()
+            # the VIEW commit is the batch's commit point and runs
+            # LAST (same contract as MaintainedViewsRunner): _batches
+            # derives from _v versions, so a version listed there
+            # always has its cascade fold durable
+            self._v.commit(batch_id, base,
+                           keep.unionByName(new_rows), v_touched)
             touched_keys.unpersist()
         finally:
             da.unpersist()

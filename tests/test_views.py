@@ -298,3 +298,58 @@ def test_views_runner_restart_serves_identical_trajectories(
     before = fresh._batches
     fresh.run()  # same checkpoint: no new chunks, nothing reprocessed
     assert fresh._batches == before
+
+
+def test_views_live_mode_matches_batch_final_state(spark, sf_smoke):
+    """Continuous maintenance: a live runner fed the same chunk files
+    through ingest() must converge every view to the batch-run final
+    answer (the live path exercises the identical merge+fold)."""
+    import glob
+    import os
+    import time
+
+    from db_realtime_changefeed_spark.streaming.replay import (
+        build_replay_chunks,
+    )
+    from db_realtime_changefeed_spark.streaming.views import (
+        MaintainedViewsRunner,
+    )
+
+    live = MaintainedViewsRunner(spark, sf_smoke)
+    live.start_live(processing_time="250 milliseconds")
+    chunks = build_replay_chunks(spark, sf_smoke)
+    files = sorted(glob.glob(os.path.join(chunks, "chunk-*.parquet")))
+    for f in files:
+        live.ingest(f)
+    from db_realtime_changefeed_spark.catalog import load_table
+
+    total = load_table(spark, sf_smoke, "events").count()
+    deadline = time.time() + 180
+    done = False
+    absorbed: dict = {}
+    while time.time() < deadline and not done:
+        # convergence via the engine's own progress telemetry: every
+        # ingested row has been processed AND committed (numInputRows
+        # is reported only for completed batches)
+        for p in live._live_query.recentProgress:
+            absorbed[p["batchId"]] = p["numInputRows"]
+        done = sum(absorbed.values()) >= total
+        if not done:
+            time.sleep(0.25)
+    live.stop_live()
+    assert done, "live views runner did not absorb all chunks in time"
+    # final agg view equals the batch runner's final agg view
+    QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    batch = _runner(spark, sf_smoke)
+    a = live._agg.df_at(max(live._batches))
+    b = batch._agg.df_at(max(batch._batches))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # and the live range index agrees with the live base state
+    idx = live._index.df_at(max(live._batches)) \
+        .select("user_id", "value", "event_id")
+    base = live._base.df_at(max(live._batches)) \
+        .where(~F.col("deleted")) \
+        .select("user_id", "value", "event_id")
+    assert idx.exceptAll(base).count() == 0
+    assert base.exceptAll(idx).count() == 0
