@@ -406,3 +406,72 @@ def changefeed_consumer_groups(spark, sf_dir):
         d.dispatch()
         _CACHE[key] = d
     return _CACHE[key].received()
+
+
+@query(
+    "changefeed_view_live",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rrn
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM latest WHERE rrn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def changefeed_view_live(spark, sf_dir):
+    """The LIVE path of the maintained-view engine (continuous mode,
+    not a terminating replay): a fresh runner starts under a
+    ProcessingTime trigger, a producer ingests the change files
+    while it runs, convergence is detected from the engine's own
+    progress telemetry (completed-batch numInputRows covering the
+    corpus), and the stream is stopped.  Graded on the FINAL agg
+    view — live micro-batch boundaries are nondeterministic (the
+    file source may coalesce arrivals), but the answer is
+    chunking-invariant, so the final state must equal the batch
+    keep-latest-visible aggregate regardless of how the batches
+    fell."""
+    import glob
+    import os
+    import time
+
+    from ..catalog import load_table
+    from .replay import build_replay_chunks
+    from .views import MaintainedViewsRunner
+
+    key = (id(spark), sf_dir, "__view_live__")
+    if key not in _CACHE:
+        live = MaintainedViewsRunner(spark, sf_dir)
+        live.start_live(processing_time="250 milliseconds")
+        chunks = build_replay_chunks(spark, sf_dir)
+        files = sorted(
+            glob.glob(os.path.join(chunks, "chunk-*.parquet")))
+        for f in files:
+            live.ingest(f)
+        total = load_table(spark, sf_dir, "events").count()
+        absorbed: dict = {}
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            for p in live._live_query.recentProgress:
+                absorbed[p["batchId"]] = p["numInputRows"]
+            if sum(absorbed.values()) >= total:
+                break
+            time.sleep(0.25)
+        live.stop_live()
+        if sum(absorbed.values()) < total:
+            raise AssertionError(
+                f"live view absorbed {sum(absorbed.values())} of "
+                f"{total} rows before the deadline")
+        _CACHE[key] = live
+    live = _CACHE[key]
+    last = max(live._batches)
+    return live._agg.df_at(last).select(
+        "event_type", "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"))
