@@ -193,6 +193,35 @@ class TableRef:
             out = out.where(p)
         return out
 
+    def views(self, delete_on: str | None = "error",
+              k: int = 10) -> "StandingViews":
+        """Register (or fetch) the maintained standing-view family
+        on this table's change stream (streaming/views.py): grouped
+        agg with retractions, support-relation min/max, the top-k
+        enter/leave feed, the range index, and the full delta log —
+        all kept current per micro-batch. events-only in this
+        fixture set (the replayable CDC stream)."""
+        if self._name != "events":
+            raise KeyError(
+                "standing views replay the events CDC stream; "
+                f"got table {self._name!r}")
+        if self._predicates:
+            raise ValueError(
+                "standing views maintain the full table; "
+                "use .changes() for filtered feeds")
+        from .streaming.view_queries import _CACHE
+        from .streaming.views import MaintainedViewsRunner
+
+        key = (id(self._db.spark), self._db.sf_dir, "__api_views__",
+               delete_on, k)
+        if key not in _CACHE:
+            r = MaintainedViewsRunner(
+                self._db.spark, self._db.sf_dir,
+                delete_on=delete_on, k=k)
+            r.run()
+            _CACHE[key] = r
+        return StandingViews(_CACHE[key])
+
     def changes(self, key: str | None = None,
                 driver_merge: bool | str = "auto",
                 mode: str = "replay",
@@ -394,3 +423,60 @@ class Database:
 
         register_views(self.spark, self.sf_dir)
         return self.spark.sql(query)
+
+
+class StandingViews:
+    """The maintained standing-view surface of a table — RethinkDB's
+    query.changes() family generalized to derived views (see
+    streaming/views.py): every accessor below reads the LATEST
+    committed version of a view that is maintained incrementally
+    from the table's delta stream, never recomputed from scratch."""
+
+    def __init__(self, runner):
+        self._runner = runner
+
+    @property
+    def _last(self) -> int:
+        batches = self._runner._batches
+        if not batches:
+            raise RuntimeError("standing views have no committed "
+                               "version yet")
+        return max(batches)
+
+    def group_agg(self) -> DataFrame:
+        """Per-event_type count/sum — IVM with retractions."""
+        from pyspark.sql import functions as F
+
+        return self._runner._agg.df_at(self._last).select(
+            "event_type", "cnt",
+            F.col("sum_value").cast("double").alias("sum_value"))
+
+    def min_max(self) -> DataFrame:
+        """Per-event_type min/max/count from the support relation."""
+        from pyspark.sql import functions as F
+
+        return (
+            self._runner._support.df_at(self._last)
+            .groupBy("event_type")
+            .agg(F.sum("cnt").alias("n"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"))
+        )
+
+    def top_k(self) -> list:
+        """Current top-k membership (user_id, value, event_id),
+        best first — an O(k) read off the range index."""
+        return self._runner._topk_at(self._last)
+
+    def top_k_changes(self) -> DataFrame:
+        """The enter/leave/update delta log of the top-k view."""
+        return self._runner.topk_log()
+
+    def between(self, lo: float, hi: float) -> DataFrame:
+        """Range read on the value index — only bands overlapping
+        [lo, hi] are listed from the manifest (O(selectivity))."""
+        return self._runner._index.between(self._last, lo, hi)
+
+    def changes(self) -> DataFrame:
+        """The full-row {old,new} delta log of the base table."""
+        return self._runner.delta_log()

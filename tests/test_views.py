@@ -353,3 +353,36 @@ def test_views_live_mode_matches_batch_final_state(spark, sf_smoke):
         .select("user_id", "value", "event_id")
     assert idx.exceptAll(base).count() == 0
     assert base.exceptAll(idx).count() == 0
+
+
+def test_api_standing_views_surface(spark, sf_smoke):
+    """The fluent API exposes the maintained-view family:
+    db.table('events').views() serves the latest committed version
+    of every view, consistent with the graded trajectories."""
+    import pytest as _pytest
+
+    from db_realtime_changefeed_spark.api import Database
+
+    v = Database(spark, sf_smoke).table("events").views()
+    r = _runner(spark, sf_smoke)  # graded runner, same semantics
+    QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    last = max(r._batches)
+    want = r._agg.df_at(last).select(
+        "event_type", "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"))
+    got = v.group_agg()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    top = v.top_k()
+    assert 0 < len(top) <= 10
+    # best-first ordering
+    vals = [t[1] for t in top]
+    assert vals == sorted(vals, reverse=True)
+    rng = v.between(50.0, 250.0)
+    assert rng.where(~F.col("value").between(50.0, 250.0)).count() == 0
+    # misuse fails loudly
+    with _pytest.raises(KeyError):
+        Database(spark, sf_smoke).table("orders").views()
+    with _pytest.raises(ValueError):
+        (Database(spark, sf_smoke).table("events")
+         .filter("value > 1").views())
