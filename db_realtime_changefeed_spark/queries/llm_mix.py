@@ -41,13 +41,21 @@ def llm_curriculum_order(spark, sf_dir):
     swap in any score column), and the global order round-robins
     across languages so no domain is front- or back-loaded.  The
     order key is PURE ARITHMETIC — (rn-1) * n_langs + lang_idx — so
-    the total order is computed with one per-language shuffle and a
-    broadcast of the K-row language index: NO single-partition
-    global window, no global sort; consumers range-partition on
-    order_key to materialize the schedule.  That is the 100 TB
-    shape: a global row_number() would serialize the corpus through
-    one task, while this key assigns every doc its slot
-    independently."""
+    no single-partition global window and no global sort exist
+    anywhere; consumers range-partition on order_key to materialize
+    the schedule.
+
+    The per-language rank itself is computed at the 100 TB shape: a
+    plain row_number() OVER (PARTITION BY lang) would serialize each
+    language through ONE task (3 languages = 3 tasks for the whole
+    corpus), so rn is built in two levels — (1) a per-(lang,
+    n_chars) histogram (one parallel shuffle, |langs|x|lengths|
+    rows) whose running sum over the TINY histogram gives each
+    difficulty bucket its starting offset, and (2) a row_number
+    partitioned by (lang, n_chars) — thousands of fine partitions —
+    breaking ties by doc_id inside each bucket.  rn = bucket offset
+    + in-bucket rank reproduces the serial window's answer exactly
+    (same oracle) with no per-language bottleneck."""
     d = load_table(spark, sf_dir, "documents")
     langs = (
         d.select("lang").distinct()
@@ -56,12 +64,22 @@ def llm_curriculum_order(spark, sf_dir):
         .withColumn("n_langs", F.count(F.lit(1)).over(
             Window.partitionBy()))
     )
-    rn = F.row_number().over(
-        Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+    hist = d.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("bucket_n"))
+    wh = (Window.partitionBy("lang").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = hist.select(
+        "lang", "n_chars",
+        F.coalesce(F.sum("bucket_n").over(wh), F.lit(0))
+        .alias("offset"))
+    in_bucket = F.row_number().over(
+        Window.partitionBy("lang", "n_chars").orderBy("doc_id"))
     return (
-        d.join(F.broadcast(langs), "lang")
+        d.join(F.broadcast(offsets), ["lang", "n_chars"])
+        .join(F.broadcast(langs), "lang")
         .select(
-            "doc_id", "lang", "n_chars", rn.alias("rn"),
+            "doc_id", "lang", "n_chars",
+            (F.col("offset") + in_bucket).cast("long").alias("rn"),
             "lang_idx", "n_langs",
         )
         .select(
