@@ -475,3 +475,66 @@ def changefeed_view_live(spark, sf_dir):
     return live._agg.df_at(last).select(
         "event_type", "cnt",
         F.col("sum_value").cast("double").alias("sum_value"))
+
+
+@query(
+    "changefeed_quantile_view",
+    oracle=_VIS_CTE + """
+    , c AS (
+      SELECT batch_id, event_type, value,
+             count(*) OVER (PARTITION BY batch_id, event_type
+                            ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+             count(*) OVER (PARTITION BY batch_id, event_type) AS w
+      FROM vis)
+    SELECT batch_id, event_type,
+           CAST(any_value(w) AS BIGINT) AS n,
+           min(CASE WHEN 2 * cumw >= w THEN value END)
+             AS median_value,
+           min(CASE WHEN 10 * cumw >= 9 * w THEN value END)
+             AS p90_value
+    FROM c GROUP BY batch_id, event_type
+    """,
+)
+def changefeed_quantile_view(spark, sf_dir):
+    """Exact quantiles as a MAINTAINED view — the support relation
+    generalizes past min/max: (group, value) -> multiplicity is
+    enough to answer ANY order statistic exactly, so the maintained
+    quantile view costs nothing extra to maintain (it reads the
+    same delta-folded support the min/max view uses) and the
+    read-time extraction — smallest value whose cumulative
+    multiplicity reaches the quantile fraction, the
+    quantileExactWeighted rule shared with agg_weighted_median —
+    runs over O(|support|) rows, never re-scanning the corpus.
+    Trajectory-graded per batch: median and p90 per group at every
+    micro-batch must match the SQL order statistics over that
+    batch-prefix's visible rows."""
+    from pyspark.sql import Window
+
+    r = _runner(spark, sf_dir)
+    parts = []
+    for b in r._batches:
+        sup = r._support.df_at(b)
+        wcum = (Window.partitionBy("event_type").orderBy("value")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        wall = Window.partitionBy("event_type")
+        c = sup.select(
+            "event_type", "value",
+            F.sum("cnt").over(wcum).alias("cumw"),
+            F.sum("cnt").over(wall).alias("w"),
+        )
+        parts.append(
+            c.groupBy("event_type").agg(
+                F.any_value("w").alias("n"),
+                F.min(F.when(2 * F.col("cumw") >= F.col("w"),
+                             F.col("value"))).alias("median_value"),
+                F.min(F.when(10 * F.col("cumw") >= 9 * F.col("w"),
+                             F.col("value"))).alias("p90_value"),
+            ).select(F.lit(b).alias("batch_id"), "event_type", "n",
+                     "median_value", "p90_value")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
