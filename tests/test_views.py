@@ -386,3 +386,23 @@ def test_api_standing_views_surface(spark, sf_smoke):
     with _pytest.raises(ValueError):
         (Database(spark, sf_smoke).table("events")
          .filter("value > 1").views())
+
+
+def test_views_final_state_is_chunking_invariant(spark, sf_smoke):
+    """The final view answers must not depend on micro-batch
+    boundaries: a runner replaying the same events in 2 chunks lands
+    on the same final agg view, support relation, and index as the
+    default-chunk runner."""
+    from db_realtime_changefeed_spark.streaming.views import (
+        MaintainedViewsRunner,
+    )
+
+    QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    ref = _runner(spark, sf_smoke)
+    two = MaintainedViewsRunner(spark, sf_smoke)
+    two.run(n_chunks=2)
+    for store in ("_agg", "_support", "_index"):
+        a = getattr(ref, store).df_at(max(ref._batches))
+        b = getattr(two, store).df_at(max(two._batches))
+        assert a.exceptAll(b).count() == 0, store
+        assert b.exceptAll(a).count() == 0, store
