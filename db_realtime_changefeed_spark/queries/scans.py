@@ -310,6 +310,10 @@ def source_python_datasource(spark, sf_dir):
             return "dbrcf_events"
 
         def schema(self):
+            if self.options.get("wire", "events4") == "events6":
+                return ("event_id long, ts_us long, user_id long, "
+                        "event_type string, value double, "
+                        "props string")
             return ("event_id long, user_id long, event_type string,"
                     " value double")
 
@@ -455,6 +459,10 @@ def source_python_datasource_stream(spark, sf_dir):
             return "dbrcf_events_stream"
 
         def schema(self):
+            if self.options.get("wire", "events4") == "events6":
+                return ("event_id long, ts_us long, user_id long, "
+                        "event_type string, value double, "
+                        "props string")
             return ("event_id long, user_id long, event_type string,"
                     " value double")
 
@@ -513,13 +521,18 @@ def _make_tail_source():
     )
 
     class _ByteRange(InputPartition):
-        def __init__(self, path, lo, hi):
+        def __init__(self, path, lo, hi, wire="events4"):
             self.path, self.lo, self.hi = path, lo, hi
+            self.wire = wire
 
     class _TailReader(DataSourceStreamReader):
         def __init__(self, options):
             self.path = options["path"]
             self.chunk = int(options.get("chunkBytes", 1 << 20))
+            #: wire format: "events4" (the graded socket twin) or
+            #: "events6" (full event rows incl. ts+props — the feed
+            #: the maintained views consume end-to-end)
+            self.wire = options.get("wire", "events4")
 
         def initialOffset(self):
             return {"pos": 0}
@@ -553,7 +566,8 @@ def _make_tail_source():
             pos = lo
             while pos < hi:
                 out.append(_ByteRange(
-                    self.path, pos, min(pos + self.chunk, hi)))
+                    self.path, pos, min(pos + self.chunk, hi),
+                    self.wire))
                 pos += self.chunk
             return out
 
@@ -593,12 +607,22 @@ def _make_tail_source():
                             break
             if not buf:
                 return
-            schema = pa.schema([
-                ("event_id", pa.int64()),
-                ("user_id", pa.int64()),
-                ("event_type", pa.string()),
-                ("value", pa.float64()),
-            ])
+            if getattr(partition, "wire", "events4") == "events6":
+                schema = pa.schema([
+                    ("event_id", pa.int64()),
+                    ("ts_us", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ])
+            else:
+                schema = pa.schema([
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                ])
             tbl = pj.read_json(
                 io.BytesIO(bytes(buf)),
                 parse_options=pj.ParseOptions(explicit_schema=schema),
@@ -614,6 +638,10 @@ def _make_tail_source():
             return "dbrcf_stream_tail"
 
         def schema(self):
+            if self.options.get("wire", "events4") == "events6":
+                return ("event_id long, ts_us long, user_id long, "
+                        "event_type string, value double, "
+                        "props string")
             return ("event_id long, user_id long, event_type string,"
                     " value double")
 
@@ -859,3 +887,27 @@ def scan_schema_evolution(spark, sf_dir):
         spark.read.option("mergeSchema", "true").parquet(path)
         .select("event_id", "event_type", "value")
     )
+
+
+def _tail_lines_full(sf_dir: str):
+    """Full event rows as NDJSON wire lines (event_id order): ts as
+    epoch MICROSECONDS (ints survive JSON exactly; the reader casts
+    back with timestamp_micros) plus props — the payload the
+    maintained-view engine consumes end-to-end."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        table_path(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    ).sort_by("event_id")
+    ts_us = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"),
+                         pa.field("ts_us", pa.int64()), ts_us)
+    return [
+        _json.dumps(r, separators=(",", ":")) + "\n"
+        for r in tbl.to_pylist()
+    ]

@@ -538,3 +538,65 @@ def changefeed_quantile_view(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "changefeed_view_from_tail",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rrn
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM latest WHERE rrn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def changefeed_view_from_tail(spark, sf_dir):
+    """END-TO-END composition of the network path with the view
+    engine: the events table serialized as an NDJSON wire log, the
+    byte-offset tail DataSource parsing appended ranges with Arrow
+    under the 6-column wire schema (ts as epoch micros — integers
+    survive JSON exactly), the CDC envelope wrapping the decoded
+    rows, and the FULL maintained-view machinery (LWW base, agg/
+    support/index folds, top-k log) folding the stream — wire bytes
+    in, materialized views out, no parquet replay anywhere on the
+    path.  Graded on the final agg view vs the keep-latest-visible
+    oracle; the ts round-trip is part of the grade (a lossy ts
+    encoding would flip LWW winners and break the hash)."""
+    import os
+
+    from ..queries.scans import TailStreamSource, _tail_lines_full
+    from ..tmputil import scratch_dir
+    from .views import MaintainedViewsRunner
+
+    key = (id(spark), sf_dir, "__view_tail__")
+    if key not in _CACHE:
+        spark.dataSource.register(TailStreamSource)
+        wire_dir = scratch_dir(prefix="dbrcf-viewtail-")
+        wire = os.path.join(wire_dir, "wire.ndjson")
+        with open(wire, "w") as f:
+            f.writelines(_tail_lines_full(sf_dir))
+        stream = (
+            spark.readStream.format("dbrcf_stream_tail")
+            .option("path", wire).option("wire", "events6").load()
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+        )
+        r = MaintainedViewsRunner(spark, sf_dir)
+        r.run_from_stream(stream)
+        _CACHE[key] = r
+    r = _CACHE[key]
+    last = max(r._batches)
+    return r._agg.df_at(last).select(
+        "event_type", "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"))

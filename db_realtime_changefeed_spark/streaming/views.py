@@ -475,6 +475,25 @@ class MaintainedViewsRunner:
             )
             q.awaitTermination()
 
+    def run_from_stream(self, env_source: DataFrame) -> None:
+        """Run the same merge+folds over ANY streaming DataFrame of
+        event rows (event_id, ts, user_id, event_type, value, props)
+        — the composition seam that lets the network-shaped tail
+        source (queries/scans.py TailStreamSource) feed the
+        maintained views end to end: wire bytes -> Arrow-parsed
+        micro-batches -> CDC envelope -> IVM folds."""
+        env = cdc_envelope(env_source)
+        with streaming_shuffle(self.spark):
+            q = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("viewswire"))
+                .start()
+            )
+            q.awaitTermination()
+
     def start_live(self, source_dir: str | None = None,
                    processing_time: str = "500 milliseconds"):
         """Continuous maintenance mode: the same per-batch merge+fold
