@@ -406,3 +406,56 @@ def test_views_final_state_is_chunking_invariant(spark, sf_smoke):
         b = getattr(two, store).df_at(max(two._batches))
         assert a.exceptAll(b).count() == 0, store
         assert b.exceptAll(a).count() == 0, store
+
+
+def test_view_from_tail_exactly_once_across_restart(spark, sf_smoke):
+    """The wire->views path survives a mid-stream crash: half the
+    wire log is appended and folded, the query stops, the rest is
+    appended, and a BRAND-NEW runner instance on the same root and
+    checkpoint folds only the remainder — the final views equal the
+    parquet-replay runner's (nothing lost, nothing double-folded at
+    the boundary)."""
+    import os
+
+    from db_realtime_changefeed_spark.queries.scans import (
+        TailStreamSource,
+        _tail_lines_full,
+    )
+    from db_realtime_changefeed_spark.streaming.views import (
+        MaintainedViewsRunner,
+    )
+    from db_realtime_changefeed_spark.tmputil import scratch_dir
+
+    spark.dataSource.register(TailStreamSource)
+    lines = _tail_lines_full(sf_smoke)
+    half = len(lines) // 2
+    wire_dir = scratch_dir(prefix="dbrcf-viewtail-restart-")
+    wire = os.path.join(wire_dir, "wire.ndjson")
+
+    def _stream():
+        return (
+            spark.readStream.format("dbrcf_stream_tail")
+            .option("path", wire).option("wire", "events6").load()
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+        )
+
+    with open(wire, "w") as f:
+        f.writelines(lines[:half])
+    first = MaintainedViewsRunner(spark, sf_smoke)
+    first.run_from_stream(_stream())
+    n_batches_first = len(first._batches)
+    with open(wire, "a") as f:
+        f.writelines(lines[half:])
+    resumed = MaintainedViewsRunner(spark, sf_smoke, root=first.root)
+    resumed.run_from_stream(_stream())
+    assert len(resumed._batches) == n_batches_first + 1
+    QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    ref = _runner(spark, sf_smoke)
+    a = resumed._agg.df_at(max(resumed._batches))
+    b = ref._agg.df_at(max(ref._batches))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
