@@ -534,6 +534,22 @@ class MaintainedViewsRunner:
             q.stop()
             q.awaitTermination()
 
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Retention for the view stores (the state half of what
+        retention_queries.retention_gc does for the log): keep the
+        newest `keep_last` versions of every store, drop the rest —
+        manifest deletion plus orphaned bucket dirs, no data
+        rewrite.  Trajectory reads past the horizon then fail
+        loudly (manifest gone), the same AS-OF-retention contract
+        as ChangefeedRunner.compact.  Returns {store: removed}."""
+        out = {}
+        for name in ("_base", "_agg", "_support", "_index"):
+            store = getattr(self, name)
+            versions = store.versions()
+            keep = set(versions[-keep_last:])
+            out[name] = store.gc(keep)
+        return out
+
     # ---- view reads (trajectory = every committed version) ----
     def agg_trajectory(self) -> DataFrame:
         parts = [

@@ -459,3 +459,30 @@ def test_view_from_tail_exactly_once_across_restart(spark, sf_smoke):
     b = ref._agg.df_at(max(ref._batches))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_vacuum_drops_old_versions_and_fails_loudly(spark, sf_smoke):
+    """View-store retention: vacuum(keep_last=1) must leave only the
+    newest version of every store readable and make reads past the
+    horizon fail loudly instead of serving stale buckets. Runs on a
+    private runner so the session-cached graded trajectories stay
+    intact."""
+    import pytest as _pytest
+
+    from db_realtime_changefeed_spark.streaming.views import (
+        MaintainedViewsRunner,
+    )
+
+    r = MaintainedViewsRunner(spark, sf_smoke)
+    r.run()
+    last = max(r._batches)
+    removed = r.vacuum(keep_last=1)
+    assert all(
+        v == [last] for v in (
+            r._base.versions(), r._agg.versions(),
+            r._support.versions(), r._index.versions())
+    )
+    assert any(removed.values())
+    assert r._agg.df_at(last).count() > 0
+    with _pytest.raises(FileNotFoundError):
+        r._agg.manifest(last - 1)
