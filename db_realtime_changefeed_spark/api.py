@@ -480,3 +480,21 @@ class StandingViews:
     def changes(self) -> DataFrame:
         """The full-row {old,new} delta log of the base table."""
         return self._runner.delta_log()
+
+    def register_sql(self, prefix: str = "events") -> list[str]:
+        """Expose the current view versions to SQL: registers
+        <prefix>_agg_view, <prefix>_minmax_view, <prefix>_topk_log
+        and <prefix>_changes as temp views so `db.sql()` text can
+        query the maintained state like any table.  Re-registering
+        after new commits swaps in the newer version (the temp view
+        binds the version read at call time — MVCC snapshot
+        semantics, not a live reference)."""
+        pairs = [
+            (f"{prefix}_agg_view", self.group_agg()),
+            (f"{prefix}_minmax_view", self.min_max()),
+            (f"{prefix}_topk_log", self.top_k_changes()),
+            (f"{prefix}_changes", self.changes()),
+        ]
+        for name, df in pairs:
+            df.createOrReplaceTempView(name)
+        return [n for n, _ in pairs]

@@ -638,12 +638,16 @@ class DeltaJoinViewRunner:
     _G_DDL = "band long, cnt long, sum_purchase decimal(18,6)"
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 a_type: str = "purchase", b_type: str = "click"):
+                 a_type: str = "purchase", b_type: str = "click",
+                 root: str | None = None):
+        """`root`: a previous runner's root RESTARTS from its durable
+        stores + checkpoint (same contract as
+        MaintainedViewsRunner)."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.a_type = a_type
         self.b_type = b_type
-        self.root = scratch_dir(prefix="dbrcf-deltajoin-")
+        self.root = root or scratch_dir(prefix="dbrcf-deltajoin-")
         self.ckpt = os.path.join(self.root, "checkpoint")
         self._a = BucketedMvccState(
             spark, os.path.join(self.root, "sideA"),

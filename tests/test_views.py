@@ -486,3 +486,21 @@ def test_vacuum_drops_old_versions_and_fails_loudly(spark, sf_smoke):
     assert r._agg.df_at(last).count() > 0
     with _pytest.raises(FileNotFoundError):
         r._agg.manifest(last - 1)
+
+
+def test_api_register_sql_views(spark, sf_smoke):
+    """register_sql exposes the maintained views to SQL text; the
+    registered snapshot equals the API read."""
+    from db_realtime_changefeed_spark.api import Database
+
+    db = Database(spark, sf_smoke)
+    v = db.table("events").views()
+    names = v.register_sql()
+    assert "events_agg_view" in names
+    got = spark.sql(
+        "SELECT event_type, cnt, sum_value FROM events_agg_view")
+    want = v.group_agg()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert spark.sql("SELECT count(*) FROM events_changes") \
+        .collect()[0][0] == v.changes().count()
