@@ -172,3 +172,62 @@ def llm_cluster_downsample(spark, sf_dir):
              .cast("double") / F.lit(1000000.0)).alias("key6"),
         )
     )
+
+
+@query(
+    "llm_mix_temperature",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+    ), shares AS (
+      SELECT lang, n_l,
+             sqrt(CAST(n_l AS DOUBLE)) AS s,
+             sum(sqrt(CAST(n_l AS DOUBLE))) OVER () AS s_tot
+      FROM sizes
+    ), targets AS (
+      SELECT lang, n_l,
+             CAST(floor(200.0 * s / s_tot) AS BIGINT) AS target_n
+      FROM shares
+    ), r AS (
+      SELECT d.doc_id, d.lang, t.n_l, t.target_n,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rn
+      FROM documents d JOIN targets t USING (lang))
+    SELECT doc_id, lang, rn, target_n
+    FROM r WHERE rn <= target_n
+    """,
+)
+def llm_mix_temperature(spark, sf_dir):
+    """Temperature-smoothed domain mixture (the XLM-R / mT5
+    multilingual sampling rule, alpha = 0.5): each language's share
+    of the 200-doc training mix is proportional to sqrt(corpus
+    size), flattening the native skew — high-resource domains are
+    downweighted, low-resource ones upweighted — with exact-count
+    targets cut by ranking each language's docs on a
+    content-independent hash (the llm_mix_quota mechanism with
+    computed, not fixed, quotas).  sqrt is correctly rounded in
+    IEEE 754, so the share computation is bit-identical in both
+    engines; the floor() cut makes the integer targets exact.  One
+    aggregate for sizes (broadcast back — |langs| rows), one
+    per-language hash-rank shuffle; nothing driver-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    shares = sizes.select(
+        "lang", "n_l",
+        F.sqrt(F.col("n_l").cast("double")).alias("s"),
+    ).withColumn("s_tot", F.sum("s").over(Window.partitionBy()))
+    targets = shares.select(
+        "lang", "n_l",
+        F.floor(F.lit(200.0) * F.col("s") / F.col("s_tot"))
+        .cast("long").alias("target_n"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (
+        d.join(F.broadcast(targets), "lang")
+        .select("doc_id", "lang", rn.alias("rn"), "target_n")
+        .where(F.col("rn") <= F.col("target_n"))
+    )

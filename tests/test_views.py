@@ -504,3 +504,21 @@ def test_api_register_sql_views(spark, sf_smoke):
     assert want.exceptAll(got).count() == 0
     assert spark.sql("SELECT count(*) FROM events_changes") \
         .collect()[0][0] == v.changes().count()
+
+
+def test_range_index_band_clamping():
+    """bands_for clamps both tails into the band domain."""
+    from db_realtime_changefeed_spark.streaming.views import (
+        RangeBucketedIndex,
+    )
+
+    class _Stub(RangeBucketedIndex):
+        def __init__(self):
+            self.band_width = 100.0
+            self.n_buckets = 8
+
+    ix = _Stub()
+    assert ix.bands_for(700.0, 900.0) == [7]
+    assert ix.bands_for(-50.0, 20.0) == [0]
+    assert ix.bands_for(0.0, 799.0) == list(range(8))
+    assert ix.bands_for(250.0, 250.0) == [2]
