@@ -127,8 +127,9 @@ def test_views_runner_driver_state_is_bounded(spark, sf_smoke):
 
     src = inspect.getsource(mod)
     collects = src.count(".collect()")
-    assert collects == 1, (
-        "views.py may only collect in the O(k) top-k refresh; "
+    assert collects == 2, (
+        "views.py may only collect in the O(k) top-k refresh and "
+        "the O(buckets) combined touched-set job; "
         f"found {collects} collect() sites"
     )
 
