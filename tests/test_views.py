@@ -523,3 +523,30 @@ def test_range_index_band_clamping():
     assert ix.bands_for(-50.0, 20.0) == [0]
     assert ix.bands_for(0.0, 799.0) == list(range(8))
     assert ix.bands_for(250.0, 250.0) == [2]
+
+
+def test_delta_join_runner_restart_serves_identical_views(
+        spark, sf_smoke):
+    """Crash recovery parity for the delta-join dataflow: a fresh
+    instance on the old root serves identical join and cascade
+    trajectories, and a re-run() on the restored checkpoint is a
+    no-op."""
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _dj_runner,
+    )
+    from db_realtime_changefeed_spark.streaming.views import (
+        DeltaJoinViewRunner,
+    )
+
+    QUERIES["changefeed_delta_join_view"](spark, sf_smoke)
+    old = _dj_runner(spark, sf_smoke)
+    fresh = DeltaJoinViewRunner(spark, sf_smoke, root=old.root)
+    assert fresh._batches == old._batches
+    for name in ("join_trajectory", "cascade_trajectory"):
+        a = getattr(old, name)()
+        b = getattr(fresh, name)()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    before = fresh._batches
+    fresh.run()
+    assert fresh._batches == before
