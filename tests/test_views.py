@@ -550,3 +550,41 @@ def test_delta_join_runner_restart_serves_identical_views(
     before = fresh._batches
     fresh.run()
     assert fresh._batches == before
+
+
+def test_fused_touched_sets_match_per_store_computation(
+        spark, sf_smoke):
+    """The single-job touched-set aggregation must name exactly the
+    buckets the per-store distinct computations would — a fused
+    expression drifting from a store's bucket_expr would silently
+    read/commit the wrong buckets."""
+    QUERIES["changefeed_agg_view"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    last = max(r._batches)
+    delta = r.delta_log().where(F.col("batch_id") == last)
+    t_agg, t_sup, t_idx = r._fold_touched(delta)
+    agg_want = sorted({
+        row[0] for side, cond in (("old", "old_event_id"),
+                                  ("new", "new_event_id"))
+        for row in delta.where(F.col(cond).isNotNull())
+        .select(r._agg.bucket_expr(F.col(f"{side}_type")))
+        .distinct().collect()
+    })
+    idx_want = sorted({
+        row[0] for side, cond in (("old", "old_event_id"),
+                                  ("new", "new_event_id"))
+        for row in delta.where(F.col(cond).isNotNull())
+        .select(r._index.bucket_expr(F.col(f"{side}_value")))
+        .distinct().collect()
+    })
+    sup_want = sorted({
+        row[0] for side, cond in (("old", "old_event_id"),
+                                  ("new", "new_event_id"))
+        for row in delta.where(F.col(cond).isNotNull())
+        .select(r._support.bucket_expr(
+            F.col(f"{side}_type"), F.col(f"{side}_value")))
+        .distinct().collect()
+    })
+    assert t_agg == agg_want
+    assert t_sup == sup_want
+    assert t_idx == idx_want
