@@ -1974,17 +1974,24 @@ def graph_connected_components(spark, sf_dir):
                 (F.coalesce("nbr_label", F.col("label"))
                  < F.col("label")).alias("changed"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # localCheckpoint materializes the round AND truncates the
+        # lineage: without it each round's plan references the
+        # previous round twice (labels feeds both the neighbor join
+        # and the update join), so the analyzed plan doubles per
+        # iteration — ~25k exchange nodes in the final plan TEXT by
+        # convergence (plan_audit round 6), a planning-time bomb even
+        # though execution reuses the cache. With the checkpoint the
+        # returned DataFrame's plan is one scan of the final labels.
+        new_labels = new_labels.localCheckpoint()
         # one aggregated boolean crosses the driver per round
         shrank = new_labels.where("changed").limit(1).count()
         labels.unpersist()
         labels = new_labels
         if not shrank:
             break
-    # final labels are materialized (the last shrink count ran on
-    # them, MEMORY_AND_DISK never silently evicts to nothing), so the
-    # edge cache can be released for repeat gradings in one session
+    # final labels are checkpointed (the last shrink count ran on
+    # them), so the edge cache can be released for repeat gradings
     edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
