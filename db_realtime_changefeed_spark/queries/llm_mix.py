@@ -152,8 +152,13 @@ def llm_cluster_downsample(spark, sf_dir):
     cl = d.join(F.broadcast(labels), "doc_id", "left").select(
         "doc_id",
         F.coalesce("mapped", F.col("doc_id")).alias("cluster_id"))
-    sizes = cl.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
+    # sizes of NON-singleton clusters only — bounded by the docs that
+    # appear in near-dup pairs (the dedup rate x corpus), never the
+    # corpus itself; singletons default to 1 via coalesce. A count
+    # over `cl` would be one row per doc — broadcastable here but a
+    # scale bug at 10^12 docs.
+    sizes = labels.groupBy(F.col("mapped").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("multi_size"))
     u = (
         (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                 16, 10).cast("long").cast("double") + F.lit(0.5))
@@ -161,7 +166,9 @@ def llm_cluster_downsample(spark, sf_dir):
     )
     race = u * F.col("cluster_size").cast("double")
     return (
-        cl.join(F.broadcast(sizes), "cluster_id")
+        cl.join(F.broadcast(sizes), "cluster_id", "left")
+        .withColumn("cluster_size",
+                    F.coalesce("multi_size", F.lit(1)).cast("long"))
         .select("doc_id", "cluster_id", "cluster_size",
                 race.alias("_race"))
         .orderBy("_race", "doc_id")
