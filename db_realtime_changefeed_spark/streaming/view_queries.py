@@ -506,9 +506,14 @@ def changefeed_quantile_view(spark, sf_dir):
     multiplicity reaches the quantile fraction, the
     quantileExactWeighted rule shared with agg_weighted_median —
     runs over O(|support|) rows, never re-scanning the corpus.
-    Trajectory-graded per batch: median and p90 per group at every
-    micro-batch must match the SQL order statistics over that
-    batch-prefix's visible rows."""
+    The extraction windows per group — at fixture scale that is the
+    whole point-read; at 100 TB (support ~10^7 values per group) the
+    same crossing rule first narrows to ONE value band via the range
+    index's per-band counts (a |bands|-row prefix sum) and windows
+    only inside the crossed band — the two-level extraction the
+    curriculum rank uses, same answer.  Trajectory-graded per batch:
+    median and p90 per group at every micro-batch must match the SQL
+    order statistics over that batch-prefix's visible rows."""
     from pyspark.sql import Window
 
     r = _runner(spark, sf_dir)
