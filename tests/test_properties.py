@@ -144,3 +144,81 @@ def test_dround6_div_matches_round_off_ties(spark, num, den):
         assert got == round(scaled) / 1e6 or abs(
             got - round(scaled) / 1e6
         ) <= 1e-6, "diverged from round() off a tie"
+
+
+_cdc_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),        # user_id
+        st.integers(min_value=0, max_value=3),        # ts bucket
+        st.sampled_from(["click", "purchase", "error", "view"]),
+        st.floats(min_value=0.0, max_value=500.0,
+                  allow_nan=False, allow_infinity=False, width=64),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_cdc_events)
+def test_maintained_views_match_recompute_on_random_cdc(spark, events):
+    """Adversarial IVM property: for ARBITRARY CDC sequences — same-key
+    churn, duplicate timestamps, delete/reinsert cycles, all-delete
+    streams — the incrementally maintained agg view, support
+    relation, and range index must land exactly on a from-scratch
+    recomputation over the final LWW-visible table. This probes the
+    retraction algebra where the fixture's distribution never goes
+    (e.g. every event deleted, ties on (ts) broken by event_id)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_realtime_changefeed_spark.streaming.views import (
+        MaintainedViewsRunner,
+    )
+    from db_realtime_changefeed_spark.tmputil import scratch_dir
+
+    sf_dir = scratch_dir(prefix="dbrcf-prop-views-")
+    n = len(events)
+    tbl = pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "ts": pa.array(
+            [1_700_000_000_000_000 + t * 3_600_000_000
+             for _u, t, _e, _v in events], pa.timestamp("us")),
+        "user_id": pa.array([u for u, *_ in events], pa.int64()),
+        "event_type": pa.array([e for _u, _t, e, _v in events],
+                               pa.string()),
+        "value": pa.array([v for *_x, v in events], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    r = MaintainedViewsRunner(spark, sf_dir)
+    r.run(n_chunks=min(3, n))
+    last = max(r._batches)
+    base = r._base.df_at(last).where(~F.col("deleted"))
+    # agg view == direct grouped aggregate over visible rows
+    got_agg = {
+        (x["event_type"]): (x["cnt"], round(float(x["sum_value"]), 6))
+        for x in r._agg.df_at(last).collect()
+    }
+    want_agg = {
+        x["event_type"]: (x["cnt"], round(float(x["s"]), 6))
+        for x in base.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        ).collect()
+    }
+    assert got_agg == want_agg
+    # support multiset == visible (type, value) rows
+    sup = r._support.df_at(last)
+    assert sup.where(F.col("cnt") <= 0).count() == 0
+    assert sup.agg(F.sum("cnt")).collect()[0][0] == base.count() or (
+        base.count() == 0 and sup.count() == 0)
+    # index rows == visible rows (projected)
+    idx = r._index.df_at(last).select("user_id", "value", "event_id")
+    want_idx = base.select("user_id", "value", "event_id")
+    assert idx.exceptAll(want_idx).count() == 0
+    assert want_idx.exceptAll(idx).count() == 0
