@@ -605,3 +605,36 @@ def changefeed_view_from_tail(spark, sf_dir):
     return r._agg.df_at(last).select(
         "event_type", "cnt",
         F.col("sum_value").cast("double").alias("sum_value"))
+
+
+@query(
+    "changefeed_delta_join_left_view",
+    oracle=_SIDE_CTE + """
+    SELECT a.batch_id, a.user_id,
+           a.value AS purchase_value,
+           a.event_id AS purchase_event_id,
+           k.value AS click_value,
+           k.event_id AS click_event_id
+    FROM (SELECT * FROM pa WHERE rrn = 1) a
+    LEFT JOIN (SELECT * FROM pb WHERE rrn = 1) k
+      USING (batch_id, user_id)
+    """,
+)
+def changefeed_delta_join_left_view(spark, sf_dir):
+    """LEFT-OUTER delta-join IVM — the null-extension case: every
+    user with a purchase row appears in V even before their first
+    click, and the arrival of the click RETRACTS the null-extended
+    row and applies the matched one.  The touched-key recompute
+    handles outer semantics with no extra machinery: the B-side
+    arrival puts the key in dB, so (A' left-join B') restricted to
+    touched keys regenerates exactly the flipped row — the reason
+    differential dataflows implement outer joins as key-scoped
+    recompute rather than trying to difference the null extension
+    algebraically.  Trajectory-graded per batch like the inner
+    form."""
+    key = (id(spark), sf_dir, "__deltajoin_left__")
+    if key not in _CACHE:
+        r = DeltaJoinViewRunner(spark, sf_dir, how="left")
+        r.run()
+        _CACHE[key] = r
+    return _CACHE[key].join_trajectory()

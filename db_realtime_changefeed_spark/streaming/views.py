@@ -664,14 +664,24 @@ class DeltaJoinViewRunner:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  a_type: str = "purchase", b_type: str = "click",
-                 root: str | None = None):
+                 root: str | None = None, how: str = "inner"):
         """`root`: a previous runner's root RESTARTS from its durable
         stores + checkpoint (same contract as
-        MaintainedViewsRunner)."""
+        MaintainedViewsRunner).
+        `how`: "inner" or "left" — the LEFT-OUTER view preserves
+        every A-side key and null-extends the B columns; the
+        touched-key recompute handles the outer semantics for free
+        (a B-side arrival RETRACTS the null-extended row and applies
+        the matched one — the dV covers both forms because the key
+        is in dB).  The cascade stage runs only on the inner form
+        (its band function reads the B value)."""
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner|left, got {how!r}")
         self.spark = spark
         self.sf_dir = sf_dir
         self.a_type = a_type
         self.b_type = b_type
+        self.how = how
         self.root = root or scratch_dir(prefix="dbrcf-deltajoin-")
         self.ckpt = os.path.join(self.root, "checkpoint")
         self._a = BucketedMvccState(
@@ -788,7 +798,7 @@ class DeltaJoinViewRunner:
                     "user_id",
                     F.col("value").alias("click_value"),
                     F.col("event_id").alias("click_event_id")),
-                    "user_id")
+                    "user_id", self.how)
             )
             if base is None:
                 v_old = self.spark.createDataFrame([], self._V_DDL)
@@ -799,6 +809,11 @@ class DeltaJoinViewRunner:
             # new_rows simply disappear — a side lost its row)
             keep = v_old.join(touched_keys, "user_id", "anti")
             # ---- cascade fold: the agg view sees ONLY dV ----
+            if self.how != "inner":
+                self._v.commit(batch_id, base,
+                               keep.unionByName(new_rows), v_touched)
+                touched_keys.unpersist()
+                return
             minus = old_rows.select(
                 self._band(F.col("click_value")).alias("band"),
                 F.lit(-1).alias("d_cnt"),
