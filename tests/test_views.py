@@ -588,3 +588,30 @@ def test_fused_touched_sets_match_per_store_computation(
     assert t_agg == agg_want
     assert t_sup == sup_want
     assert t_idx == idx_want
+
+
+def test_left_delta_join_final_equals_direct_left_join(
+        spark, sf_smoke):
+    """Outer-IVM correctness: the final left-view version equals the
+    from-scratch left join of the side stores, including the
+    null-extended rows for users with a purchase but no click."""
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _CACHE,
+    )
+
+    traj = QUERIES["changefeed_delta_join_left_view"](spark, sf_smoke)
+    r = _CACHE[(id(spark), sf_smoke, "__deltajoin_left__")]
+    last = max(r._batches)
+    got = traj.where(F.col("batch_id") == last).drop("batch_id")
+    a = r._a.df_at(last).select(
+        "user_id", F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_event_id"))
+    b = r._b.df_at(last).select(
+        "user_id", F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"))
+    want = a.join(b, "user_id", "left")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the outer form is exercised: some key is null-extended at some
+    # point in the trajectory (sf0.001 has purchase-only users early)
+    assert traj.where(F.col("click_event_id").isNull()).count() > 0
