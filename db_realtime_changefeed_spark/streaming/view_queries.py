@@ -638,3 +638,36 @@ def changefeed_delta_join_left_view(spark, sf_dir):
         r.run()
         _CACHE[key] = r
     return _CACHE[key].join_trajectory()
+
+
+@query(
+    "changefeed_delta_join_full_view",
+    oracle=_SIDE_CTE + """
+    SELECT COALESCE(a.batch_id, k.batch_id) AS batch_id,
+           COALESCE(a.user_id, k.user_id) AS user_id,
+           a.value AS purchase_value,
+           a.event_id AS purchase_event_id,
+           k.value AS click_value,
+           k.event_id AS click_event_id
+    FROM (SELECT * FROM pa WHERE rrn = 1) a
+    FULL JOIN (SELECT * FROM pb WHERE rrn = 1) k
+      USING (batch_id, user_id)
+    """,
+)
+def changefeed_delta_join_full_view(spark, sf_dir):
+    """FULL-OUTER delta-join IVM — both sides preserved: a user
+    appears as soon as EITHER side has a row, null-extended on the
+    missing side, and each side's first arrival retracts the
+    one-sided row and applies the matched one.  The pruned
+    bucket-aligned reads may carry co-bucketed untouched keys, so
+    the full join is semi-restricted to the touched-key set before
+    commit — rewriting an untouched key as a one-sided row is the
+    outer-IVM footgun this restriction pins down (and the
+    trajectory oracle would catch).  Completes the join-mode family
+    (inner / left / full) on the same dataflow."""
+    key = (id(spark), sf_dir, "__deltajoin_full__")
+    if key not in _CACHE:
+        r = DeltaJoinViewRunner(spark, sf_dir, how="full")
+        r.run()
+        _CACHE[key] = r
+    return _CACHE[key].join_trajectory()

@@ -675,8 +675,9 @@ class DeltaJoinViewRunner:
         the matched one — the dV covers both forms because the key
         is in dB).  The cascade stage runs only on the inner form
         (its band function reads the B value)."""
-        if how not in ("inner", "left"):
-            raise ValueError(f"how must be inner|left, got {how!r}")
+        if how not in ("inner", "left", "full"):
+            raise ValueError(
+                f"how must be inner|left|full, got {how!r}")
         self.spark = spark
         self.sf_dir = sf_dir
         self.a_type = a_type
@@ -788,18 +789,28 @@ class DeltaJoinViewRunner:
             # keys hash into, on all three stores (same key, same B)
             a_new = self._a.df_at(batch_id, buckets=v_touched)
             b_new = self._b.df_at(batch_id, buckets=v_touched)
-            new_rows = (
-                touched_keys
-                .join(a_new, "user_id")
-                .select("user_id",
-                        F.col("value").alias("purchase_value"),
-                        F.col("event_id").alias("purchase_event_id"))
-                .join(b_new.select(
-                    "user_id",
-                    F.col("value").alias("click_value"),
-                    F.col("event_id").alias("click_event_id")),
-                    "user_id", self.how)
-            )
+            a_rows = a_new.select(
+                "user_id",
+                F.col("value").alias("purchase_value"),
+                F.col("event_id").alias("purchase_event_id"))
+            b_rows = b_new.select(
+                "user_id",
+                F.col("value").alias("click_value"),
+                F.col("event_id").alias("click_event_id"))
+            if self.how == "full":
+                # both sides preserved; restrict to touched keys
+                # (semi) since the pruned reads may carry co-bucketed
+                # untouched keys that must not be rewritten as
+                # one-sided rows
+                new_rows = (
+                    a_rows.join(b_rows, "user_id", "full")
+                    .join(touched_keys, "user_id", "semi")
+                )
+            else:
+                new_rows = (
+                    touched_keys.join(a_rows, "user_id")
+                    .join(b_rows, "user_id", self.how)
+                )
             if base is None:
                 v_old = self.spark.createDataFrame([], self._V_DDL)
             else:
@@ -809,7 +820,7 @@ class DeltaJoinViewRunner:
             # new_rows simply disappear — a side lost its row)
             keep = v_old.join(touched_keys, "user_id", "anti")
             # ---- cascade fold: the agg view sees ONLY dV ----
-            if self.how != "inner":
+            if self.how != "inner":  # cascade reads the B value
                 self._v.commit(batch_id, base,
                                keep.unionByName(new_rows), v_touched)
                 touched_keys.unpersist()
