@@ -671,3 +671,89 @@ def changefeed_delta_join_full_view(spark, sf_dir):
         r.run()
         _CACHE[key] = r
     return _CACHE[key].join_trajectory()
+
+
+@query(
+    "changefeed_distinct_view",
+    oracle=_VIS_CTE + """
+    SELECT batch_id, event_type,
+           count(DISTINCT value) AS nd_value
+    FROM vis GROUP BY batch_id, event_type
+    """,
+)
+def changefeed_distinct_view(spark, sf_dir):
+    """Exact COUNT(DISTINCT) as a maintained view: the support
+    relation (group, value) -> multiplicity maintained for min/max
+    already IS the distinct-value set with reference counts — a
+    value leaves the view exactly when its multiplicity hits zero,
+    which is the part a naive distinct-count delta cannot know.
+    The read is count(*) per group over O(|support|) rows; no extra
+    maintenance cost, trajectory-graded per micro-batch."""
+    r = _runner(spark, sf_dir)
+    parts = [
+        r._support.df_at(b).groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("nd_value"))
+        .select(F.lit(b).alias("batch_id"), "event_type", "nd_value")
+        for b in r._batches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "changefeed_variance_view",
+    oracle=_VIS_CTE + """
+    SELECT batch_id, event_type,
+           count(*) AS n,
+           FLOOR(((CAST(sum(CAST(value AS DECIMAL(18,6))
+                            * CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE)
+                   - CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     * CAST(sum(CAST(value AS DECIMAL(18,6)))
+                            AS DOUBLE) / count(*))
+                  / count(*)) * 1000000.0 + 0.5) / 1000000.0
+             AS var_pop6
+    FROM vis GROUP BY batch_id, event_type
+    """,
+)
+def changefeed_variance_view(spark, sf_dir):
+    """Exact population variance as a maintained view — the
+    second-moment case: the support relation already carries every
+    (value, multiplicity) pair, so n, sum(v) and sum(v^2) fold from
+    it in EXACT DECIMAL at read time (value^2 is decimal(36,12),
+    multiplied by the integer multiplicity and summed — no float
+    order-dependence anywhere), and only the final
+    (sumsq - sum^2/n)/n runs in IEEE doubles on bit-identical
+    rational inputs, quantized to 6 dp.  No new maintenance state:
+    min/max, quantiles, distinct counts and variance all ride the
+    ONE delta-folded support relation.  Trajectory-graded per
+    micro-batch."""
+    r = _runner(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(18,6)")
+    parts = []
+    for b in r._batches:
+        g = r._support.df_at(b).groupBy("event_type").agg(
+            F.sum("cnt").alias("n"),
+            F.sum(vdec * F.col("cnt")).alias("s"),
+            F.sum(vdec * vdec * F.col("cnt")).alias("sq"),
+        )
+        var = (
+            (F.col("sq").cast("double")
+             - F.col("s").cast("double") * F.col("s").cast("double")
+             / F.col("n"))
+            / F.col("n")
+        )
+        parts.append(
+            g.select(
+                F.lit(b).alias("batch_id"), "event_type", "n",
+                (F.floor(var * F.lit(1000000.0) + F.lit(0.5))
+                 .cast("double") / F.lit(1000000.0)).alias("var_pop6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
