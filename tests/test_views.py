@@ -615,3 +615,38 @@ def test_left_delta_join_final_equals_direct_left_join(
     # the outer form is exercised: some key is null-extended at some
     # point in the trajectory (sf0.001 has purchase-only users early)
     assert traj.where(F.col("click_event_id").isNull()).count() > 0
+
+
+def test_support_serves_distinct_and_variance_consistently(
+        spark, sf_smoke):
+    """The distinct-count and variance views must agree with direct
+    computations over the visible base rows — a different code path
+    from both the trajectory oracle and the support folds."""
+    QUERIES["changefeed_distinct_view"](spark, sf_smoke)
+    vv = QUERIES["changefeed_variance_view"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    last = max(r._batches)
+    base = r._base.df_at(last).where(~F.col("deleted"))
+    want_nd = {
+        x["event_type"]: x["nd"]
+        for x in base.groupBy("event_type")
+        .agg(F.countDistinct("value").alias("nd")).collect()
+    }
+    got_nd = {
+        x["event_type"]: x["nd_value"]
+        for x in QUERIES["changefeed_distinct_view"](spark, sf_smoke)
+        .where(F.col("batch_id") == last).collect()
+    }
+    assert got_nd == want_nd
+    got_var = {
+        x["event_type"]: x["var_pop6"]
+        for x in vv.where(F.col("batch_id") == last).collect()
+    }
+    want_var = {
+        x["event_type"]: round(x["v"], 4)
+        for x in base.groupBy("event_type")
+        .agg(F.var_pop("value").alias("v")).collect()
+    }
+    for k, v6 in got_var.items():
+        assert abs(v6 - want_var[k]) < 1e-3, (k, v6, want_var[k])
+        assert v6 >= 0
