@@ -757,3 +757,46 @@ def changefeed_variance_view(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "changefeed_sample_cohort",
+    oracle=_VIS_CTE + """
+    , hashed AS (
+      SELECT batch_id, user_id,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM (SELECT DISTINCT batch_id, user_id FROM vis)
+    ), ranked AS (
+      SELECT batch_id, user_id,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY h, user_id) AS rk
+      FROM hashed
+    ), coh AS (
+      SELECT batch_id, user_id FROM ranked WHERE rk <= 10
+    ), cur AS (
+      SELECT batch_id AS bb, user_id FROM coh
+    ), prev AS (
+      SELECT batch_id + 1 AS bb, user_id FROM coh
+      WHERE batch_id + 1 <= (SELECT max(chunk) FROM chunked)
+    )
+    SELECT bb AS batch_id,
+           COALESCE(cur.user_id, prev.user_id) AS user_id,
+           CASE WHEN prev.user_id IS NULL THEN 'enter'
+                ELSE 'leave' END AS change
+    FROM cur FULL JOIN prev USING (bb, user_id)
+    WHERE cur.user_id IS NULL OR prev.user_id IS NULL
+    """,
+)
+def changefeed_sample_cohort(spark, sf_dir):
+    """Maintained HOLDOUT COHORT (the stable A/B-holdout contract):
+    the k=10 visible users smallest by md5(user_id) — a
+    deterministic uniform key sample that is STABLE under churn
+    (row updates never move a member; membership changes only when
+    a member is deleted from the table or a smaller-hash user
+    appears), with enter/leave deltas per micro-batch.  This is the
+    sample shape a naive rand()-per-batch cannot give: the cohort
+    is reproducible across engines, restarts, and partitionings.
+    The oracle reconstructs every batch-prefix's true cohort and
+    diffs consecutive batches."""
+    r = _runner(spark, sf_dir)
+    return r.sample_log()

@@ -135,9 +135,11 @@ class MaintainedViewsRunner:
         self.root = root or scratch_dir(prefix="dbrcf-views-")
         self.log_dir = os.path.join(self.root, "changelog")
         self.topk_dir = os.path.join(self.root, "topklog")
+        self.sample_dir = os.path.join(self.root, "samplelog")
         self.ckpt = os.path.join(self.root, "checkpoint")
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.topk_dir, exist_ok=True)
+        os.makedirs(self.sample_dir, exist_ok=True)
         self._base = BucketedMvccState(
             spark, os.path.join(self.root, "base"),
             self._STATE_DDL, "user_id")
@@ -157,6 +159,7 @@ class MaintainedViewsRunner:
         # (batch_id, rows). On miss (restart, retry) the membership
         # is recomputed from the durable index, never trusted stale.
         self._topk_cache: tuple[int, list] | None = None
+        self._sample_cache: tuple[int, set] | None = None
 
     @property
     def _batches(self) -> list[int]:
@@ -262,6 +265,7 @@ class MaintainedViewsRunner:
             self._fold_support(delta, batch_id, base, t_sup)
             self._fold_index(delta, batch_id, base, t_idx)
             self._refresh_topk(batch_id)  # idempotent per batch
+            self._refresh_sample(batch_id)
             # the BASE commit is the batch's COMMIT POINT and runs
             # LAST: `_batches` (derived from base versions) then
             # implies every view fold for that batch is durable — a
@@ -486,6 +490,66 @@ class MaintainedViewsRunner:
         self._topk_cache = (batch_id, cur)
 
     # ---- run ----
+    def _refresh_sample(self, batch_id: int) -> None:
+        """Maintained HOLDOUT COHORT — the k visible users smallest
+        by md5(user_id): a deterministic uniform key sample that is
+        STABLE under churn (a member's row updates never move it;
+        membership changes only when a member is deleted or a
+        smaller-hash user appears), which is exactly the stable
+        A/B-holdout contract.  Same durable per-batch parquet log
+        and O(k) driver shape as the top-k view."""
+        # reads the RANGE INDEX (committed before this refresh; the
+        # base commit is the batch's final commit point) — the index
+        # holds exactly the visible keys. A production deployment
+        # adds a hash-ordered index for O(k + bucket) cohort reads;
+        # this is the index-less full read, like pre-index top-k.
+        cur_rows = (
+            self._index.df_at(batch_id)
+            .select("user_id",
+                    F.md5(F.col("user_id").cast("string")).alias("h"))
+            .orderBy("h", "user_id")
+            .limit(self.k)
+            .collect()
+        )
+        cur = {r["user_id"] for r in cur_rows}
+        if (self._sample_cache is not None
+                and self._sample_cache[0] == batch_id - 1):
+            prev = self._sample_cache[1]
+        elif batch_id > 0:
+            prev = {
+                r["user_id"]
+                for r in self._index.df_at(batch_id - 1)
+                .select("user_id",
+                        F.md5(F.col("user_id").cast("string"))
+                        .alias("h"))
+                .orderBy("h", "user_id")
+                .limit(self.k)
+                .collect()
+            }
+        else:
+            prev = set()
+        out = [(batch_id, u, "enter") for u in sorted(cur - prev)]
+        out += [(batch_id, u, "leave") for u in sorted(prev - cur)]
+        (
+            self.spark.createDataFrame(
+                out, "batch_id long, user_id long, change string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.sample_dir,
+                                  f"batch-{batch_id:05d}"))
+        )
+        self._sample_cache = (batch_id, cur)
+
+    def sample_log(self) -> DataFrame:
+        ddl = "batch_id long, user_id long, change string"
+        if not _has_parquet(self.sample_dir):
+            return self.spark.createDataFrame([], ddl)
+        return (
+            self.spark.read.schema(ddl)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.sample_dir)
+        )
+
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))

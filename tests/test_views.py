@@ -127,9 +127,10 @@ def test_views_runner_driver_state_is_bounded(spark, sf_smoke):
 
     src = inspect.getsource(mod)
     collects = src.count(".collect()")
-    assert collects == 2, (
-        "views.py may only collect in the O(k) top-k refresh and "
-        "the O(buckets) combined touched-set job; "
+    assert collects == 4, (
+        "views.py may only collect O(k)/O(buckets) rows: the top-k "
+        "refresh, the combined touched-set job, and the sample "
+        "cohort's two bounded reads; "
         f"found {collects} collect() sites"
     )
 
