@@ -757,3 +757,46 @@ def agg_histogram(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    WITH RECURSIVE probe(t) AS (
+      SELECT CAST(1.0 AS DOUBLE)
+      UNION ALL
+      SELECT t * 2 FROM probe
+      WHERE (SELECT count(*) FROM events WHERE value > t) >= 100
+    ), final AS (SELECT max(t) AS threshold FROM probe)
+    SELECT threshold,
+           (SELECT count(*) FROM events
+            WHERE value > (SELECT threshold FROM final)) AS cnt
+    FROM final
+    """,
+)
+def sql_scripting(spark, sf_dir):
+    """Spark 4 SQL SCRIPTING (BEGIN ... END with DECLARE / WHILE /
+    SET — SPARK-48338): procedural control flow in pure SQL text,
+    here an exponential probe that doubles a threshold until fewer
+    than 100 events exceed it, then returns (threshold, count).
+    Each loop iteration is a full declarative query (the scan is
+    Catalyst-planned; only the scalar loop variable lives in the
+    script frame), so the script is driver-side CONTROL FLOW over
+    distributed queries — the same division of labor as the
+    changefeed runners.  The oracle reproduces the loop with a
+    recursive CTE whose recursion condition mirrors the WHILE
+    guard; both engines converge on the identical doubling
+    sequence because the per-step counts are exact integers."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    BEGIN
+      DECLARE t DOUBLE DEFAULT 1.0;
+      WHILE (SELECT count(*) FROM events WHERE value > t) >= 100 DO
+        SET t = t * 2;
+      END WHILE;
+      SELECT t AS threshold,
+             (SELECT count(*) FROM events WHERE value > t) AS cnt;
+    END
+    """)
