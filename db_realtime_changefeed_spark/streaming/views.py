@@ -104,6 +104,24 @@ class RangeBucketedIndex(BucketedMvccState):
         )
 
 
+class HashOrderedIndex(BucketedMvccState):
+    """Secondary index ordered by KEY HASH: bucket = first hex
+    nibble of md5(key) — 16 buckets that partition the hash order,
+    so "k smallest by hash" reads ascending buckets with early stop
+    (the cohort twin of the value-banded range index)."""
+
+    def __init__(self, spark: SparkSession, state_root: str,
+                 ddl: str):
+        super().__init__(spark, state_root, ddl, "user_id",
+                         n_buckets=16)
+
+    def bucket_expr(self, *cols):
+        c = cols[0] if cols else F.col("user_id")
+        return F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 1), 16, 10
+        ).cast("int")
+
+
 class MaintainedViewsRunner:
     """One CDC scan, a keyed LWW base table, and three derived views
     maintained incrementally from the per-batch delta stream."""
@@ -152,6 +170,9 @@ class MaintainedViewsRunner:
         self._index = RangeBucketedIndex(
             spark, os.path.join(self.root, "rangeindex"),
             self._INDEX_DDL, band_width=100.0, n_bands=8)
+        self._hashidx = HashOrderedIndex(
+            spark, os.path.join(self.root, "hashindex"),
+            "user_id long")
         self._last_batch: int | None = (
             max(self._base.versions()) if self._base.versions()
             else None)
@@ -264,6 +285,7 @@ class MaintainedViewsRunner:
             self._fold_agg(delta, batch_id, base, t_agg)
             self._fold_support(delta, batch_id, base, t_sup)
             self._fold_index(delta, batch_id, base, t_idx)
+            self._fold_hashidx(delta, batch_id, base)
             self._refresh_topk(batch_id)  # idempotent per batch
             self._refresh_sample(batch_id)
             # the BASE commit is the batch's COMMIT POINT and runs
@@ -454,6 +476,22 @@ class MaintainedViewsRunner:
             lo -= 1
         return [(r["user_id"], r["value"], r["event_id"]) for r in rows]
 
+    def _fold_hashidx(self, delta: DataFrame, batch_id: int,
+                      base: int | None) -> None:
+        """Hash-ordered key index from the delta alone: a key is
+        present iff its row is visible. Only buckets whose keys
+        appear in the delta are rewritten."""
+        keys = delta.select("user_id")
+        touched = self._hashidx.touched_buckets(keys, "user_id")
+        if base is None:
+            old = self.spark.createDataFrame([], "user_id long")
+        else:
+            old = self._hashidx.df_at(base, buckets=touched)
+        additions = delta.where(
+            F.col("new_event_id").isNotNull()).select("user_id")
+        merged = old.join(keys, "user_id", "anti")             .unionByName(additions)
+        self._hashidx.commit(batch_id, base, merged, touched)
+
     def _refresh_topk(self, batch_id: int) -> None:
         """Emit this batch's enter/leave/update deltas to the durable
         top-k log (parquet, one file per batch, OVERWRITTEN on a
@@ -498,34 +536,14 @@ class MaintainedViewsRunner:
         smaller-hash user appears), which is exactly the stable
         A/B-holdout contract.  Same durable per-batch parquet log
         and O(k) driver shape as the top-k view."""
-        # reads the RANGE INDEX (committed before this refresh; the
-        # base commit is the batch's final commit point) — the index
-        # holds exactly the visible keys. A production deployment
-        # adds a hash-ordered index for O(k + bucket) cohort reads;
-        # this is the index-less full read, like pre-index top-k.
-        cur_rows = (
-            self._index.df_at(batch_id)
-            .select("user_id",
-                    F.md5(F.col("user_id").cast("string")).alias("h"))
-            .orderBy("h", "user_id")
-            .limit(self.k)
-            .collect()
-        )
+        cur_rows = self._sample_at(batch_id)
         cur = {r["user_id"] for r in cur_rows}
         if (self._sample_cache is not None
                 and self._sample_cache[0] == batch_id - 1):
             prev = self._sample_cache[1]
         elif batch_id > 0:
-            prev = {
-                r["user_id"]
-                for r in self._index.df_at(batch_id - 1)
-                .select("user_id",
-                        F.md5(F.col("user_id").cast("string"))
-                        .alias("h"))
-                .orderBy("h", "user_id")
-                .limit(self.k)
-                .collect()
-            }
+            prev = {r["user_id"]
+                    for r in self._sample_at(batch_id - 1)}
         else:
             prev = set()
         out = [(batch_id, u, "enter") for u in sorted(cur - prev)]
@@ -539,6 +557,30 @@ class MaintainedViewsRunner:
                                   f"batch-{batch_id:05d}"))
         )
         self._sample_cache = (batch_id, cur)
+
+    def _sample_at(self, batch_id: int) -> list:
+        """The k smallest-by-hash visible keys, read from the
+        HASH-ORDERED index: ascending hash buckets, widened until
+        they hold >= k keys — every unread bucket is strictly larger
+        in hash order, so the read touches O(k + bucket) keys (the
+        cohort twin of the top-k band read)."""
+        hi = 0
+        rows: list = []
+        while hi < self._hashidx.n_buckets:
+            rows = (
+                self._hashidx.df_at(batch_id,
+                                    buckets=list(range(0, hi + 1)))
+                .select("user_id",
+                        F.md5(F.col("user_id").cast("string"))
+                        .alias("h"))
+                .orderBy("h", "user_id")
+                .limit(self.k)
+                .collect()
+            )
+            if len(rows) >= self.k:
+                break
+            hi += 1
+        return rows
 
     def sample_log(self) -> DataFrame:
         ddl = "batch_id long, user_id long, change string"

@@ -127,10 +127,10 @@ def test_views_runner_driver_state_is_bounded(spark, sf_smoke):
 
     src = inspect.getsource(mod)
     collects = src.count(".collect()")
-    assert collects == 4, (
+    assert collects == 3, (
         "views.py may only collect O(k)/O(buckets) rows: the top-k "
-        "refresh, the combined touched-set job, and the sample "
-        "cohort's two bounded reads; "
+        "band read, the combined touched-set job, and the hash-"
+        "bucket cohort read; "
         f"found {collects} collect() sites"
     )
 
