@@ -800,3 +800,85 @@ def changefeed_sample_cohort(spark, sf_dir):
     diffs consecutive batches."""
     r = _runner(spark, sf_dir)
     return r.sample_log()
+
+
+@query(
+    "changefeed_consumer_lag",
+    oracle=_VIS_CTE + f"""
+    , cur AS (
+      SELECT batch_id AS bb, user_id, event_id FROM vis
+    ), prevv AS (
+      SELECT batch_id + 1 AS bb, user_id, event_id FROM vis
+      WHERE batch_id + 1 <= (SELECT max(chunk) FROM chunked)
+    ), dl AS (
+      SELECT bb AS batch_id, user_id
+      FROM cur FULL JOIN prevv USING (bb, user_id)
+      WHERE cur.event_id IS DISTINCT FROM prevv.event_id
+    ), owned AS (
+      SELECT CAST(user_id % (CASE WHEN batch_id < {_REB} THEN 2
+                                  ELSE 3 END) AS INTEGER)
+               AS consumer_id,
+             batch_id
+      FROM dl
+    ), offsets AS (
+      SELECT 0 AS consumer_id, CAST(1 AS BIGINT) AS committed_batch
+      UNION ALL
+      SELECT 1, CAST({_NB} - 1 AS BIGINT)
+      UNION ALL
+      SELECT 2, CAST({_REB} AS BIGINT)
+    ), head AS (SELECT max(chunk) AS head_batch FROM chunked)
+    SELECT o.consumer_id, o.committed_batch,
+           (SELECT head_batch FROM head) AS head_batch,
+           (SELECT head_batch FROM head) - o.committed_batch
+             AS batch_lag,
+           CAST(count(w.batch_id) FILTER (
+                  WHERE w.batch_id > o.committed_batch) AS BIGINT)
+             AS pending_rows
+    FROM offsets o LEFT JOIN owned w USING (consumer_id)
+    GROUP BY o.consumer_id, o.committed_batch
+    """,
+)
+def changefeed_consumer_lag(spark, sf_dir):
+    """Consumer-group LAG TELEMETRY (the kafka-consumer-groups
+    --describe contract): given each consumer's committed resume
+    token — consumer 0 stalled at batch 1, consumer 1 fully caught
+    up, consumer 2 (born at the rebalance) committed at its first
+    owned batch — report batch lag vs the log head and the exact
+    count of PENDING rows sitting in that consumer's delivery
+    partitions beyond its token.  Pending counts are computed from
+    the real partitioned delivery tree (partition pruning on
+    consumer_id does the per-consumer isolation), and the oracle
+    recomputes them from the delta-log reconstruction with the same
+    ownership rule — a monitoring endpoint that can drift from the
+    data it monitors is worse than none."""
+    from .views import ConsumerGroupDispatcher
+
+    r = _runner(spark, sf_dir)
+    key = (id(spark), sf_dir, "__groups__")
+    if key not in _CACHE:
+        d = ConsumerGroupDispatcher(r, n_before=2, n_after=3,
+                                    rebalance_at=_REB)
+        d.dispatch()
+        _CACHE[key] = d
+    d = _CACHE[key]
+    head = max(r._batches)
+    offsets = spark.createDataFrame(
+        [(0, 1), (1, _NB - 1), (2, _REB)],
+        "consumer_id int, committed_batch long")
+    got = d.received()
+    return (
+        offsets.join(got, "consumer_id", "left")
+        .groupBy("consumer_id", "committed_batch")
+        .agg(
+            F.count(F.when(F.col("batch_id")
+                           > F.col("committed_batch"), 1))
+            .cast("long").alias("pending_rows"),
+        )
+        .select(
+            "consumer_id", "committed_batch",
+            F.lit(head).cast("long").alias("head_batch"),
+            (F.lit(head) - F.col("committed_batch")).cast("long")
+            .alias("batch_lag"),
+            "pending_rows",
+        )
+    )
