@@ -1044,13 +1044,26 @@ class ConsumerGroupDispatcher:
         self.delivery = os.path.join(runner.root, "delivery")
         self._dispatched = False
 
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.delivery,
+                            f"_DISPATCHED-{batch_id:05d}")
+
     def dispatch(self) -> None:
+        """Idempotent across dispatcher INSTANCES, not just calls: a
+        durable per-batch marker (written after the partitioned
+        write lands) lets a crashed-and-restarted dispatcher resume
+        without re-appending batches it already delivered — the
+        at-least-once upstream composes to exactly-once delivery
+        files, same recipe as sink_idempotent_merge."""
         if self._dispatched:
             return
+        os.makedirs(self.delivery, exist_ok=True)
         reb = self.rebalance_at
         if reb is None:
             reb = max(1, len(self.runner._batches) // 2)
         for b in self.runner._batches:
+            if os.path.exists(self._marker(b)):
+                continue
             log_path = os.path.join(self.runner.log_dir,
                                     f"batch-{b:05d}")
             df = self.runner.spark.read.schema(
@@ -1066,6 +1079,9 @@ class ConsumerGroupDispatcher:
                 .mode("append")
                 .parquet(self.delivery)
             )
+            with open(self._marker(b) + ".tmp", "w") as f:
+                f.write("done")
+            os.replace(self._marker(b) + ".tmp", self._marker(b))
         self._dispatched = True
 
     def received(self) -> DataFrame:

@@ -651,3 +651,25 @@ def test_support_serves_distinct_and_variance_consistently(
     for k, v6 in got_var.items():
         assert abs(v6 - want_var[k]) < 1e-3, (k, v6, want_var[k])
         assert v6 >= 0
+
+
+def test_dispatch_is_idempotent_across_instances(spark, sf_smoke):
+    """A second dispatcher instance on the same delivery tree (the
+    crashed-and-restarted dispatcher) must not re-append batches it
+    already delivered — durable markers make dispatch exactly-once
+    at the file level."""
+    from db_realtime_changefeed_spark.streaming.view_queries import (
+        _REB,
+        _CACHE,
+    )
+    from db_realtime_changefeed_spark.streaming.views import (
+        ConsumerGroupDispatcher,
+    )
+
+    QUERIES["changefeed_consumer_groups"](spark, sf_smoke)
+    d = _CACHE[(id(spark), sf_smoke, "__groups__")]
+    before = d.received().count()
+    again = ConsumerGroupDispatcher(
+        d.runner, n_before=2, n_after=3, rebalance_at=_REB)
+    again.dispatch()
+    assert again.received().count() == before
