@@ -673,3 +673,21 @@ def test_dispatch_is_idempotent_across_instances(spark, sf_smoke):
         d.runner, n_before=2, n_after=3, rebalance_at=_REB)
     again.dispatch()
     assert again.received().count() == before
+
+
+def test_fixture_value_nullability_assumption(spark, sf_smoke,
+                                              sf_oracle):
+    """CANARY for driver testdata regeneration (the round-3 ts-unit
+    lesson): every view fold treats a NULL value as +0, which equals
+    SQL's null-skipping SUM unless a group's values are ALL null
+    (sum() would be NULL, the fold says 0), and the distinct/
+    quantile reads would need a cnt_nonnull moment to mirror
+    count(DISTINCT value)'s null-skipping. The fixture has no null
+    values at any SF today; if this test ever fails, add the
+    cnt_nonnull moment to the support relation instead of relaxing
+    the assertion."""
+    for d in (sf_smoke, sf_oracle):
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        assert ev.where(F.col("value").isNull()).count() == 0, (
+            f"{d}: events.value grew NULLs — see docstring for the "
+            "required support-relation change")
