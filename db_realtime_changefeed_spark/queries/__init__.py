@@ -60,6 +60,7 @@ def load_all() -> None:
     from ..streaming import consumer_queries  # noqa: F401
     from ..streaming import view_queries  # noqa: F401
     from ..streaming import retention_queries  # noqa: F401
+    from ..streaming import generic_views  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades

@@ -691,3 +691,29 @@ def test_fixture_value_nullability_assumption(spark, sf_smoke,
         assert ev.where(F.col("value").isNull()).count() == 0, (
             f"{d}: events.value grew NULLs — see docstring for the "
             "required support-relation change")
+
+
+def test_orders_view_final_equals_direct_aggregate(spark, sf_smoke):
+    """The generic runner on ORDERS must land exactly on a direct
+    grouped aggregate over each customer's latest order — same
+    retraction-fold contract, second table."""
+    from db_realtime_changefeed_spark.streaming.generic_views import (
+        _CACHE as GCACHE,
+    )
+
+    traj = QUERIES["changefeed_agg_view_orders"](spark, sf_smoke)
+    r = GCACHE[(id(spark), sf_smoke, "__orders_view__")]
+    last = max(r._batches)
+    got = traj.where(F.col("batch_id") == last).drop("batch_id")
+    want = (
+        r._base.df_at(last)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the agg commits carried buckets forward (IVM, not recompute)
+    man = r._agg.manifest(last)
+    assert all(v <= last for v in man.values())
