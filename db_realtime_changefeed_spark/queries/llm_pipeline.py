@@ -1458,20 +1458,56 @@ def llm_perplexity_buckets(spark, sf_dir):
     6-dp decimal over a small integer, so it CAN land exactly on a
     6-dp cast midpoint where Spark's HALF_UP and DuckDB's half-even
     disagree by 1e-6 (observed once at sf0.01 — the dsir lesson
-    again); min/max/ordering use the raw ce (pure picks). Scale
-    honesty: global ntile is a single-partition sort of ONE ROW PER
-    DOC (not per token); at 100 TB the cut becomes approx-percentile
-    thresholds broadcast back — the same trade agg_quantiles
-    documents."""
+    again); min/max/ordering use the raw ce (pure picks).
+
+    The tier assignment itself runs at the 100 TB shape (VERDICT r6
+    item 2): a literal ntile(3) OVER (ORDER BY ce, doc_id) is a
+    single-partition sort of one row per document — O(corpus) on one
+    task. Instead each doc's GLOBAL rank is built in two levels, the
+    llm_curriculum_order pattern: (1) a histogram over a coarse
+    monotone banding of ce (band = floor(ce·64) — ce is bounded by
+    the LM's log-vocab, so the band domain stays small at any
+    corpus size) whose running sum gives each band its starting
+    offset plus the corpus total, and (2) a row_number partitioned
+    BY BAND ordered by (ce, doc_id). Banding is monotone in ce, so
+    offset + in-band rank reproduces the serial window's total
+    order exactly, and the ntile bucket is then pure arithmetic on
+    (rank, N): the first N%3 tiers take ceil(N/3) rows — exactly
+    ntile(3)'s fill rule, same oracle hash. The only unpartitioned
+    window left scans the band histogram (bounded domain), not the
+    corpus; test_llm_pipeline pins the plan shape."""
     base = _bigram_doc_scores(spark, sf_dir)
     ce = base.select(
         "doc_id",
         ((-F.col("bg_logp")) / F.col("n_bigrams")).alias("ce"),
         dround6_div(-F.col("bg_logp"), F.col("n_bigrams"))
             .alias("ce_q"),
+    ).withColumn("band", F.floor(F.col("ce") * 64).cast("long"))
+    hist = ce.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    wh = (Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = hist.select(
+        "band",
+        F.coalesce(F.sum("bn").over(wh), F.lit(0)).alias("offset"),
+        F.sum("bn").over(
+            Window.partitionBy()).alias("n_total"),
     )
-    w = Window.orderBy("ce", "doc_id")
-    bk = ce.select("ce", "ce_q", F.ntile(3).over(w).alias("bucket"))
+    in_band = F.row_number().over(
+        Window.partitionBy("band").orderBy("ce", "doc_id"))
+    ranked = (
+        ce.join(F.broadcast(offsets), "band")
+        .withColumn("rnk", F.col("offset") + in_band)
+    )
+    # ntile(3) fill rule: tier i gets N/3 rows +1 while i <= N%3
+    n, third = F.col("n_total"), F.floor(F.col("n_total") / 3)
+    r1 = third + F.when(n % 3 >= 1, 1).otherwise(0)
+    r2 = r1 + third + F.when(n % 3 >= 2, 1).otherwise(0)
+    bk = ranked.select(
+        "ce", "ce_q",
+        F.when(F.col("rnk") <= r1, 1)
+         .when(F.col("rnk") <= r2, 2)
+         .otherwise(3).alias("bucket"),
+    )
     return bk.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.col("ce_q").cast(DEC)).cast("double")

@@ -267,6 +267,20 @@ def test_join_dpp_dynamic_pruning(spark, sf_oracle):
     assert "dynamicpruning" in plan.lower(), "DPP did not fire"
 
 
+def test_perplexity_buckets_no_global_ntile(spark, sf_oracle):
+    """VERDICT r6 item 2: llm_perplexity_buckets' tier cut must not
+    run a corpus-wide single-partition window. The per-doc rank is
+    two-level (band histogram offsets + row_number PARTITIONED BY
+    band); the only unpartitioned windows left fold the tiny band
+    histogram. Pin: no ntile anywhere, and every row_number window
+    spec carries the band partition key."""
+    plan = _plan(spark, sf_oracle, "llm_perplexity_buckets")
+    assert "ntile" not in plan.lower(), "global ntile regressed"
+    for ln in plan.splitlines():
+        if "row_number()" in ln:
+            assert "windowspecdefinition(band#" in ln, ln
+
+
 def test_pagerank_edge_build_broadcasts_dims(spark, sf_oracle):
     """graph_pagerank's corpus-scale stage is the edge build: the
     lineitem-orders join may shuffle, but customer/supplier/nation
