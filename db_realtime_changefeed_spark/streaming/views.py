@@ -281,11 +281,11 @@ class MaintainedViewsRunner:
             # log — the views see exactly what a subscriber would see)
             delta = self.spark.read.schema(self._LOG_DDL) \
                 .parquet(log_path)
-            t_agg, t_sup, t_idx = self._fold_touched(delta)
+            t_agg, t_sup, t_idx, t_hx = self._fold_touched(delta)
             self._fold_agg(delta, batch_id, base, t_agg)
             self._fold_support(delta, batch_id, base, t_sup)
             self._fold_index(delta, batch_id, base, t_idx)
-            self._fold_hashidx(delta, batch_id, base)
+            self._fold_hashidx(delta, batch_id, base, t_hx)
             self._refresh_topk(batch_id)  # idempotent per batch
             self._refresh_sample(batch_id)
             # the BASE commit is the batch's COMMIT POINT and runs
@@ -313,9 +313,10 @@ class MaintainedViewsRunner:
         self._last_batch = batch_id
 
     def _fold_touched(self, delta: DataFrame):
-        """ONE job computes the touched-bucket sets of all three
-        view stores — a single driver round trip per batch instead
-        of three distinct+collect actions.  Everything returned is
+        """ONE job computes the touched-bucket sets of all FOUR
+        view stores (agg, support, range index, hash index) — a
+        single driver round trip per batch instead of one
+        distinct+collect action per store.  Everything returned is
         O(buckets) small ints (collect_set drops the NULLs that
         invisible old/new sides produce)."""
         has_old = F.col("old_event_id").isNotNull()
@@ -339,11 +340,14 @@ class MaintainedViewsRunner:
                   has_old).alias("io"),
             _side(self._index.bucket_expr(F.col("new_value")),
                   has_new).alias("in"),
+            F.collect_set(self._hashidx.bucket_expr(F.col("user_id")))
+            .alias("hx"),
         ).collect()[0]
         return (
             sorted(set(row["ao"]) | set(row["an"])),
             sorted(set(row["so"]) | set(row["sn"])),
             sorted(set(row["io"]) | set(row["in"])),
+            sorted(row["hx"]),
         )
 
     # ---- view folds (delta-only; no base-table re-read) ----
@@ -477,12 +481,14 @@ class MaintainedViewsRunner:
         return [(r["user_id"], r["value"], r["event_id"]) for r in rows]
 
     def _fold_hashidx(self, delta: DataFrame, batch_id: int,
-                      base: int | None) -> None:
+                      base: int | None,
+                      touched: list[int]) -> None:
         """Hash-ordered key index from the delta alone: a key is
         present iff its row is visible. Only buckets whose keys
-        appear in the delta are rewritten."""
+        appear in the delta are rewritten; the touched-bucket set
+        arrives from the fused _fold_touched job (no per-store
+        distinct+collect round trip)."""
         keys = delta.select("user_id")
-        touched = self._hashidx.touched_buckets(keys, "user_id")
         if base is None:
             old = self.spark.createDataFrame([], "user_id long")
         else:
@@ -674,7 +680,8 @@ class MaintainedViewsRunner:
         loudly (manifest gone), the same AS-OF-retention contract
         as ChangefeedRunner.compact.  Returns {store: removed}."""
         out = {}
-        for name in ("_base", "_agg", "_support", "_index"):
+        for name in ("_base", "_agg", "_support", "_index",
+                     "_hashidx"):
             store = getattr(self, name)
             versions = store.versions()
             keep = set(versions[-keep_last:])
@@ -1048,20 +1055,36 @@ class ConsumerGroupDispatcher:
         return os.path.join(self.delivery,
                             f"_DISPATCHED-{batch_id:05d}")
 
+    def _log_batches(self) -> list[int]:
+        """Batches to deliver, enumerated from the DURABLE delta log
+        (batch-* dirs), not from runner._batches: the latter shrinks
+        to keep_last after runner.vacuum() while the log files — the
+        thing actually dispatched — remain, and a fresh dispatcher on
+        a vacuumed runner must still deliver every logged batch."""
+        return sorted(
+            int(d.split("-", 1)[1])
+            for d in os.listdir(self.runner.log_dir)
+            if d.startswith("batch-")
+        )
+
     def dispatch(self) -> None:
-        """Idempotent across dispatcher INSTANCES, not just calls: a
-        durable per-batch marker (written after the partitioned
-        write lands) lets a crashed-and-restarted dispatcher resume
-        without re-appending batches it already delivered — the
-        at-least-once upstream composes to exactly-once delivery
-        files, same recipe as sink_idempotent_merge."""
+        """Idempotent across dispatcher INSTANCES, not just calls.
+        The per-batch write is ITSELF idempotent — each batch lands
+        in its own hive-style batch_id=N directory with
+        mode('overwrite'), so a crash between the Spark write
+        committing and the marker rename cannot duplicate rows: the
+        restarted dispatcher simply overwrites that batch's own
+        directory. The durable marker is only a skip optimization
+        (at-least-once upstream composes to exactly-once delivery,
+        same recipe as sink_idempotent_merge)."""
         if self._dispatched:
             return
         os.makedirs(self.delivery, exist_ok=True)
+        batches = self._log_batches()
         reb = self.rebalance_at
         if reb is None:
-            reb = max(1, len(self.runner._batches) // 2)
-        for b in self.runner._batches:
+            reb = max(1, len(batches) // 2)
+        for b in batches:
             if os.path.exists(self._marker(b)):
                 continue
             log_path = os.path.join(self.runner.log_dir,
@@ -1074,10 +1097,11 @@ class ConsumerGroupDispatcher:
                     "consumer_id",
                     (F.col("user_id") % F.lit(n)).cast("int"))
                 .select("user_id", "old_event_id", "new_event_id",
-                        "new_value", "batch_id", "consumer_id")
-                .write.partitionBy("batch_id", "consumer_id")
-                .mode("append")
-                .parquet(self.delivery)
+                        "new_value", "consumer_id")
+                .write.partitionBy("consumer_id")
+                .mode("overwrite")
+                .parquet(os.path.join(self.delivery,
+                                      f"batch_id={b}"))
             )
             with open(self._marker(b) + ".tmp", "w") as f:
                 f.write("done")

@@ -482,7 +482,8 @@ def test_vacuum_drops_old_versions_and_fails_loudly(spark, sf_smoke):
     assert all(
         v == [last] for v in (
             r._base.versions(), r._agg.versions(),
-            r._support.versions(), r._index.versions())
+            r._support.versions(), r._index.versions(),
+            r._hashidx.versions())
     )
     assert any(removed.values())
     assert r._agg.df_at(last).count() > 0
@@ -563,7 +564,7 @@ def test_fused_touched_sets_match_per_store_computation(
     r = _runner(spark, sf_smoke)
     last = max(r._batches)
     delta = r.delta_log().where(F.col("batch_id") == last)
-    t_agg, t_sup, t_idx = r._fold_touched(delta)
+    t_agg, t_sup, t_idx, t_hx = r._fold_touched(delta)
     agg_want = sorted({
         row[0] for side, cond in (("old", "old_event_id"),
                                   ("new", "new_event_id"))
@@ -586,9 +587,15 @@ def test_fused_touched_sets_match_per_store_computation(
             F.col(f"{side}_type"), F.col(f"{side}_value")))
         .distinct().collect()
     })
+    hx_want = sorted({
+        row[0] for row in delta
+        .select(r._hashidx.bucket_expr(F.col("user_id")))
+        .distinct().collect()
+    })
     assert t_agg == agg_want
     assert t_sup == sup_want
     assert t_idx == idx_want
+    assert t_hx == hx_want
 
 
 def test_left_delta_join_final_equals_direct_left_join(
@@ -673,6 +680,19 @@ def test_dispatch_is_idempotent_across_instances(spark, sf_smoke):
         d.runner, n_before=2, n_after=3, rebalance_at=_REB)
     again.dispatch()
     assert again.received().count() == before
+    # the harder crash shape: the batch write COMMITTED but the
+    # marker never landed (crash between the two). The restarted
+    # dispatcher must overwrite that batch's own directory, not
+    # append a duplicate copy of its rows.
+    import os as _os
+
+    last = max(d._log_batches())
+    _os.remove(d._marker(last))
+    crashed = ConsumerGroupDispatcher(
+        d.runner, n_before=2, n_after=3, rebalance_at=_REB)
+    crashed.dispatch()
+    assert crashed.received().count() == before
+    assert _os.path.exists(d._marker(last))
 
 
 def test_fixture_value_nullability_assumption(spark, sf_smoke,
