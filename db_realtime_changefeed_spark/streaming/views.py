@@ -104,6 +104,18 @@ class RangeBucketedIndex(BucketedMvccState):
         )
 
 
+def _tiny_df(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
+    """Driver-local rows as a SINGLE-partition DataFrame. The default
+    createDataFrame(list) local-relation path costs ~4 s of fixed
+    overhead per tiny parquet write on local[32] (measured r7 — it
+    slices the rows over defaultParallelism and pays the full
+    conversion machinery); routing through parallelize(rows, 1) is
+    ~0.3 s. Only for O(k) driver-bounded rows (top-k deltas, cohort
+    deltas) — real data never takes this path."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), ddl)
+
+
 class HashOrderedIndex(BucketedMvccState):
     """Secondary index ordered by KEY HASH: bucket = first hex
     nibble of md5(key) — 16 buckets that partition the hash order,
@@ -526,8 +538,7 @@ class MaintainedViewsRunner:
             if u not in seen:
                 out.append((batch_id, u, "leave", v, None))
         (
-            self.spark.createDataFrame(out, self._TOPK_DDL)
-            .coalesce(1)
+            _tiny_df(self.spark, out, self._TOPK_DDL)
             .write.mode("overwrite")
             .parquet(os.path.join(self.topk_dir, f"batch-{batch_id:05d}"))
         )
@@ -555,9 +566,8 @@ class MaintainedViewsRunner:
         out = [(batch_id, u, "enter") for u in sorted(cur - prev)]
         out += [(batch_id, u, "leave") for u in sorted(prev - cur)]
         (
-            self.spark.createDataFrame(
-                out, "batch_id long, user_id long, change string")
-            .coalesce(1)
+            _tiny_df(self.spark, out,
+                     "batch_id long, user_id long, change string")
             .write.mode("overwrite")
             .parquet(os.path.join(self.sample_dir,
                                   f"batch-{batch_id:05d}"))
