@@ -506,43 +506,93 @@ def changefeed_quantile_view(spark, sf_dir):
     multiplicity reaches the quantile fraction, the
     quantileExactWeighted rule shared with agg_weighted_median —
     runs over O(|support|) rows, never re-scanning the corpus.
-    The extraction windows per group — at fixture scale that is the
-    whole point-read; at 100 TB (support ~10^7 values per group) the
-    same crossing rule first narrows to ONE value band via the range
-    index's per-band counts (a |bands|-row prefix sum) and windows
-    only inside the crossed band — the two-level extraction the
-    curriculum rank uses, same answer.  Trajectory-graded per batch:
-    median and p90 per group at every micro-batch must match the SQL
-    order statistics over that batch-prefix's visible rows."""
+
+    The extraction is the BANDED TWO-LEVEL read (VERDICT r6 item 4):
+    a per-group window over the raw support would serialize each
+    group through one task (10^9 support rows per group at 100 TB).
+    Instead (1) the support is banded by the range index's band
+    function and folded to a per-(batch, group, band) histogram —
+    one map-side-combined aggregate, tiny result; (2) a prefix sum
+    over that histogram (windows over the bounded band domain) finds
+    the ONE band where each quantile's cumulative-weight crossing
+    lands, plus that band's starting offset; (3) only rows of the
+    crossed bands enter the fine cumulative window, partitioned by
+    (batch, group, band, quantile) — band offset + in-band running
+    weight reproduces the global cumw exactly, so the crossing rule
+    returns the identical value (same oracle). The window input is
+    O(crossed-band rows), not O(group rows); test_views pins both
+    the equivalence with the naive whole-group window and the plan
+    shape.  Trajectory-graded per batch: median and p90 per group at
+    every micro-batch must match the SQL order statistics over that
+    batch-prefix's visible rows."""
     from pyspark.sql import Window
 
     r = _runner(spark, sf_dir)
-    parts = []
+    idx = r._index
+    sup_all = None
     for b in r._batches:
-        sup = r._support.df_at(b)
-        wcum = (Window.partitionBy("event_type").orderBy("value")
-                .rowsBetween(Window.unboundedPreceding,
-                             Window.currentRow))
-        wall = Window.partitionBy("event_type")
-        c = sup.select(
-            "event_type", "value",
-            F.sum("cnt").over(wcum).alias("cumw"),
-            F.sum("cnt").over(wall).alias("w"),
+        p = r._support.df_at(b).withColumn(
+            "batch_id", F.lit(b).cast("long"))
+        sup_all = p if sup_all is None else sup_all.unionByName(p)
+    sb = sup_all.withColumn("band", idx.bucket_expr(F.col("value")))
+    hist = sb.groupBy("batch_id", "event_type", "band").agg(
+        F.sum("cnt").alias("bn"))
+    wh = (Window.partitionBy("batch_id", "event_type")
+          .orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy("batch_id", "event_type")
+    off = hist.select(
+        "batch_id", "event_type", "band", "bn",
+        F.coalesce(F.sum("bn").over(wh), F.lit(0)).alias("boff"),
+        F.sum("bn").over(wall).alias("w"),
+    )
+    cum_end = F.col("boff") + F.col("bn")
+    # first band where each quantile's crossing can land: the rule
+    # "min value with k*cumw >= m*w" is monotone in cumw, so the
+    # crossing value sits in the first band whose END cumulative
+    # weight satisfies it
+    targets = None
+    for q, k, m in (("med", 2, 1), ("p90", 10, 9)):
+        t = (
+            off.where(k * cum_end >= m * F.col("w"))
+            .groupBy("batch_id", "event_type")
+            .agg(F.min("band").alias("band"))
+            .withColumn("q", F.lit(q))
         )
-        parts.append(
-            c.groupBy("event_type").agg(
-                F.any_value("w").alias("n"),
-                F.min(F.when(2 * F.col("cumw") >= F.col("w"),
-                             F.col("value"))).alias("median_value"),
-                F.min(F.when(10 * F.col("cumw") >= 9 * F.col("w"),
-                             F.col("value"))).alias("p90_value"),
-            ).select(F.lit(b).alias("batch_id"), "event_type", "n",
-                     "median_value", "p90_value")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        targets = t if targets is None else targets.unionByName(t)
+    tgt = targets.join(
+        off.select("batch_id", "event_type", "band", "boff", "w"),
+        ["batch_id", "event_type", "band"])
+    inband = sb.join(
+        F.broadcast(tgt),
+        ["batch_id", "event_type", "band"])
+    wcum = (Window.partitionBy("batch_id", "event_type", "band", "q")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = inband.select(
+        "batch_id", "event_type", "q", "value", "w",
+        (F.col("boff") + F.sum("cnt").over(wcum)).alias("cumw"),
+    )
+    med = (
+        c.where(F.col("q") == "med")
+        .groupBy("batch_id", "event_type")
+        .agg(F.min(F.when(2 * F.col("cumw") >= F.col("w"),
+                          F.col("value"))).alias("median_value"))
+    )
+    p90 = (
+        c.where(F.col("q") == "p90")
+        .groupBy("batch_id", "event_type")
+        .agg(F.min(F.when(10 * F.col("cumw") >= 9 * F.col("w"),
+                          F.col("value"))).alias("p90_value"))
+    )
+    ngrp = off.groupBy("batch_id", "event_type").agg(
+        F.any_value("w").alias("n"))
+    return (
+        ngrp.join(med, ["batch_id", "event_type"])
+        .join(p90, ["batch_id", "event_type"])
+        .select("batch_id", "event_type", "n",
+                "median_value", "p90_value")
+    )
 
 
 @query(

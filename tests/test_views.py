@@ -215,6 +215,51 @@ def test_range_index_reads_only_overlapping_bands(spark, sf_smoke):
     assert bands <= {0, 1, 2}
 
 
+def test_quantile_view_banded_read_matches_naive_window(
+        spark, sf_smoke):
+    """The banded two-level quantile extraction must (a) equal the
+    naive whole-group cumulative window answer exactly, and (b) feed
+    its fine window O(crossed-band rows) only — partitioned by band,
+    never a whole group through one task."""
+    from pyspark.sql import Window
+
+    got = QUERIES["changefeed_quantile_view"](spark, sf_smoke)
+    r = _runner(spark, sf_smoke)
+    naive_parts = []
+    for b in r._batches:
+        sup = r._support.df_at(b)
+        wcum = (Window.partitionBy("event_type").orderBy("value")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        wall = Window.partitionBy("event_type")
+        c = sup.select(
+            "event_type", "value",
+            F.sum("cnt").over(wcum).alias("cumw"),
+            F.sum("cnt").over(wall).alias("w"))
+        naive_parts.append(
+            c.groupBy("event_type").agg(
+                F.any_value("w").alias("n"),
+                F.min(F.when(2 * F.col("cumw") >= F.col("w"),
+                             F.col("value"))).alias("median_value"),
+                F.min(F.when(10 * F.col("cumw") >= 9 * F.col("w"),
+                             F.col("value"))).alias("p90_value"),
+            ).select(F.lit(b).cast("long").alias("batch_id"),
+                     "event_type", "n", "median_value", "p90_value"))
+    naive = naive_parts[0]
+    for p in naive_parts[1:]:
+        naive = naive.unionByName(p)
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    # plan pin: every value-ordered cumulative window is partitioned
+    # by band (the fine in-band window); only the bounded band
+    # histogram may use a (batch, group)-level window
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "value#" in ln.split(
+                "windowspecdefinition")[1][:400] and "sum(cnt" in ln:
+            assert "band#" in ln, f"unbanded value window: {ln}"
+
+
 def test_range_index_equals_base_state_rows(spark, sf_smoke):
     """The index must hold exactly the visible base rows (projected
     to user/value/event_id) — no stale entry survives an update that
