@@ -61,6 +61,10 @@ def load_all() -> None:
     from ..streaming import view_queries  # noqa: F401
     from ..streaming import retention_queries  # noqa: F401
     from ..streaming import generic_views  # noqa: F401
+    # round-7 additions import LAST: new (never-graded) queries must
+    # slot BEHIND the 47 certified-pending names in the rotation's
+    # declaration-order tail (grading-rotation discipline)
+    from ..streaming import squash_time  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades

@@ -1,0 +1,145 @@
+"""Event-time (watermark-driven) squash — VERDICT r6 item 5.
+
+changefeed_squash coalesces per-key deltas over BATCH-COUNT windows;
+real changefeed engines (RethinkDB's `squash: N` seconds) coalesce
+over EVENT-TIME windows and release a window's single squashed change
+when the watermark passes its high bound. This module implements that
+contract as a custom stateful streaming operator
+(applyInPandasWithState + EventTimeTimeout) over the replayed event
+stream, hash-graded against a pure-SQL reconstruction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .queries import _replayed, _to_table
+
+#: squash window: 1 day in microseconds, aligned to epoch midnights —
+#: integer arithmetic on unix micros keeps both engines bit-identical
+#: (no timezone/date-truncation semantics anywhere near the hash)
+_W_US = 86_400_000_000
+#: watermark delay — the allowed out-of-orderness; the final
+#: watermark is max(ts) − this, which decides the still-pending tail
+_DELAY = "1 hour"
+_DELAY_US = 3_600_000_000
+
+
+@query(
+    "changefeed_squash_time",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    sel AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_W_US}) AS BIGINT) AS win,
+             value, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, floor(epoch_us(ts) / {_W_US})
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    lastw AS (
+      SELECT user_id, win, value AS new_value,
+             event_id AS new_event_id
+      FROM sel WHERE rn = 1),
+    seq AS (
+      SELECT user_id, win, new_value, new_event_id,
+             lag(new_value) OVER (PARTITION BY user_id
+                                  ORDER BY win) AS old_value
+      FROM lastw)
+    SELECT user_id, win, old_value, new_value, new_event_id
+    FROM seq, mx
+    WHERE (win + 1) * {_W_US} <= epoch_us(m) - {_DELAY_US}
+      AND new_value IS DISTINCT FROM old_value
+    """,
+)
+def changefeed_squash_time(spark, sf_dir):
+    """EVENT-TIME SQUASH (RethinkDB `changes(squash: N seconds)`):
+    per-key changes inside each 1-day event-time window coalesce to
+    ONE squashed delta — old_value = the key's value as of the
+    window's start (the previous window's last value), new_value =
+    the last value in the window by (ts, event_id) — and the window
+    RELEASES when the event-time watermark passes its high bound.
+    Net no-ops (old == new) are dropped, per the squash contract.
+
+    Implementation is a custom stateful operator
+    (applyInPandasWithState + EventTimeTimeout): state per key holds
+    the carried last-released value plus the pending windows'
+    last-change candidates; every invocation releases pending
+    windows whose high bound is at or below the current watermark,
+    and the timeout (set to the earliest pending high bound) flushes
+    idle keys — including the closing no-data micro-batch that
+    AvailableNow runs with the fully-advanced watermark (max ts −
+    1 h), the same empirically-pinned mechanism
+    stream_session_timeout relies on. Windows whose high bound never
+    passes the final watermark stay pending (the oracle models
+    exactly that trailing set).
+
+    Hash-graded: replay arrival is ts-ordered, so no row is ever
+    late and the released set is chunking-invariant — it depends
+    only on the final watermark and per-window content.
+
+    Scale: state is O(pending windows) per key (bounded by the
+    delay/window ratio, here ≤ 2), sharded by user_id across the
+    state store; the watermark evicts — nothing accumulates."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def squash(key, pdf_iter, state):
+        import json
+
+        import pandas as pd
+
+        cols = ["user_id", "win", "old_value", "new_value",
+                "new_event_id"]
+        if state.exists:
+            has_prev, prev_value, pending_json = state.get
+            pending = {int(k): v
+                       for k, v in json.loads(pending_json).items()}
+        else:
+            has_prev, prev_value, pending = False, 0.0, {}
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, eid, val in zip(ts_us, pdf["event_id"],
+                                       pdf["value"]):
+                    w = int(t // _W_US)
+                    cur = pending.get(w)
+                    if cur is None or (t, eid) > (cur[0], cur[1]):
+                        pending[w] = [int(t), int(eid), float(val)]
+        wm_ms = state.getCurrentWatermarkMs()
+        out = []
+        for w in sorted(pending):
+            if (w + 1) * _W_US <= wm_ms * 1000:
+                _, eid, val = pending.pop(w)
+                if not has_prev or val != prev_value:
+                    out.append((key[0], w,
+                                prev_value if has_prev else None,
+                                val, eid))
+                has_prev, prev_value = True, float(val)
+        state.update((has_prev, prev_value, json.dumps(pending)))
+        if pending:
+            # timeout must sit strictly above the current watermark;
+            # every remaining window's high bound does by the release
+            # loop above (max() is belt-and-braces for ms rounding)
+            t_ms = min((w + 1) * _W_US for w in pending) // 1000
+            state.setTimeoutTimestamp(max(t_ms, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    stream = _replayed(spark, sf_dir).select(
+        "ts", "user_id", "event_id", "value")
+    result = (
+        stream.withWatermark("ts", _DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            squash,
+            "user_id long, win long, old_value double, "
+            "new_value double, new_event_id long",
+            "has_prev boolean, prev_value double, pending string",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = _to_table(result, "squashtime", "append")
+    return spark.table(name).select(
+        "user_id", "win", "old_value", "new_value", "new_event_id")
