@@ -46,10 +46,12 @@ def load_all() -> None:
         analytics,
         analytics_sql,
         analytics_ext,
+        analytics_ext2,
         functions,
         llm,
         llm_curation,
         llm_pipeline,
+        llm_pipeline2,
         llm_mix,
         relational,
         scans,

@@ -315,12 +315,14 @@ def test_grid_radius_join_matches_bruteforce(spark, sf_smoke):
     """The grid-pruned candidate set must lose NO true pair: compare
     against the exhaustive cross join at the same radius."""
     from db_realtime_changefeed_spark.queries.analytics_ext import (
-        _GEO_HLAT,
-        _GEO_HLON,
         _GEO_LAT,
         _GEO_LON,
-        _GEO_RADIUS_KM,
         _sql_haversine,
+    )
+    from db_realtime_changefeed_spark.queries.analytics_ext2 import (
+        _GEO_HLAT,
+        _GEO_HLON,
+        _GEO_RADIUS_KM,
     )
 
     got = sorted(
