@@ -67,6 +67,7 @@ def load_all() -> None:
     # slot BEHIND the 47 certified-pending names in the rotation's
     # declaration-order tail (grading-rotation discipline)
     from ..streaming import squash_time  # noqa: F401
+    from . import round7  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades
