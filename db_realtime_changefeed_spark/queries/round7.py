@@ -137,9 +137,10 @@ def llm_dedup_spans(spark, sf_dir):
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
-    """Chained-CTE oracle: each round recounts weighted adjacent
-    symbol pairs over the current segmentation, picks the top merge
+def _bpe_ctes() -> str:
+    """Chained-CTE prefix shared by llm_bpe_learn and
+    llm_tokenize_bpe: each round recounts weighted adjacent symbol
+    pairs over the current segmentation, picks the top merge
     (count desc, pair asc), and re-segments every term with one
     greedy left-to-right replace — the {a}{b} wrapping makes
     adjacent occurrences non-overlapping, which IS the BPE merge
@@ -177,11 +178,15 @@ def _bpe_oracle() -> str:
                           || string_split(t.pair, ' ')[2] || '}}',
                      '{{' || t.merged || '}}') AS seg
       FROM seg{p} s, top{r} t)"""
+    return sql
+
+
+def _bpe_oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT {r} AS round, pair, merged, CAST(cnt AS BIGINT) "
         f"AS cnt FROM top{r}"
         for r in range(1, _BPE_ROUNDS + 1))
-    return sql + "\n    " + selects
+    return _bpe_ctes() + "\n    " + selects
 
 
 @query("llm_bpe_learn", oracle=_bpe_oracle())
@@ -207,6 +212,13 @@ def llm_bpe_learn(spark, sf_dir):
     the merge broadcast, the same shape centroid iteration
     (llm_kmeans) uses. Fixture vocab is ~31 terms; the plan is
     identical at a 10^7-term vocab."""
+    merges, _ = _bpe_run(spark, sf_dir)
+    return merges
+
+
+def _bpe_run(spark, sf_dir):
+    """The shared BPE loop: returns (merge-table DataFrame, final
+    per-term segmentation DataFrame) after _BPE_ROUNDS rounds."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
@@ -246,7 +258,7 @@ def llm_bpe_learn(spark, sf_dir):
             "term", "freq",
             F.replace("seg", F.lit(pat), F.lit(rep)).alias("seg"),
         )
-    return out
+    return out, seg
 
 
 # ------------------------------------------------- sharded export
@@ -321,4 +333,160 @@ def llm_export_shards(spark, sf_dir):
         F.max("r").cast("long").alias("max_rank"),
         F.sum(F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
               .cast("long")).cast("long").alias("checksum"),
+    )
+
+
+@query(
+    "llm_tokenize_bpe",
+    oracle=_bpe_ctes() + f"""
+    , wpt AS (
+      SELECT term,
+             len(string_split(substr(seg, 2, len(seg) - 2),
+                              '}}{{')) AS n_sub
+      FROM seg{_BPE_ROUNDS}),
+    doc_words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM doc_words JOIN wpt USING (term)
+    GROUP BY doc_id
+    """,
+)
+def llm_tokenize_bpe(spark, sf_dir):
+    """TOKENIZER APPLY — the second half of the BPE loop: the
+    segmentation learned by llm_bpe_learn (after 3 merges) applied
+    to every document, emitting exact word and subword-token counts
+    per doc — the token-budget accounting a training-data pipeline
+    runs after tokenizer training (llm_token_count is the
+    whitespace/regex approximation; this is the tokenizer-exact
+    form). The corpus never re-segments: documents explode to words
+    and JOIN the vocab-sized (term -> subword count) table — at
+    100 TB that join is a broadcast (a tokenizer vocab is ~10^5
+    terms), so the plan is one corpus scan plus a map-side join,
+    and the learning loop's cost stays amortized across every
+    downstream apply."""
+    _, seg = _bpe_run(spark, sf_dir)
+    wpt = seg.select(
+        "term",
+        F.size(F.split(
+            F.expr("substr(seg, 2, length(seg) - 2)"), r"\}\{"))
+        .alias("n_sub"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " "))
+                 .alias("term"))
+        .join(F.broadcast(wpt), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_spans_rewrite",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    wins AS (
+      SELECT doc_id, i,
+             md5(array_to_string(ws[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM w, unnest(generate_series(1, len(ws) - {_SPAN_W} + 1))
+             AS t(i)),
+    c AS (SELECT h, count(*) AS cnt FROM wins GROUP BY h),
+    dup AS (
+      SELECT doc_id, i FROM wins JOIN c USING (h) WHERE cnt >= 2),
+    toks AS (
+      SELECT doc_id, p, ws[p] AS tok
+      FROM w, unnest(generate_series(1, len(ws))) AS t(p)),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dup d
+        WHERE d.doc_id = t.doc_id
+          AND t.p BETWEEN d.i AND d.i + {_SPAN_W} - 1)),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(coalesce(strlen(r.clean_text), 0) AS BIGINT)
+             AS clean_chars,
+           md5(coalesce(r.clean_text, '')) AS clean_digest
+    FROM w LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def llm_dedup_spans_rewrite(spark, sf_dir):
+    """The SCRUB stage of exact-substring dedup — llm_dedup_spans
+    reports the duplicated regions; this emits the cleaned document
+    (graded as length + md5, the llm_dedup_paragraphs_rewrite
+    convention): every token covered by ANY repeated window is
+    removed, the survivors re-join in original order. This is the
+    aggressive variant of the Lee et al. scrub (no copy is kept —
+    the keep-one-owner variant is the paragraphs family's contract;
+    both are standard). A fully-duplicated document rewrites to the
+    empty string but stays in the output (LEFT join), so downstream
+    length filters see it.
+
+    Determinism without an ordered string aggregate: survivors
+    collect as (position, token) structs and array_sort — struct
+    order sorts by position first — then join. Scale: the anti
+    condition is a per-document interval check against that
+    document's OWN spans (documents are bounded, spans few), done as
+    a doc-local range join after the hash-count shuffle — the corpus
+    text shuffles once."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    idxs = F.when(
+        n >= _SPAN_W, F.sequence(F.lit(1), n - _SPAN_W + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = d.select(
+        "doc_id", F.explode(idxs).alias("i"), ws.alias("ws")
+    ).select(
+        "doc_id", "i",
+        F.md5(F.concat_ws(" ", F.slice("ws", F.col("i"),
+                                       F.lit(_SPAN_W)))).alias("h"),
+    )
+    cnt = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        wins.join(cnt.where(F.col("cnt") >= 2), "h")
+        .select("doc_id", F.col("i").alias("di"))
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(ws).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    covered = (
+        toks.join(
+            dup,
+            (toks.doc_id == dup.doc_id)
+            & F.col("p").between(F.col("di"),
+                                 F.col("di") + _SPAN_W - 1),
+            "left_semi")
+    )
+    kept = toks.exceptAll(covered)
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "tok")))
+             .alias("a"))
+        .select(
+            "doc_id",
+            F.array_join(F.transform("a", lambda s: s["tok"]), " ")
+            .alias("clean_text"),
+        )
+    )
+    return (
+        d.select("doc_id").join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.length("clean_text"), F.lit(0))
+            .cast("long").alias("clean_chars"),
+            F.md5(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_digest"),
+        )
     )

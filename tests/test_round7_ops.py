@@ -158,3 +158,93 @@ def test_export_shards_contiguous_and_written_layout(
     assert len(dirs) == _N_SHARDS
     back = spark.read.parquet(out)
     assert back.count() == n_total
+
+
+def test_tokenize_bpe_matches_python_reference(spark, sf_smoke):
+    """Apply the same reference BPE (as in the learn test) and check
+    per-doc subword counts; also n_bpe_tokens >= n_words always
+    (merges only shrink within-word counts, floor 1)."""
+    from db_realtime_changefeed_spark.queries.round7 import (
+        _BPE_ROUNDS,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").collect()
+    freq: dict[str, int] = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            freq[t] = freq.get(t, 0) + 1
+    seg = {t: list(t) for t in freq}
+    for _ in range(_BPE_ROUNDS):
+        pc: dict[tuple[str, str], int] = {}
+        for t, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + freq[t]
+        (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for t, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[t] = out
+    want = {
+        r.doc_id: (
+            len(r.text.split(" ")),
+            sum(len(seg[t]) for t in r.text.split(" ")),
+        )
+        for r in docs
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in QUERIES["llm_tokenize_bpe"](spark,
+                                             sf_smoke).collect()
+    }
+    assert got == want
+    assert all(bpe >= w for w, bpe in got.values())
+
+
+def test_spans_rewrite_consistent_with_spans_report(spark, sf_smoke):
+    """Cross-op consistency: clean token count per doc must equal
+    n_tokens - covered_tokens from llm_dedup_spans (docs without
+    spans keep every token), and the digest must equal the md5 of
+    the independently rebuilt text."""
+    spans = {
+        r.doc_id: (r.covered_tokens, r.n_tokens)
+        for r in QUERIES["llm_dedup_spans"](spark, sf_smoke).collect()
+    }
+    docs = {r.doc_id: r.text.split(" ")
+            for r in load_table(spark, sf_smoke,
+                                "documents").collect()}
+    from db_realtime_changefeed_spark.queries.round7 import _SPAN_W
+
+    counts: dict[str, int] = {}
+    wins: dict[int, list[tuple[int, str]]] = {}
+    for did, ws in docs.items():
+        lst = []
+        for i in range(1, len(ws) - _SPAN_W + 2):
+            h = _md5(" ".join(ws[i - 1:i - 1 + _SPAN_W]))
+            counts[h] = counts.get(h, 0) + 1
+            lst.append((i, h))
+        wins[did] = lst
+    got = {
+        r.doc_id: (r.clean_chars, r.clean_digest)
+        for r in QUERIES["llm_dedup_spans_rewrite"](
+            spark, sf_smoke).collect()
+    }
+    assert set(got) == set(docs)
+    for did, ws in docs.items():
+        cov = set()
+        for i, h in wins[did]:
+            if counts[h] >= 2:
+                cov.update(range(i, i + _SPAN_W))
+        clean = " ".join(t for p, t in enumerate(ws, start=1)
+                         if p not in cov)
+        assert got[did] == (len(clean), _md5(clean)), did
+        if did in spans:
+            kept_tokens = len(ws) - spans[did][0]
+            n_clean_tokens = len(clean.split(" ")) if clean else 0
+            assert n_clean_tokens == kept_tokens
