@@ -75,12 +75,16 @@ class GenericAggViewRunner:
             f"{key} {key_ddl}, {ts} {ts_ddl}, {seq} {seq_ddl}, "
             f"{value} double, {group} string")
         self._agg_ddl = f"{group} string, cnt long, sum_value {_DEC}"
+        self._support_ddl = f"{group} string, {value} double, cnt long"
         self._base = BucketedMvccState(
             spark, os.path.join(self.root, "base"),
             self._state_ddl, key)
         self._agg = BucketedMvccState(
             spark, os.path.join(self.root, "aggview"),
             self._agg_ddl, group, n_buckets=4)
+        self._support = BucketedMvccState(
+            spark, os.path.join(self.root, "supportview"),
+            self._support_ddl, [group, value], n_buckets=4)
 
     @property
     def _batches(self) -> list[int]:
@@ -172,6 +176,40 @@ class GenericAggViewRunner:
                 self._agg.commit(batch_id, base, g_new, g_touched)
             finally:
                 contrib.unpersist()
+            # generic SUPPORT relation (group, value) -> multiplicity
+            # — the non-distributive half of the library (min/max/
+            # quantiles under deletes), same -old/+new fold algebra
+            # keyed one level finer
+            s_minus = delta.where("had_old").select(
+                F.col("old_group").alias(g),
+                F.col("old_value").alias(v),
+                F.lit(-1).alias("d_cnt"))
+            s_plus = delta.select(
+                F.col("new_group").alias(g),
+                F.col("new_value").alias(v),
+                F.lit(1).alias("d_cnt"))
+            s_contrib = (
+                s_minus.unionByName(s_plus).groupBy(g, v)
+                .agg(F.sum("d_cnt").alias("d_cnt"))
+                .persist())
+            s_touched = self._support.touched_buckets(s_contrib)
+            if base is None:
+                s_old = self.spark.createDataFrame(
+                    [], self._support_ddl)
+            else:
+                s_old = self._support.df_at(base, buckets=s_touched)
+            s_new = (
+                s_old.join(s_contrib, [g, v], "full")
+                .select(
+                    g, v,
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"))
+                .where(F.col("cnt") > 0))
+            try:
+                self._support.commit(batch_id, base, s_new,
+                                     s_touched)
+            finally:
+                s_contrib.unpersist()
             # base commit LAST — the crash-consistency anchor
             self._base.commit(
                 batch_id, base,
@@ -211,6 +249,22 @@ class GenericAggViewRunner:
             self._agg.df_at(b).select(
                 F.lit(b).alias("batch_id"), self.group, "cnt",
                 F.col("sum_value").cast("double").alias("sum_value"))
+            for b in self._batches
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def minmax_trajectory(self) -> DataFrame:
+        g, v = self.group, self.value
+        parts = [
+            self._support.df_at(b).groupBy(g).agg(
+                F.sum("cnt").alias("n"),
+                F.min(v).alias("min_value"),
+                F.max(v).alias("max_value"),
+            ).select(F.lit(b).alias("batch_id"), g, "n",
+                     "min_value", "max_value")
             for b in self._batches
         ]
         out = parts[0]

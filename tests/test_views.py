@@ -782,3 +782,26 @@ def test_orders_view_final_equals_direct_aggregate(spark, sf_smoke):
     # the agg commits carried buckets forward (IVM, not recompute)
     man = r._agg.manifest(last)
     assert all(v <= last for v in man.values())
+
+
+def test_orders_support_holds_exact_latest_multiset(spark, sf_smoke):
+    """The generic support relation must equal the multiset of
+    (status, price) over customers' latest orders at the final
+    batch — a stale retraction or missed apply would desynchronize
+    it from the base state it derives from."""
+    from db_realtime_changefeed_spark.streaming.generic_views import (
+        _CACHE as _GCACHE,
+    )
+
+    QUERIES["changefeed_minmax_view_orders"](spark, sf_smoke)
+    r = _GCACHE[(id(spark), sf_smoke, "__orders_view__")]
+    last = max(r._batches)
+    sup = r._support.df_at(last)
+    base = (
+        r._base.df_at(last)
+        .groupBy("o_orderstatus", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sup.exceptAll(base).count() == 0
+    assert base.exceptAll(sup).count() == 0
+    assert sup.where(F.col("cnt") <= 0).count() == 0
