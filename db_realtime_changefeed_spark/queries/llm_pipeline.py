@@ -1299,6 +1299,43 @@ def llm_bigram_lm(spark, sf_dir):
     return _bigram_doc_scores(spark, sf_dir)
 
 
+_CE_CACHE: dict = {}
+
+
+def _ce_scores(spark, sf_dir):
+    """Per-doc banded cross-entropy, persisted MEMORY_AND_DISK and
+    memoized per (session, sf_dir, documents fingerprint): the
+    perplexity tiering consumes it twice (band histogram + ranked
+    read) and each consumer would otherwise re-execute the full
+    bigram-LM scoring pipeline."""
+    import os
+
+    from pyspark import StorageLevel
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(ap, "documents.parquet"))
+        fp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        fp = None
+    key = (id(spark), ap, fp)
+    if key in _CE_CACHE:
+        return _CE_CACHE[key]
+    ce = (
+        _bigram_doc_scores(spark, sf_dir)
+        .select(
+            "doc_id",
+            ((-F.col("bg_logp")) / F.col("n_bigrams")).alias("ce"),
+            dround6_div(-F.col("bg_logp"), F.col("n_bigrams"))
+            .alias("ce_q"),
+        )
+        .withColumn("band", F.floor(F.col("ce") * 64).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CE_CACHE[key] = ce
+    return ce
+
+
 def _bigram_doc_scores(spark, sf_dir):
     """Per-doc (n_bigrams, bg_logp) under the interpolated bigram LM
     — the shared plan behind llm_bigram_lm (raw scores) and
@@ -1475,14 +1512,12 @@ def llm_perplexity_buckets(spark, sf_dir):
     (rank, N): the first N%3 tiers take ceil(N/3) rows — exactly
     ntile(3)'s fill rule, same oracle hash. The only unpartitioned
     window left scans the band histogram (bounded domain), not the
-    corpus; test_llm_pipeline pins the plan shape."""
-    base = _bigram_doc_scores(spark, sf_dir)
-    ce = base.select(
-        "doc_id",
-        ((-F.col("bg_logp")) / F.col("n_bigrams")).alias("ce"),
-        dround6_div(-F.col("bg_logp"), F.col("n_bigrams"))
-            .alias("ce_q"),
-    ).withColumn("band", F.floor(F.col("ce") * 64).cast("long"))
+    corpus; test_llm_pipeline pins the plan shape. The ce relation
+    (one row per doc) persists per fixture fingerprint — it feeds
+    BOTH the histogram and the ranked branch, and without the cache
+    each consumer re-executes the whole bigram-LM scoring subtree
+    (the graph_triangles plan-audit lesson)."""
+    ce = _ce_scores(spark, sf_dir)
     hist = ce.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
     wh = (Window.orderBy("band")
           .rowsBetween(Window.unboundedPreceding, -1))
