@@ -82,6 +82,16 @@ def changefeed_squash_time(spark, sf_dir):
     Scale: state is O(pending windows) per key (bounded by the
     delay/window ratio, here ≤ 2), sharded by user_id across the
     state store; the watermark evicts — nothing accumulates."""
+    result = _squash_pipeline(spark, sf_dir)
+    name = _to_table(result, "squashtime", "append")
+    return spark.table(name).select(
+        "user_id", "win", "old_value", "new_value", "new_event_id")
+
+
+def _squash_pipeline(spark, sf_dir):
+    """The unexecuted squash stream — shared by the graded squash
+    feed and the state-introspection query (which needs to own the
+    checkpoint location)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def squash(key, pdf_iter, state):
@@ -128,7 +138,7 @@ def changefeed_squash_time(spark, sf_dir):
 
     stream = _replayed(spark, sf_dir).select(
         "ts", "user_id", "event_id", "value")
-    result = (
+    return (
         stream.withWatermark("ts", _DELAY)
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -140,6 +150,79 @@ def changefeed_squash_time(spark, sf_dir):
             GroupStateTimeout.EventTimeTimeout,
         )
     )
-    name = _to_table(result, "squashtime", "append")
-    return spark.table(name).select(
-        "user_id", "win", "old_value", "new_value", "new_event_id")
+
+
+@query(
+    "scan_state_store_squash",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    sel AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / {_W_US}) AS BIGINT) AS win,
+             value, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, floor(epoch_us(ts) / {_W_US})
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    lastw AS (
+      SELECT user_id, win, value AS new_value
+      FROM sel WHERE rn = 1),
+    tagged AS (
+      SELECT l.*, ((win + 1) * {_W_US}
+                   <= epoch_us(mx.m) - {_DELAY_US}) AS released
+      FROM lastw l, mx),
+    prevv AS (
+      SELECT user_id, new_value AS prev_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY win DESC) AS rr
+      FROM tagged WHERE released),
+    pend AS (
+      SELECT user_id, count(*) AS n_pending,
+             min(win) AS min_pending_win
+      FROM tagged WHERE NOT released GROUP BY user_id)
+    SELECT u.user_id,
+           (p.user_id IS NOT NULL) AS has_prev,
+           coalesce(p.prev_value, 0.0) AS prev_value,
+           CAST(coalesce(d.n_pending, 0) AS BIGINT) AS n_pending,
+           d.min_pending_win
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN (SELECT user_id, prev_value FROM prevv WHERE rr = 1) p
+      USING (user_id)
+    LEFT JOIN pend d USING (user_id)
+    """,
+)
+def scan_state_store_squash(spark, sf_dir):
+    """STATE INTROSPECTION of a CUSTOM stateful operator: the squash
+    operator's per-key state (carried last-released value + pending
+    windows) read back from the checkpoint with Spark 4's
+    `statestore` batch source — scan_state_store proved the door
+    opens on a built-in windowed aggregate; this proves it on
+    applyInPandasWithState's USER-DEFINED state struct
+    (value.groupState.(has_prev, prev_value, pending)), which is
+    what an operator of the changefeed engine actually debugs
+    ("which keys still hold unreleased windows, and at what
+    horizon?"). Hash-graded against the deterministic reconstruction
+    of the final state: per key, prev_value is the last released
+    window's value, and the pending set is exactly the windows whose
+    high bound never passed the final watermark. The pending JSON is
+    parsed with json_object_keys only — the engine-side encoding
+    stays an implementation detail; its KEY SET is the contract.
+    Scale: the reader exposes partition_id, so a production audit
+    prunes to one store partition."""
+    from .replay import fresh_sink_name, run_available_now
+
+    result = _squash_pipeline(spark, sf_dir)
+    ckpt = run_available_now(result, fresh_sink_name("squashstate"),
+                             "append")
+    st = spark.read.format("statestore").load(ckpt)
+    gs = "value.groupState"
+    pend_keys = F.json_object_keys(F.col(f"{gs}.pending"))
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col(f"{gs}.has_prev").alias("has_prev"),
+        F.col(f"{gs}.prev_value").alias("prev_value"),
+        F.size(pend_keys).cast("long").alias("n_pending"),
+        F.array_min(F.transform(pend_keys,
+                                lambda k: k.cast("long")))
+        .alias("min_pending_win"),
+    )
