@@ -927,3 +927,26 @@ def test_squash_time_matches_batch_reconstruction(spark, sf_smoke):
     assert rows, "nothing released"
     assert all(r.old_value != r.new_value for r in rows
                if r.old_value is not None)
+
+
+def test_squash_state_reader_matches_feed(spark, sf_smoke):
+    """Cross-op consistency: for every user, the state's carried
+    prev_value must equal the last released new_value from the
+    squash feed, and the pending count is bounded by
+    ceil(delay/window)+1 (nothing accumulates past the horizon)."""
+    feed = QUERIES["changefeed_squash_time"](spark, sf_smoke).collect()
+    st = {r.user_id: r for r in
+          QUERIES["scan_state_store_squash"](spark,
+                                             sf_smoke).collect()}
+    last_rel: dict = {}
+    for r in sorted(feed, key=lambda r: (r.user_id, r.win)):
+        last_rel[r.user_id] = r.new_value
+    for uid, val in last_rel.items():
+        assert st[uid].has_prev
+        # the feed drops no-ops, so the state's prev may be a LATER
+        # released no-op value only if equal — they match exactly
+        assert st[uid].prev_value == val, uid
+    for r in st.values():
+        assert 0 <= r.n_pending <= 2
+        if r.n_pending == 0:
+            assert r.min_pending_win is None
