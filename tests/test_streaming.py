@@ -950,3 +950,18 @@ def test_squash_state_reader_matches_feed(spark, sf_smoke):
         assert 0 <= r.n_pending <= 2
         if r.n_pending == 0:
             assert r.min_pending_win is None
+
+
+def test_squash_time_chunking_invariant(spark, sf_smoke,
+                                        monkeypatch):
+    """The released squash set depends only on the final watermark
+    and per-window content — replaying in 2 chunks instead of 4
+    must yield the identical row set."""
+    base = sorted(map(tuple,
+                      QUERIES["changefeed_squash_time"](
+                          spark, sf_smoke).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CHUNKS", "2")
+    two = sorted(map(tuple,
+                     QUERIES["changefeed_squash_time"](
+                         spark, sf_smoke).collect()))
+    assert base == two
