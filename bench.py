@@ -66,6 +66,12 @@ TIER2 = [
     "llm_pack_sequences",
     "join_dpp",
     "dq_profile_columns",
+    # round-7 additions (tier2_total therefore steps up in r7 —
+    # compare per-query across rounds, not the total): the
+    # O(tokens)-explode span dedup and the custom stateful
+    # event-time squash operator
+    "llm_dedup_spans",
+    "changefeed_squash_time",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan
