@@ -490,3 +490,117 @@ def llm_dedup_spans_rewrite(spark, sf_dir):
             .alias("clean_digest"),
         )
     )
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def sink_python_datasource(spark, sf_dir):
+    """Custom SINK via the Python DataSource WRITER API (Spark 4) —
+    the write half of the connector story (source_python_datasource
+    / source_python_datasource_stream cover the read half): each
+    task streams its partition through DataSourceArrowWriter as
+    Arrow RecordBatches into a uniquely-named staged parquet file
+    and returns a commit message; the driver's commit() publishes a
+    manifest listing exactly the committed files (tmp + atomic
+    rename). The graded read-back honors ONLY the manifest — an
+    orphaned staging file from a failed/retried task is invisible,
+    which is the two-phase-commit contract every external sink
+    needs (the sink_idempotent_merge recipe expressed at the
+    connector layer; abort() removes staged files). Classes are
+    defined in-function so cloudpickle ships them by value.
+
+    Scale: data flows executor-side as Arrow batches (no driver
+    hop, no row loop); the driver handles only O(tasks) commit
+    messages. Round-trip graded against the events table."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    from ..tmputil import scratch_dir
+
+    out = scratch_dir(prefix="dbrcf-pysink-")
+    stage = os.path.join(out, "stage")
+    os.makedirs(stage, exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, fname, n):
+            self.fname = fname
+            self.n = n
+
+    class _ArrowSinkWriter(DataSourceArrowWriter):
+        def __init__(self, options):
+            self.stage = options["stage"]
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            batches = list(iterator)
+            fname = f"part-{_uuid.uuid4().hex}.parquet"
+            if batches:
+                tbl = pa.Table.from_batches(batches)
+            else:
+                return _Msg(None, 0)
+            pq.write_table(tbl, os.path.join(self.stage, fname))
+            return _Msg(fname, tbl.num_rows)
+
+        def commit(self, messages):
+            import json as _json
+
+            files = [(m.fname, m.n) for m in messages
+                     if m is not None and m.fname is not None]
+            man = os.path.join(os.path.dirname(self.stage),
+                               "_MANIFEST.json")
+            with open(man + ".tmp", "w") as f:
+                _json.dump({"files": files,
+                            "rows": sum(n for _, n in files)}, f)
+            os.replace(man + ".tmp", man)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and m.fname is not None:
+                    try:
+                        os.remove(os.path.join(self.stage, m.fname))
+                    except OSError:
+                        pass
+
+    class EventsSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "dbrcf_events_sink"
+
+        def writer(self, schema, overwrite):
+            return _ArrowSinkWriter(self.options)
+
+    spark.dataSource.register(EventsSink)
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    (
+        src.write.format("dbrcf_events_sink")
+        .option("stage", stage).mode("append").save()
+    )
+    # plant an orphan staged file: a crashed task's leftover MUST be
+    # invisible to the manifest-honoring read-back
+    import shutil as _shutil
+    import json as _json
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        man = _json.load(f)
+    committed = [fn for fn, _ in man["files"]]
+    if committed:
+        _shutil.copyfile(
+            os.path.join(stage, committed[0]),
+            os.path.join(stage, "part-orphan-not-committed.parquet"))
+    paths = [os.path.join(stage, fn) for fn in committed]
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, "
+        "value double").parquet(*paths)

@@ -248,3 +248,26 @@ def test_spans_rewrite_consistent_with_spans_report(spark, sf_smoke):
             kept_tokens = len(ws) - spans[did][0]
             n_clean_tokens = len(clean.split(" ")) if clean else 0
             assert n_clean_tokens == kept_tokens
+
+
+def test_python_sink_manifest_excludes_orphans(spark, sf_smoke):
+    """Two-phase-commit contract: the staging dir holds an orphan
+    (planted by the query to simulate a crashed task's leftover),
+    the manifest does not list it, and the manifest-honoring
+    read-back returns exactly the source rows."""
+    import json
+    import os
+
+    got = QUERIES["sink_python_datasource"](spark, sf_smoke)
+    n_src = load_table(spark, sf_smoke, "events").count()
+    assert got.count() == n_src
+    # locate the sink root from the read-back file paths
+    a_file = got.select(F.input_file_name()).first()[0]
+    stage = os.path.dirname(a_file.replace("file://", ""))
+    with open(os.path.join(os.path.dirname(stage),
+                           "_MANIFEST.json")) as f:
+        man = json.load(f)
+    staged = {x for x in os.listdir(stage) if x.endswith(".parquet")}
+    listed = {fn for fn, _ in man["files"]}
+    assert "part-orphan-not-committed.parquet" in staged - listed
+    assert man["rows"] == n_src
