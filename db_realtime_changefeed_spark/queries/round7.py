@@ -604,3 +604,118 @@ def sink_python_datasource(spark, sf_dir):
     return spark.read.schema(
         "event_id long, user_id long, event_type string, "
         "value double").parquet(*paths)
+
+
+@query(
+    "sink_python_datasource_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def sink_python_datasource_stream(spark, sf_dir):
+    """The STREAMING write half of the Python DataSource connector
+    matrix (reader/stream-reader/writer are already graded): the
+    replayed events stream drains through a custom
+    DataSourceStreamArrowWriter — per-micro-batch, each task stages
+    its partition as Arrow batches and the driver's
+    commit(messages, batchId) publishes an atomic PER-BATCH manifest
+    (manifest-00042.json), exactly the Kafka-like external-sink
+    contract sink_idempotent_merge expresses via foreachBatch, now
+    at the connector layer where Spark itself drives the two-phase
+    commit per trigger. A re-delivered batch overwrites its own
+    manifest (idempotent); abort() removes that batch's staged
+    files. The graded read-back unions exactly the files listed in
+    committed manifests — orphaned stages are invisible.
+
+    Scale: executor-side Arrow staging per batch, O(tasks) commit
+    messages per trigger on the driver, manifest count = trigger
+    count (compacted by any retention job like retention_gc)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamArrowWriter,
+        WriterCommitMessage,
+    )
+
+    from ..streaming.queries import _replayed
+    from ..streaming.replay import streaming_shuffle, fresh_sink_name
+    from ..tmputil import scratch_dir
+
+    out = scratch_dir(prefix="dbrcf-pystreamsink-")
+    stage = os.path.join(out, "stage")
+    os.makedirs(stage, exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, fname, n):
+            self.fname = fname
+            self.n = n
+
+    class _StreamSinkWriter(DataSourceStreamArrowWriter):
+        def __init__(self, options):
+            self.root = options["root"]
+            self.stage = os.path.join(self.root, "stage")
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            batches = list(iterator)
+            if not batches:
+                return _Msg(None, 0)
+            tbl = pa.Table.from_batches(batches)
+            fname = f"part-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(tbl, os.path.join(self.stage, fname))
+            return _Msg(fname, tbl.num_rows)
+
+        def commit(self, messages, batchId):
+            files = [(m.fname, m.n) for m in messages
+                     if m is not None and m.fname is not None]
+            man = os.path.join(self.root,
+                               f"manifest-{batchId:05d}.json")
+            with open(man + ".tmp", "w") as f:
+                _json.dump({"batch_id": batchId, "files": files}, f)
+            os.replace(man + ".tmp", man)
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and m.fname is not None:
+                    try:
+                        os.remove(os.path.join(self.stage, m.fname))
+                    except OSError:
+                        pass
+
+    class EventsStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "dbrcf_events_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _StreamSinkWriter(self.options)
+
+    spark.dataSource.register(EventsStreamSink)
+    src = _replayed(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    with streaming_shuffle(spark):
+        q = (
+            src.writeStream.format("dbrcf_events_stream_sink")
+            .option("root", out)
+            .option("checkpointLocation",
+                    os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .queryName(fresh_sink_name("pystreamsink"))
+            .start()
+        )
+        q.awaitTermination()
+    committed = []
+    for man in sorted(_glob.glob(os.path.join(out,
+                                              "manifest-*.json"))):
+        with open(man) as f:
+            committed += [fn for fn, _ in _json.load(f)["files"]]
+    paths = [os.path.join(stage, fn) for fn in committed]
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, "
+        "value double").parquet(*paths)

@@ -271,3 +271,30 @@ def test_python_sink_manifest_excludes_orphans(spark, sf_smoke):
     listed = {fn for fn, _ in man["files"]}
     assert "part-orphan-not-committed.parquet" in staged - listed
     assert man["rows"] == n_src
+
+
+def test_python_stream_sink_one_manifest_per_batch(spark, sf_smoke):
+    """The streaming connector sink must publish exactly one
+    manifest per micro-batch, and the manifest union must cover
+    every replayed row exactly once."""
+    import glob
+    import json
+    import os
+
+    from db_realtime_changefeed_spark.streaming.replay import (
+        default_chunks,
+    )
+
+    got = QUERIES["sink_python_datasource_stream"](spark, sf_smoke)
+    a_file = got.select(F.input_file_name()).first()[0]
+    root = os.path.dirname(
+        os.path.dirname(a_file.replace("file://", "")))
+    manifests = sorted(glob.glob(os.path.join(root,
+                                              "manifest-*.json")))
+    assert len(manifests) == default_chunks()
+    total = 0
+    for man in manifests:
+        with open(man) as f:
+            total += sum(n for _, n in json.load(f)["files"])
+    assert total == load_table(spark, sf_smoke, "events").count()
+    assert got.count() == total
