@@ -1,0 +1,464 @@
+"""Round-7 continuation wave: sticky (rendezvous) consumer-group
+rebalancing, repetition-scheduled data mixing, seeded epoch shuffle,
+k-anonymity release, and tokenizer fertility.
+
+Registered AFTER every earlier module (grading-rotation discipline:
+new names slot behind the still-certifying round-7 block so they
+never displace pending queries from the official grading budget).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# ------------------------------------------- sticky consumer rebalance
+
+_MEMBERS_BEFORE = ["alpha", "bravo", "charlie"]
+_MEMBERS_AFTER = ["alpha", "bravo", "charlie", "delta"]
+
+
+def _rdv_oracle() -> str:
+    from ..streaming.view_queries import _REB, _VIS_CTE
+
+    values = ", ".join(
+        [f"(0, '{m}')" for m in _MEMBERS_BEFORE]
+        + [f"(1, '{m}')" for m in _MEMBERS_AFTER]
+    )
+    return _VIS_CTE + f"""
+    , cur AS (
+      SELECT batch_id AS bb, user_id, value, event_id FROM vis
+    ), prevv AS (
+      SELECT batch_id + 1 AS bb, user_id, value, event_id FROM vis
+      WHERE batch_id + 1 <= (SELECT max(chunk) FROM chunked)
+    ), dl AS (
+      SELECT bb AS batch_id,
+             user_id,
+             prevv.event_id AS old_event_id,
+             cur.event_id AS new_event_id,
+             cur.value AS new_value
+      FROM cur FULL JOIN prevv USING (bb, user_id)
+      WHERE cur.event_id IS DISTINCT FROM prevv.event_id
+    ), members AS (
+      SELECT * FROM (VALUES {values}) m(epoch, member)
+    ), assigned AS (
+      SELECT dl.*, m.member,
+             row_number() OVER (
+               PARTITION BY dl.batch_id, dl.user_id
+               ORDER BY md5(m.member || '#' ||
+                            CAST(dl.user_id AS VARCHAR)) DESC,
+                        m.member DESC) AS rn
+      FROM dl JOIN members m
+        ON m.epoch = CASE WHEN dl.batch_id < {_REB} THEN 0 ELSE 1 END
+    )
+    SELECT member AS consumer, batch_id, user_id,
+           old_event_id, new_event_id, new_value
+    FROM assigned WHERE rn = 1
+    """
+
+
+@query("changefeed_rebalance_sticky", oracle=_rdv_oracle())
+def changefeed_rebalance_sticky(spark, sf_dir):
+    """STICKY consumer-group rebalance — the HRW/consistent-hashing
+    upgrade of changefeed_consumer_groups' mod-N assignment: each
+    delta row's owner is the member maximizing md5(member '#' key)
+    (rendezvous hashing — the Kafka sticky assignor / CRUSH / Maglev
+    family), so when the group grows from 3 to 4 members at the
+    rebalance batch, ONLY the ~1/4 of keys whose argmax becomes the
+    new member move — every other key keeps its owner, preserving
+    consumer-local caches and ordering, where mod-N reshuffles
+    nearly everything (the property test pins both fractions).
+    Ownership is a pure projection (greatest over |members| md5
+    structs, views.py ConsumerGroupDispatcher.rendezvous_owner), the
+    fan-out stays a shuffle-free partitioned write, and each
+    consumer tails its own directory — nothing row-sized crosses the
+    driver at any scale.  Graded on the union of what every consumer
+    RECEIVED across the membership change: one delta lost, doubled,
+    or mis-owned on either side of the boundary breaks the hash."""
+    from ..streaming.view_queries import _CACHE, _REB, _runner
+    from ..streaming.views import ConsumerGroupDispatcher
+
+    r = _runner(spark, sf_dir)
+    key = (id(spark), sf_dir, "__rdv__")
+    if key not in _CACHE:
+        d = ConsumerGroupDispatcher(
+            r, rebalance_at=_REB,
+            members_before=_MEMBERS_BEFORE,
+            members_after=_MEMBERS_AFTER,
+            subdir="delivery-rdv",
+        )
+        d.dispatch()
+        _CACHE[key] = d
+    return _CACHE[key].received()
+
+
+# ------------------------------------------ repetition-scheduled mix
+
+_MIX_CAP = 2      # max epochs any source may repeat (data-constrained cap)
+_MIX_MULT = 2     # token budget = _MIX_MULT x corpus tokens
+
+
+@query(
+    "llm_mix_epochs",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS toks
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(toks) * {_MIX_MULT} AS BIGINT) AS budget,
+             CAST(sum(CAST(floor(sqrt(CAST(toks AS DOUBLE)))
+                           AS BIGINT)) AS BIGINT) AS w_tot
+      FROM sizes),
+    req AS (
+      SELECT s.source, s.n_docs, s.toks,
+             CAST(floor(sqrt(CAST(s.toks AS DOUBLE))) AS BIGINT)
+               AS w,
+             (t.budget
+              * CAST(floor(sqrt(CAST(s.toks AS DOUBLE))) AS BIGINT))
+             // t.w_tot AS r_tokens
+      FROM sizes s, tot t),
+    ep AS (
+      SELECT source, n_docs, toks, w, r_tokens,
+             least(r_tokens // toks, {_MIX_CAP}) AS epochs_full,
+             CASE WHEN r_tokens // toks >= {_MIX_CAP} THEN 0
+                  ELSE r_tokens - (r_tokens // toks) * toks
+             END AS rem_tokens
+      FROM req),
+    dtoks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dt,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    cum AS (
+      SELECT source, dt,
+             coalesce(sum(dt) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM dtoks),
+    frac AS (
+      SELECT c.source,
+             count(*) AS frac_docs,
+             CAST(sum(c.dt) AS BIGINT) AS frac_tokens
+      FROM cum c JOIN ep e USING (source)
+      WHERE c.cum_before < e.rem_tokens
+      GROUP BY c.source)
+    SELECT e.source, e.n_docs, e.toks, e.w, e.r_tokens,
+           e.epochs_full,
+           CAST(coalesce(f.frac_docs, 0) AS BIGINT) AS frac_docs,
+           CAST(coalesce(f.frac_tokens, 0) AS BIGINT)
+             AS frac_tokens,
+           CAST(e.epochs_full * e.toks + coalesce(f.frac_tokens, 0)
+                AS BIGINT) AS emitted_tokens
+    FROM ep e LEFT JOIN frac f USING (source)
+    """,
+)
+def llm_mix_epochs(spark, sf_dir):
+    """REPETITION-SCHEDULED data mixing — the data-constrained
+    scaling recipe (Muennighoff et al. 2023): a token budget of
+    {M}x the corpus is allocated across sources by sqrt-smoothed
+    shares, and each source's allocation is served as FULL EPOCHS
+    (whole-corpus repeats, capped at {C} — beyond a few repeats
+    extra epochs stop helping) plus ONE FRACTIONAL epoch cut
+    greedily on a content-independent hash order until the
+    remainder tokens are covered.  Everything is INTEGER-exact:
+    integer weights floor(sqrt(tokens)), integer-division token
+    requests (budget * w div w_tot), integer epoch/remainder split
+    — no float normalizer whose summation order could diverge
+    between engines.  Emits the per-source schedule a training
+    loader consumes: full epochs, fractional-epoch doc/token
+    counts, and total emitted tokens.
+
+    Scale: two aggregates (per-source sizes; one 1-row total
+    broadcast back), one per-source hash-rank running sum for the
+    fractional cut — shuffle-bounded by the corpus, no driver
+    state.  The int64 products hold to ~10^14 tokens x 10^4
+    weights; past that the budget math moves to DECIMAL(38,0)
+    unchanged in shape.""".replace("{M}", str(_MIX_MULT)).replace(
+        "{C}", str(_MIX_CAP))
+    d = load_table(spark, sf_dir, "documents")
+    dt = F.size(F.split("text", " ")).cast("long")
+    sizes = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dt).alias("toks"),
+    ).withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("toks").cast("double"))).cast("long"))
+    tot = sizes.agg(
+        (F.sum("toks") * _MIX_MULT).alias("budget"),
+        F.sum("w").alias("w_tot"),
+    )
+    ep = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("r_tokens", F.expr("budget * w div w_tot"))
+        .withColumn("ef", F.expr("r_tokens div toks"))
+        .select(
+            "source", "n_docs", "toks", "w", "r_tokens",
+            F.least("ef", F.lit(_MIX_CAP)).alias("epochs_full"),
+            F.when(F.col("ef") >= _MIX_CAP, F.lit(0).cast("long"))
+            .otherwise(F.col("r_tokens")
+                       - F.col("ef") * F.col("toks"))
+            .alias("rem_tokens"),
+        )
+    )
+    wspec = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.select("doc_id", "source", dt.alias("dt")).withColumn(
+        "cum_before", F.coalesce(F.sum("dt").over(wspec), F.lit(0)))
+    frac = (
+        cum.join(F.broadcast(ep.select("source", "rem_tokens")),
+                 "source")
+        .where(F.col("cum_before") < F.col("rem_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("frac_docs"),
+             F.sum("dt").alias("frac_tokens"))
+    )
+    return ep.join(frac, "source", "left").select(
+        "source", "n_docs", "toks", "w", "r_tokens", "epochs_full",
+        F.coalesce("frac_docs", F.lit(0)).cast("long")
+        .alias("frac_docs"),
+        F.coalesce("frac_tokens", F.lit(0)).cast("long")
+        .alias("frac_tokens"),
+        (F.col("epochs_full") * F.col("toks")
+         + F.coalesce("frac_tokens", F.lit(0))).cast("long")
+        .alias("emitted_tokens"),
+    )
+
+
+# --------------------------------------------- seeded epoch shuffle
+
+_N_READERS = 8
+
+
+@query(
+    "llm_global_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(['e0', 'e1']) AS epoch),
+    r AS (
+      SELECT e.epoch, d.doc_id, d.text,
+             row_number() OVER (
+               PARTITION BY e.epoch
+               ORDER BY md5(e.epoch || ':'
+                            || CAST(d.doc_id AS VARCHAR)),
+                        d.doc_id) - 1 AS rank
+      FROM e, documents d)
+    SELECT epoch,
+           CAST(rank % {_N_READERS} AS BIGINT) AS reader,
+           count(*) AS n_docs,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 10))
+                         AS UBIGINT)) AS BIGINT) AS checksum
+    FROM r GROUP BY 1, 2
+    """,
+)
+def llm_global_shuffle(spark, sf_dir):
+    """SEEDED GLOBAL SHUFFLE — the reproducible corpus permutation a
+    training run needs per epoch: each epoch's seed string keys a
+    content-independent hash order (md5(seed ':' doc_id)), the
+    global shuffle rank is built WITHOUT a corpus-wide
+    single-partition sort (two-level: 256 hash-prefix buckets'
+    histogram offsets broadcast back + row_number partitioned BY
+    BUCKET — the llm_curriculum_order pattern on a hash key), and
+    docs deal round-robin to {R} readers (rank mod {R} — maximal
+    interleave, so no reader inherits a curriculum-correlated
+    slice).  Two epochs grade that reseeding yields a DIFFERENT but
+    equally balanced permutation; each (epoch, reader) manifest
+    carries the doc count and an order-insensitive content checksum
+    the loader verifies before training.
+
+    Scale: one corpus scan per epoch (or one scan with the epoch
+    relation exploded, as here), shuffle keyed by 1-byte bucket +
+    16-byte hash; the histogram is 256 rows per epoch.  No driver
+    state, no global window.""".replace("{R}", str(_N_READERS))
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.createDataFrame(
+        [("e0",), ("e1",)], "epoch string")
+    h = F.md5(F.concat("epoch", F.lit(":"),
+                       F.col("doc_id").cast("string")))
+    keyed = (
+        d.crossJoin(F.broadcast(epochs))
+        .select("epoch", "doc_id", "text", h.alias("h"))
+        .withColumn(
+            "bucket",
+            F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    )
+    hist = keyed.groupBy("epoch", "bucket").agg(
+        F.count(F.lit(1)).alias("bn"))
+    woff = (
+        Window.partitionBy("epoch").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "epoch", "bucket",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("off"))
+    rn = F.row_number().over(
+        Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id"))
+    ranked = (
+        keyed.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .withColumn("rank", F.col("off") + rn - 1)
+    )
+    return (
+        ranked.groupBy(
+            "epoch",
+            (F.col("rank") % _N_READERS).cast("long").alias("reader"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
+                  .cast("long")).cast("long").alias("checksum"),
+        )
+    )
+
+
+# ----------------------------------------------- k-anonymity release
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS sv
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM g)
+    SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+           CAST(sv AS DOUBLE) AS sum_value
+    FROM g, t WHERE cnt * n_groups >= n_rows
+    UNION ALL
+    SELECT event_type, '__suppressed__' AS day,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
+           CAST(CAST(sum(sv) AS DECIMAL(18,6)) AS DOUBLE)
+             AS sum_value
+    FROM g, t WHERE cnt * n_groups < n_rows
+    GROUP BY event_type
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY RELEASE — the small-cell suppression every
+    data-release / privacy-review pipeline runs before publishing
+    aggregates: cells of the quasi-identifier (event_type, day)
+    whose population clears the threshold are released as-is;
+    below-threshold cells are GENERALIZED one level up (merged into
+    a per-event_type '__suppressed__' cell) instead of dropped, so
+    the released table still accounts for every underlying row —
+    sum-preservation is part of the grade.  The threshold is the
+    MEAN cell size, compared as the integer cross-product
+    cnt * n_groups >= n_rows — scale-relative (about half the cells
+    suppress at any SF) with no float whose summation order could
+    diverge between engines.
+
+    Scale: one grouped aggregate over the fact table, a 1-row
+    threshold broadcast back, and a re-aggregation of only the
+    suppressed cells (cell-count-sized, not row-sized).  The value
+    sums ride DECIMAL(18,6) end-to-end (the _util.dsum
+    determinism contract)."""
+    from ._util import DEC
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sv"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    gt = g.crossJoin(F.broadcast(t))
+    released = gt.where(
+        F.col("cnt") * F.col("n_groups") >= F.col("n_rows")
+    ).select(
+        "event_type", "day", "cnt",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+    suppressed = (
+        gt.where(F.col("cnt") * F.col("n_groups") < F.col("n_rows"))
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("cnt"),
+             F.sum("sv").cast(DEC).cast("double").alias("sum_value"))
+        .select("event_type", F.lit("__suppressed__").alias("day"),
+                "cnt", "sum_value")
+    )
+    return released.unionByName(suppressed)
+
+
+# -------------------------------------------- tokenizer fertility
+
+def _fertility_oracle() -> str:
+    from .round7 import _BPE_ROUNDS, _bpe_ctes
+
+    return _bpe_ctes() + (
+        """
+    , wpt AS (
+      SELECT term,
+             len(string_split(substr(seg, 2, len(seg) - 2),
+                              '}{')) AS n_sub
+      FROM seg"""
+        + str(_BPE_ROUNDS)
+        + """),
+    dw AS (
+      SELECT d.doc_id, d.lang,
+             unnest(string_split(d.text, ' ')) AS term
+      FROM documents d)
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility
+    FROM dw JOIN wpt USING (term)
+    GROUP BY lang
+    """)
+
+
+@query("llm_tokenizer_fertility", oracle=_fertility_oracle())
+def llm_tokenizer_fertility(spark, sf_dir):
+    """TOKENIZER FERTILITY by language — the per-language
+    subwords-per-word ratio every multilingual tokenizer evaluation
+    reports (a tokenizer trained on skewed data over-fragments
+    low-resource languages; fertility is the standard detector).
+    Reuses the llm_bpe_learn segmentation after its fixed merge
+    rounds: documents explode to words, join the vocab-sized
+    (term -> subword count) table — a broadcast at any realistic
+    vocab size — and aggregate per language.  The ratio divides two
+    exactly-represented integers once, so it is bit-identical in
+    both engines.
+
+    Scale: one corpus scan + map-side join + one grouped aggregate;
+    the BPE learning loop's cost is amortized across every
+    downstream apply (same contract as llm_tokenize_bpe)."""
+    from .round7 import _bpe_run
+
+    _, seg = _bpe_run(spark, sf_dir)
+    wpt = seg.select(
+        "term",
+        F.size(F.split(
+            F.expr("substr(seg, 2, length(seg) - 2)"), r"\}\{"))
+        .alias("n_sub"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang",
+                 F.explode(F.split("text", " ")).alias("term"))
+        .join(F.broadcast(wpt), "term")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            (F.sum("n_sub").cast("double") / F.count(F.lit(1)))
+            .alias("fertility"),
+        )
+    )

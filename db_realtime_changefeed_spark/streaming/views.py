@@ -1053,13 +1053,39 @@ class ConsumerGroupDispatcher:
 
     def __init__(self, runner: MaintainedViewsRunner,
                  n_before: int = 2, n_after: int = 3,
-                 rebalance_at: int | None = None):
+                 rebalance_at: int | None = None,
+                 members_before: list[str] | None = None,
+                 members_after: list[str] | None = None,
+                 subdir: str = "delivery"):
         self.runner = runner
         self.n_before = n_before
         self.n_after = n_after
         self.rebalance_at = rebalance_at
-        self.delivery = os.path.join(runner.root, "delivery")
+        self.members_before = members_before
+        self.members_after = members_after
+        self.delivery = os.path.join(runner.root, subdir)
         self._dispatched = False
+
+    @staticmethod
+    def rendezvous_owner(members: list[str]):
+        """STICKY (rendezvous / highest-random-weight) ownership: the
+        owner of a key is the member maximizing md5(member '#' key).
+        Membership changes move ONLY the keys whose argmax changes —
+        an expected |changed|/|members| fraction — instead of the
+        near-total reshuffle `key mod N` causes, which is why every
+        production consumer-group / shard-map protocol (Kafka sticky
+        assignor, Ceph CRUSH, Maglev) uses an HRW/consistent scheme.
+        Pure projection (greatest over |members| md5 structs):
+        executor-side, no shuffle, no driver state."""
+        return F.greatest(*[
+            F.struct(
+                F.md5(F.concat(F.lit(m), F.lit("#"),
+                               F.col("user_id").cast("string")))
+                .alias("h"),
+                F.lit(m).alias("m"),
+            )
+            for m in members
+        ])["m"]
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.delivery,
@@ -1101,14 +1127,21 @@ class ConsumerGroupDispatcher:
                                     f"batch-{b:05d}")
             df = self.runner.spark.read.schema(
                 self.runner._LOG_DDL).parquet(log_path)
-            n = self.n_before if b < reb else self.n_after
-            (
-                df.withColumn(
+            if self.members_before is not None:
+                members = (self.members_before if b < reb
+                           else self.members_after)
+                owner_col, owner = (
+                    "consumer", self.rendezvous_owner(members))
+            else:
+                n = self.n_before if b < reb else self.n_after
+                owner_col, owner = (
                     "consumer_id",
                     (F.col("user_id") % F.lit(n)).cast("int"))
+            (
+                df.withColumn(owner_col, owner)
                 .select("user_id", "old_event_id", "new_event_id",
-                        "new_value", "consumer_id")
-                .write.partitionBy("consumer_id")
+                        "new_value", owner_col)
+                .write.partitionBy(owner_col)
                 .mode("overwrite")
                 .parquet(os.path.join(self.delivery,
                                       f"batch_id={b}"))
@@ -1122,11 +1155,14 @@ class ConsumerGroupDispatcher:
         """Everything every consumer received, read back from the
         partitioned delivery tree (partition columns recovered from
         the directory layout)."""
-        return (
-            self.runner.spark.read.parquet(self.delivery)
-            .select(
-                F.col("consumer_id").cast("int").alias("consumer_id"),
-                F.col("batch_id").cast("long").alias("batch_id"),
-                "user_id", "old_event_id", "new_event_id", "new_value",
-            )
+        df = self.runner.spark.read.parquet(self.delivery)
+        owner = (
+            F.col("consumer").cast("string").alias("consumer")
+            if self.members_before is not None
+            else F.col("consumer_id").cast("int").alias("consumer_id")
+        )
+        return df.select(
+            owner,
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "user_id", "old_event_id", "new_event_id", "new_value",
         )
