@@ -95,6 +95,78 @@ def changefeed_rebalance_sticky(spark, sf_dir):
     return _CACHE[key].received()
 
 
+def _handoff_oracle() -> str:
+    v0 = ", ".join(f"('{m}')" for m in _MEMBERS_BEFORE)
+    v1 = ", ".join(f"('{m}')" for m in _MEMBERS_AFTER)
+    return f"""
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    o0 AS (
+      SELECT user_id, member AS owner_before FROM (
+        SELECT k.user_id, m.member,
+               row_number() OVER (
+                 PARTITION BY k.user_id
+                 ORDER BY md5(m.member || '#' ||
+                              CAST(k.user_id AS VARCHAR)) DESC,
+                          m.member DESC) AS rn
+        FROM keys k, (VALUES {v0}) m(member)) WHERE rn = 1),
+    o1 AS (
+      SELECT user_id, member AS owner_after FROM (
+        SELECT k.user_id, m.member,
+               row_number() OVER (
+                 PARTITION BY k.user_id
+                 ORDER BY md5(m.member || '#' ||
+                              CAST(k.user_id AS VARCHAR)) DESC,
+                          m.member DESC) AS rn
+        FROM keys k, (VALUES {v1}) m(member)) WHERE rn = 1)
+    SELECT owner_before, owner_after,
+           count(*) AS n_keys,
+           owner_before <> owner_after AS moved
+    FROM o0 JOIN o1 USING (user_id)
+    GROUP BY 1, 2
+    """
+
+
+@query("changefeed_owner_handoff", oracle=_handoff_oracle())
+def changefeed_owner_handoff(spark, sf_dir):
+    """REBALANCE HANDOFF MATRIX — the revoke/assign summary the group
+    coordinator publishes before changefeed_rebalance_sticky's
+    delivery switches over: for every key in the feed's keyspace,
+    its rendezvous owner under the old and new membership, rolled up
+    to an (owner_before, owner_after) transition matrix.  Off-
+    diagonal cells are exactly the partitions each surviving member
+    must REVOKE to the joiner (under rendezvous, every moved key
+    moves TO the new member — a key's argmax over a superset can
+    only change to the added element, which the matrix makes
+    visible: off-diagonal owner_after is always the joiner); the
+    diagonal is the sticky mass that keeps its caches.  Consumers
+    use this to pre-warm state before the cutover batch.
+
+    Scale: distinct-keys aggregate, then PURE PROJECTION (two
+    greatest-of-md5-structs expressions — no join against a member
+    relation, no shuffle beyond the distinct) into a
+    |members|^2-bounded aggregate.  Nothing key-sized leaves
+    executors."""
+    from ..streaming.views import ConsumerGroupDispatcher as _D
+
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+    )
+    return (
+        keys.select(
+            "user_id",
+            _D.rendezvous_owner(_MEMBERS_BEFORE).alias("owner_before"),
+            _D.rendezvous_owner(_MEMBERS_AFTER).alias("owner_after"),
+        )
+        .groupBy("owner_before", "owner_after")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.first(F.col("owner_before") != F.col("owner_after"))
+            .alias("moved"),
+        )
+    )
+
+
 # ------------------------------------------ repetition-scheduled mix
 
 _MIX_CAP = 2      # max epochs any source may repeat (data-constrained cap)

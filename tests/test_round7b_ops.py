@@ -75,6 +75,32 @@ def test_rebalance_sticky_received_matches_python_owner(
         assert r.consumer == _rdv_owner(members, r.user_id), r
 
 
+def test_owner_handoff_matrix_properties(spark, sf_oracle):
+    """Under rendezvous, a key's argmax over a SUPERSET membership
+    can only change to the added member — every off-diagonal cell
+    must hand off TO the joiner; the matrix total must cover the
+    keyspace exactly once."""
+    from db_realtime_changefeed_spark.queries.round7b import (
+        _MEMBERS_AFTER,
+        _MEMBERS_BEFORE,
+    )
+
+    joiner = _MEMBERS_AFTER[-1]
+    rows = QUERIES["changefeed_owner_handoff"](
+        spark, sf_oracle).collect()
+    n_keys = (load_table(spark, sf_oracle, "events")
+              .select("user_id").distinct().count())
+    assert sum(r.n_keys for r in rows) == n_keys
+    for r in rows:
+        assert r.moved == (r.owner_before != r.owner_after)
+        if r.moved:
+            assert r.owner_after == joiner, r
+        assert r.owner_before in _MEMBERS_BEFORE
+        assert r.owner_after in _MEMBERS_AFTER
+    assert any(r.moved for r in rows)
+    assert any(not r.moved for r in rows)
+
+
 def test_mix_epochs_budget_accounting(spark, sf_oracle):
     """Integer-exact schedule: emitted = full-epoch tokens + the
     minimal hash-greedy fractional prefix covering the remainder."""
