@@ -467,6 +467,136 @@ def dq_k_anonymity(spark, sf_dir):
     return released.unionByName(suppressed)
 
 
+# ------------------------------------- multi-source watermark union
+
+_UNION_CUT = 0.8  # source B's wire is truncated at 80% of the
+#                   event-id range — B lags A, so the min-policy
+#                   global watermark is BOUNDED BY B
+
+
+def _union_source_chunks(sf_dir: str) -> tuple[str, str]:
+    """Fixture prep: split events into two replay wires — A =
+    even users (full history), B = odd users truncated at 80% of
+    the event-id range (the lagging feed). Cached per sf_dir like
+    build_replay_chunks."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.replay import (
+        _chunk_dir,
+        _write_chunk,
+        default_chunks,
+    )
+
+    dirs = []
+    n_chunks = default_chunks()
+    for tag in (f"unionA-c{n_chunks}", f"unionB-c{n_chunks}"):
+        out = _chunk_dir(sf_dir, tag)
+        dirs.append(out)
+        done = os.path.join(out, "_DONE")
+        if os.path.exists(done):
+            continue
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        t = t.sort_by("event_id")
+        ev = t.column("event_id").to_numpy()
+        uid = t.column("user_id").to_numpy()
+        import math
+
+        cut = int(math.floor(ev.max() * _UNION_CUT))
+        import pyarrow as pa
+
+        if tag.startswith("unionA"):
+            mask = uid % 2 == 0
+        else:
+            mask = (uid % 2 == 1) & (ev <= cut)
+        part = t.filter(pa.array(mask))
+        n = part.num_rows
+        per = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            _write_chunk(part.slice(i * per, per), out, i)
+        with open(done, "w") as f:
+            f.write("ok")
+    return dirs[0], dirs[1]
+
+
+@query(
+    "stream_union_watermark",
+    oracle=f"""
+    WITH cutv AS (
+      SELECT CAST(floor(max(event_id) * {_UNION_CUT}) AS BIGINT)
+               AS cut
+      FROM events),
+    a AS (SELECT ts, value FROM events WHERE user_id % 2 = 0),
+    b AS (SELECT ts, value FROM events, cutv
+          WHERE user_id % 2 = 1 AND event_id <= cut),
+    wm AS (SELECT least((SELECT max(ts) FROM a),
+                        (SELECT max(ts) FROM b))
+                  - INTERVAL 1 HOUR AS w),
+    u AS (SELECT ts, value FROM a
+          UNION ALL SELECT ts, value FROM b)
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM u, wm
+    WHERE time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE
+            <= wm.w
+    GROUP BY 1
+    """,
+)
+def stream_union_watermark(spark, sf_dir):
+    """MULTI-SOURCE WATERMARK ALIGNMENT — the semantics every
+    fan-in topology depends on: two independent wires (A = even
+    users, full history; B = odd users, truncated at 80% of the
+    event-id range — the LAGGING feed) each carry their OWN
+    withWatermark node, union, and feed one append-mode windowed
+    aggregate.  Spark's default multipleWatermarkPolicy=min makes
+    the query's global watermark the MINIMUM of the per-source
+    watermarks, so windows between B's high-water mark and A's are
+    held OPEN — emitting them would silently finalize counts that
+    B's still-in-flight data could change.  The graded emitted set
+    is exactly the windows closed under min(maxA, maxB) - 1h; a
+    max-policy engine (or one that tracks a single union-wide
+    watermark) emits the extra A-only tail windows and breaks the
+    hash.  The property test pins that those tail windows exist and
+    are withheld.
+
+    Scale: per-source watermarks are per-partition maxima reduced
+    at the batch boundary — O(sources) driver state; the union and
+    windowed aggregate shuffle once on the window key.  Slow-source
+    skew is THE operational hazard of min-policy at 100 TB (one
+    stalled wire holds every window open and state grows unbounded)
+    — the mitigation is per-source staleness alerting
+    (dq_freshness) plus watermark-gap telemetry
+    (stream_progress_audit), both graded elsewhere in this repo."""
+    from ..streaming.queries import _to_table
+    from ..streaming.replay import read_events_stream
+    from ._util import DEC
+
+    da, db = _union_source_chunks(sf_dir)
+    a = (read_events_stream(spark, da)
+         .withWatermark("ts", "1 hour").select("ts", "value"))
+    b = (read_events_stream(spark, db)
+         .withWatermark("ts", "1 hour").select("ts", "value"))
+    agg = (
+        a.unionByName(b)
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = _to_table(agg, "unionwm", "append")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n", "sum_value")
+
+
 # -------------------------------------------- tokenizer fertility
 
 def _fertility_oracle() -> str:

@@ -180,6 +180,109 @@ def test_global_shuffle_balanced_and_reseeded(spark, sf_oracle):
         assert got == want, ep
 
 
+def test_union_watermark_min_policy_withholds_tail(spark, sf_oracle):
+    """Windows between the lagging source's high-water mark and the
+    fast source's must be HELD OPEN (min policy), even though the
+    fast source alone would close them — a max-policy engine emits
+    them and corrupts finals."""
+    import datetime as dt
+
+    from db_realtime_changefeed_spark.queries.round7b import (
+        _UNION_CUT,
+    )
+
+    ev = load_table(spark, sf_oracle, "events")
+    cut = int(ev.agg(F.floor(F.max("event_id") * _UNION_CUT))
+              .collect()[0][0])
+    max_a = (ev.where(F.col("user_id") % 2 == 0)
+             .agg(F.max("ts")).collect()[0][0])
+    max_b = (ev.where((F.col("user_id") % 2 == 1)
+                      & (F.col("event_id") <= cut))
+             .agg(F.max("ts")).collect()[0][0])
+    assert max_b < max_a - dt.timedelta(hours=2), (
+        "fixture must give the lagging source a real lag")
+    wm = max_b - dt.timedelta(hours=1)
+    rows = QUERIES["stream_union_watermark"](
+        spark, sf_oracle).collect()
+    assert rows
+    ten = dt.timedelta(minutes=10)
+    for r in rows:
+        assert r.window_start + ten <= wm, (
+            f"window {r.window_start} past the min watermark {wm}")
+    # the withheld tail is non-trivial: the fast source has >= 6
+    # would-be-closed windows past the min watermark
+    tail = (ev.where((F.col("user_id") % 2 == 0) & (F.col("ts") > wm))
+            .select(F.window("ts", "10 minutes")).distinct().count())
+    assert tail >= 6, tail
+
+
+def test_union_watermark_chunking_invariant(spark, sf_oracle):
+    """The closed-window set is a function of the DATA (final min
+    watermark), not of how the replay was chunked: re-running the
+    same aggregate from differently-chunked wires must emit the
+    identical set."""
+    import os
+    import shutil
+
+    from db_realtime_changefeed_spark.queries.round7b import (
+        _union_source_chunks,
+    )
+    from db_realtime_changefeed_spark.queries._util import DEC
+    from db_realtime_changefeed_spark.streaming import replay as rp
+    from db_realtime_changefeed_spark.streaming.queries import (
+        _to_table,
+    )
+
+    baseline = {(r.window_start, r.n, r.sum_value) for r in
+                QUERIES["stream_union_watermark"](
+                    spark, sf_oracle).collect()}
+
+    # rebuild the same two wires at a different chunk count
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import math
+
+    t = pq.read_table(os.path.join(sf_oracle, "events.parquet"))
+    t = t.sort_by("event_id")
+    ev = t.column("event_id").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    from db_realtime_changefeed_spark.queries.round7b import (
+        _UNION_CUT,
+    )
+
+    cut = int(math.floor(ev.max() * _UNION_CUT))
+    dirs = []
+    for mask, tag in [
+        (uid % 2 == 0, "ta"),
+        ((uid % 2 == 1) & (ev <= cut), "tb"),
+    ]:
+        out = rp._chunk_dir(sf_oracle, f"uniontest-{tag}-c2")
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        part = t.filter(pa.array(mask))
+        per = (part.num_rows + 1) // 2
+        for i in range(2):
+            rp._write_chunk(part.slice(i * per, per), out, i)
+        dirs.append(out)
+    a = (rp.read_events_stream(spark, dirs[0])
+         .withWatermark("ts", "1 hour").select("ts", "value"))
+    b = (rp.read_events_stream(spark, dirs[1])
+         .withWatermark("ts", "1 hour").select("ts", "value"))
+    agg = (
+        a.unionByName(b)
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast(DEC)).cast("double")
+             .alias("sum_value"))
+    )
+    name = _to_table(agg, "unionwm2", "append")
+    got = {(r.window_start, r.n, r.sum_value)
+           for r in spark.table(name).select(
+               F.col("window.start").alias("window_start"),
+               "n", "sum_value").collect()}
+    assert got == baseline
+
+
 def test_k_anonymity_releases_and_preserves_totals(spark, sf_oracle):
     e = load_table(spark, sf_oracle, "events")
     n_rows = e.count()
