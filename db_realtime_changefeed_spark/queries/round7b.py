@@ -473,8 +473,11 @@ _UNION_CUT = 0.8  # source B's wire is truncated at 80% of the
 #                   event-id range — B lags A, so the min-policy
 #                   global watermark is BOUNDED BY B
 
+_WM_AUDIT_CACHE: dict = {}
 
-def _union_source_chunks(sf_dir: str) -> tuple[str, str]:
+
+def _union_source_chunks(
+        sf_dir: str, n_chunks: int | None = None) -> tuple[str, str]:
     """Fixture prep: split events into two replay wires — A =
     even users (full history), B = odd users truncated at 80% of
     the event-id range (the lagging feed). Cached per sf_dir like
@@ -490,7 +493,8 @@ def _union_source_chunks(sf_dir: str) -> tuple[str, str]:
     )
 
     dirs = []
-    n_chunks = default_chunks()
+    if n_chunks is None:
+        n_chunks = default_chunks()
     for tag in (f"unionA-c{n_chunks}", f"unionB-c{n_chunks}"):
         out = _chunk_dir(sf_dir, tag)
         dirs.append(out)
@@ -595,6 +599,120 @@ def stream_union_watermark(spark, sf_dir):
     name = _to_table(agg, "unionwm", "append")
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "n", "sum_value")
+
+
+@query(
+    "stream_union_watermark_audit",
+    oracle=f"""
+    WITH cutv AS (
+      SELECT CAST(floor(max(event_id) * {_UNION_CUT}) AS BIGINT)
+               AS cut
+      FROM events),
+    a AS (SELECT ts, row_number() OVER (ORDER BY event_id) - 1
+                   AS rn,
+                 count(*) OVER () AS n
+          FROM events WHERE user_id % 2 = 0),
+    b AS (SELECT ts, row_number() OVER (ORDER BY event_id) - 1
+                   AS rn,
+                 count(*) OVER () AS n
+          FROM events, cutv
+          WHERE user_id % 2 = 1 AND event_id <= cut),
+    ca AS (SELECT CAST(floor(rn / ceil(n / 4.0)) AS BIGINT)
+                    AS chunk,
+                  max(ts) AS mx, count(*) AS c
+           FROM a GROUP BY 1),
+    cb AS (SELECT CAST(floor(rn / ceil(n / 4.0)) AS BIGINT)
+                    AS chunk,
+                  max(ts) AS mx, count(*) AS c
+           FROM b GROUP BY 1),
+    batches AS (
+      SELECT unnest(generate_series(0, 3)) AS batch_id)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CASE WHEN batch_id = 0
+                THEN TIMESTAMP '1970-01-01 00:00:00'
+                ELSE date_trunc('milliseconds', least(
+                  (SELECT max(mx) FROM ca WHERE chunk < batch_id),
+                  (SELECT max(mx) FROM cb WHERE chunk < batch_id)))
+                  - INTERVAL 1 HOUR
+           END AS watermark,
+           CAST(coalesce((SELECT c FROM ca WHERE chunk = batch_id),
+                         0)
+                + coalesce((SELECT c FROM cb WHERE chunk = batch_id),
+                           0) AS BIGINT) AS input_rows
+    FROM batches
+    """,
+)
+def stream_union_watermark_audit(spark, sf_dir):
+    """WATERMARK-TRAJECTORY TELEMETRY for the multi-source union —
+    the stream_progress_audit pattern pointed at the harder signal:
+    after the replay completes, each micro-batch's
+    StreamingQueryProgress.eventTime.watermark is graded against
+    the exact min-policy reconstruction — batch b runs under
+    watermark = min over SOURCES of max(ts committed through batch
+    b-1) - 1h (batch 0 under the epoch floor; the previous-batch
+    convention is the one stream_late_data pinned empirically).
+    This is the number an on-call engineer watches to catch
+    min-policy slow-source skew — a lagging wire shows up as the
+    global watermark flatlining while one source's max races ahead
+    — so the engine's own telemetry must agree with ground truth,
+    batch by batch. n_chunks is pinned to 4 (the oracle's
+    chunk-boundary model must match the replay exactly).
+
+    Scale: progress objects are a bounded driver-side ring buffer
+    (O(batches), never O(rows)); the per-source maxima feeding the
+    watermark are per-partition aggregates reduced at the batch
+    boundary."""
+    import datetime as dt
+
+    from ..streaming.replay import (
+        fresh_sink_name,
+        read_events_stream,
+        streaming_shuffle,
+    )
+    from ..tmputil import scratch_dir
+    from ._util import DEC
+
+    key = (id(spark), sf_dir)
+    if key in _WM_AUDIT_CACHE:
+        rows = _WM_AUDIT_CACHE[key]
+    else:
+        da, db = _union_source_chunks(sf_dir, n_chunks=4)
+        a = (read_events_stream(spark, da)
+             .withWatermark("ts", "1 hour").select("ts", "value"))
+        b = (read_events_stream(spark, db)
+             .withWatermark("ts", "1 hour").select("ts", "value"))
+        agg = (
+            a.unionByName(b)
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("sum_value"))
+        )
+        with streaming_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(fresh_sink_name("unionwmaudit"))
+                .outputMode("append")
+                .option("checkpointLocation",
+                        scratch_dir(prefix="dbrcf-wmaudit-ckpt-"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        rows = [
+            (
+                int(p.batchId),
+                dt.datetime.fromisoformat(
+                    p.eventTime["watermark"].replace("Z", "+00:00")
+                ).replace(tzinfo=None),
+                int(p.numInputRows),
+            )
+            for p in q.recentProgress
+            if int(p.numInputRows) > 0
+        ]
+        _WM_AUDIT_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "batch_id long, watermark timestamp, input_rows long")
 
 
 # -------------------------------------------- tokenizer fertility

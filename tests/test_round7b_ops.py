@@ -216,6 +216,42 @@ def test_union_watermark_min_policy_withholds_tail(spark, sf_oracle):
     assert tail >= 6, tail
 
 
+def test_union_watermark_audit_trajectory(spark, sf_oracle):
+    """The engine-reported watermark trajectory: epoch floor on
+    batch 0, strictly increasing afterwards, and each batch's value
+    bounded by the LAGGING source's committed max (min policy) —
+    never the fast source's."""
+    import datetime as dt
+
+    from db_realtime_changefeed_spark.queries.round7b import (
+        _UNION_CUT,
+    )
+
+    rows = sorted(
+        QUERIES["stream_union_watermark_audit"](
+            spark, sf_oracle).collect(),
+        key=lambda r: r.batch_id)
+    assert [r.batch_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].watermark == dt.datetime(1970, 1, 1)
+    wms = [r.watermark for r in rows[1:]]
+    assert wms == sorted(wms) and len(set(wms)) == len(wms)
+    ev = load_table(spark, sf_oracle, "events")
+    cut = int(ev.agg(F.floor(F.max("event_id") * _UNION_CUT))
+              .collect()[0][0])
+    max_a = (ev.where(F.col("user_id") % 2 == 0)
+             .agg(F.max("ts")).collect()[0][0])
+    max_b = (ev.where((F.col("user_id") % 2 == 1)
+                      & (F.col("event_id") <= cut))
+             .agg(F.max("ts")).collect()[0][0])
+    hour = dt.timedelta(hours=1)
+    for r in rows[1:]:
+        assert r.watermark <= min(max_a, max_b) - hour + dt.timedelta(
+            milliseconds=1)
+        # min policy: the fast source alone would have pushed past
+        # the lagging bound by the final batch
+    assert rows[-1].watermark < max_a - hour - dt.timedelta(hours=1)
+
+
 def test_union_watermark_chunking_invariant(spark, sf_oracle):
     """The closed-window set is a function of the DATA (final min
     watermark), not of how the replay was chunked: re-running the
