@@ -388,6 +388,86 @@ def llm_global_shuffle(spark, sf_dir):
     )
 
 
+# ------------------------------------ UDTF with a TABLE argument
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events)
+    SELECT user_id,
+           count(*) AS n,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           max(CASE WHEN rn = 1 THEN event_type END)
+             AS last_event_type
+    FROM ranked
+    GROUP BY user_id
+    """,
+)
+def udtf_table_argument(spark, sf_dir):
+    """Python UDTF with a TABLE ARGUMENT (Spark 4 polymorphic
+    table-function calling convention — §2.K's missing fourth
+    surface beside scalar/agg/lateral UDTFs): the function is
+    invoked as `summarize(TABLE(events) PARTITION BY user_id
+    ORDER BY (ts, event_id))`, so the ENGINE partitions and orders
+    the input and streams each user's rows through one UDTF
+    instance (eval per row, terminate emits the partition summary)
+    — the per-key streaming-accumulator shape that pandas grouped
+    map expresses with a materialized group, done row-streaming
+    instead (bounded memory per key even for a degenerate giant
+    key).  Output is order-insensitive-exact (count, min/max,
+    last-by-event-time) so the Python float trap never arises.
+
+    Scale: one hash shuffle on the PARTITION BY key + per-partition
+    sort — the same exchange a window would use; the UDTF sees rows
+    via Arrow batches.  Python is the operator's surface here, not
+    an accident (this row IS the K-family)."""
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import table_path
+
+    @udtf(returnType="user_id bigint, n bigint, min_v double, "
+                     "max_v double, last_event_type string")
+    class _Summarize:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.min_v = None
+            self.max_v = None
+            self.last = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            v = row["value"]
+            if v is not None:
+                self.min_v = v if self.min_v is None else min(
+                    self.min_v, v)
+                self.max_v = v if self.max_v is None else max(
+                    self.max_v, v)
+            self.last = row["event_type"]  # ORDER BY makes this the
+            #                                event-time-last row
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.n, self.min_v, self.max_v,
+                       self.last)
+
+    spark.udtf.register("dbrcf_user_summary", _Summarize)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_udtf_events")
+    return spark.sql(
+        "SELECT * FROM dbrcf_user_summary("
+        "TABLE(SELECT user_id, ts, event_id, value, event_type "
+        "      FROM _udtf_events) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))")
+
+
 # ----------------------------------------------- k-anonymity release
 
 @query(

@@ -339,6 +339,27 @@ def test_k_anonymity_releases_and_preserves_totals(spark, sf_oracle):
     assert abs(sum(r.sum_value for r in rows) - float(total)) < 1e-3
 
 
+def test_udtf_table_argument_partition_streaming(spark, sf_oracle):
+    """One summary row per PARTITION BY key, counts re-uniting to
+    the corpus, and the ORDER BY making last_event_type the
+    event-time-last row per user (rederived with a window)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_oracle, "events")
+    rows = QUERIES["udtf_table_argument"](spark, sf_oracle).collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_users
+    assert sum(r.n for r in rows) == ev.count()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    want = {
+        r.user_id: r.event_type
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1").collect()
+    }
+    assert {r.user_id: r.last_event_type for r in rows} == want
+
+
 def test_tokenizer_fertility_consistent_with_tokenize(spark, sf_smoke):
     """Per-language fertility must re-aggregate exactly from the
     per-document llm_tokenize_bpe counts, and be >= 1 everywhere
