@@ -388,6 +388,81 @@ def llm_global_shuffle(spark, sf_dir):
     )
 
 
+# ------------------------------- time-bucketed continuous aggregate
+
+_TBV_CACHE: dict = {}
+
+
+def _tbv_oracle() -> str:
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+    return f"""
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS chunk
+      FROM numbered
+    ), batches AS (
+      SELECT DISTINCT chunk AS batch_id FROM chunked
+    ), latest AS (
+      SELECT b.batch_id, c.user_id, c.ts, c.value,
+             row_number() OVER (
+               PARTITION BY b.batch_id, c.user_id
+               ORDER BY c.ts DESC, c.event_id DESC) AS rrn
+      FROM batches b JOIN chunked c ON c.chunk <= b.batch_id
+    )
+    SELECT batch_id,
+           strftime(time_bucket(INTERVAL 10 MINUTE, ts),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM latest WHERE rrn = 1
+    GROUP BY 1, 2
+    """
+
+
+@query("changefeed_timebucket_view", oracle=_tbv_oracle())
+def changefeed_timebucket_view(spark, sf_dir):
+    """CONTINUOUS TIME-BUCKET AGGREGATE — the Timescale
+    continuous-aggregate / materialized-rollup shape on the view
+    library: the maintained group is DERIVED from the arriving row
+    (10-minute epoch bucket of the event timestamp,
+    GenericAggViewRunner's new group_expr parameter) rather than
+    read from a column.  Because the base state is keyed LWW per
+    user, every time a user's latest event lands in a NEWER bucket
+    the old bucket is retracted and the new one applied — the
+    derived-group case produces the heaviest retraction churn of
+    any view in the repo (nearly every delta is a group move), which
+    is exactly what makes it the right stress of the fold algebra.
+    Trajectory-graded: every batch's bucket histogram of
+    latest-per-user must equal the SQL reconstruction.
+
+    Scale: identical plan to changefeed_agg_view_orders — the
+    derived column is a projection on the delta before the fold;
+    bucket-count-bounded state; per-batch commits touch only buckets
+    whose membership changed."""
+    from ..streaming.generic_views import GenericAggViewRunner
+
+    key = (id(spark), sf_dir, "__tbv__")
+    if key not in _TBV_CACHE:
+        r = GenericAggViewRunner(
+            spark, sf_dir, table="events", key="user_id",
+            seq="event_id", ts="ts", group="bucket", value="value",
+            group_expr=(
+                "date_format(from_unixtime(floor(unix_timestamp(ts)"
+                " / 600) * 600), 'yyyy-MM-dd HH:mm:ss')"),
+        )
+        r.run()
+        _TBV_CACHE[key] = r
+    return _TBV_CACHE[key].agg_trajectory()
+
+
 # ------------------------------------ UDTF with a TABLE argument
 
 @query(

@@ -63,12 +63,21 @@ class GenericAggViewRunner:
                  table: str, key: str, seq: str, ts: str,
                  group: str, value: str,
                  key_ddl: str = "bigint", seq_ddl: str = "bigint",
-                 ts_ddl: str = "timestamp"):
+                 ts_ddl: str = "timestamp",
+                 group_expr: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
         self.table = table
         self.key, self.seq, self.ts = key, seq, ts
         self.group, self.value = group, value
+        #: optional SQL expression DERIVING the group column from the
+        #: arriving row (e.g. a time bucket of the event timestamp) —
+        #: the Timescale continuous-aggregate shape. The derived
+        #: value is materialized into the base state, so the
+        #: retraction algebra downstream is unchanged: when a key's
+        #: winner moves buckets, the old bucket is retracted and the
+        #: new one applied like any other group move.
+        self.group_expr = group_expr
         self.root = scratch_dir(prefix=f"dbrcf-gview-{table}-")
         self.ckpt = os.path.join(self.root, "checkpoint")
         self._state_ddl = (
@@ -94,6 +103,8 @@ class GenericAggViewRunner:
                      batch_id: int) -> None:
         k, sq, ts, g, v = (self.key, self.seq, self.ts,
                            self.group, self.value)
+        if self.group_expr is not None:
+            batch_df = batch_df.withColumn(g, F.expr(self.group_expr))
         winners = (
             batch_df.select(k, ts, sq, v, g)
             .groupBy(k)

@@ -339,6 +339,37 @@ def test_k_anonymity_releases_and_preserves_totals(spark, sf_oracle):
     assert abs(sum(r.sum_value for r in rows) - float(total)) < 1e-3
 
 
+def test_timebucket_view_retracts_on_bucket_moves(spark, sf_oracle):
+    """Derived-group IVM: per batch the view's total count equals
+    the number of users seen so far (each user in exactly ONE
+    bucket), and at least one bucket's count DECREASES between
+    consecutive batches — direct evidence the old bucket is
+    retracted when a user's latest event moves forward in time."""
+    rows = QUERIES["changefeed_timebucket_view"](
+        spark, sf_oracle).collect()
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, {})[r.bucket] = r.cnt
+    ev = load_table(spark, sf_oracle, "events").select(
+        "user_id", "event_id").collect()
+    ids = sorted(r.event_id for r in ev)
+    n = len(ids)
+    per = -(-n // 4)
+    users_by_event = {r.event_id: r.user_id for r in ev}
+    seen: set = set()
+    for b in sorted(by_batch):
+        for eid in ids[: (b + 1) * per]:
+            seen.add(users_by_event[eid])
+        assert sum(by_batch[b].values()) == len(seen), b
+    decreased = False
+    batches = sorted(by_batch)
+    for prev, cur in zip(batches, batches[1:]):
+        for bucket, cnt in by_batch[prev].items():
+            if by_batch[cur].get(bucket, 0) < cnt:
+                decreased = True
+    assert decreased, "no retraction observed across batches"
+
+
 def test_udtf_table_argument_partition_streaming(spark, sf_oracle):
     """One summary row per PARTITION BY key, counts re-uniting to
     the corpus, and the ORDER BY making last_event_type the
