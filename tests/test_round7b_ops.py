@@ -339,6 +339,21 @@ def test_k_anonymity_releases_and_preserves_totals(spark, sf_oracle):
     assert abs(sum(r.sum_value for r in rows) - float(total)) < 1e-3
 
 
+def test_metadata_columns_attribute_rows_to_files(spark, sf_oracle):
+    """Every row attributes to exactly one chunk file, ranges are
+    contiguous and non-overlapping across files, and totals re-unite
+    to the corpus."""
+    rows = sorted(
+        QUERIES["scan_metadata_columns"](spark, sf_oracle).collect(),
+        key=lambda r: r.file_name)
+    total = load_table(spark, sf_oracle, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_event_id < cur.min_event_id
+    for r in rows:
+        assert r.max_event_id - r.min_event_id + 1 == r.n_rows
+
+
 def test_timebucket_view_retracts_on_bucket_moves(spark, sf_oracle):
     """Derived-group IVM: per batch the view's total count equals
     the number of users seen so far (each user in exactly ONE
