@@ -388,6 +388,174 @@ def llm_global_shuffle(spark, sf_dir):
     )
 
 
+# ----------------------------- incremental ANN index maintenance
+
+_IDX_CACHE: dict = {}
+
+
+def _idx_oracle() -> str:
+    from ..streaming.replay import default_chunks
+    from .llm import _N_PLANES, _ndl_sql_proj
+
+    nb = default_chunks()
+    bucket = " + ".join(
+        f"(CASE WHEN {_ndl_sql_proj(f'({p})')} > 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(_N_PLANES))
+    dot_qe = ("list_aggregate(list_transform("
+              "range(1, len(ev.embedding)+1), "
+              "i -> CAST(ev.embedding[i] AS DOUBLE) "
+              "* CAST(q.qe[i] AS DOUBLE)), 'sum')")
+    nrm_e = ("sqrt(list_aggregate(list_transform("
+             "range(1, len(ev.embedding)+1), "
+             "i -> CAST(ev.embedding[i] AS DOUBLE) "
+             "* CAST(ev.embedding[i] AS DOUBLE)), 'sum'))")
+    nrm_q = ("sqrt(list_aggregate(list_transform("
+             "range(1, len(q.qe)+1), "
+             "i -> CAST(q.qe[i] AS DOUBLE) "
+             "* CAST(q.qe[i] AS DOUBLE)), 'sum'))")
+    return f"""
+    WITH numbered AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM embeddings),
+    chunked AS (
+      SELECT vec_id,
+             CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS chunk
+      FROM numbered),
+    batches AS (SELECT DISTINCT chunk AS batch_id FROM chunked),
+    sig AS (
+      SELECT e.vec_id, e.label, {bucket} AS bucket
+      FROM embeddings e),
+    q AS (
+      SELECT s.bucket AS qbucket, ev.embedding AS qe
+      FROM sig s JOIN embeddings ev ON ev.vec_id = s.vec_id
+      WHERE s.vec_id = 0),
+    cand AS (
+      SELECT b.batch_id, s.vec_id, s.label,
+             {dot_qe} / ({nrm_e} * {nrm_q}) AS cos_sim
+      FROM batches b
+      JOIN chunked c ON c.chunk <= b.batch_id
+      JOIN sig s ON s.vec_id = c.vec_id
+      JOIN embeddings ev ON ev.vec_id = s.vec_id, q
+      WHERE s.vec_id <> 0 AND s.bucket = q.qbucket),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY batch_id
+        ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM cand)
+    SELECT batch_id, vec_id, label, cos_sim
+    FROM ranked WHERE rnk <= 10
+    """
+
+
+@query("llm_index_maintain_stream", oracle=_idx_oracle())
+def llm_index_maintain_stream(spark, sf_dir):
+    """INCREMENTAL ANN-INDEX MAINTENANCE — the streaming half of the
+    retrieval story (llm_dedup_streaming is the admission gate; this
+    is the index build): embeddings arrive in deterministic
+    micro-batches, each batch's hyperplane signatures (the
+    llm_knn_lsh 8-plane family) are a pure projection, and the
+    index grows by an APPEND-ONLY partitioned write keyed by bucket
+    — no rebuild, no read-modify-write, because an LSH bucket index
+    is a monotone structure under inserts.  After every batch the
+    standing query (vec 0's neighbors) re-probes by reading ONLY
+    the query's bucket partition — partition-pruned O(bucket), not
+    O(index) — and the full probe TRAJECTORY is hash-graded: the
+    incremental index must serve, at every prefix, exactly what a
+    batch-built index over that prefix serves.
+
+    Scale: per-batch work is O(|batch|) signature math + one
+    partitioned append; probes touch one bucket directory. At 10^9
+    vectors the bucket dirs get per-batch file compaction
+    (layout_compaction) and the probe set widens to rotated
+    signature tables (llm_knn_ivf_multiprobe's recall path). The
+    per-batch top-10 collect is O(k) driver rows — the subscriber's
+    answer, not state."""
+    import os
+
+    from ..streaming.generic_views import _keyed_chunks
+    from ..streaming.replay import fresh_sink_name, streaming_shuffle
+    from ..tmputil import scratch_dir
+    from .llm import _N_PLANES, _dot, _ndl_proj
+
+    key = (id(spark), sf_dir)
+    if key in _IDX_CACHE:
+        rows = _IDX_CACHE[key]
+    else:
+        chunks = _keyed_chunks(spark, sf_dir, "embeddings", "vec_id")
+        schema = load_table(spark, sf_dir, "embeddings").schema
+        idx_dir = scratch_dir(prefix="dbrcf-lshidx-")
+        qrow = (load_table(spark, sf_dir, "embeddings")
+                .where(F.col("vec_id") == 0).collect()[0])
+        qe = qrow["embedding"]
+
+        def signature(emb):
+            bits = [
+                F.when(_ndl_proj(emb, p) > 0, F.lit(2 ** p))
+                .otherwise(F.lit(0))
+                for p in range(_N_PLANES)
+            ]
+            return sum(bits[1:], bits[0])
+
+        # the query's own bucket, computed once driver-side via a
+        # 1-row DataFrame (same expression as the indexed side)
+        qbucket = (
+            spark.createDataFrame([(qe,)], "qe array<float>")
+            .select(signature(F.col("qe")).alias("b"))
+            .collect()[0]["b"]
+        )
+        rows = []
+
+        def index_batch(batch_df, batch_id):
+            (
+                batch_df.select(
+                    "vec_id", "label", "embedding",
+                    signature(F.col("embedding")).alias("bucket"))
+                .write.partitionBy("bucket").mode("append")
+                .parquet(idx_dir)
+            )
+            probe_dir = os.path.join(idx_dir, f"bucket={qbucket}")
+            if not os.path.isdir(probe_dir):
+                return
+            idx = spark.read.schema(
+                "vec_id long, label int, embedding array<float>"
+            ).parquet(probe_dir)
+            ee = F.col("embedding")
+            qcol = F.lit(qe).cast("array<float>")
+            cos = _dot(ee, qcol) / (
+                F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qcol, qcol)))
+            top = (
+                idx.where(F.col("vec_id") != 0)
+                .select("vec_id", "label", cos.alias("cos_sim"))
+                .orderBy(F.col("cos_sim").desc(),
+                         F.col("vec_id").asc())
+                .limit(10)
+                .collect()
+            )
+            rows.extend(
+                (int(batch_id), r.vec_id, r.label, r.cos_sim)
+                for r in top)
+
+        with streaming_shuffle(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(chunks)
+                .writeStream.foreachBatch(index_batch)
+                .option("checkpointLocation",
+                        scratch_dir(prefix="dbrcf-lshidx-ckpt-"))
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("lshindex"))
+                .start()
+            )
+            q.awaitTermination()
+        _IDX_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "batch_id long, vec_id long, label int, "
+              "cos_sim double")
+
+
 # ----------------------------------- file-provenance metadata scan
 
 def _meta_oracle() -> str:

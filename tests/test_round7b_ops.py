@@ -339,6 +339,33 @@ def test_k_anonymity_releases_and_preserves_totals(spark, sf_oracle):
     assert abs(sum(r.sum_value for r in rows) - float(total)) < 1e-3
 
 
+def test_index_maintain_final_probe_equals_batch_built(
+        spark, sf_oracle):
+    """The incremental index's FINAL probe must serve exactly what
+    the batch-built llm_knn_lsh index serves (same query vector,
+    same bucket family), and results only improve as the index
+    grows (batch b's floor cosine >= batch b-1's, over full
+    top-10s)."""
+    rows = QUERIES["llm_index_maintain_stream"](
+        spark, sf_oracle).collect()
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(
+            (r.vec_id, r.label, r.cos_sim))
+    last = max(by_batch)
+    batch_built = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in QUERIES["llm_knn_lsh"](spark, sf_oracle).collect()
+    ]
+    assert sorted(by_batch[last]) == sorted(batch_built)
+    floors = [
+        min(c for _, _, c in by_batch[b])
+        for b in sorted(by_batch)
+        if len(by_batch[b]) == 10
+    ]
+    assert floors == sorted(floors), floors
+
+
 def test_metadata_columns_attribute_rows_to_files(spark, sf_oracle):
     """Every row attributes to exactly one chunk file, ranges are
     contiguous and non-overlapping across files, and totals re-unite
