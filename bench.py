@@ -72,6 +72,11 @@ TIER2 = [
     # event-time squash operator
     "llm_dedup_spans",
     "changefeed_squash_time",
+    # round-7 continuation additions (second step-up): the
+    # derived-group IVM (maximal retraction churn) and the
+    # incremental LSH-index build with per-batch probes
+    "changefeed_timebucket_view",
+    "llm_index_maintain_stream",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan
@@ -120,6 +125,10 @@ def main() -> None:
     from db_realtime_changefeed_spark.streaming.view_queries import (
         _CACHE as _VIEW_CACHE,
     )
+    from db_realtime_changefeed_spark.queries.round7b import (
+        _IDX_CACHE as _R7B_IDX,
+        _TBV_CACHE as _R7B_TBV,
+    )
 
     build_replay_chunks(spark, sf_dir)
 
@@ -133,6 +142,8 @@ def main() -> None:
                 # to later repeats — every sample measures a full run
                 _CF_CACHE.clear()
                 _VIEW_CACHE.clear()
+                _R7B_TBV.clear()
+                _R7B_IDX.clear()
                 t = time.perf_counter()
                 materialize(queries[name](spark, sf_dir))
                 samples.append(time.perf_counter() - t)
