@@ -509,19 +509,30 @@ def llm_index_maintain_stream(spark, sf_dir):
         rows = []
 
         def index_batch(batch_df, batch_id):
+            # per-batch directory with mode('overwrite'): foreachBatch
+            # is at-least-once, so a re-delivered batch must overwrite
+            # ITS OWN segment, never re-append into a shared tree (the
+            # ConsumerGroupDispatcher.dispatch idempotence recipe) —
+            # otherwise a crash-retry duplicates vectors in the index
             (
                 batch_df.select(
                     "vec_id", "label", "embedding",
                     signature(F.col("embedding")).alias("bucket"))
-                .write.partitionBy("bucket").mode("append")
-                .parquet(idx_dir)
+                .write.partitionBy("bucket").mode("overwrite")
+                .parquet(os.path.join(idx_dir,
+                                      f"batch_id={batch_id}"))
             )
-            probe_dir = os.path.join(idx_dir, f"bucket={qbucket}")
-            if not os.path.isdir(probe_dir):
+            probe_dirs = [
+                os.path.join(idx_dir, d, f"bucket={qbucket}")
+                for d in sorted(os.listdir(idx_dir))
+                if d.startswith("batch_id=")
+            ]
+            probe_dirs = [p for p in probe_dirs if os.path.isdir(p)]
+            if not probe_dirs:
                 return
             idx = spark.read.schema(
                 "vec_id long, label int, embedding array<float>"
-            ).parquet(probe_dir)
+            ).parquet(*probe_dirs)
             ee = F.col("embedding")
             qcol = F.lit(qe).cast("array<float>")
             cos = _dot(ee, qcol) / (
