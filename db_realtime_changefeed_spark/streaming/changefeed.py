@@ -105,7 +105,8 @@ class ChangefeedRunner:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  driver_merge: bool | str = "auto", key: str = "event_type",
-                 root: str | None = None, filter_sql: str | None = None):
+                 root: str | None = None, filter_sql: str | None = None,
+                 state_buckets: int | None = None):
         """`driver_merge`: "auto" picks the merge path by key
         cardinality class (small → driver dict, large → Spark join);
         pass True/False to force a path (tests do, for equivalence).
@@ -146,7 +147,8 @@ class ChangefeedRunner:
         from .state_store import BucketedMvccState
 
         self._store = BucketedMvccState(
-            self.spark, self.state_root, self._STATE_DDL, self.key
+            self.spark, self.state_root, self._STATE_DDL, self.key,
+            n_buckets=state_buckets,
         )
         # warm cache of current state {key: (cnt, sum)} — group-key
         # cardinality sized, driver-merge path only. Parquet remains
@@ -406,6 +408,27 @@ class ChangefeedRunner:
                     sub.deliver(b, read_batch_log(self.log_dir, b))
             self._subscribers.append(sub)
         return sub
+
+    def rescale_state(self, new_buckets: int) -> "int | None":
+        """Re-shard the bucketed MVCC state to `new_buckets` hash
+        buckets at a committed batch boundary (stream stopped) — the
+        stop-with-savepoint → restore-at-new-parallelism operation.
+        Spark-merge (bucketed) path only: the driver-merge path keys
+        on small cardinality where bucket count is irrelevant. The
+        new count is durable in the republished manifest, so a runner
+        restarted over this root adopts it automatically."""
+        if self.driver_merge:
+            raise NotImplementedError(
+                "rescale_state applies to the bucketed (spark-merge) "
+                "state layout; the driver-merge path has no buckets")
+        b = self._pointer_batch()
+        if b is not None and not self._store.has_version(b):
+            raise RuntimeError(
+                f"current version v{b} is not a bucketed-store "
+                "manifest (legacy layout); run one batch on the "
+                "spark-merge path to migrate before rescaling")
+        self._state = None
+        return self._store.rescale(new_buckets)
 
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)

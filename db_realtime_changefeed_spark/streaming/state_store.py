@@ -64,12 +64,28 @@ class BucketedMvccState:
         self.n_buckets = n_buckets or default_state_buckets()
         self.buckets_root = os.path.join(state_root, "buckets")
         os.makedirs(self.buckets_root, exist_ok=True)
+        # The bucket count is DURABLE: every manifest records the
+        # count its bucket assignment was computed under, and a store
+        # opened over existing state adopts the newest manifest's
+        # count. Without this, a runner restarted after rescale()
+        # would prune bucket reads with the configured (stale) count
+        # and silently miss keys — the Flink restore-from-savepoint
+        # rule that operator parallelism travels WITH the state.
+        vs = self.versions()
+        if vs:
+            persisted = self._manifest_n_buckets(vs[-1])
+            if persisted is not None:
+                self.n_buckets = persisted
 
     # ---- layout helpers ----
     def _manifest_path(self, batch_id: int) -> str:
         return os.path.join(self.root, f"manifest-v{batch_id}.json")
 
-    def _bucket_dir(self, bucket: int, batch_id: int) -> str:
+    def _bucket_dir(self, bucket: int, batch_id: "int | str") -> str:
+        # batch_id is an int for normal commits, or a rescale TAG
+        # ("<version>r<new_n>") — tagged dirs keep a rescale's rewrite
+        # from colliding with the ordinary dirs the same version's
+        # original commit wrote (older manifests may reference those).
         return os.path.join(self.buckets_root, f"b{bucket}", f"v{batch_id}")
 
     def bucket_expr(self, *cols):
@@ -88,10 +104,22 @@ class BucketedMvccState:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def manifest(self, batch_id: int) -> dict[int, int]:
+    @staticmethod
+    def _norm_version(v) -> "int | str":
+        s = str(v)
+        return int(s) if s.isdigit() else s
+
+    def manifest(self, batch_id: int) -> "dict[int, int | str]":
         with open(self._manifest_path(batch_id)) as f:
             raw = json.load(f)["buckets"]
-        return {int(k): int(v) for k, v in raw.items()}
+        return {int(k): self._norm_version(v) for k, v in raw.items()}
+
+    def _manifest_n_buckets(self, batch_id: int) -> "int | None":
+        """Bucket count recorded in a manifest; None for manifests
+        written before the count became durable (pre-rescale layouts,
+        which by construction never changed their count)."""
+        with open(self._manifest_path(batch_id)) as f:
+            return json.load(f).get("n_buckets")
 
     # ---- reads ----
     def df_at(self, batch_id: int,
@@ -150,10 +178,61 @@ class BucketedMvccState:
                 os.makedirs(dst)
             man[k] = batch_id
         shutil.rmtree(tmp, ignore_errors=True)
+        self._write_manifest(batch_id, man)
+
+    def _write_manifest(self, batch_id: int, man: dict) -> None:
         mp = self._manifest_path(batch_id)
         with open(mp + ".tmp", "w") as f:
-            json.dump({"buckets": {str(k): v for k, v in man.items()}}, f)
+            json.dump({"n_buckets": self.n_buckets,
+                       "buckets": {str(k): v for k, v in man.items()}}, f)
         os.replace(mp + ".tmp", mp)
+
+    # ---- rescale (savepoint-style re-sharding) ----
+    def rescale(self, new_n: int) -> "int | None":
+        """Re-shard the newest version's FULL state into `new_n` hash
+        buckets and republish that version id — the Flink
+        stop-with-savepoint → restore-at-new-parallelism shape, on
+        plain parquet. Must run at a committed batch boundary (no
+        stream in flight): the republished manifest maps every
+        populated bucket to tagged `v<id>r<new_n>` dirs, so the dirs
+        the version's original commit wrote (still referenced by this
+        and possibly later/earlier reads in flight elsewhere) are
+        never mutated, and gc() reclaims them once unreferenced.
+
+        One full-state rewrite, exactly once per rescale — the same
+        cost Flink pays to restore a savepoint at new parallelism;
+        every subsequent micro-batch is back to touched-buckets-only
+        under the new count. Returns the republished version id, or
+        None when the store holds no state yet (knob flip only)."""
+        vs = self.versions()
+        if not vs:
+            self.n_buckets = new_n
+            return None
+        v = vs[-1]
+        full = self.df_at(v)
+        self.n_buckets = new_n
+        tag = f"{v}r{new_n}"
+        tmp = os.path.join(self.root, f"tmp-rescale-{tag}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            full.withColumn("__bucket", self.bucket_expr())
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        man: dict[int, str] = {}
+        for k in range(new_n):
+            src = os.path.join(tmp, f"__bucket={k}")
+            if os.path.exists(src):
+                dst = self._bucket_dir(k, tag)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                man[k] = tag
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write_manifest(v, man)
+        return v
 
     # ---- GC ----
     def gc(self, keep: set[int]) -> list[int]:
@@ -164,7 +243,7 @@ class BucketedMvccState:
             if b not in keep:
                 os.remove(self._manifest_path(b))
                 removed.append(b)
-        referenced: set[tuple[int, int]] = set()
+        referenced: set[tuple[int, "int | str"]] = set()
         for b in self.versions():
             referenced.update(self.manifest(b).items())
         if os.path.isdir(self.buckets_root):
@@ -175,7 +254,8 @@ class BucketedMvccState:
                 k = int(m.group(1))
                 bdir = os.path.join(self.buckets_root, bname)
                 for vname in os.listdir(bdir):
-                    vm = re.fullmatch(r"v(\d+)", vname)
-                    if vm and (k, int(vm.group(1))) not in referenced:
+                    vm = re.fullmatch(r"v(\d+(?:r\d+)?)", vname)
+                    if vm and (k, self._norm_version(vm.group(1))) \
+                            not in referenced:
                         shutil.rmtree(os.path.join(bdir, vname))
         return removed
