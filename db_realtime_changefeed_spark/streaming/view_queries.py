@@ -156,7 +156,11 @@ def changefeed_topk_view(spark, sf_dir):
     batch's true top-k and diffs consecutive batches, so a stale or
     phantom member in any batch breaks the hash."""
     r = _runner(spark, sf_dir)
-    return r.topk_log()
+    # the durable log also carries the include_offsets positions
+    # (graded separately by changefeed_topk_offsets); this query's
+    # contract is the 5-column enter/leave/update delta shape
+    return r.topk_log().select(
+        "batch_id", "user_id", "change", "old_value", "new_value")
 
 
 @query(

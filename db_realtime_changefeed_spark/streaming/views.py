@@ -147,6 +147,7 @@ class MaintainedViewsRunner:
                 "old_type string, new_type string, batch_id long")
     _INDEX_DDL = "user_id long, value double, event_id long"
     _TOPK_DDL = ("batch_id long, user_id long, change string, "
+                 "old_offset long, new_offset long, "
                  "old_value double, new_value double")
 
     def __init__(self, spark: SparkSession, sf_dir: str,
@@ -526,17 +527,27 @@ class MaintainedViewsRunner:
         else:
             prev_rows = []
         prev = {u: (v, e) for u, v, e in prev_rows}
+        # RethinkDB include_offsets: a change carries the document's
+        # 0-based position in the ordered result before (old_offset)
+        # and after (new_offset) the change — both lists are already
+        # ordered (value DESC, event_id ASC), so positions are the
+        # list indices; O(k) driver work, same as the diff itself.
+        prev_off = {u: i for i, (u, _v, _e) in enumerate(prev_rows)}
+        cur_off = {u: i for i, (u, _v, _e) in enumerate(cur)}
         out: list[tuple] = []
         seen = set()
         for u, v, e in cur:
             seen.add(u)
             if u not in prev:
-                out.append((batch_id, u, "enter", None, v))
+                out.append((batch_id, u, "enter",
+                            None, cur_off[u], None, v))
             elif prev[u][1] != e:
-                out.append((batch_id, u, "update", prev[u][0], v))
+                out.append((batch_id, u, "update",
+                            prev_off[u], cur_off[u], prev[u][0], v))
         for u, (v, e) in prev.items():
             if u not in seen:
-                out.append((batch_id, u, "leave", v, None))
+                out.append((batch_id, u, "leave",
+                            prev_off[u], None, v, None))
         (
             _tiny_df(self.spark, out, self._TOPK_DDL)
             .write.mode("overwrite")

@@ -1,0 +1,103 @@
+"""Round-7 third wave: TPC-H Q1, the Benford audit, the Gopher
+quality gate, and the RethinkDB include_states / include_offsets feed
+surfaces — behavior properties beyond the hash-parity sweep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.catalog import load_table
+from db_realtime_changefeed_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def test_tpch_q1_groups_and_counts(spark, sf_oracle):
+    rows = QUERIES["tpch_q1"](spark, sf_oracle).collect()
+    # 3 return flags x 2 line statuses in the fixture
+    assert len(rows) <= 6 and len(rows) >= 1
+    li = load_table(spark, sf_oracle, "lineitem")
+    expected = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).count()
+    assert sum(r["count_order"] for r in rows) == expected
+    for r in rows:
+        # avg consistency: avg * count within decimal-cast tolerance
+        assert abs(r["avg_qty"] * r["count_order"] - r["sum_qty"]) < 1e-3
+
+
+def test_benford_frequencies_sum_to_one(spark, sf_oracle):
+    rows = QUERIES["dq_benford"](spark, sf_oracle).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-9
+    n_orders = load_table(spark, sf_oracle, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert 0.0 <= r["expected"] <= 0.3011
+        assert r["abs_dev"] >= 0.0
+
+
+def test_gopher_gate_binds_and_is_consistent(spark, sf_oracle):
+    rows = QUERIES["llm_quality_gopher"](spark, sf_oracle).collect()
+    keeps = sum(r["keep"] for r in rows)
+    # the stopword rule drops a real fraction of this corpus; the
+    # gate must be non-degenerate in both directions
+    assert 0 < keeps < len(rows)
+    for r in rows:
+        assert 0.0 < r["top_bigram_frac"] <= 1.0
+        assert len(r["top_bigram"].split(" ")) == 2
+        if r["n_stop"] == 0:
+            assert r["keep"] == 0
+        if r["keep"] == 1:
+            assert r["n_words"] >= 10
+            assert 3.0 <= r["mean_word_len"] <= 10.0
+            assert r["top_bigram_frac"] <= 0.2
+
+
+def test_include_states_protocol_order(spark, sf_oracle):
+    from db_realtime_changefeed_spark.queries.round7c import _BOOT_K
+    from db_realtime_changefeed_spark.streaming.queries import _changefeed
+
+    rows = QUERIES["changefeed_include_states"](spark, sf_oracle).collect()
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq"], []).append(r)
+    # exactly one initializing and one ready marker, in phase order
+    assert [r["event_type"] for r in by_seq[0]] == ["initializing"]
+    assert [r["event_type"] for r in by_seq[2]] == ["ready"]
+    # initial rows equal the MVCC snapshot at k
+    snap = {
+        r["event_type"]: (r["cnt"], r["sum_value"])
+        for r in _changefeed(spark, sf_oracle).state_at(_BOOT_K).collect()
+    }
+    got = {r["event_type"]: (r["cnt"], r["sum_value"]) for r in by_seq[1]}
+    assert got == snap
+    # every change is strictly past the snapshot batch
+    assert all(r["batch_id"] > _BOOT_K for r in by_seq[3])
+
+
+def test_topk_offsets_are_true_positions(spark, sf_oracle):
+    from db_realtime_changefeed_spark.streaming.view_queries import _runner
+
+    rows = QUERIES["changefeed_topk_offsets"](spark, sf_oracle).collect()
+    r = _runner(spark, sf_oracle)
+    batches = sorted({row["batch_id"] for row in rows})
+    assert batches
+    for b in batches:
+        cur = {u: i for i, (u, _v, _e) in enumerate(r._topk_at(b))}
+        prev = {u: i for i, (u, _v, _e) in enumerate(r._topk_at(b - 1))} \
+            if b > 0 else {}
+        for row in (x for x in rows if x["batch_id"] == b):
+            if row["change"] in ("enter", "update"):
+                assert row["new_offset"] == cur[row["user_id"]]
+            if row["change"] in ("leave", "update"):
+                assert row["old_offset"] == prev[row["user_id"]]
+            if row["change"] == "enter":
+                assert row["old_offset"] is None
+            if row["change"] == "leave":
+                assert row["new_offset"] is None
+            for off in (row["old_offset"], row["new_offset"]):
+                if off is not None:
+                    assert 0 <= off < r.k
