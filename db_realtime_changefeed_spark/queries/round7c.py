@@ -389,3 +389,234 @@ def changefeed_topk_offsets(spark, sf_dir):
     return r.topk_log().select(
         "batch_id", "user_id", "change",
         "old_offset", "new_offset", "old_value", "new_value")
+
+# ------------------------------------------- changefeed_point_changes
+
+
+def _point_changes_oracle() -> str:
+    return f"""
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(floor(rn / ceil(n / {_NB7C}.0)) AS BIGINT) AS chunk
+      FROM numbered
+    ), k AS (
+      SELECT user_id AS u FROM events ORDER BY event_id LIMIT 1
+    ), mine AS (
+      SELECT * FROM chunked WHERE user_id = (SELECT u FROM k)
+    ), batches AS (
+      SELECT DISTINCT chunk AS b FROM chunked
+    ), vis AS (
+      SELECT b.b AS batch_id, m.value, m.event_id,
+             row_number() OVER (PARTITION BY b.b
+                                ORDER BY m.ts DESC, m.event_id DESC)
+               AS rrn
+      FROM batches b JOIN mine m ON m.chunk <= b.b
+    ), v AS (
+      SELECT batch_id, value, event_id FROM vis WHERE rrn = 1
+    ), prev AS (
+      SELECT batch_id + 1 AS batch_id, value, event_id FROM v
+    )
+    SELECT v.batch_id,
+           (SELECT u FROM k) AS user_id,
+           prev.value AS old_value,
+           v.value AS new_value,
+           prev.event_id AS old_event_id,
+           v.event_id AS new_event_id
+    FROM v LEFT JOIN prev USING (batch_id)
+    WHERE prev.event_id IS NULL OR v.event_id <> prev.event_id
+    """
+
+
+@query("changefeed_point_changes", oracle=_point_changes_oracle())
+def changefeed_point_changes(spark, sf_dir):
+    """RethinkDB r.table(...).get(k).changes() — the PER-DOCUMENT
+    feed: a standing LWW upsert query filtered to ONE key (api.py
+    RowRef.changes()), graded on its full per-batch {old,new} delta
+    log. The envelope predicate runs BEFORE the keyed merge, so the
+    feed's state is one row and other keys' changes never touch it —
+    the engine-side point-subscription shape (at 100 TB: the filter
+    prunes each micro-batch to the subscribed key's rows; state
+    reads hit exactly one bucket of the MVCC store). The key is
+    chosen deterministically (the user of the minimum event_id —
+    guaranteed to exist in batch 0 at every SF); the oracle
+    reconstructs the key's visible LWW row at every batch prefix and
+    diffs consecutive batches, so a missed win, a phantom emission,
+    or a wrong old-image in any batch breaks the hash."""
+    from ..api import Database
+
+    first = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(1)
+        .collect()[0]
+    )
+    feed = (
+        Database(spark, sf_dir)
+        .table("events")
+        .get(int(first["user_id"]))
+        .changes()
+    )
+    return feed.log().select(
+        "batch_id",
+        F.lit(int(first["user_id"])).alias("user_id"),
+        "old_value", "new_value", "old_event_id", "new_event_id",
+    )
+
+
+# -------------------------------------------------------- agg_gini
+
+_DEC30 = "decimal(30,6)"
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, event_id
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ), r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC)
+               AS rk
+      FROM e
+    ), s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(30,6))) AS s0,
+             sum(rk * CAST(value AS DECIMAL(30,6))) AS s1
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(s0 AS DOUBLE) AS sum_value,
+           CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+             / CAST(n * s0 AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Exact per-group GINI COEFFICIENT (inequality of the value
+    distribution per event_type) via the rank formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), x ascending.
+    The rank is built at the 100 TB shape: a plain row_number()
+    OVER (PARTITION BY event_type) would serialize each group
+    through ONE task, so the rank is two-level — a per-(group,
+    floor(value)) band histogram whose running sum (a window over
+    the TINY histogram) gives each band its starting offset, plus a
+    row_number partitioned by (group, band): hundreds of fine
+    partitions per group, no group-sized sort anywhere. Equal
+    values contribute identically to sum(i*x_i) under any
+    permutation of their ranks, so the banded rank reproduces the
+    serial window's Gini exactly (the oracle USES the serial
+    window). Moments ride DECIMAL(30,6) — rank*value sums overflow
+    18-digit decimals at bench scale — and the final division is
+    one IEEE op."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select("event_type", "value", "event_id",
+                F.floor("value").cast("long").alias("band"))
+    )
+    hist = e.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("bn"))
+    wh = (Window.partitionBy("event_type").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = hist.select(
+        "event_type", "band",
+        F.coalesce(F.sum("bn").over(wh), F.lit(0)).alias("off"))
+    in_band = F.row_number().over(
+        Window.partitionBy("event_type", "band")
+        .orderBy(F.col("value").asc(), F.col("event_id").asc()))
+    ranked = (
+        e.join(F.broadcast(offsets), ["event_type", "band"])
+        .select("event_type", "value",
+                (F.col("off") + in_band).cast("long").alias("rk"))
+    )
+    dec = F.col("value").cast(_DEC30)
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s0"),
+        F.sum(F.col("rk") * dec).alias("s1"),
+    )
+    return s.select(
+        "event_type", "n",
+        F.col("s0").cast("double").alias("sum_value"),
+        ((2 * F.col("s1") - (F.col("n") + 1) * F.col("s0"))
+         .cast("double")
+         / (F.col("n") * F.col("s0")).cast("double")).alias("gini"),
+    )
+
+
+# ----------------------------------------------- funnel_attribution
+
+
+@query(
+    "funnel_attribution",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             max(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS last_view
+      FROM events
+    ), p AS (
+      SELECT value,
+             CASE
+               WHEN last_view IS NULL THEN 'no_touch'
+               WHEN epoch_us(ts) - epoch_us(last_view)
+                    <= 3600000000 THEN 'lt_1h'
+               WHEN epoch_us(ts) - epoch_us(last_view)
+                    <= 86400000000 THEN 'lt_24h'
+               WHEN epoch_us(ts) - epoch_us(last_view)
+                    <= 604800000000 THEN 'lt_7d'
+               ELSE 'expired'
+             END AS touch_band
+      FROM w WHERE event_type = 'purchase'
+    )
+    SELECT touch_band,
+           count(*) AS n_purchases,
+           {sql_dsum('value')} AS revenue
+    FROM p GROUP BY touch_band
+    """,
+)
+def funnel_attribution(spark, sf_dir):
+    """LAST-TOUCH attribution — the marketing-analytics workhorse:
+    every purchase is attributed to the user's most recent PRECEDING
+    'view' (strictly earlier by (ts, event_id) — the self-excluding
+    ROWS ... 1 PRECEDING frame), banded by touch age (<1h, <24h,
+    <7d, expired, no-touch) with exact integer-microsecond
+    arithmetic. One shuffle on user_id serves the whole query: the
+    last-view anchor is a running conditional MAX over the per-user
+    timeline (the IGNORE-NULLS navigation shape), then the purchase
+    rows band and aggregate — no self-join of purchases against
+    views (the naive formulation is a per-user range join that
+    explodes quadratically on heavy users)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    age_us = (F.unix_micros(F.col("ts"))
+              - F.unix_micros(F.col("last_view")))
+    band = (
+        F.when(F.col("last_view").isNull(), "no_touch")
+        .when(age_us <= 3_600_000_000, "lt_1h")
+        .when(age_us <= 86_400_000_000, "lt_24h")
+        .when(age_us <= 604_800_000_000, "lt_7d")
+        .otherwise("expired")
+    )
+    return (
+        e.withColumn("last_view", last_view)
+        .where(F.col("event_type") == "purchase")
+        .select(band.alias("touch_band"), "value")
+        .groupBy("touch_band")
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             dsum("value").alias("revenue"))
+    )

@@ -101,3 +101,55 @@ def test_topk_offsets_are_true_positions(spark, sf_oracle):
             for off in (row["old_offset"], row["new_offset"]):
                 if off is not None:
                     assert 0 <= off < r.k
+
+
+def test_point_changes_matches_row_api(spark, sf_oracle):
+    """The point feed's final new-image must equal RowRef.row() —
+    the read-your-feed consistency a point subscriber assumes."""
+    from db_realtime_changefeed_spark.api import Database
+
+    rows = QUERIES["changefeed_point_changes"](spark, sf_oracle).collect()
+    assert rows, "point feed emitted nothing"
+    uid = rows[0]["user_id"]
+    assert all(r["user_id"] == uid for r in rows)
+    last = max(rows, key=lambda r: r["batch_id"])
+    point = (
+        Database(spark, sf_oracle).table("events").get(uid).row().collect()
+    )
+    assert len(point) == 1
+    assert point[0]["event_id"] == last["new_event_id"]
+    assert point[0]["value"] == last["new_value"]
+    # chained old/new images: each batch's old is the previous new
+    ordered = sorted(rows, key=lambda r: r["batch_id"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["old_event_id"] == prev["new_event_id"]
+    assert ordered[0]["old_event_id"] is None
+
+
+def test_gini_bounds_and_banded_windows(spark, sf_oracle):
+    rows = QUERIES["agg_gini"](spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["sum_value"] > 0
+    # scale pin: every row_number window must carry the band key —
+    # no group-wide single-task sort (the perplexity_buckets rule)
+    plan = QUERIES["agg_gini"](spark, sf_oracle)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    for ln in plan.splitlines():
+        if "row_number()" in ln:
+            assert "band#" in ln, ln
+
+
+def test_attribution_accounts_every_purchase(spark, sf_oracle):
+    rows = QUERIES["funnel_attribution"](spark, sf_oracle).collect()
+    n_purch = (
+        load_table(spark, sf_oracle, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    bands = {r["touch_band"] for r in rows}
+    assert bands <= {"no_touch", "lt_1h", "lt_24h", "lt_7d", "expired"}
+    assert "no_touch" in bands and "lt_24h" in bands
