@@ -620,3 +620,114 @@ def funnel_attribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_purchases"),
              dsum("value").alias("revenue"))
     )
+
+# ----------------------------------------------- rolling-window pair
+
+
+@query(
+    "win_median_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             median(value) OVER fr AS med7,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value, med7
+    FROM w WHERE rn >= 7
+    """,
+)
+def win_median_sliding(spark, sf_dir):
+    """Sliding-window MEDIAN (7-row moving median per user timeline)
+    — the robust-smoothing primitive rolling averages can't give.
+    Emitted ONLY where the frame is full: a 7-row frame has an ODD
+    count, so the median is an exact element selection in both
+    engines — no midpoint interpolation, whose a+g*(b-a) vs
+    (a+b)/2 formulations differ at the ulp and poison cross-engine
+    hashes (partial head-frames have even counts, which is exactly
+    why they're cut). Partitioned by user — millions of independent
+    partitions, each task holds one frame of 7 values; no global
+    sort anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    fr = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(-6, 0))
+    seq = Window.partitionBy("user_id").orderBy(*order)
+    return (
+        e.select(
+            "user_id", "ts", "event_id", "value",
+            F.expr("percentile(value, 0.5)").over(fr).alias("med7"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .where(F.col("rn") >= 7)
+        .drop("rn")
+    )
+
+
+@query(
+    "ts_zscore_rolling",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             sum(CAST(value AS DECIMAL(18,6))) OVER fr AS s,
+             sum(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) OVER fr AS s2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value,
+           CAST(s AS DOUBLE) / 7 AS mean7,
+           CASE WHEN 7 * s2 - s * s > 0
+                THEN sqrt(CAST(7 * s2 - s * s AS DOUBLE)) / 7
+           END AS std7,
+           CASE WHEN 7 * s2 - s * s > 0
+                THEN CAST(7 * CAST(value AS DECIMAL(18,6)) - s
+                          AS DOUBLE)
+                     / sqrt(CAST(7 * s2 - s * s AS DOUBLE))
+           END AS zscore
+    FROM w WHERE rn >= 7
+    """,
+)
+def ts_zscore_rolling(spark, sf_dir):
+    """Rolling z-score anomaly signal (7-row frame per user): the
+    online-monitoring normalization behind threshold alerting. All
+    moments are EXACT decimal window sums — z is algebraically
+    rearranged to (7x - S) / sqrt(7*S2 - S^2) so the only IEEE ops
+    are one decimal->double cast each, one sqrt (correctly rounded
+    by spec), and one division — deterministic across engines, no
+    order-dependent float accumulation in the frame. Constant
+    frames (zero variance) yield NULL rather than an engine-specific
+    inf. Same full-frame cut and per-user partitioning as
+    win_median_sliding; ts_ewma / ts_anomaly_mad are the siblings."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    fr = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(-6, 0))
+    seq = Window.partitionBy("user_id").orderBy(*order)
+    dec = F.col("value").cast("decimal(18,6)")
+    base = (
+        e.select(
+            "user_id", "ts", "event_id", "value",
+            F.sum(dec).over(fr).alias("s"),
+            F.sum(dec * dec).over(fr).alias("s2"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .where(F.col("rn") >= 7)
+    )
+    den2 = 7 * F.col("s2") - F.col("s") * F.col("s")
+    num = 7 * dec - F.col("s")
+    return base.select(
+        "user_id", "ts", "event_id", "value",
+        (F.col("s").cast("double") / 7).alias("mean7"),
+        F.when(den2 > 0, F.sqrt(den2.cast("double")) / 7)
+        .alias("std7"),
+        F.when(den2 > 0,
+               num.cast("double") / F.sqrt(den2.cast("double")))
+        .alias("zscore"),
+    )

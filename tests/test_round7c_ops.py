@@ -153,3 +153,52 @@ def test_attribution_accounts_every_purchase(spark, sf_oracle):
     bands = {r["touch_band"] for r in rows}
     assert bands <= {"no_touch", "lt_1h", "lt_24h", "lt_7d", "expired"}
     assert "no_touch" in bands and "lt_24h" in bands
+
+
+def test_rolling_median_is_frame_median(spark, sf_smoke):
+    rows = (
+        QUERIES["win_median_sliding"](spark, sf_smoke)
+        .orderBy("user_id", "ts", "event_id").limit(200).collect()
+    )
+    assert rows
+    e = (
+        load_table(spark, sf_smoke, "events")
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    timeline = {}
+    for r in e:
+        timeline.setdefault(r["user_id"], []).append(r)
+    idx = {
+        (r["user_id"], r["event_id"]): i
+        for u, lst in timeline.items()
+        for i, r in enumerate(lst)
+    }
+    for r in rows:
+        i = idx[(r["user_id"], r["event_id"])]
+        assert i >= 6, "emitted before the frame filled"
+        frame = sorted(
+            x["value"] for x in timeline[r["user_id"]][i - 6: i + 1]
+        )
+        assert r["med7"] == frame[3]
+
+
+def test_rolling_zscore_statistics(spark, sf_smoke):
+    import math
+
+    rows = (
+        QUERIES["ts_zscore_rolling"](spark, sf_smoke)
+        .limit(500).collect()
+    )
+    assert rows
+    for r in rows:
+        if r["std7"] is None:
+            assert r["zscore"] is None
+            continue
+        assert r["std7"] > 0
+        # z must reproduce from the emitted mean/std
+        z = (r["value"] - r["mean7"]) / r["std7"]
+        assert math.isclose(z, r["zscore"], rel_tol=1e-9, abs_tol=1e-9)
+        # a point inside a 7-sample is bounded by sqrt(6) ~ 2.4495
+        assert abs(r["zscore"]) <= 2.4495
