@@ -77,6 +77,12 @@ TIER2 = [
     # incremental LSH-index build with per-batch probes
     "changefeed_timebucket_view",
     "llm_index_maintain_stream",
+    # round-7 wave-3 additions (third step-up): the bigram-mode
+    # explode gate, the banded two-level rank Gini, and the missing
+    # canonical scan-aggregate
+    "llm_quality_gopher",
+    "agg_gini",
+    "tpch_q1",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan
