@@ -151,6 +151,23 @@ class GenericAggViewRunner:
         ).cache()
         try:
             delta = merged.where("emit")
+            # ONE job computes both fold stores' touched-bucket sets
+            # (the views.py _fold_touched pattern) — collect_set
+            # drops the NULLs the no-old side produces; everything
+            # crossing to the driver is O(buckets) small ints.
+            had_old = F.col("had_old")
+            t_row = delta.agg(
+                F.collect_set(F.when(had_old, self._agg.bucket_expr(
+                    F.col("old_group")))).alias("ao"),
+                F.collect_set(self._agg.bucket_expr(
+                    F.col("new_group"))).alias("an"),
+                F.collect_set(F.when(had_old, self._support.bucket_expr(
+                    F.col("old_group"), F.col("old_value")))).alias("so"),
+                F.collect_set(self._support.bucket_expr(
+                    F.col("new_group"), F.col("new_value"))).alias("sn"),
+            ).collect()[0]
+            g_touched = sorted(set(t_row["ao"]) | set(t_row["an"]))
+            s_touched = sorted(set(t_row["so"]) | set(t_row["sn"]))
             minus = delta.where("had_old").select(
                 F.col("old_group").alias(g),
                 F.lit(-1).alias("d_cnt"),
@@ -164,9 +181,7 @@ class GenericAggViewRunner:
             contrib = (
                 minus.unionByName(plus).groupBy(g)
                 .agg(F.sum("d_cnt").alias("d_cnt"),
-                     F.sum("d_sum").cast(_DEC).alias("d_sum"))
-                .persist())
-            g_touched = self._agg.touched_buckets(contrib, g)
+                     F.sum("d_sum").cast(_DEC).alias("d_sum")))
             if base is None:
                 g_old = self.spark.createDataFrame([], self._agg_ddl)
             else:
@@ -183,10 +198,6 @@ class GenericAggViewRunner:
                                   F.lit(0).cast(_DEC)))
                     .cast(_DEC).alias("sum_value"))
                 .where(F.col("cnt") > 0))
-            try:
-                self._agg.commit(batch_id, base, g_new, g_touched)
-            finally:
-                contrib.unpersist()
             # generic SUPPORT relation (group, value) -> multiplicity
             # — the non-distributive half of the library (min/max/
             # quantiles under deletes), same -old/+new fold algebra
@@ -201,9 +212,7 @@ class GenericAggViewRunner:
                 F.lit(1).alias("d_cnt"))
             s_contrib = (
                 s_minus.unionByName(s_plus).groupBy(g, v)
-                .agg(F.sum("d_cnt").alias("d_cnt"))
-                .persist())
-            s_touched = self._support.touched_buckets(s_contrib)
+                .agg(F.sum("d_cnt").alias("d_cnt")))
             if base is None:
                 s_old = self.spark.createDataFrame(
                     [], self._support_ddl)
@@ -216,21 +225,35 @@ class GenericAggViewRunner:
                     (F.coalesce("cnt", F.lit(0))
                      + F.coalesce("d_cnt", F.lit(0))).alias("cnt"))
                 .where(F.col("cnt") > 0))
-            try:
-                self._support.commit(batch_id, base, s_new,
-                                     s_touched)
-            finally:
-                s_contrib.unpersist()
-            # base commit LAST — the crash-consistency anchor
-            self._base.commit(
-                batch_id, base,
-                merged.select(
-                    k,
-                    F.col("n_ts").alias(ts),
-                    F.col("n_seq").alias(sq),
-                    F.col("n_val").alias(v),
-                    F.col("n_grp").alias(g)),
-                touched)
+            base_new = merged.select(
+                k,
+                F.col("n_ts").alias(ts),
+                F.col("n_seq").alias(sq),
+                F.col("n_val").alias(v),
+                F.col("n_grp").alias(g))
+            # STAGE all three store writes CONCURRENTLY (every fold
+            # consumes the one cached `merged` delta, so the jobs
+            # overlap instead of queueing); then PUBLISH manifests
+            # in order with the base LAST — the crash-consistency
+            # anchor lives in publish order alone (state_store.stage
+            # docstring), so parallel staging is free wall-clock.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                futs = [
+                    ex.submit(self._agg.stage, batch_id, g_new,
+                              g_touched),
+                    ex.submit(self._support.stage, batch_id, s_new,
+                              s_touched),
+                    ex.submit(self._base.stage, batch_id, base_new,
+                              touched),
+                ]
+                for f in futs:
+                    f.result()
+            self._agg.publish(batch_id, base, g_touched)
+            self._support.publish(batch_id, base, s_touched)
+            # base manifest LAST — a listed version has all folds
+            self._base.publish(batch_id, base, touched)
         finally:
             merged.unpersist()
             winners.unpersist()

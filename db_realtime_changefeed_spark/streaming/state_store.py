@@ -155,6 +155,18 @@ class BucketedMvccState:
         other bucket forward from `base_batch`'s manifest, and
         publish manifest-v{batch_id}. Idempotent: a replayed batch
         rewrites its own bucket dirs and manifest."""
+        self.stage(batch_id, merged_df, touched)
+        self.publish(batch_id, base_batch, touched)
+
+    def stage(self, batch_id: int, merged_df: DataFrame,
+              touched: list[int]) -> None:
+        """Phase 1 of a commit: run the Spark write into a private
+        tmp dir. Stages of DIFFERENT stores are independent Spark
+        jobs, so a runner folding several view stores from one
+        cached delta may run them CONCURRENTLY (driver threads) —
+        the crash-consistency contract lives entirely in the
+        publish() ordering, not here: an orphaned tmp dir is
+        invisible to every manifest and harmless."""
         tmp = os.path.join(self.root, f"tmp-v{batch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         if touched:
@@ -166,6 +178,14 @@ class BucketedMvccState:
                 .mode("overwrite")
                 .parquet(tmp)
             )
+
+    def publish(self, batch_id: int, base_batch: int | None,
+                touched: list[int]) -> None:
+        """Phase 2: move the staged bucket dirs into place and
+        publish the manifest. Pure filesystem metadata — cheap, so
+        ordered publication across stores (base LAST) costs nothing
+        while preserving 'a listed version has all folds durable'."""
+        tmp = os.path.join(self.root, f"tmp-v{batch_id}")
         man = {} if base_batch is None else dict(self.manifest(base_batch))
         for k in touched:
             src = os.path.join(tmp, f"__bucket={k}")
