@@ -295,31 +295,55 @@ class MaintainedViewsRunner:
             delta = self.spark.read.schema(self._LOG_DDL) \
                 .parquet(log_path)
             t_agg, t_sup, t_idx, t_hx = self._fold_touched(delta)
-            self._fold_agg(delta, batch_id, base, t_agg)
-            self._fold_support(delta, batch_id, base, t_sup)
-            self._fold_index(delta, batch_id, base, t_idx)
-            self._fold_hashidx(delta, batch_id, base, t_hx)
+            base_new = merged.select(
+                "user_id",
+                F.col("n_ts").alias("ts"),
+                F.col("n_eid").alias("event_id"),
+                F.col("n_val").alias("value"),
+                F.col("n_type").alias("event_type"),
+                F.col("n_del").alias("deleted"),
+            )
+            # STAGE all five store writes CONCURRENTLY — every fold
+            # consumes the committed delta log (a tiny parquet read)
+            # or the cached `merged`, so the Spark jobs overlap
+            # instead of queueing. The crash-consistency contract
+            # lives in PUBLISH order alone (state_store.stage
+            # docstring): orphaned tmp dirs are invisible to every
+            # manifest.
+            from concurrent.futures import ThreadPoolExecutor
+
+            stages = [
+                (self._agg,
+                 self._fold_agg(delta, base, t_agg), t_agg),
+                (self._support,
+                 self._fold_support(delta, base, t_sup), t_sup),
+                (self._index,
+                 self._fold_index(delta, base, t_idx), t_idx),
+                (self._hashidx,
+                 self._fold_hashidx(delta, base, t_hx), t_hx),
+                (self._base, base_new, touched),
+            ]
+            with ThreadPoolExecutor(max_workers=5) as ex:
+                futs = [ex.submit(st.stage, batch_id, df, tb)
+                        for st, df, tb in stages]
+                for f in futs:
+                    f.result()
+            # publish the view folds first (the top-k and cohort
+            # refreshes read the PUBLISHED index stores at batch_id)
+            self._agg.publish(batch_id, base, t_agg)
+            self._support.publish(batch_id, base, t_sup)
+            self._index.publish(batch_id, base, t_idx)
+            self._hashidx.publish(batch_id, base, t_hx)
             self._refresh_topk(batch_id)  # idempotent per batch
             self._refresh_sample(batch_id)
-            # the BASE commit is the batch's COMMIT POINT and runs
-            # LAST: `_batches` (derived from base versions) then
+            # the BASE publication is the batch's COMMIT POINT and
+            # runs LAST: `_batches` (derived from base versions) then
             # implies every view fold for that batch is durable — a
             # crash or live-query stop mid-batch leaves the base at
             # N-1 and the retry re-runs the idempotent folds, so a
             # reader never sees a base version whose views are
             # missing (live-mode crash consistency; tested)
-            self._base.commit(
-                batch_id, base,
-                merged.select(
-                    "user_id",
-                    F.col("n_ts").alias("ts"),
-                    F.col("n_eid").alias("event_id"),
-                    F.col("n_val").alias("value"),
-                    F.col("n_type").alias("event_type"),
-                    F.col("n_del").alias("deleted"),
-                ),
-                touched,
-            )
+            self._base.publish(batch_id, base, touched)
         finally:
             merged.unpersist()
             winners.unpersist()
@@ -390,18 +414,21 @@ class MaintainedViewsRunner:
                  F.sum("d_sum").cast(_DEC).alias("d_sum"))
         )
 
-    def _fold_agg(self, delta: DataFrame, batch_id: int,
-                  base: int | None, touched: list[int]) -> None:
+    def _fold_agg(self, delta: DataFrame,
+                  base: int | None, touched: list[int]) -> DataFrame:
+        """BUILD the agg view's new touched-bucket contents (the
+        write itself is staged concurrently with the other folds by
+        _merge_batch)."""
         contrib = self._contributions(
             delta, ["event_type"],
             [F.col("old_type").alias("event_type")],
             [F.col("new_type").alias("event_type")],
-        ).persist()
+        )
         if base is None:
             old = self.spark.createDataFrame([], self._AGG_DDL)
         else:
             old = self._agg.df_at(base, buckets=touched)
-        merged = (
+        return (
             old.join(contrib, "event_type", "full")
             .select(
                 "event_type",
@@ -413,25 +440,22 @@ class MaintainedViewsRunner:
             )
             .where(F.col("cnt") > 0)
         )
-        try:
-            self._agg.commit(batch_id, base, merged, touched)
-        finally:
-            contrib.unpersist()
 
-    def _fold_support(self, delta: DataFrame, batch_id: int,
-                      base: int | None, touched: list[int]) -> None:
+    def _fold_support(self, delta: DataFrame,
+                      base: int | None,
+                      touched: list[int]) -> DataFrame:
         contrib = self._contributions(
             delta, ["event_type", "value"],
             [F.col("old_type").alias("event_type"),
              F.col("old_value").alias("value")],
             [F.col("new_type").alias("event_type"),
              F.col("new_value").alias("value")],
-        ).persist()
+        )
         if base is None:
             old = self.spark.createDataFrame([], self._SUPPORT_DDL)
         else:
             old = self._support.df_at(base, buckets=touched)
-        merged = (
+        return (
             old.join(contrib, ["event_type", "value"], "full")
             .select(
                 "event_type", "value",
@@ -440,13 +464,10 @@ class MaintainedViewsRunner:
             )
             .where(F.col("cnt") > 0)
         )
-        try:
-            self._support.commit(batch_id, base, merged, touched)
-        finally:
-            contrib.unpersist()
 
-    def _fold_index(self, delta: DataFrame, batch_id: int,
-                    base: int | None, touched: list[int]) -> None:
+    def _fold_index(self, delta: DataFrame,
+                    base: int | None,
+                    touched: list[int]) -> DataFrame:
         """Range-index maintenance from the delta alone: the user's
         old row leaves its value band, the new row enters its band;
         only bands whose values appear in the delta are rewritten."""
@@ -459,11 +480,10 @@ class MaintainedViewsRunner:
             .select("user_id",
                     F.col("new_value").alias("value"),
                     F.col("new_event_id").alias("event_id"))
-        merged = (
+        return (
             old.join(removals, "user_id", "anti")
             .unionByName(additions)
         )
-        self._index.commit(batch_id, base, merged, touched)
 
     def _topk_at(self, batch_id: int) -> list[tuple]:
         """The k best visible rows as of `batch_id`, served from the
@@ -493,9 +513,9 @@ class MaintainedViewsRunner:
             lo -= 1
         return [(r["user_id"], r["value"], r["event_id"]) for r in rows]
 
-    def _fold_hashidx(self, delta: DataFrame, batch_id: int,
+    def _fold_hashidx(self, delta: DataFrame,
                       base: int | None,
-                      touched: list[int]) -> None:
+                      touched: list[int]) -> DataFrame:
         """Hash-ordered key index from the delta alone: a key is
         present iff its row is visible. Only buckets whose keys
         appear in the delta are rewritten; the touched-bucket set
@@ -508,8 +528,8 @@ class MaintainedViewsRunner:
             old = self._hashidx.df_at(base, buckets=touched)
         additions = delta.where(
             F.col("new_event_id").isNotNull()).select("user_id")
-        merged = old.join(keys, "user_id", "anti")             .unionByName(additions)
-        self._hashidx.commit(batch_id, base, merged, touched)
+        return old.join(keys, "user_id", "anti") \
+            .unionByName(additions)
 
     def _refresh_topk(self, batch_id: int) -> None:
         """Emit this batch's enter/leave/update deltas to the durable
