@@ -327,24 +327,34 @@ class ChangefeedRunner:
         ).cache()
         try:
             # per-batch log SUBDIR, overwritten — a replayed batch
-            # rewrites its own rows instead of double-appending
+            # rewrites its own rows instead of double-appending. The
+            # log write and the state-store STAGE both consume the
+            # cached `merged`, so they run concurrently; the state
+            # manifest publication (the commit point) happens only
+            # after both writes are durable, then the pointer flips.
+            from concurrent.futures import ThreadPoolExecutor
+
             log_path = os.path.join(self.log_dir, f"batch-{batch_id:05d}")
-            merged.where("changed").select(
+            log_df = merged.where("changed").select(
                 self.key, "old_count", "new_count",
                 F.col("old_sum").cast("double").alias("old_sum"),
                 F.col("new_sum").cast("double").alias("new_sum"),
                 F.lit(batch_id).alias("batch_id"),
-            ).write.mode("overwrite").parquet(log_path)
-            self._store.commit(
-                batch_id,
-                base if base_bucketed else None,
-                merged.select(
-                    self.key,
-                    F.col("new_count").alias("cnt"),
-                    F.col("new_sum").alias("sum_value"),
-                ),
-                touched,
             )
+            state_df = merged.select(
+                self.key,
+                F.col("new_count").alias("cnt"),
+                F.col("new_sum").alias("sum_value"),
+            )
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fl = ex.submit(
+                    lambda: log_df.write.mode("overwrite")
+                    .parquet(log_path))
+                fs = ex.submit(self._store.stage, batch_id,
+                               state_df, touched)
+                fl.result(), fs.result()
+            self._store.publish(
+                batch_id, base if base_bucketed else None, touched)
             self._flip_pointer(f"v{batch_id}")
             self._state = None  # parquet is authoritative on this path
         finally:
@@ -742,27 +752,37 @@ class UpsertChangefeedRunner:
             F.col("w_eid").alias("log_new_eid"),
         ).cache()
         try:
+            # log write + state STAGE run concurrently off the cached
+            # `merged`; the manifest publication (commit point) waits
+            # for both, then the pointer flips — same contract as the
+            # aggregate runner above
+            from concurrent.futures import ThreadPoolExecutor
+
             log_path = os.path.join(self.log_dir, f"batch-{batch_id:05d}")
-            merged.where("emit").select(
+            log_df = merged.where("emit").select(
                 "user_id",
                 F.col("log_old_value").alias("old_value"),
                 F.col("log_new_value").alias("new_value"),
                 F.col("log_old_eid").alias("old_event_id"),
                 F.col("log_new_eid").alias("new_event_id"),
                 F.lit(batch_id).alias("batch_id"),
-            ).write.mode("overwrite").parquet(log_path)
-            self._store.commit(
-                batch_id,
-                base if base_bucketed else None,
-                merged.select(
-                    "user_id",
-                    F.col("n_ts").alias("ts"),
-                    F.col("n_eid").alias("event_id"),
-                    F.col("n_val").alias("value"),
-                    F.col("n_del").alias("deleted"),
-                ),
-                touched,
             )
+            state_df = merged.select(
+                "user_id",
+                F.col("n_ts").alias("ts"),
+                F.col("n_eid").alias("event_id"),
+                F.col("n_val").alias("value"),
+                F.col("n_del").alias("deleted"),
+            )
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fl = ex.submit(
+                    lambda: log_df.write.mode("overwrite")
+                    .parquet(log_path))
+                fs = ex.submit(self._store.stage, batch_id,
+                               state_df, touched)
+                fl.result(), fs.result()
+            self._store.publish(
+                batch_id, base if base_bucketed else None, touched)
             self._flip_pointer(f"v{batch_id}")
         finally:
             merged.unpersist()
