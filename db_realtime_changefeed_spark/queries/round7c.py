@@ -739,3 +739,70 @@ def ts_zscore_rolling(spark, sf_dir):
                num.cast("double") / F.sqrt(den2.cast("double")))
         .alias("zscore"),
     )
+
+# ------------------------------------------ changefeed_include_types
+
+
+def _include_types_oracle() -> str:
+    from ..streaming.view_queries import _VIS_CTE
+
+    return _VIS_CTE + """
+    , cur AS (
+      SELECT batch_id AS bb, user_id, event_id FROM vis
+    ), prevv AS (
+      SELECT batch_id + 1 AS bb, user_id, event_id FROM vis
+      WHERE batch_id + 1 <= (SELECT max(chunk) FROM chunked)
+    ), d AS (
+      SELECT bb,
+             CASE WHEN prevv.event_id IS NULL THEN 'add'
+                  WHEN cur.event_id IS NULL THEN 'remove'
+                  ELSE 'change' END AS change_type
+      FROM cur FULL JOIN prevv USING (bb, user_id)
+      WHERE cur.event_id IS DISTINCT FROM prevv.event_id
+    )
+    SELECT bb AS batch_id, change_type, count(*) AS n
+    FROM d GROUP BY bb, change_type
+    """
+
+
+@query("changefeed_include_types", oracle=_include_types_oracle())
+def changefeed_include_types(spark, sf_dir):
+    """RethinkDB changes(include_types=True): every delta carries its
+    CHANGE TYPE — 'add' (no old image: a key became visible),
+    'remove' (no new image: the CDC delete tombstoned it), 'change'
+    (both images present). The classification is a pure projection
+    of the {old,new} envelope the upsert feed already emits, graded
+    as per-(batch, type) counts over the FULL log trajectory — the
+    first trajectory grade of the entity-keyed upsert runner (its
+    state query grades only the final answer): a tombstone refresh
+    that wrongly emits, a re-insert typed 'change', or a dropped
+    remove in any batch shifts a count and breaks the hash. The
+    oracle rebuilds every batch's visible LWW table and classifies
+    the consecutive diffs."""
+    from ..streaming.queries import _CF_CACHE
+    from ..streaming.changefeed import UpsertChangefeedRunner
+
+    key = (id(spark), sf_dir, "__upsert_del__")
+    if key not in _CF_CACHE:
+        runner = UpsertChangefeedRunner(spark, sf_dir,
+                                        delete_on="error")
+        runner.run()
+        _CF_CACHE[key] = runner
+    log = _CF_CACHE[key].log()
+    # classification is on the IMAGES (old_val/new_val), exactly the
+    # RethinkDB rule: the log's new_event_id stays non-null on a
+    # delete (it is the tombstone's LWW high-water mark), so the
+    # event-id columns cannot distinguish remove from change. The
+    # fixture's no-null-values assumption is already pinned by the
+    # view-fold tests, so a NULL image always means absence.
+    change_type = (
+        F.when(F.col("old_value").isNull(), "add")
+        .when(F.col("new_value").isNull(), "remove")
+        .otherwise("change")
+    )
+    return (
+        log.select(F.col("batch_id").cast("long").alias("batch_id"),
+                   change_type.alias("change_type"))
+        .groupBy("batch_id", "change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

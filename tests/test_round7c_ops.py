@@ -202,3 +202,21 @@ def test_rolling_zscore_statistics(spark, sf_smoke):
         assert math.isclose(z, r["zscore"], rel_tol=1e-9, abs_tol=1e-9)
         # a point inside a 7-sample is bounded by sqrt(6) ~ 2.4495
         assert abs(r["zscore"]) <= 2.4495
+
+
+def test_include_types_partition_the_log(spark, sf_oracle):
+    rows = QUERIES["changefeed_include_types"](spark, sf_oracle).collect()
+    types = {r["change_type"] for r in rows}
+    assert types == {"add", "remove", "change"}
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], {})[r["change_type"]] = r["n"]
+    # batch 0 bootstraps: adds only
+    assert set(by_batch[0]) == {"add"}
+    # later batches churn in all three directions on this fixture
+    assert any(set(v) == {"add", "remove", "change"}
+               for b, v in by_batch.items() if b > 0)
+    # the typed counts partition the log row-for-row
+    from db_realtime_changefeed_spark.streaming.queries import _CF_CACHE
+    key = (id(spark), sf_oracle, "__upsert_del__")
+    assert sum(r["n"] for r in rows) == _CF_CACHE[key].log().count()
