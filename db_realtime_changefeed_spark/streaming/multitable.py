@@ -274,15 +274,24 @@ class MultiTableChangefeedRunner:
                  + F.coalesce("d_sum", zero)).cast(_STATE_DEC)
                 .alias("sum_value"),
             )
-            self._store.commit(
-                batch_id, base if base_bucketed else None, merged, touched
-            )
+            # overlap the state STAGE with the high-water-mark
+            # collect (both consume the persisted batch frame); the
+            # manifest publication stays the commit point
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fs = ex.submit(self._store.stage, batch_id, merged,
+                               touched)
+                fh = ex.submit(
+                    batch_df.groupBy("tbl")
+                    .agg(F.max("ts").alias("m")).collect)
+                hwm_rows, _ = fh.result(), fs.result()
+            self._store.publish(
+                batch_id, base if base_bucketed else None, touched)
             delta.unpersist()
             self._flip_pointer(f"v{batch_id}")
             # per-table high-water marks → resolved = min across tables
-            for r in (
-                batch_df.groupBy("tbl").agg(F.max("ts").alias("m")).collect()
-            ):
+            for r in hwm_rows:
                 prev = self._hwm.get(r["tbl"])
                 if prev is None or r["m"] > prev:
                     self._hwm[r["tbl"]] = r["m"]

@@ -2050,13 +2050,22 @@ def stream_scd2_maintain(spark, sf_dir):
         stage = os.path.join(stage_root, f"b{batch_id}")
         merged.write.mode("overwrite").parquet(stage)
         staged = spark.read.schema(out_schema).parquet(stage)
-        staged.where(~F.col("is_current")).write.mode("append").parquet(
-            closed_dir)
-        store.commit(
-            batch_id, base,
-            staged.where(F.col("is_current")).select(
-                "user_id", "attr", "valid_from", "version"),
-            touched)
+        # both consumers read the tiny staged parquet — run the
+        # closed-log append and the state STAGE concurrently, then
+        # publish the state manifest (the commit point) after both
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fc = ex.submit(
+                lambda: staged.where(~F.col("is_current"))
+                .write.mode("append").parquet(closed_dir))
+            fs = ex.submit(
+                store.stage, batch_id,
+                staged.where(F.col("is_current")).select(
+                    "user_id", "attr", "valid_from", "version"),
+                touched)
+            fc.result(), fs.result()
+        store.publish(batch_id, base, touched)
         last_committed.append(batch_id)
         shutil.rmtree(stage, ignore_errors=True)
 
