@@ -806,3 +806,152 @@ def changefeed_include_types(spark, sf_dir):
         .groupBy("batch_id", "change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+# --------------------------- generic view library: more support reads
+
+_ORDERS_VIS = None
+
+
+def _orders_vis_cte() -> str:
+    from ..streaming.generic_views import _NB as _GNB
+
+    return f"""
+    WITH numbered AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus,
+             o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    ), chunked AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus,
+             o_totalprice,
+             CAST(floor(rn / ceil(n / {_GNB}.0)) AS BIGINT) AS chunk
+      FROM numbered
+    ), batches AS (
+      SELECT DISTINCT chunk AS batch_id FROM chunked
+    ), latest AS (
+      SELECT b.batch_id, c.o_custkey, c.o_orderstatus,
+             c.o_totalprice,
+             row_number() OVER (
+               PARTITION BY b.batch_id, c.o_custkey
+               ORDER BY c.o_orderdate DESC, c.o_orderkey DESC)
+               AS rrn
+      FROM batches b JOIN chunked c ON c.chunk <= b.batch_id
+    ), vis AS (
+      SELECT batch_id, o_orderstatus, o_totalprice
+      FROM latest WHERE rrn = 1
+    )
+    """
+
+
+def _orders_runner(spark, sf_dir):
+    from ..streaming.generic_views import _CACHE, GenericAggViewRunner
+
+    key = (id(spark), sf_dir, "__orders_view__")
+    if key not in _CACHE:
+        r = GenericAggViewRunner(
+            spark, sf_dir, table="orders", key="o_custkey",
+            seq="o_orderkey", ts="o_orderdate",
+            group="o_orderstatus", value="o_totalprice")
+        r.run()
+        _CACHE[key] = r
+    return _CACHE[key]
+
+
+@query(
+    "changefeed_distinct_view_orders",
+    oracle=_orders_vis_cte() + """
+    SELECT batch_id, o_orderstatus,
+           count(*) AS n,
+           count(DISTINCT o_totalprice) AS nd_value
+    FROM vis GROUP BY batch_id, o_orderstatus
+    """,
+)
+def changefeed_distinct_view_orders(spark, sf_dir):
+    """Exact COUNT(DISTINCT) on the SECOND table's maintained view —
+    the generic library's support relation (group, value) ->
+    multiplicity IS the distinct-value set with reference counts
+    (a value leaves exactly when its multiplicity hits zero, the
+    part a naive distinct-count delta cannot know). Zero new
+    maintenance state: min/max, distinct counts and variance all
+    read off the ONE support relation the orders CDC scan already
+    folds; this and the two sibling orders views share a single
+    cached runner. Trajectory-graded per micro-batch."""
+    from pyspark.sql import functions as FX
+
+    r = _orders_runner(spark, sf_dir)
+    parts = [
+        r._support.df_at(b).groupBy("o_orderstatus")
+        .agg(FX.sum("cnt").alias("n"),
+             FX.count(FX.lit(1)).alias("nd_value"))
+        .select(FX.lit(b).cast("long").alias("batch_id"),
+                "o_orderstatus", "n", "nd_value")
+        for b in r._batches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "changefeed_variance_view_orders",
+    oracle=_orders_vis_cte() + """
+    , kilo AS (
+      SELECT batch_id, o_orderstatus,
+             CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS vk
+      FROM vis
+    )
+    SELECT batch_id, o_orderstatus,
+           count(*) AS n,
+           FLOOR((CAST(sum(vk * vk) AS DOUBLE) / count(*)
+                  - (CAST(sum(vk) AS DOUBLE) / count(*))
+                    * (CAST(sum(vk) AS DOUBLE) / count(*)))
+                 * 1000000.0 + 0.5) / 1000000.0
+             AS vark_pop6
+    FROM kilo GROUP BY batch_id, o_orderstatus
+    """,
+)
+def changefeed_variance_view_orders(spark, sf_dir):
+    """Exact population variance on the second table's maintained
+    view, read off the SAME support relation — in KILODOLLAR units
+    by design: o_totalprice^2 sums reach ~2e10 where the engines'
+    decimal->double conversions stop agreeing (DuckDB's int128
+    scaled divide double-rounds once value*10^scale > 2^53; Spark's
+    BigDecimal cast is correctly rounded), so the value is rescaled
+    v/1000 BEFORE the decimal quantization — one identical IEEE
+    division — putting every moment back in the exactly-convertible
+    range the events variance view lives in. n, sum(vk), sum(vk^2)
+    fold in exact decimal; only the final E[v^2]-E[v]^2 runs in
+    doubles on bit-identical inputs, floor-quantized to 6 dp.
+    Trajectory-graded; shares the cached orders runner with the
+    agg/minmax/distinct siblings."""
+    from pyspark.sql import functions as FX
+
+    r = _orders_runner(spark, sf_dir)
+    vdec = (FX.col("o_totalprice") / FX.lit(1000.0)).cast("decimal(18,6)")
+    parts = []
+    for b in r._batches:
+        g = r._support.df_at(b).groupBy("o_orderstatus").agg(
+            FX.sum("cnt").alias("n"),
+            FX.sum(vdec * FX.col("cnt")).alias("s"),
+            FX.sum(vdec * vdec * FX.col("cnt")).alias("sq"),
+        )
+        var = (
+            FX.col("sq").cast("double") / FX.col("n")
+            - (FX.col("s").cast("double") / FX.col("n"))
+            * (FX.col("s").cast("double") / FX.col("n"))
+        )
+        parts.append(
+            g.select(
+                FX.lit(b).cast("long").alias("batch_id"),
+                "o_orderstatus", "n",
+                (FX.floor(var * FX.lit(1000000.0) + FX.lit(0.5))
+                 .cast("double") / FX.lit(1000000.0))
+                .alias("vark_pop6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

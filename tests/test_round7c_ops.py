@@ -220,3 +220,21 @@ def test_include_types_partition_the_log(spark, sf_oracle):
     from db_realtime_changefeed_spark.streaming.queries import _CF_CACHE
     key = (id(spark), sf_oracle, "__upsert_del__")
     assert sum(r["n"] for r in rows) == _CF_CACHE[key].log().count()
+
+
+def test_orders_support_reads_share_runner(spark, sf_oracle):
+    """distinct/variance/minmax/agg on orders must serve from ONE
+    cached runner (one CDC scan maintains the whole family)."""
+    from db_realtime_changefeed_spark.streaming.generic_views import _CACHE
+
+    d = QUERIES["changefeed_distinct_view_orders"](spark, sf_oracle).collect()
+    v = QUERIES["changefeed_variance_view_orders"](spark, sf_oracle).collect()
+    key = (id(spark), sf_oracle, "__orders_view__")
+    assert key in _CACHE
+    assert len(d) == len(v)
+    nd = {(r["batch_id"], r["o_orderstatus"]): r for r in d}
+    for r in v:
+        twin = nd[(r["batch_id"], r["o_orderstatus"])]
+        assert twin["n"] == r["n"]
+        assert twin["nd_value"] <= r["n"]
+        assert r["vark_pop6"] >= 0.0
