@@ -852,7 +852,8 @@ def _orders_runner(spark, sf_dir):
         r = GenericAggViewRunner(
             spark, sf_dir, table="orders", key="o_custkey",
             seq="o_orderkey", ts="o_orderdate",
-            group="o_orderstatus", value="o_totalprice")
+            group="o_orderstatus", value="o_totalprice",
+            index_band_width=62500.0)
         r.run()
         _CACHE[key] = r
     return _CACHE[key]
@@ -955,3 +956,57 @@ def changefeed_variance_view_orders(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _orders_topk_oracle() -> str:
+    from ..streaming.generic_views import _NB as _GNB
+
+    return f"""
+    WITH numbered AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    ), chunked AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             CAST(floor(rn / ceil(n / {_GNB}.0)) AS BIGINT) AS chunk
+      FROM numbered
+    ), batches AS (
+      SELECT DISTINCT chunk AS batch_id FROM chunked
+    ), latest AS (
+      SELECT b.batch_id, c.o_custkey, c.o_orderkey, c.o_totalprice,
+             row_number() OVER (
+               PARTITION BY b.batch_id, c.o_custkey
+               ORDER BY c.o_orderdate DESC, c.o_orderkey DESC)
+               AS rrn
+      FROM batches b JOIN chunked c ON c.chunk <= b.batch_id
+    ), vis AS (
+      SELECT batch_id, o_custkey, o_orderkey, o_totalprice
+      FROM latest WHERE rrn = 1
+    ), ranked AS (
+      SELECT batch_id, o_custkey, o_totalprice AS value, o_orderkey,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY o_totalprice DESC,
+                                         o_orderkey ASC) AS rk
+      FROM vis
+    )
+    SELECT batch_id, o_custkey, value, o_orderkey, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@query("changefeed_topk_view_orders", oracle=_orders_topk_oracle())
+def changefeed_topk_view_orders(spark, sf_dir):
+    """Maintained TOP-K on the second table — the generic library's
+    range-index store (views.py RangeBucketedIndex ported to
+    parameterized columns): each micro-batch folds the delta into
+    value-banded index buckets alongside the agg/support folds (now
+    FIVE families off the one cached orders CDC scan), and every
+    batch's top-5 customers by latest-order price are read by
+    descending-band widening — O(k + band) rows touched, never the
+    state. Trajectory-graded with ranks: a stale member, a phantom,
+    or an off-by-one rank in any batch breaks the hash against the
+    oracle's full re-rank of that batch prefix."""
+    r = _orders_runner(spark, sf_dir)
+    return r.topk_trajectory().select(
+        "batch_id", "o_custkey", "value", "o_orderkey", "rk")

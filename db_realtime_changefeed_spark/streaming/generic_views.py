@@ -64,7 +64,9 @@ class GenericAggViewRunner:
                  group: str, value: str,
                  key_ddl: str = "bigint", seq_ddl: str = "bigint",
                  ts_ddl: str = "timestamp",
-                 group_expr: str | None = None):
+                 group_expr: str | None = None,
+                 index_band_width: float | None = None,
+                 index_bands: int = 8, k: int = 5):
         self.spark = spark
         self.sf_dir = sf_dir
         self.table = table
@@ -94,10 +96,77 @@ class GenericAggViewRunner:
         self._support = BucketedMvccState(
             spark, os.path.join(self.root, "supportview"),
             self._support_ddl, [group, value], n_buckets=4)
+        #: optional VALUE-RANGE secondary index (the views.py
+        #: RangeBucketedIndex ported to parameterized columns) —
+        #: enables the O(k + band) top-k read on any table
+        self.k = k
+        self._index = None
+        if index_band_width is not None:
+            from .views import RangeBucketedIndex
+
+            self._index_ddl = (
+                f"{key} {key_ddl}, value double, {seq} {seq_ddl}")
+            self._index = RangeBucketedIndex(
+                spark, os.path.join(self.root, "rangeindex"),
+                self._index_ddl, band_width=index_band_width,
+                n_bands=index_bands)
 
     @property
     def _batches(self) -> list[int]:
         return self._base.versions()
+
+    def _fold_idx(self, delta: DataFrame,
+                  base: int | None, touched: list[int]) -> DataFrame:
+        """Range-index fold from the delta alone (the generic twin of
+        views.py _fold_index): the key's old row leaves its value
+        band, the new winner enters its band."""
+        k, sq = self.key, self.seq
+        if base is None:
+            old = self.spark.createDataFrame([], self._index_ddl)
+        else:
+            old = self._index.df_at(base, buckets=touched)
+        removals = delta.select(k)
+        additions = delta.select(
+            k, F.col("new_value").alias("value"), F.col("n_seq")
+            .alias(sq))
+        return old.join(removals, k, "anti").unionByName(additions)
+
+    def topk_at(self, batch_id: int) -> list[tuple]:
+        """The k best rows (value DESC, seq ASC) as of batch_id,
+        served from the range index: read descending bands, widening
+        until k rows are held — every unread band is strictly worse
+        than everything read, so the read touches O(k + band) rows,
+        never the whole state."""
+        top = self._index.n_buckets - 1
+        lo = top
+        rows: list = []
+        while lo >= 0:
+            rows = (
+                self._index.df_at(batch_id,
+                                  buckets=list(range(lo, top + 1)))
+                .orderBy(F.col("value").desc_nulls_last(),
+                         F.col(self.seq).asc())
+                .limit(self.k)
+                .collect()
+            )
+            if len(rows) >= self.k:
+                break
+            lo -= 1
+        return [(r[self.key], r["value"], r[self.seq]) for r in rows]
+
+    def topk_trajectory(self) -> DataFrame:
+        """Per-batch top-k membership with ranks — O(k x batches)
+        driver rows, each batch an index-pruned read."""
+        from .views import _tiny_df
+
+        out: list = []
+        for b in self._batches:
+            for i, (kk, v, sq) in enumerate(self.topk_at(b)):
+                out.append((b, kk, float(v), int(sq), i + 1))
+        return _tiny_df(
+            self.spark, out,
+            f"batch_id long, {self.key} long, value double, "
+            f"{self.seq} long, rk long")
 
     def _merge_batch(self, batch_df: DataFrame,
                      batch_id: int) -> None:
@@ -156,7 +225,7 @@ class GenericAggViewRunner:
             # drops the NULLs the no-old side produces; everything
             # crossing to the driver is O(buckets) small ints.
             had_old = F.col("had_old")
-            t_row = delta.agg(
+            t_aggs = [
                 F.collect_set(F.when(had_old, self._agg.bucket_expr(
                     F.col("old_group")))).alias("ao"),
                 F.collect_set(self._agg.bucket_expr(
@@ -165,9 +234,20 @@ class GenericAggViewRunner:
                     F.col("old_group"), F.col("old_value")))).alias("so"),
                 F.collect_set(self._support.bucket_expr(
                     F.col("new_group"), F.col("new_value"))).alias("sn"),
-            ).collect()[0]
+            ]
+            if self._index is not None:
+                t_aggs += [
+                    F.collect_set(F.when(had_old, self._index.bucket_expr(
+                        F.col("old_value")))).alias("io"),
+                    F.collect_set(self._index.bucket_expr(
+                        F.col("new_value"))).alias("in"),
+                ]
+            t_row = delta.agg(*t_aggs).collect()[0]
             g_touched = sorted(set(t_row["ao"]) | set(t_row["an"]))
             s_touched = sorted(set(t_row["so"]) | set(t_row["sn"]))
+            i_touched = (
+                sorted(set(t_row["io"]) | set(t_row["in"]))
+                if self._index is not None else [])
             minus = delta.where("had_old").select(
                 F.col("old_group").alias(g),
                 F.lit(-1).alias("d_cnt"),
@@ -239,19 +319,24 @@ class GenericAggViewRunner:
             # docstring), so parallel staging is free wall-clock.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=3) as ex:
-                futs = [
-                    ex.submit(self._agg.stage, batch_id, g_new,
-                              g_touched),
-                    ex.submit(self._support.stage, batch_id, s_new,
-                              s_touched),
-                    ex.submit(self._base.stage, batch_id, base_new,
-                              touched),
-                ]
+            jobs = [
+                (self._agg, g_new, g_touched),
+                (self._support, s_new, s_touched),
+                (self._base, base_new, touched),
+            ]
+            if self._index is not None:
+                jobs.insert(2, (self._index,
+                                self._fold_idx(delta, base, i_touched),
+                                i_touched))
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                futs = [ex.submit(st.stage, batch_id, df, tb)
+                        for st, df, tb in jobs]
                 for f in futs:
                     f.result()
             self._agg.publish(batch_id, base, g_touched)
             self._support.publish(batch_id, base, s_touched)
+            if self._index is not None:
+                self._index.publish(batch_id, base, i_touched)
             # base manifest LAST — a listed version has all folds
             self._base.publish(batch_id, base, touched)
         finally:

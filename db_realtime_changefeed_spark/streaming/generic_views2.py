@@ -66,7 +66,8 @@ def changefeed_minmax_view_orders(spark, sf_dir):
         r = GenericAggViewRunner(
             spark, sf_dir, table="orders", key="o_custkey",
             seq="o_orderkey", ts="o_orderdate",
-            group="o_orderstatus", value="o_totalprice")
+            group="o_orderstatus", value="o_totalprice",
+            index_band_width=62500.0)
         r.run()
         _CACHE[key] = r
     return _CACHE[key].minmax_trajectory()

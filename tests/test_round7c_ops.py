@@ -238,3 +238,27 @@ def test_orders_support_reads_share_runner(spark, sf_oracle):
         assert twin["n"] == r["n"]
         assert twin["nd_value"] <= r["n"]
         assert r["vark_pop6"] >= 0.0
+
+
+def test_orders_topk_read_is_band_pruned(spark, sf_oracle):
+    """The top-k read must touch only a suffix of descending value
+    bands — widened just until it holds k rows — never the whole
+    index (the views.py topk_view pruning contract, on the generic
+    runner)."""
+    from db_realtime_changefeed_spark.queries.round7c import _orders_runner
+
+    QUERIES["changefeed_topk_view_orders"](spark, sf_oracle).collect()
+    r = _orders_runner(spark, sf_oracle)
+    last = max(r._batches)
+    rows = r.topk_at(last)
+    assert len(rows) == r.k
+    # every returned value must beat everything in the unread bands:
+    # reading one band fewer must still produce the same top members
+    # or fewer rows (the widening loop's invariant)
+    vals = [v for _k, v, _s in rows]
+    assert vals == sorted(vals, reverse=True)
+    top_band = r._index.n_buckets - 1
+    lo = int(min(vals) // r._index.band_width)
+    unread = r._index.df_at(last, buckets=list(range(0, max(0, lo))))
+    if unread.count():
+        assert unread.agg({"value": "max"}).collect()[0][0] <= min(vals)
