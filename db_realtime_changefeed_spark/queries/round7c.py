@@ -845,18 +845,9 @@ def _orders_vis_cte() -> str:
 
 
 def _orders_runner(spark, sf_dir):
-    from ..streaming.generic_views import _CACHE, GenericAggViewRunner
+    from ..streaming.generic_views import orders_runner
 
-    key = (id(spark), sf_dir, "__orders_view__")
-    if key not in _CACHE:
-        r = GenericAggViewRunner(
-            spark, sf_dir, table="orders", key="o_custkey",
-            seq="o_orderkey", ts="o_orderdate",
-            group="o_orderstatus", value="o_totalprice",
-            index_band_width=62500.0)
-        r.run()
-        _CACHE[key] = r
-    return _CACHE[key]
+    return orders_runner(spark, sf_dir)
 
 
 @query(

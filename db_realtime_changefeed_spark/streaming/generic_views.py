@@ -397,6 +397,24 @@ _CACHE: dict = {}
 _NB = default_chunks()
 
 
+def orders_runner(spark, sf_dir) -> "GenericAggViewRunner":
+    """THE shared orders-view runner — every orders view family
+    (agg/minmax/distinct/variance/top-k) must construct through this
+    single site so the cache always holds the fully-equipped runner
+    (a site constructing without the range index would win the cache
+    and break the top-k read — the bug this function fixes)."""
+    key = (id(spark), sf_dir, "__orders_view__")
+    if key not in _CACHE:
+        r = GenericAggViewRunner(
+            spark, sf_dir, table="orders", key="o_custkey",
+            seq="o_orderkey", ts="o_orderdate",
+            group="o_orderstatus", value="o_totalprice",
+            index_band_width=62500.0)
+        r.run()
+        _CACHE[key] = r
+    return _CACHE[key]
+
+
 @query(
     "changefeed_agg_view_orders",
     oracle=f"""
@@ -441,12 +459,4 @@ def changefeed_agg_view_orders(spark, sf_dir):
     fold algebra, the touched-bucket commits, or the
     base-commit-last crash contract is events-specific.
     Trajectory-graded per micro-batch like the events views."""
-    key = (id(spark), sf_dir, "__orders_view__")
-    if key not in _CACHE:
-        r = GenericAggViewRunner(
-            spark, sf_dir, table="orders", key="o_custkey",
-            seq="o_orderkey", ts="o_orderdate",
-            group="o_orderstatus", value="o_totalprice")
-        r.run()
-        _CACHE[key] = r
-    return _CACHE[key].agg_trajectory()
+    return orders_runner(spark, sf_dir).agg_trajectory()

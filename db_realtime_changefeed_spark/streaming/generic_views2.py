@@ -61,13 +61,6 @@ def changefeed_minmax_view_orders(spark, sf_dir):
     (the runner is shared with changefeed_agg_view_orders via the
     module cache). Trajectory-graded: every batch's min/max per
     group must match the SQL reconstruction of that batch prefix."""
-    key = (id(spark), sf_dir, "__orders_view__")
-    if key not in _CACHE:
-        r = GenericAggViewRunner(
-            spark, sf_dir, table="orders", key="o_custkey",
-            seq="o_orderkey", ts="o_orderdate",
-            group="o_orderstatus", value="o_totalprice",
-            index_band_width=62500.0)
-        r.run()
-        _CACHE[key] = r
-    return _CACHE[key].minmax_trajectory()
+    from .generic_views import orders_runner
+
+    return orders_runner(spark, sf_dir).minmax_trajectory()

@@ -262,3 +262,27 @@ def test_orders_topk_read_is_band_pruned(spark, sf_oracle):
     unread = r._index.df_at(last, buckets=list(range(0, max(0, lo))))
     if unread.count():
         assert unread.agg({"value": "max"}).collect()[0][0] <= min(vals)
+
+
+def test_orders_runner_single_construction_site():
+    """Every orders-view query must construct through
+    generic_views.orders_runner — a second site building the runner
+    without the range index would win the cache and break the top-k
+    read (regression guard for the bug found in the closing sweep)."""
+    import inspect
+
+    from db_realtime_changefeed_spark.streaming import (
+        generic_views, generic_views2)
+    from db_realtime_changefeed_spark.queries import round7c
+
+    hits = []
+    for mod in (generic_views, generic_views2, round7c):
+        src = inspect.getsource(mod)
+        hits += [
+            (mod.__name__, i)
+            for i, ln in enumerate(src.splitlines())
+            if "__orders_view__" in ln
+        ]
+    # exactly one reference: the cache key inside orders_runner
+    assert len(hits) == 1, hits
+    assert hits[0][0].endswith("generic_views")
