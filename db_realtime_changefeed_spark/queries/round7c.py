@@ -1001,3 +1001,39 @@ def changefeed_topk_view_orders(spark, sf_dir):
     r = _orders_runner(spark, sf_dir)
     return r.topk_trajectory().select(
         "batch_id", "o_custkey", "value", "o_orderkey", "rk")
+
+
+@query(
+    "changefeed_quantile_view_orders",
+    oracle=_orders_vis_cte() + """
+    , c AS (
+      SELECT batch_id, o_orderstatus, o_totalprice AS value,
+             count(*) OVER (PARTITION BY batch_id, o_orderstatus
+                            ORDER BY o_totalprice
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+             count(*) OVER (PARTITION BY batch_id, o_orderstatus)
+               AS w
+      FROM vis)
+    SELECT batch_id, o_orderstatus,
+           CAST(any_value(w) AS BIGINT) AS n,
+           min(CASE WHEN 2 * cumw >= w THEN value END)
+             AS median_value,
+           min(CASE WHEN 10 * cumw >= 9 * w THEN value END)
+             AS p90_value
+    FROM c GROUP BY batch_id, o_orderstatus
+    """,
+)
+def changefeed_quantile_view_orders(spark, sf_dir):
+    """Exact MEDIAN/P90 as a maintained view on the second table —
+    the generic library's banded two-level extraction (the events
+    runner's scale-grade quantile read ported to parameterized
+    columns): per-(batch, group, band) histogram, prefix sum over
+    the bounded band domain locates each quantile's crossing band,
+    and only crossed-band rows enter the fine cumulative window
+    (band-partitioned, offset-corrected — identical crossing value
+    to the whole-group window, O(crossed-band rows) input). SIX
+    view families now serve off the one cached orders CDC scan.
+    Trajectory-graded: median and p90 per o_orderstatus at every
+    batch prefix."""
+    r = _orders_runner(spark, sf_dir)
+    return r.quantile_trajectory()

@@ -154,6 +154,78 @@ class GenericAggViewRunner:
             lo -= 1
         return [(r[self.key], r["value"], r[self.seq]) for r in rows]
 
+    def quantile_trajectory(self) -> DataFrame:
+        """Exact median/p90 per group per batch, read off the support
+        relation with the BANDED TWO-LEVEL extraction (the events
+        runner's r7 read, ported to parameterized columns): band
+        histogram -> prefix sum over the bounded band domain finds
+        each quantile's crossing band -> only crossed-band rows
+        enter the fine cumulative window (partitioned by band, with
+        the band's starting offset restoring the global cumulative
+        weight). Requires the range index's band function."""
+        from pyspark.sql import Window
+
+        assert self._index is not None, "needs index_band_width"
+        g, v = self.group, self.value
+        sup_all = None
+        for b in self._batches:
+            p = self._support.df_at(b).withColumn(
+                "batch_id", F.lit(b).cast("long"))
+            sup_all = p if sup_all is None else sup_all.unionByName(p)
+        sb = sup_all.withColumn(
+            "band", self._index.bucket_expr(F.col(v)))
+        hist = sb.groupBy("batch_id", g, "band").agg(
+            F.sum("cnt").alias("bn"))
+        wh = (Window.partitionBy("batch_id", g).orderBy("band")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        wall = Window.partitionBy("batch_id", g)
+        off = hist.select(
+            "batch_id", g, "band", "bn",
+            F.coalesce(F.sum("bn").over(wh), F.lit(0)).alias("boff"),
+            F.sum("bn").over(wall).alias("w"),
+        )
+        cum_end = F.col("boff") + F.col("bn")
+        targets = None
+        for q, kk, m in (("med", 2, 1), ("p90", 10, 9)):
+            t = (
+                off.where(kk * cum_end >= m * F.col("w"))
+                .groupBy("batch_id", g)
+                .agg(F.min("band").alias("band"))
+                .withColumn("q", F.lit(q))
+            )
+            targets = t if targets is None else targets.unionByName(t)
+        tgt = targets.join(
+            off.select("batch_id", g, "band", "boff", "w"),
+            ["batch_id", g, "band"])
+        inband = sb.join(F.broadcast(tgt), ["batch_id", g, "band"])
+        wcum = (Window.partitionBy("batch_id", g, "band", "q")
+                .orderBy(v)
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        c = inband.select(
+            "batch_id", g, "q", F.col(v).alias("value"), "w",
+            (F.col("boff") + F.sum("cnt").over(wcum)).alias("cumw"),
+        )
+        med = (
+            c.where(F.col("q") == "med")
+            .groupBy("batch_id", g)
+            .agg(F.min(F.when(2 * F.col("cumw") >= F.col("w"),
+                              F.col("value"))).alias("median_value"))
+        )
+        p90 = (
+            c.where(F.col("q") == "p90")
+            .groupBy("batch_id", g)
+            .agg(F.min(F.when(10 * F.col("cumw") >= 9 * F.col("w"),
+                              F.col("value"))).alias("p90_value"))
+        )
+        ngrp = off.groupBy("batch_id", g).agg(
+            F.any_value("w").alias("n"))
+        return (
+            ngrp.join(med, ["batch_id", g])
+            .join(p90, ["batch_id", g])
+            .select("batch_id", g, "n", "median_value", "p90_value")
+        )
+
     def topk_trajectory(self) -> DataFrame:
         """Per-batch top-k membership with ranks — O(k x batches)
         driver rows, each batch an index-pruned read."""

@@ -286,3 +286,40 @@ def test_orders_runner_single_construction_site():
     # exactly one reference: the cache key inside orders_runner
     assert len(hits) == 1, hits
     assert hits[0][0].endswith("generic_views")
+
+
+def test_orders_quantiles_match_support_window(spark, sf_oracle):
+    """The banded two-level read must equal the naive whole-group
+    weighted-quantile extraction over the same support relation."""
+    from pyspark.sql import Window
+
+    from db_realtime_changefeed_spark.queries.round7c import _orders_runner
+
+    rows = {
+        (r["batch_id"], r["o_orderstatus"]): r
+        for r in QUERIES["changefeed_quantile_view_orders"](
+            spark, sf_oracle).collect()
+    }
+    r = _orders_runner(spark, sf_oracle)
+    for b in r._batches:
+        sup = r._support.df_at(b)
+        w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c = sup.select(
+            "o_orderstatus", F.col("o_totalprice").alias("value"),
+            F.sum("cnt").over(w).alias("cumw"),
+            F.sum("cnt").over(
+                Window.partitionBy("o_orderstatus")).alias("tw"),
+        )
+        naive = (
+            c.groupBy("o_orderstatus")
+            .agg(F.min(F.when(2 * F.col("cumw") >= F.col("tw"),
+                              F.col("value"))).alias("med"),
+                 F.min(F.when(10 * F.col("cumw") >= 9 * F.col("tw"),
+                              F.col("value"))).alias("p90"))
+            .collect()
+        )
+        for nr in naive:
+            got = rows[(b, nr["o_orderstatus"])]
+            assert got["median_value"] == nr["med"]
+            assert got["p90_value"] == nr["p90"]
