@@ -323,3 +323,66 @@ def test_orders_quantiles_match_support_window(spark, sf_oracle):
             got = rows[(b, nr["o_orderstatus"])]
             assert got["median_value"] == nr["med"]
             assert got["p90_value"] == nr["p90"]
+
+
+def test_publish_order_base_last_in_every_staged_runner():
+    """The concurrent-staging rework moved crash consistency entirely
+    into PUBLISH order: in every runner the base/view store's
+    publish (the commit point) must be the LAST publish of the
+    merge. Source-guard so a refactor can't silently reorder it."""
+    import inspect
+
+    from db_realtime_changefeed_spark.streaming import (
+        changefeed, generic_views, views)
+
+    cases = [
+        (generic_views.GenericAggViewRunner._merge_batch,
+         "self._base.publish"),
+        (views.MaintainedViewsRunner._merge_batch,
+         "self._base.publish"),
+        (views.DeltaJoinViewRunner._merge_batch,
+         "self._v.publish"),
+        (changefeed.ChangefeedRunner._merge_batch_spark,
+         "self._store.publish"),
+        (changefeed.UpsertChangefeedRunner._merge_batch_spark,
+         "self._store.publish"),
+    ]
+    for fn, anchor in cases:
+        src = inspect.getsource(fn)
+        assert anchor in src, (fn.__qualname__, "no staged publish")
+        last_pub = max(
+            i for i, ln in enumerate(src.splitlines())
+            if ".publish(" in ln
+        )
+        anchor_line = max(
+            i for i, ln in enumerate(src.splitlines())
+            if anchor in ln
+        )
+        assert anchor_line == last_pub, (
+            fn.__qualname__,
+            "commit-point publish is not the last publish")
+
+
+def test_staged_but_unpublished_version_is_invisible(spark, tmp_path):
+    """The stage/publish split's safety property, pinned at the store
+    level: a staged write with NO manifest publication must be
+    invisible to every reader (has_version false, versions() empty,
+    and a later publish of the same batch id adopts the staged data
+    exactly once)."""
+    from db_realtime_changefeed_spark.streaming.state_store import (
+        BucketedMvccState)
+
+    store = BucketedMvccState(
+        spark, str(tmp_path / "st"), "k long, v double", "k",
+        n_buckets=4)
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    touched = store.touched_buckets(df, "k")
+    store.stage(0, df, touched)
+    # crash window: staged, never published
+    assert not store.has_version(0)
+    assert store.versions() == []
+    # recovery: the retry publishes (or re-stages then publishes)
+    store.publish(0, None, touched)
+    assert store.has_version(0)
+    got = sorted(tuple(r) for r in store.df_at(0).collect())
+    assert got == [(1, 1.0), (2, 2.0)]
