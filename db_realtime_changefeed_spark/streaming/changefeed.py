@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from .replay import (
     build_replay_chunks,
     fresh_sink_name,
+    guard_not_phase_fed,
     read_events_stream,
     streaming_shuffle,
 )
@@ -441,6 +442,7 @@ class ChangefeedRunner:
         return self._store.rescale(new_buckets)
 
     def run(self, n_chunks: int | None = None) -> None:
+        guard_not_phase_fed(self.root)
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         with streaming_shuffle(self.spark):
@@ -855,6 +857,7 @@ class UpsertChangefeedRunner:
         self._push(batch_id)
 
     def run(self, n_chunks: int | None = None) -> None:
+        guard_not_phase_fed(self.root)
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         with streaming_shuffle(self.spark):
@@ -942,6 +945,7 @@ class MultiChangefeedRunner:
             batch_df.unpersist()
 
     def run(self, n_chunks: int | None = None) -> None:
+        guard_not_phase_fed(self.root)
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         ckpt = os.path.join(self.root, "checkpoint")
@@ -1023,6 +1027,7 @@ class JoinViewRunner:
         delta.write.mode("overwrite").parquet(out)
 
     def run(self, n_chunks: int | None = None) -> None:
+        guard_not_phase_fed(self.root)
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         with streaming_shuffle(self.spark):

@@ -45,6 +45,7 @@ from .changefeed import cdc_envelope
 from .replay import (
     build_replay_chunks,
     fresh_sink_name,
+    guard_not_phase_fed,
     read_events_stream,
     streaming_shuffle,
 )
@@ -67,6 +68,14 @@ def run_phase(runner, files: list[str]) -> None:
     time. copy2 preserves the chunk mtimes that encode replay
     order."""
     src = os.path.join(runner.root, "src")
+    # reverse of the run() guard: a checkpoint that predates root/src
+    # was created by run() streaming from the replay-chunks dir;
+    # feeding the same checkpoint from src would double-process.
+    if not os.path.exists(src) and os.path.exists(runner.ckpt):
+        raise RuntimeError(
+            "this runner was fed via run(); run_phase() would "
+            "re-deliver the same events from a different path — "
+            "use a fresh runner root")
     os.makedirs(src, exist_ok=True)
     for f in files:
         dst = os.path.join(src, os.path.basename(f))
@@ -173,6 +182,12 @@ class TtlChangefeedRunner:
 
     # ---- the standing query with TTL ----
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            # empty micro-batch before any meta sidecar exists would
+            # leave both prev_cum and batch_max None and the cum max()
+            # below would raise on an empty generator; nothing to
+            # merge, nothing to expire (the horizon only moves on data)
+            return
         if self._last_batch is not None and batch_id <= self._last_batch:
             self._rewind_before(batch_id)
         delta = (
@@ -249,6 +264,7 @@ class TtlChangefeedRunner:
         self._last_batch = batch_id
 
     def run(self, n_chunks: int | None = None) -> None:
+        guard_not_phase_fed(self.root)
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
         env = cdc_envelope(read_events_stream(self.spark, chunks))
         with streaming_shuffle(self.spark):

@@ -192,6 +192,19 @@ def run_available_now(
     return ckpt
 
 
+def guard_not_phase_fed(root: str) -> None:
+    """Refuse run() on a runner root that lifecycle.run_phase already
+    fed: run_phase streams from root/src while run() streams from the
+    shared replay-chunks dir with the SAME checkpoint, and the file
+    source tracks paths — mixing the two feeds would re-deliver every
+    event under a second path. (run_phase holds the reverse guard.)"""
+    if os.path.exists(os.path.join(root, "src")):
+        raise RuntimeError(
+            "this runner was fed via run_phase(); run() would "
+            "re-deliver the same events from a different path — "
+            "use a fresh runner root")
+
+
 _SINK_SEQ = [0]
 
 

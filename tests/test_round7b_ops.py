@@ -453,3 +453,20 @@ def test_tokenizer_fertility_consistent_with_tokenize(spark, sf_smoke):
     for r in got:
         assert r.fertility >= 1.0
         assert abs(r.fertility - r.n_bpe_tokens / r.n_words) < 1e-12
+
+
+def test_rendezvous_single_member_owns_all(spark):
+    """ADVICE r7: F.greatest needs >= 2 args; a one-member group must
+    still resolve (everyone's owner is the sole member), and an empty
+    member list must refuse loudly."""
+    import pytest
+    from db_realtime_changefeed_spark.streaming.views import (
+        ConsumerGroupDispatcher,
+    )
+    df = spark.range(5).withColumnRenamed("id", "user_id")
+    owners = df.select(
+        ConsumerGroupDispatcher.rendezvous_owner(["solo"]).alias("m")
+    ).distinct().collect()
+    assert [r["m"] for r in owners] == ["solo"]
+    with pytest.raises(ValueError):
+        ConsumerGroupDispatcher.rendezvous_owner([])
