@@ -72,6 +72,7 @@ def load_all() -> None:
     from . import round7b  # noqa: F401
     from ..streaming import lifecycle_queries  # noqa: F401
     from . import round7c  # noqa: F401
+    from . import round8  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades
