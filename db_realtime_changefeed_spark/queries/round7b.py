@@ -514,6 +514,14 @@ def llm_index_maintain_stream(spark, sf_dir):
             # ITS OWN segment, never re-append into a shared tree (the
             # ConsumerGroupDispatcher.dispatch idempotence recipe) —
             # otherwise a crash-retry duplicates vectors in the index
+            # NOTE on write shape (r8 measurement): with a many-task
+            # input batch, repartition(bucket) before this write is
+            # the right shape (one writer per bucket, bounded files);
+            # here the micro-batch is ONE replay file -> one task, so
+            # the plain write already emits one file per bucket and
+            # an extra shuffle only adds a stage per batch. The ~2 s
+            # per batch is parquet-writer init + commit for ~|buckets|
+            # files — fixed cost that amortizes with real batch sizes.
             (
                 batch_df.select(
                     "vec_id", "label", "embedding",

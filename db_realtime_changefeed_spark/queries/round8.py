@@ -434,7 +434,8 @@ def _holt_fit(pdf: pd.DataFrame) -> pd.DataFrame:
     "ts_holt_linear",
     oracle=f"""
     WITH RECURSIVE d AS (
-      SELECT event_type, date_trunc('day', ts) AS day,
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(count(*) AS DOUBLE) AS y,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY date_trunc('day', ts)) - 1
@@ -607,4 +608,276 @@ def source_text(spark, sf_dir):
         parts.getItem(1).cast("long").alias("user_id"),
         parts.getItem(2).alias("event_type"),
         parts.getItem(3).cast("double").alias("value"),
+    )
+
+
+# -------------------------------------------------------- dq_mann_whitney
+
+@query(
+    "dq_mann_whitney",
+    oracle=f"""
+    WITH pv AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY value),
+    cum AS (
+      SELECT value, ca, cb, ca + cb AS t,
+             sum(ca + cb) OVER (ORDER BY value) - (ca + cb) AS before_t
+      FROM pv),
+    agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(sum(ca * (2 * before_t + t + 1)) AS BIGINT) AS r2a,
+             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      FROM cum),
+    st AS (
+      SELECT na, nb,
+             (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE)
+                * CAST(na + 1 AS DOUBLE)) / 2 AS u_a,
+             CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2 AS mu,
+             CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12
+             * (CAST(na + nb + 1 AS DOUBLE)
+                - CAST(ties AS DOUBLE)
+                  / (CAST(na + nb AS DOUBLE)
+                     * CAST(na + nb - 1 AS DOUBLE))) AS var_u
+      FROM agg)
+    SELECT na AS n_a, nb AS n_b, u_a AS u_stat,
+           (u_a - mu) / sqrt(var_u) AS z_stat
+    FROM st
+    """,
+)
+def dq_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the click and error
+    cohorts — the nonparametric LOCATION test completing the round-8
+    testing trio (dq_ks_test: distribution shape; dq_ttest_welch:
+    parametric means; this: medians without normality). Tie handling
+    is the textbook midrank + tie-corrected variance, and the whole
+    rank computation stays in INTEGER space (2*R_a = sum ca*(2*
+    before + t + 1) over per-value tie blocks) so the statistic is
+    exact — doubles appear only in the final closed-form z.
+
+    Same scale shape as dq_ks_test: one scan -> per-value partial
+    counts (bounded 2-dp domain), the banded two-level cumulative for
+    the below-count, then a single global aggregate of four integers;
+    O(1) driver state at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_KS_A, _KS_B))
+    pv = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1)
+              .otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1)
+              .otherwise(0)).alias("cb"),
+    ).withColumn("t", F.col("ca") + F.col("cb")) \
+     .withColumn("band", F.floor(F.col("value") / 10.0))
+    wb = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1)
+    band_off = (
+        pv.groupBy("band").agg(F.sum("t").alias("bt"))
+        .select("band",
+                F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("off"))
+    )
+    wv = Window.partitionBy("band").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = (
+        pv.join(F.broadcast(band_off), "band")
+        .select(
+            "value", "ca", "cb", "t",
+            (F.col("off")
+             + F.coalesce(F.sum("t").over(wv), F.lit(0)))
+            .alias("before_t"),
+        )
+    )
+    agg = cum.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca")
+              * (2 * F.col("before_t") + F.col("t") + 1)).alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t")
+              - F.col("t")).alias("ties"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    u_a = (F.col("r2a").cast("double")
+           - na_d * (F.col("na") + 1).cast("double")) / 2
+    mu = na_d * nb_d / 2
+    var_u = na_d * nb_d / 12 * (
+        (F.col("na") + F.col("nb") + 1).cast("double")
+        - F.col("ties").cast("double")
+        / ((F.col("na") + F.col("nb")).cast("double")
+           * (F.col("na") + F.col("nb") - 1).cast("double")))
+    st = agg.select("na", "nb", u_a.alias("u_a"), mu.alias("mu"),
+                    var_u.alias("var_u"))
+    return st.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.col("u_a").alias("u_stat"),
+        ((F.col("u_a") - F.col("mu"))
+         / F.sqrt(F.col("var_u"))).alias("z_stat"),
+    )
+
+
+# ------------------------------------------------------------- ts_cusum
+
+_CUSUM_K, _CUSUM_H = 0.5, 4.0
+_CUSUM_DDL = ("event_type string, day timestamp, x double, "
+              "cusum_pos double, cusum_neg double, alarm boolean")
+
+
+def _cusum_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential one-sided CUSUM pair in float64 — same op order as
+    the oracle's recursive CTE: sp' = max(0, sp + (x - mu) - k),
+    sn' = min(0, sn + (x - mu) + k)."""
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    mu = float(pdf["mu"].iloc[0])
+    xs = [float(v) for v in pdf["x"]]
+    sp, sn = [], []
+    p = n = 0.0
+    for x in xs:
+        p = max(0.0, p + (x - mu) - _CUSUM_K)
+        n = min(0.0, n + (x - mu) + _CUSUM_K)
+        sp.append(p)
+        sn.append(n)
+    return pd.DataFrame({
+        "event_type": pdf["event_type"], "day": pdf["day"], "x": xs,
+        "cusum_pos": sp, "cusum_neg": sn,
+        "alarm": [(a > _CUSUM_H) or (b < -_CUSUM_H)
+                  for a, b in zip(sp, sn)],
+    })
+
+
+@query(
+    "ts_cusum",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {sql_dsum('value')} / count(*) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('day', ts)) - 1
+               AS idx
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    m AS (
+      SELECT event_type,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS mu
+      FROM d GROUP BY event_type),
+    r AS (
+      SELECT d.event_type, d.idx, d.day, d.x, m.mu,
+             greatest(0.0, (d.x - m.mu) - {_CUSUM_K}) AS cusum_pos,
+             least(0.0, (d.x - m.mu) + {_CUSUM_K}) AS cusum_neg
+      FROM d JOIN m USING (event_type) WHERE d.idx = 0
+      UNION ALL
+      SELECT d.event_type, d.idx, d.day, d.x, r.mu,
+             greatest(0.0, r.cusum_pos + (d.x - r.mu) - {_CUSUM_K})
+               AS cusum_pos,
+             least(0.0, r.cusum_neg + (d.x - r.mu) + {_CUSUM_K})
+               AS cusum_neg
+      FROM r JOIN d
+        ON d.event_type = r.event_type AND d.idx = r.idx + 1)
+    SELECT event_type, day, x, cusum_pos, cusum_neg,
+           cusum_pos > {_CUSUM_H} OR cusum_neg < -{_CUSUM_H} AS alarm
+    FROM r
+    """,
+)
+def ts_cusum(spark, sf_dir):
+    """CUSUM control chart (Page 1954) over each event type's daily
+    mean value — the classic sequential change detector ops teams run
+    beside the rolling z-score (ts_zscore_rolling catches spikes;
+    CUSUM accumulates small persistent shifts): one-sided positive/
+    negative sums with slack k=0.5, alarm at |S|>4.
+    Like ts_holt_linear this is a genuine recurrence (state at t
+    needs state at t-1 clamped at 0), so Spark-side it is the
+    applyInPandas escape hatch partitioned BY SERIES, and the oracle
+    proves the identical float64 op sequence via a recursive CTE.
+    The per-day means and the per-series centerline mu both route
+    through exact decimal sums, so the recurrence inputs are
+    bit-identical in both engines before the smoothing even starts."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg((F.sum(F.col("value").cast("decimal(18,6)"))
+              .cast("double") / F.count(F.lit(1))).alias("x"))
+    )
+    mu = daily.groupBy("event_type").agg(
+        (F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mu"))
+    return (
+        daily.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .applyInPandas(_cusum_fit, schema=_CUSUM_DDL)
+    )
+
+
+# ------------------------------------------------------ llm_doc_datasheet
+
+@query(
+    "llm_doc_datasheet",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+      FROM documents),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END
+             AS lang,
+           CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+             AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           {sql_dsum('n_chars')} / count(*) AS mean_chars,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(count(*) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+             AS doc_share
+    FROM t
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def llm_doc_datasheet(spark, sf_dir):
+    """Corpus datasheet ("Datasheets for Datasets", Gebru et al. 2021
+    — the composition table a training-data release ships): document
+    counts, exact char/whitespace-token volumes, mean/max lengths and
+    corpus share, at THREE grains in one pass — (lang, source) cells,
+    per-lang subtotals, and the grand total — via GROUPING SETS, so
+    the report is a single partial-aggregated shuffle, not three
+    scans. Subtotal slots render as 'ALL' via GROUPING() — the bitmask
+    way, immune to NULL data values — to keep the grain explicit in
+    the flat export.
+
+    Scale shape: everything is map-side combinable (counts, integer
+    sums, max, one decimal sum for the stabilized mean); the grand
+    total broadcasts back for the share column; |output| is the
+    bounded grouping-domain size."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"))
+    tot = t.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        t.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum(F.col("n_chars").cast("decimal(18,6)"))
+             .cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+            F.sum("ws_tokens").cast("long").alias("total_tokens"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.grouping("lang").alias("g_lang"),
+            F.grouping("source").alias("g_source"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("g_lang") == 1, F.lit("ALL"))
+            .otherwise(F.col("lang")).alias("lang"),
+            F.when(F.col("g_source") == 1, F.lit("ALL"))
+            .otherwise(F.col("source")).alias("source"),
+            "n_docs", "total_chars", "mean_chars", "total_tokens",
+            "max_chars",
+            (F.col("n_docs").cast("double")
+             / F.col("n").cast("double")).alias("doc_share"),
+        )
     )
