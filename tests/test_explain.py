@@ -377,3 +377,66 @@ def test_filter_gate_single_scan_no_shuffle(spark, sf_oracle):
 def test_geo_nearest_heap_topk(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "geo_nearest")
     assert "TakeOrderedAndProject" in plan, "nearest-k must heap, not sort"
+
+
+# ------------------------------------------------------- round-8 shapes
+
+def test_ks_test_banded_windows_and_top1(spark, sf_oracle):
+    """dq_ks_test: the ECDF must be the banded two-level shape — every
+    running-sum window is partitioned (by band) except the band-offset
+    prefix over the <=57-row band relation, and the final sup-gap is a
+    TakeOrdered, never a global sort materialization."""
+    plan = _plan(spark, sf_oracle, "dq_ks_test")
+    assert "TakeOrderedAndProject" in plan
+    # exactly one unpartitioned window (band offsets, bounded domain):
+    # the per-value running sums must carry the band partition key
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpartitioned = [s for s in specs if s.startswith("value")
+                     or s.startswith("_w")]
+    partitioned = [s for s in specs if s.startswith("band")]
+    assert partitioned, f"in-band running sums lost their partition: {specs}"
+
+
+def test_welch_single_aggregate(spark, sf_oracle):
+    """dq_ttest_welch reduces to one partial+final aggregate pair over
+    one scan — no join, no window, no second exchange."""
+    plan = _plan(spark, sf_oracle, "dq_ttest_welch")
+    # tree form "Exchange (n)" — the detail section repeats each node
+    assert plan.count("Exchange (") <= 1, "more than the single-agg exchange"
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_chi_square_broadcasts_marginals(spark, sf_oracle):
+    """dq_chi_square: marginals and the grand total reach the cells by
+    broadcast — a shuffle join on a bounded contingency would be plan
+    noise at best and a skew hazard at worst."""
+    plan = _plan(spark, sf_oracle, "dq_chi_square")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_holt_partitions_by_series(spark, sf_oracle):
+    """ts_holt_linear: the recurrence runs inside FlatMapGroupsInPandas
+    partitioned by the series key — never a global collect."""
+    plan = _plan(spark, sf_oracle, "ts_holt_linear")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_hard_negatives_broadcast_anchors(spark, sf_oracle):
+    """llm_hard_negatives: the anchor set broadcasts; the corpus never
+    shuffles for candidate generation."""
+    plan = _plan(spark, sf_oracle, "llm_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_datasheet_single_expand_pass(spark, sf_oracle):
+    """llm_doc_datasheet: ROLLUP = one Expand + one partial-aggregated
+    shuffle, not three scans of documents."""
+    plan = _plan(spark, sf_oracle, "llm_doc_datasheet")
+    assert "Expand" in plan
+    # tree form — documents feeds the Expand once + once for the total
+    assert plan.count("Scan parquet  (") <= 2
