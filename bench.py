@@ -83,6 +83,11 @@ TIER2 = [
     "llm_quality_gopher",
     "agg_gini",
     "tpch_q1",
+    # round-8 additions (fourth step-up): the banded two-level ECDF
+    # statistic and the series-partitioned applyInPandas recurrence —
+    # the two new plan shapes this round introduced
+    "dq_ks_test",
+    "ts_holt_linear",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan

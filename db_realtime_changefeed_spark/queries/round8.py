@@ -611,6 +611,88 @@ def source_text(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------- llm_filter_calibration
+
+#: the candidate gate thresholds on lexical diversity (uniq_ratio):
+#: a bounded grid, so the whole sweep is ONE conditional-aggregate
+#: pass — never |grid| scans or a grid x corpus cross join.
+_CAL_GRID = [0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60]
+
+
+def _cal_oracle() -> str:
+    arms = ", ".join(f"({t})" for t in _CAL_GRID)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' ')))
+                  AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents),
+    g AS (SELECT * FROM (VALUES {arms}) AS v(threshold)),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT g.threshold,
+           CAST(count(CASE WHEN t.uniq_ratio > g.threshold THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN t.uniq_ratio > g.threshold THEN 1 END)
+                AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+             AS share_kept,
+           CAST(sum(CASE WHEN t.uniq_ratio > g.threshold
+                    THEN CAST(t.n_words AS DECIMAL(18,6)) END)
+                AS DOUBLE)
+             / count(CASE WHEN t.uniq_ratio > g.threshold THEN 1 END)
+             AS mean_words_kept
+    FROM t CROSS JOIN g
+    GROUP BY g.threshold
+    """
+
+
+@query("llm_filter_calibration", oracle=_cal_oracle())
+def llm_filter_calibration(spark, sf_dir):
+    """Filter-threshold calibration sweep — the table a pipeline owner
+    reads before choosing a quality gate (llm_filter_gate applies ONE
+    threshold; this shows the retention/composition trade-off across
+    the whole candidate grid): for each lexical-diversity cutoff, the
+    docs kept, the corpus share kept, and the mean length of what
+    survives (quality gates love to silently skew length — this
+    column is the tell).
+
+    Scale shape: the oracle states the semantics as a grid cross
+    join; the engine runs it as ONE corpus scan with |grid| x 3
+    conditional aggregates (map-side combined, 21 numbers cross the
+    shuffle) unpivoted to the grid rows — the sweep costs the same
+    as a single-threshold gate at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    ratio = (F.size(F.array_distinct(words)).cast("double")
+             / F.size(words))
+    n_words = F.size(words).cast("long")
+    aggs = []
+    for i, t in enumerate(_CAL_GRID):
+        kept = ratio > F.lit(t)
+        aggs += [
+            F.count(F.when(kept, 1)).alias(f"k{i}"),
+            F.sum(F.when(kept, n_words.cast("decimal(18,6)")))
+            .cast("double").alias(f"s{i}"),
+        ]
+    wide = d.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    arms = F.array(*[
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.col(f"k{i}").alias("n_kept"),
+            (F.col(f"k{i}").cast("double")
+             / F.col("n").cast("double")).alias("share_kept"),
+            (F.col(f"s{i}") / F.col(f"k{i}")).alias("mean_words_kept"),
+        )
+        for i, t in enumerate(_CAL_GRID)
+    ])
+    return (
+        wide.select(F.explode(arms).alias("a"))
+        .select("a.threshold", "a.n_kept", "a.share_kept",
+                "a.mean_words_kept")
+    )
+
+
 # -------------------------------------------------------- dq_mann_whitney
 
 @query(
