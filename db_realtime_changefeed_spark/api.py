@@ -187,6 +187,18 @@ class TableRef:
         `.changes()` registers a per-document feed on it."""
         return RowRef(self._db, self._name, key, key_value)
 
+    def get_all(self, *key_values: int,
+                key: str = "user_id") -> "RowSetRef":
+        """Multi-key point lookup — RethinkDB
+        `r.table(...).get_all(k1, k2, ...)`: `.rows()` reads each
+        key's current row, `.changes()` registers ONE standing feed
+        covering the whole key set (one state store, one checkpoint —
+        not |keys| point feeds)."""
+        if not key_values:
+            raise ValueError("get_all needs at least one key")
+        return RowSetRef(self._db, self._name, key,
+                         tuple(int(k) for k in key_values))
+
     def df(self) -> DataFrame:
         out = load_table(self._db.spark, self._db.sf_dir, self._name)
         for p in self._predicates:
@@ -380,6 +392,57 @@ class RowRef:
             self._db.sf_dir,
             delete_on=delete_on,
             filter_sql=f"after.{self._key} = {int(self._key_value)}",
+        )
+        runner.run()
+        return Feed(runner)
+
+
+class RowSetRef:
+    """A small key SET's rows in the upsert/document view — RethinkDB
+    `get_all(k1, k2, ...)`: the multi-key point-subscription shape.
+    One standing query serves the whole set; the envelope predicate
+    (`key IN (...)`) runs BEFORE the keyed merge, so state holds at
+    most |keys| rows and non-member changes never touch it. Intended
+    for bounded subscription sets (a dashboard's watchlist); an
+    unbounded set is just `.changes()` on the table."""
+
+    def __init__(self, db: "Database", table: str, key: str,
+                 key_values: tuple[int, ...]):
+        if table != "events":
+            raise NotImplementedError(
+                "CDC replay fixtures exist only for 'events'"
+            )
+        self._db = db
+        self._table = table
+        self._key = key
+        self._key_values = key_values
+
+    def rows(self) -> DataFrame:
+        """Each key's CURRENT row (LWW by (ts, event_id)) — one
+        predicate-pushed scan + a per-key window cut."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self._key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            load_table(self._db.spark, self._db.sf_dir, self._table)
+            .where(F.col(self._key).isin(*self._key_values))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def changes(self, delete_on: str | None = None) -> Feed:
+        """Multi-key document feed: one upsert/LWW standing query
+        filtered to the key set."""
+        from .streaming.changefeed import UpsertChangefeedRunner
+
+        in_list = ", ".join(str(k) for k in self._key_values)
+        runner = UpsertChangefeedRunner(
+            self._db.spark,
+            self._db.sf_dir,
+            delete_on=delete_on,
+            filter_sql=f"after.{self._key} IN ({in_list})",
         )
         runner.run()
         return Feed(runner)

@@ -561,6 +561,105 @@ def llm_hard_negatives(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- changefeed_getall_changes
+
+#: replay once per (session, sf_dir) — the feed is re-read, not re-run
+_GETALL_CACHE: dict = {}
+
+
+def _getall_oracle() -> str:
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+    return f"""
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS chunk
+      FROM numbered
+    ), k AS (
+      SELECT user_id FROM events
+      GROUP BY user_id ORDER BY min(event_id) LIMIT 3
+    ), mine AS (
+      SELECT c.* FROM chunked c JOIN k USING (user_id)
+    ), batches AS (
+      SELECT DISTINCT chunk AS b FROM chunked
+    ), vis AS (
+      SELECT b.b AS batch_id, m.user_id, m.value, m.event_id,
+             row_number() OVER (PARTITION BY b.b, m.user_id
+                                ORDER BY m.ts DESC, m.event_id DESC)
+               AS rrn
+      FROM batches b JOIN mine m ON m.chunk <= b.b
+    ), v AS (
+      SELECT batch_id, user_id, value, event_id
+      FROM vis WHERE rrn = 1
+    ), prev AS (
+      SELECT batch_id + 1 AS batch_id, user_id, value, event_id
+      FROM v
+    )
+    SELECT v.batch_id, v.user_id,
+           prev.value AS old_value,
+           v.value AS new_value,
+           prev.event_id AS old_event_id,
+           v.event_id AS new_event_id
+    FROM v LEFT JOIN prev USING (batch_id, user_id)
+    WHERE prev.event_id IS NULL OR v.event_id <> prev.event_id
+    """
+
+
+@query("changefeed_getall_changes", oracle=_getall_oracle())
+def changefeed_getall_changes(spark, sf_dir):
+    """RethinkDB r.table(...).get_all(k1, k2, k3).changes() — the
+    WATCHLIST feed (api.py RowSetRef.changes()): ONE standing LWW
+    upsert query filtered to a small key set, not |keys| point
+    feeds — one state store, one checkpoint, one merge per
+    micro-batch, with the envelope predicate (key IN (...)) running
+    BEFORE the merge so state never exceeds |keys| rows and
+    non-member changes never touch it. Keys are chosen
+    deterministically (the 3 user_ids with the smallest first
+    event_id — all present from batch 0 at every SF). The oracle
+    reconstructs each key's visible LWW row at every batch prefix
+    and diffs consecutive batches PER KEY, so a missed win, a
+    phantom emission, cross-key interference, or a wrong old-image
+    anywhere in the trajectory breaks the hash.
+
+    Scale: the filter prunes each micro-batch scan to the watched
+    keys (predicate-pushed); state reads touch at most |keys|
+    buckets of the MVCC store. Watchlists are bounded by design —
+    an unbounded set is table.changes()."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir)
+    if key not in _GETALL_CACHE:
+        ks = [
+            int(r["user_id"])
+            for r in (
+                load_table(spark, sf_dir, "events")
+                .groupBy("user_id")
+                .agg(F.min("event_id").alias("m"))
+                .orderBy("m")
+                .limit(3)
+                .collect()
+            )
+        ]
+        feed = (
+            Database(spark, sf_dir)
+            .table("events")
+            .get_all(*ks)
+            .changes()
+        )
+        _GETALL_CACHE[key] = feed
+    feed = _GETALL_CACHE[key]
+    return feed.log().select(
+        "batch_id", "user_id",
+        "old_value", "new_value", "old_event_id", "new_event_id",
+    )
+
+
 # ------------------------------------------------------------ source_text
 
 _TEXT_COPIES: dict = {}

@@ -355,3 +355,42 @@ def test_changefeed_log_chains_per_key(spark, sf_smoke):
     for uid, last in by_key.items():
         assert state[uid]["cnt"] == last["new_count"], (
             "final state must equal the last chained delta")
+
+
+def test_get_all_rows_and_changes(spark, sf_smoke):
+    """RowSetRef: .rows() returns one LWW row per watched key, and the
+    multi-key feed's log is exactly the union of the per-key point
+    feeds (one standing query, no cross-key interference)."""
+    from db_realtime_changefeed_spark.api import Database
+    from pyspark.sql import functions as F
+
+    db = Database(spark, sf_smoke)
+    ks = [
+        int(r["user_id"])
+        for r in (
+            db.table("events").df()
+            .groupBy("user_id").agg(F.min("event_id").alias("m"))
+            .orderBy("m").limit(2).collect()
+        )
+    ]
+    rs = db.table("events").get_all(*ks)
+    rows = rs.rows().collect()
+    assert sorted(r["user_id"] for r in rows) == sorted(ks)
+    feed = rs.changes()
+    log = feed.log().collect()
+    assert {r["user_id"] for r in log} == set(ks)
+    # state bounded by the watchlist
+    assert feed.state().count() == len(ks)
+    # against the single-key point feeds
+    for k in ks:
+        point = db.table("events").get(k).changes().log().collect()
+        mine = [r for r in log if r["user_id"] == k]
+        assert len(point) == len(mine)
+
+
+def test_get_all_empty_refused(spark, sf_smoke):
+    import pytest
+    from db_realtime_changefeed_spark.api import Database
+
+    with pytest.raises(ValueError):
+        Database(spark, sf_smoke).table("events").get_all()
