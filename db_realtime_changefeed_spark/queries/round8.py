@@ -813,17 +813,22 @@ def llm_filter_calibration(spark, sf_dir):
     agg AS (
       SELECT CAST(sum(ca) AS BIGINT) AS na,
              CAST(sum(cb) AS BIGINT) AS nb,
-             CAST(sum(ca * (2 * before_t + t + 1)) AS BIGINT) AS r2a,
-             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+             CAST(sum(CAST(ca AS DECIMAL(19,0))
+                      * CAST(2 * before_t + t + 1 AS DECIMAL(19,0)))
+                  AS DOUBLE) AS r2a,
+             CAST(sum(CAST(t AS DECIMAL(12,0))
+                      * CAST(t AS DECIMAL(12,0))
+                      * CAST(t AS DECIMAL(12,0))
+                      - CAST(t AS DECIMAL(12,0))) AS DOUBLE) AS ties
       FROM cum),
     st AS (
       SELECT na, nb,
-             (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE)
+             (r2a - CAST(na AS DOUBLE)
                 * CAST(na + 1 AS DOUBLE)) / 2 AS u_a,
              CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2 AS mu,
              CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12
              * (CAST(na + nb + 1 AS DOUBLE)
-                - CAST(ties AS DOUBLE)
+                - ties
                   / (CAST(na + nb AS DOUBLE)
                      * CAST(na + nb - 1 AS DOUBLE))) AS var_u
       FROM agg)
@@ -838,9 +843,10 @@ def dq_mann_whitney(spark, sf_dir):
     testing trio (dq_ks_test: distribution shape; dq_ttest_welch:
     parametric means; this: medians without normality). Tie handling
     is the textbook midrank + tie-corrected variance, and the whole
-    rank computation stays in INTEGER space (2*R_a = sum ca*(2*
-    before + t + 1) over per-value tie blocks) so the statistic is
-    exact — doubles appear only in the final closed-form z.
+    rank computation stays in exact INTEGER arithmetic (2*R_a = sum
+    ca*(2*before + t + 1) over per-value tie blocks, decimal-widened
+    because 2*R_a ~ N^2 and t^3 overflow int64 past ~10^10 rows) —
+    doubles appear only in the final closed-form z.
 
     Same scale shape as dq_ks_test: one scan -> per-value partial
     counts (bounded 2-dp domain), the banded two-level cumulative for
@@ -873,22 +879,29 @@ def dq_mann_whitney(spark, sf_dir):
             .alias("before_t"),
         )
     )
+    # the two big sums route through DECIMAL: 2*R_a ~ N^2 and t^3
+    # both overflow int64 around 10^10 rows — decimal(38) keeps the
+    # rank arithmetic exact to any realistic corpus (DuckDB's bigint
+    # sum is int128, so the oracle is already safe; this matches it)
+    t_dec = F.col("t").cast("decimal(12,0)")
     agg = cum.agg(
         F.sum("ca").alias("na"),
         F.sum("cb").alias("nb"),
-        F.sum(F.col("ca")
-              * (2 * F.col("before_t") + F.col("t") + 1)).alias("r2a"),
-        F.sum(F.col("t") * F.col("t") * F.col("t")
-              - F.col("t")).alias("ties"),
+        F.sum(F.col("ca").cast("decimal(19,0)")
+              * (2 * F.col("before_t") + F.col("t") + 1)
+              .cast("decimal(19,0)"))
+        .cast("double").alias("r2a"),
+        F.sum(t_dec * t_dec * t_dec - t_dec)
+        .cast("double").alias("ties"),
     )
     na_d = F.col("na").cast("double")
     nb_d = F.col("nb").cast("double")
-    u_a = (F.col("r2a").cast("double")
+    u_a = (F.col("r2a")
            - na_d * (F.col("na") + 1).cast("double")) / 2
     mu = na_d * nb_d / 2
     var_u = na_d * nb_d / 12 * (
         (F.col("na") + F.col("nb") + 1).cast("double")
-        - F.col("ties").cast("double")
+        - F.col("ties")
         / ((F.col("na") + F.col("nb")).cast("double")
            * (F.col("na") + F.col("nb") - 1).cast("double")))
     st = agg.select("na", "nb", u_a.alias("u_a"), mu.alias("mu"),
