@@ -272,44 +272,47 @@ def dq_chi_square(spark, sf_dir):
     expected-under-independence, cell contribution) plus the global
     statistic and degrees of freedom.
 
-    Scale shape: one scan -> (lang, source) partial-agg counts
-    (|cells| = |langs| x |sources|, a bounded domain); marginals and
-    the grand total are broadcast back onto the cells; the statistic
-    is a DECIMAL(18,6)-stabilized sum over the bounded cell relation.
-    The expected-count and contribution expressions are written as
-    the identical double op sequence in both engines."""
+    Scale shape: ONE corpus scan -> (lang, source) partial-agg counts
+    (|cells| = |langs| x |sources|, a bounded domain); marginals, the
+    grand total, the statistic and dof are all WINDOW sums over that
+    bounded cell relation — re-aggregating them from `documents`
+    would re-execute the corpus scan once per marginal (the round-8
+    plan audit caught exactly that: 16 exchanges / 4 scans in the
+    join-back form; this form scans once). The expected-count and
+    contribution expressions are the identical double op sequence in
+    both engines; the statistic is a DECIMAL(18,6)-stabilized sum."""
     obs = (
         load_table(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("observed"))
     )
-    rt = obs.groupBy("lang").agg(F.sum("observed").alias("r"))
-    ct = obs.groupBy("source").agg(F.sum("observed").alias("c"))
-    n = obs.agg(
-        F.sum("observed").alias("n"),
-        ((F.count_distinct(F.col("lang")) - 1)
-         * (F.count_distinct(F.col("source")) - 1)).alias("dof"),
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    cell = obs.select(
+        "lang", "source", "observed",
+        F.sum("observed").over(w_lang).alias("r"),
+        F.sum("observed").over(w_src).alias("c"),
+        F.sum("observed").over(w_all).alias("n"),
+        ((F.size(F.collect_set("lang").over(w_all)) - 1)
+         * (F.size(F.collect_set("source").over(w_all)) - 1))
+        .cast("long").alias("dof"),
     )
     expected = (F.col("r") * F.col("c")).cast("double") \
         / F.col("n").cast("double")
     dev = F.col("observed").cast("double") - expected
-    cell = (
-        obs.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "lang", "source", "observed",
-            expected.alias("expected"),
-            (dev * dev / expected).alias("contrib"),
-            "dof",
-        )
+    scored = cell.select(
+        "lang", "source", "observed",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("contrib"),
+        "dof",
     )
-    tot = cell.agg(
-        F.sum(F.col("contrib").cast("decimal(18,6)"))
-        .cast("double").alias("chi2"))
-    return cell.crossJoin(F.broadcast(tot)).select(
+    return scored.select(
         "lang", "source", "observed", "expected", "contrib",
-        "chi2", "dof")
+        F.sum(F.col("contrib").cast("decimal(18,6)"))
+        .over(w_all).cast("double").alias("chi2"),
+        "dof",
+    )
 
 
 # -------------------------------------------------------- agg_mutual_info
@@ -320,32 +323,32 @@ def dq_chi_square(spark, sf_dir):
     WITH obs AS (
       SELECT lang, source, count(*) AS o
       FROM documents GROUP BY lang, source),
-    rt AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
-    ct AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
-    n AS (SELECT sum(o) AS n FROM obs),
     cell AS (
-      SELECT CAST(obs.o AS DOUBLE) / CAST(n.n AS DOUBLE)
-             * ln(CAST(obs.o AS DOUBLE) * CAST(n.n AS DOUBLE)
-                  / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)))
-               AS mi_c
-      FROM obs JOIN rt USING (lang) JOIN ct USING (source), n),
-    hl AS (
-      SELECT CAST(sum(CAST(-(CAST(r AS DOUBLE) / CAST(n.n AS DOUBLE))
-                       * ln(CAST(r AS DOUBLE) / CAST(n.n AS DOUBLE))
-                       AS DECIMAL(18,6))) AS DOUBLE) AS h_lang
-      FROM rt, n),
-    hs AS (
-      SELECT CAST(sum(CAST(-(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
-                       * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
-                       AS DECIMAL(18,6))) AS DOUBLE) AS h_source
-      FROM ct, n),
-    mi AS (
+      SELECT o,
+             sum(o) OVER (PARTITION BY lang) AS r,
+             sum(o) OVER (PARTITION BY source) AS c,
+             sum(o) OVER () AS n
+      FROM obs),
+    terms AS (
+      SELECT CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+             * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) AS mi_c,
+             -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) AS hl_c,
+             -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS hs_c
+      FROM cell),
+    agg AS (
       SELECT CAST(sum(CAST(mi_c AS DECIMAL(18,6))) AS DOUBLE)
-               AS mi_nats
-      FROM cell)
+               AS mi_nats,
+             CAST(sum(CAST(hl_c AS DECIMAL(18,6))) AS DOUBLE)
+               AS h_lang,
+             CAST(sum(CAST(hs_c AS DECIMAL(18,6))) AS DOUBLE)
+               AS h_source
+      FROM terms)
     SELECT mi_nats, h_lang, h_source,
            mi_nats / sqrt(h_lang * h_source) AS nmi
-    FROM mi, hl, hs
+    FROM agg
     """,
 )
 def agg_mutual_info(spark, sf_dir):
@@ -354,51 +357,51 @@ def agg_mutual_info(spark, sf_dir):
     of dq_chi_square over the same contingency (MI answers "how much
     does knowing the source tell you about the language", the
     corpus-mixture diagnostic a training-data pipeline tracks as
-    sources are added). Same bounded-cell scale shape: one scan, one
-    partial-agg shuffle of |cells| rows, broadcast marginals, and
-    DECIMAL(18,6)-stabilized sums over bounded relations; every
-    p*ln(...) term is the identical double expression in both
-    engines."""
+    sources are added).
+
+    Scale shape: ONE corpus scan -> bounded (lang, source) cells;
+    marginals are window sums over the cell relation (the join-back
+    form re-scanned the corpus once per marginal — round-8 plan
+    audit, 18 exchanges), and BOTH entropies reduce over the same
+    cell rows via the identity sum_cells (o/n)(-ln(r/n)) =
+    sum_langs (r/n)(-ln(r/n)) — so the whole answer is one scan, one
+    cell shuffle, one bounded-domain window pass, one final
+    aggregate. Every p*ln(...) term is the identical double
+    expression in both engines; sums are DECIMAL(18,6)-stabilized."""
     obs = (
         load_table(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
-    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
-    n = obs.agg(F.sum("o").alias("n"))
+    w_all = Window.partitionBy()
+    cell = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("r"),
+        F.sum("o").over(Window.partitionBy("source")).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    o_d = F.col("o").cast("double")
+    r_d = F.col("r").cast("double")
+    c_d = F.col("c").cast("double")
     n_d = F.col("n").cast("double")
-    mi_c = (
-        F.col("o").cast("double") / n_d
-        * F.log(F.col("o").cast("double") * n_d
-                / (F.col("r").cast("double") * F.col("c").cast("double")))
+    terms = cell.select(
+        (o_d / n_d * F.log(o_d * n_d / (r_d * c_d))).alias("mi_c"),
+        (-(o_d / n_d) * F.log(r_d / n_d)).alias("hl_c"),
+        (-(o_d / n_d) * F.log(c_d / n_d)).alias("hs_c"),
     )
-    cell = (
-        obs.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(n))
-        .select(mi_c.alias("mi_c"))
+
+    def dsum6(c):
+        return F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+
+    agg = terms.agg(
+        dsum6("mi_c").alias("mi_nats"),
+        dsum6("hl_c").alias("h_lang"),
+        dsum6("hs_c").alias("h_source"),
     )
-    mi = cell.agg(
-        F.sum(F.col("mi_c").cast("decimal(18,6)"))
-        .cast("double").alias("mi_nats"))
-
-    def entropy(marg, cnt_col, out):
-        p = F.col(cnt_col).cast("double") / n_d
-        return marg.crossJoin(F.broadcast(n)).select(
-            (-p * F.log(p)).alias("h")
-        ).agg(F.sum(F.col("h").cast("decimal(18,6)"))
-              .cast("double").alias(out))
-
-    hl = entropy(rt, "r", "h_lang")
-    hs = entropy(ct, "c", "h_source")
-    return (
-        mi.crossJoin(F.broadcast(hl)).crossJoin(F.broadcast(hs))
-        .select(
-            "mi_nats", "h_lang", "h_source",
-            (F.col("mi_nats")
-             / F.sqrt(F.col("h_lang") * F.col("h_source"))).alias("nmi"),
-        )
+    return agg.select(
+        "mi_nats", "h_lang", "h_source",
+        (F.col("mi_nats")
+         / F.sqrt(F.col("h_lang") * F.col("h_source"))).alias("nmi"),
     )
 
 

@@ -408,13 +408,16 @@ def test_welch_single_aggregate(spark, sf_oracle):
     assert "Join" not in plan
 
 
-def test_chi_square_broadcasts_marginals(spark, sf_oracle):
-    """dq_chi_square: marginals and the grand total reach the cells by
-    broadcast — a shuffle join on a bounded contingency would be plan
-    noise at best and a skew hazard at worst."""
-    plan = _plan(spark, sf_oracle, "dq_chi_square")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_chi_square_single_scan(spark, sf_oracle):
+    """dq_chi_square / agg_mutual_info: marginals, totals and the
+    statistic are WINDOW sums over the bounded cell relation — the
+    join-back form re-executed the corpus scan once per marginal
+    (plan audit r8: 16-18 exchanges, 4 scans). One scan, no join."""
+    for name in ("dq_chi_square", "agg_mutual_info"):
+        plan = _plan(spark, sf_oracle, name)
+        assert plan.count("Scan parquet  (") == 1, name
+        assert "Join" not in plan, name
+        assert plan.count("Exchange (") <= 2, name
 
 
 def test_holt_partitions_by_series(spark, sf_oracle):
