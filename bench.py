@@ -115,7 +115,9 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 #: parquet-writer-init+commit for |buckets| files, data work is
 #: milliseconds). Median-of-3 re-pays ~6-8 s per extra run for no
 #: extra signal — same rationale as the once-run VIEWS_TIER — so
-#: these run once; min==median in the detail file by construction.
+#: these run ONE untimed warmup (codegen/JIT, matching what the old
+#: median-of-3 effectively reported: the warm runs) plus ONE timed
+#: run; min==median in the detail file by construction.
 ONCE = {
     "llm_index_maintain_stream",
     "changefeed_squash_time",
@@ -155,13 +157,23 @@ def main() -> None:
     )
 
     build_replay_chunks(spark, sf_dir)
+    # the ONCE entries run single-shot: pre-build their replay
+    # fixtures too (one-time, cached across runs) so the lone sample
+    # measures the operator, not fixture I/O
+    from db_realtime_changefeed_spark.streaming.generic_views import (
+        _keyed_chunks,
+    )
+
+    _keyed_chunks(spark, sf_dir, "embeddings", "vec_id")
 
     def run_tier(names):
         med: dict[str, float] = {}
         mins: dict[str, float] = {}
         for name in names:
             samples = []
-            for _ in range(1 if name in ONCE else REPEATS):
+            reps = 1 if name in ONCE else REPEATS
+            warmups = 1 if (name in ONCE and REPEATS > 1) else 0
+            for i in range(warmups + reps):
                 # memoized changefeed runs must not serve cached state
                 # to later repeats — every sample measures a full run
                 _CF_CACHE.clear()
@@ -170,7 +182,8 @@ def main() -> None:
                 _R7B_IDX.clear()
                 t = time.perf_counter()
                 materialize(queries[name](spark, sf_dir))
-                samples.append(time.perf_counter() - t)
+                if i >= warmups:
+                    samples.append(time.perf_counter() - t)
             med[name] = round(statistics.median(samples), 3)
             mins[name] = round(min(samples), 3)
         return med, mins
