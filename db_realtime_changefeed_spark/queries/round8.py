@@ -923,6 +923,248 @@ def llm_index_maintain_updates(spark, sf_dir):
         rows, "batch_id long, vec_id long, label int, cos_sim double")
 
 
+# ---------------------------------------------- llm_index_maintain_deletes
+
+_DEL_CHUNK_CACHE: dict = {}
+_DEL_CACHE: dict = {}
+
+#: vectors with vec_id % 10 == 4 that arrived before batch 2 are
+#: DELETED in batch 2 (a tombstone arrival: same vec_id, NULL
+#: embedding) — deterministic, reconstructable in SQL.
+_DEL_MOD, _DEL_BATCH = 4, 2
+
+
+def _del_chunks(spark, sf_dir: str) -> str:
+    """Arrival log with DELETES: chunk k carries its slice; chunk 2
+    additionally carries tombstone rows (embedding NULL) for every
+    earlier vector with vec_id % 10 == 4."""
+    import math
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+    key = (os.path.abspath(sf_dir), nb)
+    if key in _DEL_CHUNK_CACHE:
+        return _DEL_CHUNK_CACHE[key]
+    out = scratch_dir(prefix="dbrcf-delchunks-")
+    tbl = pq.read_table(table_path(sf_dir, "embeddings")).sort_by("vec_id")
+    n = tbl.num_rows
+    per = math.ceil(n / nb)
+    rows = tbl.to_pylist()
+    for k in range(nb):
+        batch = rows[k * per:(k + 1) * per]
+        if k == _DEL_BATCH:
+            batch = batch + [
+                {**r, "embedding": None}
+                for r in rows[:_DEL_BATCH * per]
+                if r["vec_id"] % 10 == _DEL_MOD
+            ]
+        dst = _os.path.join(out, f"chunk-{k:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(batch, schema=tbl.schema), dst)
+        _os.utime(dst, (_time.time(), 1_800_000_000.0 + k))
+    _DEL_CHUNK_CACHE[key] = out
+    return out
+
+
+def _del_oracle() -> str:
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+
+    def proj(col, p_expr):
+        return (
+            f"list_aggregate(list_transform(range(1, len({col})+1),"
+            f" i -> CAST({col}[i] AS DOUBLE)"
+            f" * CAST((({p_expr})*131 + (i-1)*17) % 7 - 3 AS DOUBLE)),"
+            " 'sum')"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj('e.embedding', str(p))} > 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8))
+    dot = ("list_aggregate(list_transform(range(1, len({x})+1),"
+           " i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)),"
+           " 'sum')")
+    cos = (f"{dot.format(x='s.embedding', y='q.qe')}"
+           f" / (sqrt({dot.format(x='s.embedding', y='s.embedding')})"
+           f" * sqrt({dot.format(x='q.qe', y='q.qe')}))")
+    return f"""
+    WITH numbered AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM embeddings),
+    chunked AS (
+      SELECT vec_id,
+             CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS chunk
+      FROM numbered),
+    batches AS (SELECT DISTINCT chunk AS batch_id FROM chunked),
+    live AS (
+      SELECT b.batch_id, c.vec_id
+      FROM batches b JOIN chunked c ON c.chunk <= b.batch_id
+      WHERE NOT (c.vec_id % 10 = {_DEL_MOD}
+                 AND c.chunk < {_DEL_BATCH}
+                 AND b.batch_id >= {_DEL_BATCH})),
+    sig AS (
+      SELECT l.batch_id, e.vec_id, e.label, e.embedding,
+             {bucket} AS bucket
+      FROM live l JOIN embeddings e ON e.vec_id = l.vec_id),
+    q AS (
+      SELECT e.embedding AS qe, {bucket} AS qb
+      FROM embeddings e WHERE e.vec_id = 0),
+    ranked AS (
+      SELECT s.batch_id, s.vec_id, s.label, {cos} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.batch_id
+               ORDER BY {cos} DESC, s.vec_id) AS rnk
+      FROM sig s, q
+      WHERE s.vec_id <> 0 AND s.bucket = q.qb)
+    SELECT batch_id, vec_id, label, cos_sim
+    FROM ranked WHERE rnk <= 10
+    """
+
+
+@query("llm_index_maintain_deletes", oracle=_del_oracle())
+def llm_index_maintain_deletes(spark, sf_dir):
+    """INCREMENTAL ANN INDEX UNDER DELETES — the tombstone half of
+    the update story (llm_index_maintain_updates handles version
+    moves; this isolates retraction): a delete arrives as a
+    tombstone row (same vec_id, NULL embedding), the bucket segments
+    stay append-only and untouched, and the arrivals log records the
+    tombstone as that vector's latest version — so the probe's
+    latest-version join excludes it with ZERO index rewrites, the
+    soft-delete contract of every production vector store (physical
+    cleanup is a background compaction, not a serving-path concern).
+    The probe trajectory is hash-graded per prefix: serving a deleted
+    vector in any batch after its tombstone breaks the hash.
+
+    Scale: identical to the update sibling — O(|batch|) per batch,
+    bucket-pruned probes, the arrivals log IS the MVCC keyed store
+    at 10^9 vectors. Deleted-vector space in old segments is
+    reclaimed by layout_compaction-style sweeps keyed on the
+    tombstone set, off the serving path."""
+    from ..streaming.replay import fresh_sink_name, streaming_shuffle
+    from .llm import _N_PLANES, _ndl_proj
+
+    key = (id(spark), sf_dir)
+    if key in _DEL_CACHE:
+        rows = _DEL_CACHE[key]
+    else:
+        chunks = _del_chunks(spark, sf_dir)
+        schema = load_table(spark, sf_dir, "embeddings").schema
+        idx_dir = scratch_dir(prefix="dbrcf-delidx-")
+        log_dir = scratch_dir(prefix="dbrcf-dellog-")
+        qe = (load_table(spark, sf_dir, "embeddings")
+              .where(F.col("vec_id") == 0).collect()[0]["embedding"])
+
+        def signature(emb):
+            bits = [
+                F.when(_ndl_proj(emb, p) > 0, F.lit(2 ** p))
+                .otherwise(F.lit(0))
+                for p in range(_N_PLANES)
+            ]
+            return sum(bits[1:], bits[0])
+
+        qbucket = (
+            spark.createDataFrame([(qe,)], "qe array<float>")
+            .select(signature(F.col("qe")).alias("b"))
+            .collect()[0]["b"]
+        )
+        rows = []
+
+        def index_batch(batch_df, batch_id):
+            import os as _os
+
+            # only LIVE arrivals enter the bucket segments; the
+            # tombstones are log-only (no bucket to hash NULL into)
+            (
+                batch_df.where(F.col("embedding").isNotNull())
+                .select(
+                    "vec_id", "label", "embedding",
+                    signature(F.col("embedding")).alias("bucket"),
+                    F.lit(int(batch_id)).alias("batch_id"))
+                .write.partitionBy("bucket").mode("overwrite")
+                .parquet(_os.path.join(idx_dir,
+                                       f"batch_id={batch_id}"))
+            )
+            (
+                batch_df.select(
+                    "vec_id",
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    F.col("embedding").isNull().alias("deleted"))
+                .write.mode("overwrite")
+                .parquet(_os.path.join(log_dir,
+                                       f"batch-{batch_id:05d}"))
+            )
+            probe_dirs = [
+                _os.path.join(idx_dir, d, f"bucket={qbucket}")
+                for d in sorted(_os.listdir(idx_dir))
+                if d.startswith("batch_id=")
+            ]
+            probe_dirs = [p for p in probe_dirs if _os.path.isdir(p)]
+            if not probe_dirs:
+                return
+            cand = spark.read.schema(
+                "vec_id long, label int, embedding array<float>, "
+                "batch_id long"
+            ).parquet(*probe_dirs)
+            log = spark.read.parquet(
+                *[_os.path.join(log_dir, d)
+                  for d in sorted(_os.listdir(log_dir))])
+            latest = (
+                log.groupBy("vec_id")
+                .agg(F.max(F.struct("batch_id", "deleted"))
+                     .alias("s"))
+                .select("vec_id",
+                        F.col("s.batch_id").alias("latest_batch"),
+                        F.col("s.deleted").alias("latest_deleted"))
+            )
+            live = cand.join(
+                F.broadcast(latest),
+                (cand.vec_id == latest.vec_id)
+                & (cand.batch_id == latest.latest_batch)
+                & (~latest.latest_deleted),
+            ).select(cand.vec_id, cand.label, cand.embedding)
+            ee = F.col("embedding")
+            qcol = F.lit(qe).cast("array<float>")
+            cos = _r8_dot(ee, qcol) / (
+                F.sqrt(_r8_dot(ee, ee)) * F.sqrt(_r8_dot(qcol, qcol)))
+            top = (
+                live.where(F.col("vec_id") != 0)
+                .select("vec_id", "label", cos.alias("cos_sim"))
+                .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+                .limit(10)
+                .collect()
+            )
+            rows.extend(
+                (int(batch_id), r.vec_id, r.label, r.cos_sim)
+                for r in top)
+
+        with streaming_shuffle(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(chunks)
+                .writeStream.foreachBatch(index_batch)
+                .option("checkpointLocation",
+                        scratch_dir(prefix="dbrcf-delidx-ckpt-"))
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("delindex"))
+                .start()
+            )
+            q.awaitTermination()
+        _DEL_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "batch_id long, vec_id long, label int, cos_sim double")
+
+
 # ------------------------------------------------------------ source_text
 
 _TEXT_COPIES: dict = {}

@@ -153,3 +153,47 @@ def test_holt_fitted_is_one_step_forecast(spark, sf_oracle):
         F.col("want").isNotNull() & (F.col("fitted") != F.col("want"))
     ).count()
     assert bad == 0
+
+
+def test_delete_index_tombstones_bite(spark, sf_oracle):
+    """The tombstone machinery must actually be exercised: at least
+    one deleted vector hashes into the probe bucket (so the
+    latest-version exclusion runs), and no deleted vector is ever
+    served after its tombstone batch."""
+    from db_realtime_changefeed_spark.queries.round8 import (
+        _DEL_BATCH,
+        _DEL_MOD,
+    )
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    n = e.count()
+    per = math.ceil(n / 4)
+    qe = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qbucket = (
+        spark.createDataFrame([(qe,)], "qe array<float>")
+        .select(_signature_df(spark, F.col("qe")).alias("b"))
+        .collect()[0]["b"]
+    )
+    from pyspark.sql import Window as W
+
+    chunk = F.floor(
+        (F.row_number().over(W.orderBy("vec_id")) - 1) / per)
+    deleted = e.select(
+        "vec_id", chunk.alias("chunk"),
+        _signature_df(spark, F.col("embedding")).alias("b"),
+    ).where((F.col("vec_id") % 10 == _DEL_MOD)
+            & (F.col("chunk") < _DEL_BATCH))
+    in_bucket = deleted.where(F.col("b") == qbucket).count()
+    assert in_bucket > 0, "no deleted vector in the probe bucket — vacuous"
+
+    out = QUERIES["llm_index_maintain_deletes"](spark, sf_oracle)
+    dead_ids = {r["vec_id"] for r in deleted.collect()}
+    served_dead = out.where(
+        (F.col("batch_id") >= _DEL_BATCH)
+        & F.col("vec_id").isin(*dead_ids)).count()
+    assert served_dead == 0, "a tombstoned vector was served"
+    # and at least one of them WAS served before the tombstone batch
+    served_before = out.where(
+        (F.col("batch_id") < _DEL_BATCH)
+        & F.col("vec_id").isin(*dead_ids)).count()
+    assert served_before > 0, "deletion never changed served results"
