@@ -1165,6 +1165,178 @@ def llm_index_maintain_deletes(spark, sf_dir):
         rows, "batch_id long, vec_id long, label int, cos_sim double")
 
 
+# -------------------------------------------------------------- llm_ann_mrr
+
+def _mrr_oracle() -> str:
+    from . import ORACLES as _REG
+
+    dot = ("list_aggregate(list_transform(range(1, len({x})+1),"
+           " i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)),"
+           " 'sum')")
+    cos = (f"{dot.format(x='e.embedding', y='q.qe')}"
+           f" / (sqrt({dot.format(x='e.embedding', y='e.embedding')})"
+           f" * sqrt({dot.format(x='q.qe', y='q.qe')}))")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings WHERE vec_id % 50 = 0),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings e JOIN q ON e.vec_id % 50 <> 0) t
+      WHERE rn = 1),
+    lsh AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM ({_REG['llm_knn_join']}) j),
+    rr AS (
+      SELECT t.qid,
+             COALESCE(1.0 / l.rnk, 0.0) AS rr
+      FROM truth t LEFT JOIN lsh l
+        ON l.qid = t.qid AND l.vec_id = t.vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS mrr_at_5
+    FROM rr
+    """
+
+
+@query("llm_ann_mrr", oracle=_mrr_oracle())
+def llm_ann_mrr(spark, sf_dir):
+    """MRR@5 of the LSH k-NN JOIN against exact ground truth — the
+    rank-AWARE companion to llm_ann_recall's set-overlap metric (two
+    indexes with equal recall can rank the true neighbor first vs
+    last; MRR tells them apart, and retrieval-augmented training
+    cares exactly about that). Ground truth is each anchor's true
+    top-1 over the same candidate universe the index searches; the
+    reciprocal rank is 0 when the index misses it entirely. The
+    oracle REUSES llm_knn_join's registered oracle text verbatim as
+    a subquery, so the metric can never drift from the index it
+    evaluates.
+
+    Scale: ground truth is the hard-negatives shape (broadcast
+    anchors, one corpus scan, per-anchor window top-1); the
+    evaluation join touches k rows per anchor. The MRR mean routes
+    through DECIMAL(18,6) (1/3 is not binary-exact; the quantized
+    sum is order-insensitive in both engines)."""
+    from .llm_pipeline import llm_knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"))
+    ee, qe = F.col("embedding"), F.col("qe")
+    cos = _r8_dot(ee, qe) / (
+        F.sqrt(_r8_dot(ee, ee)) * F.sqrt(_r8_dot(qe, qe)))
+    w_q = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id"))
+    truth = (
+        e.where(F.col("vec_id") % 50 != 0)
+        .crossJoin(F.broadcast(q))
+        .select("qid", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") == 1)
+        .select("qid", "vec_id")
+    )
+    w_l = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    lsh = (
+        llm_knn_join(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w_l))
+        .select(F.col("qid").alias("l_qid"),
+                F.col("vec_id").alias("l_vid"), "rnk")
+    )
+    rr = (
+        truth.join(
+            lsh,
+            (truth.qid == lsh.l_qid) & (truth.vec_id == lsh.l_vid),
+            "left")
+        .select(F.coalesce(1.0 / F.col("rnk"), F.lit(0.0)).alias("rr"))
+    )
+    return rr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.sum(F.col("rr").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mrr_at_5"),
+    )
+
+
+# ---------------------------------------------------- llm_semdedup_eps_sweep
+
+#: cosine cutoffs for the semantic-dedup epsilon sweep; starts at the
+#: pair relation's own floor (llm_neardup_embedding emits > 0.35).
+_EPS_GRID = [0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
+
+
+def _eps_oracle() -> str:
+    from . import ORACLES as _REG
+
+    arms = ", ".join(f"({t})" for t in _EPS_GRID)
+    return f"""
+    WITH pairs AS ({_REG['llm_neardup_embedding']}),
+    g AS (SELECT * FROM (VALUES {arms}) AS v(eps)),
+    n AS (SELECT count(*) AS n_vecs FROM embeddings)
+    SELECT g.eps,
+           CAST(count(CASE WHEN p.cos_sim > g.eps THEN 1 END)
+                AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.cos_sim > g.eps
+                      THEN p.vec_b END) AS BIGINT) AS n_dropped,
+           CAST(count(DISTINCT CASE WHEN p.cos_sim > g.eps
+                      THEN p.vec_b END) AS DOUBLE)
+             / CAST((SELECT n_vecs FROM n) AS DOUBLE) AS share_dropped
+    FROM pairs p CROSS JOIN g
+    GROUP BY g.eps
+    """
+
+
+@query("llm_semdedup_eps_sweep", oracle=_eps_oracle())
+def llm_semdedup_eps_sweep(spark, sf_dir):
+    """SemDeDup epsilon sweep (Abbas et al. 2023 pick their cosine
+    cutoff exactly this way): for each candidate threshold, the
+    surviving near-dup pair count, the documents a keep-lowest-id
+    rule would drop, and the corpus share dropped — the
+    retention-vs-redundancy curve read before committing a semantic
+    dedup pass (llm_semantic_dedup_cluster applies ONE epsilon; this
+    chooses it). The oracle reuses llm_neardup_embedding's registered
+    oracle verbatim as the pair source, so the sweep can never drift
+    from the dedup path it calibrates.
+
+    Scale: the pair relation is already the bounded banded-LSH
+    candidate set; the whole grid is ONE conditional-aggregate pass
+    over it (count + count-distinct per arm — Spark expands by
+    |grid|, bounded), never |grid| passes over the corpus."""
+    from .llm import llm_neardup_embedding
+
+    pairs = llm_neardup_embedding(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vecs"))
+    aggs = []
+    for i, t in enumerate(_EPS_GRID):
+        above = F.col("cos_sim") > F.lit(t)
+        aggs += [
+            F.count(F.when(above, 1)).alias(f"p{i}"),
+            F.count_distinct(
+                F.when(above, F.col("vec_b"))).alias(f"d{i}"),
+        ]
+    wide = pairs.agg(*aggs).crossJoin(F.broadcast(n))
+    arms = F.array(*[
+        F.struct(
+            F.lit(t).alias("eps"),
+            F.col(f"p{i}").alias("n_pairs"),
+            F.col(f"d{i}").alias("n_dropped"),
+            (F.col(f"d{i}").cast("double")
+             / F.col("n_vecs").cast("double")).alias("share_dropped"),
+        )
+        for i, t in enumerate(_EPS_GRID)
+    ])
+    return (
+        wide.select(F.explode(arms).alias("a"))
+        .select("a.eps", "a.n_pairs", "a.n_dropped", "a.share_dropped")
+    )
+
+
 # ------------------------------------------------------------ source_text
 
 _TEXT_COPIES: dict = {}
