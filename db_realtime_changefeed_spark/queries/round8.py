@@ -1168,6 +1168,12 @@ def llm_index_maintain_deletes(spark, sf_dir):
 # -------------------------------------------------------------- llm_ann_mrr
 
 def _mrr_oracle() -> str:
+    # executor-side pandas-UDF workers re-import THIS module standalone
+    # (cloudpickle references _holt_fit/_cusum_fit by module), so the
+    # provider of the composed oracle must be imported here — relying
+    # on load_all()'s order would KeyError in the worker and kill every
+    # round-8 applyInPandas task (caught by the r8 full suite)
+    from . import llm_pipeline  # noqa: F401
     from . import ORACLES as _REG
 
     dot = ("list_aggregate(list_transform(range(1, len({x})+1),"
@@ -1271,6 +1277,7 @@ _EPS_GRID = [0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
 
 
 def _eps_oracle() -> str:
+    from . import llm  # noqa: F401 — see _mrr_oracle: standalone-import safety
     from . import ORACLES as _REG
 
     arms = ", ".join(f"({t})" for t in _EPS_GRID)
