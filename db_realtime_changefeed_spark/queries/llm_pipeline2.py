@@ -12,6 +12,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+# provider modules imported BEFORE the registry read: executor-side
+# Python workers re-import a query module STANDALONE (no load_all), so
+# composed-oracle lookups must not depend on load_all's import order
+# (the round-8 full-suite lesson — round8._mrr_oracle)
+from . import llm_curation  # noqa: F401
 from . import ORACLES as _REGISTERED_ORACLES
 from . import query
 from .llm import (_LANG_ORDER, _STOPWORDS, _minhash_md5_oracle,
