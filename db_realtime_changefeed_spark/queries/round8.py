@@ -81,13 +81,20 @@ def dq_ks_test(spark, sf_dir):
     |ECDF_a(x) - ECDF_b(x)|, reported with the value where the gap
     peaks (ties -> smallest value).
 
-    Scale shape: one scan -> per-value partial counts (the shuffle
-    moves |distinct values| rows, a bounded 2-dp domain), then the
-    two-level banded cumulative sum — per-band totals (<= 57 rows,
-    bounded) prefix-summed and broadcast back as offsets, running
-    sums inside each band only. No data-sized unpartitioned window;
-    the final top-1 sorts the bounded per-value diff relation. The
-    ECDF divisions are the identical CAST-to-double ops in both
+    Scale shape: ONE scan -> per-value partial counts (the shuffle
+    moves |distinct values| rows), and everything after — the two
+    running ECDFs, both cohort totals, the sup-gap top-1 — is a
+    LINEAR lineage of window sums over that relation, which is
+    DOMAIN-bounded (2-dp values in [0, ~561): <= ~56k rows at any
+    corpus size), so the one unpartitioned window ranges over a
+    constant, the same exemption as a band histogram. The first cut
+    of this query built the cumulative two-level (band offsets +
+    in-band sums) instead — which avoided that bounded window but
+    re-executed the CORPUS scan once per branch (offsets, totals,
+    ranks), the round-8 plan-audit lesson; one corpus scan beats a
+    constant-size window every time. A truly continuous measure
+    gets binned first (the dq_drift_psi move), restoring the bound.
+    The ECDF divisions are the identical CAST-to-double ops in both
     engines, so D is bit-identical before the driver's 6-dp hash."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin(_KS_A, _KS_B))
@@ -96,39 +103,24 @@ def dq_ks_test(spark, sf_dir):
               .otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == _KS_B, 1)
               .otherwise(0)).alias("cb"),
-    ).withColumn("band", F.floor(F.col("value") / 10.0))
-    # level 1: per-band totals -> exclusive prefix offsets (bounded)
-    wb = Window.orderBy("band").rowsBetween(
-        Window.unboundedPreceding, -1)
-    band_off = (
-        pv.groupBy("band")
-        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
-        .select(
-            "band",
-            F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("off_a"),
-            F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("off_b"),
-        )
     )
-    # level 2: running sums inside each band + broadcast offsets
-    wv = Window.partitionBy("band").orderBy("value").rowsBetween(
+    w_cum = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
-    cum = (
-        pv.join(F.broadcast(band_off), "band")
-        .select(
-            "value",
-            (F.col("off_a") + F.sum("ca").over(wv)).alias("cum_a"),
-            (F.col("off_b") + F.sum("cb").over(wv)).alias("cum_b"),
-        )
+    w_all = Window.partitionBy()
+    cum = pv.select(
+        "value",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
     )
-    tot = pv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     d = (
         F.abs(F.col("cum_a").cast("double") / F.col("na").cast("double")
               - F.col("cum_b").cast("double") / F.col("nb").cast("double"))
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .select(d.alias("d_stat"), F.col("value").alias("at_value"),
-                F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
+        cum.select(d.alias("d_stat"), F.col("value").alias("at_value"),
+                   F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
         .orderBy(F.col("d_stat").desc(), "at_value")
         .limit(1)
     )
@@ -1532,10 +1524,12 @@ def dq_mann_whitney(spark, sf_dir):
     because 2*R_a ~ N^2 and t^3 overflow int64 past ~10^10 rows) —
     doubles appear only in the final closed-form z.
 
-    Same scale shape as dq_ks_test: one scan -> per-value partial
-    counts (bounded 2-dp domain), the banded two-level cumulative for
-    the below-count, then a single global aggregate of four integers;
-    O(1) driver state at any corpus size."""
+    Same scale shape as dq_ks_test: ONE scan -> per-value partial
+    counts over the bounded 2-dp domain, a linear lineage of one
+    bounded-domain window for the below-count (see dq_ks_test's
+    docstring for why this beats the branch-heavy banded form), then
+    a single global aggregate of four numbers; O(1) driver state at
+    any corpus size."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin(_KS_A, _KS_B))
     pv = ev.groupBy("value").agg(
@@ -1543,25 +1537,12 @@ def dq_mann_whitney(spark, sf_dir):
               .otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == _KS_B, 1)
               .otherwise(0)).alias("cb"),
-    ).withColumn("t", F.col("ca") + F.col("cb")) \
-     .withColumn("band", F.floor(F.col("value") / 10.0))
-    wb = Window.orderBy("band").rowsBetween(
+    ).withColumn("t", F.col("ca") + F.col("cb"))
+    wv = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, -1)
-    band_off = (
-        pv.groupBy("band").agg(F.sum("t").alias("bt"))
-        .select("band",
-                F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("off"))
-    )
-    wv = Window.partitionBy("band").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1)
-    cum = (
-        pv.join(F.broadcast(band_off), "band")
-        .select(
-            "value", "ca", "cb", "t",
-            (F.col("off")
-             + F.coalesce(F.sum("t").over(wv), F.lit(0)))
-            .alias("before_t"),
-        )
+    cum = pv.select(
+        "value", "ca", "cb", "t",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).alias("before_t"),
     )
     # the two big sums route through DECIMAL: 2*R_a ~ N^2 and t^3
     # both overflow int64 around 10^10 rows — decimal(38) keeps the

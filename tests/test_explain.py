@@ -381,21 +381,18 @@ def test_geo_nearest_heap_topk(spark, sf_oracle):
 
 # ------------------------------------------------------- round-8 shapes
 
-def test_ks_test_banded_windows_and_top1(spark, sf_oracle):
-    """dq_ks_test: the ECDF must be the banded two-level shape — every
-    running-sum window is partitioned (by band) except the band-offset
-    prefix over the <=57-row band relation, and the final sup-gap is a
+def test_ks_test_single_scan_and_top1(spark, sf_oracle):
+    """dq_ks_test / dq_mann_whitney: ONE corpus scan (the first cut's
+    banded-offset branches re-executed the scan three times — the
+    same plan-audit disease as chi-square's join-backs), windows only
+    over the domain-bounded per-value relation, and KS's sup-gap is a
     TakeOrdered, never a global sort materialization."""
     plan = _plan(spark, sf_oracle, "dq_ks_test")
     assert "TakeOrderedAndProject" in plan
-    # exactly one unpartitioned window (band offsets, bounded domain):
-    # the per-value running sums must carry the band partition key
-    import re
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    unpartitioned = [s for s in specs if s.startswith("value")
-                     or s.startswith("_w")]
-    partitioned = [s for s in specs if s.startswith("band")]
-    assert partitioned, f"in-band running sums lost their partition: {specs}"
+    assert plan.count("Scan parquet  (") == 1
+    plan_mw = _plan(spark, sf_oracle, "dq_mann_whitney")
+    assert plan_mw.count("Scan parquet  (") == 1
+    assert "Join" not in plan_mw
 
 
 def test_welch_single_aggregate(spark, sf_oracle):
