@@ -1336,6 +1336,121 @@ def llm_semdedup_eps_sweep(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------- dq_drift_timeline
+
+#: fixed-width value bins for the PSI trajectory (domain [0, ~561))
+#: and the add-one smoothing that keeps empty bins finite — both
+#: deterministic, no baseline-quantile circularity.
+_PSI_BINS, _PSI_W = 12, 50.0
+
+
+@query(
+    "dq_drift_timeline",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(least(floor(value / {_PSI_W}),
+                        {_PSI_BINS - 1}) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    days AS (
+      SELECT day, sum(cnt) AS day_tot,
+             min(day) OVER () AS day0
+      FROM c GROUP BY day),
+    grid AS (
+      SELECT d.day, d.day_tot, d.day0, b.bin,
+             (CAST(coalesce(c.cnt, 0) AS DOUBLE) + 1.0)
+               / (CAST(d.day_tot AS DOUBLE) + {_PSI_BINS}.0) AS p
+      FROM days d
+      CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS bin) b
+      LEFT JOIN c ON c.day = d.day AND c.bin = b.bin),
+    based AS (
+      SELECT g.day, g.bin, g.p, g.day0, b0.p AS p0
+      FROM grid g
+      JOIN grid b0 ON b0.day = g.day0 AND b0.bin = g.bin),
+    terms AS (
+      SELECT day, day0, (p - p0) * ln(p / p0) AS term
+      FROM based)
+    SELECT day,
+           CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi,
+           CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) > 0.2
+             AS drift_alarm
+    FROM terms
+    WHERE day > day0
+    GROUP BY day
+    """,
+)
+def dq_drift_timeline(spark, sf_dir):
+    """PSI drift TRAJECTORY — the production form of dq_drift_psi's
+    static two-cohort comparison: every day's value distribution
+    scored against the day-0 baseline with the Population Stability
+    Index over fixed-width bins (add-one smoothing keeps empty bins
+    finite; bins a day never saw still contribute, via the smoothed
+    floor probability, exactly as the textbook PSI demands), plus
+    the conventional psi > 0.2 "significant shift" alarm — the
+    monitoring table a model-serving or ingest pipeline charts daily.
+
+    Scale shape: ONE scan -> a (day) x pivot(bin) aggregate in one
+    pass (explicit bin value list, so missing cells densify to zero
+    without a skeleton join — the join/branch forms re-execute the
+    corpus scan per marginal, the round-8 plan lesson); the baseline
+    row attaches by a first_value window over the bounded day
+    relation; per-day PSI is a fixed 12-term sum of DECIMAL(18,6)-
+    quantized doubles (decimal addition is associative, so the
+    row-wise Spark sum equals the oracle's per-day decimal SUM).
+    Fixed-width binning keeps the bin domain constant at any corpus
+    size; a heavy-tailed measure would log-scale the width, not
+    widen the relation."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = list(range(_PSI_BINS))
+    wide = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.least(F.floor(F.col("value") / _PSI_W),
+                    F.lit(_PSI_BINS - 1)).cast("long").alias("bin"),
+        )
+        .groupBy("day")
+        .pivot("bin", bins)
+        .agg(F.count(F.lit(1)))
+    )
+    cnt = [F.coalesce(F.col(str(b)), F.lit(0)) for b in bins]
+    day_tot = cnt[0]
+    for c in cnt[1:]:
+        day_tot = day_tot + c
+    dense = wide.select(
+        "day",
+        *[cnt[b].alias(f"c{b}") for b in bins],
+        day_tot.alias("day_tot"),
+    )
+    probs = dense.select(
+        "day",
+        *[((F.col(f"c{b}").cast("double") + 1.0)
+           / (F.col("day_tot").cast("double") + float(_PSI_BINS)))
+          .alias(f"p{b}") for b in bins],
+    )
+    w_base = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    based = probs.select(
+        "day",
+        *[F.col(f"p{b}") for b in bins],
+        *[F.first(f"p{b}").over(w_base).alias(f"b{b}") for b in bins],
+        F.first("day").over(w_base).alias("day0"),
+    )
+
+    def term(b):
+        p, p0 = F.col(f"p{b}"), F.col(f"b{b}")
+        return ((p - p0) * F.log(p / p0)).cast("decimal(18,6)")
+
+    psi_dec = term(0)
+    for b in bins[1:]:
+        psi_dec = psi_dec + term(b)
+    return (
+        based.where(F.col("day") > F.col("day0"))
+        .select("day", psi_dec.cast("double").alias("psi"))
+        .select("day", "psi", (F.col("psi") > 0.2).alias("drift_alarm"))
+    )
+
+
 # ------------------------------------------------------------ source_text
 
 _TEXT_COPIES: dict = {}
