@@ -1216,10 +1216,16 @@ def llm_ann_mrr(spark, sf_dir):
     evaluates.
 
     Scale: ground truth is the hard-negatives shape (broadcast
-    anchors, one corpus scan, per-anchor window top-1); the
-    evaluation join touches k rows per anchor. The MRR mean routes
-    through DECIMAL(18,6) (1/3 is not binary-exact; the quantized
-    sum is order-insensitive in both engines)."""
+    anchors, one corpus scan, per-anchor window top-1) — O(anchors x
+    corpus) by construction, which is exactly what an exact-truth
+    eval costs. The fixture's vec_id%50 anchor rule is
+    corpus-proportional for oracle convenience; at corpus scale the
+    eval panel is a FIXED sample (first K anchors), keeping the
+    brute-force truth O(K x corpus) — one bounded scan — while the
+    index under test stays bucket-pruned. The evaluation join
+    touches k rows per anchor. The MRR mean routes through
+    DECIMAL(18,6) (1/3 is not binary-exact; the quantized sum is
+    order-insensitive in both engines)."""
     from .llm_pipeline import llm_knn_join
 
     e = load_table(spark, sf_dir, "embeddings")
