@@ -207,3 +207,18 @@ def test_no_unfloored_casts_over_divisions():
     assert not offenders, (
         f"unfloored integer casts over divisions: {offenders}"
     )
+
+
+def test_operator_index_is_current():
+    """docs/OPERATORS.md (the judge-facing inventory) must match the
+    live registry — regenerate with tools/gen_operator_index.py."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import gen_operator_index
+
+    want = gen_operator_index.build()
+    with open(os.path.join(root, "docs", "OPERATORS.md")) as f:
+        assert f.read() == want, "stale docs/OPERATORS.md — regenerate"
