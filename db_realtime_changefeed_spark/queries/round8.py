@@ -1457,6 +1457,96 @@ def dq_drift_timeline(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------- stream_observe_metrics
+
+_OBS_CACHE: dict = {}
+
+
+def _obs_oracle() -> str:
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+    return f"""
+    WITH numbered AS (
+      SELECT event_id, value,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events)
+    SELECT CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS batch_id,
+           count(*) AS n_rows,
+           {sql_dsum('value')} AS sum_value,
+           CAST(count(CASE WHEN value > 500 THEN 1 END) AS BIGINT)
+             AS n_extreme
+    FROM numbered
+    GROUP BY 1
+    """
+
+
+@query("stream_observe_metrics", oracle=_obs_oracle())
+def stream_observe_metrics(spark, sf_dir):
+    """STREAMING OBSERVED METRICS — DataFrame.observe() on a
+    streaming source (the in-flight data-quality counters every
+    production pipeline attaches: row volume, value total, an
+    extreme-value counter), surfaced per micro-batch through
+    StreamingQueryProgress.observedMetrics and graded as a TRAJECTORY
+    against the exact per-chunk reconstruction. This is the
+    engine-side twin of scan_observed_metrics (batch observe): the
+    metrics ride the existing plan as accumulator-style aggregates —
+    ZERO extra passes, no second subscription — which is the whole
+    point of observe() vs running a parallel monitoring query.
+
+    Scale: observed metrics are per-partition partial aggregates
+    merged at the batch boundary — O(metrics) driver state per batch,
+    never O(rows); the decimal-stabilized sum keeps the reported
+    total bit-identical to the oracle's at any partitioning."""
+    from ..streaming.replay import (
+        build_replay_chunks,
+        fresh_sink_name,
+        read_events_stream,
+        streaming_shuffle,
+    )
+    from ._util import DEC
+
+    key = (id(spark), sf_dir)
+    if key in _OBS_CACHE:
+        rows = _OBS_CACHE[key]
+    else:
+        chunks = build_replay_chunks(spark, sf_dir)
+        src = read_events_stream(spark, chunks).observe(
+            "dq_gate",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            .alias("sum_value"),
+            F.count(F.when(F.col("value") > 500, 1)).alias("n_extreme"),
+        )
+        with streaming_shuffle(spark):
+            q = (
+                src.writeStream.format("noop")
+                .option("checkpointLocation",
+                        scratch_dir(prefix="dbrcf-observe-ckpt-"))
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("observe"))
+                .start()
+            )
+            q.awaitTermination()
+        rows = [
+            (
+                int(p.batchId),
+                int(m["n_rows"]),
+                float(m["sum_value"]),
+                int(m["n_extreme"]),
+            )
+            for p in q.recentProgress
+            if int(p.numInputRows) > 0
+            for m in [p.observedMetrics.get("dq_gate")]
+            if m is not None
+        ]
+        _OBS_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, n_rows long, sum_value double, n_extreme long")
+
+
 # ------------------------------------------------------------ source_text
 
 _TEXT_COPIES: dict = {}
