@@ -1547,6 +1547,64 @@ def stream_observe_metrics(spark, sf_dir):
         "batch_id long, n_rows long, sum_value double, n_extreme long")
 
 
+# -------------------------------------------------------- sink_stream_table
+
+_STBL_CACHE: dict = {}
+
+
+@query(
+    "sink_stream_table",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def sink_stream_table(spark, sf_dir):
+    """Streaming CATALOG-TABLE sink — writeStream.toTable(): the
+    replayed change stream lands in a metastore-managed table
+    (exactly-once per micro-batch via the checkpoint + the table's
+    commit protocol) and is read back with spark.read.table — the
+    managed-lakehouse counterpart of sink_parquet's path-addressed
+    write, completing the sink matrix (path parquet / partitioned /
+    resumed / memory / update / idempotent-merge / Python DataSource
+    / catalog table). The read-back must reproduce the parquet-backed
+    oracle exactly: nothing lost, duplicated, or retyped crossing the
+    catalog boundary.
+
+    Scale: the sink is append-only file commits under the table
+    location (bucket/partition layout is a DDL choice, not a code
+    change); the catalog stores pointers, never data. Table names are
+    session-unique so re-registration (a fresh AvailableNow run per
+    session) never appends into a previous run's table."""
+    key = (id(spark), sf_dir)
+    if key not in _STBL_CACHE:
+        from ..streaming.replay import (
+            build_replay_chunks,
+            read_events_stream,
+            streaming_shuffle,
+        )
+
+        tag = f"{abs(hash(key)) % 10**8:08d}"
+        name = f"events_stream_{tag}"
+        chunks = build_replay_chunks(spark, sf_dir)
+        src = read_events_stream(spark, chunks).select(
+            "event_id", "user_id", "event_type", "value")
+        with streaming_shuffle(spark):
+            q = (
+                src.writeStream
+                .option("checkpointLocation",
+                        scratch_dir(prefix="dbrcf-stbl-ckpt-"))
+                # external-location table: data lands in scratch (the
+                # _bucketed_tables convention), the catalog holds only
+                # metadata — no data accrues under ./spark-warehouse
+                .option("path", scratch_dir(prefix="dbrcf-stbl-data-"))
+                .trigger(availableNow=True)
+                .toTable(name)
+            )
+            q.awaitTermination()
+        _STBL_CACHE[key] = name
+    return spark.read.table(_STBL_CACHE[key])
+
+
 # ------------------------------------------------------------ source_text
 
 _TEXT_COPIES: dict = {}
