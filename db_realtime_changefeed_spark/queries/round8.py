@@ -1605,6 +1605,53 @@ def sink_stream_table(spark, sf_dir):
     return spark.read.table(_STBL_CACHE[key])
 
 
+# --------------------------------------------------------------- fn_format
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           format('{:,}', o_orderkey) AS key_grouped,
+           printf('%010d', o_orderkey) AS key_padded,
+           printf('%012.2f', o_totalprice) AS price_fixed,
+           '$' || printf('%.2f', o_totalprice) AS price_currency,
+           CAST(replace(printf('%012.2f', o_totalprice), ',', '')
+                AS DOUBLE) AS price_parsed
+    FROM orders
+    """,
+)
+def fn_format(spark, sf_dir):
+    """Report-rendering functions (§2.H breadth): printf-style
+    fixed-point and zero-padded rendering (format_string), integer
+    thousands grouping (format_number), a composed currency string,
+    and the parse-back that proves the render is lossless — the
+    export/ingestion seam every BI hand-off crosses. Deliberately
+    EXCLUDED: %e scientific rendering (Java rounds the halfway digit
+    HALF_UP, C printf half-even — '+1.235e+03' vs '+1.234e+03' on
+    the same double; probed r8) and grouped FLOAT rendering (DuckDB
+    printf refuses thousand separators on doubles) — the graded
+    surface is the cross-engine-stable subset, which is also the
+    locale-stable subset a portable export should restrict itself
+    to. Fixed-point %.2f on the fixture's 2-dp prices never hits a
+    representable binary halfway, so both engines round identically.
+
+    Scale: pure codegen projection, one scan, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    fixed = F.format_string("%012.2f", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        F.format_number(F.col("o_orderkey"), 0).alias("key_grouped"),
+        F.format_string("%010d", F.col("o_orderkey"))
+        .alias("key_padded"),
+        fixed.alias("price_fixed"),
+        F.concat(F.lit("$"),
+                 F.format_string("%.2f", F.col("o_totalprice")))
+        .alias("price_currency"),
+        F.regexp_replace(fixed, ",", "").cast("double")
+        .alias("price_parsed"),
+    )
+
+
 # ------------------------------------------------------------ source_text
 
 _TEXT_COPIES: dict = {}
