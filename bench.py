@@ -234,7 +234,11 @@ def main() -> None:
             "sf": float(sf),
         }
     )
-    assert len(compact) < 1900, f"final bench line too long: {len(compact)}"
+    # Unconditional guard (NOT an assert — those vanish under `python -O`):
+    # the driver keeps only the last ~2000 chars of stdout; an oversized
+    # final line silently truncates and records `parsed: null` (burned r7).
+    if len(compact) >= 1900:
+        raise RuntimeError(f"final bench line too long: {len(compact)}")
     print("BENCH_DETAIL written to BENCH_DETAIL.json")
     print(compact)
     spark.stop()

@@ -412,6 +412,17 @@ class RowSetRef:
             raise NotImplementedError(
                 "CDC replay fixtures exist only for 'events'"
             )
+        if key != "user_id":
+            # UpsertChangefeedRunner's LWW state/log are keyed on
+            # user_id (_STATE_DDL/_winners); any other key would yield
+            # a feed keyed on user_id with a mismatched envelope filter
+            # instead of per-key semantics. Loud refusal (same pattern
+            # as the table check) until multi-key runners exist; also
+            # keeps the unvalidated column name out of filter_sql.
+            raise NotImplementedError(
+                "get_all feeds are keyed on 'user_id' (the LWW state "
+                f"key of UpsertChangefeedRunner); got key={key!r}"
+            )
         self._db = db
         self._table = table
         self._key = key

@@ -440,8 +440,9 @@ def _holt_fit(pdf: pd.DataFrame) -> pd.DataFrame:
       FROM events GROUP BY event_type, date_trunc('day', ts)),
     r AS (
       SELECT d0.event_type, d0.idx, d0.day, d0.y,
-             d0.y AS level, d1.y - d0.y AS trend, d0.y AS fitted
-      FROM d d0 JOIN d d1
+             d0.y AS level,
+             COALESCE(d1.y - d0.y, 0.0) AS trend, d0.y AS fitted
+      FROM d d0 LEFT JOIN d d1
         ON d1.event_type = d0.event_type AND d1.idx = 1
       WHERE d0.idx = 0
       UNION ALL
@@ -698,7 +699,13 @@ def _upd_chunks(spark, sf_dir: str) -> str:
     rows = tbl.to_pylist()
     for k in range(nb):
         batch = rows[k * per:(k + 1) * per]
-        if k >= 1:
+        # Clamp re-arrivals to the documented update batches 1..3 so the
+        # fixture stays in lockstep with the oracle's
+        # `vec_id % 10 BETWEEN 1 AND 3` bound even when
+        # SPARK_GRAFT_STREAM_CHUNKS raises default_chunks() above 4
+        # (ADVICE r8: batches 4+ previously generated updates the
+        # oracle does not model).
+        if 1 <= k <= 3:
             batch = batch + [
                 {**r, "embedding": _rotate1(list(r["embedding"]))}
                 for r in rows[:k * per]
@@ -1579,12 +1586,16 @@ def sink_stream_table(spark, sf_dir):
     if key not in _STBL_CACHE:
         from ..streaming.replay import (
             build_replay_chunks,
+            fresh_sink_name,
             read_events_stream,
             streaming_shuffle,
         )
 
-        tag = f"{abs(hash(key)) % 10**8:08d}"
-        name = f"events_stream_{tag}"
+        # Deterministic session-scoped counter (fresh_sink_name), not
+        # Python hash(): string hashing is PYTHONHASHSEED-randomized,
+        # which made the catalog table name unreproducible across
+        # processes (ADVICE r8) — uniqueness per run is all we need.
+        name = fresh_sink_name("events_stream")
         chunks = build_replay_chunks(spark, sf_dir)
         src = read_events_stream(spark, chunks).select(
             "event_id", "user_id", "event_type", "value")
