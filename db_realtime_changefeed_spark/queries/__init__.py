@@ -73,6 +73,7 @@ def load_all() -> None:
     from ..streaming import lifecycle_queries  # noqa: F401
     from . import round7c  # noqa: F401
     from . import round8  # noqa: F401
+    from . import round8b  # noqa: F401  (split of round8 — order-adjacent)
 
 
 #: Registry iteration order for the graded surface. The driver grades
