@@ -181,22 +181,27 @@ class TableRef:
             self._db, self._name, self._predicates + (predicate_sql,)
         )
 
-    def get(self, key_value: int, key: str = "user_id") -> "RowRef":
+    def get(self, key_value: int, key: str | None = None) -> "RowRef":
         """Point lookup — the `r.table(...).get(k)` shape of document
         changefeed stores: `.row()` reads the key's current row,
-        `.changes()` registers a per-document feed on it."""
-        return RowRef(self._db, self._name, key, key_value)
+        `.changes()` registers a per-document feed on it. `key`
+        defaults to the table's document key (user_id on events, the
+        primary key elsewhere — streaming/doc_feeds.DOC_MAP)."""
+        return RowRef(self._db, self._name,
+                      _resolve_doc_key(self._name, key), key_value)
 
     def get_all(self, *key_values: int,
-                key: str = "user_id") -> "RowSetRef":
+                key: str | None = None) -> "RowSetRef":
         """Multi-key point lookup — RethinkDB
         `r.table(...).get_all(k1, k2, ...)`: `.rows()` reads each
         key's current row, `.changes()` registers ONE standing feed
         covering the whole key set (one state store, one checkpoint —
-        not |keys| point feeds)."""
+        not |keys| point feeds). `key` defaults to the table's
+        document key, as in `get`."""
         if not key_values:
             raise ValueError("get_all needs at least one key")
-        return RowSetRef(self._db, self._name, key,
+        return RowSetRef(self._db, self._name,
+                         _resolve_doc_key(self._name, key),
                          tuple(int(k) for k in key_values))
 
     def df(self) -> DataFrame:
@@ -353,38 +358,76 @@ class TableRef:
         return Feed(runner)
 
 
+def _resolve_doc_key(table: str, key: str | None) -> str:
+    """The table's document key: user_id on events (the CDC replay
+    key), the mapped primary key elsewhere. A caller-supplied key
+    must MATCH it — a feed keyed on anything else would silently
+    serve the wrong per-document semantics, so mismatches raise
+    (same loud-refusal pattern as the unmapped-table check)."""
+    from .streaming.doc_feeds import DOC_MAP
+
+    if table == "events":
+        doc_key = "user_id"
+    elif table in DOC_MAP:
+        doc_key = DOC_MAP[table][0]
+    else:
+        raise NotImplementedError(
+            f"{table!r} has no single-column document key; tables "
+            f"with point feeds: {('events', *sorted(DOC_MAP))}")
+    if key is not None and key != doc_key:
+        raise NotImplementedError(
+            f"point feeds on {table!r} are keyed on {doc_key!r} "
+            f"(its document key); got key={key!r}")
+    return doc_key
+
+
 class RowRef:
     """A single key's row in the upsert/document view of a table —
     the point-lookup path of a changefeed store (RethinkDB
-    `get(k)`, the secondary-index read shape)."""
+    `get(k)`, the secondary-index read shape). Any table in
+    streaming/doc_feeds.DOC_MAP works; events keeps its native
+    replay path."""
 
     def __init__(self, db: "Database", table: str, key: str,
                  key_value: int):
-        if table != "events":
-            raise NotImplementedError(
-                "CDC replay fixtures exist only for 'events'"
-            )
         self._db = db
         self._table = table
         self._key = key
         self._key_value = key_value
 
     def row(self) -> DataFrame:
-        """The key's CURRENT row (last-writer-wins by (ts, event_id))
-        — a point read against the document view. One partition-
-        pruned/predicate-pushed scan + TakeOrdered(1); with a
-        key-partitioned layout this touches one partition."""
-        return (
+        """The key's CURRENT row (last-writer-wins by (ts, event_id)
+        on events; keys are unique on the mapped tables) — a point
+        read against the document view. One partition-pruned/
+        predicate-pushed scan; with a key-partitioned layout this
+        touches one partition."""
+        base = (
             load_table(self._db.spark, self._db.sf_dir, self._table)
             .where(F.col(self._key) == self._key_value)
-            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-            .limit(1)
         )
+        if self._table != "events":
+            return base
+        return base.orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()).limit(1)
 
     def changes(self, delete_on: str | None = None) -> Feed:
         """Per-document feed: an upsert/LWW standing query filtered
         to this key — the envelope predicate runs before the merge,
         so other keys' changes never touch state."""
+        if self._table != "events":
+            if delete_on is not None:
+                raise NotImplementedError(
+                    "delete_on interprets an events event_type; "
+                    f"{self._table!r} feeds are insert-only replays")
+            from .streaming.doc_feeds import (
+                GenericUpsertChangefeedRunner,
+            )
+
+            runner = GenericUpsertChangefeedRunner(
+                self._db.spark, self._db.sf_dir, self._table,
+                key_values=(int(self._key_value),))
+            runner.run()
+            return Feed(runner)
         from .streaming.changefeed import UpsertChangefeedRunner
 
         runner = UpsertChangefeedRunner(
@@ -408,37 +451,32 @@ class RowSetRef:
 
     def __init__(self, db: "Database", table: str, key: str,
                  key_values: tuple[int, ...]):
-        if table != "events":
-            raise NotImplementedError(
-                "CDC replay fixtures exist only for 'events'"
-            )
-        if key != "user_id":
-            # UpsertChangefeedRunner's LWW state/log are keyed on
-            # user_id (_STATE_DDL/_winners); any other key would yield
-            # a feed keyed on user_id with a mismatched envelope filter
-            # instead of per-key semantics. Loud refusal (same pattern
-            # as the table check) until multi-key runners exist; also
-            # keeps the unvalidated column name out of filter_sql.
-            raise NotImplementedError(
-                "get_all feeds are keyed on 'user_id' (the LWW state "
-                f"key of UpsertChangefeedRunner); got key={key!r}"
-            )
+        # key arrives pre-validated by _resolve_doc_key: it IS the
+        # table's document key (user_id on events — the LWW state
+        # key of UpsertChangefeedRunner — or the DOC_MAP primary
+        # key), never a raw caller string interpolated into
+        # filter_sql (ADVICE r8).
         self._db = db
         self._table = table
-        self._key = key
+        self._key = _resolve_doc_key(table, key)
         self._key_values = key_values
 
     def rows(self) -> DataFrame:
-        """Each key's CURRENT row (LWW by (ts, event_id)) — one
-        predicate-pushed scan + a per-key window cut."""
+        """Each key's CURRENT row (LWW by (ts, event_id) on events;
+        keys are unique on the mapped tables) — one predicate-pushed
+        scan (+ a per-key window cut on events)."""
+        base = (
+            load_table(self._db.spark, self._db.sf_dir, self._table)
+            .where(F.col(self._key).isin(*self._key_values))
+        )
+        if self._table != "events":
+            return base
         from pyspark.sql import Window
 
         w = Window.partitionBy(self._key).orderBy(
             F.col("ts").desc(), F.col("event_id").desc())
         return (
-            load_table(self._db.spark, self._db.sf_dir, self._table)
-            .where(F.col(self._key).isin(*self._key_values))
-            .withColumn("__rn", F.row_number().over(w))
+            base.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
@@ -446,6 +484,20 @@ class RowSetRef:
     def changes(self, delete_on: str | None = None) -> Feed:
         """Multi-key document feed: one upsert/LWW standing query
         filtered to the key set."""
+        if self._table != "events":
+            if delete_on is not None:
+                raise NotImplementedError(
+                    "delete_on interprets an events event_type; "
+                    f"{self._table!r} feeds are insert-only replays")
+            from .streaming.doc_feeds import (
+                GenericUpsertChangefeedRunner,
+            )
+
+            runner = GenericUpsertChangefeedRunner(
+                self._db.spark, self._db.sf_dir, self._table,
+                key_values=self._key_values)
+            runner.run()
+            return Feed(runner)
         from .streaming.changefeed import UpsertChangefeedRunner
 
         in_list = ", ".join(str(k) for k in self._key_values)
