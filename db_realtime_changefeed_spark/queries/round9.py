@@ -1,0 +1,1294 @@
+"""Round-9 wave: the data-quality audits a warehouse runs before
+trusting a corpus (effect size, referential integrity, key
+uniqueness), graph structure statistics, time-series decomposition /
+symbolization / robust trend, the inverted-index text-similarity
+family, and graded showcases of this round's new machinery (the
+generic per-document feeds and the LSM segment index).
+
+Registered LAST in load_all (grading-rotation discipline: the 7
+still-certifying round-8 names keep rotation positions 0-6; these
+join the head behind them without displacing anything from the
+~50-query budget).
+
+Determinism posture (FIXTURES.md "Determinism traps"): every graded
+float SUM routes through DECIMAL(18,6) (queries/_util), every other
+double expression is the IDENTICAL operand order in the Spark plan
+and the DuckDB oracle, integer sums are CAST off DuckDB's HUGEINT
+widening, and ranked outputs carry total tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from ._util import dsum, sql_dsum
+
+# ------------------------------------------------------------ dq_cramers_v
+
+@query(
+    "dq_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+           FROM obs GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+           FROM obs GROUP BY source),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_src
+          FROM obs),
+    terms AS (
+      SELECT CAST(obs.o AS DOUBLE) * CAST(obs.o AS DOUBLE)
+             * CAST(n.n AS DOUBLE)
+             / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)) AS t,
+             n.n, n.n_lang, n.n_src
+      FROM obs JOIN rt USING (lang) JOIN ct USING (source), n),
+    agg AS (
+      SELECT {S} - CAST(any_value(n) AS DOUBLE) AS chi2,
+             any_value(n) AS n,
+             least(any_value(n_lang), any_value(n_src)) - 1 AS mindim
+      FROM terms)
+    SELECT n, chi2,
+           sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(mindim AS DOUBLE)))
+             AS cramers_v
+    FROM agg
+    """.replace("{S}", sql_dsum("t")),
+)
+def dq_cramers_v(spark, sf_dir):
+    """Cramér's V — the EFFECT SIZE companion to dq_chi_square's
+    test statistic (a 100 M-row corpus makes chi-square significant
+    at trivial association strengths; V is what the datasheet should
+    report). Uses the algebraic identity
+    chi2 = N * SUM(o^2 / (r*c)) - N over the NON-ZERO cells only,
+    which equals the full statistic INCLUDING every empty cell's
+    expected-count mass — no dense r x c expansion is ever built.
+
+    Scale shape: ONE corpus scan -> bounded (lang, source) cell
+    relation; marginals via window sums over the cells (the
+    dq_chi_square round-8 audit pattern — never a join-back that
+    re-scans the corpus). The per-cell term is the identical double
+    op sequence in both engines; the sum is decimal-stabilized."""
+    obs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    cell = obs.select(
+        "o",
+        F.sum("o").over(w_lang).alias("r"),
+        F.sum("o").over(w_src).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+        F.size(F.collect_set("lang").over(w_all)).cast("long")
+        .alias("n_lang"),
+        F.size(F.collect_set("source").over(w_all)).cast("long")
+        .alias("n_src"),
+    )
+    o_d = F.col("o").cast("double")
+    term = (o_d * o_d * F.col("n").cast("double")
+            / (F.col("r").cast("double") * F.col("c").cast("double")))
+    agg = cell.select(
+        term.alias("t"), "n", "n_lang", "n_src"
+    ).agg(
+        (dsum("t") - F.any_value("n").cast("double")).alias("chi2"),
+        F.any_value("n").alias("n"),
+        (F.least(F.any_value("n_lang"), F.any_value("n_src")) - 1)
+        .alias("mindim"),
+    )
+    return agg.select(
+        "n", "chi2",
+        F.sqrt(F.col("chi2") / (F.col("n").cast("double")
+                                * F.col("mindim").cast("double")))
+        .alias("cramers_v"),
+    )
+
+
+# ------------------------------------------- dq_referential_integrity
+
+#: FK edges of the TPC-H-ish schema: (edge label, child table,
+#: child fk column, parent table, parent key column)
+_FK_EDGES = [
+    ("orders->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{edge}' AS edge,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{fk})) AS n_orphans,
+           (SELECT count(*) FROM {parent}) AS n_parents,
+           (SELECT count(DISTINCT {fk}) FROM {child}) AS n_referenced
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_referential_integrity", oracle=_ri_oracle())
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit over every FK edge of the schema:
+    child row count, ORPHAN count (fk with no parent — the broken
+    edge a bad CDC apply or partial load leaves), parent cardinality
+    and how many distinct parents are actually referenced (coverage
+    — the other direction's health). One row per edge; a clean
+    warehouse reads n_orphans = 0 everywhere.
+
+    Scale shape: per edge, one child scan projecting ONLY the fk
+    (column-pruned; the fk aggregate and the anti-join share it) and
+    one parent-side key scan. Orphans are a LEFT ANTI join on the
+    key — dimension parents broadcast; the lineitem->orders edge
+    stays a shuffle join on the key, which AQE may downgrade when
+    the measured parent is small (the right call made with real
+    sizes). Nothing here is driver-side; the report is |edges|
+    rows."""
+    out = None
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(fk)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = (
+            c.join(p, c[fk] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct(fk).alias("n_referenced"),
+        )
+        parents = p.agg(F.count(F.lit(1)).alias("n_parents"))
+        row = (
+            stats.join(orphans).join(parents)
+            .select(
+                F.lit(edge).alias("edge"), "n_child", "n_orphans",
+                "n_parents", "n_referenced",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ------------------------------------------------ dq_uniqueness_audit
+
+#: (audit label, table, key columns) — the declared primary keys
+_UNIQ_KEYS = [
+    ("events.event_id", "events", ("event_id",)),
+    ("orders.o_orderkey", "orders", ("o_orderkey",)),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     ("l_orderkey", "l_linenumber")),
+    ("customer.c_custkey", "customer", ("c_custkey",)),
+    ("documents.doc_id", "documents", ("doc_id",)),
+    ("embeddings.vec_id", "embeddings", ("vec_id",)),
+]
+
+
+def _uniq_oracle() -> str:
+    parts = []
+    for label, table, keys in _UNIQ_KEYS:
+        kl = ", ".join(keys)
+        parts.append(f"""
+    SELECT '{label}' AS key_name,
+           CAST(sum(m) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           count(*) FILTER (WHERE m > 1) AS n_dup_keys,
+           CAST(max(m) AS BIGINT) AS max_multiplicity
+    FROM (SELECT count(*) AS m FROM {table} GROUP BY {kl}) t
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_uniqueness_audit", oracle=_uniq_oracle())
+def dq_uniqueness_audit(spark, sf_dir):
+    """Primary-key uniqueness audit across the schema's declared
+    keys (single and composite): rows, distinct keys, duplicated
+    keys, and the worst multiplicity — the constraint check a
+    lakehouse must run itself because parquet enforces nothing.
+    A clean load reads n_dup_keys = 0 / max_multiplicity = 1.
+
+    Scale shape: per table ONE key-projected scan and ONE partial+
+    final hash aggregate on the key (map-side combine makes the
+    shuffle |keys|-sized); the multiplicity profile is a second
+    aggregate over that bounded-ish relation. |audits| output
+    rows."""
+    out = None
+    for label, table, keys in _UNIQ_KEYS:
+        m = (
+            load_table(spark, sf_dir, table)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        row = m.agg(
+            F.sum("m").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count_if(F.col("m") > 1).alias("n_dup_keys"),
+            F.max("m").cast("long").alias("max_multiplicity"),
+        ).select(
+            F.lit(label).alias("key_name"), "n_rows", "n_keys",
+            "n_dup_keys", "max_multiplicity",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# -------------------------------------------- graph_degree_assortativity
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM pairs
+        UNION ALL SELECT v FROM pairs) t
+      GROUP BY node),
+    ends AS (
+      SELECT du.d AS j, dv.d AS k
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(j * k) AS BIGINT) AS s_jk,
+             CAST(sum(j + k) AS BIGINT) AS s_sum,
+             CAST(sum(j * j + k * k) AS BIGINT) AS s_sq
+      FROM ends)
+    SELECT m AS n_edges,
+           (CAST(s_jk AS DOUBLE) / m
+            - (CAST(s_sum AS DOUBLE) / (2 * m))
+              * (CAST(s_sum AS DOUBLE) / (2 * m)))
+           / (CAST(s_sq AS DOUBLE) / (2 * m)
+              - (CAST(s_sum AS DOUBLE) / (2 * m))
+                * (CAST(s_sum AS DOUBLE) / (2 * m)))
+             AS assortativity
+    FROM sums
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman's r) of the part co-purchase
+    graph: the Pearson correlation of endpoint degrees over edges —
+    POSITIVE when hubs link hubs (social-network shape), NEGATIVE
+    when hubs link leaves (dependency/retail shape). Completes the
+    structural trio with graph_triangles (local clustering) and the
+    degree profile.
+
+    Scale shape: reuses the PERSISTED co-purchase edge relation
+    (one materialization shared with graph_triangles per session —
+    the runtime audit in BENCH.md §Round 9 shows those consumers are
+    real cache hits); degrees broadcast onto the edge list (one row
+    per node), and the statistic reduces to FOUR exact integer sums
+    over edges (m, sum jk, sum j+k, sum j^2+k^2) — one partial+final
+    aggregate, no floating accumulation at all. The final r is a
+    fixed double expression over exact integers, written identically
+    in both engines; integer sums are CAST off DuckDB's HUGEINT."""
+    from .analytics_ext import _copurchase_pairs
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.broadcast(deg).alias("du")
+    dv = F.broadcast(deg).alias("dv")
+    ends = (
+        pairs.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("v"))
+        .select(F.col("du.d").alias("j"), F.col("dv.d").alias("k"))
+    )
+    sums = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long").alias("s_sq"),
+    )
+    mean = F.col("s_sum").cast("double") / (2 * F.col("m"))
+    return sums.select(
+        F.col("m").alias("n_edges"),
+        ((F.col("s_jk").cast("double") / F.col("m") - mean * mean)
+         / (F.col("s_sq").cast("double") / (2 * F.col("m"))
+            - mean * mean)).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------- ts_seasonal_decompose
+
+#: weekday index via pure day arithmetic from a fixed epoch — NOT
+#: dayofweek(), whose numbering differs between engines (FIXTURES.md
+#: determinism traps)
+_SD_EPOCH = "DATE '2024-01-01'"
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, day, y,
+             date_diff('day', {_SD_EPOCH}, CAST(day AS DATE)) % 7
+               AS dow,
+             CASE WHEN count(*) OVER w = 7
+                  THEN sum(y) OVER w / 7.0 END AS trend
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    s AS (
+      SELECT event_type, dow,
+             {sql_dsum('y - trend')} / count(y - trend) AS s_raw
+      FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+    s2 AS (
+      SELECT event_type, dow,
+             s_raw - CAST(sum(CAST(s_raw AS DECIMAL(18,6)))
+                            OVER (PARTITION BY event_type)
+                          AS DOUBLE)
+                     / count(*) OVER (PARTITION BY event_type)
+               AS seasonal
+      FROM s)
+    SELECT t.event_type, t.day, t.y, t.trend, s2.seasonal,
+           t.y - t.trend - s2.seasonal AS resid
+    FROM t LEFT JOIN s2
+      ON s2.event_type = t.event_type AND s2.dow = t.dow
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (period 7) of each
+    event type's daily count series: centered 7-day moving-average
+    trend (defined only on full windows), per-(series, weekday)
+    seasonal indices from the detrended values, re-centered to sum
+    to zero, residual = y - trend - seasonal — the STL-lite every
+    metrics dashboard runs before anomaly flagging (ts_anomaly_mad
+    consumes exactly this kind of residual).
+
+    Scale shape: the scan collapses to the bounded (series, day)
+    relation first; the trend is ONE series-partitioned 7-row frame,
+    the seasonal index is a (series, weekday) aggregate over that
+    bounded relation, re-joined by weekday — days are a bounded
+    domain, so every window is partitioned and small (the dq_ks_test
+    scale rule). Determinism: trend is an exact integer-sum / 7.0;
+    seasonal means are DECIMAL(18,6)-stabilized; the weekday index
+    is day arithmetic from a fixed epoch, never dayofweek()."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type", "day", "y",
+        (F.datediff(F.col("day").cast("date"),
+                    F.lit("2024-01-01").cast("date")) % 7)
+        .alias("dow"),
+        F.when(F.count(F.lit(1)).over(w) == 7,
+               F.sum("y").over(w) / F.lit(7.0)).alias("trend"),
+    )
+    detr = F.col("y") - F.col("trend")
+    s = (
+        t.where(F.col("trend").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg((F.sum(detr.cast("decimal(18,6)")).cast("double")
+              / F.count(detr)).alias("s_raw"))
+    )
+    w_et = Window.partitionBy("event_type")
+    s2 = s.select(
+        "event_type", "dow",
+        (F.col("s_raw")
+         - F.sum(F.col("s_raw").cast("decimal(18,6)")).over(w_et)
+           .cast("double") / F.count(F.lit(1)).over(w_et))
+        .alias("seasonal"),
+    )
+    return (
+        t.join(s2, ["event_type", "dow"], "left")
+        .select(
+            "event_type", "day", "y", "trend", "seasonal",
+            (F.col("y") - F.col("trend") - F.col("seasonal"))
+            .alias("resid"),
+        )
+    )
+
+
+# ------------------------------------------------------- ts_sax_symbols
+
+_SAX_SEGS = 6
+#: Gaussian breakpoints for a 5-symbol alphabet (a..e)
+_SAX_BP = (-0.8416212335729143, -0.2533471031357997,
+           0.2533471031357997, 0.8416212335729143)
+
+
+def _sax_oracle() -> str:
+    bp = _SAX_BP
+    sym = (f"CASE WHEN paa < {bp[0]} THEN 'a' "
+           f"WHEN paa < {bp[1]} THEN 'b' "
+           f"WHEN paa < {bp[2]} THEN 'c' "
+           f"WHEN paa < {bp[3]} THEN 'd' ELSE 'e' END")
+    return f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss
+      FROM d GROUP BY 1),
+    z AS (
+      SELECT d.event_type, d.day,
+             (CAST(d.y AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+             / sqrt((CAST(s.ss AS DOUBLE) * s.n
+                     - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+                    / (CAST(s.n AS DOUBLE) * (s.n - 1))) AS zval,
+             CAST(floor((row_number() OVER (
+                 PARTITION BY d.event_type ORDER BY d.day) - 1)
+               / ceil(CAST(s.n AS DOUBLE) / {_SAX_SEGS})) AS BIGINT)
+               AS seg
+      FROM d JOIN stats s ON s.event_type = d.event_type),
+    paa AS (
+      SELECT event_type, seg, count(*) AS n_days,
+             {sql_dsum('zval')} / count(*) AS paa
+      FROM z GROUP BY 1, 2)
+    SELECT event_type, seg, n_days, paa, {sym} AS symbol
+    FROM paa
+    """
+
+
+@query("ts_sax_symbols", oracle=_sax_oracle())
+def ts_sax_symbols(spark, sf_dir):
+    """SAX symbolization (Lin et al., DMKD'07 — public method) of
+    each event type's daily count series: z-normalize per series,
+    Piecewise Aggregate Approximation into {_SAX_SEGS} segments,
+    then map segment means onto a 5-symbol alphabet at the standard
+    Gaussian breakpoints — the series-to-string transform that makes
+    motif mining, indexing, and cheap series similarity possible on
+    billions of series (compare strings, not floats).
+
+    Scale shape: scan -> bounded (series, day) relation -> per-series
+    stats in ONE pass of exact INTEGER sums (n, sum, sum of squares
+    — z-scores derive from them with the identical double expression
+    in both engines), segment assignment by row_number arithmetic in
+    the series-partitioned window, and a (series, segment) aggregate
+    with a decimal-stabilized mean. Everything is partitioned by
+    series; nothing global."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    n_d = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / F.col("n")
+    var = ((F.col("ss").cast("double") * F.col("n")
+            - F.col("s").cast("double") * F.col("s").cast("double"))
+           / (n_d * (F.col("n") - 1)))
+    w = Window.partitionBy("event_type").orderBy("day")
+    z = j.select(
+        "event_type", "day",
+        ((F.col("y").cast("double") - mean) / F.sqrt(var))
+        .alias("zval"),
+        F.floor((F.row_number().over(w) - 1)
+                / F.ceil(n_d / _SAX_SEGS)).cast("long").alias("seg"),
+    )
+    paa = z.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum(F.col("zval").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("paa"),
+    )
+    bp = _SAX_BP
+    sym = (
+        F.when(F.col("paa") < bp[0], "a")
+        .when(F.col("paa") < bp[1], "b")
+        .when(F.col("paa") < bp[2], "c")
+        .when(F.col("paa") < bp[3], "d")
+        .otherwise("e")
+    )
+    return paa.select("event_type", "seg", "n_days", "paa",
+                      sym.alias("symbol"))
+
+
+# --------------------------------------------------------- ts_theil_sen
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+             / (b.x - a.x) AS slope
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.x > a.x),
+    ms AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM slopes),
+    m AS (
+      SELECT event_type, np AS n_pairs, slope
+      FROM ms WHERE rn = (np + 1) // 2),
+    res AS (
+      SELECT d.event_type,
+             CAST(d.y AS DOUBLE) - m.slope * d.x AS r0,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY CAST(d.y AS DOUBLE)
+                                         - m.slope * d.x) AS rn,
+             count(*) OVER (PARTITION BY d.event_type) AS nd
+      FROM d JOIN m ON m.event_type = d.event_type)
+    SELECT m.event_type, m.n_pairs, m.slope, res.r0 AS intercept
+    FROM m JOIN res ON res.event_type = m.event_type
+                   AND res.rn = (res.nd + 1) // 2
+    """,
+)
+def ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per event type: the LOWER MEDIAN of
+    all pairwise slopes (y_j - y_i)/(x_j - x_i), with intercept the
+    lower median of the residuals y - slope*x — the estimator that
+    shrugs off the outlier days OLS chases (up to ~29% contaminated
+    points). Lower median (element ceil(n/2) in sort order) is the
+    DETERMINISTIC choice: even-count interpolation is the
+    cross-engine midpoint trap FIXTURES.md bans.
+
+    Scale shape: the pair join is per-series over the bounded day
+    domain (<= ~30 days -> <=435 pairs per series at ANY corpus
+    size), so the quadratic term is a constant factor on a bounded
+    relation, embarrassingly parallel across series — the same
+    bounded-domain argument as dq_ks_test. Slopes are exact integer
+    differences divided once (identical double op both engines);
+    medians are row_number cuts, not percentile interpolation."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("2024-01-01").cast("date")).alias("x"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(
+        b, (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.x") > F.col("a.x"))
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y").cast("double") - F.col("a.y").cast("double"))
+         / (F.col("b.x") - F.col("a.x"))).alias("slope"),
+    )
+    w_et = Window.partitionBy("event_type")
+    ms = slopes.select(
+        "event_type", "slope",
+        F.row_number().over(w_et.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(w_et).alias("np"),
+    )
+    m = (
+        ms.where(F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        .select("event_type", F.col("np").alias("n_pairs"), "slope")
+    )
+    r0 = F.col("y").cast("double") - F.col("slope") * F.col("x")
+    res = d.join(m, "event_type").select(
+        "event_type", "n_pairs", "slope", r0.alias("r0"),
+        F.row_number().over(w_et.orderBy(r0)).alias("rn"),
+        F.count(F.lit(1)).over(w_et).alias("nd"),
+    )
+    return (
+        res.where(F.col("rn") == F.floor((F.col("nd") + 1) / 2))
+        .select("event_type", "n_pairs", "slope",
+                F.col("r0").alias("intercept"))
+    )
+
+
+# ---------------------------------------------- llm_jaccard_knn_text
+
+_JK_K = 3          #: shingle width (words)
+_JK_MAXDF = 32     #: stop-shingle cap for candidate generation
+_JK_TOPK = 5
+
+
+def _jknn_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE len(string_split(text, ' ')) >= {_JK_K}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(ws) - {_JK_K - 2}),
+               i -> array_to_string(ws[i:i+{_JK_K - 1}], ' ')))
+               AS shingles
+      FROM w),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rare AS (
+      SELECT s FROM ex GROUP BY s
+      HAVING count(*) <= {_JK_MAXDF}),
+    cand AS (
+      SELECT DISTINCT q.doc_id AS qid, d.doc_id AS did
+      FROM ex q JOIN rare USING (s) JOIN ex d USING (s)
+      WHERE q.doc_id % 50 = 0 AND d.doc_id % 50 <> 0),
+    scored AS (
+      SELECT c.qid, c.did,
+             CAST(len(list_intersect(a.shingles, b.shingles))
+                  AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)))
+               AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.qid
+      JOIN sh b ON b.doc_id = c.did),
+    r AS (
+      SELECT qid, did, jaccard,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY jaccard DESC, did) AS rnk
+      FROM scored)
+    SELECT qid, did, jaccard, rnk FROM r WHERE rnk <= {_JK_TOPK}
+    """
+
+
+@query("llm_jaccard_knn_text", oracle=_jknn_oracle())
+def llm_jaccard_knn_text(spark, sf_dir):
+    """Text k-NN by exact shingle Jaccard with INVERTED-INDEX
+    candidate generation — the lexical twin of the embedding k-NN
+    family (llm_knn_lsh/ivf): every 50th doc queries the corpus,
+    candidates are docs sharing at least one RARE shingle (document
+    frequency <= {_JK_MAXDF} — the stop-shingle cut every inverted
+    index applies, since a shingle in half the corpus generates
+    O(n^2) candidate pairs and zero discrimination), then the exact
+    Jaccard reranks candidates only. Top-{_JK_TOPK} per query with a
+    total (score DESC, doc_id) order.
+
+    Scale shape: shingling is Catalyst-native (sequence/transform,
+    no UDF); the candidate join is equi on the shingle with the
+    posting-list cap bounding fan-out (O(sum of capped df^2) pairs,
+    never all-pairs); the rescore joins the BOUNDED candidate list
+    back to the two shingle arrays (array_intersect row-local).
+    WindowGroupLimit pushes the top-k cut into the shuffle. The
+    Jaccard is an exact rational computed with the identical double
+    op in both engines; rank ties break on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (_JK_K - 1))
+    shingles = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, _JK_K))))
+    sh = (
+        d.where(F.size(words) >= _JK_K)
+        .select("doc_id", shingles.alias("shingles"))
+    )
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _JK_MAXDF).select("s")
+    )
+    q = ex.where(F.col("doc_id") % 50 == 0).alias("q")
+    t = ex.where(F.col("doc_id") % 50 != 0).alias("t")
+    cand = (
+        q.join(rare, "s").join(t, "s")
+        .select(F.col("q.doc_id").alias("qid"),
+                F.col("t.doc_id").alias("did"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("qid"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("did"),
+                  F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter)
+    scored = (
+        cand.join(a, "qid").join(b, "did")
+        .select("qid", "did", jac.alias("jaccard"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("jaccard").desc(), F.col("did"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _JK_TOPK)
+        .select("qid", "did", "jaccard", "rnk")
+    )
+
+
+# ------------------------------------------- llm_cross_dedup_priority
+
+@query(
+    "llm_cross_dedup_priority",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(substr(text, 1, 80)) AS h,
+             CAST(replace(source, 'src', '') AS BIGINT) AS prio
+      FROM documents),
+    g AS (
+      SELECT h, count(*) AS n_copies,
+             count(DISTINCT source) AS n_sources
+      FROM h GROUP BY h HAVING count(*) > 1),
+    r AS (
+      SELECT h.h, h.doc_id, h.source,
+             row_number() OVER (PARTITION BY h.h
+                                ORDER BY h.prio, h.doc_id) AS rn
+      FROM h JOIN g ON g.h = h.h)
+    SELECT g.h AS text_hash, r.doc_id AS keep_doc_id,
+           r.source AS keep_source, g.n_copies, g.n_sources
+    FROM g JOIN r ON r.h = g.h AND r.rn = 1
+    """,
+)
+def llm_cross_dedup_priority(spark, sf_dir):
+    """Cross-source PREFIX-FINGERPRINT dedup with PROVENANCE
+    PRIORITY: docs sharing an 80-char prefix (the boilerplate /
+    template-head signal — this fixture has no full-text dups but
+    22 prefix families, exactly the shape crawl corpora show)
+    collapse to the copy from the most-trusted source (rank = the
+    source's numeric suffix here; in production, a curated
+    provenance ranking), doc_id breaking residual ties — the
+    keep-best-copy rule real corpus builds use instead of
+    llm_dedup_exact's keep-first. Emits one row per duplicate group
+    with the surviving doc and the group's spread.
+
+    Scale shape: md5-of-prefix projection scan -> ONE hash aggregate
+    for the group profile (map-side combined, |groups|-sized
+    shuffle) and one (hash)-keyed window for the winner;
+    WindowGroupLimit pushes the rn=1 cut into the shuffle, so full
+    per-group rankings never materialize. The 16-byte hash is the
+    only wide thing shuffled — never the text."""
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.md5(F.substring("text", 1, 80)).alias("h"),
+        F.replace(F.col("source"), F.lit("src"), F.lit(""))
+        .cast("long").alias("prio"),
+    )
+    g = (
+        h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.countDistinct("source").alias("n_sources"))
+        .where(F.col("n_copies") > 1)
+    )
+    w = Window.partitionBy("h").orderBy("prio", "doc_id")
+    r = (
+        h.join(g.select("h"), "h")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        g.join(r, "h")
+        .select(F.col("h").alias("text_hash"),
+                F.col("doc_id").alias("keep_doc_id"),
+                F.col("source").alias("keep_source"),
+                "n_copies", "n_sources")
+    )
+
+
+# ------------------------------------------- llm_embedding_dim_stats
+
+_DIM_DEAD_STD = 1e-6
+
+
+def _dim_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             {sql_dsum('v')} AS s1,
+             {sql_dsum('v * v')} AS s2,
+             CAST(min(v) AS DOUBLE) AS min_v,
+             CAST(max(v) AS DOUBLE) AS max_v
+      FROM v GROUP BY dim)
+    SELECT dim, n, s1 / n AS mean,
+           sqrt((s2 * n - s1 * s1)
+                / (CAST(n AS DOUBLE) * (n - 1))) AS std,
+           min_v, max_v,
+           sqrt((s2 * n - s1 * s1)
+                / (CAST(n AS DOUBLE) * (n - 1))) < {_DIM_DEAD_STD}
+             AS dead_dim
+    FROM s
+    """
+
+
+@query("llm_embedding_dim_stats", oracle=_dim_oracle())
+def llm_embedding_dim_stats(spark, sf_dir):
+    """Per-DIMENSION embedding statistics — the vector-hygiene audit
+    run before any ANN build: mean/std/min/max of every coordinate
+    plus a dead-dimension flag (std < {_DIM_DEAD_STD}: a coordinate
+    carrying no signal — an encoder bug or a projection that
+    collapsed — which silently wastes index bits and distorts
+    quantizers). The whole-vector L2 norm is NOT the audit here
+    because this corpus is unit-normalized (norm variance is exactly
+    zero — a z-score over norms is ill-posed on normalized stores);
+    the per-dimension view is what still discriminates.
+
+    Scale shape: posexplode is the only fan-out (rows x dims — the
+    unavoidable cost of coordinate-wise stats) feeding ONE partial+
+    final hash aggregate keyed by dim (|dims| groups); means/stds
+    derive from decimal-stabilized sums with the identical double
+    expression in both engines; float->double casts are exact."""
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "f"))
+        .select((F.col("pos") + 1).cast("long").alias("dim"),
+                F.col("f").cast("double").alias("v"))
+    )
+    s = v.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("v").alias("s1"),
+        dsum(F.col("v") * F.col("v")).alias("s2"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    std = F.sqrt((F.col("s2") * F.col("n")
+                  - F.col("s1") * F.col("s1"))
+                 / (F.col("n").cast("double") * (F.col("n") - 1)))
+    return s.select(
+        "dim", "n", (F.col("s1") / F.col("n")).alias("mean"),
+        std.alias("std"), "min_v", "max_v",
+        (std < _DIM_DEAD_STD).alias("dead_dim"),
+    )
+
+
+# ------------------------------------------------ llm_sample_reservoir
+
+_RES_K = 5
+_RES_SALT = "r9"
+
+
+@query(
+    "llm_sample_reservoir",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_RES_SALT}'),
+                        doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars, rn AS draw
+    FROM r WHERE rn <= {_RES_K}
+    """,
+)
+def llm_sample_reservoir(spark, sf_dir):
+    """Distributed reservoir-equivalent sampling: exactly {_RES_K}
+    docs per language, drawn uniformly WITHOUT replacement by
+    ranking on a salted key hash — order-by-hash top-k is the
+    mergeable, rerun-stable formulation of reservoir sampling
+    (partial top-k per partition merges associatively, so no
+    sequential reservoir state exists anywhere), and the one every
+    distributed engine should use instead of rand() (which is
+    neither reproducible nor rerun-stable). The salt makes draws
+    independent across sampling jobs.
+
+    Scale shape: scan -> per-partition partial top-k -> one
+    |groups| x k merge (WindowGroupLimit pushes the cut into the
+    shuffle); nothing proportional to corpus size crosses the
+    shuffle. Hash ties are impossible in practice but doc_id breaks
+    them deterministically anyway."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(_RES_SALT))),
+        F.col("doc_id"),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .withColumn("draw", F.row_number().over(w))
+        .where(F.col("draw") <= _RES_K)
+    )
+
+
+# --------------------------------------------- llm_mix_kl_divergence
+
+@query(
+    "llm_mix_kl_divergence",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k FROM c),
+    p AS (
+      SELECT c.source, c.cnt,
+             CAST(c.cnt AS DOUBLE) / n.n AS p,
+             sqrt(CAST(c.cnt AS DOUBLE) / n.n) AS sq,
+             n.n, n.k
+      FROM c, n),
+    q AS (
+      SELECT source, cnt, p, n, k,
+             sq / CAST(sum(CAST(sq AS DECIMAL(18,6)))
+                         OVER () AS DOUBLE) AS q
+      FROM p),
+    t AS (
+      SELECT source, cnt, p, q,
+             p * ln(p / q) AS kl_contrib,
+             p * ln(p * k) AS klu_contrib
+      FROM q)
+    SELECT source, cnt, p, q, kl_contrib,
+           CAST(sum(CAST(kl_contrib AS DECIMAL(18,6)))
+                  OVER () AS DOUBLE) AS kl_to_temperature,
+           CAST(sum(CAST(klu_contrib AS DECIMAL(18,6)))
+                  OVER () AS DOUBLE) AS kl_to_uniform
+    FROM t
+    """,
+)
+def llm_mix_kl_divergence(spark, sf_dir):
+    """KL divergence of the corpus' ACTUAL source mixture against
+    the two canonical targets: the temperature-smoothed mixture
+    (tau = 0.5, i.e. q ∝ sqrt(p) — the multilingual-sampling rule,
+    same family as llm_mix_temperature) and the uniform mixture —
+    the drift numbers a data-mixing report pins next to its quota
+    table (how far is what we HAVE from what the recipe WANTS).
+    Per-source contributions plus both totals on every row.
+
+    Scale shape: ONE scan -> |sources| counts; everything after is
+    window arithmetic over that bounded relation (the dq_chi_square
+    rule: marginals as window sums, never join-backs that re-scan).
+    p and q are exact-count ratios; logs are IEEE-identical; both
+    totals are DECIMAL(18,6)-stabilized window sums."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_all = Window.partitionBy()
+    base = c.select(
+        "source", "cnt",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    withp = base.select(
+        "source", "cnt", "n", "k", p.alias("p"),
+        F.sqrt(p).alias("sq"),
+    )
+    qcol = (F.col("sq")
+            / F.sum(F.col("sq").cast("decimal(18,6)")).over(w_all)
+            .cast("double"))
+    t = withp.select(
+        "source", "cnt", "p", qcol.alias("q"),
+        (F.col("p") * F.log(F.col("p") / qcol)).alias("kl_contrib"),
+        (F.col("p") * F.log(F.col("p") * F.col("k")))
+        .alias("klu_contrib"),
+    )
+    return t.select(
+        "source", "cnt", "p", "q", "kl_contrib",
+        F.sum(F.col("kl_contrib").cast("decimal(18,6)")).over(w_all)
+        .cast("double").alias("kl_to_temperature"),
+        F.sum(F.col("klu_contrib").cast("decimal(18,6)")).over(w_all)
+        .cast("double").alias("kl_to_uniform"),
+    )
+
+
+# ----------------------------------------------- changefeed_doc_point
+
+_DOCFEED_CACHE: dict = {}
+
+
+@query(
+    "changefeed_doc_point",
+    oracle="""
+    WITH s AS (SELECT c_custkey FROM customer ORDER BY c_custkey),
+    k AS (
+      SELECT c_custkey AS key FROM s
+      LIMIT 1 OFFSET (SELECT count(*) // 2 FROM customer))
+    SELECT c.c_custkey,
+           epoch_ms((1800000000 + c.c_custkey) * 1000) AS ts,
+           CAST(c.c_custkey AS BIGINT) AS seq,
+           c.c_acctbal
+    FROM customer c JOIN k ON k.key = c.c_custkey
+    """,
+)
+def changefeed_doc_point(spark, sf_dir):
+    """`db.table('customer').get(k).changes()` — the generic
+    per-document point feed this round lifted off the events-only
+    path (api.py RowRef + streaming/doc_feeds.py): ANY keyed table
+    normalizes into the same insert-only CDC envelope and reuses
+    UpsertChangefeedRunner's LWW merge/MVCC state unchanged; the
+    graded output is the feed's materialized STATE for the watched
+    key (the table's own column names, the synthetic snapshot-epoch
+    arrival timestamp, the key as LWW sequence). Key = the median
+    customer key, computed from the data so the query is
+    scale-factor independent.
+
+    Scale: the envelope predicate (key = k) prunes every micro-batch
+    BEFORE the merge — state is one row regardless of table size;
+    the merge is the bucketed MVCC keyed join (changefeed.py), not a
+    driver structure."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "point")
+    if key not in _DOCFEED_CACHE:
+        ids = sorted(
+            r[0] for r in load_table(spark, sf_dir, "customer")
+            .select("c_custkey").collect())
+        k = int(ids[len(ids) // 2])
+        _DOCFEED_CACHE[key] = (
+            Database(spark, sf_dir).table("customer").get(k).changes()
+        )
+    return _DOCFEED_CACHE[key].state()
+
+
+# ------------------------------------------- changefeed_doc_watchlist
+
+def _docwatch_oracle() -> str:
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+    return f"""
+    WITH numbered AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM documents),
+    k AS (
+      SELECT doc_id, n_chars, rn, n FROM numbered
+      WHERE rn = 0 OR rn = n // 2 OR rn = n - 1)
+    SELECT doc_id,
+           CAST(NULL AS DOUBLE) AS old_value,
+           CAST(n_chars AS DOUBLE) AS new_value,
+           CAST(NULL AS BIGINT) AS old_seq,
+           doc_id AS new_seq,
+           CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS batch_id
+    FROM k
+    """
+
+
+@query("changefeed_doc_watchlist", oracle=_docwatch_oracle())
+def changefeed_doc_watchlist(spark, sf_dir):
+    """`db.table('documents').get_all(k1,k2,k3).changes()` — the
+    generic WATCHLIST document feed on a non-events table (this
+    round's api lift): one standing LWW upsert query serves the
+    whole key set through the shared envelope, and the graded output
+    is the full DELTA LOG trajectory — each watched key's insert
+    must land in EXACTLY the micro-batch its arrival chunk replays
+    in (batch = arrival-rank // chunk-size, the _keyed_chunks
+    slicing contract), with a NULL old image and the key as its LWW
+    sequence. Keys span the key domain (first / middle / last), so
+    deltas arrive across distinct batches and any cross-batch or
+    cross-key leakage breaks the hash.
+
+    Scale: same one-store/one-checkpoint posture as
+    changefeed_getall_changes — the envelope IN-set predicate runs
+    before the merge, state holds at most |keys| rows on any table
+    size."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "watchlist")
+    if key not in _DOCFEED_CACHE:
+        ids = sorted(
+            r[0] for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id").collect())
+        ks = [int(ids[0]), int(ids[len(ids) // 2]), int(ids[-1])]
+        _DOCFEED_CACHE[key] = (
+            Database(spark, sf_dir).table("documents")
+            .get_all(*ks).changes()
+        )
+    return _DOCFEED_CACHE[key].log().select(
+        "doc_id", "old_value", "new_value", "old_seq", "new_seq",
+        "batch_id",
+    )
+
+
+# -------------------------------------- llm_index_segment_trajectory
+
+_SEG_NB = 9       #: appended batches (fixed: the trajectory IS the op)
+_SEG_FANOUT = 4
+_SEG_CACHE: dict = {}
+
+
+@query(
+    "llm_index_segment_trajectory",
+    oracle=f"""
+    SELECT CAST(t.b AS BIGINT) AS batch_id,
+           CAST((t.b + 1) % {_SEG_FANOUT} AS BIGINT) AS n_l0,
+           CAST((t.b + 1) % {_SEG_FANOUT}
+                + ((t.b + 1) // {_SEG_FANOUT}) % {_SEG_FANOUT}
+                + ((t.b + 1) // {_SEG_FANOUT ** 2}) % {_SEG_FANOUT}
+             AS BIGINT) AS n_segments,
+           CAST(CASE
+             WHEN ((t.b + 1) // {_SEG_FANOUT ** 2}) % {_SEG_FANOUT} > 0
+               THEN 2
+             WHEN ((t.b + 1) // {_SEG_FANOUT}) % {_SEG_FANOUT} > 0
+               THEN 1
+             ELSE 0 END AS BIGINT) AS max_level
+    FROM range(0, {_SEG_NB}) t(b)
+    """,
+)
+def llm_index_segment_trajectory(spark, sf_dir):
+    """LSM TIERING TRAJECTORY of the segment store under the
+    incremental ANN index runners (operators/segment_index.py — the
+    round-9 answer to the r8 small-file mark): embeddings arrive in
+    {_SEG_NB} batches, each append lands ONE level-0 segment and
+    tiered compaction folds every {_SEG_FANOUT} same-level segments
+    into one at the next level. The live-segment profile after every
+    append is therefore EXACTLY base-{_SEG_FANOUT} counter
+    arithmetic — after k appends, the count of level-i segments is
+    digit i of k in base {_SEG_FANOUT} — and the oracle grades the
+    REAL store's observed trajectory against that closed form:
+    sub-linear file growth is not claimed, it is hash-checked
+    (9 appends end at 3 live segments, not 9).
+
+    Scale: each append is one O(|batch|) write + at most a cascade
+    of bounded merges (amortized O(log_F batches) rewrites per
+    batch — the classic LSM write amplification, paid off the
+    serving path); the graded profile is O(1) driver rows per
+    batch."""
+    import os as _os
+
+    from ..operators.segment_index import SegmentedBucketIndex
+    from ..streaming.generic_views import _keyed_chunks
+    from ..tmputil import scratch_dir
+
+    key = (id(spark), sf_dir)
+    if key not in _SEG_CACHE:
+        chunks = _keyed_chunks(
+            spark, sf_dir, "embeddings", "vec_id", _SEG_NB)
+        store = SegmentedBucketIndex(
+            spark, scratch_dir(prefix="dbrcf-segtraj-"),
+            "vec_id long, label int", fanout=_SEG_FANOUT)
+        rows = []
+        for b, f in enumerate(sorted(_os.listdir(chunks))):
+            batch = spark.read.parquet(_os.path.join(chunks, f))
+            store.append_batch(
+                batch.select(
+                    "vec_id", "label",
+                    (F.col("vec_id") % 8).cast("int").alias("bucket")),
+                b)
+            segs = store.live_segments()
+            rows.append((
+                b,
+                sum(1 for _, lv in segs if lv == 0),
+                len(segs),
+                max(lv for _, lv in segs),
+            ))
+        _SEG_CACHE[key] = rows
+    return spark.createDataFrame(
+        _SEG_CACHE[key],
+        "batch_id long, n_l0 long, n_segments long, max_level long")
+
+
+# ------------------------------------------------------ dq_iqr_outliers
+
+@query(
+    "dq_iqr_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, value, cnt,
+             sum(cnt) OVER (PARTITION BY event_type
+                            ORDER BY value) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    q AS (
+      SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+             min(CASE WHEN cum >= (n + 3) // 4 THEN value END) AS q1,
+             min(CASE WHEN cum >= (3 * n + 3) // 4 THEN value END)
+               AS q3
+      FROM cum GROUP BY event_type),
+    f AS (
+      SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q)
+    SELECT f.event_type, f.n, f.q1, f.q3, f.iqr,
+           f.lo_fence, f.hi_fence,
+           CAST(coalesce(sum(CASE WHEN c.value < f.lo_fence
+                                    OR c.value > f.hi_fence
+                                  THEN c.cnt END), 0) AS BIGINT)
+             AS n_outliers
+    FROM f JOIN c ON c.event_type = f.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def dq_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier audit per event type: exact type-1
+    quartiles (the ceil(p*n)-th ORDER STATISTIC — a real data value,
+    never the cross-engine midpoint interpolation FIXTURES.md bans),
+    IQR fences at 1.5x, and the count outside them — the box-plot
+    numbers a monitoring page draws, computed exactly.
+
+    Scale shape: `value` is a 2-dp bounded domain, so the
+    (event_type, value) count relation is BOUNDED at any corpus
+    size; the cumulative rank runs over THAT relation (the
+    dq_ks_test banded-domain rule — no data-sized window anywhere),
+    the quartile is a conditional MIN, and the outlier count joins
+    the |groups|-row fence table back to the same bounded relation.
+    Quartile positions use pure integer ceil arithmetic
+    ((n+3)//4) — no float ranks."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_et = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type", "value", "cnt",
+        F.sum("cnt").over(w_et.orderBy("value")).alias("cum"),
+        F.sum("cnt").over(w_et).alias("n"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.min(F.when(
+            F.col("cum") >= F.floor((F.col("n") + 3) / 4),
+            F.col("value"))).alias("q1"),
+        F.min(F.when(
+            F.col("cum") >= F.floor((3 * F.col("n") + 3) / 4),
+            F.col("value"))).alias("q3"),
+    )
+    f = q.select(
+        "event_type", "n", "q1", "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+        .alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        .alias("hi_fence"),
+    )
+    return (
+        c.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "n", "q1", "q3", "iqr",
+                 "lo_fence", "hi_fence")
+        .agg(F.coalesce(
+            F.sum(F.when(
+                (F.col("value") < F.col("lo_fence"))
+                | (F.col("value") > F.col("hi_fence")),
+                F.col("cnt"))), F.lit(0)).cast("long")
+            .alias("n_outliers"))
+    )
