@@ -229,3 +229,156 @@ def test_segment_trajectory_matches_base4_counter(spark, sf_smoke):
         assert r.n_segments == sum(digits)
         assert r.max_level == max(
             i for i, d in enumerate(digits) if d > 0)
+
+
+def test_mmr_diversify_matches_bruteforce_replay(spark, sf_oracle):
+    """Replay the whole MMR selection in the test from the raw
+    embeddings (python float64, same op order) and demand the same
+    ids, steps, and scores — pins pool construction, the selection
+    objective, and tie rules end to end."""
+    from db_realtime_changefeed_spark.queries.round9 import (
+        _MMR_K, _MMR_LAMBDA, _MMR_POOL)
+
+    emb = {r.vec_id: [float(v) for v in r.embedding]
+           for r in load_table(spark, sf_oracle,
+                               "embeddings").collect()}
+
+    def cos(a, b):
+        d = s1 = s2 = 0.0
+        for x, y in zip(emb[a], emb[b]):
+            d += x * y
+            s1 += x * x
+            s2 += y * y
+        return d / (math.sqrt(s1) * math.sqrt(s2))
+
+    rows = QUERIES["llm_mmr_diversify"](spark, sf_oracle).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.step)
+        rel = {d: cos(d, q) for d in emb if d % 50 != 0}
+        pool = sorted(rel, key=lambda d: (-rel[d], d))[:_MMR_POOL]
+        sel: list = []
+        for step, r in enumerate(rs, start=1):
+            best = None
+            for d in sorted(pool):
+                if d in sel:
+                    continue
+                if not sel:
+                    score = rel[d]
+                else:
+                    ms = max(cos(d, s) for s in sel)
+                    score = (_MMR_LAMBDA * rel[d]
+                             - (1.0 - _MMR_LAMBDA) * ms)
+                if best is None or score > best[1]:
+                    best = (d, score)
+            sel.append(best[0])
+            assert (r.step, r.vec_id) == (step, best[0]), (q, step)
+            assert math.isclose(r.score, best[1], rel_tol=1e-9,
+                                abs_tol=1e-9), (q, step)
+        assert len(sel) == _MMR_K
+
+
+def test_group_by_all_matches_explicit(spark, sf_oracle):
+    got = sorted(
+        tuple(r) for r in
+        QUERIES["sql_group_by_all"](spark, sf_oracle).collect())
+    from pyspark.sql import functions as F
+
+    exp = sorted(
+        tuple(r) for r in
+        load_table(spark, sf_oracle, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("first_doc"))
+        .collect())
+    assert got == exp
+
+
+def test_shard_balance_consistent_with_manifest(spark, sf_oracle):
+    r = QUERIES["llm_shard_balance"](spark, sf_oracle).collect()[0]
+    shards = QUERIES["llm_export_shards"](spark, sf_oracle).collect()
+    toks = [s.n_tokens for s in shards]
+    assert r.n_shards == len(toks)
+    assert r.total_tokens == sum(toks)
+    assert (r.min_tokens, r.max_tokens) == (min(toks), max(toks))
+    assert r.imbalance >= 1.0
+    assert r.spread == max(toks) - min(toks)
+
+
+def test_tumbling_pivot_reunites_to_totals(spark, sf_oracle):
+    rows = QUERIES["stream_tumbling_pivot"](
+        spark, sf_oracle).collect()
+    assert len(rows) == 30  # one per day
+    n_total = sum(
+        sum(getattr(r, f"n_{t}") or 0
+            for t in ("click", "error", "purchase", "signup",
+                      "view"))
+        for r in rows)
+    assert n_total == load_table(spark, sf_oracle, "events").count()
+
+
+def test_simhash_knn_band_guarantee(spark, sf_oracle):
+    """Ranks are contiguous from 1, hamming is non-decreasing in
+    rank, and every returned neighbor shares at least one 8-bit
+    band with its query (the candidate-generation invariant)."""
+    sig = {r.doc_id: r.simhash for r in
+           QUERIES["llm_dedup_simhash"](spark, sf_oracle).collect()}
+    rows = QUERIES["llm_simhash_hamming_knn"](
+        spark, sf_oracle).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert bin(sig[r.qid] ^ sig[r.did]).count("1") == r.hamming
+        assert any(
+            (sig[r.qid] >> (8 * b)) & 255
+            == (sig[r.did] >> (8 * b)) & 255
+            for b in range(4)), r
+        by_q.setdefault(r.qid, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        hams = [r.hamming for r in rs]
+        assert hams == sorted(hams)
+
+
+def test_holt_winters_recurrence_replay(spark, sf_oracle):
+    """Replay the recurrence in the test from the daily series and
+    demand exact equality — pins init rules, update order, and the
+    one-step-ahead fitted contract."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_oracle, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .count().collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(
+            (r.day, float(r["count"])))
+    rows = QUERIES["ts_holt_winters"](spark, sf_oracle).collect()
+    got = {(r.event_type, r.day): r for r in rows}
+    n_checked = 0
+    for et, pts in series.items():
+        pts.sort()
+        y = [v for _, v in pts]
+        lv = sum(y[0:7]) / 7.0
+        tr = (sum(y[7:14]) / 7.0 - lv) / 7.0
+        s = [y[i] - lv for i in range(7)]
+        for t in range(7, len(y)):
+            pos = t % 7
+            fitted = lv + tr + s[pos]
+            l_new = 0.4 * (y[t] - s[pos]) + 0.6 * (lv + tr)
+            b_new = 0.2 * (l_new - lv) + 0.8 * tr
+            s_new = 0.3 * (y[t] - l_new) + 0.7 * s[pos]
+            s[pos] = s_new
+            lv, tr = l_new, b_new
+            r = got[(et, pts[t][0])]
+            assert (r.fitted, r.level, r.trend, r.seasonal) == (
+                fitted, l_new, b_new, s_new), (et, t)
+            n_checked += 1
+    assert n_checked == len(rows)
