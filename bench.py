@@ -88,6 +88,13 @@ TIER2 = [
     # the two new plan shapes this round introduced
     "dq_ks_test",
     "ts_holt_linear",
+    # round-9 additions (fifth step-up): the inverted-index explode
+    # join with stop-shingle cap, the cogrouped-applyInPandas
+    # iterative re-rank, and the banded Hamming posting join — the
+    # three new plan shapes of the r9 wave
+    "llm_jaccard_knn_text",
+    "llm_mmr_diversify",
+    "llm_simhash_hamming_knn",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan

@@ -1852,3 +1852,195 @@ def ts_holt_winters(spark, sf_dir):
     )
     return daily.groupBy("event_type").applyInPandas(
         _hw_fit, schema=_HW_DDL)
+
+
+# --------------------------------------------------- changefeed_corr_view
+
+def _corr_view_oracle() -> str:
+    from ..streaming.view_queries import _VIS_CTE
+
+    mom = """
+      SELECT batch_id, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(event_id) AS DOUBLE) AS sy,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * event_id)
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sx2,
+             CAST(sum(CAST(event_id AS DECIMAL(38,0))
+                      * CAST(event_id AS DECIMAL(38,0))) AS DOUBLE)
+               AS sy2
+      FROM vis GROUP BY batch_id, event_type
+    """
+    return _VIS_CTE + f"""
+    , mom AS ({mom})
+    SELECT batch_id, event_type, n,
+           FLOOR(((sxy - sx * sy / n)
+                  / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr6
+    FROM mom WHERE n > 1
+          AND (sx2 - sx * sx / n) * (sy2 - sy * sy / n) > 0
+    """
+
+
+@query("changefeed_corr_view", oracle=_corr_view_oracle())
+def changefeed_corr_view(spark, sf_dir):
+    """Exact Pearson CORRELATION between a group's values and their
+    event recency (event_id) as a MAINTAINED VIEW — the bivariate
+    completion of changefeed_variance_view's second-moment story,
+    and a drift detector (is the metric trending with arrival
+    order?) that updates per micro-batch. No new maintenance state:
+    the five moments (n, Sx, Sy, Sxy, Sx2, Sy2) fold at read time
+    from the SAME delta-maintained LWW base relation every other
+    view rides, in EXACT DECIMAL (value as decimal(18,6), event_id
+    integer; products stay decimal) — only the final normalized
+    quotient runs in IEEE doubles on bit-identical rational inputs,
+    quantized to 6 dp (the variance view's tie rule). Groups with
+    zero variance on either side are excluded (corr undefined), as
+    is n = 1. Trajectory-graded per micro-batch: a wrong retraction
+    anywhere in the base's LWW history shifts some batch's moments
+    and breaks the hash.
+
+    Scale: read cost is one aggregate over the base relation per
+    batch (the distinct/variance-view read posture); maintenance
+    cost is zero beyond the base the runner already folds."""
+    from ..streaming.view_queries import _runner
+
+    r = _runner(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(18,6)")
+    parts = []
+    for b in r._batches:
+        base = r._base.df_at(b).where(~F.col("deleted"))
+        g = base.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vdec).cast("double").alias("sx"),
+            F.sum("event_id").cast("double").alias("sy"),
+            F.sum(vdec * F.col("event_id")).cast("double")
+            .alias("sxy"),
+            F.sum(vdec * vdec).cast("double").alias("sx2"),
+            F.sum(F.col("event_id").cast("decimal(38,0)")
+                  * F.col("event_id").cast("decimal(38,0)"))
+            .cast("double").alias("sy2"),
+        )
+        num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+        den = ((F.col("sx2")
+                - F.col("sx") * F.col("sx") / F.col("n"))
+               * (F.col("sy2")
+                  - F.col("sy") * F.col("sy") / F.col("n")))
+        parts.append(
+            g.where((F.col("n") > 1) & (den > 0))
+            .select(
+                F.lit(b).alias("batch_id"), "event_type", "n",
+                (F.floor((num / F.sqrt(den)) * F.lit(1000000.0)
+                         + F.lit(0.5)).cast("double")
+                 / F.lit(1000000.0)).alias("corr6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------ source_jsonl_permissive
+
+_JSON_BAD_DIRS: dict = {}
+_N_BAD_JSON = 6
+
+
+def _jsonl_with_corruption(spark, sf_dir: str) -> str:
+    """The JSONL events copy plus one file of deliberately broken
+    lines (truncated objects, bare text, type garbage) — built once
+    per (session, sf_dir); the JSON twin of _csv_with_corruption."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..tmputil import scratch_dir
+    from .scans import _format_copy
+
+    key = (id(spark), sf_dir)
+    if key not in _JSON_BAD_DIRS:
+        src = _format_copy(spark, sf_dir, "json")
+        root = scratch_dir(prefix="dbrcf-jsonbad-")
+        for f in _os.listdir(src):
+            if f.endswith(".json"):
+                _shutil.copy(_os.path.join(src, f),
+                             _os.path.join(root, f))
+        bad = [
+            '{"event_id": 1, "user_id": 2,',        # truncated
+            'this is not json at all',              # bare text
+            '{"event_id": "zap", "user_id": "x"}',  # type garbage
+            '{"event_id": }',                       # missing value
+            '{"event_id": 5 "user_id": 6}',         # missing comma
+            '{unquoted: keys}',                     # bad tokens
+        ]
+        with open(_os.path.join(root, "zz-corrupt.json"), "w") as fh:
+            fh.write("\n".join(bad) + "\n")
+        _JSON_BAD_DIRS[key] = root
+    return _JSON_BAD_DIRS[key]
+
+
+@query(
+    "source_jsonl_permissive",
+    oracle=f"""
+    SELECT 'good' AS klass, count(*) AS n,
+           {{S}} AS sum_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           count(event_type) AS n_typed
+    FROM events
+    UNION ALL
+    SELECT 'corrupt', {_N_BAD_JSON}, CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 0
+    """.replace("{S}", sql_dsum("value")),
+)
+def source_jsonl_permissive(spark, sf_dir):
+    """Malformed-input handling on the JSON-lines connector — the
+    JSONL twin of source_csv_permissive, completing the dead-letter
+    story across both text formats a 100 TB ingest actually
+    receives: PERMISSIVE mode routes every syntactically broken
+    line (truncated object, bare text, bad tokens) into
+    _corrupt_record instead of killing the job (FAILFAST) or
+    silently dropping data (DROPMALFORMED). Six injected breakages
+    ride alongside the clean copy; graded output: good rows and
+    checksum unchanged, corrupt count exactly the injected lines.
+    Type-garbage inside VALID json also lands in _corrupt_record
+    under JSON's stricter contract — schema mismatch is corruption
+    here, unlike CSV's null-fill (a top-level ARRAY, by contrast,
+    parses as an all-null row, which is why the fixture injects
+    only unambiguous breakages).
+
+    The audit aggregates REFERENCE EVERY SCHEMA COLUMN on purpose:
+    the JSON reader only PARSES projected fields (column pruning),
+    so an audit that touched just `value` would let a line with
+    type garbage in an unprojected field sail through as 'good' —
+    the quarantine gate must force the full parse it claims to
+    certify (and the per-column checksums are what a real ingest
+    manifest records anyway).
+
+    Scale: one scan, the classifier is a null-check projection, and
+    the quarantine column carries the raw line for replay — no
+    second pass over the corpus."""
+    from .scans import _EVENTS_PROJ_DDL
+
+    path = _jsonl_with_corruption(spark, sf_dir)
+    df = (
+        spark.read
+        .schema(_EVENTS_PROJ_DDL + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    klass = F.when(good, "good").otherwise("corrupt")
+    return df.groupBy(klass.alias("klass")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.when(good, F.col("value"))).alias("sum_value"),
+        F.sum(F.when(good, F.col("event_id"))).cast("long")
+        .alias("sum_event_id"),
+        F.sum(F.when(good, F.col("user_id"))).cast("long")
+        .alias("sum_user_id"),
+        F.count(F.when(good, F.col("event_type"))).alias("n_typed"),
+    )

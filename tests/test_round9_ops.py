@@ -382,3 +382,45 @@ def test_holt_winters_recurrence_replay(spark, sf_oracle):
                 fitted, l_new, b_new, s_new), (et, t)
             n_checked += 1
     assert n_checked == len(rows)
+
+
+def test_corr_view_trajectory_consistency(spark, sf_oracle):
+    """Final-batch correlations equal a direct batch computation
+    over the visible LWW state; corr6 always in [-1, 1]."""
+    rows = QUERIES["changefeed_corr_view"](spark, sf_oracle).collect()
+    assert rows
+    last = max(r.batch_id for r in rows)
+    finals = {r.event_type: r for r in rows if r.batch_id == last}
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_oracle, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    vis = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+    )
+    direct = {
+        r.event_type: (r.n, r.c)
+        for r in vis.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.corr(F.col("value"), F.col("event_id").cast("double"))
+            .alias("c"),
+        ).collect()
+    }
+    for et, r in finals.items():
+        assert -1 - 1e-9 <= r.corr6 <= 1 + 1e-9
+        n, c = direct[et]
+        assert r.n == n
+        assert abs(r.corr6 - c) < 1e-5, (et, r.corr6, c)
+
+
+def test_jsonl_permissive_quarantine(spark, sf_oracle):
+    rows = {r.klass: r for r in QUERIES["source_jsonl_permissive"](
+        spark, sf_oracle).collect()}
+    ev = load_table(spark, sf_oracle, "events")
+    assert rows["good"].n == ev.count()
+    assert rows["good"].n_typed == rows["good"].n
+    assert rows["corrupt"].n == 6
+    assert rows["corrupt"].sum_value is None
