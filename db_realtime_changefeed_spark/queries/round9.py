@@ -155,29 +155,31 @@ def dq_referential_integrity(spark, sf_dir):
     — the other direction's health). One row per edge; a clean
     warehouse reads n_orphans = 0 everywhere.
 
-    Scale shape: per edge, one child scan projecting ONLY the fk
-    (column-pruned; the fk aggregate and the anti-join share it) and
-    one parent-side key scan. Orphans are a LEFT ANTI join on the
-    key — dimension parents broadcast; the lineitem->orders edge
-    stays a shuffle join on the key, which AQE may downgrade when
-    the measured parent is small (the right call made with real
-    sizes). Nothing here is driver-side; the report is |edges|
-    rows."""
+    Scale shape: per edge, ONE child scan projecting only the fk —
+    the row count, distinct-fk count and orphan count all fall out
+    of a single LEFT join + aggregate (orphan = unmatched left row;
+    safe because parent keys are unique, which dq_uniqueness_audit
+    certifies) — plus one parent-side key scan for the parent count.
+    Dimension parents broadcast; the lineitem->orders edge stays a
+    shuffle join on the key, which AQE may downgrade when the
+    measured parent is small (the right call made with real sizes).
+    Nothing here is driver-side; the report is |edges| rows. (The
+    r9 plan audit caught the first form computing stats and orphans
+    from two separate child scans — 28 exchanges / 56 scan
+    mentions; this form halves the child reads.)"""
     out = None
     for edge, child, fk, parent, pk in _FK_EDGES:
         c = load_table(spark, sf_dir, child).select(fk)
         p = load_table(spark, sf_dir, parent).select(pk)
-        orphans = (
-            c.join(p, c[fk] == p[pk], "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        stats = c.agg(
+        joined = c.join(p, c[fk] == p[pk], "left")
+        stats = joined.agg(
             F.count(F.lit(1)).alias("n_child"),
-            F.countDistinct(fk).alias("n_referenced"),
+            F.count(F.when(p[pk].isNull(), 1)).alias("n_orphans"),
+            F.countDistinct(c[fk]).alias("n_referenced"),
         )
         parents = p.agg(F.count(F.lit(1)).alias("n_parents"))
         row = (
-            stats.join(orphans).join(parents)
+            stats.join(parents)
             .select(
                 F.lit(edge).alias("edge"), "n_child", "n_orphans",
                 "n_parents", "n_referenced",
@@ -1679,38 +1681,43 @@ def llm_simhash_hamming_knn(spark, sf_dir):
     Scale shape: the posting join is equi on (band_idx, band_val) —
     256 values per band spread the corpus; band skew (a common
     prefix across the corpus) is the known failure and the fix is
-    wider bands, not a different plan. The rerank is
-    XOR+bit_count — integer-exact in both engines."""
+    wider bands, not a different plan. The SIGNATURE RIDES THE
+    POSTING (doc_id, band, band_val, simhash), so the Hamming
+    distance falls straight out of the posting join and the
+    fingerprint subtree — an explode+groupBy over the corpus — is
+    built into the plan ONCE, not re-executed per band arm and per
+    rerank side (the r9 plan audit caught the naive form at 40
+    exchanges / 20 scan-mentions; this form posts via one inline
+    explode and needs no rerank join at all). Collisions on several
+    bands dedup by (qid, did) before the top-k window. The rerank
+    is XOR+bit_count — integer-exact in both engines."""
     from .llm import llm_dedup_simhash
 
     sig = llm_dedup_simhash(spark, sf_dir)
-    posts = None
-    for b in range(_SH_BANDS):
-        p = sig.select(
-            "doc_id", F.lit(b).alias("band_idx"),
-            ((F.col("simhash") / F.lit(256 ** b)).cast("long")
-             % 256).alias("band_val"),
-        )
-        posts = p if posts is None else posts.unionByName(p)
+    posts = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                ((F.col("simhash") / F.lit(256 ** b)).cast("long")
+                 % 256).alias("band_val"))
+            for b in range(_SH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash",
+             F.col("bb.band_idx").alias("band_idx"),
+             F.col("bb.band_val").alias("band_val"))
     qp = posts.where(F.col("doc_id") % 50 == 0).alias("q")
     dp = posts.where(F.col("doc_id") % 50 != 0).alias("d")
-    cand = (
-        qp.join(dp, ["band_idx", "band_val"])
-        .select(F.col("q.doc_id").alias("qid"),
-                F.col("d.doc_id").alias("did"))
-        .distinct()
-    )
-    a = sig.select(F.col("doc_id").alias("qid"),
-                   F.col("simhash").alias("sh_a"))
-    b2 = sig.select(F.col("doc_id").alias("did"),
-                    F.col("simhash").alias("sh_b"))
     scored = (
-        cand.join(a, "qid").join(b2, "did")
+        qp.join(dp, ["band_idx", "band_val"])
         .select(
-            "qid", "did",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            F.col("q.doc_id").alias("qid"),
+            F.col("d.doc_id").alias("did"),
+            F.bit_count(
+                F.col("q.simhash").bitwiseXOR(F.col("d.simhash")))
             .cast("long").alias("hamming"),
         )
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy("hamming", "did")
     return (
