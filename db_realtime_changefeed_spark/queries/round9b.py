@@ -1,0 +1,267 @@
+"""Round-9 wave, part 3: inequality indices from aggregate-only
+identities, the Zipf head fit, and grid-cell hotspot detection.
+Imports directly after round9 in load_all (rotation discipline:
+behind every pending name; round9.py sits at its size ceiling).
+
+Same determinism posture as round9 (see its module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from ._util import dsum, sql_dsum
+
+# -------------------------------------------------------- agg_theil_index
+
+@query(
+    "agg_theil_index",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             {sql_dsum('o_totalprice')} AS sx,
+             {sql_dsum('o_totalprice * ln(o_totalprice)')} AS sxlnx,
+             {sql_dsum('sqrt(o_totalprice)')} AS ssqrt
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           sx / n AS mean_price,
+           sxlnx / (n * (sx / n)) - ln(sx / n) AS theil_t,
+           1.0 - (ssqrt / n) * (ssqrt / n) / (sx / n)
+             AS atkinson_05
+    FROM s
+    """,
+)
+def agg_theil_index(spark, sf_dir):
+    """Theil T and Atkinson(0.5) INEQUALITY INDICES of order value
+    per priority class — the concentration numbers an ops review
+    reads next to agg_gini, and (unlike Gini's pairwise/rank forms)
+    both reduce to AGGREGATE-ONLY identities:
+    T = sum(x ln x)/(n mu) - ln(mu) and
+    A(0.5) = 1 - mean(sqrt x)^2 / mu — so the whole statistic is
+    ONE map-side-combinable pass (n, sum x, sum x ln x, sum sqrt x;
+    four numbers per group cross the shuffle), no sort, no window,
+    no pair join. Requires positive x (o_totalprice is).
+
+    Determinism: the three sums are DECIMAL(18,6)-stabilized (x ln x
+    peaks ~1.7e6/row — the decimal headroom holds to ~1e12 total,
+    i.e. past sf10 here; bigger corpora move to decimal(28,6));
+    the closing expressions are the identical double op sequence in
+    both engines, with mu always written as (sx / n), never a
+    precomputed alias, so both engines round identically."""
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sx"),
+            dsum(F.col("o_totalprice")
+                 * F.log(F.col("o_totalprice"))).alias("sxlnx"),
+            dsum(F.sqrt(F.col("o_totalprice"))).alias("ssqrt"),
+        )
+    )
+    mu = F.col("sx") / F.col("n")
+    return s.select(
+        "o_orderpriority", "n",
+        mu.alias("mean_price"),
+        (F.col("sxlnx") / (F.col("n") * mu) - F.log(mu))
+        .alias("theil_t"),
+        (F.lit(1.0) - (F.col("ssqrt") / F.col("n"))
+         * (F.col("ssqrt") / F.col("n")) / mu).alias("atkinson_05"),
+    )
+
+
+# ------------------------------------------------------------ llm_zipf_fit
+
+_ZIPF_HEAD = 256
+
+
+@query(
+    "llm_zipf_fit",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY w),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w) AS rnk
+      FROM wc),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM ranked WHERE rnk <= {_ZIPF_HEAD}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+             {sql_dsum('x * y')} AS sxy,
+             {sql_dsum('x * x')} AS sxx,
+             {sql_dsum('y * y')} AS syy
+      FROM pts)
+    SELECT n AS n_ranks,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+)
+def llm_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus vocabulary HEAD: OLS of
+    ln(frequency) on ln(rank) over the top {_ZIPF_HEAD} ranks —
+    slope near -1 is the natural-language signature, and departures
+    are a cheap corpus-health tell (template spam flattens the head;
+    boilerplate steepens it). Reports slope, intercept, and R^2.
+    The head cut is the standard practice (Zipf holds in the head;
+    the tail bends) and also what bounds the regression input.
+
+    Scale shape: one explode + ONE word-count aggregate (map-side
+    combined, |vocab| rows cross the shuffle); the rank is a window
+    over the bounded vocabulary relation cut to {_ZIPF_HEAD} rows,
+    and the regression is one tiny aggregate of five
+    DECIMAL-stabilized sums with the closed-form OLS expressions
+    written identically in both engines (slope re-expanded inside
+    the intercept, never aliased)."""
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("w"))
+    pts = (
+        wc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ZIPF_HEAD)
+        .select(F.log(F.col("rnk").cast("double")).alias("x"),
+                F.log(F.col("freq").cast("double")).alias("y"))
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"), dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx")
+                - F.col("sx") * F.col("sx")))
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .alias("intercept"),
+        (((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+          * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")))
+         / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy")
+               - F.col("sy") * F.col("sy")))).alias("r2"),
+    )
+
+
+# -------------------------------------------------------- geo_grid_hotspot
+
+_HOT_CELL = 10.0   #: grid cell size in degrees
+_HOT_Z = 2.0
+
+
+@query(
+    "geo_grid_hotspot",
+    oracle=f"""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             (CAST((user_id * 37) % 160 AS DOUBLE) - 80.0 + 0.25)
+               AS lat,
+             (CAST((user_id * 73) % 360 AS DOUBLE) - 180.0 + 0.25)
+               AS lon
+      FROM events),
+    cells AS (
+      SELECT CAST(floor(lat / {_HOT_CELL}) AS BIGINT) AS cell_lat,
+             CAST(floor(lon / {_HOT_CELL}) AS BIGINT) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sq
+      FROM cells)
+    SELECT c.cell_lat, c.cell_lon, c.cnt,
+           CASE WHEN s.k > 1 AND s.sq * s.k > s.total * s.total THEN
+             (CAST(c.cnt AS DOUBLE) - CAST(s.total AS DOUBLE) / s.k)
+             / sqrt((CAST(s.sq AS DOUBLE) * s.k
+                     - CAST(s.total AS DOUBLE)
+                       * CAST(s.total AS DOUBLE))
+                    / (CAST(s.k AS DOUBLE) * (s.k - 1))) END
+             AS zscore,
+           coalesce(
+             CASE WHEN s.k > 1 AND s.sq * s.k > s.total * s.total
+               THEN
+               (CAST(c.cnt AS DOUBLE)
+                - CAST(s.total AS DOUBLE) / s.k)
+               / sqrt((CAST(s.sq AS DOUBLE) * s.k
+                       - CAST(s.total AS DOUBLE)
+                         * CAST(s.total AS DOUBLE))
+                      / (CAST(s.k AS DOUBLE) * (s.k - 1)))
+               > {_HOT_Z} END, FALSE) AS hotspot
+    FROM cells c, s
+    """,
+)
+def geo_grid_hotspot(spark, sf_dir):
+    """Grid-cell HOTSPOT detection over the user point cloud: count
+    distinct users per {_HOT_CELL}-degree cell, z-score each cell
+    against the cell-population mean/std (exact integer moment
+    sums), flag z > {_HOT_Z} — the density-anomaly sweep a
+    geo-monitoring job runs before anything fancier (the cell grid
+    is the same discretization geo_nearest/geo_join_radius name as
+    their scale path, here used as the statistic's support).
+
+    Scale shape: one distinct-user pass -> cell counts (the grid is
+    a BOUNDED domain: at most 16 x 36 cells at any corpus size), a
+    three-integer moment aggregate over the cells, and a 1-row
+    broadcast back onto them. The z expression is the identical
+    double op sequence in both engines."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .select(
+            ((F.col("user_id") * 37 % 160).cast("double")
+             - 80.0 + 0.25).alias("lat"),
+            ((F.col("user_id") * 73 % 360).cast("double")
+             - 180.0 + 0.25).alias("lon"),
+        )
+    )
+    cells = (
+        pts.groupBy(
+            F.floor(F.col("lat") / _HOT_CELL).cast("long")
+            .alias("cell_lat"),
+            F.floor(F.col("lon") / _HOT_CELL).cast("long")
+            .alias("cell_lon"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = cells.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq"),
+    )
+    # degenerate grids (k = 1 cell, or every cell equal — e.g. the
+    # smallest fixture where each user is alone in its cell) have
+    # no dispersion: z is NULL and nothing is a hotspot, in BOTH
+    # engines, instead of an ANSI divide-by-zero
+    ok = (F.col("k") > 1) & (
+        F.col("sq") * F.col("k") > F.col("total") * F.col("total"))
+    z = F.when(
+        ok,
+        (F.col("cnt").cast("double")
+         - F.col("total").cast("double") / F.col("k"))
+        / F.sqrt((F.col("sq").cast("double") * F.col("k")
+                  - F.col("total").cast("double")
+                  * F.col("total").cast("double"))
+                 / (F.col("k").cast("double") * (F.col("k") - 1))))
+    return cells.join(F.broadcast(s)).select(
+        "cell_lat", "cell_lon", "cnt",
+        z.alias("zscore"),
+        F.coalesce(z > _HOT_Z, F.lit(False)).alias("hotspot"),
+    )

@@ -424,3 +424,41 @@ def test_jsonl_permissive_quarantine(spark, sf_oracle):
     assert rows["good"].n_typed == rows["good"].n
     assert rows["corrupt"].n == 6
     assert rows["corrupt"].sum_value is None
+
+
+def test_theil_atkinson_against_brute_force(spark, sf_oracle):
+    import math as _m
+
+    rows = {r.o_orderpriority: r for r in QUERIES["agg_theil_index"](
+        spark, sf_oracle).collect()}
+    prices: dict = {}
+    for r in load_table(spark, sf_oracle, "orders").select(
+            "o_orderpriority", "o_totalprice").collect():
+        prices.setdefault(r.o_orderpriority, []).append(
+            r.o_totalprice)
+    for prio, xs in prices.items():
+        r = rows[prio]
+        mu = sum(xs) / len(xs)
+        t = sum(x / mu * _m.log(x / mu) for x in xs) / len(xs)
+        a = 1 - (sum(_m.sqrt(x) for x in xs) / len(xs)) ** 2 / mu
+        assert r.n == len(xs)
+        assert abs(r.theil_t - t) < 1e-7, prio
+        assert abs(r.atkinson_05 - a) < 1e-9, prio
+        assert r.theil_t >= 0 and 0 <= r.atkinson_05 < 1
+
+
+def test_zipf_fit_reasonable(spark, sf_oracle):
+    r = QUERIES["llm_zipf_fit"](spark, sf_oracle).collect()[0]
+    assert r.n_ranks > 10
+    assert r.slope < 0, "frequency must fall with rank"
+    assert 0 <= r.r2 <= 1 + 1e-12
+
+
+def test_grid_hotspot_flags_and_totals(spark, sf_oracle):
+    rows = QUERIES["geo_grid_hotspot"](spark, sf_oracle).collect()
+    n_users = (load_table(spark, sf_oracle, "events")
+               .select("user_id").distinct().count())
+    assert sum(r.cnt for r in rows) == n_users
+    for r in rows:
+        assert r.hotspot == (r.zscore > 2.0)
+        assert -16 <= r.cell_lat <= 15 and -18 <= r.cell_lon <= 17
