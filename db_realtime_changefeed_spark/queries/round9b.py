@@ -265,3 +265,150 @@ def geo_grid_hotspot(spark, sf_dir):
         z.alias("zscore"),
         F.coalesce(z > _HOT_Z, F.lit(False)).alias("hotspot"),
     )
+
+
+# ---------------------------------------------------------------- ts_pacf
+
+_PACF_LAGS = 5
+_PACF_DDL = "event_type string, lag int, acf double, pacf double"
+
+
+def _pacf_fit(pdf):
+    """ACF + Durbin-Levinson PACF per series in plain float64 —
+    every sum a sequential left-to-right fold over the day-ordered
+    series, the SAME order as the oracle's list_aggregate folds, so
+    every coefficient is bit-identical."""
+    import pandas as _pd
+
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    ys = [float(v) for v in pdf["y"]]
+    n = len(ys)
+    if n < _PACF_LAGS + 2:
+        return _pd.DataFrame(
+            columns=["event_type", "lag", "acf", "pacf"])
+    mean = 0.0
+    for y in ys:
+        mean += y
+    mean = mean / n
+    cs = [y - mean for y in ys]
+    denom = 0.0
+    for c in cs:
+        denom += c * c
+    racf = [None]  # 1-indexed
+    for k in range(1, _PACF_LAGS + 1):
+        s = 0.0
+        for i in range(n - k):
+            s += cs[i] * cs[i + k]
+        racf.append(s / denom)
+    phi = [racf[1]]
+    out = [(pdf["event_type"][0], 1, racf[1], racf[1])]
+    for k2 in range(2, _PACF_LAGS + 1):
+        num_s = 0.0
+        for j in range(1, k2):
+            num_s += phi[j - 1] * racf[k2 - j]
+        den_s = 0.0
+        for j in range(1, k2):
+            den_s += phi[j - 1] * racf[j]
+        a = (racf[k2] - num_s) / (1.0 - den_s)
+        phi = [phi[j - 1] - a * phi[k2 - 1 - j]
+               for j in range(1, k2)] + [a]
+        out.append((pdf["event_type"][0], k2, racf[k2], a))
+    return _pd.DataFrame(
+        out, columns=["event_type", "lag", "acf", "pacf"])
+
+
+@query(
+    "ts_pacf",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('day', ts)) AS i
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    ser AS (
+      SELECT event_type, list(y ORDER BY i) AS ys,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY event_type
+      HAVING count(*) >= {_PACF_LAGS + 2}),
+    cen AS (
+      SELECT event_type, n,
+             list_transform(
+               ys, y -> y - list_aggregate(ys, 'sum') / n) AS cs
+      FROM ser),
+    ac AS (
+      SELECT event_type,
+             list_transform(range(1, {_PACF_LAGS + 1}), k ->
+               list_aggregate(
+                 list_transform(range(1, CAST(n - k + 1 AS BIGINT)),
+                                i -> cs[i] * cs[i + k]), 'sum')
+               / list_aggregate(
+                   list_transform(cs, c -> c * c), 'sum')) AS racf
+      FROM cen),
+    r AS (
+      SELECT event_type, 1 AS k, [racf[1]] AS phi,
+             racf[1] AS pacf, racf
+      FROM ac
+      UNION ALL
+      SELECT event_type, k + 1,
+             list_concat(
+               list_transform(range(1, k + 1),
+                 j -> phi[j]
+                      - (racf[k + 1]
+                         - list_aggregate(
+                             list_transform(range(1, k + 1),
+                               j2 -> phi[j2] * racf[k + 1 - j2]),
+                             'sum'))
+                        / (1.0 - list_aggregate(
+                             list_transform(range(1, k + 1),
+                               j2 -> phi[j2] * racf[j2]), 'sum'))
+                        * phi[k + 1 - j]),
+               [(racf[k + 1]
+                 - list_aggregate(
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * racf[k + 1 - j2]), 'sum'))
+                / (1.0 - list_aggregate(
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * racf[j2]), 'sum'))]) AS phi,
+             (racf[k + 1]
+              - list_aggregate(
+                  list_transform(range(1, k + 1),
+                    j2 -> phi[j2] * racf[k + 1 - j2]), 'sum'))
+             / (1.0 - list_aggregate(
+                  list_transform(range(1, k + 1),
+                    j2 -> phi[j2] * racf[j2]), 'sum')) AS pacf,
+             racf
+      FROM r WHERE k < {_PACF_LAGS})
+    SELECT event_type, CAST(k AS INT) AS lag, racf[k] AS acf, pacf
+    FROM r
+    """,
+)
+def ts_pacf(spark, sf_dir):
+    """ACF and PARTIAL autocorrelation (Durbin-Levinson recursion)
+    of each event type's daily count series, lags 1..{_PACF_LAGS} —
+    the pair of plots every ARIMA order selection starts from
+    (ACF tails/PACF cuts => AR order, and vice versa for MA).
+    The DL recursion updates a coefficient VECTOR per lag — like
+    ts_holt_winters a genuinely sequential operator, run as
+    applyInPandas per series while the oracle carries phi as a LIST
+    through DuckDB's recursive CTE.
+
+    Determinism: EVERY sum on both sides is a sequential
+    left-to-right fold over the day-ordered series (python
+    accumulator loops vs list_aggregate over list(... ORDER BY i) —
+    the same trick the vector dot products use), so means, centered
+    products, ACFs and every DL coefficient are bit-identical with
+    no decimal quantization anywhere.
+
+    Scale shape: scan -> bounded (series, day) relation -> ONE
+    shuffle by series; each series' O(lags^2 + n*lags) recursion
+    runs inside its own Arrow batch — parallel across millions of
+    series, never across time."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _pacf_fit, schema=_PACF_DDL)

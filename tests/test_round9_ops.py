@@ -462,3 +462,49 @@ def test_grid_hotspot_flags_and_totals(spark, sf_oracle):
     for r in rows:
         assert r.hotspot == (r.zscore > 2.0)
         assert -16 <= r.cell_lat <= 15 and -18 <= r.cell_lon <= 17
+
+
+def test_pacf_matches_statsmodels_free_replay(spark, sf_oracle):
+    """Replay ACF + Durbin-Levinson in the test (float64, same fold
+    order) and demand exact equality; lag-1 PACF must equal lag-1
+    ACF by construction."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_oracle, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .count().collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(
+            (r.day, float(r["count"])))
+    rows = QUERIES["ts_pacf"](spark, sf_oracle).collect()
+    got = {(r.event_type, r.lag): r for r in rows}
+    assert len(got) == len(series) * 5
+    for et, pts in series.items():
+        pts.sort()
+        ys = [v for _, v in pts]
+        n = len(ys)
+        mean = 0.0
+        for y in ys:
+            mean += y
+        mean /= n
+        cs = [y - mean for y in ys]
+        denom = sum(c * c for c in cs)
+        racf = [None] + [
+            sum(cs[i] * cs[i + k] for i in range(n - k)) / denom
+            for k in range(1, 6)]
+        assert got[(et, 1)].pacf == got[(et, 1)].acf == racf[1]
+        phi = [racf[1]]
+        for k2 in range(2, 6):
+            num = racf[k2] - sum(
+                phi[j - 1] * racf[k2 - j] for j in range(1, k2))
+            den = 1.0 - sum(
+                phi[j - 1] * racf[j] for j in range(1, k2))
+            a = num / den
+            phi = [phi[j - 1] - a * phi[k2 - 1 - j]
+                   for j in range(1, k2)] + [a]
+            assert abs(got[(et, k2)].pacf - a) < 1e-12, (et, k2)
+            assert abs(got[(et, k2)].acf - racf[k2]) < 1e-12
