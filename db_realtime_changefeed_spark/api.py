@@ -213,19 +213,38 @@ class TableRef:
     def views(self, delete_on: str | None = "error",
               k: int = 10) -> "StandingViews":
         """Register (or fetch) the maintained standing-view family
-        on this table's change stream (streaming/views.py): grouped
-        agg with retractions, support-relation min/max, the top-k
-        enter/leave feed, the range index, and the full delta log —
-        all kept current per micro-batch. events-only in this
-        fixture set (the replayable CDC stream)."""
-        if self._name != "events":
-            raise KeyError(
-                "standing views replay the events CDC stream; "
-                f"got table {self._name!r}")
+        on this table's change stream: on `events` the full
+        streaming/views.py family (grouped agg with retractions,
+        support-relation min/max, the top-k enter/leave feed, the
+        range index, and the full delta log); on `orders` the
+        GenericAggViewRunner parameterization (generic_views.py) —
+        same fold algebra, the table's own columns — surfaced
+        through GenericStandingViews (agg / min-max / top-k /
+        range reads; no per-row delta log on the generic runner
+        yet). Other tables raise with the parameterization route:
+        the machinery is table-agnostic, each table just needs its
+        (key, seq, ts, group, value) mapping declared."""
         if self._predicates:
             raise ValueError(
                 "standing views maintain the full table; "
                 "use .changes() for filtered feeds")
+        if self._name == "orders":
+            if (delete_on, k) != ("error", 10):
+                raise NotImplementedError(
+                    "orders views run the shared orders_runner "
+                    "configuration (no delete events in the orders "
+                    "replay; its top-k width is the runner's own "
+                    "k=5) — call views() with the defaults")
+            from .streaming.generic_views import orders_runner
+
+            return GenericStandingViews(
+                orders_runner(self._db.spark, self._db.sf_dir))
+        if self._name != "events":
+            raise KeyError(
+                "standing views are wired for 'events' (full "
+                "family) and 'orders' (GenericAggViewRunner); for "
+                f"{self._name!r} instantiate GenericAggViewRunner "
+                "with the table's (key, seq, ts, group, value)")
         from .streaming.view_queries import _CACHE
         from .streaming.views import MaintainedViewsRunner
 
@@ -549,6 +568,64 @@ class Database:
 
         register_views(self.spark, self.sf_dir)
         return self.spark.sql(query)
+
+
+class GenericStandingViews:
+    """StandingViews over a GenericAggViewRunner — the fluent
+    surface of the table-agnostic view library (generic_views.py):
+    grouped agg, support-relation min/max, the O(k + band) top-k
+    read and the banded range read, all on the runner's OWN column
+    names. Narrower than the events family on purpose: the generic
+    runner maintains no per-row delta log yet, so there is no
+    .changes()/.top_k_changes() here — absent surface raises via
+    AttributeError rather than returning something empty."""
+
+    def __init__(self, runner):
+        self._runner = runner
+
+    @property
+    def _last(self) -> int:
+        batches = self._runner._batches
+        if not batches:
+            raise RuntimeError("standing views have no committed "
+                               "version yet")
+        return max(batches)
+
+    def group_agg(self) -> DataFrame:
+        r = self._runner
+        return r._agg.df_at(self._last).select(
+            r.group, "cnt",
+            F.col("sum_value").cast("double").alias("sum_value"))
+
+    def min_max(self) -> DataFrame:
+        r = self._runner
+        return (
+            r._support.df_at(self._last)
+            .groupBy(r.group)
+            .agg(F.sum("cnt").alias("n"),
+                 F.min(r.value).alias("min_value"),
+                 F.max(r.value).alias("max_value"))
+        )
+
+    def top_k(self) -> list:
+        """Current top-k (key, value, seq), best first — the
+        widening banded read (O(k + band), never whole-state)."""
+        return self._runner.topk_at(self._last)
+
+    def between(self, lo: float, hi: float) -> DataFrame:
+        """Range read on the value index — only bands overlapping
+        [lo, hi] are listed from the manifest."""
+        return self._runner._index.between(self._last, lo, hi)
+
+    def register_sql(self, prefix: str | None = None) -> list[str]:
+        prefix = prefix or self._runner.table
+        pairs = [
+            (f"{prefix}_agg_view", self.group_agg()),
+            (f"{prefix}_minmax_view", self.min_max()),
+        ]
+        for name, df in pairs:
+            df.createOrReplaceTempView(name)
+        return [n for n, _ in pairs]
 
 
 class StandingViews:

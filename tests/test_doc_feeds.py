@@ -89,3 +89,54 @@ def test_doc_feed_guards(spark, sf_smoke):
     # events keeps its native key and path
     with pytest.raises(NotImplementedError, match="user_id"):
         db.table("events").get(1, key="event_type")
+
+
+def test_orders_views_through_fluent_api(spark, sf_smoke):
+    """db.table('orders').views() rides the GenericAggViewRunner:
+    group_agg equals the batch-computed latest-order rollup, min/max
+    brackets it, top_k is value-descending with k rows, and the
+    range read returns exactly the in-range subset of the latest
+    index."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    db = Database(spark, sf_smoke)
+    v = db.table("orders").views()
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    latest = (
+        load_table(spark, sf_smoke, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+    )
+    exp = {
+        r.o_orderstatus: (r.cnt, round(r.s, 6))
+        for r in latest.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("s")).collect()
+    }
+    got = {r.o_orderstatus: (r.cnt, round(r.sum_value, 6))
+           for r in v.group_agg().collect()}
+    assert got == exp
+    mm = {r.o_orderstatus: r for r in v.min_max().collect()}
+    assert set(mm) == set(exp)
+    for st, r in mm.items():
+        assert r.n == exp[st][0]
+        assert r.min_value <= r.max_value
+    top = v.top_k()
+    assert len(top) == v._runner.k == 5
+    vals = [t[1] for t in top]
+    assert vals == sorted(vals, reverse=True)
+    lo, hi = vals[-1], vals[0]
+    rng = v.between(lo, hi).collect()
+    assert {t[0] for t in top} <= {r.o_custkey for r in rng}
+    names = v.register_sql()
+    assert spark.sql(
+        "SELECT sum(cnt) FROM orders_agg_view").collect()[0][0] \
+        == sum(c for c, _ in exp.values())
+    assert names == ["orders_agg_view", "orders_minmax_view"]
+    # non-wired table still raises with the parameterization route
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="GenericAggViewRunner"):
+        db.table("customer").views()
