@@ -1301,6 +1301,10 @@ def dq_iqr_outliers(spark, sf_dir):
 _MMR_POOL = 12
 _MMR_K = 4
 _MMR_LAMBDA = 0.7
+#: the diversity weight as its OWN literal — python's 1.0 - 0.7 is
+#: 0.30000000000000004, one ulp off the SQL literal 0.3 (caught by
+#: the strict parity suite; the driver's 6-dp hash forgave it)
+_MMR_MU = 0.3
 _MMR_DDL = ("qid long, step int, vec_id long, rel double, "
             "score double")
 
@@ -1330,7 +1334,7 @@ def _mmr_select(key, pool_pdf, sim_pdf):
                 score = rel[d]
             else:
                 ms = max(sim.get((d, s), 0.0) for s in selected)
-                score = _MMR_LAMBDA * rel[d] - (1.0 - _MMR_LAMBDA) * ms
+                score = _MMR_LAMBDA * rel[d] - _MMR_MU * ms
             # strict > : ties keep the SMALLEST vec_id (first seen)
             if best is None or score > best[1]:
                 best = (d, score)
@@ -1388,7 +1392,7 @@ def _mmr_oracle2() -> str:
                  ORDER BY sc.score DESC, sc.did) AS pick
         FROM (
           SELECT s.qid, s.step + 1 AS step, p.did, p.rel, s.sel_ids,
-                 {_MMR_LAMBDA} * p.rel - {round(1 - _MMR_LAMBDA, 1)}
+                 {_MMR_LAMBDA} * p.rel - {_MMR_MU}
                  * (SELECT max(sim) FROM sims x
                     WHERE x.qid = s.qid
                       AND ((x.d1 = p.did

@@ -237,7 +237,7 @@ def test_mmr_diversify_matches_bruteforce_replay(spark, sf_oracle):
     ids, steps, and scores — pins pool construction, the selection
     objective, and tie rules end to end."""
     from db_realtime_changefeed_spark.queries.round9 import (
-        _MMR_K, _MMR_LAMBDA, _MMR_POOL)
+        _MMR_K, _MMR_LAMBDA, _MMR_MU, _MMR_POOL)
 
     emb = {r.vec_id: [float(v) for v in r.embedding]
            for r in load_table(spark, sf_oracle,
@@ -271,7 +271,7 @@ def test_mmr_diversify_matches_bruteforce_replay(spark, sf_oracle):
                 else:
                     ms = max(cos(d, s) for s in sel)
                     score = (_MMR_LAMBDA * rel[d]
-                             - (1.0 - _MMR_LAMBDA) * ms)
+                             - _MMR_MU * ms)
                 if best is None or score > best[1]:
                     best = (d, score)
             sel.append(best[0])
