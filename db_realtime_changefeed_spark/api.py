@@ -219,9 +219,9 @@ class TableRef:
         range index, and the full delta log); on `orders` the
         GenericAggViewRunner parameterization (generic_views.py) —
         same fold algebra, the table's own columns — surfaced
-        through GenericStandingViews (agg / min-max / top-k /
-        range reads; no per-row delta log on the generic runner
-        yet). Other tables raise with the parameterization route:
+        through GenericStandingViews (agg / min-max / top-k / range
+        reads and the per-row delta log). Other tables raise with
+        the parameterization route:
         the machinery is table-agnostic, each table just needs its
         (key, seq, ts, group, value) mapping declared."""
         if self._predicates:
@@ -574,11 +574,12 @@ class GenericStandingViews:
     """StandingViews over a GenericAggViewRunner — the fluent
     surface of the table-agnostic view library (generic_views.py):
     grouped agg, support-relation min/max, the O(k + band) top-k
-    read and the banded range read, all on the runner's OWN column
-    names. Narrower than the events family on purpose: the generic
-    runner maintains no per-row delta log yet, so there is no
-    .changes()/.top_k_changes() here — absent surface raises via
-    AttributeError rather than returning something empty."""
+    read, the banded range read, and the per-row {old,new} delta
+    log, all on the runner's OWN column names. Narrower than the
+    events family only in the top-k ENTER/LEAVE feed (the generic
+    runner keeps no top-k membership log yet) — absent surface
+    raises via AttributeError rather than returning something
+    empty."""
 
     def __init__(self, runner):
         self._runner = runner
@@ -617,11 +618,18 @@ class GenericStandingViews:
         [lo, hi] are listed from the manifest."""
         return self._runner._index.between(self._last, lo, hi)
 
+    def changes(self) -> DataFrame:
+        """The full per-row {old,new} delta log of the base table
+        (generic runner changelog; old_* NULL on first
+        appearance)."""
+        return self._runner.delta_log()
+
     def register_sql(self, prefix: str | None = None) -> list[str]:
         prefix = prefix or self._runner.table
         pairs = [
             (f"{prefix}_agg_view", self.group_agg()),
             (f"{prefix}_minmax_view", self.min_max()),
+            (f"{prefix}_changes", self.changes()),
         ]
         for name, df in pairs:
             df.createOrReplaceTempView(name)

@@ -412,3 +412,80 @@ def ts_pacf(spark, sf_dir):
     )
     return daily.groupBy("event_type").applyInPandas(
         _pacf_fit, schema=_PACF_DDL)
+
+
+# --------------------------------------------------- changefeed_log_orders
+
+def _log_orders_oracle() -> str:
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+    return f"""
+    WITH numbered AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus,
+             o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM orders),
+    chunked AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus,
+             o_totalprice,
+             CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS chunk
+      FROM numbered),
+    batches AS (SELECT DISTINCT chunk AS batch_id FROM chunked),
+    latest AS (
+      SELECT b.batch_id, c.o_custkey, c.o_orderkey, c.o_orderstatus,
+             c.o_totalprice,
+             row_number() OVER (
+               PARTITION BY b.batch_id, c.o_custkey
+               ORDER BY c.o_orderdate DESC, c.o_orderkey DESC)
+               AS rrn
+      FROM batches b JOIN chunked c ON c.chunk <= b.batch_id),
+    v AS (
+      SELECT batch_id, o_custkey, o_orderkey, o_orderstatus,
+             o_totalprice
+      FROM latest WHERE rrn = 1),
+    prev AS (
+      SELECT batch_id + 1 AS batch_id, o_custkey, o_orderkey,
+             o_orderstatus, o_totalprice
+      FROM v)
+    SELECT v.batch_id, v.o_custkey,
+           prev.o_totalprice AS old_value,
+           v.o_totalprice AS new_value,
+           prev.o_orderkey AS old_seq,
+           v.o_orderkey AS new_seq,
+           prev.o_orderstatus AS old_group,
+           v.o_orderstatus AS new_group
+    FROM v LEFT JOIN prev USING (batch_id, o_custkey)
+    WHERE prev.o_orderkey IS NULL
+       OR v.o_orderkey <> prev.o_orderkey
+    """
+
+
+@query("changefeed_log_orders", oracle=_log_orders_oracle())
+def changefeed_log_orders(spark, sf_dir):
+    """The generic view runner's PER-ROW DELTA LOG, graded on orders
+    — the piece that makes the table-agnostic family a CHANGEFEED
+    rather than just a view store (this round's generic_views
+    addition): every micro-batch, each customer's LWW win (newest
+    order by (o_orderdate, o_orderkey)) emits one {{old, new}} row
+    with value, sequence and group images (old_* NULL on first
+    appearance), written as ONE parquet job off the same cached
+    delta relation every fold already consumes — zero extra
+    shuffles, idempotent per-batch-dir overwrite. The oracle
+    reconstructs every batch prefix's visible winner per key and
+    diffs consecutive prefixes, so a missed win, a phantom emission,
+    or a wrong old-image anywhere in the trajectory breaks the
+    hash (the changefeed_getall_changes contract, on the GENERIC
+    runner).
+
+    Scale: the log write is O(|delta|) per batch with no
+    key-cardinality driver state; reads are a recursive parquet
+    listing."""
+    from ..streaming.generic_views import orders_runner
+
+    r = orders_runner(spark, sf_dir)
+    return r.delta_log().select(
+        "batch_id", "o_custkey", "old_value", "new_value",
+        "old_seq", "new_seq", "old_group", "new_group",
+    )

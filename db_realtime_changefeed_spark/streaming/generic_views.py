@@ -82,6 +82,16 @@ class GenericAggViewRunner:
         self.group_expr = group_expr
         self.root = scratch_dir(prefix=f"dbrcf-gview-{table}-")
         self.ckpt = os.path.join(self.root, "checkpoint")
+        #: per-row {old,new} delta log — ONE parquet write of the
+        #: batch's already-cached delta relation per micro-batch
+        #: (idempotent per-batch-dir overwrite); this is what makes
+        #: the generic family a CHANGEFEED, not just a view store
+        self.log_dir = os.path.join(self.root, "changelog")
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._log_ddl = (
+            f"{key} {key_ddl}, old_value double, new_value double, "
+            f"old_seq {seq_ddl}, new_seq {seq_ddl}, "
+            "old_group string, new_group string, batch_id long")
         self._state_ddl = (
             f"{key} {key_ddl}, {ts} {ts_ddl}, {seq} {seq_ddl}, "
             f"{value} double, {group} string")
@@ -286,8 +296,10 @@ class GenericAggViewRunner:
             wins.alias("emit"),
             F.when(has_o, F.col(v)).alias("old_value"),
             F.when(has_o, F.col(g)).alias("old_group"),
+            F.when(has_o, F.col(sq)).alias("old_seq"),
             F.col("w_val").alias("new_value"),
             F.col("w_grp").alias("new_group"),
+            F.col("w_seq").alias("new_seq"),
             has_o.alias("had_old"),
         ).cache()
         try:
@@ -400,9 +412,18 @@ class GenericAggViewRunner:
                 jobs.insert(2, (self._index,
                                 self._fold_idx(delta, base, i_touched),
                                 i_touched))
-            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            log_df = delta.select(
+                k, "old_value", "new_value",
+                "old_seq", "new_seq", "old_group", "new_group",
+                F.lit(batch_id).alias("batch_id"))
+            log_path = os.path.join(self.log_dir,
+                                    f"batch-{batch_id:05d}")
+            with ThreadPoolExecutor(max_workers=len(jobs) + 1) as ex:
                 futs = [ex.submit(st.stage, batch_id, df, tb)
                         for st, df, tb in jobs]
+                futs.append(ex.submit(
+                    lambda: log_df.write.mode("overwrite")
+                    .parquet(log_path)))
                 for f in futs:
                     f.result()
             self._agg.publish(batch_id, base, g_touched)
@@ -434,6 +455,20 @@ class GenericAggViewRunner:
                 .start()
             )
             q.awaitTermination()
+
+    def delta_log(self) -> DataFrame:
+        """The full per-row {old,new} change log across all committed
+        batches — the generic twin of MaintainedViewsRunner's
+        delta_log (old_* NULL on first appearance; a row per LWW win,
+        keyed by the table's own key column)."""
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(self.log_dir, "*", "*.parquet")):
+            return self.spark.createDataFrame([], self._log_ddl)
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .schema(self._log_ddl).parquet(self.log_dir)
+        )
 
     def agg_trajectory(self) -> DataFrame:
         parts = [

@@ -135,7 +135,23 @@ def test_orders_views_through_fluent_api(spark, sf_smoke):
     assert spark.sql(
         "SELECT sum(cnt) FROM orders_agg_view").collect()[0][0] \
         == sum(c for c, _ in exp.values())
-    assert names == ["orders_agg_view", "orders_minmax_view"]
+    assert names == ["orders_agg_view", "orders_minmax_view",
+                     "orders_changes"]
+    # the delta log replays to the same latest state: each key's
+    # last delta carries its current (value, seq)
+    log = v.changes().collect()
+    assert log, "orders changelog must be non-empty"
+    last_delta: dict = {}
+    for r in sorted(log, key=lambda r: (r.batch_id, r.o_custkey)):
+        last_delta[r.o_custkey] = r
+    cur = {r.o_custkey: (r.o_totalprice, r.o_orderkey)
+           for r in latest.collect()}
+    assert set(last_delta) == set(cur)
+    for k_, r in last_delta.items():
+        assert (r.new_value, r.new_seq) == cur[k_], k_
+    firsts = [r for r in log
+              if r.old_value is None and r.old_seq is None]
+    assert len(firsts) == len(cur), "one NULL-old first delta per key"
     # non-wired table still raises with the parameterization route
     import pytest as _pytest
     with _pytest.raises(KeyError, match="GenericAggViewRunner"):
