@@ -489,3 +489,80 @@ def changefeed_log_orders(spark, sf_dir):
         "batch_id", "o_custkey", "old_value", "new_value",
         "old_seq", "new_seq", "old_group", "new_group",
     )
+
+
+# --------------------------------------------------- dq_expectation_suite
+
+#: the declared expectations over the events stream — named, typed,
+#: thresholds shared verbatim with the oracle (the
+#: great-expectations/dbt-test shape: the CONTRACT is data, the
+#: engine just evaluates it)
+_EXPECTATIONS_SQL = """
+    SELECT 'row_count_min' AS expectation,
+           CAST(count(*) AS DOUBLE) AS observed,
+           1.0 AS threshold,
+           count(*) >= 1 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'event_id_unique',
+           CAST(count(*) - count(DISTINCT event_id) AS DOUBLE),
+           0.0, count(*) = count(DISTINCT event_id)
+    FROM events
+    UNION ALL
+    SELECT 'value_in_range',
+           CAST(count(CASE WHEN value < 0 OR value > 1000
+                           THEN 1 END) AS DOUBLE),
+           0.0,
+           count(CASE WHEN value < 0 OR value > 1000 THEN 1 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'ts_in_window',
+           CAST(count(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                             OR ts >= TIMESTAMP '2024-02-01'
+                           THEN 1 END) AS DOUBLE),
+           0.0,
+           count(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                        OR ts >= TIMESTAMP '2024-02-01'
+                      THEN 1 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'user_id_not_null',
+           CAST(count(CASE WHEN user_id IS NULL THEN 1 END)
+                AS DOUBLE),
+           0.0, count(CASE WHEN user_id IS NULL THEN 1 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'event_type_in_set',
+           CAST(count(CASE WHEN event_type NOT IN
+                    ('click','error','purchase','signup','view')
+                           THEN 1 END) AS DOUBLE),
+           0.0,
+           count(CASE WHEN event_type NOT IN
+                    ('click','error','purchase','signup','view')
+                      THEN 1 END) = 0
+    FROM events
+"""
+
+
+@query("dq_expectation_suite", oracle=_EXPECTATIONS_SQL)
+def dq_expectation_suite(spark, sf_dir):
+    """A declared EXPECTATION SUITE over the events stream — the
+    great-expectations / dbt-test contract shape: each named
+    expectation (row volume, key uniqueness, value range, event-time
+    window, null policy, categorical domain) evaluates to one
+    (observed, threshold, passed) row, and the suite IS the data
+    contract a pipeline gates deploys on. Evaluated by executing the
+    SAME SQL text in both engines — the contract is literal,
+    shared, and engine-portable, which is the point of writing
+    expectations as SQL in the first place.
+
+    Scale: six conditional aggregates over one table — Catalyst
+    collapses each UNION ALL arm to a scan + partial/final
+    aggregate; at 100 TB you fuse the arms into one pass with
+    observe() (scan_observed_metrics shows that form) or run them
+    off the profile table; the per-expectation report stays
+    |expectations| rows either way."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXPECTATIONS_SQL)

@@ -222,3 +222,63 @@ def test_maintained_views_match_recompute_on_random_cdc(spark, events):
     want_idx = base.select("user_id", "value", "event_id")
     assert idx.exceptAll(want_idx).count() == 0
     assert want_idx.exceptAll(idx).count() == 0
+
+
+_seg_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # bucket
+        st.integers(min_value=1, max_value=12),   # rows in batch
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_seg_ops, fanout=st.integers(min_value=2, max_value=4))
+def test_segment_index_probe_equals_bruteforce(spark, batches, fanout):
+    """Random append sequences against SegmentedBucketIndex: after
+    EVERY append, probing any bucket returns exactly the rows a
+    brute-force dict would hold — across whatever compaction state
+    the fanout/sequence produced — and the live level profile obeys
+    base-`fanout` counter arithmetic."""
+    from db_realtime_changefeed_spark.operators.segment_index import (
+        SegmentedBucketIndex,
+    )
+    from db_realtime_changefeed_spark.tmputil import scratch_dir
+
+    store = SegmentedBucketIndex(
+        spark, scratch_dir(prefix="dbrcf-segprop-"),
+        "rid long, payload long", fanout=fanout)
+    truth: dict = {}
+    rid = 0
+    for b, (bucket_base, n) in enumerate(batches):
+        rows = []
+        for i in range(n):
+            bucket = (bucket_base + i) % 6
+            rows.append((rid, rid * 7, bucket))
+            truth.setdefault(bucket, []).append((rid, rid * 7))
+            rid += 1
+        store.append_batch(
+            spark.createDataFrame(
+                rows, "rid long, payload long, bucket int"),
+            b)
+        probe_bucket = bucket_base
+        df = store.probe(probe_bucket)
+        got = (sorted((r.rid, r.payload) for r in df.collect())
+               if df is not None else [])
+        assert got == sorted(truth.get(probe_bucket, [])), (b, fanout)
+        # live profile == digits of (b+1) in base `fanout`
+        k = b + 1
+        digits = []
+        while k:
+            digits.append(k % fanout)
+            k //= fanout
+        by_level: dict = {}
+        for _, lv in store.live_segments():
+            by_level[lv] = by_level.get(lv, 0) + 1
+        assert by_level == {
+            i: d for i, d in enumerate(digits) if d}, (b, fanout)

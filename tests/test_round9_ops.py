@@ -508,3 +508,16 @@ def test_pacf_matches_statsmodels_free_replay(spark, sf_oracle):
                    for j in range(1, k2)] + [a]
             assert abs(got[(et, k2)].pacf - a) < 1e-12, (et, k2)
             assert abs(got[(et, k2)].acf - racf[k2]) < 1e-12
+
+
+def test_expectation_suite_all_pass_and_observed_zero(
+        spark, sf_oracle):
+    rows = {r.expectation: r for r in QUERIES["dq_expectation_suite"](
+        spark, sf_oracle).collect()}
+    assert len(rows) == 6
+    for name, r in rows.items():
+        assert r.passed, name
+        if name != "row_count_min":
+            assert r.observed == 0.0, name
+    assert rows["row_count_min"].observed == \
+        load_table(spark, sf_oracle, "events").count()
