@@ -29,7 +29,8 @@ from ._util import dsum, sql_dsum
       FROM orders GROUP BY o_orderpriority)
     SELECT o_orderpriority, n,
            sx / n AS mean_price,
-           sxlnx / (n * (sx / n)) - ln(sx / n) AS theil_t,
+           FLOOR((sxlnx / (n * (sx / n)) - ln(sx / n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS theil_t6,
            1.0 - (ssqrt / n) * (ssqrt / n) / (sx / n)
              AS atkinson_05
     FROM s
@@ -51,7 +52,13 @@ def agg_theil_index(spark, sf_dir):
     i.e. past sf10 here; bigger corpora move to decimal(28,6));
     the closing expressions are the identical double op sequence in
     both engines, with mu always written as (sx / n), never a
-    precomputed alias, so both engines round identically."""
+    precomputed alias. Theil is additionally 6-dp floor-quantized
+    (the var_pop6 rule): ln() is not correctly-rounded, so over 15k
+    rows a few x*ln(x) products land on DECIMAL(18,6) rounding
+    boundaries and the stabilized sums differ by ~1e-6 between
+    engines (caught by strict parity; the Atkinson term is immune —
+    sqrt IS correctly rounded, so its products quantize
+    identically)."""
     s = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -64,11 +71,12 @@ def agg_theil_index(spark, sf_dir):
         )
     )
     mu = F.col("sx") / F.col("n")
+    theil = F.col("sxlnx") / (F.col("n") * mu) - F.log(mu)
     return s.select(
         "o_orderpriority", "n",
         mu.alias("mean_price"),
-        (F.col("sxlnx") / (F.col("n") * mu) - F.log(mu))
-        .alias("theil_t"),
+        (F.floor(theil * F.lit(1000000.0) + F.lit(0.5))
+         .cast("double") / F.lit(1000000.0)).alias("theil_t6"),
         (F.lit(1.0) - (F.col("ssqrt") / F.col("n"))
          * (F.col("ssqrt") / F.col("n")) / mu).alias("atkinson_05"),
     )

@@ -427,9 +427,10 @@ def test_api_standing_views_surface(spark, sf_smoke):
     assert vals == sorted(vals, reverse=True)
     rng = v.between(50.0, 250.0)
     assert rng.where(~F.col("value").between(50.0, 250.0)).count() == 0
-    # misuse fails loudly
+    # misuse fails loudly (orders is WIRED now — the generic-runner
+    # lift — so the unmapped-table raise moved to e.g. customer)
     with _pytest.raises(KeyError):
-        Database(spark, sf_smoke).table("orders").views()
+        Database(spark, sf_smoke).table("customer").views()
     with _pytest.raises(ValueError):
         (Database(spark, sf_smoke).table("events")
          .filter("value > 1").views())
