@@ -574,3 +574,126 @@ def dq_expectation_suite(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_EXPECTATIONS_SQL)
+
+
+# ---------------------------------------------------------- dq_anomaly_esd
+
+_ESD_K = 5
+_ESD_R = 3.0   #: fixed flag threshold on the studentized deviate
+_ESD_DDL = ("event_type string, iter int, day timestamp, y double, "
+            "r_stat double, flagged boolean")
+
+
+def _esd_fit(pdf):
+    """Iterative extreme-studentized-deviate removal in plain
+    float64/exact-int arithmetic — the same op order as the
+    oracle's recursive CTE (integer moment sums are order-free and
+    exact; the z and R expressions are single fixed double
+    sequences), so every statistic is bit-identical."""
+    import math as _m
+
+    import pandas as _pd
+
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    rem = [(pdf["day"][i], int(pdf["y"][i])) for i in range(len(pdf))]
+    out = []
+    for it in range(1, _ESD_K + 1):
+        n = len(rem)
+        if n < 3:
+            break
+        s = sum(y for _, y in rem)
+        sq = sum(y * y for _, y in rem)
+        mean = s / n
+        std = _m.sqrt((sq * n - s * s) / (n * (n - 1)))
+        if std == 0.0:
+            break
+        best_i, best_r = 0, -1.0
+        for i, (_, y) in enumerate(rem):
+            r = abs(y - mean) / std
+            if r > best_r:
+                best_i, best_r = i, r
+        d, y = rem.pop(best_i)
+        out.append((pdf["event_type"][0], it, d, float(y), best_r,
+                    best_r > _ESD_R))
+    return _pd.DataFrame(
+        out, columns=["event_type", "iter", "day", "y", "r_stat",
+                      "flagged"])
+
+
+def _esd_oracle() -> str:
+    # sequential-fold sums over the day-ordered remaining list; the
+    # first index attaining the max |z| IS the smallest-day tie
+    # rule. Lambda parameters are all DISTINCT single letters and
+    # the recursive CTE is named `rec`: a lambda parameter named
+    # like a CTE alias silently resolves wrong in DuckDB (the
+    # original `r -> r.y` against CTE `r` produced zero recursion
+    # rows, no error).
+    mean = ("(list_aggregate(list_transform(rem, m -> m.y), 'sum')"
+            " / len(rem))")
+    sq = "list_aggregate(list_transform(rem, q -> q.y * q.y), 'sum')"
+    s = "list_aggregate(list_transform(rem, t -> t.y), 'sum')"
+    std = (f"sqrt(({sq} * len(rem) - {s} * {s})"
+           f" / (CAST(len(rem) AS DOUBLE) * (len(rem) - 1)))")
+    zs = f"list_transform(rem, e -> abs(e.y - {mean}) / {std})"
+    rmax = f"list_aggregate({zs}, 'max')"
+    idx = f"list_position({zs}, {rmax})"
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type,
+             list({{'d': day, 'y': y}} ORDER BY day) AS rem
+      FROM d GROUP BY event_type HAVING count(*) >= 3),
+    rec AS (
+      SELECT event_type, 0 AS iter,
+             CAST(NULL AS TIMESTAMP) AS day,
+             CAST(NULL AS DOUBLE) AS y,
+             CAST(NULL AS DOUBLE) AS r_stat,
+             rem
+      FROM ser
+      UNION ALL
+      SELECT event_type, iter + 1,
+             rem[{idx}].d AS day,
+             rem[{idx}].y AS y,
+             {rmax} AS r_stat,
+             list_concat(rem[1:{idx} - 1],
+                         rem[{idx} + 1:len(rem)]) AS rem
+      FROM rec
+      WHERE iter < {_ESD_K} AND len(rem) >= 3 AND {std} > 0)
+    SELECT event_type, CAST(iter AS INT) AS iter, day, y, r_stat,
+           r_stat > {_ESD_R} AS flagged
+    FROM rec WHERE iter >= 1
+    """
+
+
+@query("dq_anomaly_esd", oracle=_esd_oracle())
+def dq_anomaly_esd(spark, sf_dir):
+    """Iterative EXTREME-STUDENTIZED-DEVIATE anomaly sweep per daily
+    series (the Rosner/Generalized-ESD shape, the masking-resistant
+    upgrade over one-shot z-scores: after each removal the mean/std
+    RECOMPUTE, so a second outlier hiding behind the first becomes
+    visible) — {_ESD_K} iterations, each emitting the removed
+    point's R statistic, flagged at the fixed R > {_ESD_R} monitor
+    threshold (production swaps the constant for Rosner's
+    t-quantile critical-value table; the iteration structure — the
+    hard part — is identical). Completes the anomaly family beside
+    ts_anomaly_mad / ts_zscore_rolling / ts_cusum /
+    ts_changepoint.
+
+    Determinism: daily counts are INTEGERS, so every per-iteration
+    moment sum is exact in any order; z/R are single fixed double
+    expressions; the argmax tie rule is first-in-day-order on both
+    sides (python scan vs list_position on the day-ordered list).
+    Scale: one shuffle by series, each series' O(K·n) sweep runs
+    inside its own Arrow batch — parallel across series."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _esd_fit, schema=_ESD_DDL)

@@ -521,3 +521,46 @@ def test_expectation_suite_all_pass_and_observed_zero(
             assert r.observed == 0.0, name
     assert rows["row_count_min"].observed == \
         load_table(spark, sf_oracle, "events").count()
+
+
+def test_esd_masking_resistance_and_replay(spark, sf_oracle):
+    """Replay the iterative removal in the test (exact int moments,
+    same float ops) — ids, order, R stats and flags all match; R
+    stats are the per-iteration maxima of RECOMPUTED z-scores."""
+    import math as _m
+
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_oracle, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .count().collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(
+            (r.day, int(r["count"])))
+    rows = QUERIES["dq_anomaly_esd"](spark, sf_oracle).collect()
+    by_et: dict = {}
+    for r in rows:
+        by_et.setdefault(r.event_type, []).append(r)
+    assert set(by_et) == set(series)
+    for et, rs in by_et.items():
+        rs.sort(key=lambda r: r.iter)
+        rem = sorted(series[et])
+        for it, r in enumerate(rs, start=1):
+            n = len(rem)
+            s = sum(y for _, y in rem)
+            sq = sum(y * y for _, y in rem)
+            mean = s / n
+            std = _m.sqrt((sq * n - s * s) / (n * (n - 1)))
+            best_i, best_r = 0, -1.0
+            for i, (_, y) in enumerate(rem):
+                z = abs(y - mean) / std
+                if z > best_r:
+                    best_i, best_r = i, z
+            d, y = rem.pop(best_i)
+            assert (r.iter, r.day, r.y) == (it, d, float(y)), (et, it)
+            assert r.r_stat == best_r
+            assert r.flagged == (best_r > 3.0)
