@@ -440,3 +440,47 @@ def test_datasheet_single_expand_pass(spark, sf_oracle):
     assert "Expand" in plan
     # tree form — documents feeds the Expand once + once for the total
     assert plan.count("Scan parquet  (") <= 2
+
+
+def test_round9_knn_group_limits_and_fanout(spark, sf_oracle):
+    """The three round-9 ranked-retrieval queries must keep their
+    plan shapes: per-query top-k pushed into the shuffle
+    (WindowGroupLimit), and the simhash posting join must NOT
+    re-execute the fingerprint subtree per band arm (the naive form
+    read 40 exchanges; the posting-carried form stays in single
+    digits)."""
+    for name in ("llm_jaccard_knn_text", "llm_simhash_hamming_knn"):
+        plan = _plan(spark, sf_oracle, name)
+        assert "WindowGroupLimit" in plan, name
+    sim = _plan(spark, sf_oracle, "llm_simhash_hamming_knn")
+    assert sim.count("+- Exchange") <= 10, \
+        "simhash posting join re-exploded the fingerprint subtree"
+
+
+def test_round9_winner_cut_pushed(spark, sf_oracle):
+    """Provenance-priority dedup's rn=1 winner cut must ride
+    WindowGroupLimit (full per-group rankings never materialize)."""
+    plan = _plan(spark, sf_oracle, "llm_cross_dedup_priority")
+    assert "WindowGroupLimit" in plan
+
+
+def test_round9_referential_integrity_joins(spark, sf_oracle):
+    """Orphan detection is LEFT OUTER joins (one child pass per
+    edge); dimension parents broadcast."""
+    plan = _plan(spark, sf_oracle, "dq_referential_integrity")
+    assert "LeftOuter" in plan
+    assert "BroadcastHashJoin" in plan
+    # one left join per edge, none of them duplicated by a separate
+    # anti-join child scan (the pre-audit form had 28 exchanges)
+    assert plan.count("+- Exchange") <= 22
+
+
+def test_round9_theil_single_aggregate(spark, sf_oracle):
+    """The inequality indices are ONE partial+final aggregate over
+    orders — no window, no join, no second scan."""
+    plan = _plan(spark, sf_oracle, "agg_theil_index")
+    assert plan.count("+- Exchange") == 1
+    assert "Window" not in plan
+    # one physical scan: the node appears once in the tree and once
+    # in the details section of the formatted plan
+    assert plan.count("Scan parquet") <= 2
