@@ -156,3 +156,38 @@ def test_orders_views_through_fluent_api(spark, sf_smoke):
     import pytest as _pytest
     with _pytest.raises(KeyError, match="GenericAggViewRunner"):
         db.table("customer").views()
+
+
+def test_generic_feed_chunk_count_generality(spark, sf_smoke):
+    """The generic upsert runner is not wired to the default chunk
+    count: replaying documents in 7 chunks lands each watched key's
+    insert delta in rank//ceil(n/7) — the _keyed_chunks slicing
+    contract at ANY micro-batch granularity — with state identical
+    to the 4-chunk run."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from db_realtime_changefeed_spark.streaming.doc_feeds import (
+        GenericUpsertChangefeedRunner,
+    )
+
+    ids = sorted(
+        r.doc_id for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id").collect())
+    ks = [int(ids[0]), int(ids[len(ids) // 3]), int(ids[-1])]
+    r = GenericUpsertChangefeedRunner(
+        spark, sf_smoke, "documents", key_values=tuple(ks))
+    r.run(n_chunks=7)
+    per = math.ceil(len(ids) / 7)
+    rank = {k: i for i, k in enumerate(ids)}
+    log = r.log().collect()
+    assert sorted(x.doc_id for x in log) == sorted(ks)
+    for row in log:
+        assert row.batch_id == rank[row.doc_id] // per, row
+        assert row.old_value is None
+    st = {x.doc_id: x.n_chars for x in r.state().collect()}
+    docs = {x.doc_id: float(x.n_chars)
+            for x in load_table(spark, sf_smoke, "documents")
+            .where(F.col("doc_id").isin(ks)).collect()}
+    assert st == docs
