@@ -229,16 +229,22 @@ class TableRef:
                 "standing views maintain the full table; "
                 "use .changes() for filtered feeds")
         if self._name == "orders":
-            if (delete_on, k) != ("error", 10):
+            if delete_on != "error":
                 raise NotImplementedError(
                     "orders views run the shared orders_runner "
-                    "configuration (no delete events in the orders "
-                    "replay; its top-k width is the runner's own "
-                    "k=5) — call views() with the defaults")
+                    "configuration; the orders replay has no delete "
+                    "events, so delete_on has nothing to interpret")
+            if k < 1:
+                raise ValueError(f"k must be >= 1, got {k}")
             from .streaming.generic_views import orders_runner
 
+            # k is HONORED on the read path (topk_at is k-agnostic —
+            # the widening index read just stops at k rows); only the
+            # maintained enter/leave delta log is bound to the shared
+            # runner's own width (ADVICE r9: the accepted-but-ignored
+            # default k silently served 5 rows)
             return GenericStandingViews(
-                orders_runner(self._db.spark, self._db.sf_dir))
+                orders_runner(self._db.spark, self._db.sf_dir), k=k)
         if self._name != "events":
             raise KeyError(
                 "standing views are wired for 'events' (full "
@@ -575,14 +581,16 @@ class GenericStandingViews:
     surface of the table-agnostic view library (generic_views.py):
     grouped agg, support-relation min/max, the O(k + band) top-k
     read, the banded range read, and the per-row {old,new} delta
-    log, all on the runner's OWN column names. Narrower than the
-    events family only in the top-k ENTER/LEAVE feed (the generic
-    runner keeps no top-k membership log yet) — absent surface
-    raises via AttributeError rather than returning something
-    empty."""
+    log, all on the runner's OWN column names — including the top-k
+    ENTER/LEAVE delta feed (top_k_changes; the generic runner keeps
+    the same durable per-batch membership log as the events family
+    since round 10). `k` is the top_k() READ width (honored per
+    call-site); the maintained delta log's width is the runner's
+    own."""
 
-    def __init__(self, runner):
+    def __init__(self, runner, k: int | None = None):
         self._runner = runner
+        self._k = k if k is not None else runner.k
 
     @property
     def _last(self) -> int:
@@ -610,8 +618,14 @@ class GenericStandingViews:
 
     def top_k(self) -> list:
         """Current top-k (key, value, seq), best first — the
-        widening banded read (O(k + band), never whole-state)."""
-        return self._runner.topk_at(self._last)
+        widening banded read (O(k + band), never whole-state), at
+        the width requested at views(k=...) time."""
+        return self._runner.topk_at(self._last, self._k)
+
+    def top_k_changes(self) -> DataFrame:
+        """The enter/leave/update delta log of the top-k view (the
+        runner's maintained feed width), committed batches only."""
+        return self._runner.topk_log()
 
     def between(self, lo: float, hi: float) -> DataFrame:
         """Range read on the value index — only bands overlapping
@@ -629,6 +643,7 @@ class GenericStandingViews:
         pairs = [
             (f"{prefix}_agg_view", self.group_agg()),
             (f"{prefix}_minmax_view", self.min_max()),
+            (f"{prefix}_topk_log", self.top_k_changes()),
             (f"{prefix}_changes", self.changes()),
         ]
         for name, df in pairs:

@@ -76,6 +76,7 @@ def load_all() -> None:
     from . import round8b  # noqa: F401  (split of round8 — order-adjacent)
     from . import round9  # noqa: F401
     from . import round9b  # noqa: F401
+    from . import round10  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades

@@ -92,6 +92,17 @@ class GenericAggViewRunner:
             f"{key} {key_ddl}, old_value double, new_value double, "
             f"old_seq {seq_ddl}, new_seq {seq_ddl}, "
             "old_group string, new_group string, batch_id long")
+        #: durable top-k enter/leave/update delta log (the events
+        #: family's _refresh_topk contract, ported — round-10 close
+        #: of the last surface gap vs MaintainedViewsRunner); only
+        #: written when the range index exists
+        self.topk_dir = os.path.join(self.root, "topklog")
+        os.makedirs(self.topk_dir, exist_ok=True)
+        self._topk_ddl = (
+            f"batch_id long, {key} {key_ddl}, change string, "
+            "old_offset long, new_offset long, "
+            "old_value double, new_value double")
+        self._topk_cache: tuple[int, list] | None = None
         self._state_ddl = (
             f"{key} {key_ddl}, {ts} {ts_ddl}, {seq} {seq_ddl}, "
             f"{value} double, {group} string")
@@ -141,12 +152,16 @@ class GenericAggViewRunner:
             .alias(sq))
         return old.join(removals, k, "anti").unionByName(additions)
 
-    def topk_at(self, batch_id: int) -> list[tuple]:
+    def topk_at(self, batch_id: int, k: int | None = None) -> list[tuple]:
         """The k best rows (value DESC, seq ASC) as of batch_id,
         served from the range index: read descending bands, widening
         until k rows are held — every unread band is strictly worse
         than everything read, so the read touches O(k + band) rows,
-        never the whole state."""
+        never the whole state. `k` defaults to the runner's feed
+        width; the READ honors any width (the index is k-agnostic —
+        only the maintained delta log is bound to self.k)."""
+        if k is None:
+            k = self.k
         top = self._index.n_buckets - 1
         lo = top
         rows: list = []
@@ -156,13 +171,79 @@ class GenericAggViewRunner:
                                   buckets=list(range(lo, top + 1)))
                 .orderBy(F.col("value").desc_nulls_last(),
                          F.col(self.seq).asc())
-                .limit(self.k)
+                .limit(k)
                 .collect()
             )
-            if len(rows) >= self.k:
+            if len(rows) >= k:
                 break
             lo -= 1
         return [(r[self.key], r["value"], r[self.seq]) for r in rows]
+
+    def _refresh_topk(self, batch_id: int) -> None:
+        """Emit this batch's top-k enter/leave/update deltas to the
+        durable log (one parquet dir per batch, OVERWRITTEN on retry
+        — idempotent), the MaintainedViewsRunner._refresh_topk recipe
+        on parameterized columns: previous membership from the warm
+        cache when it holds batch-1, else recomputed from the durable
+        index (restart/retry path) — never trusted from mutable
+        runner state. Same include_offsets contract: 0-based
+        positions in the (value DESC, seq ASC) order, emitted only on
+        rows that themselves enter/update/leave (pure rank shifts
+        from OTHER rows moving do not emit). O(k) driver work; each
+        membership read is the index-pruned O(k + band) topk_at."""
+        from .views import _tiny_df
+
+        cur = self.topk_at(batch_id)
+        if (self._topk_cache is not None
+                and self._topk_cache[0] == batch_id - 1):
+            prev_rows = self._topk_cache[1]
+        elif batch_id > 0:
+            prev_rows = self.topk_at(batch_id - 1)
+        else:
+            prev_rows = []
+        prev = {u: (v, s) for u, v, s in prev_rows}
+        prev_off = {u: i for i, (u, _v, _s) in enumerate(prev_rows)}
+        cur_off = {u: i for i, (u, _v, _s) in enumerate(cur)}
+        out: list[tuple] = []
+        seen = set()
+        for u, v, s in cur:
+            seen.add(u)
+            if u not in prev:
+                out.append((batch_id, u, "enter",
+                            None, cur_off[u], None, v))
+            elif prev[u][1] != s:
+                out.append((batch_id, u, "update",
+                            prev_off[u], cur_off[u], prev[u][0], v))
+        for u, (v, s) in prev.items():
+            if u not in seen:
+                out.append((batch_id, u, "leave",
+                            prev_off[u], None, v, None))
+        (
+            _tiny_df(self.spark, out, self._topk_ddl)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.topk_dir,
+                                  f"batch-{batch_id:05d}"))
+        )
+        self._topk_cache = (batch_id, cur)
+
+    def topk_log(self) -> DataFrame:
+        """The durable enter/leave/update delta log of the top-k
+        view across committed batches — `db.table(t).views()
+        .top_k().changes()`. Gated to COMMITTED versions (a crash
+        after the log write but before the base publish must not
+        surface phantom deltas — the base-manifest-published-last
+        contract extends to every read surface)."""
+        import glob as _glob
+
+        if not _glob.glob(
+                os.path.join(self.topk_dir, "*", "*.parquet")):
+            return self.spark.createDataFrame([], self._topk_ddl)
+        return (
+            self.spark.read.schema(self._topk_ddl)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.topk_dir)
+            .where(F.col("batch_id").isin(self._batches))
+        )
 
     def quantile_trajectory(self) -> DataFrame:
         """Exact median/p90 per group per batch, read off the support
@@ -430,6 +511,10 @@ class GenericAggViewRunner:
             self._support.publish(batch_id, base, s_touched)
             if self._index is not None:
                 self._index.publish(batch_id, base, i_touched)
+                # reads the just-published index at batch_id; runs
+                # BEFORE the base commit point so a crash here leaves
+                # the batch uncommitted and the retry overwrites
+                self._refresh_topk(batch_id)
             # base manifest LAST — a listed version has all folds
             self._base.publish(batch_id, base, touched)
         finally:
@@ -468,6 +553,12 @@ class GenericAggViewRunner:
         return (
             self.spark.read.option("recursiveFileLookup", "true")
             .schema(self._log_ddl).parquet(self.log_dir)
+            # committed versions only: a batch that crashed after its
+            # concurrent log write but before the base publish must
+            # not leak phantom deltas into changes() (the MVCC
+            # stores' base-manifest-published-last contract, extended
+            # to the log read surface)
+            .where(F.col("batch_id").isin(self._batches))
         )
 
     def agg_trajectory(self) -> DataFrame:

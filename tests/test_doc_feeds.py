@@ -124,19 +124,37 @@ def test_orders_views_through_fluent_api(spark, sf_smoke):
     for st, r in mm.items():
         assert r.n == exp[st][0]
         assert r.min_value <= r.max_value
+    # the views(k=10) default is HONORED on the read path (ADVICE
+    # r9: it used to silently serve the shared runner's k=5); the
+    # maintained delta feed keeps the runner's own width
     top = v.top_k()
-    assert len(top) == v._runner.k == 5
+    assert len(top) == 10 and v._runner.k == 5
+    assert db.table("orders").views(k=3).top_k() == top[:3]
     vals = [t[1] for t in top]
     assert vals == sorted(vals, reverse=True)
     lo, hi = vals[-1], vals[0]
     rng = v.between(lo, hi).collect()
     assert {t[0] for t in top} <= {r.o_custkey for r in rng}
+    # the generic top-k enter/leave feed (round-10 surface close):
+    # replaying the log forward lands on exactly the k=5 membership
+    tk = sorted(v.top_k_changes().collect(),
+                key=lambda r: r.batch_id)
+    member: set = set()
+    for r in tk:
+        if r.change == "enter":
+            member.add(r.o_custkey)
+        elif r.change == "leave":
+            member.remove(r.o_custkey)
+    assert member == {c for c, _, _ in top[:5]}
     names = v.register_sql()
     assert spark.sql(
         "SELECT sum(cnt) FROM orders_agg_view").collect()[0][0] \
         == sum(c for c, _ in exp.values())
     assert names == ["orders_agg_view", "orders_minmax_view",
-                     "orders_changes"]
+                     "orders_topk_log", "orders_changes"]
+    assert spark.sql(
+        "SELECT count(*) FROM orders_topk_log").collect()[0][0] \
+        == len(tk) > 0
     # the delta log replays to the same latest state: each key's
     # last delta carries its current (value, seq)
     log = v.changes().collect()
