@@ -181,27 +181,55 @@ class TableRef:
             self._db, self._name, self._predicates + (predicate_sql,)
         )
 
-    def get(self, key_value: int, key: str | None = None) -> "RowRef":
+    def get(self, *key_value, key: str | None = None) -> "RowRef":
         """Point lookup — the `r.table(...).get(k)` shape of document
         changefeed stores: `.row()` reads the key's current row,
         `.changes()` registers a per-document feed on it. `key`
         defaults to the table's document key (user_id on events, the
-        primary key elsewhere — streaming/doc_feeds.DOC_MAP)."""
-        return RowRef(self._db, self._name,
-                      _resolve_doc_key(self._name, key), key_value)
+        primary key elsewhere — streaming/doc_feeds.DOC_MAP).
+        Composite-key tables take one positional per key column:
+        `table('lineitem').get(orderkey, linenumber)`."""
+        doc_key = _resolve_doc_key(self._name, key)
+        if isinstance(doc_key, tuple):
+            if len(key_value) != len(doc_key):
+                raise TypeError(
+                    f"{self._name!r} document key is {doc_key}; "
+                    f"get() takes {len(doc_key)} values, got "
+                    f"{len(key_value)}")
+            return RowRef(self._db, self._name, doc_key,
+                          tuple(int(v) for v in key_value))
+        if len(key_value) != 1:
+            raise TypeError(
+                f"{self._name!r} document key is {doc_key!r}; get() "
+                f"takes exactly one value, got {len(key_value)}")
+        return RowRef(self._db, self._name, doc_key,
+                      int(key_value[0]))
 
-    def get_all(self, *key_values: int,
+    def get_all(self, *key_values,
                 key: str | None = None) -> "RowSetRef":
         """Multi-key point lookup — RethinkDB
         `r.table(...).get_all(k1, k2, ...)`: `.rows()` reads each
         key's current row, `.changes()` registers ONE standing feed
         covering the whole key set (one state store, one checkpoint —
         not |keys| point feeds). `key` defaults to the table's
-        document key, as in `get`."""
+        document key, as in `get`. Composite-key tables take one
+        TUPLE per watched document:
+        `get_all((ok1, ln1), (ok2, ln2))`."""
         if not key_values:
             raise ValueError("get_all needs at least one key")
-        return RowSetRef(self._db, self._name,
-                         _resolve_doc_key(self._name, key),
+        doc_key = _resolve_doc_key(self._name, key)
+        if isinstance(doc_key, tuple):
+            vals = []
+            for kv in key_values:
+                if (not isinstance(kv, (tuple, list))
+                        or len(kv) != len(doc_key)):
+                    raise TypeError(
+                        f"{self._name!r} document key is {doc_key}; "
+                        f"get_all() takes {len(doc_key)}-tuples")
+                vals.append(tuple(int(v) for v in kv))
+            return RowSetRef(self._db, self._name, doc_key,
+                             tuple(vals))
+        return RowSetRef(self._db, self._name, doc_key,
                          tuple(int(k) for k in key_values))
 
     def df(self) -> DataFrame:
@@ -300,8 +328,6 @@ class TableRef:
         and live mode work there too; only custom keys stay
         events-only (a non-events feed aggregates by its table's
         primary key)."""
-        from .streaming.multitable import _TABLE_MAP
-
         if initial_scan not in ("yes", "no", "only"):
             raise ValueError(
                 f"initial_scan must be 'yes'|'no'|'only', got "
@@ -319,28 +345,29 @@ class TableRef:
                     f"{self._name!r} expose state only (events-only "
                     "feature)"
                 )
-            if self._name not in _TABLE_MAP:
-                raise NotImplementedError(
-                    f"no CDC replay mapping for {self._name!r}; "
-                    f"tables with feeds: "
-                    f"{('events', *(_TABLE_MAP.keys() - {'events'}))}"
-                )
-            primary_key = _TABLE_MAP[self._name][0]
-            if key is not None and key != primary_key:
-                # a silently-ignored KEY BY would return a feed keyed
-                # by the wrong column — reject loudly instead
-                raise NotImplementedError(
-                    f"feeds on {self._name!r} aggregate by its primary "
-                    f"key {primary_key!r}; custom keys are events-only"
-                )
-            from .streaming.multitable import MultiTableChangefeedRunner
+            from .streaming.multitable import (
+                MultiTableChangefeedRunner,
+                envelope_spec,
+            )
 
+            # any envelope-mapped table (the _TABLE_MAP pair plus
+            # every DOC_MAP table — round-10); KEY BY any
+            # integer-typed column re-keys the aggregate
+            # (envelope_spec validates; unmapped tables and
+            # non-integral keys still raise loudly there)
+            default_key = envelope_spec(self._name)[0]
+            overrides = (
+                {self._name: key}
+                if key is not None and key != default_key else None)
+            if overrides:
+                envelope_spec(self._name, key)  # loud validation now
             runner = MultiTableChangefeedRunner(
                 self._db.spark, self._db.sf_dir, tables=(self._name,),
                 filter_sql=(
                     " AND ".join(f"({p})" for p in self._predicates)
                     if self._predicates else None
                 ),
+                key_overrides=overrides,
             )
             if mode == "live":
                 runner.start_live(processing_time=processing_time)
@@ -383,22 +410,28 @@ class TableRef:
         return Feed(runner)
 
 
-def _resolve_doc_key(table: str, key: str | None) -> str:
+def _resolve_doc_key(table: str, key: str | None) -> str | tuple:
     """The table's document key: user_id on events (the CDC replay
-    key), the mapped primary key elsewhere. A caller-supplied key
-    must MATCH it — a feed keyed on anything else would silently
-    serve the wrong per-document semantics, so mismatches raise
-    (same loud-refusal pattern as the unmapped-table check)."""
-    from .streaming.doc_feeds import DOC_MAP
+    key), the mapped primary key elsewhere — a COLUMN TUPLE for
+    composite-key tables (lineitem). A caller-supplied key must
+    MATCH it — a feed keyed on anything else would silently serve
+    the wrong per-document semantics, so mismatches raise (same
+    loud-refusal pattern as the unmapped-table check). The raise for
+    unmapped tables now fires only for genuinely key-less shapes
+    (every fixture table is mapped)."""
+    from .streaming.doc_feeds import COMPOSITE_DOC_MAP, DOC_MAP
 
     if table == "events":
-        doc_key = "user_id"
+        doc_key: str | tuple = "user_id"
     elif table in DOC_MAP:
         doc_key = DOC_MAP[table][0]
+    elif table in COMPOSITE_DOC_MAP:
+        doc_key = COMPOSITE_DOC_MAP[table]["cols"]
     else:
         raise NotImplementedError(
-            f"{table!r} has no single-column document key; tables "
-            f"with point feeds: {('events', *sorted(DOC_MAP))}")
+            f"{table!r} has no declared document key; tables with "
+            f"point feeds: "
+            f"{('events', *sorted(DOC_MAP), *sorted(COMPOSITE_DOC_MAP))}")
     if key is not None and key != doc_key:
         raise NotImplementedError(
             f"point feeds on {table!r} are keyed on {doc_key!r} "
@@ -413,8 +446,8 @@ class RowRef:
     streaming/doc_feeds.DOC_MAP works; events keeps its native
     replay path."""
 
-    def __init__(self, db: "Database", table: str, key: str,
-                 key_value: int):
+    def __init__(self, db: "Database", table: str,
+                 key: str | tuple, key_value):
         self._db = db
         self._table = table
         self._key = key
@@ -425,11 +458,15 @@ class RowRef:
         on events; keys are unique on the mapped tables) — a point
         read against the document view. One partition-pruned/
         predicate-pushed scan; with a key-partitioned layout this
-        touches one partition."""
-        base = (
-            load_table(self._db.spark, self._db.sf_dir, self._table)
-            .where(F.col(self._key) == self._key_value)
-        )
+        touches one partition. Composite keys AND their column
+        equalities (all pushed)."""
+        base = load_table(self._db.spark, self._db.sf_dir,
+                          self._table)
+        if isinstance(self._key, tuple):
+            for c, v in zip(self._key, self._key_value):
+                base = base.where(F.col(c) == int(v))
+            return base
+        base = base.where(F.col(self._key) == self._key_value)
         if self._table != "events":
             return base
         return base.orderBy(
@@ -448,9 +485,11 @@ class RowRef:
                 GenericUpsertChangefeedRunner,
             )
 
+            kv = (self._key_value if isinstance(self._key, tuple)
+                  else int(self._key_value))
             runner = GenericUpsertChangefeedRunner(
                 self._db.spark, self._db.sf_dir, self._table,
-                key_values=(int(self._key_value),))
+                key_values=(kv,))
             runner.run()
             return Feed(runner)
         from .streaming.changefeed import UpsertChangefeedRunner
@@ -474,13 +513,13 @@ class RowSetRef:
     for bounded subscription sets (a dashboard's watchlist); an
     unbounded set is just `.changes()` on the table."""
 
-    def __init__(self, db: "Database", table: str, key: str,
-                 key_values: tuple[int, ...]):
+    def __init__(self, db: "Database", table: str,
+                 key: str | tuple, key_values: tuple):
         # key arrives pre-validated by _resolve_doc_key: it IS the
         # table's document key (user_id on events — the LWW state
         # key of UpsertChangefeedRunner — or the DOC_MAP primary
-        # key), never a raw caller string interpolated into
-        # filter_sql (ADVICE r8).
+        # key / COMPOSITE_DOC_MAP column tuple), never a raw caller
+        # string interpolated into filter_sql (ADVICE r8).
         self._db = db
         self._table = table
         self._key = _resolve_doc_key(table, key)
@@ -489,11 +528,20 @@ class RowSetRef:
     def rows(self) -> DataFrame:
         """Each key's CURRENT row (LWW by (ts, event_id) on events;
         keys are unique on the mapped tables) — one predicate-pushed
-        scan (+ a per-key window cut on events)."""
-        base = (
-            load_table(self._db.spark, self._db.sf_dir, self._table)
-            .where(F.col(self._key).isin(*self._key_values))
-        )
+        scan (+ a per-key window cut on events). Composite keys
+        filter as an OR of per-document column-equality ANDs (still
+        a pushable predicate over a bounded watch set)."""
+        base = load_table(self._db.spark, self._db.sf_dir,
+                          self._table)
+        if isinstance(self._key, tuple):
+            cond = None
+            for kv in self._key_values:
+                c = F.lit(True)
+                for col, v in zip(self._key, kv):
+                    c = c & (F.col(col) == int(v))
+                cond = c if cond is None else (cond | c)
+            return base.where(cond)
+        base = base.where(F.col(self._key).isin(*self._key_values))
         if self._table != "events":
             return base
         from pyspark.sql import Window

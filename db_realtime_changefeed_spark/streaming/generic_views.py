@@ -28,19 +28,24 @@ _CHUNK_CACHE: dict = {}
 
 
 def _keyed_chunks(spark: SparkSession, sf_dir: str, table: str,
-                  order_col: str, n_chunks: int | None = None) -> str:
+                  order_col: str | tuple[str, ...],
+                  n_chunks: int | None = None) -> str:
     """Deterministic arrival log for any table: rows sorted by the
-    arrival column, sliced into equal chunk files — the generic twin
-    of replay.build_replay_chunks (which is events-specific)."""
+    arrival column(s), sliced into equal chunk files — the generic
+    twin of replay.build_replay_chunks (which is events-specific).
+    A tuple of columns orders lexicographically (composite keys)."""
     import pyarrow.parquet as pq
 
     if n_chunks is None:
         n_chunks = default_chunks()
-    key = (os.path.abspath(sf_dir), table, order_col, n_chunks)
+    cols = ((order_col,) if isinstance(order_col, str)
+            else tuple(order_col))
+    key = (os.path.abspath(sf_dir), table, cols, n_chunks)
     if key in _CHUNK_CACHE:
         return _CHUNK_CACHE[key]
     out = scratch_dir(prefix=f"dbrcf-gchunks-{table}-")
-    tbl = pq.read_table(table_path(sf_dir, table)).sort_by(order_col)
+    tbl = pq.read_table(table_path(sf_dir, table)).sort_by(
+        [(c, "ascending") for c in cols])
     per = math.ceil(tbl.num_rows / n_chunks)
     import time as _time
 

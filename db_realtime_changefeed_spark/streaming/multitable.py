@@ -48,19 +48,66 @@ _TABLE_MAP = {
     "orders": ("o_custkey", "o_orderdate", "o_totalprice"),
 }
 
+_INTEGRAL = ("byte", "short", "integer", "long")
 
-def _envelope(df: DataFrame, tbl: str) -> DataFrame:
-    key, ts, val = _TABLE_MAP[tbl]
+
+def envelope_spec(tbl: str, key_override: str | None = None
+                  ) -> tuple[str, str, str]:
+    """(key column, ts EXPRESSION, value column) for a table's
+    change envelope. _TABLE_MAP tables keep their declared mapping;
+    any DOC_MAP table gets one too (its document value column and
+    its event time, or the synthetic snapshot-epoch timestamp) —
+    round-10: feeds are no longer events/orders-only.
+
+    `key_override` implements KEY BY <col>: any INTEGER-typed column
+    of the table may key the feed (the envelope key slot is bigint);
+    a non-integral column raises loudly rather than silently casting
+    garbage. A custom key just re-keys the aggregate — the
+    downstream merge/MVCC/resolved machinery is key-agnostic."""
+    from ..catalog import SCHEMAS
+    from .doc_feeds import _EPOCH, DOC_MAP
+
+    if tbl in _TABLE_MAP:
+        key, ts_col, val = _TABLE_MAP[tbl]
+        ts_expr = ts_col
+    elif tbl in DOC_MAP:
+        key, val, ts0 = DOC_MAP[tbl]
+        ts_expr = ts0 or (
+            f"timestamp_seconds({_EPOCH} + cast({key} as long))")
+    else:
+        raise NotImplementedError(
+            f"no CDC envelope mapping for {tbl!r}; tables with "
+            f"feeds: {sorted(set(_TABLE_MAP) | set(DOC_MAP))}")
+    if key_override is not None and key_override != key:
+        fields = {f.name: f.dataType.typeName()
+                  for f in SCHEMAS[tbl].fields}
+        if key_override not in fields:
+            raise KeyError(
+                f"KEY BY {key_override!r}: not a column of {tbl!r} "
+                f"({sorted(fields)})")
+        if fields[key_override] not in _INTEGRAL:
+            raise NotImplementedError(
+                f"KEY BY {key_override!r}: feed keys must be "
+                f"integer-typed (the envelope key slot is bigint); "
+                f"{key_override!r} is {fields[key_override]}")
+        key = key_override
+    return key, ts_expr, val
+
+
+def _envelope(df: DataFrame, tbl: str,
+              key_override: str | None = None) -> DataFrame:
+    key, ts_expr, val = envelope_spec(tbl, key_override)
     return df.select(
         F.lit(tbl).alias("tbl"),
         F.lit("insert").alias("op"),
         F.col(key).cast("long").alias("key"),
-        F.col(ts).alias("ts"),
+        F.expr(ts_expr).alias("ts"),
         F.col(val).cast("double").alias("value"),
     )
 
 
-def rewrite_filter(tbl: str, predicate_sql: str) -> str:
+def rewrite_filter(tbl: str, predicate_sql: str,
+                   key_override: str | None = None) -> str:
     """Rewrite a predicate over TABLE columns (the user-facing names,
     e.g. ``o_totalprice > 100000``) into the normalized envelope's
     column names (``value > 100000``) so it can run against the
@@ -71,8 +118,12 @@ def rewrite_filter(tbl: str, predicate_sql: str) -> str:
     what a CDC source would push into the changefeed scan."""
     from ..catalog import SCHEMAS
 
-    key, ts, val = _TABLE_MAP[tbl]
-    mapping = {key: "key", ts: "ts", val: "value"}
+    key, ts_expr, val = envelope_spec(tbl, key_override)
+    # map only COLUMN-named ts exprs; synthetic/derived ts exprs are
+    # not user-filterable by a table column name
+    mapping = {key: "key", val: "value"}
+    if re.fullmatch(r"\w+", ts_expr):
+        mapping[ts_expr] = "ts"
     out = predicate_sql
     for src, dst in mapping.items():
         out = re.sub(rf"\b{re.escape(src)}\b", dst, out)
@@ -89,6 +140,7 @@ def rewrite_filter(tbl: str, predicate_sql: str) -> str:
 def build_table_chunks(
     spark: SparkSession, sf_dir: str, tbl: str,
     n_chunks: int | None = None,
+    key_override: str | None = None,
 ) -> str:
     """Normalize one table to the envelope and write time-ordered
     chunk files (same layout contract as replay.py). Idempotent.
@@ -105,14 +157,18 @@ def build_table_chunks(
     if n_chunks is None:
         n_chunks = default_chunks()
     # tag versioned (mtg) so stale row-sliced chunk caches from
-    # earlier builds are never reused
-    out = _chunk_dir(sf_dir, f"mtg-{tbl}-c{n_chunks}", table=tbl)
+    # earlier builds are never reused; a custom key gets its OWN
+    # chunk cache (the envelope key differs)
+    tag = (f"mtg-{tbl}-c{n_chunks}" if key_override is None
+           else f"mtg-{tbl}-k{key_override}-c{n_chunks}")
+    out = _chunk_dir(sf_dir, tag, table=tbl)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    env = _envelope(load_table(spark, sf_dir, tbl), tbl)
+    env = _envelope(load_table(spark, sf_dir, tbl), tbl,
+                    key_override)
     t = env.orderBy("ts", "key").toArrow()
     n = t.num_rows
     ts = t.column("ts").to_numpy(zero_copy_only=False)
@@ -141,22 +197,31 @@ class MultiTableChangefeedRunner:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: tuple[str, ...] = ("events", "orders"),
-                 root: str | None = None, filter_sql: str | None = None):
+                 root: str | None = None, filter_sql: str | None = None,
+                 key_overrides: dict[str, str] | None = None):
         """`filter_sql`: predicate over the source table's OWN column
         names (rewritten per table onto the envelope via
         rewrite_filter) — the standing query becomes a filtered
         aggregate; non-matching changes never enter state. High-water
         marks still advance on every processed change (filtered-out
         rows ARE processed), so resolved timestamps keep their
-        completeness meaning."""
+        completeness meaning.
+
+        `key_overrides`: {table: column} — KEY BY support; each
+        table's feed aggregates by the chosen integer column instead
+        of its envelope default (validated in envelope_spec)."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables
         self.filter_sql = filter_sql
+        self.key_overrides = key_overrides or {}
+        for t in self.key_overrides:
+            envelope_spec(t, self.key_overrides[t])  # validate early
         if filter_sql is not None:
             # per-table rewrite; raises loudly on non-envelope columns
             parts = [
-                f"(tbl = '{t}' AND ({rewrite_filter(t, filter_sql)}))"
+                f"(tbl = '{t}' AND "
+                f"({rewrite_filter(t, filter_sql, self.key_overrides.get(t))}))"
                 for t in tables
             ]
             self._env_filter = " OR ".join(parts)
@@ -317,7 +382,8 @@ class MultiTableChangefeedRunner:
 
     def run(self, n_chunks: int | None = None) -> None:
         env = self._union_streams([
-            build_table_chunks(self.spark, self.sf_dir, tbl, n_chunks)
+            build_table_chunks(self.spark, self.sf_dir, tbl, n_chunks,
+                               self.key_overrides.get(tbl))
             for tbl in self.tables
         ])
         with streaming_shuffle(self.spark):
@@ -376,7 +442,7 @@ class MultiTableChangefeedRunner:
             df = ns_to_us(df)
         else:
             df = self.spark.read.schema(SCHEMAS[tbl]).parquet(parquet_file)
-        t = _envelope(df, tbl).toArrow()
+        t = _envelope(df, tbl, self.key_overrides.get(tbl)).toArrow()
         import pyarrow.parquet as pq
 
         n = self._live_seq.get(tbl, 0)

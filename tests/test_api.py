@@ -224,14 +224,21 @@ def test_orders_feed_live(spark, sf_smoke, tmp_path):
 
 
 def test_orders_feed_custom_key_rejected(spark, sf_smoke):
-    """A non-default KEY BY on a non-events feed must fail loudly,
-    never silently aggregate by the wrong column."""
-    with pytest.raises(NotImplementedError, match="primary key"):
+    """KEY BY on a non-events feed accepts any INTEGER column
+    (round-10: envelope_spec override); a non-integral key must
+    still fail loudly, never silently aggregate by a garbage cast."""
+    with pytest.raises(NotImplementedError, match="integer-typed"):
         Database(spark, sf_smoke).table("orders").changes(key="o_orderdate")
     # the table's own primary key is accepted (no-op spelling)
     feed = (Database(spark, sf_smoke).table("orders")
             .changes(key="o_custkey"))
     assert feed.state().count() > 0
+    # a genuinely custom integer key re-keys the aggregate
+    per_order = (Database(spark, sf_smoke).table("orders")
+                 .changes(key="o_orderkey"))
+    n_orders = (Database(spark, sf_smoke).table("orders")
+                .df().count())
+    assert per_order.state().count() == n_orders
 
 
 def test_orders_filter_unmapped_column_rejected(spark, sf_smoke):

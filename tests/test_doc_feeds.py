@@ -80,8 +80,12 @@ def test_documents_watchlist_trajectory(spark, sf_smoke):
 
 def test_doc_feed_guards(spark, sf_smoke):
     db = Database(spark, sf_smoke)
-    with pytest.raises(NotImplementedError, match="lineitem"):
+    # composite-key tables take one positional per key column now
+    # (round-10); wrong arity raises loudly
+    with pytest.raises(TypeError, match="l_orderkey"):
         db.table("lineitem").get(1)
+    with pytest.raises(TypeError, match="tuples"):
+        db.table("lineitem").get_all(1, 2)
     with pytest.raises(NotImplementedError, match="c_custkey"):
         db.table("customer").get_all(1, 2, key="c_name")
     with pytest.raises(NotImplementedError, match="delete_on"):
@@ -89,6 +93,75 @@ def test_doc_feed_guards(spark, sf_smoke):
     # events keeps its native key and path
     with pytest.raises(NotImplementedError, match="user_id"):
         db.table("events").get(1, key="event_type")
+    # packing guard: a low-col value outside the bit budget raises
+    # driver-side in pack_key
+    from db_realtime_changefeed_spark.streaming.doc_feeds import (
+        pack_key,
+    )
+
+    with pytest.raises(ValueError, match="packing budget"):
+        pack_key("lineitem", 1, 8)
+    assert pack_key("lineitem", 3, 2) == 26
+
+
+def test_lineitem_composite_point_feed(spark, sf_smoke):
+    """get(orderkey, linenumber) on the composite-key table: state
+    is the LWW winner of the packed document, the log unpacks back
+    to the table's own columns, and .row() pushes both equalities."""
+    from pyspark.sql import functions as F
+
+    db = Database(spark, sf_smoke)
+    li = load_table(spark, sf_smoke, "lineitem")
+    # a key that occurs exactly once (duplicated PKs exist in the
+    # synthetic fixture; a unique key has an order-independent LWW)
+    pk = (F.col("l_orderkey").cast("long") * 8
+          + F.col("l_linenumber")).alias("k")
+    row = (
+        li.groupBy(pk).count().where("count = 1")
+        .orderBy("k").limit(1).collect()[0])
+    ok, ln = row.k >> 3, row.k & 7
+    exp = li.where(
+        (F.col("l_orderkey") == ok)
+        & (F.col("l_linenumber") == ln)).collect()
+    assert len(exp) == 1
+    r = db.table("lineitem").get(ok, ln)
+    got = r.row().collect()
+    assert len(got) == 1 and got[0].l_extendedprice == \
+        exp[0].l_extendedprice
+    feed = r.changes()
+    st = feed.state().collect()
+    assert len(st) == 1
+    assert (st[0].l_orderkey, st[0].l_linenumber) == (ok, ln)
+    assert st[0].l_extendedprice == pytest.approx(
+        exp[0].l_extendedprice)
+    log = feed.log().collect()
+    assert len(log) == 1 and log[0].old_value is None
+    assert log[0].new_seq == row.k
+
+
+def test_keyby_custom_key_feed(spark, sf_smoke):
+    """KEY BY <integer col> on any envelope-mapped table: the feed
+    aggregates by the chosen key; non-integral keys and unknown
+    columns raise loudly."""
+    from pyspark.sql import functions as F
+
+    db = Database(spark, sf_smoke)
+    feed = db.table("supplier").changes(key="s_nationkey")
+    got = {r.key: (r.cnt, round(r.sum_value, 6))
+           for r in feed.state().collect()}
+    exp = {
+        str(r.s_nationkey): (r.cnt, round(r.s, 6))
+        for r in load_table(spark, sf_smoke, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("s_acctbal").cast("decimal(28,6)"))
+             .cast("double").alias("s")).collect()
+    }
+    assert got == exp
+    with pytest.raises(NotImplementedError, match="integer-typed"):
+        db.table("customer").changes(key="c_name")
+    with pytest.raises(KeyError, match="not a column"):
+        db.table("customer").changes(key="nope")
 
 
 def test_orders_views_through_fluent_api(spark, sf_smoke):
