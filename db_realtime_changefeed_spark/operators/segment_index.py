@@ -35,9 +35,18 @@ segment's name is a pure function of batch_id, so a re-delivered
 batch OVERWRITES its own segment (the ConsumerGroupDispatcher
 idempotence recipe); once a batch has been folded into a higher
 level, re-delivery is a recorded no-op (`_merged_batches`) — the
-rows already live in the merged segment. The manifest lives on the
-driver for the run's lifetime; durably it is one tiny JSON (an LSM
-MANIFEST) checkpointed with the stream — pointers, never data.
+rows already live in the merged segment. The manifest (segments,
+merged batches, merge sequence) is DURABLE: one tiny JSON under
+`root` (an LSM MANIFEST — pointers, never data), written atomically
+(tmp + rename) after every append and after every fold's new segment
+lands but BEFORE its victims are deleted, and reloaded in __init__ —
+so a driver restart against an existing root resumes with the exact
+live-segment view. Crash windows leave only ignorable orphan dirs:
+an unlisted L0 dir is overwritten by its batch's re-delivery; an
+unlisted merged dir is regenerated under the same persisted seq
+name; probes read the manifest, never the directory listing
+(ADVICE r9: previously the manifest was driver-memory only and the
+durability claim overstated the code).
 
 100 TB posture: appends are O(|batch|) with ONE commit; compaction
 is the classic O(log) write amplification paid off the serving path;
@@ -87,6 +96,44 @@ class SegmentedBucketIndex:
         self._segments: list[_Segment] = []
         self._merged_batches: set[int] = set()
         self._seq = 0
+        self._manifest_path = os.path.join(root, "MANIFEST.json")
+        self._load_manifest()
+
+    # ----------------------------------------------------- manifest
+
+    def _load_manifest(self) -> None:
+        import json
+
+        if not os.path.exists(self._manifest_path):
+            return
+        with open(self._manifest_path) as f:
+            m = json.load(f)
+        self._seq = m["seq"]
+        self._merged_batches = set(m["merged_batches"])
+        self._segments = [
+            _Segment(s["name"], s["level"], frozenset(s["batch_ids"]))
+            for s in m["segments"]
+        ]
+
+    def _save_manifest(self) -> None:
+        """Atomic (tmp + rename) so a reader/restart never sees a
+        torn manifest; called at every point where the live-segment
+        view changes, BEFORE any victim deletion."""
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "seq": self._seq,
+                "merged_batches": sorted(self._merged_batches),
+                "segments": [
+                    {"name": s.name, "level": s.level,
+                     "batch_ids": sorted(s.batch_ids)}
+                    for s in self._segments
+                ],
+            }, f)
+        os.replace(tmp, self._manifest_path)
 
     # ------------------------------------------------------- append
 
@@ -108,6 +155,7 @@ class SegmentedBucketIndex:
         if not any(s.name == name for s in self._segments):
             self._segments.append(
                 _Segment(name, 0, frozenset([batch_id])))
+        self._save_manifest()
         self._compact()
 
     # ------------------------------------------------------ compact
@@ -150,14 +198,19 @@ class SegmentedBucketIndex:
                 .write.partitionBy("bucket").mode("overwrite")
                 .parquet(os.path.join(self.root, dst.name))
             )
-            for s in victims:
-                shutil.rmtree(os.path.join(self.root, s.name),
-                              ignore_errors=True)
+            # commit the fold in the manifest BEFORE deleting the
+            # victims: a crash in between leaves orphan victim dirs
+            # (garbage, never read — probes follow the manifest),
+            # never a manifest pointing at deleted segments
             self._merged_batches.update(
                 b for s in victims for b in s.batch_ids)
             self._segments = [
                 s for s in self._segments if s not in victims]
             self._segments.append(dst)
+            self._save_manifest()
+            for s in victims:
+                shutil.rmtree(os.path.join(self.root, s.name),
+                              ignore_errors=True)
 
     # -------------------------------------------------------- probe
 
@@ -197,10 +250,12 @@ class SegmentedBucketIndex:
     # -------------------------------------------------- diagnostics
 
     def _data_cols(self) -> list[str]:
-        return [
-            f.split()[0]
-            for f in self.data_schema.split(",")
-        ]
+        # real DDL parse — a naive split(",") would silently mis-read
+        # comma-bearing types (decimal(18,6), map<...>) into bogus
+        # column names (ADVICE r9)
+        from pyspark.sql.types import StructType
+
+        return StructType.fromDDL(self.data_schema).fieldNames()
 
     def live_segments(self) -> list[tuple[str, int]]:
         return [(s.name, s.level) for s in self._segments]

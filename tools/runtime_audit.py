@@ -46,12 +46,27 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", "4057")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    base = "http://localhost:4057/api/v1"
-    app = _get(base, "/applications")[0]["id"]
+    # derive the REST base from the LIVE session, never a hardcoded
+    # port: Spark falls back to port+1 when the configured port is
+    # busy (spark.port.maxRetries), in which case a fixed URL would
+    # read a DIFFERENT application's metrics (ADVICE r9); and match
+    # our own application id rather than trusting list position.
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        print("Spark UI is disabled; cannot read runtime metrics",
+              file=sys.stderr)
+        return 1
+    base = ui.rstrip("/") + "/api/v1"
+    our_id = spark.sparkContext.applicationId
+    apps = {a["id"] for a in _get(base, "/applications")}
+    if our_id not in apps:
+        print(f"application {our_id} not served at {base} "
+              f"(found {sorted(apps)})", file=sys.stderr)
+        return 1
+    app = our_id
     qs = all_queries()
     for name in names:
         before = {e["id"] for e in _get(
