@@ -75,6 +75,7 @@ def load_all() -> None:
     from . import round8  # noqa: F401
     from . import round8b  # noqa: F401  (split of round8 — order-adjacent)
     from . import round9  # noqa: F401
+    from . import round9c  # noqa: F401  (split of round9 — order-adjacent)
     from . import round9b  # noqa: F401
     from . import round10  # noqa: F401
 

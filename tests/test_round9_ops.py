@@ -236,7 +236,7 @@ def test_mmr_diversify_matches_bruteforce_replay(spark, sf_oracle):
     embeddings (python float64, same op order) and demand the same
     ids, steps, and scores — pins pool construction, the selection
     objective, and tie rules end to end."""
-    from db_realtime_changefeed_spark.queries.round9 import (
+    from db_realtime_changefeed_spark.queries.round9c import (
         _MMR_K, _MMR_LAMBDA, _MMR_MU, _MMR_POOL)
 
     emb = {r.vec_id: [float(v) for v in r.embedding]
