@@ -143,3 +143,172 @@ def test_generic_topk_membership_equals_index_read(
             else:
                 assert row.o_custkey in member
         assert member == {c for c, _, _ in r.topk_at(b)}, b
+
+
+QUERIES = None
+
+
+def _q(name):
+    global QUERIES
+    if QUERIES is None:
+        from db_realtime_changefeed_spark.queries import all_queries
+
+        QUERIES = all_queries()
+    return QUERIES[name]
+
+
+def test_kcore_reaches_fixpoint_and_is_a_core(spark, sf_smoke):
+    """The 8-round peel must CONVERGE (last two rounds identical —
+    the output is the true 4-core, not a truncation) and the final
+    membership must actually be a 4-core: every surviving node has
+    induced degree >= 4."""
+    from db_realtime_changefeed_spark.queries.round10 import (
+        _KC_K, _KC_MOD, _KC_ROUNDS)
+    from pyspark.sql import functions as F
+
+    out = _q("graph_kcore")(spark, sf_smoke)
+    by_round = {
+        r["round"]: r["nodes"]
+        for r in out.groupBy("round")
+        .agg(F.sort_array(F.collect_list("node")).alias("nodes"))
+        .collect()
+    }
+    assert set(by_round) == set(range(_KC_ROUNDS + 1))
+    assert by_round[_KC_ROUNDS] == by_round[_KC_ROUNDS - 1], \
+        "peel did not converge within the round budget"
+    core = set(by_round[_KC_ROUNDS])
+    li = load_table(spark, sf_smoke, "lineitem").where(
+        F.col("l_orderkey") % _KC_MOD == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v")).distinct().collect()
+    }
+    deg = {}
+    for u, v in edges:
+        if u in core and v in core:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+    assert core and all(deg.get(n, 0) >= _KC_K for n in core)
+
+
+def test_jaccard_linkpred_scores_and_excludes_edges(spark, sf_smoke):
+    """Top-20 predicted links: no existing edge appears, scores are
+    exact set Jaccards of the true neighborhoods, and the list is
+    (jaccard DESC, u, v)-ordered."""
+    from pyspark.sql import functions as F
+
+    rows = _q("graph_jaccard_linkpred")(spark, sf_smoke).collect()
+    assert len(rows) == 20
+    li = load_table(spark, sf_smoke, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v")).distinct().collect()
+    }
+    nbr: dict = {}
+    for u, v in edges:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    keys = [(-r.jaccard, r.u, r.v) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert (r.u, r.v) not in edges
+        common = nbr[r.u] & nbr[r.v]
+        assert r.common_neighbors == len(common) > 0
+        assert r.jaccard == len(common) / len(nbr[r.u] | nbr[r.v])
+
+
+def test_span_corruption_spans_match_python_replay(spark, sf_smoke):
+    """Replay the mask rule in python (hashlib md5, same hex
+    threshold) for a sample of docs and demand identical span
+    statistics — pins the hash recipe, the run-length counting, and
+    the off-by-one at position 0."""
+    import hashlib
+
+    from db_realtime_changefeed_spark.queries.round10 import _SPAN_HEX
+
+    out = {r.doc_id: r for r in
+           _q("llm_span_corruption")(spark, sf_smoke).collect()}
+    docs = load_table(spark, sf_smoke, "documents") \
+        .select("doc_id", "text").limit(25).collect()
+    for d in docs:
+        toks = d.text.split(" ")
+        mask = [
+            hashlib.md5(f"{d.doc_id}:{i}".encode()).hexdigest()[:2]
+            < _SPAN_HEX
+            for i in range(len(toks))
+        ]
+        n_spans = sum(
+            1 for i, m in enumerate(mask)
+            if m and (i == 0 or not mask[i - 1]))
+        r = out[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_masked == sum(mask)
+        assert r.n_spans == n_spans
+        assert r.corruption_rate == sum(mask) / len(toks)
+
+
+def test_c4_filters_attrition_adds_up(spark, sf_smoke):
+    """Per-source counts are consistent: every doc is counted once,
+    n_pass complements the union of the three flags (replayed in
+    python on the raw text)."""
+    rows = _q("llm_c4_filters")(spark, sf_smoke).collect()
+    docs = load_table(spark, sf_smoke, "documents") \
+        .select("source", "text").collect()
+    exp: dict = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        f_short = len(ws) < 40
+        f_lowdiv = len(set(ws)) / len(ws) < 0.55
+        f_block = "slow" in ws
+        e = exp.setdefault(d.source, [0, 0, 0, 0, 0])
+        e[0] += 1
+        e[1] += f_short
+        e[2] += f_lowdiv
+        e[3] += f_block
+        e[4] += not (f_short or f_lowdiv or f_block)
+    got = {r.source: [r.n_docs, r.n_short, r.n_low_diversity,
+                      r.n_blocklisted, r.n_pass] for r in rows}
+    assert got == exp
+
+
+def test_order_statistics_match_sorted_column(spark, sf_smoke):
+    """kth_smallest's graded quartiles equal the plainly sorted
+    column's elements at ranks n//4, n//2, 3n//4."""
+    from pyspark.sql import functions as F
+
+    vals = sorted(
+        r[0] for r in load_table(spark, sf_smoke, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100)
+                .cast("long")).collect())
+    got = {r.stat: r.cents for r in
+           _q("agg_order_statistics")(spark, sf_smoke).collect()}
+    n = len(vals)
+    assert got == {
+        "q1": vals[n // 4], "median_low": vals[n // 2],
+        "q3": vals[(3 * n) // 4], "min": vals[0], "max": vals[-1]}
+
+
+def test_distinct_on_matches_groupwise_max(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    rows = _q("sql_distinct_on")(spark, sf_smoke).collect()
+    orders = load_table(spark, sf_smoke, "orders").collect()
+    best: dict = {}
+    for o in orders:
+        k = (o.o_orderdate, o.o_orderkey)
+        if o.o_custkey not in best or k > best[o.o_custkey][0]:
+            best[o.o_custkey] = (k, o.o_orderkey, o.o_totalprice)
+    assert {(r.o_custkey, r.latest_orderkey, r.latest_totalprice)
+            for r in rows} \
+        == {(c, ok, tp) for c, (_, ok, tp) in best.items()}
