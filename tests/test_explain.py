@@ -484,3 +484,49 @@ def test_round9_theil_single_aggregate(spark, sf_oracle):
     # one physical scan: the node appears once in the tree and once
     # in the details section of the formatted plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_round10_distinct_on_group_limit(spark, sf_oracle):
+    """sql_distinct_on must plan as the rank-pushdown shape: a
+    WindowGroupLimit keeps only per-key heads before the final
+    window sort, and a single exchange moves them."""
+    plan = _plan(spark, sf_oracle, "sql_distinct_on")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("+- Exchange") == 1
+
+
+def test_round10_single_scan_aggregates(spark, sf_oracle):
+    """llm_c4_filters and llm_span_corruption are one-scan shapes:
+    one pruned parquet read, map-side partial aggregation, ONE
+    exchange carrying only the aggregate columns."""
+    for name in ("llm_c4_filters", "llm_span_corruption"):
+        plan = _plan(spark, sf_oracle, name)
+        assert plan.count("Scan parquet") == 2, name  # tree + detail
+        assert plan.count("+- Exchange") == 1, name
+        assert plan.count("HashAggregate") >= 2, name
+    # column pruning: only the referenced columns reach the scan
+    plan = _plan(spark, sf_oracle, "llm_c4_filters")
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in rs and "source" in rs and "lang" not in rs
+
+
+def test_round10_jaccard_reuses_persisted_pairs(spark, sf_oracle):
+    """graph_jaccard_linkpred serves every consumer of the edge set
+    from the SAME persisted relation as the rest of the graph
+    family (InMemoryTableScans in the plan), broadcasts the degree
+    sides, and takes the top-20 without a global sort."""
+    plan = _plan(spark, sf_oracle, "graph_jaccard_linkpred")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round10_kcore_plan_is_flat_per_round(spark, sf_oracle):
+    """The k-core output's plan must NOT contain the exponential
+    iterative lineage: every round is a localCheckpoint (scanned as
+    an ExistingRDD/LogicalRDD), so the final union is 9 flat RDD
+    scans — no joins, no parquet re-reads."""
+    plan = _plan(spark, sf_oracle, "graph_kcore")
+    assert "Join" not in plan, "lineage not truncated"
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 9
