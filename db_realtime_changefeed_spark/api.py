@@ -54,6 +54,24 @@ class Cursor:
         """Resume from an explicit token (e.g. after a client crash)."""
         self._next_batch = batch_id
 
+    def seek_to_ts(self, ts) -> int:
+        """Resume from an EVENT TIME instead of a batch token — the
+        Kafka offsetsForTimes / CockroachDB cursor=<timestamp>
+        surface: positions the cursor at the first batch containing
+        any change with event time >= ts (a metadata-only chunk-spine
+        probe, ChangefeedRunner.batch_for_ts). Past-the-end
+        timestamps position at the log end (poll drains nothing).
+        Returns the resolved batch token."""
+        b = self._runner.batch_for_ts(ts)
+        if b is None:
+            end = (
+                self._runner.log().agg(F.max("batch_id"))
+                .collect()[0][0]
+            )
+            b = (end + 1) if end is not None else 0
+        self._next_batch = b
+        return b
+
     def poll(self) -> list:
         """All not-yet-delivered delta rows, ordered by batch."""
         rows = (

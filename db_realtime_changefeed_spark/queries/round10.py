@@ -716,3 +716,244 @@ def graph_jaccard_linkpred(spark, sf_dir):
     )
     return scored.orderBy(
         F.col("jaccard").desc(), "u", "v").limit(20)
+
+
+# ------------------------------------------- dq_invariant_totalprice
+
+@query(
+    "dq_invariant_totalprice",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax) AS DECIMAL(18,6)))
+               AS DOUBLE) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (ls.l_orderkey IS NULL) AS BIGINT)
+             AS n_no_lineitems,
+           CAST(count(*) FILTER (abs(o.o_totalprice - ls.computed)
+                                 < 0.01) AS BIGINT) AS n_consistent,
+           CAST(sum(CAST(abs(o.o_totalprice - ls.computed)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_abs_deviation
+    FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def dq_invariant_totalprice(spark, sf_dir):
+    """CROSS-TABLE BUSINESS-RULE audit — the TPC-H invariant
+    o_totalprice = SUM(l_extendedprice * (1-disc) * (1+tax)) checked
+    for every order, reported per status: order count, orders with
+    NO lineitems at all (257 in this fixture — a referential hole
+    dq_referential_integrity's FK direction cannot see), orders
+    consistent to the cent, and the total absolute deviation. The
+    audit HONESTLY reports that this synthetic fixture derives
+    o_totalprice independently of its lineitems (0 consistent) —
+    exactly what the check exists to catch after a partial load or
+    a broken rollup job.
+
+    Scale shape: one lineitem scan projecting 4 columns into a
+    map-side-combinable per-order decimal aggregate, one shuffle on
+    the join key, one bounded per-status aggregate. The per-line
+    product is the identical IEEE op sequence in both engines; every
+    sum is decimal-stabilized."""
+    ls = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum((F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * (F.lit(1) + F.col("l_tax")))
+                   .cast("decimal(18,6)"))
+             .cast("double").alias("computed"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(ls, o.o_orderkey == ls.l_orderkey, "left")
+    dev = F.abs(F.col("o_totalprice") - F.col("computed"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1))
+        .alias("n_no_lineitems"),
+        F.count(F.when(dev < 0.01, 1)).alias("n_consistent"),
+        F.sum(dev.cast("decimal(18,6)")).cast("double")
+        .alias("total_abs_deviation"),
+    )
+
+
+# -------------------------------------------------- graph_bfs_distance
+
+_BFS_ROUNDS = 6
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % {_KC_MOD} = 0
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), und AS (
+      SELECT u AS node, v AS other FROM e
+      UNION ALL SELECT v, u FROM e
+    ), src AS (SELECT min(u) AS s FROM e),
+    rec AS (
+      SELECT s AS node, 0 AS d FROM src
+      UNION
+      SELECT x.other, r.d + 1
+      FROM rec r JOIN und x ON x.node = r.node
+      WHERE r.d < {_BFS_ROUNDS}
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist
+    FROM rec GROUP BY node
+    """,
+)
+def graph_bfs_distance(spark, sf_dir):
+    """Single-source BFS hop distances (bounded to {_R} hops) over
+    the mod-{_M} co-purchase graph from its smallest part id — the
+    reachability/radius primitive behind blast-radius analysis and
+    relation expansion. Level-synchronous frontier BFS: each round
+    expands the frontier through one join and subtracts everything
+    already visited (an anti-join), so a node's recorded distance is
+    its FIRST (minimal) hop count; frontiers are localCheckpoint-ed
+    per round (the graph_kcore lineage-cut lesson — the frontier
+    feeds both the expansion and the visited union).
+
+    The DuckDB oracle is the same walk as a recursive CTE with
+    UNION-dedup (the working set stays O(nodes x levels), never
+    path-enumeration's exponential fan) and min(d) per node.
+
+    Scale: each round shuffles O(frontier-adjacency) rows on node
+    id; visited/frontier sets are node-sized, never edge-sized;
+    rounds are bounded by the hop budget."""
+    from pyspark import StorageLevel
+
+    key = (id(spark), sf_dir, "bfs")
+    if key in _KC_CACHE:
+        return _KC_CACHE[key]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % _KC_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und = pairs.select(F.col("u").alias("node"),
+                       F.col("v").alias("other")).unionAll(
+        pairs.select(F.col("v").alias("node"),
+                     F.col("u").alias("other")))
+    src = pairs.agg(F.min("u")).first()[0]
+    frontier = spark.createDataFrame(
+        [(int(src),)], "node long").localCheckpoint()
+    visited = frontier
+    out = frontier.select(
+        "node", F.lit(0).cast("long").alias("dist"))
+    for d in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            und.join(frontier, "node", "semi")
+            .select(F.col("other").alias("node")).distinct()
+            .join(visited, "node", "anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt.select(
+            "node", F.lit(d).cast("long").alias("dist")))
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    _KC_CACHE[key] = out
+    return out
+
+
+graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.replace(
+    "{_R}", str(_BFS_ROUNDS)).replace("{_M}", str(_KC_MOD))
+
+
+# --------------------------------------------------- changefeed_cursor_ts
+
+def _cursor_ts_oracle() -> str:
+    from ..streaming.replay import default_chunks
+
+    nb = default_chunks()
+    return f"""
+    WITH numbered AS (
+      SELECT event_type, value, ts,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT event_type, value, ts,
+             CAST(floor(rn / ceil(n / {nb}.0)) AS BIGINT) AS batch_id
+      FROM numbered
+    ), tpick AS (
+      SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts)))
+                            // 2) AS tt
+      FROM events
+    ), b0 AS (
+      SELECT min(batch_id) AS b FROM chunked, tpick WHERE ts >= tt
+    ), per AS (
+      SELECT event_type, batch_id,
+             count(*) AS d_cnt,
+             sum(CAST(value AS DECIMAL(18,6))) AS d_sum
+      FROM chunked GROUP BY 1, 2
+    ), log AS (
+      SELECT event_type,
+             CAST(sum(d_cnt) OVER w - d_cnt AS BIGINT) AS old_count,
+             CAST(sum(d_cnt) OVER w AS BIGINT) AS new_count,
+             CAST(sum(d_sum) OVER w - d_sum AS DOUBLE) AS old_sum,
+             CAST(sum(d_sum) OVER w AS DOUBLE) AS new_sum,
+             batch_id
+      FROM per
+      WINDOW w AS (PARTITION BY event_type ORDER BY batch_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT log.* FROM log, b0 WHERE log.batch_id >= b0.b
+    """
+
+
+@query("changefeed_cursor_ts", oracle=_cursor_ts_oracle())
+def changefeed_cursor_ts(spark, sf_dir):
+    """TIMESTAMP-BASED cursor resume — Kafka `offsetsForTimes` /
+    CockroachDB `CREATE CHANGEFEED ... WITH cursor=<timestamp>`: a
+    consumer that knows WHEN it stopped (not which batch token)
+    resumes from the first batch containing any change with event
+    time >= T. The seek (Cursor.seek_to_ts → ChangefeedRunner
+    .batch_for_ts) is a METADATA-ONLY probe: per-chunk max(ts) read
+    from parquet footer row-group statistics — the moral equivalent
+    of Kafka's time index — O(chunks) tiny reads, no data scan.
+    Graded output is the delta-log TAIL from the resolved batch:
+    every delta from the first batch whose high-water mark crosses
+    the midpoint timestamp, with old/new images reflecting the TRUE
+    full history (state is not rewound — only delivery is). T is
+    data-derived (epoch-microsecond midpoint of the event-time
+    range) so the query is fixture- and SF-independent.
+
+    Scale: the seek cost is independent of history length (footer
+    stats only); the tail read prunes on batch_id."""
+    from ..streaming.queries import _changefeed
+
+    runner = _changefeed(spark, sf_dir)
+    lo, hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.unix_micros(F.min("ts")),
+             F.unix_micros(F.max("ts"))).first()
+    )
+    import datetime as _dt
+
+    t = _dt.datetime.utcfromtimestamp(((lo + hi) // 2) / 1e6)
+    b0 = runner.batch_for_ts(t)
+    assert b0 is not None, "midpoint must precede the log end"
+    return runner.log().where(F.col("batch_id") >= b0).select(
+        "event_type", "old_count", "new_count",
+        "old_sum", "new_sum", "batch_id")

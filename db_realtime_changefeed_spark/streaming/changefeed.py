@@ -441,6 +441,39 @@ class ChangefeedRunner:
         self._state = None
         return self._store.rescale(new_buckets)
 
+    def batch_for_ts(self, ts, n_chunks: int | None = None):
+        """Timestamp-based resume point — Kafka `offsetsForTimes` /
+        CockroachDB `cursor=<ts>`: the FIRST replay batch containing
+        any change with event time >= ts, or None past the log end.
+        Read from the chunk spine's parquet FOOTER STATISTICS alone
+        (per-file row-group max of the ts column) — a metadata-only
+        index probe, O(chunks) tiny reads, no data scan; the replay
+        chunks are event-time-ordered so per-chunk max is monotone
+        and min-eligible is the seek answer (exactly a Kafka
+        time-index lookup)."""
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        chunks = build_replay_chunks(self.spark, self.sf_dir,
+                                     n_chunks)
+        best = None
+        for f in sorted(_glob.glob(_os.path.join(
+                chunks, "chunk-*.parquet"))):
+            idx = int(_os.path.basename(f)[6:-8])
+            pf = _pq.ParquetFile(f)
+            col = pf.schema_arrow.get_field_index("ts")
+            mx = None
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(col).statistics
+                if st is not None and st.max is not None:
+                    mx = st.max if mx is None else max(mx, st.max)
+            if mx is not None and mx >= ts and (
+                    best is None or idx < best):
+                best = idx
+        return best
+
     def run(self, n_chunks: int | None = None) -> None:
         guard_not_phase_fed(self.root)
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
