@@ -957,3 +957,105 @@ def changefeed_cursor_ts(spark, sf_dir):
     return runner.log().where(F.col("batch_id") >= b0).select(
         "event_type", "old_count", "new_count",
         "old_sum", "new_sum", "batch_id")
+
+
+# ---------------------------------------------- llm_bigram_kneser_ney
+
+_KN_D = 0.75
+_KN_TOPK = 50
+
+
+@query(
+    "llm_bigram_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
+             unnest(list_slice(ws, 2, len(ws))) AS w2
+      FROM toks WHERE len(ws) > 1
+    ), c AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bi GROUP BY w1, w2
+    ), m AS (
+      SELECT w1, w2, c12,
+             sum(c12) OVER (PARTITION BY w1) AS c1,
+             count(*) OVER (PARTITION BY w1) AS nf,
+             count(*) OVER (PARTITION BY w2) AS np,
+             count(*) OVER () AS nbi
+      FROM c
+    )
+    SELECT w1, w2, c12,
+           CAST(c1 AS BIGINT) AS c1,
+           CAST(nf AS BIGINT) AS n_followers,
+           CAST(np AS BIGINT) AS n_predecessors,
+           greatest(CAST(c12 AS DOUBLE) - {_KN_D}, 0.0)
+             / CAST(c1 AS DOUBLE)
+           + ({_KN_D} * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE))
+             * (CAST(np AS DOUBLE) / CAST(nbi AS DOUBLE)) AS p_kn
+    FROM m
+    ORDER BY c12 DESC, w1, w2 LIMIT {_KN_TOPK}
+    """,
+)
+def llm_bigram_kneser_ney(spark, sf_dir):
+    """Interpolated KNESER-NEY bigram probabilities (Kneser & Ney,
+    ICASSP'95; Chen & Goodman'98 — public method), the LM-quality
+    step past llm_bigram_lm's plain interpolation: absolute discount
+    D={_D} off every bigram count, mass redistributed through the
+    CONTINUATION probability (how many distinct contexts a word
+    follows — the 'San Francisco' fix: 'Francisco' is frequent but
+    predictable, so its continuation mass is tiny). Reported for the
+    top-{_K} bigrams with all four count ingredients, so a consumer
+    can audit the smoothing.
+
+    Scale shape: ONE corpus scan -> adjacent-pair explode (zip of
+    two slices, no self-join) -> one hash aggregate to the bounded
+    bigram-type relation; every marginal (prefix total, follower/
+    predecessor type counts, total types) is a WINDOW SUM over that
+    bounded relation — the r8 dq_chi_square lesson: never re-scan
+    the corpus per marginal. Final probabilities are identical IEEE
+    expressions over exact integers in both engines; the top-{_K}
+    cut carries a total (count DESC, w1, w2) tie-break."""
+    ws = F.split("text", " ")
+    toks = load_table(spark, sf_dir, "documents").select(
+        ws.alias("ws")).where(F.size("ws") > 1)
+    pairs = toks.select(
+        F.explode(F.arrays_zip(
+            F.slice("ws", 1, F.size("ws") - 1),
+            F.slice("ws", 2, F.size("ws") - 1))).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    c = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    w_1 = Window.partitionBy("w1")
+    w_2 = Window.partitionBy("w2")
+    w_all = Window.partitionBy()
+    m = c.select(
+        "w1", "w2", "c12",
+        F.sum("c12").over(w_1).alias("c1"),
+        F.count(F.lit(1)).over(w_1).alias("nf"),
+        F.count(F.lit(1)).over(w_2).alias("np"),
+        F.count(F.lit(1)).over(w_all).alias("nbi"),
+    )
+    d = F.lit(_KN_D)
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (d * F.col("nf").cast("double")
+           / F.col("c1").cast("double"))
+        * (F.col("np").cast("double") / F.col("nbi").cast("double"))
+    )
+    return (
+        m.select(
+            "w1", "w2", "c12",
+            F.col("c1").cast("long").alias("c1"),
+            F.col("nf").cast("long").alias("n_followers"),
+            F.col("np").cast("long").alias("n_predecessors"),
+            p_kn.alias("p_kn"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_KN_TOPK)
+    )
+
+
+llm_bigram_kneser_ney.__doc__ = llm_bigram_kneser_ney.__doc__ \
+    .replace("{_D}", str(_KN_D)).replace("{_K}", str(_KN_TOPK))
