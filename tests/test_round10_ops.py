@@ -400,3 +400,39 @@ def test_invariant_totalprice_honest_on_fixture(spark, sf_smoke):
     assert sum(r.n_no_lineitems for r in rows) > 0
     for r in rows:
         assert r.total_abs_deviation > 0
+
+
+def test_kneser_ney_matches_python_replay(spark, sf_smoke):
+    """Replay KN smoothing in python over the raw bigram counts and
+    demand identical probabilities for every reported bigram."""
+    from collections import Counter, defaultdict
+
+    rows = _q("llm_bigram_kneser_ney")(spark, sf_smoke).collect()
+    docs = load_table(spark, sf_smoke, "documents") \
+        .select("text").collect()
+    c12: Counter = Counter()
+    for d in docs:
+        ws = d.text.split(" ")
+        for i in range(len(ws) - 1):
+            c12[(ws[i], ws[i + 1])] += 1
+    c1: Counter = Counter()
+    nf: Counter = Counter()
+    np_: Counter = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        nf[w1] += 1
+        np_[w2] += 1
+    nbi = len(c12)
+    D = 0.75
+    assert len(rows) == 50
+    keys = [(-r.c12, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        c = c12[(r.w1, r.w2)]
+        assert r.c12 == c and r.c1 == c1[r.w1]
+        assert r.n_followers == nf[r.w1]
+        assert r.n_predecessors == np_[r.w2]
+        exp = (max(c - D, 0.0) / c1[r.w1]
+               + (D * nf[r.w1] / c1[r.w1]) * (np_[r.w2] / nbi))
+        assert r.p_kn == exp
+        assert 0.0 < r.p_kn <= 1.0
