@@ -600,6 +600,7 @@ def graph_kcore(spark, sf_dir):
         pairs.select(F.col("v").alias("node"))).distinct() \
         .localCheckpoint()
     rounds = [alive]
+    prev_n = alive.count()
     for _ in range(_KC_ROUNDS):
         prev = rounds[-1]
         deg = (
@@ -613,6 +614,16 @@ def graph_kcore(spark, sf_dir):
         # doubles every round and planning OOMs)
         nxt = (deg.where(F.col("deg") >= _KC_K).select("node")
                .localCheckpoint())
+        n = nxt.count()
+        if n == prev_n:
+            # FIXPOINT: alive sets only ever shrink, so equal count
+            # means equal set — peeling the core yields itself;
+            # reuse the checkpointed set for the remaining rounds
+            # instead of re-running identical join rounds
+            rounds.extend(
+                [prev] * (_KC_ROUNDS + 1 - len(rounds)))
+            break
+        prev_n = n
         rounds.append(nxt)
     out = None
     for r, df in enumerate(rounds):
