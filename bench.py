@@ -95,6 +95,10 @@ TIER2 = [
     "llm_jaccard_knn_text",
     "llm_mmr_diversify",
     "llm_simhash_hamming_knn",
+    # round-10 addition (sixth step-up): the ITERATIVE plan family —
+    # per-round semi-join peels with localCheckpoint lineage cuts —
+    # which no other tier2 entry exercises
+    "graph_kcore",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan
@@ -129,6 +133,9 @@ ONCE = {
     "llm_index_maintain_stream",
     "changefeed_squash_time",
     "changefeed_timebucket_view",
+    # iterative build is memoized per (session, sf): repeat runs
+    # would time the cache, not the operator — one warm timed run
+    "graph_kcore",
 }
 
 
@@ -162,6 +169,9 @@ def main() -> None:
         _IDX_CACHE as _R7B_IDX,
         _TBV_CACHE as _R7B_TBV,
     )
+    from db_realtime_changefeed_spark.queries.round10 import (
+        _KC_CACHE as _R10_KC,
+    )
 
     build_replay_chunks(spark, sf_dir)
     # the ONCE entries run single-shot: pre-build their replay
@@ -187,6 +197,7 @@ def main() -> None:
                 _VIEW_CACHE.clear()
                 _R7B_TBV.clear()
                 _R7B_IDX.clear()
+                _R10_KC.clear()
                 t = time.perf_counter()
                 materialize(queries[name](spark, sf_dir))
                 if i >= warmups:
