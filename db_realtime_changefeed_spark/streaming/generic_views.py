@@ -71,7 +71,15 @@ class GenericAggViewRunner:
                  ts_ddl: str = "timestamp",
                  group_expr: str | None = None,
                  index_band_width: float | None = None,
-                 index_bands: int = 8, k: int = 5):
+                 index_bands: int = 8, k: int = 5,
+                 root: str | None = None):
+        """`root`: pass a previous runner's root to RESTART from its
+        durable state (the MaintainedViewsRunner contract, ported):
+        every store is manifest-committed versioned parquet, the
+        delta/top-k logs are per-batch parquet dirs gated to
+        committed versions, and the checkpoint under root resumes
+        from committed offsets — a fresh instance serves identical
+        trajectories without reprocessing (tested)."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.table = table
@@ -85,7 +93,7 @@ class GenericAggViewRunner:
         #: winner moves buckets, the old bucket is retracted and the
         #: new one applied like any other group move.
         self.group_expr = group_expr
-        self.root = scratch_dir(prefix=f"dbrcf-gview-{table}-")
+        self.root = root or scratch_dir(prefix=f"dbrcf-gview-{table}-")
         self.ckpt = os.path.join(self.root, "checkpoint")
         #: per-row {old,new} delta log — ONE parquet write of the
         #: batch's already-cached delta relation per micro-batch

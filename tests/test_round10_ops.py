@@ -436,3 +436,40 @@ def test_kneser_ney_matches_python_replay(spark, sf_smoke):
                + (D * nf[r.w1] / c1[r.w1]) * (np_[r.w2] / nbi))
         assert r.p_kn == exp
         assert 0.0 < r.p_kn <= 1.0
+
+
+def test_generic_runner_restart_serves_identical_state(
+        spark, sf_smoke, orders_runner7):
+    """A fresh GenericAggViewRunner on the SAME root (driver
+    restart) serves identical trajectories — batches from durable
+    manifests, logs from committed parquet, top-k from the durable
+    index — without reprocessing (the checkpoint holds the
+    committed offsets; run() is a no-op replay)."""
+    from db_realtime_changefeed_spark.streaming.generic_views import (
+        GenericAggViewRunner,
+    )
+
+    r = orders_runner7
+    r2 = GenericAggViewRunner(
+        spark, sf_smoke, table="orders", key="o_custkey",
+        seq="o_orderkey", ts="o_orderdate",
+        group="o_orderstatus", value="o_totalprice",
+        index_band_width=62500.0, root=r.root)
+    assert r2._batches == r._batches
+    r2.run(n_chunks=7)  # resumes from committed offsets: no new work
+    assert r2._batches == r._batches
+    a = sorted(map(tuple, r.agg_trajectory().collect()))
+    b = sorted(map(tuple, r2.agg_trajectory().collect()))
+    assert a == b
+    from collections import Counter
+
+    ta = Counter(map(tuple, r.topk_log().collect()))
+    tb = Counter(map(tuple, r2.topk_log().collect()))
+    assert ta == tb and ta
+    la = Counter(map(tuple, r.delta_log().collect()))
+    lb = Counter(map(tuple, r2.delta_log().collect()))
+    assert la == lb and la
+    # the restarted runner's top-k cache is cold: topk_at recomputes
+    # from the durable index and agrees
+    last = max(r._batches)
+    assert r2.topk_at(last) == r.topk_at(last)
