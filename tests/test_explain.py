@@ -530,3 +530,65 @@ def test_round10_kcore_plan_is_flat_per_round(spark, sf_oracle):
     assert "Join" not in plan, "lineage not truncated"
     assert "Scan parquet" not in plan
     assert plan.count("Scan ExistingRDD") >= 9
+
+
+def test_round10b_periodogram_broadcast_krange(spark, sf_oracle):
+    """ts_periodogram fans each daily point out to the 10 harmonics
+    via a BROADCAST cross join (never a shuffle), and the events
+    scan reads only (ts, event_type) — the value column must be
+    pruned since y is a count."""
+    plan = _plan(spark, sf_oracle, "ts_periodogram")
+    assert "BroadcastNestedLoopJoin" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" not in rs and "event_type" in rs
+
+
+def test_round10b_clustering_coeff_shares_graph_cache(spark, sf_oracle):
+    """graph_clustering_coeff rides the SAME persisted edge relation
+    as graph_triangles/kcore/jaccard (InMemoryTableScan), broadcasts
+    the degree sides, and cuts the top-25 distributed — no global
+    sort. Runtime (tools/runtime_audit.py, 2026-08-16): 2 parquet
+    scans executed, 13 cache reads, 15 exchanges."""
+    plan = _plan(spark, sf_oracle, "graph_clustering_coeff")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round10b_pandas_recurrences_partition_by_series(spark, sf_oracle):
+    """ts_dtw / ts_kalman_level are applyInPandas escapes: the plan
+    must show FlatMapGroupsInPandas fed by a hash partitioning on
+    the group key — parallel across groups, sequential only within.
+    ts_dtw additionally tags pair sides via BROADCAST joins."""
+    plan = _plan(spark, sf_oracle, "ts_kalman_level")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(event_type" in plan
+    plan = _plan(spark, sf_oracle, "ts_dtw")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(ta" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_round10b_windows_never_global(spark, sf_oracle):
+    """The wave-3 window consumers must all partition their windows:
+    gaps-islands by the hit flag, hurst by (series, m, chunk), rouge
+    pairing by lang, taxonomy ranking by doc_id. An empty window
+    spec (single-partition sort of the whole input) is the 100 TB
+    failure shape."""
+    import re
+
+    for name in ("dq_gaps_islands", "ts_hurst", "llm_rouge_ngram",
+                 "llm_taxonomy_classify"):
+        plan = _plan(spark, sf_oracle, name)
+        for frag in re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^,)]*)", plan):
+            assert frag.strip(), f"{name}: global window"
+
+
+def test_round10b_fd_audit_two_stage_distinct(spark, sf_oracle):
+    """dq_fd_audit's count-distinct per determinant must expand to
+    the two-stage partial aggregate (no single-point distinct), and
+    every branch scan reads exactly its two columns."""
+    plan = _plan(spark, sf_oracle, "dq_fd_audit")
+    assert plan.count("HashAggregate") >= 10
+    for rs in {s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]}:
+        assert rs.count(",") == 1, f"over-wide FD scan: {rs}"
