@@ -1,0 +1,530 @@
+"""Round-10 wave-4 graded queries — matrix profile, cross-correlation,
+CEP absence detection, grid DBSCAN, and asymmetric containment dedup.
+
+Registered LAST in load_all (after round10b) so every name here sits
+behind the certified tail (grading-rotation discipline,
+queries/__init__.py). Reference citations are N/A — the reference
+tree is empty (SURVEY.md §0); the binding spec is the driver
+contract + SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from ._util import davg, dround6_div, dsum, sql_davg, sql_dsum
+
+__all__ = ["load"]
+
+
+def load() -> None:  # imported for side effects; keep a hook anyway
+    pass
+
+
+# --------------------------------------------------- ts_matrix_profile
+
+_MP_M = 7       #: subsequence window (days)
+_MP_EXCL = 3    #: trivial-match exclusion zone (m // 2)
+
+_MP_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('day', ts)) - 1 AS t
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (SELECT d.*, count(*) OVER (PARTITION BY event_type) AS n FROM d),
+ks AS (SELECT unnest(range(0, {_MP_M})) AS k),
+subs AS (
+  SELECT event_type, t - k AS i, k, y
+  FROM s CROSS JOIN ks
+  WHERE t - k >= 0 AND t - k <= n - {_MP_M}),
+st AS (
+  SELECT event_type, i,
+         {sql_davg('y')} AS mu,
+         sqrt(({sql_dsum('y * y')} - {sql_dsum('y')} * {sql_dsum('y')}
+               / {_MP_M}) / {_MP_M}) AS sig
+  FROM subs GROUP BY event_type, i),
+z AS (
+  SELECT subs.event_type, subs.i, subs.k,
+         (subs.y - st.mu) / st.sig AS z
+  FROM subs JOIN st ON st.event_type = subs.event_type
+                   AND st.i = subs.i
+  WHERE st.sig > 0),
+d2 AS (
+  SELECT a.event_type, a.i, b.i AS j,
+         {sql_dsum('(a.z - b.z) * (a.z - b.z)')} AS d2
+  FROM z a JOIN z b
+    ON b.event_type = a.event_type AND b.k = a.k
+   AND abs(a.i - b.i) > {_MP_EXCL}
+  GROUP BY a.event_type, a.i, b.i),
+ranked AS (
+  SELECT event_type, i, j, d2,
+         row_number() OVER (PARTITION BY event_type, i
+                            ORDER BY d2, j) AS rk
+  FROM d2)
+SELECT event_type, i, j AS nn_j, sqrt(d2) AS mp_dist
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("ts_matrix_profile", oracle=_MP_ORACLE)
+def ts_matrix_profile(spark, sf_dir):
+    """MATRIX PROFILE (UCR/Keogh) of each event type's daily count
+    series: for every length-{_MP_M} subsequence, the z-normalized
+    Euclidean distance to its NEAREST non-trivial neighbour (the
+    |i−j| > {_MP_EXCL} exclusion zone discards self-overlap) plus
+    that neighbour's index — low profile values mark motifs,
+    spikes mark discords (anomalies), making this the modern
+    all-purpose time-series primitive. Subsequences materialize by
+    fanning each point to its ≤{_MP_M} covering windows via a
+    broadcast offset range (never a per-row slice UDF); per-window
+    moments and the pairwise distance sums all ride the exact
+    decimal pipeline; μ/σ normalization and sqrt are identical IEEE
+    ops on identical inputs, so no quantization is needed.
+
+    Scale: O(w²) pair fan-out is PER SERIES (w = n − m + 1 windows,
+    bounded by the day count), keyed by (series, offset) — millions
+    of series parallelize; a long-series variant would swap the
+    quadratic join for the STOMP rolling-dot-product recurrence,
+    same output contract. Flat counts make σ = 0 subsequences
+    possible; they are excluded, as in the reference algorithm."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ser = daily.select(
+        "event_type", "y",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    ks = spark.range(0, _MP_M).select(F.col("id").cast("int").alias("k"))
+    subs = (
+        ser.crossJoin(F.broadcast(ks))
+        .where((F.col("t") - F.col("k") >= 0)
+               & (F.col("t") - F.col("k") <= F.col("n") - _MP_M))
+        .select("event_type", (F.col("t") - F.col("k")).alias("i"),
+                "k", "y")
+    )
+    st = subs.groupBy("event_type", "i").agg(
+        davg("y").alias("mu"),
+        F.sqrt((dsum(F.col("y") * F.col("y"))
+                - dsum("y") * dsum("y") / _MP_M) / _MP_M).alias("sig"),
+    )
+    z = (
+        subs.join(st, ["event_type", "i"])
+        .where(F.col("sig") > 0)
+        .select("event_type", "i", "k",
+                ((F.col("y") - F.col("mu")) / F.col("sig")).alias("z"))
+    )
+    a, b = z.alias("a"), z.alias("b")
+    d2 = (
+        a.join(b, (F.col("b.event_type") == F.col("a.event_type"))
+               & (F.col("b.k") == F.col("a.k"))
+               & (F.abs(F.col("a.i") - F.col("b.i")) > _MP_EXCL))
+        .groupBy(F.col("a.event_type").alias("event_type"),
+                 F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(dsum((F.col("a.z") - F.col("b.z"))
+                  * (F.col("a.z") - F.col("b.z"))).alias("d2"))
+    )
+    wr = Window.partitionBy("event_type", "i").orderBy("d2", "j")
+    return (
+        d2.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("event_type", "i", F.col("j").alias("nn_j"),
+                F.sqrt("d2").alias("mp_dist"))
+    )
+
+
+# ------------------------------------------------------- ts_crosscorr
+
+_CCF_MAXLAG = 5
+
+_CCF_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_dsum('value')} AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS idx,
+         y
+  FROM d),
+lags AS (SELECT unnest(range(-{_CCF_MAXLAG}, {_CCF_MAXLAG + 1}))
+           AS lag),
+j AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+         a.y AS x, b.y AS y
+  FROM s a CROSS JOIN lags l
+  JOIN s b ON b.idx = a.idx + l.lag AND a.event_type < b.event_type),
+mom AS (
+  SELECT ta, tb, lag, count(*) AS n,
+         {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+         {sql_dsum('x * y')} AS sxy,
+         {sql_dsum('x * x')} AS sx2, {sql_dsum('y * y')} AS sy2
+  FROM j GROUP BY ta, tb, lag)
+SELECT ta, tb, CAST(lag AS INT) AS lag, n,
+       FLOOR(((sxy - sx * sy / n)
+              / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)))
+             * 1000000.0 + 0.5) / 1000000.0 AS ccf6
+FROM mom
+WHERE n > 1 AND (sx2 - sx * sx / n) * (sy2 - sy * sy / n) > 0
+"""
+
+
+@query("ts_crosscorr", oracle=_CCF_ORACLE)
+def ts_crosscorr(spark, sf_dir):
+    """CROSS-CORRELATION FUNCTION between every event-type pair's
+    daily value series at lags −{_CCF_MAXLAG}..{_CCF_MAXLAG}:
+    CCF(ℓ) = Pearson(x_t, y_{{t+ℓ}}) over the overlap — the
+    lead/lag detector (does type A's volume foreshadow type B's?)
+    completing ts_autocorr (own past) and changefeed_corr_view
+    (same-row bivariate). The five Pearson moments accumulate in
+    exact decimal over the lag-shifted equi-join; the normalized
+    quotient runs in IEEE doubles on bit-identical rational inputs,
+    quantized at 6 dp with the variance-view floor tie rule.
+    Degenerate overlaps (n ≤ 1 or zero variance on either side) are
+    excluded in both engines rather than ANSI-dividing by zero.
+
+    Scale: the join keys on the shifted day index of the bounded
+    daily relation — each (pair, lag) cell is an independent
+    aggregate; the lag range is an 11-row broadcast. At a million
+    series the pair enumeration, not this plan, is the budget — the
+    candidate set would come from an LSH/correlation sketch, same
+    downstream shape."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dsum("value").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ser = daily.select(
+        "event_type", (F.row_number().over(w) - 1).alias("idx"), "y")
+    lags = spark.range(-_CCF_MAXLAG, _CCF_MAXLAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a, b = ser.alias("a"), ser.alias("b")
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.col("b.idx") == F.col("a.idx") + F.col("lag"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .select(F.col("a.event_type").alias("ta"),
+                F.col("b.event_type").alias("tb"), "lag",
+                F.col("a.y").alias("x"), F.col("b.y").alias("y"))
+    )
+    mom = j.groupBy("ta", "tb", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"), dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sx2"),
+        dsum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("sy2") - F.col("sy") * F.col("sy") / F.col("n")
+    return (
+        mom.where((F.col("n") > 1) & (vx * vy > 0))
+        .select(
+            "ta", "tb", "lag", "n",
+            (F.floor((cov / F.sqrt(vx * vy)) * F.lit(1000000.0)
+                     + F.lit(0.5)).cast("double") / F.lit(1000000.0))
+            .alias("ccf6"),
+        )
+    )
+
+
+# --------------------------------------------------- seq_absence_detect
+
+_ABS_WINDOW_MIN = 10
+
+_ABS_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+flagged AS (
+  SELECT v.user_id, v.event_id,
+         CASE WHEN count(p.ts) > 0 THEN 1 ELSE 0 END AS converted
+  FROM v LEFT JOIN p
+    ON p.user_id = v.user_id
+   AND p.ts > v.ts
+   AND p.ts <= v.ts + INTERVAL {_ABS_WINDOW_MIN} MINUTE
+  GROUP BY v.user_id, v.event_id)
+SELECT user_id,
+       count(*) AS n_views,
+       CAST(sum(1 - converted) AS BIGINT) AS n_absent,
+       FLOOR((sum(1 - converted)) * 1000000.0 / count(*) + 0.5)
+         / 1000000.0 AS absent_rate6
+FROM flagged GROUP BY user_id
+"""
+
+
+@query("seq_absence_detect", oracle=_ABS_ORACLE)
+def seq_absence_detect(spark, sf_dir):
+    """CEP ABSENCE detection — the pattern complement of
+    seq_match_recognize/stream_match_recognize (which find sequences
+    that DID happen): for every 'view' event, did NO 'purchase' by
+    the same user follow within {_ABS_WINDOW_MIN} minutes? Reported
+    per user as view count, unanswered-view count, and the
+    abandonment rate (floor-6dp of an exact integer rational).
+    Absence is a LEFT range-join with a zero-match test — the only
+    way to observe a non-event in either engine — grouped first per
+    view (any purchase in window?) then per user.
+
+    Scale: the join keys on user_id and prunes by the time window;
+    at 100 TB the same plan runs with both sides bucketed by
+    user_id, or as the streaming twin via
+    applyInPandasWithState with a {_ABS_WINDOW_MIN}-minute timer
+    per view (timeout fires → absence emitted) — the batch form
+    here is the oracle-checkable ground truth for that operator."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    flagged = (
+        v.join(p, (F.col("p_user") == F.col("user_id"))
+               & (F.col("p_ts") > F.col("ts"))
+               & (F.col("p_ts") <= F.col("ts")
+                  + F.expr(f"INTERVAL {_ABS_WINDOW_MIN} MINUTE")),
+               "left")
+        .groupBy("user_id", "event_id")
+        .agg(F.when(F.count("p_ts") > 0, 1).otherwise(0)
+             .alias("converted"))
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(1 - F.col("converted")).alias("n_absent"),
+        dround6_div(F.sum(1 - F.col("converted")),
+                    F.count(F.lit(1))).alias("absent_rate6"),
+    )
+
+
+# ----------------------------------------------------- geo_dbscan_grid
+
+_DB_CELL = 10.0  #: degrees; lat cells -8..7 (16), lon -18..17 (36)
+# deterministic warped point cloud: a multiplicative hash spreads
+# event ids uniformly, squaring warps density toward the low corner —
+# the gradient gives the grid genuine dense regions at every SF
+_DB_LAT = ("-80.0 + 160.0 * (CAST((event_id * 2654435761) % 4096"
+           " AS DOUBLE) / 4096.0) * (CAST((event_id * 2654435761)"
+           " % 4096 AS DOUBLE) / 4096.0)")
+_DB_LON = ("-180.0 + 360.0 * (CAST((event_id * 40503) % 4093"
+           " AS DOUBLE) / 4093.0) * (CAST((event_id * 40503) % 4093"
+           " AS DOUBLE) / 4093.0)")
+
+_DB_ORACLE = f"""
+WITH RECURSIVE pts AS (
+  SELECT {_DB_LAT} AS lat, {_DB_LON} AS lon FROM events),
+cells AS (
+  SELECT CAST(floor(lat / {_DB_CELL}) AS BIGINT) AS cl,
+         CAST(floor(lon / {_DB_CELL}) AS BIGINT) AS cn,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2),
+s AS (SELECT count(*) AS k, sum(cnt) AS t FROM cells),
+dense AS (
+  SELECT cl, cn, cnt, (cl + 8) * 36 + (cn + 18) AS node
+  FROM cells, s WHERE cnt * s.k >= 2 * s.t),
+edges AS (
+  SELECT a.node AS u, b.node AS v
+  FROM dense a JOIN dense b
+    ON abs(a.cl - b.cl) <= 1 AND abs(a.cn - b.cn) <= 1
+   AND a.node <> b.node),
+walk AS (
+  SELECT node, node AS label FROM dense
+  UNION
+  SELECT e.v AS node, w.label
+  FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.label < e.v),
+comp AS (SELECT node, min(label) AS cluster FROM walk GROUP BY node)
+SELECT d.cl AS cell_lat, d.cn AS cell_lon, d.cnt, comp.cluster
+FROM dense d JOIN comp ON comp.node = d.node
+"""
+
+
+@query("geo_dbscan_grid", oracle=_DB_ORACLE)
+def geo_dbscan_grid(spark, sf_dir):
+    """Grid-cell DBSCAN over the deterministic warped point cloud:
+    a cell is DENSE when its count is at least twice the mean
+    occupied-cell count (the integer cross-multiplied comparison
+    cnt·k ≥ 2·t — exact, no float threshold), and clusters are the
+    connected components of dense cells under 8-neighbour adjacency
+    — the standard grid reformulation of DBSCAN (dense cell ≈ core
+    point, adjacency ≈ ε-reachability) that makes density
+    clustering a BOUNDED-domain problem: the grid has at most
+    16 × 36 cells at any corpus size, so everything after the one
+    counting pass over the raw points is O(grid). Components run
+    the same hash-min label propagation as
+    graph_connected_components (one tiny shuffle per round,
+    localCheckpoint lineage cut per the measured round-10 lesson);
+    the oracle agrees on the fixpoint via a recursive reachability
+    walk — a different algorithm, strongest available cross-check.
+    Labels are the cell's row-major grid index, so cluster ids are
+    integers identical in both engines."""
+    pts = load_table(spark, sf_dir, "events").select(
+        F.expr(_DB_LAT).alias("lat"), F.expr(_DB_LON).alias("lon"))
+    cells = (
+        pts.groupBy(
+            F.floor(F.col("lat") / _DB_CELL).cast("long").alias("cl"),
+            F.floor(F.col("lon") / _DB_CELL).cast("long").alias("cn"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = cells.agg(F.count(F.lit(1)).alias("k"),
+                  F.sum("cnt").alias("t"))
+    dense = (
+        cells.join(F.broadcast(s))
+        .where(F.col("cnt") * F.col("k") >= 2 * F.col("t"))
+        .select("cl", "cn", "cnt",
+                ((F.col("cl") + 8) * 36 + (F.col("cn") + 18))
+                .alias("node"))
+        .localCheckpoint()  # O(grid) rows; cuts the loop's base plan
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    edges = (
+        a.join(b, (F.abs(F.col("a.cl") - F.col("b.cl")) <= 1)
+               & (F.abs(F.col("a.cn") - F.col("b.cn")) <= 1)
+               & (F.col("a.node") != F.col("b.node")))
+        .select(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .localCheckpoint()
+    )
+    labels = dense.select("node", F.col("node").alias("label"))
+    while True:
+        nbr = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce("nbr_label", F.col("label")))
+                .alias("label"),
+                (F.coalesce("nbr_label", F.col("label"))
+                 < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        shrank = new_labels.where("changed").limit(1).count()
+        labels = new_labels.select("node", "label")
+        if not shrank:
+            break
+    return dense.join(labels, "node").select(
+        F.col("cl").alias("cell_lat"), F.col("cn").alias("cell_lon"),
+        "cnt", F.col("label").alias("cluster"))
+
+
+# ----------------------------------------------- llm_containment_dedup
+
+_CD_K = 3        #: shingle width (words)
+_CD_MAXDF = 32   #: stop-shingle cap for candidate generation
+_CD_THRESH = 0.5
+
+_CD_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE len(string_split(text, ' ')) >= {_CD_K}),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, len(ws) - {_CD_K - 2}),
+           i -> array_to_string(ws[i:i+{_CD_K - 1}], ' '))) AS g
+  FROM docs),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+posts AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= {_CD_MAXDF}),
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN posts USING (g) JOIN sh b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.da AS doc_a, c.db AS doc_b, c.inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       FLOOR(c.inter * 1000000.0 / sa.sz + 0.5) / 1000000.0
+         AS cont_a6,
+       FLOOR(c.inter * 1000000.0 / sb.sz + 0.5) / 1000000.0
+         AS cont_b6
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.da
+JOIN sizes sb ON sb.doc_id = c.db
+WHERE c.inter * 2 >= sa.sz OR c.inter * 2 >= sb.sz
+"""
+
+
+@query("llm_containment_dedup", oracle=_CD_ORACLE)
+def llm_containment_dedup(spark, sf_dir):
+    """ASYMMETRIC CONTAINMENT dedup — |S_a ∩ S_b| / |S_min side|
+    ≥ {_CD_THRESH} over distinct word-{_CD_K}-gram shingle sets:
+    Jaccard (llm_dedup_ngram_jaccard, llm_jaccard_knn_text) misses
+    the quote/excerpt case where a short document sits INSIDE a long
+    one (the union dilutes the score); containment normalizes by one
+    side and catches it — the Broder distinction (resemblance vs
+    containment) every curation pipeline needs for sub-document
+    dedup. Candidates come from the round-9 inverted-index recipe:
+    one posting list per shingle with document frequency ≤
+    {_CD_MAXDF} (the stop-shingle cut), so pair fan-out is
+    O(capped df²) per shingle, never all-pairs. The threshold test
+    cross-multiplies integers (inter·2 ≥ size) — exact; the reported
+    per-side containments are floor-6dp rationals.
+
+    Scale: shingling is one explode + distinct; the candidate join
+    shuffles on the 16-byte-ish gram key; sizes broadcast-join back.
+    The MinHash twin (llm_dedup_minhash) estimates the same
+    containment from sketches when exact shingle sets are too wide
+    to shuffle."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= _CD_K)
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(ws) - {_CD_K}),"
+                f" i -> concat_ws(' ', slice(ws, i + 1, {_CD_K})))"))
+            .alias("g"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    posts = (
+        sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _CD_MAXDF)
+        .select("g")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(posts, "g").join(b.withColumnRenamed("doc_id", "db"),
+                                "g")
+        .where(F.col("a.doc_id") < F.col("db"))
+        .groupBy(F.col("a.doc_id").alias("da"), "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("da"))
+        .join(sb, F.col("sb.doc_id") == F.col("db"))
+        .where((F.col("inter") * 2 >= F.col("sa.sz"))
+               | (F.col("inter") * 2 >= F.col("sb.sz")))
+        .select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+            "inter",
+            F.col("sa.sz").alias("size_a"),
+            F.col("sb.sz").alias("size_b"),
+            dround6_div(F.col("inter"), F.col("sa.sz"))
+            .alias("cont_a6"),
+            dround6_div(F.col("inter"), F.col("sb.sz"))
+            .alias("cont_b6"),
+        )
+    )
