@@ -592,3 +592,42 @@ def test_round10b_fd_audit_two_stage_distinct(spark, sf_oracle):
     assert plan.count("HashAggregate") >= 10
     for rs in {s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]}:
         assert rs.count(",") == 1, f"over-wide FD scan: {rs}"
+
+
+def test_round10c_matrix_profile_broadcast_offsets(spark, sf_oracle):
+    """ts_matrix_profile fans points to covering windows via a
+    broadcast offset range and never reads the value column."""
+    plan = _plan(spark, sf_oracle, "ts_matrix_profile")
+    assert "BroadcastNestedLoopJoin" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" not in rs
+
+
+def test_round10c_no_cartesian_joins(spark, sf_oracle):
+    """ts_crosscorr's lag shift and seq_absence_detect's time window
+    must plan as keyed joins (broadcast or shuffle on an equi key) —
+    an unkeyed CartesianProduct is the 100 TB failure shape."""
+    for name in ("ts_crosscorr", "seq_absence_detect"):
+        plan = _plan(spark, sf_oracle, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_round10c_dbscan_plan_is_flat(spark, sf_oracle):
+    """geo_dbscan_grid's returned plan must be the flat checkpointed
+    shape: dense cells and converged labels scan as ExistingRDDs —
+    the iterative lineage never reaches the consumer (the measured
+    round-10 planner-blowup lesson)."""
+    plan = _plan(spark, sf_oracle, "geo_dbscan_grid")
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+
+
+def test_round10c_containment_df_cap_before_pairs(spark, sf_oracle):
+    """llm_containment_dedup must aggregate posting lists (the
+    df <= cap stop-shingle cut) BEFORE the pair join — the cap
+    filter has to sit on an aggregate, not on the joined fan-out —
+    and reads only (doc_id, text)."""
+    plan = _plan(spark, sf_oracle, "llm_containment_dedup")
+    assert "count(1)" in plan or "HashAggregate" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in rs and "source" not in rs and "text" in rs
