@@ -528,3 +528,126 @@ def llm_containment_dedup(spark, sf_dir):
             .alias("cont_b6"),
         )
     )
+
+
+# ------------------------------------------------ stream_absence_timeout
+
+_SAT_WIN_MS = 10 * 60 * 1000
+_SAT_WIN_US = _SAT_WIN_MS * 1000
+
+
+def _absence_fn(key, pdf_iter, state):
+    """Per-user pending-view state machine. Pending views resolve
+    when a purchase lands in (view, view + 10 min] — μs-exact, the
+    oracle's NOT EXISTS test — and EXPIRE as absence rows once the
+    event-time watermark passes view + 10 min (ms-floored, the state
+    API's unit). Expiry runs on BOTH branches: Spark delivers a
+    batch's data to a key through the data invocation even when its
+    timer has lapsed (hasTimedOut fires only for keys with no data),
+    so a data-branch-less design would miss timers and then die
+    re-arming a timeout at or below the watermark."""
+    import pandas as pd
+
+    if state.exists:
+        ids, tss = state.get
+        pending = list(zip(ids, tss))
+    else:
+        pending = []
+
+    if not state.hasTimedOut:
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf[["event_id", "event_type", "ts"]])
+        if rows:
+            allr = pd.concat(rows)
+            allr["us"] = allr["ts"].astype("int64") // 1000
+            allr = allr.sort_values(["us", "event_id"])
+            for eid, et, us in zip(allr["event_id"], allr["event_type"],
+                                   allr["us"]):
+                if et == "view":
+                    pending.append((int(eid), int(us)))
+                else:  # purchase
+                    pending = [
+                        (e, t) for e, t in pending
+                        if not (us > t and us <= t + _SAT_WIN_US)]
+    wm = state.getCurrentWatermarkMs()
+    expired = [(e, t) for e, t in pending
+               if t // 1000 + _SAT_WIN_MS <= wm]
+    pending = [(e, t) for e, t in pending
+               if t // 1000 + _SAT_WIN_MS > wm]
+    if pending:
+        state.update(([e for e, _ in pending],
+                      [t for _, t in pending]))
+        state.setTimeoutTimestamp(
+            min(t for _, t in pending) // 1000 + _SAT_WIN_MS)
+    else:
+        state.remove()
+    if expired:
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(expired),
+            "view_event_id": [e for e, _ in sorted(expired)],
+            "view_ts": [pd.Timestamp(t, unit="us")
+                        for _, t in sorted(expired)],
+        })
+
+
+@query(
+    "stream_absence_timeout",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, v.event_id AS view_event_id, v.ts AS view_ts
+    FROM v
+    WHERE v.ts + INTERVAL 10 MINUTE <=
+          (SELECT max(ts) - INTERVAL 10 MINUTE FROM events
+           WHERE event_type IN ('view', 'purchase'))
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id AND p.ts > v.ts
+          AND p.ts <= v.ts + INTERVAL 10 MINUTE)
+    """,
+)
+def stream_absence_timeout(spark, sf_dir):
+    """STREAMING absence detection — the applyInPandasWithState +
+    EventTimeTimeout twin of seq_absence_detect (whose batch form is
+    this operator's ground truth): each un-purchased view emits an
+    absence row the moment the event-time watermark passes
+    view + 10 min, which is how a real-time pipeline observes a
+    NON-event (no join can produce a row from data that never
+    arrived; a timer can). State per user is the O(pending-views)
+    id/timestamp lists; purchases clear pending views μs-exactly;
+    timers re-arm to the earliest pending deadline. The emitted set
+    is deterministic and chunking-invariant on the time-ordered
+    replay: every resolving purchase precedes its view's expiry
+    watermark, and AvailableNow's closing no-data batch fires all
+    timers at or below the final watermark (max ts − 10 min — the
+    stream_session_timeout finding), so the result equals the batch
+    anti-join restricted to that boundary.
+
+    Scale: state shards by user across the state store and is
+    evicted at expiry — timers are the idle-key GC; the watermark
+    bounds state to one window of pending views per key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming.queries import _replayed, _to_table
+
+    stream = (
+        _replayed(spark, sf_dir)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    result = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _absence_fn,
+            "user_id long, view_event_id long, view_ts timestamp",
+            "ids array<bigint>, tss array<bigint>",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return spark.table(_to_table(result, "absence", "append"))

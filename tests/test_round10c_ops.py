@@ -216,3 +216,60 @@ def test_containment_replay_and_asymmetry(spark):
     # threshold on ONE side only; real excerpt/quote corpora are
     # where containment diverges from Jaccard materially.)
     assert any(r.cont_a6 != r.cont_b6 for r in rows.values())
+
+
+def test_absence_timeout_chunk_invariance(spark):
+    """stream_absence_timeout's emitted set must equal the batch
+    anti-join restricted to the final-watermark boundary at a chunk
+    count the graded default never uses (7) — the chunking-invariance
+    property every replayed stream op claims."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from db_realtime_changefeed_spark.queries.round10c import _absence_fn
+    from db_realtime_changefeed_spark.streaming.replay import (
+        build_replay_chunks,
+        fresh_sink_name,
+        read_events_stream,
+        run_available_now,
+    )
+
+    chunks = build_replay_chunks(spark, SF, 7)
+    stream = (
+        read_events_stream(spark, chunks)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    result = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _absence_fn,
+            "user_id long, view_event_id long, view_ts timestamp",
+            "ids array<bigint>, tss array<bigint>",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = fresh_sink_name("absence7")
+    run_available_now(result, name, "append")
+    got = sorted((r.user_id, r.view_event_id)
+                 for r in spark.table(name).collect())
+
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, event_type, ts "
+        f"FROM read_parquet('{SF}/events.parquet') "
+        "WHERE event_type IN ('view', 'purchase')").fetchall()
+    purch = defaultdict(list)
+    for u, _, et, t in ev:
+        if et == "purchase":
+            purch[u].append(t)
+    max_ts = max(t for *_, t in ev)
+    win = timedelta(minutes=10)
+    exp = sorted(
+        (u, e) for u, e, et, t in ev
+        if et == "view" and t + win <= max_ts - win
+        and not any(t < p <= t + win for p in purch.get(u, ())))
+    assert got == exp
