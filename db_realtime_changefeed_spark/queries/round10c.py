@@ -651,3 +651,241 @@ def stream_absence_timeout(spark, sf_dir):
         )
     )
     return spark.table(_to_table(result, "absence", "append"))
+
+
+# ------------------------------------------------- llm_watermark_detect
+
+_WM_Z = 2.0
+
+_WM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || '|' || ws[i + 1])) AS bg
+  FROM docs),
+scored AS (
+  SELECT doc_id, count(*) AS n_scored,
+         CAST(sum(CASE WHEN substr(md5(bg), 1, 1) <= '7'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, n_scored, n_green,
+       (2.0 * n_green - n_scored) / sqrt(CAST(n_scored AS DOUBLE))
+         AS z,
+       (2.0 * n_green - n_scored) / sqrt(CAST(n_scored AS DOUBLE))
+         > 2.0 AS suspect
+FROM scored
+"""
+
+
+@query("llm_watermark_detect", oracle=_WM_ORACLE)
+def llm_watermark_detect(spark, sf_dir):
+    """LLM WATERMARK detection (Kirchenbauer et al. greenlist test)
+    — the synthetic-text screen a training-data pipeline runs before
+    ingesting scraped corpora: a watermarking sampler biases each
+    token toward a pseudorandom context-keyed "green list", so
+    watermarked text shows a green fraction far above the null 1/2.
+    Detector: token t is green iff the first hex nibble of
+    md5(prev_token || '|' || token) ≤ '7' (exactly half the nibble
+    space — md5 hex renders identically in every engine, the
+    llm_dedup_minhash_md5 portability recipe), z = (2g − n)/√n is
+    the one-proportion z-score, suspect at z > {_WM_Z}. On this
+    organic fixture every doc should sit near z = 0 — the test's
+    null calibration — while a watermarked shard would light up.
+    Integer counts + one IEEE-exact sqrt and division: bit-identical,
+    no quantization.
+
+    Scale: one explode + hash aggregate per document, all JVM-side
+    built-ins (md5/substr); the greenlist key never materializes a
+    vocabulary — it is recomputed per bigram, exactly like the
+    production detector."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> concat(ws[i], '|', ws[i + 1]))")).alias("bg"))
+    scored = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.when(F.substring(F.md5("bg"), 1, 1) <= "7", 1)
+              .otherwise(0)).alias("n_green"),
+    )
+    z = ((F.lit(2.0) * F.col("n_green") - F.col("n_scored"))
+         / F.sqrt(F.col("n_scored").cast("double")))
+    return scored.select(
+        "doc_id", "n_scored", "n_green", z.alias("z"),
+        (z > _WM_Z).alias("suspect"))
+
+
+# --------------------------------------------------- ts_mann_kendall
+
+_MK_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_dsum('value')} AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS idx,
+         y
+  FROM d),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(sign(b.y - a.y) AS INTEGER)) AS BIGINT) AS s_stat,
+         count(*) AS n_pairs
+  FROM s a JOIN s b
+    ON b.event_type = a.event_type AND b.idx > a.idx
+  GROUP BY a.event_type),
+n_of AS (
+  SELECT event_type, count(*) AS n FROM s GROUP BY event_type),
+ties AS (
+  SELECT event_type,
+         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT event_type, y, count(*) AS t FROM s
+        GROUP BY event_type, y HAVING count(*) > 1)
+  GROUP BY event_type),
+fin AS (
+  SELECT p.event_type, p.s_stat, n.n,
+         (CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+               - coalesce(t.tie_term, 0) AS DOUBLE)) / 18.0 AS var_s
+  FROM pairs p
+  JOIN n_of n ON n.event_type = p.event_type
+  LEFT JOIN ties t ON t.event_type = p.event_type)
+SELECT event_type, s_stat, n,
+       FLOOR(s_stat * 1000000.0 / (n * (n - 1) / 2) + 0.5)
+         / 1000000.0 AS tau6,
+       CASE WHEN s_stat > 0
+              THEN (s_stat - 1.0) / sqrt(var_s)
+            WHEN s_stat < 0
+              THEN (s_stat + 1.0) / sqrt(var_s)
+            ELSE 0.0 END AS z
+FROM fin
+"""
+
+
+@query("ts_mann_kendall", oracle=_MK_ORACLE)
+def ts_mann_kendall(spark, sf_dir):
+    """MANN-KENDALL nonparametric trend test per event type's daily
+    value series: S = Σ_{{i<j}} sign(y_j − y_i), Kendall's
+    tau = S / C(n,2), and the continuity-corrected normal
+    approximation z = (S ∓ 1)/√Var(S) with the full tie-group
+    correction Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18 —
+    the standard monotone-trend detector (is this metric drifting?)
+    that assumes nothing about distribution, complementing
+    ts_theil_sen (which estimates the slope this test scores).
+    S and the tie terms are exact integers from a sign-pair
+    self-join; tau quantizes with the floor tie rule; z is integer
+    arithmetic + one IEEE-exact sqrt and division — bit-identical.
+
+    Scale: the O(n²) sign-pair join is per series over the bounded
+    daily relation (the Kendall trick of merge-sort inversion
+    counting applies for long series — same output contract);
+    millions of series parallelize on the series key."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dsum("value").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = daily.select(
+        "event_type", (F.row_number().over(w) - 1).alias("idx"), "y")
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.event_type") == F.col("a.event_type"))
+               & (F.col("b.idx") > F.col("a.idx")))
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("int"))
+             .alias("s_stat"))
+    )
+    n_of = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        s.groupBy("event_type", "y").agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+             .alias("tie_term"))
+    )
+    fin = (
+        pairs.join(n_of, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type", "s_stat", "n",
+            ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+              - F.coalesce("tie_term", F.lit(0))).cast("double")
+             / 18.0).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1.0) / F.sqrt("var_s"))
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1.0) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    return fin.select(
+        "event_type", "s_stat", "n",
+        dround6_div(F.col("s_stat"),
+                    F.col("n") * (F.col("n") - 1) / 2).alias("tau6"),
+        z.alias("z"),
+    )
+
+
+# ------------------------------------------------ dq_checksum_partition
+
+_CK_ORACLE = """
+WITH rows_c AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         md5(CAST(o_orderkey AS VARCHAR) || '|'
+             || CAST(o_custkey AS VARCHAR) || '|'
+             || o_orderstatus || '|' || o_orderpriority || '|'
+             || strftime(o_orderdate, '%Y-%m-%d')) AS h
+  FROM orders)
+SELECT part, count(*) AS n_rows,
+       CAST(sum(CAST('0x' || substr(h, 1, 8) AS BIGINT)) AS BIGINT)
+         AS checksum
+FROM rows_c GROUP BY part
+"""
+
+
+@query("dq_checksum_partition", oracle=_CK_ORACLE)
+def dq_checksum_partition(spark, sf_dir):
+    """PER-PARTITION TABLE CHECKSUMS — the cross-system sync audit
+    (did the replica receive exactly these rows?) that dq_table_diff
+    answers row-by-row, answered here in O(partitions) output: each
+    month's checksum is the SUM of a 32-bit integer digest of every
+    row's canonical string (md5 first 8 hex chars — Spark parses via
+    conv(hex,16,10), DuckDB via CAST('0x…'), both unsigned-exact in
+    a BIGINT sum), making the checksum order-insensitive and
+    mergeable — partial checksums from shards add up, the property
+    that lets two systems compare without co-locating data. Only
+    integer/string/date columns enter the canonical string: float
+    rendering is engine-specific and belongs in value-level diffs,
+    not identity checksums (documented contract).
+
+    Scale: one scan, one hash aggregate keyed by partition; the
+    output is one row per partition regardless of table size."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"), F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd")))
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            .alias("hv"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("hv").alias("checksum"))
+    )

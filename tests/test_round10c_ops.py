@@ -273,3 +273,91 @@ def test_absence_timeout_chunk_invariance(spark):
         if et == "view" and t + win <= max_ts - win
         and not any(t < p <= t + win for p in purch.get(u, ())))
     assert got == exp
+
+
+def test_watermark_detect_replay_and_null_calibration(spark):
+    import hashlib
+
+    from db_realtime_changefeed_spark.queries.round10c import (
+        llm_watermark_detect,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text "
+        f"FROM read_parquet('{SF}/documents.parquet')").fetchall()
+    got = {r.doc_id: r for r in llm_watermark_detect(spark, SF).collect()}
+    n_suspect = 0
+    for did, text in docs:
+        ws = text.split(" ")
+        if len(ws) < 2:
+            continue
+        greens = sum(
+            1 for i in range(len(ws) - 1)
+            if hashlib.md5(f"{ws[i]}|{ws[i+1]}".encode())
+            .hexdigest()[0] <= "7")
+        n = len(ws) - 1
+        r = got[did]
+        assert (r.n_scored, r.n_green) == (n, greens)
+        assert r.z == (2.0 * greens - n) / math.sqrt(n)
+        n_suspect += bool(r.suspect)
+    # organic text must sit near the null: ~2.3% one-sided tail at
+    # z>2, so far fewer than 10% of docs may flag
+    assert n_suspect < len(got) * 0.10
+
+
+def test_mann_kendall_replay(spark):
+    from db_realtime_changefeed_spark.queries.round10c import (
+        ts_mann_kendall,
+    )
+
+    ser = _series(
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+    got = {r.event_type: r for r in ts_mann_kendall(spark, SF).collect()}
+    for et, ys in ser.items():
+        n = len(ys)
+        s_stat = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n) for j in range(i + 1, n))
+        from collections import Counter
+
+        tie_term = sum(t * (t - 1) * (2 * t + 5)
+                       for t in Counter(ys).values() if t > 1)
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        r = got[et]
+        assert (r.s_stat, r.n) == (s_stat, n)
+        assert r.tau6 == math.floor(
+            s_stat * 1e6 / (n * (n - 1) / 2) + 0.5) / 1e6
+        assert -1.0 <= r.tau6 <= 1.0
+        if s_stat > 0:
+            assert r.z == (s_stat - 1.0) / math.sqrt(var_s)
+        elif s_stat < 0:
+            assert r.z == (s_stat + 1.0) / math.sqrt(var_s)
+        else:
+            assert r.z == 0.0
+
+
+def test_checksum_partition_replay_and_mergeability(spark):
+    import hashlib
+
+    from db_realtime_changefeed_spark.queries.round10c import (
+        dq_checksum_partition,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey, o_orderstatus,"
+        f" o_orderpriority, strftime(o_orderdate, '%Y-%m-%d'),"
+        f" strftime(o_orderdate, '%Y-%m')"
+        f" FROM read_parquet('{SF}/orders.parquet')").fetchall()
+    exp = defaultdict(lambda: [0, 0])
+    for ok, ck, st, pr, d, part in rows:
+        h = hashlib.md5(f"{ok}|{ck}|{st}|{pr}|{d}".encode()).hexdigest()
+        exp[part][0] += 1
+        exp[part][1] += int(h[:8], 16)
+    got = {r.part: r for r in dq_checksum_partition(spark, SF).collect()}
+    assert set(got) == set(exp)
+    for part, (n, ck) in exp.items():
+        assert (got[part].n_rows, got[part].checksum) == (n, ck)
+    # mergeability: shard checksums add — the property that lets two
+    # systems compare without co-locating rows
+    total = sum(ck for _, ck in exp.values())
+    assert total == sum(r.checksum for r in got.values())
