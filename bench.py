@@ -99,6 +99,12 @@ TIER2 = [
     # per-round semi-join peels with localCheckpoint lineage cuts —
     # which no other tier2 entry exercises
     "graph_kcore",
+    # round-10 wave-3/4 additions (seventh step-up): the 2-D
+    # sequential DP inside one Arrow batch (a recurrence shape no
+    # other entry runs) and the per-series quadratic self-join of
+    # the matrix profile
+    "ts_dtw",
+    "ts_matrix_profile",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan
