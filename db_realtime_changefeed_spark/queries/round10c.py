@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import davg, dround6_div, dsum, sql_davg, sql_dsum
+from ._util import DEC, davg, dround6_div, dsum, sql_davg, sql_dsum
 
 __all__ = ["load"]
 
@@ -888,4 +888,192 @@ def dq_checksum_partition(spark, sf_dir):
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_rows"),
              F.sum("hv").alias("checksum"))
+    )
+
+
+# ----------------------------------------------------- graph_modularity
+
+_GM_ORACLE = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+lab AS (
+  SELECT p.u, p.v, pu.p_brand AS bu, pv.p_brand AS bv
+  FROM pairs p
+  JOIN part pu ON pu.p_partkey = p.u
+  JOIN part pv ON pv.p_partkey = p.v),
+m AS (SELECT count(*) AS m FROM pairs),
+intra AS (
+  SELECT bu AS brand, count(*) AS e_in
+  FROM lab WHERE bu = bv GROUP BY bu),
+degs AS (
+  SELECT brand, CAST(sum(cnt) AS BIGINT) AS deg
+  FROM (
+    SELECT bu AS brand, count(*) AS cnt FROM lab GROUP BY bu
+    UNION ALL
+    SELECT bv AS brand, count(*) AS cnt FROM lab GROUP BY bv) t
+  GROUP BY brand)
+SELECT d.brand,
+       coalesce(i.e_in, 0) AS e_in, d.deg,
+       FLOOR((coalesce(i.e_in, 0) * 1000000.0 / m.m
+              - (CAST(d.deg AS DOUBLE) * d.deg * 1000000.0)
+                / (4.0 * m.m * m.m)) + 0.5) / 1000000.0 AS q_contrib6
+FROM degs d LEFT JOIN intra i ON i.brand = d.brand
+CROSS JOIN m
+"""
+
+
+@query("graph_modularity", oracle=_GM_ORACLE)
+def graph_modularity(spark, sf_dir):
+    """MODULARITY decomposition of the part co-purchase graph under
+    the BRAND partition: per brand b, Q_b = e_b/m − (deg_b/2m)² —
+    intra-brand edge fraction minus its null-model expectation
+    (Newman-Girvan). Σ Q_b near 0 means co-purchases ignore brand
+    boundaries; positive brands are shopping-basket communities. The
+    per-brand decomposition (rather than one scalar) is what a
+    community-evaluation job reports, and unlike component-based
+    partitions it is non-degenerate (components make every edge
+    intra by construction). Both Q terms are rationals of exact
+    integers; the combined contribution quantizes once at 6 dp with
+    the floor tie rule (note: quantizing the DIFFERENCE, not each
+    term — one rounding per output value).
+
+    Scale: rides the shared persisted edge relation; brand labels
+    broadcast from the part dim (two broadcast joins); everything
+    after is two hash aggregates on the brand key and a 1-row edge
+    count broadcast back."""
+    from .analytics_ext import _copurchase_pairs
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    brands = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("b"))
+    lab = (
+        pairs.join(F.broadcast(brands).alias("pu"),
+                   F.col("pu.pk") == F.col("u"))
+        .join(F.broadcast(brands).alias("pv"),
+              F.col("pv.pk") == F.col("v"))
+        .select(F.col("pu.b").alias("bu"), F.col("pv.b").alias("bv"))
+    )
+    m = pairs.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        lab.where(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    degs = (
+        lab.select(F.col("bu").alias("brand"))
+        .unionAll(lab.select(F.col("bv").alias("brand")))
+        .groupBy("brand").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        degs.join(intra, "brand", "left")
+        .join(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"), "deg",
+            (F.floor(
+                F.coalesce("e_in", F.lit(0)) * F.lit(1000000.0)
+                / F.col("m")
+                - (F.col("deg").cast("double") * F.col("deg")
+                   * F.lit(1000000.0))
+                / (F.lit(4.0) * F.col("m") * F.col("m"))
+                + F.lit(0.5)).cast("double") / F.lit(1000000.0))
+            .alias("q_contrib6"),
+        )
+    )
+
+
+# ------------------------------------------------- ts_spectral_entropy
+
+_SE_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('day', ts)) - 1 AS t
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (SELECT d.*, count(*) OVER (PARTITION BY event_type) AS n FROM d),
+ks AS (SELECT unnest(range(1, 11)) AS k),
+terms AS (
+  SELECT event_type, k, y, 2 * pi() * k * t / n AS theta
+  FROM s CROSS JOIN ks),
+comps AS (
+  SELECT event_type, k,
+         {sql_dsum('y * cos(theta)')} AS a,
+         {sql_dsum('y * sin(theta)')} AS b
+  FROM terms GROUP BY event_type, k),
+pw AS (SELECT event_type, k, a * a + b * b AS power FROM comps),
+tot AS (
+  SELECT event_type, k, power,
+         CAST(sum(CAST(power AS DECIMAL(18,6)))
+              OVER (PARTITION BY event_type) AS DOUBLE) AS total
+  FROM pw),
+sh AS (
+  SELECT event_type, power / total AS p FROM tot WHERE power > 0)
+SELECT event_type,
+       {sql_dsum(
+           '-(p * (floor(ln(p) * 1000000000.0 + 0.5)'
+           ' / 1000000000.0))')}
+         / (floor(ln(10) * 1000000000.0 + 0.5) / 1000000000.0)
+         AS entropy,
+       max(p) AS max_share
+FROM sh GROUP BY event_type
+"""
+
+
+@query("ts_spectral_entropy", oracle=_SE_ORACLE)
+def ts_spectral_entropy(spark, sf_dir):
+    """SPECTRAL ENTROPY of each daily count series' normalized
+    periodogram: H = −Σ p_k ln p_k / ln K ∈ [0, 1] — the one-number
+    regularity score (≈1 = white noise, ≈0 = one dominant cycle)
+    that complements ts_periodogram's full spectrum; the standard
+    forecastability feature in ts feature sets (tsfresh/catch22
+    lineage). Shares reuse the periodogram pipeline (bit-identical
+    cos/sin, decimal product sums); each ln output quantizes at 9 dp
+    (the module's ln rule — including the ln(10) normalizer) so the
+    entropy sum runs on identical doubles in both engines, then
+    accumulates in exact decimal.
+
+    Scale: identical posture to ts_periodogram — one daily
+    aggregate, a 10-row broadcast, two hash aggregates per series."""
+    from .round10b import _daily
+
+    daily = _daily(spark, sf_dir, F.count(F.lit(1)).cast("double"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ser = daily.select(
+        "event_type", "y",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    terms = ser.crossJoin(F.broadcast(ks)).withColumn(
+        "theta", F.expr("2 * pi() * k * t / n"))
+    comps = terms.groupBy("event_type", "k").agg(
+        dsum(F.col("y") * F.cos("theta")).alias("a"),
+        dsum(F.col("y") * F.sin("theta")).alias("b"),
+    )
+    pw = comps.select(
+        "event_type",
+        (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+        .alias("power"),
+    )
+    wk = Window.partitionBy("event_type")
+    sh = (
+        pw.withColumn(
+            "total",
+            F.sum(F.col("power").cast(DEC)).over(wk).cast("double"))
+        .where(F.col("power") > 0)
+        .select("event_type",
+                (F.col("power") / F.col("total")).alias("p"))
+    )
+    lnp = (F.floor(F.log(F.col("p")) * F.lit(1000000000.0)
+                   + F.lit(0.5)).cast("double") / F.lit(1000000000.0))
+    ln10 = (F.floor(F.log(F.lit(10.0)) * F.lit(1000000000.0)
+                    + F.lit(0.5)).cast("double") / F.lit(1000000000.0))
+    return sh.groupBy("event_type").agg(
+        (dsum(-(F.col("p") * lnp)) / ln10).alias("entropy"),
+        F.max("p").alias("max_share"),
     )

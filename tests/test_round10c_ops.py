@@ -361,3 +361,66 @@ def test_checksum_partition_replay_and_mergeability(spark):
     # systems compare without co-locating rows
     total = sum(ck for _, ck in exp.values())
     assert total == sum(r.checksum for r in got.values())
+
+
+def test_modularity_replay(spark):
+    from db_realtime_changefeed_spark.queries.round10c import (
+        graph_modularity,
+    )
+
+    edges = duckdb.sql(f"""
+        WITH li AS (SELECT l_orderkey, l_partkey
+                    FROM read_parquet('{SF}/lineitem.parquet')
+                    WHERE l_orderkey % 4 = 0)
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+    """).fetchall()
+    brand = dict(duckdb.sql(
+        f"SELECT p_partkey, p_brand "
+        f"FROM read_parquet('{SF}/part.parquet')").fetchall())
+    m = len(edges)
+    e_in, deg = defaultdict(int), defaultdict(int)
+    for u, v in edges:
+        bu, bv = brand[u], brand[v]
+        deg[bu] += 1
+        deg[bv] += 1
+        if bu == bv:
+            e_in[bu] += 1
+    rows = {r.brand: r for r in graph_modularity(spark, SF).collect()}
+    assert set(rows) == set(deg)
+    for b in deg:
+        r = rows[b]
+        assert (r.e_in, r.deg) == (e_in[b], deg[b])
+        q = math.floor(
+            e_in[b] * 1e6 / m - (deg[b] * deg[b] * 1e6) / (4.0 * m * m)
+            + 0.5) / 1e6
+        assert r.q_contrib6 == q
+    # partition bookkeeping: degrees sum to 2m, intra <= m
+    assert sum(deg.values()) == 2 * m
+    assert sum(e_in.values()) <= m
+
+
+def test_spectral_entropy_bounds_and_replay(spark):
+    from db_realtime_changefeed_spark.queries.round10c import (
+        ts_spectral_entropy,
+    )
+
+    ser = _series("CAST(count(*) AS DOUBLE)")
+    got = {r.event_type: r for r in ts_spectral_entropy(spark, SF).collect()}
+    for et, ys in ser.items():
+        n = len(ys)
+        powers = []
+        for k in range(1, 11):
+            a = sum(y * math.cos(2 * math.pi * k * t / n)
+                    for t, y in enumerate(ys))
+            b = sum(y * math.sin(2 * math.pi * k * t / n)
+                    for t, y in enumerate(ys))
+            powers.append(a * a + b * b)
+        tot = sum(powers)
+        ps = [p / tot for p in powers if p > 0]
+        h = sum(-p * math.log(p) for p in ps) / math.log(10)
+        r = got[et]
+        assert r.entropy == pytest.approx(h, abs=1e-5)
+        assert 0.0 <= r.entropy <= 1.0 + 1e-9
+        assert r.max_share == pytest.approx(max(ps), rel=1e-6)
