@@ -282,3 +282,125 @@ def test_segment_index_probe_equals_bruteforce(spark, batches, fanout):
             by_level[lv] = by_level.get(lv, 0) + 1
         assert by_level == {
             i: d for i, d in enumerate(digits) if d}, (b, fanout)
+
+
+# ---------------------------------------------------------------------------
+# round-10 continuation: algorithmic properties of the wave-3/4 recurrences,
+# exercised on SYNTHETIC inputs through the exact worker functions the graded
+# queries run (no Spark needed — the DP/filter code is the unit under test)
+
+
+_series_f = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3,
+              allow_nan=False, allow_infinity=False, width=64),
+    min_size=2, max_size=12)
+
+
+def _dtw_of(xa, xb):
+    import pandas as pd
+
+    from db_realtime_changefeed_spark.queries.round10b import _dtw_fit
+
+    pdf = pd.DataFrame({
+        "ta": ["x"] * (len(xa) + len(xb)),
+        "tb": ["y"] * (len(xa) + len(xb)),
+        "side": ["a"] * len(xa) + ["b"] * len(xb),
+        "idx": list(range(len(xa))) + list(range(len(xb))),
+        "y": xa + xb,
+    })
+    return float(_dtw_fit(pdf)["dtw"].iloc[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(xa=_series_f, xb=_series_f)
+def test_dtw_symmetry_and_identity(xa, xb):
+    """DTW(a, b) == DTW(b, a) (the min recurrence is symmetric in
+    the operands) and DTW(a, a) == 0 — the metric-axiom subset DTW
+    actually satisfies (it famously violates the triangle
+    inequality, so that is NOT asserted)."""
+    assert _dtw_of(xa, xb) == _dtw_of(xb, xa)
+    assert _dtw_of(xa, xa) == 0.0
+    assert _dtw_of(xa, xb) >= 0.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(xa=_series_f, shift=st.floats(min_value=-100, max_value=100,
+                                     allow_nan=False, width=64))
+def test_dtw_shift_bound(xa, shift):
+    """A constant shift of one series changes DTW by at most
+    |shift| x path length <= |shift| * (2 * n): each cell's local
+    cost moves by at most |shift| and the warping path has at most
+    n + m - 1 cells."""
+    xb = [v + shift for v in xa]
+    n = len(xa)
+    assert _dtw_of(xa, xb) <= abs(shift) * (2 * n) + 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(ys=st.lists(
+    st.floats(min_value=-1e3, max_value=1e3,
+              allow_nan=False, allow_infinity=False, width=64),
+    min_size=3, max_size=30))
+def test_kalman_gain_converges_to_steady_state(ys):
+    """The local-level Kalman gain must converge monotonically to
+    the Riccati fixpoint K* = (sqrt(Q^2 + 4 Q R) - Q) / ... —
+    computed here directly as the positive root of
+    P = (1-K)(P+Q), K = (P+Q)/(P+Q+R). Data values cannot affect
+    the gain sequence at all (it depends only on Q, R, P0)."""
+    import math as _m
+
+    import pandas as pd
+
+    from db_realtime_changefeed_spark.queries.round10b import _kalman_fit
+
+    pdf = pd.DataFrame({
+        "event_type": ["e"] * len(ys),
+        "day": pd.date_range("2024-01-01", periods=len(ys)),
+        "y": ys,
+    })
+    out = _kalman_fit(pdf)
+    gains = [g for g in out["gain"] if g is not None and not pd.isna(g)]
+    q, r = 0.04, 0.25
+    # steady state: p_pred* = (q + sqrt(q*q + 4*q*r)) / 2; k* = p*/(p*+r)
+    p_star = (q + _m.sqrt(q * q + 4 * q * r)) / 2.0
+    k_star = p_star / (p_star + r)
+    # P0 = 1 > p*, so the gain sequence descends monotonically onto
+    # the fixpoint from above, each step strictly closer
+    assert all(g >= k_star - 1e-12 for g in gains)
+    assert all(gains[i + 1] < gains[i] + 1e-15
+               for i in range(len(gains) - 1))
+    if len(gains) >= 25:
+        assert abs(gains[-1] - k_star) < 1e-6
+    # gain sequence is data-independent: rerun with zeros
+    pdf2 = pdf.assign(y=0.0)
+    gains2 = [g for g in _kalman_fit(pdf2)["gain"]
+              if g is not None and not pd.isna(g)]
+    assert gains == gains2
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 10**6)),
+    min_size=1, max_size=30, unique=True))
+def test_checksum_single_row_sensitivity(rows):
+    """The partition checksum must change when any single row's
+    canonical string changes (md5 32-bit prefixes collide with
+    probability ~2^-32 — hypothesis won't find one), and shard sums
+    must merge to the total."""
+    import hashlib
+
+    def digest(part, key):
+        h = hashlib.md5(f"{part}|{key}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    from collections import defaultdict
+    sums = defaultdict(int)
+    for part, key in rows:
+        sums[part] += digest(part, key)
+    total = sum(sums.values())
+    # merge property
+    assert total == sum(sums[p] for p in sums)
+    # sensitivity: perturb the first row's key
+    part0, key0 = rows[0]
+    perturbed = total - digest(part0, key0) + digest(part0, key0 + 1)
+    assert perturbed != total
