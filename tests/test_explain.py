@@ -631,3 +631,32 @@ def test_round10c_containment_df_cap_before_pairs(spark, sf_oracle):
     assert "count(1)" in plan or "HashAggregate" in plan
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in rs and "source" not in rs and "text" in rs
+
+
+def test_round10c_watermark_one_scan_one_exchange(spark, sf_oracle):
+    """llm_watermark_detect is the one-scan shape: explode + partial
+    aggregate map-side, ONE exchange on doc_id. Runtime audit
+    (2026-08-16): 1 parquet scan, 1 exchange, 500 rows read."""
+    plan = _plan(spark, sf_oracle, "llm_watermark_detect")
+    assert plan.count("Scan parquet") == 2  # tree + detail section
+    assert plan.count("+- Exchange") == 1
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in rs and "source" not in rs
+
+
+def test_round10c_modularity_broadcasts_brands(spark, sf_oracle):
+    """graph_modularity rides the persisted edge relation
+    (InMemoryTableScan) and broadcasts the part-brand dim — the edge
+    side must never broadcast. Runtime audit (2026-08-16): 4 cache
+    reads, 128k rows scanned (2 lineitem + 4 tiny part reads)."""
+    plan = _plan(spark, sf_oracle, "graph_modularity")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_round10c_mann_kendall_pair_join_keyed(spark, sf_oracle):
+    """ts_mann_kendall's sign-pair self-join must key on the series
+    (equi on event_type with the idx inequality as a filter), never
+    a CartesianProduct."""
+    plan = _plan(spark, sf_oracle, "ts_mann_kendall")
+    assert "CartesianProduct" not in plan
