@@ -1077,3 +1077,66 @@ def ts_spectral_entropy(spark, sf_dir):
         (dsum(-(F.col("p") * lnp)) / ln10).alias("entropy"),
         F.max("p").alias("max_share"),
     )
+
+
+# --------------------------------------------------------- seq_top_paths
+
+_TP_LEN = 8
+_TP_K = 20
+
+_TP_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id,
+         string_agg(event_type, ' > ' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_TP_LEN} GROUP BY user_id)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path LIMIT {_TP_K}
+"""
+
+
+@query("seq_top_paths", oracle=_TP_ORACLE)
+def seq_top_paths(spark, sf_dir):
+    """TOP USER PATHS — the product-analytics path enumeration that
+    sits between funnel_conversion (a FIXED pattern) and
+    seq_transition_matrix (single steps): each user's first
+    {_TP_LEN} events, in (ts, event_id) order, joined into a path
+    string; the {_TP_K} most common paths by user count (count DESC,
+    path ASC total order). Spark's collect_list is UNORDERED by
+    contract, so ordering is reconstructed deterministically by
+    collecting (rn, event_type) structs and sort_array-ing before
+    the join — the portable ordered-string-agg recipe (DuckDB's
+    string_agg ... ORDER BY is the native form).
+
+    Scale: one window to rank events within user (partitioned by the
+    natural key), one hash aggregate per user, one aggregate per
+    path, and a distributed TakeOrderedAndProject for the cut. Path
+    cardinality is bounded by min(users, |alphabet|^len); the
+    head-path skew all real clickstreams show lands harmlessly in
+    the final tiny aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.select("user_id", "event_type",
+                  F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _TP_LEN)
+    )
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("rn", "event_type"))).alias("s"))
+        .select(F.concat_ws(
+            " > ", F.expr("transform(s, x -> x.event_type)"))
+            .alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(_TP_K)
+    )

@@ -424,3 +424,24 @@ def test_spectral_entropy_bounds_and_replay(spark):
         assert r.entropy == pytest.approx(h, abs=1e-5)
         assert 0.0 <= r.entropy <= 1.0 + 1e-9
         assert r.max_share == pytest.approx(max(ps), rel=1e-6)
+
+
+def test_top_paths_replay(spark):
+    from db_realtime_changefeed_spark.queries.round10c import (
+        seq_top_paths,
+    )
+
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, event_type, ts "
+        f"FROM read_parquet('{SF}/events.parquet')").fetchall()
+    by_user = defaultdict(list)
+    for u, e, et, t in ev:
+        by_user[u].append((t, e, et))
+    from collections import Counter
+
+    paths = Counter(
+        " > ".join(et for _, _, et in sorted(evs)[:8])
+        for evs in by_user.values())
+    expected = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.path, r.n_users) for r in seq_top_paths(spark, SF).collect()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expected
