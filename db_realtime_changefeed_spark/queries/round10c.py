@@ -1140,3 +1140,80 @@ def seq_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(_TP_K)
     )
+
+
+# -------------------------------------------------------- agg_moments_34
+
+_M34 = "DECIMAL(38,6)"  #: 4th-power sums overflow DECIMAL(18,6)
+
+
+def _m34_sql(p: int) -> str:
+    x = " * ".join(["CAST(value AS DECIMAL(38,6))"] * p)
+    return f"CAST(sum({x}) AS DOUBLE)"
+
+
+_M34_ORACLE = f"""
+WITH mom AS (
+  SELECT event_type, count(value) AS n,
+         {_m34_sql(1)} AS s1, {_m34_sql(2)} AS s2,
+         {_m34_sql(3)} AS s3, {_m34_sql(4)} AS s4
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       s1 / n AS mean,
+       s2 / n - (s1 / n) * (s1 / n) AS m2,
+       (s3 / n - 3 * (s1 / n) * (s2 / n)
+        + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n))
+            * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+       (s4 / n - 4 * (s1 / n) * (s3 / n)
+        + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n))
+            * (s2 / n - (s1 / n) * (s1 / n))) - 3.0 AS ex_kurtosis
+FROM mom WHERE n > 1 AND s2 / n - (s1 / n) * (s1 / n) > 0
+"""
+
+
+@query("agg_moments_34", oracle=_M34_ORACLE)
+def agg_moments_34(spark, sf_dir):
+    """Population SKEWNESS and EXCESS KURTOSIS per group from raw
+    power sums — the 3rd/4th-moment completion of agg_stats'
+    mean/variance band: m_k expands in raw moments (m3 = E[x³] −
+    3μE[x²] + 2μ³, m4 = E[x⁴] − 4μE[x³] + 6μ²E[x²] − 3μ⁴), skew =
+    m3/m2^{{3/2}}, excess kurtosis = m4/m2² − 3. The four power sums
+    accumulate in DECIMAL(38,6) — the 18-digit default overflows at
+    the 4th power (value⁴ ≈ 1e11 per row; the changefeed_corr_view
+    wide-decimal precedent) — and every downstream expression is the
+    IDENTICAL double op sequence in both engines, with m2^{{3/2}}
+    spelled m2·sqrt(m2) (sqrt is IEEE-exact; pow(x, 1.5) is NOT
+    guaranteed identical cross-engine and never appears).
+
+    Scale: one partial+final hash aggregate — the four sums are
+    map-side combinable (the one-pass moment pattern that beats
+    two-pass centered algorithms at 100 TB; decimal accumulation
+    also makes it ORDER-EXACT, which float one-pass moments are
+    not)."""
+    x = F.col("value").cast(_M34)
+    mom = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    ex2 = F.col("s2") / F.col("n")
+    ex3 = F.col("s3") / F.col("n")
+    ex4 = F.col("s4") / F.col("n")
+    m2 = ex2 - mean * mean
+    m3 = ex3 - 3 * mean * ex2 + 2 * mean * mean * mean
+    m4 = (ex4 - 4 * mean * ex3 + 6 * mean * mean * ex2
+          - 3 * mean * mean * mean * mean)
+    return (
+        mom.where((F.col("n") > 1) & (m2 > 0))
+        .select(
+            "event_type", "n", mean.alias("mean"), m2.alias("m2"),
+            (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+            (m4 / (m2 * m2) - 3.0).alias("ex_kurtosis"),
+        )
+    )

@@ -445,3 +445,33 @@ def test_top_paths_replay(spark):
     expected = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r.path, r.n_users) for r in seq_top_paths(spark, SF).collect()]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expected
+
+
+def test_moments_34_replay(spark):
+    from db_realtime_changefeed_spark.queries.round10c import (
+        agg_moments_34,
+    )
+
+    vals = defaultdict(list)
+    for et, v in duckdb.sql(
+            f"SELECT event_type, value "
+            f"FROM read_parquet('{SF}/events.parquet')").fetchall():
+        if v is not None:
+            vals[et].append(v)
+    got = {r.event_type: r for r in agg_moments_34(spark, SF).collect()}
+    for et, xs in vals.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum(x * x for x in xs) / n - mu * mu
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        r = got[et]
+        assert r.n == n
+        assert r.mean == pytest.approx(mu, rel=1e-9)
+        assert r.m2 == pytest.approx(m2, rel=1e-9)
+        assert r.skewness == pytest.approx(m3 / m2 ** 1.5, rel=1e-6)
+        assert r.ex_kurtosis == pytest.approx(m4 / m2 ** 2 - 3.0,
+                                              rel=1e-6)
+        # value is a nonnegative right-tailed synthetic metric: its
+        # skew must be positive in every fixture
+        assert r.skewness > 0
