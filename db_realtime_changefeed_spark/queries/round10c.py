@@ -1144,12 +1144,18 @@ def seq_top_paths(spark, sf_dir):
 
 # -------------------------------------------------------- agg_moments_34
 
-_M34 = "DECIMAL(38,6)"  #: 4th-power sums overflow DECIMAL(18,6)
+_M34 = "DECIMAL(38,0)"  #: micro-unit power sums; 4th power ≈ 1e17/row
 
 
 def _m34_sql(p: int) -> str:
-    x = " * ".join(["CAST(value AS DECIMAL(38,6))"] * p)
-    return f"CAST(sum({x}) AS DOUBLE)"
+    # left-assoc double power, floor micro-quantized — the same per-row
+    # IEEE op sequence the Spark side runs, so each row's contribution
+    # is bit-identical before the order-exact decimal accumulation
+    x = "value"
+    for _ in range(p - 1):
+        x = f"({x}) * value"
+    return (f"CAST(sum(CAST(floor(({x}) * 1000000.0 + 0.5) AS {_M34}))"
+            f" AS DOUBLE) / 1000000.0")
 
 
 _M34_ORACLE = f"""
@@ -1180,10 +1186,15 @@ def agg_moments_34(spark, sf_dir):
     power sums — the 3rd/4th-moment completion of agg_stats'
     mean/variance band: m_k expands in raw moments (m3 = E[x³] −
     3μE[x²] + 2μ³, m4 = E[x⁴] − 4μE[x³] + 6μ²E[x²] − 3μ⁴), skew =
-    m3/m2^{{3/2}}, excess kurtosis = m4/m2² − 3. The four power sums
-    accumulate in DECIMAL(38,6) — the 18-digit default overflows at
-    the 4th power (value⁴ ≈ 1e11 per row; the changefeed_corr_view
-    wide-decimal precedent) — and every downstream expression is the
+    m3/m2^{{3/2}}, excess kurtosis = m4/m2² − 3. Each per-row power
+    is computed in DOUBLE with an explicit left-assoc op order (IEEE
+    multiplies are exact-rounded, so bit-identical cross-engine),
+    micro-quantized half-up — floor(x·1e6 + 0.5), the dround6 tie
+    rule (unbiased, unlike plain floor);
+    decimal-product casts round DIFFERENTLY in the two engines at
+    4th-power magnitude (probed r11) — and accumulated in
+    DECIMAL(38,0) micro-units for an ORDER-EXACT sum. Every
+    downstream expression is the
     IDENTICAL double op sequence in both engines, with m2^{{3/2}}
     spelled m2·sqrt(m2) (sqrt is IEEE-exact; pow(x, 1.5) is NOT
     guaranteed identical cross-engine and never appears).
@@ -1193,13 +1204,20 @@ def agg_moments_34(spark, sf_dir):
     two-pass centered algorithms at 100 TB; decimal accumulation
     also makes it ORDER-EXACT, which float one-pass moments are
     not)."""
-    x = F.col("value").cast(_M34)
+    v = F.col("value")
+
+    def _q(c):  # half-up micro-quantize a double power term
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast(_M34)
+
+    def _s(c, name):  # order-exact micro-unit sum, back to double
+        return (F.sum(_q(c)).cast("double") / F.lit(1000000.0)).alias(name)
+
     mom = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count("value").alias("n"),
-        F.sum(x).cast("double").alias("s1"),
-        F.sum(x * x).cast("double").alias("s2"),
-        F.sum(x * x * x).cast("double").alias("s3"),
-        F.sum(x * x * x * x).cast("double").alias("s4"),
+        _s(v, "s1"),
+        _s(v * v, "s2"),
+        _s((v * v) * v, "s3"),
+        _s(((v * v) * v) * v, "s4"),
     )
     mean = F.col("s1") / F.col("n")
     ex2 = F.col("s2") / F.col("n")

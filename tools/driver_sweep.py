@@ -84,6 +84,24 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             print(f"{name}: ERROR {type(ex).__name__}: {ex}")
             failures.append(name)
+    # Strict full-precision gate (the r10 loophole closer): when
+    # sweeping named queries at the driver's correctness SF, also run
+    # the SAME compare tests/test_oracle_parity.py runs — collect()/
+    # fetchall() canonicalization with NO 6-dp rounding. A query that
+    # only matches after rounding (the agg_moments_34 class) fails
+    # HERE at landing time instead of in the next full-suite run.
+    if only and sf.rstrip("/").endswith("sf0.01"):
+        from tests.oracle_harness import assert_match, run_pair
+        for name in only:
+            if name not in osql:
+                continue
+            try:
+                assert_match(name, *run_pair(spark, sf, qs[name],
+                                             osql[name]))
+                print(f"{name}: strict full-precision parity OK")
+            except AssertionError as ex:
+                print(f"{name}: STRICT PARITY FAIL {ex}")
+                failures.append(f"{name} (strict)")
     print(f"\n{len(failures)} failures: {failures}")
     spark.stop()
     return 1 if failures else 0
