@@ -152,17 +152,63 @@ class LiveFeed(Feed):
 
 class TableFeed:
     """A standing per-primary-key aggregate feed over a non-events
-    table, served by the normalized multi-table envelope replay."""
+    table, served by the normalized multi-table envelope replay.
 
-    def __init__(self, runner, table: str):
+    r11: full delta surface — `log()` reads the runner's committed
+    per-batch keyed-delta log (multitable.py), `cursor()` serves the
+    same resume-token contract as events feeds (`cursor_start` is
+    the registration-time log end for initial_scan='no')."""
+
+    def __init__(self, runner, table: str, cursor_start: int = 0):
         self._runner = runner
         self._table = table
+        self._cursor_start = cursor_start
 
     def state(self) -> DataFrame:
         return (
             self._runner.state()
             .where(F.col("tbl") == self._table)
             .select("key", "cnt", "sum_value")
+        )
+
+    def log(self) -> DataFrame:
+        """Committed per-batch deltas for THIS table, the cursor's
+        read surface: (batch_id, key, d_count, d_sum)."""
+        return (
+            self._runner.log()
+            .where(F.col("tbl") == self._table)
+            .select(
+                "batch_id",
+                F.col("key").cast("string").alias("key"),
+                "d_count",
+                F.col("d_sum").cast("double").alias("d_sum"),
+            )
+        )
+
+    def batch_for_ts(self, ts):
+        raise NotImplementedError(
+            "seek_to_ts is events-only (the chunk-spine probe lives "
+            "on ChangefeedRunner); table feeds resume by batch token")
+
+    def cursor(self) -> Cursor:
+        c = Cursor(self)  # Cursor only needs .log()
+        if self._cursor_start:
+            c.seek(self._cursor_start)
+        return c
+
+
+class SnapshotTableFeed(TableFeed):
+    """initial_scan='only' on a non-events table: one materialized
+    scan, no delta surface (same contract as SnapshotFeed)."""
+
+    def log(self) -> DataFrame:
+        raise NotImplementedError(
+            "initial_scan='only' feeds are snapshots; no delta log"
+        )
+
+    def cursor(self) -> Cursor:
+        raise NotImplementedError(
+            "initial_scan='only' feeds are snapshots; no cursor"
         )
 
 
@@ -329,7 +375,7 @@ class TableRef:
         of RethinkDB changes() / CREATE CHANGEFEED.
 
         `initial_scan` (the CREATE CHANGEFEED option) controls what a
-        NEW consumer sees of history (events-table feeds):
+        NEW consumer sees of history (any feed table — r11):
         - "yes" (default): full catch-up — cursors start at batch 0,
           delivering every historical delta before new ones.
         - "no": the feed's cursors start AT registration time — only
@@ -357,12 +403,6 @@ class TableRef:
                 "run as a live feed"
             )
         if self._name != "events":
-            if initial_scan == "no":
-                raise NotImplementedError(
-                    f"initial_scan='no' needs a delta cursor; feeds on "
-                    f"{self._name!r} expose state only (events-only "
-                    "feature)"
-                )
             from .streaming.multitable import (
                 MultiTableChangefeedRunner,
                 envelope_spec,
@@ -387,10 +427,26 @@ class TableRef:
                 ),
                 key_overrides=overrides,
             )
+            def _table_cursor_start() -> int:
+                end = (
+                    runner.log().agg(F.max("batch_id")).collect()[0][0]
+                )
+                return end + 1 if end is not None else 0
+
             if mode == "live":
+                # capture the registration-time log end BEFORE the
+                # standing query starts (mirrors the events path)
+                start = (_table_cursor_start()
+                         if initial_scan == "no" else 0)
                 runner.start_live(processing_time=processing_time)
-                return LiveTableFeed(runner, self._name)
+                return LiveTableFeed(runner, self._name,
+                                     cursor_start=start)
             runner.run()
+            if initial_scan == "only":
+                return SnapshotTableFeed(runner, self._name)
+            if initial_scan == "no":
+                return TableFeed(runner, self._name,
+                                 cursor_start=_table_cursor_start())
             return TableFeed(runner, self._name)
         key = key or "event_type"
         filter_sql = None

@@ -194,6 +194,8 @@ class MultiTableChangefeedRunner:
     timestamps span both tables."""
 
     _STATE_DDL = "tbl string, key bigint, cnt long, sum_value decimal(28,6)"
+    _LOG_DDL = ("batch_id long, tbl string, key bigint, d_count long, "
+                "d_sum decimal(28,6)")
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: tuple[str, ...] = ("events", "orders"),
@@ -231,6 +233,14 @@ class MultiTableChangefeedRunner:
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
         self.ckpt = os.path.join(self.root, "checkpoint")
+        #: per-batch keyed-delta log (r11 — delta cursors on
+        #: non-events feeds): one small parquet dir per micro-batch,
+        #: written from the SAME persisted delta relation the merge
+        #: consumes (no extra aggregation). Reads are gated to the
+        #: committed prefix (batch_id <= pointer) — a crash between
+        #: the log write and the pointer flip must not surface a
+        #: phantom batch, the house manifest-published-last contract.
+        self.log_root = os.path.join(self.root, "delta_log")
         os.makedirs(self.state_root, exist_ok=True)
         # bucketed MVCC store on the composite (tbl, key) — partial
         # state rewrites per micro-batch (state_store.py)
@@ -353,6 +363,21 @@ class MultiTableChangefeedRunner:
                 hwm_rows, _ = fh.result(), fs.result()
             self._store.publish(
                 batch_id, base if base_bucketed else None, touched)
+            # delta-log segment for this batch: written BEFORE the
+            # pointer flip (reads gate on the pointer, so the segment
+            # is invisible until the batch commits); a re-delivered
+            # batch overwrites its own segment — idempotent
+            (
+                delta.select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "tbl", "key",
+                    F.col("d_count").cast("long").alias("d_count"),
+                    F.col("d_sum").cast(_STATE_DEC).alias("d_sum"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.log_root,
+                                      f"batch-{batch_id:05d}"))
+            )
             delta.unpersist()
             self._flip_pointer(f"v{batch_id}")
             # per-table high-water marks → resolved = min across tables
@@ -471,6 +496,26 @@ class MultiTableChangefeedRunner:
             F.col("sum_value").cast("double").alias("sum_value"),
         )
 
+    def log(self) -> DataFrame:
+        """The committed per-batch keyed-delta log — the Cursor/
+        resume-token read surface (api.TableFeed). Gated to the
+        committed prefix: only segments at or below the CURRENT
+        pointer are served, so a crash between a segment write and
+        its pointer flip never surfaces a phantom batch, and a
+        rewound replay hides the not-yet-recommitted tail."""
+        import glob as _glob
+
+        b = self._pointer_batch()
+        if b is None or not _glob.glob(
+                os.path.join(self.log_root, "*", "*.parquet")):
+            return self.spark.createDataFrame([], self._LOG_DDL)
+        return (
+            self.spark.read.schema(self._LOG_DDL)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.log_root)
+            .where(F.col("batch_id") <= b)
+        )
+
     def state_at(self, batch_id: int) -> DataFrame:
         if self._store.has_version(batch_id):
             return self._store.df_at(batch_id)
@@ -484,3 +529,98 @@ class MultiTableChangefeedRunner:
         the min across tables; a read at resolved_ts is complete for
         every table."""
         return list(self._resolved)
+
+
+# ---- table-feed retention + expired-cursor contract (r11: the
+# ---- retention_queries.py machinery, mirrored onto the multitable
+# ---- delta log so non-events feeds carry the full consumer contract)
+
+def table_retention_gc(runner: MultiTableChangefeedRunner,
+                       horizon: int,
+                       pins: list[int] | None = None) -> list[int]:
+    """Drop delta-log segments below `horizon` and every state
+    version below `horizon - 1` (the snapshot the policy pins for
+    expired-cursor recovery stays). `pins` are protected resume
+    tokens: the effective horizon never advances past the slowest
+    still-active subscriber. Returns the removed batch ids."""
+    if pins:
+        horizon = min(horizon, min(pins))
+    removed = []
+    if os.path.isdir(runner.log_root):
+        for name in sorted(os.listdir(runner.log_root)):
+            m = re.match(r"batch-(\d+)", name)
+            if m and int(m.group(1)) < horizon:
+                shutil.rmtree(os.path.join(runner.log_root, name))
+                removed.append(int(m.group(1)))
+    keep = {b for b in runner.versions() if b >= horizon - 1}
+    runner._store.gc(keep)
+    for b in runner.versions():
+        if b in keep:
+            continue
+        path = os.path.join(runner.state_root, f"v{b}")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+    return removed
+
+
+def table_oldest_retained(runner: MultiTableChangefeedRunner
+                          ) -> int | None:
+    if not os.path.isdir(runner.log_root):
+        return None
+    ids = [int(m.group(1))
+           for name in os.listdir(runner.log_root)
+           if (m := re.match(r"batch-(\d+)", name))]
+    return min(ids) if ids else None
+
+
+def table_resume(runner: MultiTableChangefeedRunner, table: str,
+                 token: int, allow_snapshot: bool = False):
+    """Resume a table-feed consumer at `token` under retention: pure
+    retained deltas when the token is still covered; snapshot-then-
+    tail (the pinned MVCC state at horizon-1 tagged 'snapshot', then
+    every retained delta tagged 'delta') when it expired and
+    `allow_snapshot` is set; ExpiredCursorError otherwise — silently
+    skipping GC'd batches would be data loss presented as success."""
+    from .retention_queries import ExpiredCursorError
+
+    spark = runner.spark
+    oldest = table_oldest_retained(runner)
+    deltas_from = token
+    parts = []
+    if oldest is None or token < oldest:
+        if not allow_snapshot:
+            raise ExpiredCursorError(
+                f"resume token {token} predates the retention "
+                f"horizon (oldest retained batch: {oldest}); "
+                "re-subscribe with allow_snapshot=True")
+        snap_at = (oldest if oldest is not None else 0) - 1
+        snapshot = (
+            runner.state_at(snap_at)
+            .where(F.col("tbl") == table)
+            .select(
+                F.lit("snapshot").alias("kind"),
+                F.col("key").cast("string").alias("key"),
+                F.lit(snap_at).cast("long").alias("batch_id"),
+                F.col("cnt").alias("d_count"),
+                F.col("sum_value").cast("double").alias("d_sum"),
+            )
+        )
+        parts.append(snapshot)
+        deltas_from = oldest if oldest is not None else 0
+    deltas = (
+        runner.log()
+        .where((F.col("tbl") == table)
+               & (F.col("batch_id") >= deltas_from))
+        .select(
+            F.lit("delta").alias("kind"),
+            F.col("key").cast("string").alias("key"),
+            "batch_id",
+            "d_count",
+            F.col("d_sum").cast("double").alias("d_sum"),
+        )
+    )
+    parts.append(deltas)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

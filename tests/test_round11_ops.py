@@ -1,0 +1,200 @@
+"""Round-11 semantic pins.
+
+Delta cursors on non-events table feeds (the r10 verdict item-4
+surface): the multitable runner's committed per-batch delta log must
+equal a python replay of the ts-group-edge chunking, the cursor
+resume trajectory must reassemble the complete log, and the
+retention contract (expired cursor fails loudly / snapshot+tail
+recovery / protected pins) must mirror the events-side
+retention_queries machinery."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.catalog import load_table
+
+
+def _expected_order_batches(spark, sf_dir, n_chunks=4):
+    """Python replay of multitable.build_table_chunks' deterministic
+    ts-GROUP-edge chunking over orders: rows sort by (ts, key),
+    tentative bound i*per advances to the end of the straddled ts
+    group. Returns {batch_id: [(key, value), ...]}."""
+    rows = sorted(
+        ((r.o_orderdate, int(r.o_custkey), float(r.o_totalprice))
+         for r in load_table(spark, sf_dir, "orders")
+         .select("o_orderdate", "o_custkey", "o_totalprice")
+         .collect()),
+        key=lambda t: (t[0], t[1]))
+    n = len(rows)
+    ts = [r[0] for r in rows]
+    per = (n + n_chunks - 1) // n_chunks
+    bounds = [0]
+    for i in range(1, n_chunks):
+        b = min(i * per, n)
+        if 0 < b < n:
+            t = ts[b - 1]
+            while b < n and ts[b] == t:
+                b += 1
+        bounds.append(max(b, bounds[-1]))
+    bounds.append(n)
+    out: dict = {}
+    for i in range(n_chunks):
+        out[i] = [(k, v) for _, k, v in rows[bounds[i]:bounds[i + 1]]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def orders_feed(spark, sf_smoke):
+    from db_realtime_changefeed_spark.api import Database
+
+    return Database(spark, sf_smoke).table("orders").changes()
+
+
+def test_table_delta_log_matches_python_replay(
+        spark, sf_smoke, orders_feed):
+    expected = _expected_order_batches(spark, sf_smoke)
+    per_batch: dict = defaultdict(lambda: defaultdict(
+        lambda: [0, Decimal(0)]))
+    for b, batch_rows in expected.items():
+        for k, v in batch_rows:
+            agg = per_batch[b][k]
+            agg[0] += 1
+            agg[1] += Decimal(f"{v:.6f}")
+    got = orders_feed.log().collect()
+    assert {r.batch_id for r in got} == set(expected)
+    for r in got:
+        cnt, s = per_batch[r.batch_id][int(r.key)]
+        assert r.d_count == cnt
+        assert r.d_sum == pytest.approx(float(s), abs=1e-6)
+    # every (batch, key) pair accounted for — none dropped
+    assert len(got) == sum(len(d) for d in per_batch.values())
+
+
+def test_table_cursor_trajectory_complete(orders_feed):
+    """Crash-resume: pre-crash segment + fresh cursor seeked to the
+    persisted token reassembles the COMPLETE log, no loss, no
+    pre-token replay."""
+    log_rows = sorted(
+        map(tuple, orders_feed.log().collect()))
+    c = orders_feed.cursor()
+    c.seek(2)
+    resumed = c.poll()
+    assert c.position == 4
+    assert all(r.batch_id >= 2 for r in resumed)
+    pre = [t for t in log_rows if t[0] < 2]
+    assert sorted(pre + sorted(map(tuple, resumed))) == log_rows
+
+
+def test_table_noscan_cursor_born_drained(spark, sf_smoke):
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = (Database(spark, sf_smoke).table("orders")
+            .changes(initial_scan="no"))
+    c = feed.cursor()
+    assert c.position == 4
+    assert c.poll() == []
+    # state is still the full-history aggregate
+    n = feed.state().agg(F.sum("cnt")).collect()[0][0]
+    assert n == load_table(spark, sf_smoke, "orders").count()
+
+
+def test_table_snapshot_feed_refuses_delta_surface(spark, sf_smoke):
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = (Database(spark, sf_smoke).table("orders")
+            .changes(initial_scan="only"))
+    assert feed.state().count() > 0
+    with pytest.raises(NotImplementedError):
+        feed.log()
+    with pytest.raises(NotImplementedError):
+        feed.cursor()
+
+
+@pytest.fixture(scope="module")
+def gc_runner(spark, sf_smoke):
+    """A dedicated orders runner, GC'd at horizon 2 (mirrors
+    retention_queries._gc_runner; separate from orders_feed so the
+    GC never perturbs the other pins)."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+        table_retention_gc,
+    )
+
+    r = MultiTableChangefeedRunner(spark, sf_smoke,
+                                   tables=("orders",))
+    r.run()
+    removed = table_retention_gc(r, 2)
+    assert removed == [0, 1]
+    return r
+
+
+def test_table_expired_cursor_raises(gc_runner):
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        table_resume,
+    )
+    from db_realtime_changefeed_spark.streaming.retention_queries import (
+        ExpiredCursorError,
+    )
+
+    with pytest.raises(ExpiredCursorError):
+        table_resume(gc_runner, "orders", token=0)
+
+
+def test_table_snapshot_tail_recovery(spark, sf_smoke, gc_runner):
+    """allow_snapshot: pinned state at horizon-1 plus retained
+    deltas replays to the full-table aggregate, seam-free."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        table_resume,
+    )
+
+    got = table_resume(gc_runner, "orders", token=0,
+                       allow_snapshot=True).collect()
+    kinds = {r.kind for r in got}
+    assert kinds == {"snapshot", "delta"}
+    assert {r.batch_id for r in got if r.kind == "snapshot"} == {1}
+    assert {r.batch_id for r in got if r.kind == "delta"} == {2, 3}
+    replayed: dict = defaultdict(lambda: [0, 0.0])
+    for r in got:
+        agg = replayed[r.key]
+        agg[0] += r.d_count
+        agg[1] += r.d_sum
+    full = {
+        str(r.o_custkey): (r.cnt, float(r.s))
+        for r in load_table(spark, sf_smoke, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+             .alias("s"))
+        .collect()
+    }
+    assert set(replayed) == set(full)
+    for k, (cnt, s) in replayed.items():
+        assert (cnt, pytest.approx(s, abs=1e-6)) == full[k]
+
+
+def test_table_retention_pins_protect_tokens(spark, sf_smoke):
+    """A protected resume token (still-active subscriber) holds the
+    GC horizon back — the slowest pin is always delta-servable."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+        table_oldest_retained,
+        table_retention_gc,
+        table_resume,
+    )
+
+    r = MultiTableChangefeedRunner(spark, sf_smoke,
+                                   tables=("orders",))
+    r.run()
+    removed = table_retention_gc(r, 3, pins=[1])
+    assert removed == [0]
+    assert table_oldest_retained(r) == 1
+    # the pinned consumer still resumes by pure delta replay
+    got = table_resume(r, "orders", token=1)
+    assert {x.kind for x in got.select("kind").distinct().collect()} \
+        == {"delta"}
