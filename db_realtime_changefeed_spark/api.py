@@ -337,12 +337,28 @@ class TableRef:
             # default k silently served 5 rows)
             return GenericStandingViews(
                 orders_runner(self._db.spark, self._db.sf_dir), k=k)
+        if self._name == "lineitem":
+            if delete_on != "error":
+                raise NotImplementedError(
+                    "lineitem views run the shared lineitem_runner "
+                    "configuration; the lineitem replay has no "
+                    "delete events, so delete_on has nothing to "
+                    "interpret")
+            if k < 1:
+                raise ValueError(f"k must be >= 1, got {k}")
+            from .streaming.generic_views import lineitem_runner
+
+            return GenericStandingViews(
+                lineitem_runner(self._db.spark, self._db.sf_dir), k=k)
         if self._name != "events":
             raise KeyError(
                 "standing views are wired for 'events' (full "
-                "family) and 'orders' (GenericAggViewRunner); for "
+                "family), 'orders', and 'lineitem' (composite "
+                "packed key) via GenericAggViewRunner; for "
                 f"{self._name!r} instantiate GenericAggViewRunner "
-                "with the table's (key, seq, ts, group, value)")
+                "with the table's (key, seq, ts, group, value) — "
+                "composite keys pack through a `derive` expression "
+                "(see lineitem_runner)")
         from .streaming.view_queries import _CACHE
         from .streaming.views import MaintainedViewsRunner
 

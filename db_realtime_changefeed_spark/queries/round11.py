@@ -109,6 +109,60 @@ def changefeed_table_cursor(spark, sf_dir):
     return consumed.unionByName(resumed)
 
 
+_LI_VIEW_ORACLE = """
+WITH numbered AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate, l_partkey,
+         l_returnflag, l_extendedprice,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                            l_shipdate, l_partkey) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM lineitem
+), chunked AS (
+  SELECT *, CAST(floor(rn / ceil(n / 4.0)) AS BIGINT) AS chunk
+  FROM numbered
+), batches AS (SELECT DISTINCT chunk AS batch_id FROM chunked),
+latest AS (
+  SELECT b.batch_id, c.l_returnflag, c.l_extendedprice,
+         row_number() OVER (
+           PARTITION BY b.batch_id, c.l_orderkey, c.l_linenumber
+           ORDER BY c.l_shipdate DESC, c.l_partkey DESC) AS rrn
+  FROM batches b JOIN chunked c ON c.chunk <= b.batch_id
+)
+SELECT batch_id, l_returnflag,
+       count(*) AS cnt,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_value
+FROM latest WHERE rrn = 1
+GROUP BY batch_id, l_returnflag
+"""
+
+
+@query("changefeed_agg_view_lineitem", oracle=_LI_VIEW_ORACLE)
+def changefeed_agg_view_lineitem(spark, sf_dir):
+    """COMPOSITE-KEY standing view (r10 verdict item 5 — the third
+    GenericAggViewRunner table, closing the generality claim):
+    lineitem's document key (l_orderkey, l_linenumber) rides the
+    doc_feeds packing codec (orderkey << 3 | linenumber, per-row
+    assert_true budget guard) as a DERIVED key column — the runner's
+    r11 `derive` hook materializes it onto every arriving batch, and
+    the LWW/retraction fold algebra downstream is untouched. The
+    graded frame is the per-micro-batch agg-view trajectory
+    (count/sum of l_extendedprice per l_returnflag); the oracle
+    recomputes every batch prefix's LWW winners (latest l_shipdate,
+    l_partkey tie-break) from the deterministic unique-tuple
+    chunking. The fixture repeats (l_orderkey, l_linenumber) pairs,
+    so the RETRACTION path fires on the composite key too: a
+    re-arriving document retracts its old l_returnflag contribution
+    and applies the new one.
+
+    Scale: identical posture to the orders runner — touched-bucket
+    partial rewrites, base-manifest-last commits; the packing adds
+    one projection, no shuffle."""
+    from ..streaming.generic_views import lineitem_runner
+
+    return lineitem_runner(spark, sf_dir).agg_trajectory()
+
+
 @query(
     "changefeed_table_noscan",
     oracle="""

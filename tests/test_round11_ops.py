@@ -198,3 +198,65 @@ def test_table_retention_pins_protect_tokens(spark, sf_smoke):
     got = table_resume(r, "orders", token=1)
     assert {x.kind for x in got.select("kind").distinct().collect()} \
         == {"delta"}
+
+
+# ---- composite-key standing views (lineitem, r10 verdict item 5)
+
+
+@pytest.fixture(scope="module")
+def li_views(spark, sf_smoke):
+    from db_realtime_changefeed_spark.api import Database
+
+    return Database(spark, sf_smoke).table("lineitem").views()
+
+
+def test_lineitem_view_final_state_is_lww_aggregate(
+        spark, sf_smoke, li_views):
+    """group_agg() == the batch LWW aggregate: latest l_shipdate
+    (l_partkey tie-break) per packed (l_orderkey, l_linenumber)."""
+    rows = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_partkey",
+        "l_returnflag", "l_extendedprice").collect()
+    state: dict = {}
+    for r in rows:
+        k = (int(r.l_orderkey) << 3) | int(r.l_linenumber)
+        cand = (r.l_shipdate, int(r.l_partkey),
+                r.l_returnflag, float(r.l_extendedprice))
+        if k not in state or cand[:2] > state[k][:2]:
+            state[k] = cand
+    expected: dict = defaultdict(lambda: [0, 0.0])
+    for _, _, g, v in state.values():
+        expected[g][0] += 1
+        expected[g][1] += v
+    got = {r[0]: (r.cnt, r.sum_value)
+           for r in li_views.group_agg().collect()}
+    assert set(got) == set(expected)
+    for g, (cnt, s) in expected.items():
+        assert got[g][0] == cnt
+        assert got[g][1] == pytest.approx(s, abs=1e-6)
+
+
+def test_lineitem_view_topk_on_packed_key(li_views):
+    """The O(k + band) top-k read works over the derived packed
+    key; keys unpack to valid (orderkey, linenumber) pairs."""
+    top = li_views.top_k()
+    assert len(top) == 10  # views() default read width
+    vals = [v for _, v, _ in top]
+    assert vals == sorted(vals, reverse=True)
+    for k, _, _ in top:
+        assert 1 <= (k & 0x7) <= 7  # linenumber within TPC-H range
+
+
+def test_lineitem_view_retraction_fires(li_views):
+    """The fixture repeats composite keys, so the changelog must
+    contain rows with a NON-NULL old side (a re-arriving document
+    retracting its previous contribution)."""
+    log = li_views.changes()
+    assert log.where(F.col("old_value").isNotNull()).count() > 0
+
+
+def test_views_refusal_names_lineitem(spark, sf_smoke):
+    from db_realtime_changefeed_spark.api import Database
+
+    with pytest.raises(KeyError, match="lineitem"):
+        Database(spark, sf_smoke).table("part").views()
