@@ -10,6 +10,7 @@ contract + SURVEY §2.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -197,3 +198,172 @@ def changefeed_table_noscan(spark, sf_dir):
         raise AssertionError(
             "no-scan cursor delivered opted-out history")
     return feed.state()
+
+
+# --------------------------------------------- ts_matrix_profile_stomp
+
+_MPS_M = 7     #: subsequence window (days) — matches ts_matrix_profile
+_MPS_EXCL = 3  #: trivial-match exclusion zone (m // 2)
+
+_MPS_DDL = "event_type string, i long, nn_j long, mp_dist double"
+
+#: The oracle computes QT(i, j) = Σ_k y[i+k]·y[j+k] by a PLAIN pair
+#: join — legitimate because the series is a daily COUNT series:
+#: every y, y², window sum, and dot product is an exact integer far
+#: below 2^53, so float summation is order-independent and the
+#: direct sum is bit-identical to the kernel's STOMP recurrence.
+#: Every non-integer expression downstream (mu, sig, dist²) is the
+#: IDENTICAL left-assoc IEEE op tree in both engines.
+_MPS_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('day', ts)) - 1 AS t
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (SELECT d.*, count(*) OVER (PARTITION BY event_type) AS n FROM d),
+ks AS (SELECT unnest(range(0, {_MPS_M})) AS k),
+subs AS (
+  SELECT event_type, t - k AS i, k, y
+  FROM s CROSS JOIN ks
+  WHERE t - k >= 0 AND t - k <= n - {_MPS_M}),
+st AS (
+  SELECT event_type, i, sum(y) AS s1, sum(y * y) AS s2
+  FROM subs GROUP BY event_type, i),
+mo AS (
+  SELECT event_type, i, s1 / {_MPS_M}.0 AS mu,
+         sqrt(greatest((s2 - s1 * s1 / {_MPS_M}.0) / {_MPS_M}.0,
+                       0.0)) AS sig
+  FROM st),
+qt AS (
+  SELECT a.event_type, a.i, b.i AS j, sum(a.y * b.y) AS qt
+  FROM subs a JOIN subs b
+    ON b.event_type = a.event_type AND b.k = a.k
+   AND abs(a.i - b.i) > {_MPS_EXCL}
+  GROUP BY a.event_type, a.i, b.i),
+d2 AS (
+  SELECT q.event_type, q.i, q.j,
+         greatest({2 * _MPS_M}.0 * (1.0 -
+           (q.qt - {_MPS_M}.0 * (mi.mu * mj.mu))
+           / ({_MPS_M}.0 * (mi.sig * mj.sig))), 0.0) AS d2
+  FROM qt q
+  JOIN mo mi ON mi.event_type = q.event_type AND mi.i = q.i
+  JOIN mo mj ON mj.event_type = q.event_type AND mj.i = q.j
+  WHERE mi.sig > 0 AND mj.sig > 0),
+ranked AS (
+  SELECT event_type, i, j, d2,
+         row_number() OVER (PARTITION BY event_type, i
+                            ORDER BY d2, j) AS rk
+  FROM d2)
+SELECT event_type, i, j AS nn_j, sqrt(d2) AS mp_dist
+FROM ranked WHERE rk = 1
+"""
+
+
+def _stomp_kernel(pdf):
+    """Per-series STOMP (Zhu et al., ICDM'16): the sliding dot
+    product QT along each diagonal comes from the O(1)-per-cell
+    recurrence QT(i+1, j+1) = QT(i, j) − y_i·y_j + y_{i+m}·y_{j+m}
+    (np.cumsum IS the sequential fold), and the profile is a
+    running (dist², j)-lexicographic min per window — O(n·w) total
+    work and O(w) memory, never a materialized pair matrix."""
+    import numpy as np
+    import pandas as pd
+
+    m, excl = _MPS_M, _MPS_EXCL
+    pdf = pdf.sort_values("t")
+    et = pdf["event_type"].iloc[0]
+    y = pdf["y"].to_numpy(dtype="float64")
+    n = len(y)
+    w = n - m + 1
+    empty = pd.DataFrame(
+        {"event_type": pd.Series(dtype="object"),
+         "i": pd.Series(dtype="int64"),
+         "nn_j": pd.Series(dtype="int64"),
+         "mp_dist": pd.Series(dtype="float64")})
+    if w < 1:
+        return empty
+    c1 = np.concatenate(([0.0], np.cumsum(y)))
+    c2 = np.concatenate(([0.0], np.cumsum(y * y)))
+    s1 = c1[m:] - c1[:-m]   # exact integers: order-independent
+    s2 = c2[m:] - c2[:-m]
+    mu = s1 / float(m)
+    sig = np.sqrt(np.maximum((s2 - s1 * s1 / float(m)) / float(m),
+                             0.0))
+    best = np.full(w, np.inf)
+    bestj = np.full(w, 2 ** 62, dtype="int64")
+    prods = y[:, None]  # noqa: F841 — (doc) no pair matrix is built
+    for d in range(excl + 1, w):
+        lw = w - d
+        ii = np.arange(lw)
+        jj = ii + d
+        # QT along the diagonal: base dot product then the cumsum
+        # fold of the slide deltas (all exact integer arithmetic)
+        base = float(np.dot(y[:m], y[d:d + m]))
+        if lw > 1:
+            delta = (-y[:lw - 1] * y[d:d + lw - 1]
+                     + y[m:m + lw - 1] * y[d + m:d + m + lw - 1])
+            qt = np.cumsum(np.concatenate(([base], delta)))
+        else:
+            qt = np.array([base])
+        # parenthesized products: i<->j swap must be bit-identical
+        # (a*b == b*a bitwise; (m*a)*b vs (m*b)*a is NOT)
+        num = qt - float(m) * (mu[ii] * mu[jj])
+        den = float(m) * (sig[ii] * sig[jj])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d2 = np.maximum(
+                float(2 * m) * (1.0 - num / den), 0.0)
+        valid = (sig[ii] > 0) & (sig[jj] > 0)
+        for a, b in ((ii, jj), (jj, ii)):
+            upd = valid & (
+                (d2 < best[a])
+                | ((d2 == best[a]) & (b < bestj[a])))
+            best[a[upd]] = d2[upd]
+            bestj[a[upd]] = b[upd]
+    keep = np.isfinite(best)
+    return pd.DataFrame({
+        "event_type": et,
+        "i": np.arange(w, dtype="int64")[keep],
+        "nn_j": bestj[keep],
+        "mp_dist": np.sqrt(best[keep]),
+    })
+
+
+@query("ts_matrix_profile_stomp", oracle=_MPS_ORACLE)
+def ts_matrix_profile_stomp(spark, sf_dir):
+    """MATRIX PROFILE via STOMP — the LONG-SERIES path the r10
+    ts_matrix_profile docstring promised (Zhu et al., ICDM'16):
+    instead of fanning every subsequence pair through a shuffle
+    (O(w²·m) work and O(w²) shuffled rows per series), each series'
+    profile is computed INSIDE one Arrow batch by the sliding
+    dot-product recurrence — O(n·w) work, O(w) memory, zero pair
+    join. applyInPandas is the honest escape hatch here: the
+    recurrence is sequential per diagonal, which Catalyst cannot
+    express without materializing the pairs.
+
+    Determinism without decimal machinery: the profiled series is a
+    daily COUNT series, so y, y², window sums, and sliding dot
+    products are all exact integers below 2^53 — float arithmetic
+    on them is order-independent and cross-engine exact, which lets
+    the DuckDB oracle verify the recurrence with a PLAIN pair-sum
+    while remaining bit-identical. All downstream non-integer ops
+    (mu, sig, the 2m(1 − ρ) distance) are the same left-assoc IEEE
+    tree in both engines; dist² clamps at 0 before sqrt in both
+    (float error can push ρ past 1 on near-identical windows).
+
+    Scale: one small shuffle lands each series' ≤n daily points in
+    one group; millions of series parallelize embarrassingly. The
+    per-series cost is the algorithmic floor for an exact profile.
+    Agreement with the graded O(w²) exact-decimal twin is pinned in
+    tests (same nn structure, distances within the decimal
+    quantization band)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ser = daily.select(
+        "event_type", "y", (F.row_number().over(w) - 1).alias("t"))
+    return ser.groupBy("event_type").applyInPandas(
+        _stomp_kernel, schema=_MPS_DDL)

@@ -660,3 +660,17 @@ def test_round10c_mann_kendall_pair_join_keyed(spark, sf_oracle):
     a CartesianProduct."""
     plan = _plan(spark, sf_oracle, "ts_mann_kendall")
     assert "CartesianProduct" not in plan
+
+
+def test_round11_stomp_no_pair_join(spark, sf_oracle):
+    """ts_matrix_profile_stomp is the O(n·w) long-series path: one
+    FlatMapGroupsInPandas per series group, and NO pair join of any
+    kind — the O(w²) shuffle the exact-decimal twin pays is exactly
+    what STOMP removes."""
+    plan = _plan(spark, sf_oracle, "ts_matrix_profile_stomp")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(event_type" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan, f"pair join leaked: {join}"

@@ -260,3 +260,33 @@ def test_views_refusal_names_lineitem(spark, sf_smoke):
 
     with pytest.raises(KeyError, match="lineitem"):
         Database(spark, sf_smoke).table("part").views()
+
+
+# ---- ts_matrix_profile_stomp vs the exact-decimal twin
+
+
+def test_stomp_agrees_with_decimal_twin(spark, sf_smoke):
+    """Same profile as the graded O(w²) exact-decimal plan: the
+    decimal path quantizes each of the m per-pair terms at 6dp, so
+    distances may drift by ~m·0.5e-6; any nn_j flip must come with
+    a near-tie in the decimal frame."""
+    from db_realtime_changefeed_spark.queries.round10c import (
+        ts_matrix_profile,
+    )
+    from db_realtime_changefeed_spark.queries.round11 import (
+        ts_matrix_profile_stomp,
+    )
+
+    dec = {(r.event_type, r.i): (r.nn_j, r.mp_dist)
+           for r in ts_matrix_profile(spark, sf_smoke).collect()}
+    sto = {(r.event_type, r.i): (r.nn_j, r.mp_dist)
+           for r in ts_matrix_profile_stomp(spark, sf_smoke).collect()}
+    assert set(dec) == set(sto)
+    flips = 0
+    for key, (dj, dd) in dec.items():
+        sj, sd = sto[key]
+        assert sd == pytest.approx(dd, abs=1e-4)
+        if sj != dj:
+            flips += 1
+    # near-tie flips only — never a structural disagreement
+    assert flips <= max(1, len(dec) // 10)
