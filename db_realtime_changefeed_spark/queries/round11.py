@@ -367,3 +367,314 @@ def ts_matrix_profile_stomp(spark, sf_dir):
         "event_type", "y", (F.row_number().over(w) - 1).alias("t"))
     return ser.groupBy("event_type").applyInPandas(
         _stomp_kernel, schema=_MPS_DDL)
+
+
+# ----------------------------------------- changefeed_partition_fanout
+
+_PF_P = 4  #: delivery partitions (the Kafka-topic / DynamoDB-shard shape)
+
+#: the committed delta log, re-derived by the same chunking CTE the
+#: cursor oracle uses, but with the numeric key kept for the mod
+#: partitioner
+_PF_LOG_SQL = _TCUR_ORACLE.replace(
+    "SELECT bt.batch_id, CAST(e.key AS VARCHAR) AS key,",
+    "SELECT bt.batch_id, e.key AS keyn,")
+
+_PF_ORACLE = f"""
+WITH log AS ({_PF_LOG_SQL})
+SELECT CAST(keyn % {_PF_P} AS INT) AS partition,
+       row_number() OVER (
+         PARTITION BY keyn % {_PF_P}
+         ORDER BY batch_id, keyn) AS "offset",
+       batch_id, CAST(keyn AS VARCHAR) AS key, d_count, d_sum
+FROM log
+"""
+
+
+@query("changefeed_partition_fanout", oracle=_PF_ORACLE)
+def changefeed_partition_fanout(spark, sf_dir):
+    """PARTITIONED DELIVERY of a table feed's delta log — the Kafka
+    topic / DynamoDB shard contract every production changefeed
+    sink implements: each delta routes to partition key mod
+    {_PF_P}, and within a partition offsets are monotone in commit
+    order, so PER-KEY ORDER IS PRESERVED (a key's deltas all land
+    in one partition, and batches commit in order). The graded
+    frame carries (partition, offset, batch_id, key, delta); the
+    query additionally AUDITS the contract before returning — for
+    every key, delivery offsets must be strictly increasing in
+    batch_id (a violation raises, never ships).
+
+    Offset assignment here is the REPLAY-side audit twin: it
+    recomputes offsets with a per-partition window over the
+    committed log (deterministic: (batch_id, key) is unique). In
+    the live sink the offset is the partition's append counter —
+    O(1) per delta, no window; the audit is what you run AFTER an
+    incident, partition-parallel.
+
+    Scale: one hash shuffle on the partition id ({_PF_P} groups of
+    |log|/{_PF_P} rows each); the mod-partitioner is the same
+    executor-side expression a real sink task would use."""
+    from pyspark.sql import Window as W
+
+    from ..api import Database
+
+    feed = Database(spark, sf_dir).table("orders").changes()
+    log = feed.log().select(
+        F.col("key").cast("long").alias("keyn"),
+        "batch_id", "d_count", "d_sum")
+    part = (F.col("keyn") % _PF_P).cast("int")
+    w = W.partitionBy(part).orderBy("batch_id", "keyn")
+    out = log.select(
+        part.alias("partition"),
+        F.row_number().over(w).alias("offset"),
+        "batch_id",
+        F.col("keyn").cast("string").alias("key"),
+        "d_count", "d_sum",
+    )
+    # per-key order audit: within a key, offset order == batch order
+    wk = W.partitionBy("key").orderBy("offset")
+    bad = (
+        out.withColumn("prev_b", F.lag("batch_id").over(wk))
+        .where(F.col("prev_b").isNotNull()
+               & (F.col("prev_b") >= F.col("batch_id")))
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"{bad} per-key order violations in partitioned delivery")
+    return out
+
+
+# ------------------------------------------------- ts_downsample_lttb
+
+_LTTB_B = 10  #: output buckets (downsample 30-day series to 10 points)
+
+#: The oracle replays the SAME sequential selection as a recursive
+#: CTE: the working row per series carries the previously SELECTED
+#: point, each step ranks the next bucket's candidates by the
+#: identical triangle-area expression (exact-integer coordinates →
+#: every product/difference is the same IEEE tree in both engines)
+#: and keeps the (area DESC, t ASC) winner; the fixed endpoint is
+#: unioned last. Bucket boundaries are pure integer arithmetic.
+_LTTB_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('day', ts)) - 1 AS t
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (SELECT d.*, count(*) OVER (PARTITION BY event_type) AS n FROM d),
+bkt AS (
+  SELECT event_type, t, y, n,
+         CASE WHEN t = 0 THEN 0
+              WHEN t = n - 1 THEN {_LTTB_B - 1}
+              ELSE 1 + CAST(floor((t - 1) * {_LTTB_B - 2}.0 / (n - 2))
+                            AS INT)
+         END AS b
+  FROM s),
+avgs AS (
+  SELECT event_type, b,
+         sum(CAST(t AS DOUBLE)) / count(*) AS ax,
+         sum(y) / count(*) AS ay
+  FROM bkt GROUP BY event_type, b),
+sel AS (
+  SELECT event_type, 0 AS b, t, y,
+         CAST(t AS DOUBLE) AS sx, y AS sy
+  FROM bkt WHERE b = 0
+  UNION ALL
+  SELECT event_type, b, t, y, CAST(t AS DOUBLE) AS sx, y AS sy
+  FROM (
+    SELECT c.event_type, c.b, c.t, c.y,
+           row_number() OVER (
+             PARTITION BY c.event_type
+             ORDER BY abs((s.sx - a.ax) * (c.y - s.sy)
+                          - (s.sx - CAST(c.t AS DOUBLE))
+                            * (a.ay - s.sy)) DESC, c.t) AS rk
+    FROM sel s
+    JOIN bkt c ON c.event_type = s.event_type AND c.b = s.b + 1
+              AND c.b <= {_LTTB_B - 2}
+    JOIN avgs a ON a.event_type = c.event_type AND a.b = c.b + 1
+  ) WHERE rk = 1)
+SELECT event_type, CAST(b AS INT) AS bucket, t, y FROM sel
+UNION ALL
+SELECT event_type, CAST({_LTTB_B - 1} AS INT) AS bucket, t, y
+FROM bkt WHERE b = {_LTTB_B - 1}
+"""
+
+_LTTB_DDL = "event_type string, bucket int, t long, y double"
+
+
+def _lttb_kernel(pdf):
+    """Per-series LTTB (Steinarsson 2013, the Grafana/Influx
+    downsampler): keep the endpoints; for each middle bucket keep
+    the point forming the LARGEST TRIANGLE with the previously
+    selected point and the next bucket's average — the sequential
+    dependency Catalyst cannot express. Exact-integer coordinates
+    make every area bit-identical to the SQL oracle's."""
+    import pandas as pd
+
+    B = _LTTB_B
+    pdf = pdf.sort_values("t")
+    et = pdf["event_type"].iloc[0]
+    ts = pdf["t"].to_list()
+    ys = pdf["y"].to_list()
+    n = len(ts)
+    if n <= B:  # fixture series are 30 long; honest small-n contract
+        return pd.DataFrame({"event_type": et,
+                             "bucket": list(range(n)),
+                             "t": ts, "y": ys})
+    buckets: list[list[int]] = [[] for _ in range(B)]
+    for i in range(n):
+        if i == 0:
+            b = 0
+        elif i == n - 1:
+            b = B - 1
+        else:
+            b = 1 + int((i - 1) * (B - 2) // (n - 2))
+        buckets[b].append(i)
+    out_b, out_t, out_y = [0], [ts[0]], [ys[0]]
+    sx, sy = float(ts[0]), float(ys[0])
+    for b in range(1, B - 1):
+        nxt = buckets[b + 1]
+        ax = sum(float(ts[i]) for i in nxt) / len(nxt)
+        ay = sum(float(ys[i]) for i in nxt) / len(nxt)
+        best = None
+        for i in buckets[b]:
+            area = abs((sx - ax) * (float(ys[i]) - sy)
+                       - (sx - float(ts[i])) * (ay - sy))
+            # (area DESC, t ASC) — ties must break exactly as the
+            # oracle's row_number order does
+            if best is None or area > best[0]:
+                best = (area, i)
+        _, j = best
+        out_b.append(b)
+        out_t.append(ts[j])
+        out_y.append(ys[j])
+        sx, sy = float(ts[j]), float(ys[j])
+    out_b.append(B - 1)
+    out_t.append(ts[-1])
+    out_y.append(ys[-1])
+    return pd.DataFrame({"event_type": et, "bucket": out_b,
+                         "t": out_t, "y": out_y})
+
+
+@query("ts_downsample_lttb", oracle=_LTTB_ORACLE)
+def ts_downsample_lttb(spark, sf_dir):
+    """LARGEST-TRIANGLE-THREE-BUCKETS downsampling of each event
+    type's daily count series to {_LTTB_B} points — the
+    visual-fidelity downsampler every production dashboard stack
+    ships (Grafana, InfluxDB): endpoints pinned, each middle bucket
+    contributes the point that subtends the largest triangle with
+    the PREVIOUSLY SELECTED point and the next bucket's centroid,
+    preserving peaks and troughs a plain bucket-average flattens.
+    The selection is a sequential chain (each choice feeds the next
+    triangle), so each series runs inside one Arrow batch
+    (applyInPandas); the DuckDB oracle replays the identical chain
+    as a recursive CTE carrying the selected point, with the
+    (area DESC, t ASC) tie order pinned on both sides.
+
+    Determinism: integer day indexes and integer daily counts make
+    every centroid, difference, and cross product an identical IEEE
+    tree in both engines — no quantization anywhere.
+
+    Scale: one shuffle lands each series' n points in one group;
+    the kernel is O(n) per series (each point's area is evaluated
+    once); millions of series parallelize embarrassingly — the same
+    posture as the STOMP kernel, with an even smaller working
+    set."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ser = daily.select(
+        "event_type", "y", (F.row_number().over(w) - 1).alias("t"))
+    return ser.groupBy("event_type").applyInPandas(
+        _lttb_kernel, schema=_LTTB_DDL)
+
+
+# --------------------------------------------------- graph_adamic_adar
+
+_AA_LNQ = "(floor(ln({x}) * 1000000000.0 + 0.5) / 1000000000.0)"
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS (SELECT u AS node, v AS other FROM pairs
+            UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    w AS (
+      SELECT x.other AS u, y.other AS v,
+             CAST(count(*) AS BIGINT) AS common,
+             CAST(sum(CAST(
+               1.0 / {_AA_LNQ.format(x='dz.d')} AS DECIMAL(18,6)))
+               AS DOUBLE) AS aa
+      FROM und x
+      JOIN und y ON x.node = y.node AND x.other < y.other
+      JOIN deg dz ON dz.node = x.node
+      GROUP BY x.other, y.other
+    )
+    SELECT w.u, w.v, w.common AS common_neighbors, w.aa AS adamic_adar
+    FROM w
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.u = w.u AND p.v = w.v)
+    ORDER BY w.aa DESC, w.u, w.v LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """ADAMIC-ADAR link prediction (Adamic & Adar 2003; the
+    Liben-Nowell & Kleinberg benchmark's strongest local score) on
+    the part co-purchase graph: for every non-edge,
+    Σ_z 1/ln(deg z) over common neighbors z — rare shared
+    neighbors count more than hubs, which plain common-neighbor and
+    Jaccard scores cannot distinguish. Same wedge enumeration as
+    graph_jaccard_linkpred (only ≥1-common-neighbor pairs ever
+    materialize, never the all-pairs square; existing edges
+    anti-joined away), but the per-wedge weight rides the CENTER's
+    degree, joined onto the wedge before the aggregate.
+
+    Determinism: ln is NOT bit-identical across engines (FIXTURES
+    probe), so each ln(deg) quantizes at the established 9-dp
+    half-up floor before the 1/x division, and the per-wedge
+    weights accumulate through the exact decimal pipeline — the
+    (score DESC, u, v) top-20 cut is then total.
+
+    Scale: wedge volume is Σ C(deg, 2) with the same documented
+    super-hub cap as the Jaccard twin; the degree join is a
+    broadcast (node count ≪ wedge count)."""
+    from .analytics_ext import _copurchase_pairs
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    und = pairs.select(F.col("u").alias("node"),
+                       F.col("v").alias("other")).unionAll(
+        pairs.select(F.col("v").alias("node"),
+                     F.col("u").alias("other")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    lnq = (F.floor(F.log(F.col("d")) * F.lit(1000000000.0)
+                   + F.lit(0.5)) / F.lit(1000000000.0))
+    x, y = und.alias("x"), und.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.node") == F.col("y.node"))
+               & (F.col("x.other") < F.col("y.other")))
+        .join(F.broadcast(deg.select(F.col("node").alias("znode"),
+                                     lnq.alias("lnd"))),
+              F.col("x.node") == F.col("znode"))
+        .groupBy(F.col("x.other").alias("u"),
+                 F.col("y.other").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"),
+             dsum(F.lit(1.0) / F.col("lnd")).cast("double")
+             .alias("adamic_adar"))
+    )
+    return (
+        wedges.join(pairs, ["u", "v"], "anti")
+        .orderBy(F.col("adamic_adar").desc(), "u", "v")
+        .limit(20)
+    )

@@ -14,10 +14,13 @@ import math
 from collections import defaultdict
 from decimal import Decimal
 
+import duckdb
 import pytest
 from pyspark.sql import functions as F
 
 from db_realtime_changefeed_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
 
 
 def _expected_order_batches(spark, sf_dir, n_chunks=4):
@@ -290,3 +293,120 @@ def test_stomp_agrees_with_decimal_twin(spark, sf_smoke):
             flips += 1
     # near-tie flips only — never a structural disagreement
     assert flips <= max(1, len(dec) // 10)
+
+
+# ---- round-11 wave 2: fanout / LTTB / adamic-adar replays
+
+
+def test_partition_fanout_contract(spark, sf_smoke):
+    from db_realtime_changefeed_spark.queries.round11 import (
+        changefeed_partition_fanout,
+    )
+
+    rows = changefeed_partition_fanout(spark, sf_smoke).collect()
+    # partition = key % 4, offsets dense 1..N per partition, and a
+    # key's deltas all share one partition
+    by_part = defaultdict(list)
+    key_part: dict = {}
+    for r in rows:
+        assert r.partition == int(r.key) % 4
+        by_part[r.partition].append(r.offset)
+        key_part.setdefault(r.key, r.partition)
+        assert key_part[r.key] == r.partition
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(1, len(offs) + 1))
+
+
+def test_lttb_matches_python_replay(spark, sf_smoke):
+    """Independent LTTB replay (plain python, the Steinarsson
+    definition) over each daily-count series."""
+    from db_realtime_changefeed_spark.queries.round11 import (
+        _LTTB_B,
+        ts_downsample_lttb,
+    )
+
+    daily = duckdb.sql(
+        f"""SELECT event_type, count(*) AS y
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY event_type, date_trunc('day', ts)
+        ORDER BY event_type, date_trunc('day', ts)""").fetchall()
+    series = defaultdict(list)
+    for et, y in daily:
+        series[et].append(float(y))
+    got = defaultdict(dict)
+    for r in ts_downsample_lttb(spark, SF).collect():
+        got[r.event_type][r.bucket] = (r.t, r.y)
+    B = _LTTB_B
+    for et, ys in series.items():
+        n = len(ys)
+        bks = defaultdict(list)
+        for i in range(n):
+            b = (0 if i == 0 else B - 1 if i == n - 1
+                 else 1 + (i - 1) * (B - 2) // (n - 2))
+            bks[b].append(i)
+        sx, sy = 0.0, ys[0]
+        expect = {0: (0, ys[0]), B - 1: (n - 1, ys[-1])}
+        for b in range(1, B - 1):
+            nxt = bks[b + 1]
+            ax = sum(float(i) for i in nxt) / len(nxt)
+            ay = sum(ys[i] for i in nxt) / len(nxt)
+            best = None
+            for i in bks[b]:
+                area = abs((sx - ax) * (ys[i] - sy)
+                           - (sx - float(i)) * (ay - sy))
+                if best is None or area > best[0]:
+                    best = (area, i)
+            _, j = best
+            expect[b] = (j, ys[j])
+            sx, sy = float(j), ys[j]
+        assert got[et] == expect, et
+        # endpoints pinned by construction
+        assert got[et][0][0] == 0 and got[et][B - 1][0] == n - 1
+
+
+def test_adamic_adar_matches_python_replay(spark, sf_smoke):
+    """Brute-force AA over the co-purchase graph with the same
+    9-dp ln quantization and 6-dp term decimal accumulation."""
+    import math
+
+    from db_realtime_changefeed_spark.queries.round11 import (
+        graph_adamic_adar,
+    )
+
+    li = duckdb.sql(
+        f"""SELECT DISTINCT l_orderkey, l_partkey
+        FROM read_parquet('{SF}/lineitem.parquet')
+        WHERE l_orderkey % 4 = 0""").fetchall()
+    by_order = defaultdict(set)
+    for o, p in li:
+        by_order[o].add(p)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    import itertools
+
+    scores = {}
+    for z, nbrs in adj.items():
+        lnq = math.floor(
+            math.log(len(nbrs)) * 1e9 + 0.5) / 1e9
+        wgt = Decimal(f"{1.0 / lnq:.6f}")  # 6dp half-even? use quant
+        # replicate decimal(18,6) HALF_UP cast
+        from decimal import ROUND_HALF_UP
+
+        wgt = Decimal(repr(1.0 / lnq)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        for u, v in itertools.combinations(sorted(nbrs), 2):
+            if v in adj[u]:
+                continue  # existing edge
+            c, s = scores.get((u, v), (0, Decimal(0)))
+            scores[(u, v)] = (c + 1, s + wgt)
+    top = sorted(
+        ((u, v, c, float(s)) for (u, v), (c, s) in scores.items()),
+        key=lambda t: (-t[3], t[0], t[1]))[:20]
+    got = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+           for r in graph_adamic_adar(spark, SF).collect()]
+    assert got == top
