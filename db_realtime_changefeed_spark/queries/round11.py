@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from . import query
 from ._util import DEC, davg, dround6_div, dsum, sql_davg, sql_dsum
+from .llm import _sql_dot
 
 __all__ = ["load"]
 
@@ -678,3 +679,120 @@ def graph_adamic_adar(spark, sf_dir):
         .orderBy(F.col("adamic_adar").desc(), "u", "v")
         .limit(20)
     )
+
+
+# ----------------------------------------------------- llm_hybrid_rrf
+
+_RRF_K = 60   #: the standard RRF constant (Cormack et al., SIGIR'09)
+_RRF_N = 50   #: per-modality candidate depth
+_RRF_TOP = 20
+
+
+@query(
+    "llm_hybrid_rrf",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+           FROM w WHERE term IN ('join', 'scan', 'filter')
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                       / count(*) AS avgdl
+              FROM documents),
+    bm AS (
+      SELECT tf.doc_id,
+             round(CAST(sum(CAST(
+               ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE)
+                         + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                          / stats.avgdl)))
+             AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+      FROM tf JOIN df USING (term), stats
+      GROUP BY tf.doc_id),
+    rt AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+               AS r FROM bm
+      ORDER BY bm25 DESC, doc_id LIMIT {_RRF_N}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             {_sql_dot('e.embedding', 'q.qe')}
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})) AS cs
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    rv AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id)
+               AS r FROM vec
+      ORDER BY cs DESC, doc_id LIMIT {_RRF_N})
+    SELECT COALESCE(rt.doc_id, rv.doc_id) AS doc_id,
+           CAST(rt.r AS BIGINT) AS text_rank,
+           CAST(rv.r AS BIGINT) AS vec_rank,
+           COALESCE(1.0 / ({_RRF_K} + rt.r), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + rv.r), 0.0) AS rrf
+    FROM rt FULL JOIN rv ON rv.doc_id = rt.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def llm_hybrid_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL by Reciprocal Rank Fusion (Cormack, Clarke
+    & Buettcher, SIGIR'09) — the fusion every production RAG stack
+    runs: a lexical BM25 list and a dense cosine list (doc_id and
+    vec_id share the fixture's id space) each contribute
+    1/({_RRF_K} + rank), missing membership contributes 0, and the
+    fused top-{_RRF_TOP} is ordered (rrf DESC, doc_id). Rank-based
+    fusion sidesteps score-scale mismatch between modalities — the
+    reason RRF beats naive score averaging without tuning.
+
+    Determinism: both candidate lists carry total orders (the BM25
+    list rides the 6-dp-rounded decimal score, the cosine list the
+    bit-identical array fold), so ranks are exact integers and the
+    fused score is a two-term sum of exact reciprocals in a fixed
+    coalesce order — no quantization needed.
+
+    Scale: each modality's list is the ALREADY-graded retrieval
+    shape (filtered explode + broadcast stats; brute-force cosine
+    with the LSH/IVF graded alternates as the corpus-scale path);
+    the fusion itself joins two {_RRF_N}-row lists — driver-trivial
+    at any corpus size."""
+    from pyspark.sql import Window as W
+
+    from .llm import _dot
+    from .llm_curation import llm_bm25
+
+    bm = llm_bm25(spark, sf_dir)  # top-50 (bm25 DESC, doc_id) total
+    rt = bm.select(
+        "doc_id",
+        F.row_number().over(
+            W.orderBy(F.col("bm25").desc(), "doc_id")).alias("r"))
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qe")))
+    ee, qe = F.col("embedding"), F.col("qe")
+    cs = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
+    rv = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cs.alias("cs"))
+        .orderBy(F.col("cs").desc(), "doc_id").limit(_RRF_N)
+        .select("doc_id",
+                F.row_number().over(
+                    W.orderBy(F.col("cs").desc(), "doc_id"))
+                .alias("r"))
+    )
+    rt = rt.select("doc_id", F.col("r").alias("text_rank"))
+    rv = rv.select("doc_id", F.col("r").alias("vec_rank"))
+    fused = rt.join(rv, "doc_id", "full").select(
+        "doc_id", "text_rank", "vec_rank",
+        (F.coalesce(F.lit(1.0) / (F.lit(_RRF_K)
+                                  + F.col("text_rank")), F.lit(0.0))
+         + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K)
+                                    + F.col("vec_rank")), F.lit(0.0))
+         ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOP)

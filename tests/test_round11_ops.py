@@ -410,3 +410,44 @@ def test_adamic_adar_matches_python_replay(spark, sf_smoke):
     got = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
            for r in graph_adamic_adar(spark, SF).collect()]
     assert got == top
+
+
+def test_hybrid_rrf_fuses_component_ranks(spark, sf_smoke):
+    """The fused score must be exactly 1/(60+rt) + 1/(60+rv) of the
+    component lists' own ranks (0 when absent), and the top-20 cut
+    total-ordered by (rrf DESC, doc_id)."""
+    from db_realtime_changefeed_spark.queries.llm import _dot
+    from db_realtime_changefeed_spark.queries.llm_curation import (
+        llm_bm25,
+    )
+    from db_realtime_changefeed_spark.queries.round11 import (
+        _RRF_K,
+        _RRF_N,
+        llm_hybrid_rrf,
+    )
+
+    bm = [r.doc_id for r in llm_bm25(spark, sf_smoke).collect()]
+    e = load_table(spark, sf_smoke, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"))
+    ee, qe = F.col("embedding"), F.col("qe")
+    cs = _dot(ee, qe) / (F.sqrt(_dot(ee, ee)) * F.sqrt(_dot(qe, qe)))
+    vec = [r.doc_id for r in
+           e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+           .select(F.col("vec_id").alias("doc_id"), cs.alias("cs"))
+           .orderBy(F.col("cs").desc(), "doc_id").limit(_RRF_N)
+           .collect()]
+    rt = {d: i + 1 for i, d in enumerate(bm)}
+    rv = {d: i + 1 for i, d in enumerate(vec)}
+    fused = sorted(
+        ((d, (1.0 / (_RRF_K + rt[d]) if d in rt else 0.0)
+          + (1.0 / (_RRF_K + rv[d]) if d in rv else 0.0))
+         for d in set(rt) | set(rv)),
+        key=lambda t: (-t[1], t[0]))[:20]
+    got = [(r.doc_id, r.rrf)
+           for r in llm_hybrid_rrf(spark, sf_smoke).collect()]
+    assert got == fused
+    # both modalities must actually contribute to the fused head
+    head = llm_hybrid_rrf(spark, sf_smoke).collect()
+    assert any(r.text_rank is not None for r in head)
+    assert any(r.vec_rank is not None for r in head)
