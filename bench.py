@@ -105,6 +105,11 @@ TIER2 = [
     # the matrix profile
     "ts_dtw",
     "ts_matrix_profile",
+    # round-11 (eighth step-up): the STOMP kernel — same output
+    # contract as ts_matrix_profile with the pair join replaced by
+    # the per-series O(n·w) recurrence; timing both quantifies the
+    # plan-family trade the long-series path buys
+    "ts_matrix_profile_stomp",
 ]
 
 #: Third tier: the round-6 maintained-view machinery — one CDC scan
