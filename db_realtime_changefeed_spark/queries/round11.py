@@ -796,3 +796,151 @@ def llm_hybrid_rrf(spark, sf_dir):
          ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOP)
+
+
+# ------------------------------------------------- win_frame_exclude
+
+@query(
+    "win_frame_exclude",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w - 1 AS BIGINT) AS n_peers,
+           FLOOR(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                              EXCLUDE CURRENT ROW) AS DOUBLE)
+                 * 1000000.0 / (count(*) OVER w - 1) + 0.5)
+             / 1000000.0 AS peer_mean6
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def win_frame_exclude(spark, sf_dir):
+    """SQL:2016 frame EXCLUSION (EXCLUDE CURRENT ROW) — the
+    peer-comparison window every anomaly dashboard wants ("this
+    event vs its neighbors, itself excluded") and a surface Spark's
+    window frames DON'T have: the emulation is ALGEBRAIC — the
+    inclusive-frame decimal sum minus the current row's own decimal
+    value, count minus one — which is exact because the frame sum
+    rides the decimal pipeline (float subtraction of a float sum
+    would reintroduce order sensitivity). The DuckDB oracle uses
+    its NATIVE EXCLUDE CURRENT ROW, so the hash certifies the
+    emulation against the real SQL:2016 semantics, not against
+    itself. The peer mean divides through the house
+    tie-deterministic 6-dp floor (dround6_div).
+
+    Scale: one window over (event_type | ts, event_id) — one
+    shuffle, sorted once, O(1) state per row at any frame width
+    that stays ROWS-bounded."""
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-3, 3))
+    frame_sum = F.sum(F.col("value").cast(DEC)).over(w)
+    peer_sum = (frame_sum - F.col("value").cast(DEC)).cast("double")
+    n_peers = (F.count(F.lit(1)).over(w) - F.lit(1))
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        n_peers.alias("n_peers"),
+        dround6_div(peer_sum, n_peers).alias("peer_mean6"),
+    )
+
+
+# ------------------------------------------------- ts_dickey_fuller
+
+_DF_CRIT_5 = -2.86  #: MacKinnon 5% critical value, constant model
+
+
+@query(
+    "ts_dickey_fuller",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               AS day,
+             {sql_dsum('value')} AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    lagd AS (
+      SELECT event_type, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY day)
+               AS yl
+      FROM d),
+    reg AS (
+      SELECT event_type, yl AS x, y - yl AS dy
+      FROM lagd WHERE yl IS NOT NULL),
+    mom AS (
+      SELECT event_type, count(*) AS n,
+             {sql_dsum('x')} AS sx, {sql_dsum('dy')} AS sy,
+             {sql_dsum('x * x')} AS sx2,
+             {sql_dsum('x * dy')} AS sxy,
+             {sql_dsum('dy * dy')} AS sy2
+      FROM reg GROUP BY event_type),
+    fit AS (
+      SELECT event_type, n,
+             (sxy - sx * sy / n) / (sx2 - sx * sx / n) AS beta,
+             (sy2 - sy * sy / n)
+               - ((sxy - sx * sy / n) / (sx2 - sx * sx / n))
+                 * (sxy - sx * sy / n) AS rss,
+             sx2 - sx * sx / n AS sxx
+      FROM mom WHERE n > 2 AND sx2 - sx * sx / n > 0)
+    SELECT event_type, CAST(n AS BIGINT) AS n, beta,
+           beta / sqrt((rss / (n - 2)) / sxx) AS df_stat,
+           beta / sqrt((rss / (n - 2)) / sxx) < {_DF_CRIT_5}
+             AS stationary_5pct
+    FROM fit
+    """,
+)
+def ts_dickey_fuller(spark, sf_dir):
+    """DICKEY-FULLER unit-root test per event type's daily value
+    series — the stationarity gate that decides whether a series
+    needs differencing before any AR-family model (the complement
+    of ts_mann_kendall's trend test): regress Δy_t on y_{{t-1}}
+    (constant model), report β (=ρ−1), the t-ratio β/SE(β), and the
+    5% decision against MacKinnon's {_DF_CRIT_5} critical value
+    (public table; the augmented variant adds lagged-Δ regressors
+    to the same moment pipeline). Everything reduces to FIVE moment
+    sums through the exact decimal pipeline, then one closed-form
+    IEEE tree both engines share — RSS uses the OLS identity
+    Syy − β·Sxy, so no residual pass is needed.
+
+    Scale: the events scan collapses to the O(series × 30) daily
+    relation; one lag window per series, one moment aggregate —
+    map-side combinable, millions of series parallelize."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dsum("value").cast("double").alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    reg = (
+        daily.select(
+            "event_type", "y", F.lag("y").over(w).alias("yl"))
+        .where(F.col("yl").isNotNull())
+        .select("event_type", F.col("yl").alias("x"),
+                (F.col("y") - F.col("yl")).alias("dy"))
+    )
+    mom = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").cast("double").alias("sx"),
+        dsum("dy").cast("double").alias("sy"),
+        dsum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        dsum(F.col("x") * F.col("dy")).cast("double").alias("sxy"),
+        dsum(F.col("dy") * F.col("dy")).cast("double").alias("sy2"),
+    )
+    n = F.col("n")
+    sxx = F.col("sx2") - F.col("sx") * F.col("sx") / n
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    syy = F.col("sy2") - F.col("sy") * F.col("sy") / n
+    beta = sxy_c / sxx
+    rss = syy - beta * sxy_c
+    df_stat = beta / F.sqrt((rss / (n - 2)) / sxx)
+    return (
+        mom.where((n > 2) & (sxx > 0))
+        .select("event_type", "n", beta.alias("beta"),
+                df_stat.alias("df_stat"),
+                (df_stat < _DF_CRIT_5).alias("stationary_5pct"))
+    )

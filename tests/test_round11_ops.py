@@ -451,3 +451,73 @@ def test_hybrid_rrf_fuses_component_ranks(spark, sf_smoke):
     head = llm_hybrid_rrf(spark, sf_smoke).collect()
     assert any(r.text_rank is not None for r in head)
     assert any(r.vec_rank is not None for r in head)
+
+
+def test_frame_exclude_matches_python_replay(spark, sf_smoke):
+    """Peer mean = inclusive-frame sum minus self, over the (ts,
+    event_id) total order — python replay per event type."""
+    from db_realtime_changefeed_spark.queries.round11 import (
+        win_frame_exclude,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, event_id, value FROM
+        read_parquet('{SF}/events.parquet')
+        ORDER BY event_type, ts, event_id""").fetchall()
+    series = defaultdict(list)
+    for et, eid, v in rows:
+        series[et].append((eid, Decimal(f"{v:.6f}")))
+    expect = {}
+    for et, evs in series.items():
+        for i, (eid, _) in enumerate(evs):
+            lo, hi = max(0, i - 3), min(len(evs), i + 4)
+            peers = [v for j, (_, v) in enumerate(evs[lo:hi], lo)
+                     if j != i]
+            s = float(sum(peers))
+            expect[eid] = (len(peers),
+                           math.floor(s * 1e6 / len(peers) + 0.5)
+                           / 1e6)
+    got = {r.event_id: (r.n_peers, r.peer_mean6)
+           for r in win_frame_exclude(spark, SF).collect()}
+    assert got == expect
+
+
+def test_dickey_fuller_matches_statsmodels_free_replay(
+        spark, sf_smoke):
+    """Closed-form DF vs an independent numpy least-squares fit of
+    dy ~ const + y_lag (no statsmodels in the container — lstsq is
+    the independent check)."""
+    import numpy as np
+
+    from db_realtime_changefeed_spark.queries.round11 import (
+        ts_dickey_fuller,
+    )
+
+    daily = duckdb.sql(
+        f"""SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY event_type, date_trunc('day', ts)
+        ORDER BY event_type, date_trunc('day', ts)""").fetchall()
+    series = defaultdict(list)
+    for et, y in daily:
+        series[et].append(y)
+    got = {r.event_type: r for r in
+           ts_dickey_fuller(spark, SF).collect()}
+    for et, ys in series.items():
+        y = np.array(ys)
+        x = y[:-1]
+        dy = np.diff(y)
+        X = np.column_stack([np.ones_like(x), x])
+        coef, *_ = np.linalg.lstsq(X, dy, rcond=None)
+        resid = dy - X @ coef
+        nn = len(dy)
+        s2 = float(resid @ resid) / (nn - 2)
+        sxx = float(((x - x.mean()) ** 2).sum())
+        se = math.sqrt(s2 / sxx)
+        r = got[et]
+        assert r.n == nn
+        assert r.beta == pytest.approx(float(coef[1]), rel=1e-6)
+        assert r.df_stat == pytest.approx(float(coef[1]) / se,
+                                          rel=1e-6)
+        assert r.stationary_5pct == (r.df_stat < -2.86)
