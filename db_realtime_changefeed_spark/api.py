@@ -186,15 +186,29 @@ class TableFeed:
         )
 
     def batch_for_ts(self, ts):
-        raise NotImplementedError(
-            "seek_to_ts is events-only (the chunk-spine probe lives "
-            "on ChangefeedRunner); table feeds resume by batch token")
+        """Cursor.seek_to_ts support (r11): first batch containing
+        any change with event time >= ts, off the runner's
+        per-batch high-water marks."""
+        return self._runner.batch_for_ts(ts)
 
     def cursor(self) -> Cursor:
-        c = Cursor(self)  # Cursor only needs .log()
+        c = Cursor(self)  # Cursor needs .log()/.batch_for_ts()
         if self._cursor_start:
             c.seek(self._cursor_start)
         return c
+
+    def subscribe(self, callback, name: str = "default"):
+        """PUSH delivery on a table feed (r11 — the events Feed
+        contract, mirrored): callback(batch_id, rows) per committed
+        batch, THIS table's delta rows only, exactly once per batch
+        id across upstream retries (durable per-name ack)."""
+        tbl = self._table
+
+        def _filtered(batch_id, rows):
+            callback(batch_id,
+                     [r for r in rows if r["tbl"] == tbl])
+
+        return self._runner.subscribe(_filtered, name)
 
 
 class SnapshotTableFeed(TableFeed):

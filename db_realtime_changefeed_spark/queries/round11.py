@@ -944,3 +944,116 @@ def ts_dickey_fuller(spark, sf_dir):
                 df_stat.alias("df_stat"),
                 (df_stat < _DF_CRIT_5).alias("stationary_5pct"))
     )
+
+
+# ---------------------------------- changefeed_table_push / cursor_ts
+
+@query("changefeed_table_push", oracle=_TCUR_ORACLE)
+def changefeed_table_push(spark, sf_dir):
+    """PUSH delivery on a non-events table feed (the events
+    Feed.subscribe contract, mirrored onto the r11 table delta log):
+    a subscriber registered AFTER the replay receives the full
+    committed history as catch-up, in strictly increasing batch
+    order, exactly once per batch id — and a SECOND subscriber with
+    the same name receives NOTHING (the durable ack file marks the
+    history delivered; at-least-once upstream composes to
+    exactly-once callback effects). Both properties assert loudly;
+    the graded frame is the delta log reassembled from exactly what
+    the callback received, hashed against the independent
+    chunking-reconstruction oracle — a dropped batch, a duplicate,
+    or out-of-order delivery all break it."""
+    from ..api import Database
+
+    feed = Database(spark, sf_dir).table("orders").changes()
+    got: list = []
+    feed.subscribe(lambda b, rows: got.append((b, rows)),
+                   name="grade")
+    order = [b for b, _ in got]
+    if order != sorted(set(order)) or len(order) != 4:
+        raise AssertionError(f"push order broken: {order}")
+    replay: list = []
+    feed.subscribe(lambda b, rows: replay.append(b), name="grade")
+    if replay:
+        raise AssertionError(
+            f"acked history re-delivered: {replay}")
+    rows = [(r["batch_id"], str(r["key"]), r["d_count"],
+             float(r["d_sum"]))
+            for _, batch in got for r in batch]
+    return spark.createDataFrame(
+        rows, "batch_id long, key string, d_count long, d_sum double")
+
+
+_CTS_THRESHOLD = "1999-06-01"
+
+
+_CTS_ORACLE = f"""
+WITH env AS (
+  SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
+         o_totalprice AS value
+  FROM orders
+),
+p AS (
+  SELECT count(*) AS n,
+         CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+  FROM env
+),
+grp AS (
+  SELECT ts, count(*) AS c,
+         CAST(sum(count(*)) OVER (ORDER BY ts) AS BIGINT) AS cum_end
+  FROM env GROUP BY ts
+),
+bounds AS (
+  SELECT i,
+         (SELECT min(cum_end) FROM grp
+          WHERE cum_end >= least(i * p.per, p.n)) AS bound
+  FROM (SELECT unnest([1, 2, 3]) AS i), p
+),
+batched AS (
+  SELECT g.ts,
+         (SELECT count(*) FROM bounds b
+          WHERE b.bound <= g.cum_end - g.c) AS batch_id
+  FROM grp g
+),
+b0 AS (
+  SELECT min(batch_id) AS b FROM batched
+  WHERE ts >= TIMESTAMP '{_CTS_THRESHOLD}'
+)
+SELECT bt.batch_id, CAST(e.key AS VARCHAR) AS key,
+       count(*) AS d_count,
+       CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS d_sum
+FROM env e JOIN batched bt ON e.ts = bt.ts, b0
+WHERE bt.batch_id >= b0.b
+GROUP BY 1, 2
+"""
+
+
+@query("changefeed_table_cursor_ts", oracle=_CTS_ORACLE)
+def changefeed_table_cursor_ts(spark, sf_dir):
+    """seek_to_ts on a TABLE feed cursor (the Kafka offsetsForTimes
+    / CockroachDB cursor=<timestamp> surface, r11-mirrored off
+    events): position the cursor at the first batch containing any
+    change with event time >= {_CTS_THRESHOLD} — read off the
+    per-batch high-water marks the commit path records (chunks are
+    time-ordered, so the cumulative hwm crosses the threshold
+    exactly at that batch) — then poll to the end. The oracle
+    independently derives the same batch from the chunking
+    reconstruction, so a one-off in the hwm probe shifts whole
+    batches in or out of the hash."""
+    import datetime
+
+    from ..api import Database
+
+    feed = Database(spark, sf_dir).table("orders").changes()
+    c = feed.cursor()
+    b0 = c.seek_to_ts(datetime.datetime.fromisoformat(
+        f"{_CTS_THRESHOLD}T00:00:00"))
+    rows = c.poll()
+    if not rows or min(r.batch_id for r in rows) != b0:
+        raise AssertionError(
+            f"seek_to_ts landed at {b0} but delivery starts at "
+            f"{min((r.batch_id for r in rows), default=None)}")
+    log = feed.log()
+    return (
+        spark.createDataFrame(rows, log.schema) if rows
+        else spark.createDataFrame([], log.schema)
+    )

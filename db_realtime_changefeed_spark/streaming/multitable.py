@@ -254,6 +254,13 @@ class MultiTableChangefeedRunner:
         self._hwm: dict[str, object] = {}
         self._resolved: list[tuple[int, dict, object]] = []
         self._last_batch = self._pointer_batch()
+        # push subscribers (r11 — the events runner's subscribe()
+        # contract on table feeds): serialized under one lock,
+        # durable per-name acks under the runner root (push.py)
+        import threading
+
+        self._subscribers: list = []
+        self._sub_lock = threading.Lock()
 
     def _pointer_batch(self) -> int | None:
         if not os.path.exists(self.pointer):
@@ -389,6 +396,15 @@ class MultiTableChangefeedRunner:
                 self._resolved.append(
                     (batch_id, dict(self._hwm), min(self._hwm.values()))
                 )
+            # push committed delta to subscribers (commit-then-push-
+            # then-ack; a re-delivered batch is dropped at the ack)
+            if self._subscribers:
+                from .push import read_batch_log
+
+                rows = read_batch_log(self.log_root, batch_id)
+                with self._sub_lock:
+                    for sub in self._subscribers:
+                        sub.deliver(batch_id, rows)
         finally:
             batch_df.unpersist()
         self._last_batch = batch_id
@@ -495,6 +511,37 @@ class MultiTableChangefeedRunner:
             "cnt",
             F.col("sum_value").cast("double").alias("sum_value"),
         )
+
+    def subscribe(self, callback, name: str = "default"):
+        """Register a push subscriber on the table feed's delta log
+        (the events runner's contract, mirrored): committed history
+        the subscriber has not acked delivers immediately in batch
+        order, then live batches push from the commit path. The
+        durable per-name ack file keys resume-on-restart; batch_id
+        is the idempotency token."""
+        from .push import Subscriber, log_batches, read_batch_log
+
+        sub = Subscriber(self, callback, name)
+        committed = self._pointer_batch()
+        with self._sub_lock:
+            for b in log_batches(self.log_root):
+                if committed is not None and b <= committed \
+                        and b > sub.acked:
+                    sub.deliver(b, read_batch_log(self.log_root, b))
+            self._subscribers.append(sub)
+        return sub
+
+    def batch_for_ts(self, ts):
+        """First batch containing any change with event time >= ts —
+        the Kafka offsetsForTimes shape, read off the per-batch
+        high-water marks the commit path records (chunks are
+        time-ordered, so the cumulative hwm crosses ts exactly at
+        the first batch carrying such a row). None if no batch
+        reaches ts."""
+        for batch_id, hwm, _ in self._resolved:
+            if max(hwm.values()) >= ts:
+                return batch_id
+        return None
 
     def log(self) -> DataFrame:
         """The committed per-batch keyed-delta log — the Cursor/

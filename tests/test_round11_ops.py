@@ -11,6 +11,7 @@ retention_queries machinery."""
 from __future__ import annotations
 
 import math
+import os
 from collections import defaultdict
 from decimal import Decimal
 
@@ -521,3 +522,54 @@ def test_dickey_fuller_matches_statsmodels_free_replay(
         assert r.df_stat == pytest.approx(float(coef[1]) / se,
                                           rel=1e-6)
         assert r.stationary_5pct == (r.df_stat < -2.86)
+
+
+# ---- table-feed push delivery + seek_to_ts
+
+
+def test_table_live_push_delivers_ingested_batch(spark, sf_smoke):
+    """A subscriber registered on a LIVE table feed receives the
+    replayed history as catch-up AND each newly ingested file's
+    delta as a live push from the commit path."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_realtime_changefeed_spark.api import Database
+    from db_realtime_changefeed_spark.tmputil import scratch_dir
+
+    feed = (Database(spark, sf_smoke).table("orders")
+            .changes(mode="live", processing_time="250 milliseconds"))
+    try:
+        got: list = []
+        feed.subscribe(lambda b, rows: got.append((b, len(rows))),
+                       name="live-test")
+        n_catchup = len(got)
+        src = load_table(spark, sf_smoke, "orders").limit(3).toArrow()
+        f = os.path.join(scratch_dir(prefix="dbrcf-livepush-"),
+                         "extra.parquet")
+        pq.write_table(pa.table(src), f)
+        feed.ingest(f)
+        deadline = time.time() + 30
+        while len(got) == n_catchup and time.time() < deadline:
+            time.sleep(0.25)
+        assert len(got) > n_catchup, "live push never arrived"
+        bs = [b for b, _ in got]
+        assert bs == sorted(set(bs))  # strictly increasing, no dup
+    finally:
+        feed.stop()
+
+
+def test_table_seek_to_ts_past_end_drains_nothing(spark, sf_smoke):
+    import datetime
+
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = Database(spark, sf_smoke).table("orders").changes()
+    c = feed.cursor()
+    b = c.seek_to_ts(datetime.datetime(2030, 1, 1))
+    assert b == 4 and c.poll() == []
+    c2 = feed.cursor()
+    b2 = c2.seek_to_ts(datetime.datetime(1990, 1, 1))
+    assert b2 == 0 and len(c2.poll()) > 0
