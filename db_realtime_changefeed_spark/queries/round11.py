@@ -1057,3 +1057,151 @@ def changefeed_table_cursor_ts(spark, sf_dir):
         spark.createDataFrame(rows, log.schema) if rows
         else spark.createDataFrame([], log.schema)
     )
+
+
+# ------------------------------------- llm_dedup_streaming_minhash
+
+_SDM_THR = 0.5  #: est-Jaccard flag threshold (16 of 32 hashes)
+
+
+def _sdm_oracle() -> str:
+    """Wrap the generated md5-MinHash pair oracle: a later arrival
+    (doc_id order IS arrival order) is flagged against its SMALLEST
+    colliding predecessor at est >= threshold."""
+    from .llm import _minhash_md5_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_md5_oracle()})
+    SELECT doc_id, dup_of, est_jaccard FROM (
+      SELECT doc_b AS doc_id, doc_a AS dup_of, est_jaccard,
+             row_number() OVER (PARTITION BY doc_b ORDER BY doc_a)
+               AS rk
+      FROM pairs WHERE est_jaccard >= {_SDM_THR})
+    WHERE rk = 1
+    """
+
+
+def _sdm_bands(d):
+    """(doc_id, mh0..mh{31}, band_idx, band_hash) — the portable
+    md5 MinHash/LSH signature relation (llm_dedup_minhash_md5's
+    construction, factored for incremental use)."""
+    from .llm import _N_BANDS, _N_MINHASH, _shingles
+
+    sh = _shingles(d)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))
+                      .cast("binary"))).alias(f"mh{i}")
+          for i in range(_N_MINHASH)])
+    rpb = _N_MINHASH // _N_BANDS
+    mh_cols = [F.col(f"mh{i}") for i in range(_N_MINHASH)]
+    return mins.select(
+        "doc_id", *mh_cols,
+        F.posexplode(F.array(
+            *[F.md5(F.concat(*[F.col(f"mh{b * rpb + r}")
+                               for r in range(rpb)]).cast("binary"))
+              for b in range(_N_BANDS)]
+        )).alias("band_idx", "band_hash"))
+
+
+@query("llm_dedup_streaming_minhash", oracle=_sdm_oracle())
+def llm_dedup_streaming_minhash(spark, sf_dir):
+    """NEAR-DUP DETECTION AT INGESTION — the production corpus
+    intake shape (every crawler pipeline runs this): documents
+    arrive in micro-batches (doc_id order, 4 chunks through the
+    generic arrival log), and each batch's docs are LSH-probed
+    against the ACCUMULATED band index of every prior arrival plus
+    their own batch's earlier docs; flagged docs report their
+    smallest colliding predecessor at est-Jaccard >= {_SDM_THR}.
+    The band index then absorbs the whole batch (detect-only
+    policy: flagged docs still index, so a chain's every later
+    member reports; the survivor-only variant is the
+    llm_semantic_dedup_cluster family). The oracle is the BATCH
+    twin: the full md5-MinHash pair relation with the same
+    smallest-predecessor rule — a batch that probed the wrong
+    prefix, dropped a band write, or double-indexed breaks the
+    hash.
+
+    Scale: per batch, candidates are band-bucket equi-join
+    collisions only (never all-pairs); the index grows by one small
+    signature relation per batch — the same append-only posture as
+    llm_index_maintain_stream, with 32 fixed-width md5 columns as
+    the whole per-doc state."""
+    import glob as _glob
+    import os as _os
+
+    from ..catalog import SCHEMAS
+    from ..streaming.generic_views import _keyed_chunks
+    from ..streaming.replay import (
+        fresh_sink_name,
+        streaming_shuffle,
+    )
+    from ..tmputil import scratch_dir
+    from .llm import _N_MINHASH
+
+    chunks = _keyed_chunks(spark, sf_dir, "documents", "doc_id")
+    root = scratch_dir(prefix="dbrcf-sdm-")
+    idx_root = _os.path.join(root, "bands")
+    out_root = _os.path.join(root, "flags")
+    _os.makedirs(idx_root, exist_ok=True)
+    _os.makedirs(out_root, exist_ok=True)
+    mh = [f"mh{i}" for i in range(_N_MINHASH)]
+    band_ddl = ("doc_id bigint, "
+                + ", ".join(f"{c} string" for c in mh)
+                + ", band_idx int, band_hash string")
+
+    def _batch(df, batch_id):
+        bands = _sdm_bands(df).persist()
+        try:
+            prior_dirs = sorted(_glob.glob(
+                _os.path.join(idx_root, "batch-*")))
+            if prior_dirs:
+                prior = (spark.read.schema(band_ddl)
+                         .option("recursiveFileLookup", "true")
+                         .parquet(idx_root))
+                probe = prior.unionByName(bands)
+            else:
+                probe = bands
+            a = probe.alias("a")
+            b = bands.alias("b")
+            eq = sum([(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"))
+                      .cast("int") for i in range(_N_MINHASH)],
+                     F.lit(0))
+            matches = (
+                a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                       & (F.col("a.band_hash") == F.col("b.band_hash"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("b.doc_id").alias("doc_id"),
+                        F.col("a.doc_id").alias("dup_of"),
+                        (eq.cast("double")
+                         / F.lit(float(_N_MINHASH)))
+                        .alias("est_jaccard"))
+                .where(F.col("est_jaccard") >= _SDM_THR)
+                .distinct()
+            )
+            (matches.write.mode("overwrite")
+             .parquet(_os.path.join(out_root,
+                                    f"batch-{batch_id:05d}")))
+            (bands.write.mode("overwrite")
+             .parquet(_os.path.join(idx_root,
+                                    f"batch-{batch_id:05d}")))
+        finally:
+            bands.unpersist()
+
+    stream = (spark.readStream.schema(SCHEMAS["documents"])
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    with streaming_shuffle(spark):
+        q = (stream.writeStream.foreachBatch(_batch)
+             .option("checkpointLocation",
+                     _os.path.join(root, "ckpt"))
+             .trigger(availableNow=True)
+             .queryName(fresh_sink_name("sdm")).start())
+        q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    flags = (spark.read.schema(
+        "doc_id bigint, dup_of bigint, est_jaccard double")
+        .option("recursiveFileLookup", "true").parquet(out_root))
+    wk = W.partitionBy("doc_id").orderBy("dup_of")
+    return (flags.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") == 1)
+            .select("doc_id", "dup_of", "est_jaccard"))

@@ -573,3 +573,50 @@ def test_table_seek_to_ts_past_end_drains_nothing(spark, sf_smoke):
     c2 = feed.cursor()
     b2 = c2.seek_to_ts(datetime.datetime(1990, 1, 1))
     assert b2 == 0 and len(c2.poll()) > 0
+
+
+def test_table_delta_log_chunking_invariant_totals(spark, sf_smoke):
+    """Per-key totals folded from the delta log must be identical at
+    4 and 7 chunks (batch boundaries move, the algebra must not)."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+    )
+
+    totals = []
+    for n in (4, 7):
+        r = MultiTableChangefeedRunner(spark, sf_smoke,
+                                       tables=("orders",))
+        r.run(n_chunks=n)
+        agg = (r.log().groupBy("key")
+               .agg(F.sum("d_count").alias("c"),
+                    F.sum("d_sum").alias("s")).collect())
+        totals.append(sorted((row.key, row.c, str(row.s))
+                             for row in agg))
+        assert len({row.batch_id for row in r.log().collect()}) == n
+    assert totals[0] == totals[1]
+
+
+def test_streaming_minhash_equals_batch_twin(spark, sf_smoke):
+    """The incremental LSH result == the batch pair relation with
+    the same smallest-predecessor rule (llm_dedup_minhash_md5 is
+    the graded batch twin)."""
+    from db_realtime_changefeed_spark.queries.llm import (
+        llm_dedup_minhash_md5,
+    )
+    from db_realtime_changefeed_spark.queries.round11 import (
+        _SDM_THR,
+        llm_dedup_streaming_minhash,
+    )
+
+    pairs = llm_dedup_minhash_md5(spark, sf_smoke).collect()
+    expect = {}
+    for r in pairs:
+        if r.est_jaccard >= _SDM_THR:
+            cur = expect.get(r.doc_b)
+            if cur is None or r.doc_a < cur[0]:
+                expect[r.doc_b] = (r.doc_a, r.est_jaccard)
+    got = {r.doc_id: (r.dup_of, r.est_jaccard)
+           for r in llm_dedup_streaming_minhash(spark, sf_smoke)
+           .collect()}
+    assert got == expect
+    assert got, "fixture must contain at least one near-dup"
