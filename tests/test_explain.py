@@ -674,3 +674,32 @@ def test_round11_stomp_no_pair_join(spark, sf_oracle):
                  "ShuffledHashJoin", "CartesianProduct",
                  "BroadcastNestedLoopJoin"):
         assert join not in plan, f"pair join leaked: {join}"
+
+
+def test_round11_wave_plans(spark, sf_oracle):
+    """LTTB rides the same kernel shape as STOMP (one
+    FlatMapGroupsInPandas, no join); Dickey-Fuller is one scan, one
+    per-series lag window, one moment aggregate — no join at all;
+    frame-exclude's window is partitioned (never a global sort);
+    hybrid RRF broadcasts the 1-row query vector (the only
+    nested-loop join allowed) and the two 50-row rank lists."""
+    import re
+
+    plan = _plan(spark, sf_oracle, "ts_downsample_lttb")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+
+    plan = _plan(spark, sf_oracle, "ts_dickey_fuller")
+    assert "Join" not in plan
+    for frag in re.findall(
+            r"windowspecdefinition\(([^,)]*)", plan):
+        assert frag.strip(), "ts_dickey_fuller: global window"
+
+    plan = _plan(spark, sf_oracle, "win_frame_exclude")
+    for frag in re.findall(
+            r"windowspecdefinition\(([^,)]*)", plan):
+        assert frag.strip(), "win_frame_exclude: global window"
+
+    plan = _plan(spark, sf_oracle, "llm_hybrid_rrf")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row query vector
+    assert "CartesianProduct" not in plan
