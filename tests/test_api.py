@@ -287,8 +287,10 @@ def test_initial_scan_options(spark, sf_smoke):
         db.table("events").changes(initial_scan="maybe")
     with pytest.raises(ValueError):
         db.table("events").changes(mode="live", initial_scan="only")
-    with pytest.raises(NotImplementedError):
-        db.table("orders").changes(initial_scan="no")
+    # r11: initial_scan='no' is WIRED off events too (table delta
+    # cursors); the detailed contract pins live in test_round11_ops
+    assert db.table("orders").changes(
+        initial_scan="no").cursor().poll() == []
 
 
 def test_live_initial_scan_no_skips_preexisting_history(
