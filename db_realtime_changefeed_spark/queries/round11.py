@@ -1205,3 +1205,137 @@ def llm_dedup_streaming_minhash(spark, sf_dir):
     return (flags.withColumn("rk", F.row_number().over(wk))
             .where(F.col("rk") == 1)
             .select("doc_id", "dup_of", "est_jaccard"))
+
+
+# ------------------------------------------------- cohort_dau_wau
+
+@query(
+    "cohort_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day)
+    SELECT d.day, dau.dau, wau.wau,
+           FLOOR(CAST(dau.dau AS DOUBLE) * 1000000.0 / wau.wau
+                 + 0.5) / 1000000.0 AS stickiness6
+    FROM days d JOIN dau ON dau.day = d.day
+    JOIN wau ON wau.day = d.day
+    """,
+)
+def cohort_dau_wau(spark, sf_dir):
+    """DAU/WAU STICKINESS — the product-analytics engagement KPI
+    (what fraction of the week's active users showed up today),
+    completing the cohort family next to cohort_retention: distinct
+    active users per day, per trailing 7-day window, and their
+    ratio through the tie-deterministic 6-dp floor divide. The
+    trailing-window distinct count CANNOT ride a plain window frame
+    (distinct-over-frame isn't frame-computable) — the standard
+    reformulation is the bounded range join of the day spine
+    against the deduplicated (user, day) relation, then one
+    count-distinct aggregate per day.
+
+    Scale: the events scan collapses to the (user, day) distinct
+    relation first (the only full-size shuffle); the day-spine join
+    fans each user-day to ≤7 spine days — O(7·|user-days|), keyed
+    by day, embarrassingly parallel. All-integer arithmetic until
+    the final division."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id",
+                F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d, u = days.alias("d"), ud.alias("u")
+    wau = (
+        d.join(u, (F.col("u.day") <= F.col("d.day"))
+               & (F.col("u.day") >= F.col("d.day")
+                  - F.expr("INTERVAL 6 DAY")))
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day").join(wau, "day")
+        .select("day", "dau", "wau",
+                dround6_div(F.col("dau").cast("double"),
+                            F.col("wau")).alias("stickiness6"))
+    )
+
+
+# ------------------------------------------- changefeed_view_live_orders
+
+@query(
+    "changefeed_view_live_orders",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_orderstatus, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM latest WHERE rn = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def changefeed_view_live_orders(spark, sf_dir):
+    """LIVE standing views on a SECOND table (r11: the events
+    runner's continuous mode, mirrored onto GenericAggViewRunner so
+    any table's view family runs live, not just replays): a fresh
+    orders runner starts under a ProcessingTime trigger, a producer
+    ingests the four arrival-log chunk files while it runs,
+    convergence is detected from the engine's own progress
+    telemetry (completed-batch numInputRows covering the table),
+    and the stream stops. Graded on the FINAL agg view — live batch
+    boundaries are timing-dependent, but the retraction fold is
+    chunking-invariant, so the final state must equal the batch
+    latest-order-per-customer aggregate however the batches fell."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from ..streaming.generic_views import (
+        GenericAggViewRunner,
+        _keyed_chunks,
+    )
+
+    chunks = _keyed_chunks(spark, sf_dir, "orders", "o_orderkey")
+    r = GenericAggViewRunner(
+        spark, sf_dir, table="orders", key="o_custkey",
+        seq="o_orderkey", ts="o_orderdate",
+        group="o_orderstatus", value="o_totalprice")
+    r.start_live(processing_time="250 milliseconds")
+    try:
+        for f in sorted(_glob.glob(
+                _os.path.join(chunks, "chunk-*.parquet"))):
+            r.ingest(f)
+        total = load_table(spark, sf_dir, "orders").count()
+        absorbed: dict = {}
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            for p in r._live_query.recentProgress:
+                absorbed[p["batchId"]] = p["numInputRows"]
+            if sum(absorbed.values()) >= total:
+                break
+            _time.sleep(0.25)
+        if sum(absorbed.values()) < total:
+            raise AssertionError(
+                f"live view absorbed {sum(absorbed.values())} of "
+                f"{total} rows before the deadline")
+    finally:
+        r.stop_live()
+    last = max(r._batches)
+    return r._agg.df_at(last).select(
+        "o_orderstatus", "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"))

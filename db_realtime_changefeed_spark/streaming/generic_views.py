@@ -570,6 +570,52 @@ class GenericAggViewRunner:
             )
             q.awaitTermination()
 
+    # ---- continuous maintenance (r11: the events runner's live
+    # ---- mode, mirrored so ANY table's standing views run live)
+
+    def start_live(self, processing_time: str = "500 milliseconds"):
+        """Continuous maintenance: the same per-batch merge+fold
+        runs under a ProcessingTime trigger over a LIVE source dir
+        (the table's own schema); every view keeps updating as
+        change files arrive, until stop_live(). Returns the live
+        source dir."""
+        self.source_dir = scratch_dir(
+            prefix=f"dbrcf-gview-live-{self.table}-")
+        schema = load_table(self.spark, self.sf_dir,
+                            self.table).schema
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.source_dir)
+        )
+        with streaming_shuffle(self.spark):
+            self._live_query = (
+                stream.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(processingTime=processing_time)
+                .queryName(fresh_sink_name("genericview_live"))
+                .start()
+            )
+        return self.source_dir
+
+    def ingest(self, parquet_file: str) -> None:
+        import shutil as _shutil
+        import time as _time
+
+        n = len([f for f in os.listdir(self.source_dir)
+                 if f.endswith(".parquet")])
+        dst = os.path.join(self.source_dir, f"live-{n:06d}.parquet")
+        _shutil.copyfile(parquet_file, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+        os.utime(dst, (_time.time(), 1_800_000_000.0 + n))
+
+    def stop_live(self) -> None:
+        q = getattr(self, "_live_query", None)
+        if q is not None and q.isActive:
+            q.stop()
+            q.awaitTermination()
+
     def delta_log(self) -> DataFrame:
         """The full per-row {old,new} change log across all committed
         batches — the generic twin of MaintainedViewsRunner's

@@ -620,3 +620,31 @@ def test_streaming_minhash_equals_batch_twin(spark, sf_smoke):
            .collect()}
     assert got == expect
     assert got, "fixture must contain at least one near-dup"
+
+
+def test_dau_wau_matches_python_replay(spark, sf_smoke):
+    from db_realtime_changefeed_spark.queries.round11 import (
+        cohort_dau_wau,
+    )
+
+    ud = duckdb.sql(
+        f"""SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM read_parquet('{SF}/events.parquet')""").fetchall()
+    by_day = defaultdict(set)
+    for u, d in ud:
+        by_day[d].add(u)
+    days = sorted(by_day)
+    got = {r.day.date(): r for r in
+           cohort_dau_wau(spark, SF).collect()}
+    assert len(got) == len(days)
+    for d in days:
+        wau_set = set()
+        for d2 in days:
+            if 0 <= (d - d2).days <= 6:
+                wau_set |= by_day[d2]
+        r = got[d.date() if hasattr(d, "date") else d]
+        assert r.dau == len(by_day[d])
+        assert r.wau == len(wau_set)
+        assert r.stickiness6 == math.floor(
+            r.dau * 1e6 / r.wau + 0.5) / 1e6
+        assert r.dau <= r.wau
