@@ -1422,3 +1422,97 @@ def changefeed_topk_view_lineitem(spark, sf_dir):
 
     return lineitem_runner(spark, sf_dir).topk_trajectory().select(
         "batch_id", "li_key", "value", "l_partkey", "rk")
+
+
+@query(
+    "changefeed_quantile_view_lineitem",
+    oracle=_LI_VIS_CTE + """
+    , c AS (
+      SELECT batch_id, l_returnflag, l_extendedprice AS value,
+             count(*) OVER (PARTITION BY batch_id, l_returnflag
+                            ORDER BY l_extendedprice
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+             count(*) OVER (PARTITION BY batch_id, l_returnflag)
+               AS w
+      FROM vis)
+    SELECT batch_id, l_returnflag,
+           CAST(any_value(w) AS BIGINT) AS n,
+           min(CASE WHEN 2 * cumw >= w THEN value END)
+             AS median_value,
+           min(CASE WHEN 10 * cumw >= 9 * w THEN value END)
+             AS p90_value
+    FROM c GROUP BY batch_id, l_returnflag
+    """,
+)
+def changefeed_quantile_view_lineitem(spark, sf_dir):
+    """Exact MEDIAN/P90 maintained on the composite-key table — the
+    banded two-level extraction off the lineitem support relation
+    (per-(batch, group, band) histogram, prefix sum over the
+    bounded band domain locates the crossing band, only
+    crossed-band rows enter the fine cumulative window). FIVE view
+    families off the one cached lineitem CDC scan. Trajectory-
+    graded per batch prefix against the whole-group SQL window."""
+    from ..streaming.generic_views import lineitem_runner
+
+    return lineitem_runner(spark, sf_dir).quantile_trajectory()
+
+
+@query(
+    "changefeed_variance_view_lineitem",
+    oracle=_LI_VIS_CTE + """
+    , kilo AS (
+      SELECT batch_id, l_returnflag,
+             CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS vk
+      FROM vis)
+    SELECT batch_id, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           FLOOR((CAST(sum(vk * vk) AS DOUBLE) / count(*)
+                  - (CAST(sum(vk) AS DOUBLE) / count(*))
+                    * (CAST(sum(vk) AS DOUBLE) / count(*)))
+                 * 1000000.0 + 0.5) / 1000000.0
+             AS vark_pop6
+    FROM kilo GROUP BY batch_id, l_returnflag
+    """,
+)
+def changefeed_variance_view_lineitem(spark, sf_dir):
+    """Exact population variance maintained on the composite-key
+    table, read off the same support relation — in KILODOLLAR units
+    (the changefeed_variance_view_orders recipe: extendedprice² sums
+    reach the ~2e10 range where the engines' decimal→double
+    conversions stop agreeing, so the value rescales v/1000 through
+    ONE identical IEEE division before decimal quantization). n,
+    Σvk, Σvk² fold in exact decimal weighted by the support
+    multiplicities; only the final E[v²]−E[v]² runs in doubles on
+    bit-identical inputs, floor-quantized at 6 dp. SIX families off
+    the one cached lineitem scan."""
+    from pyspark.sql import functions as FX
+
+    from ..streaming.generic_views import lineitem_runner
+
+    r = lineitem_runner(spark, sf_dir)
+    vdec = (FX.col("l_extendedprice") / FX.lit(1000.0)).cast(
+        "decimal(18,6)")
+    parts = []
+    for b in r._batches:
+        g = r._support.df_at(b).groupBy("l_returnflag").agg(
+            FX.sum("cnt").alias("n"),
+            FX.sum(vdec * FX.col("cnt")).alias("s"),
+            FX.sum(vdec * vdec * FX.col("cnt")).alias("sq"),
+        )
+        var = (
+            FX.col("sq").cast("double") / FX.col("n")
+            - (FX.col("s").cast("double") / FX.col("n"))
+            * (FX.col("s").cast("double") / FX.col("n"))
+        )
+        parts.append(
+            g.select(
+                FX.lit(b).cast("long").alias("batch_id"),
+                "l_returnflag", "n",
+                (FX.floor(var * FX.lit(1000000.0) + FX.lit(0.5))
+                 .cast("double") / FX.lit(1000000.0))
+                .alias("vark_pop6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
