@@ -225,6 +225,14 @@ class SnapshotTableFeed(TableFeed):
             "initial_scan='only' feeds are snapshots; no cursor"
         )
 
+    def subscribe(self, callback, name: str = "default"):
+        # without this override the inherited TableFeed.subscribe
+        # would push the full historical delta log — exactly the
+        # history the caller opted out of (mirrors SnapshotFeed)
+        raise NotImplementedError(
+            "initial_scan='only' feeds are snapshots; no push delivery"
+        )
+
 
 class LiveTableFeed(TableFeed):
     """A continuously-running table feed: the producer pushes change

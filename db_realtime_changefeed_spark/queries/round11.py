@@ -14,11 +14,17 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..streaming.replay import default_chunks
 from . import query
 from ._util import DEC, davg, dround6_div, dsum, sql_davg, sql_dsum
 from .llm import _sql_dot
 
 __all__ = ["load"]
+
+#: replay micro-batch count — interpolated into every oracle and
+#: in-query assert below (ADVICE r11: hardcoded 4s broke under
+#: SPARK_GRAFT_STREAM_CHUNKS; round10.py's interpolation pattern)
+_NB = default_chunks()
 
 
 def load() -> None:  # imported for side effects; keep a hook anyway
@@ -32,7 +38,7 @@ def load() -> None:  # imported for side effects; keep a hook anyway
 #: the end of the ts group straddling it (cum_end = running count in
 #: ts order, deterministic even with duplicate order dates), and a
 #: ts group's batch is the number of bounds at or below its start.
-_TCUR_ORACLE = """
+_TCUR_ORACLE = f"""
 WITH env AS (
   SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
          o_totalprice AS value
@@ -40,7 +46,7 @@ WITH env AS (
 ),
 p AS (
   SELECT count(*) AS n,
-         CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+         CAST(ceil(count(*) / {_NB}.0) AS BIGINT) AS per
   FROM env
 ),
 grp AS (
@@ -52,7 +58,7 @@ bounds AS (
   SELECT i,
          (SELECT min(cum_end) FROM grp
           WHERE cum_end >= least(i * p.per, p.n)) AS bound
-  FROM (SELECT unnest([1, 2, 3]) AS i), p
+  FROM (SELECT unnest(range(1, {_NB})) AS i), p
 ),
 batched AS (
   SELECT g.ts,
@@ -95,12 +101,12 @@ def changefeed_table_cursor(spark, sf_dir):
 
     feed = Database(spark, sf_dir).table("orders").changes()
     log = feed.log()
-    mid = 2  # default_chunks() // 2 — the persisted crash token
+    mid = _NB // 2  # the persisted crash token
     consumed = log.where(F.col("batch_id") < mid)
     c = feed.cursor()
     c.seek(mid)
     rows = c.poll()
-    n_batches = 4
+    n_batches = _NB
     if c.position != n_batches:
         raise AssertionError(
             f"cursor resumed to {c.position}, expected {n_batches}")
@@ -111,7 +117,7 @@ def changefeed_table_cursor(spark, sf_dir):
     return consumed.unionByName(resumed)
 
 
-_LI_VIEW_ORACLE = """
+_LI_VIEW_ORACLE = f"""
 WITH numbered AS (
   SELECT l_orderkey, l_linenumber, l_shipdate, l_partkey,
          l_returnflag, l_extendedprice,
@@ -120,7 +126,7 @@ WITH numbered AS (
          count(*) OVER () AS n
   FROM lineitem
 ), chunked AS (
-  SELECT *, CAST(floor(rn / ceil(n / 4.0)) AS BIGINT) AS chunk
+  SELECT *, CAST(floor(rn / ceil(n / {_NB}.0)) AS BIGINT) AS chunk
   FROM numbered
 ), batches AS (SELECT DISTINCT chunk AS batch_id FROM chunked),
 latest AS (
@@ -471,7 +477,8 @@ bkt AS (
               ELSE 1 + CAST(floor((t - 1) * {_LTTB_B - 2}.0 / (n - 2))
                             AS INT)
          END AS b
-  FROM s),
+  FROM s
+  WHERE n > {_LTTB_B}),
 avgs AS (
   SELECT event_type, b,
          sum(CAST(t AS DOUBLE)) / count(*) AS ax,
@@ -499,6 +506,13 @@ SELECT event_type, CAST(b AS INT) AS bucket, t, y FROM sel
 UNION ALL
 SELECT event_type, CAST({_LTTB_B - 1} AS INT) AS bucket, t, y
 FROM bkt WHERE b = {_LTTB_B - 1}
+UNION ALL
+-- small-n passthrough: the kernel emits every point of a series with
+-- n <= B (bucket = position); the oracle mirrors it so a fixture
+-- change to short series fails cleanly, not by hash (ADVICE r11) —
+-- also dodges the (n - 2) divisor at n <= 2
+SELECT event_type, CAST(t AS INT) AS bucket, t, y
+FROM s WHERE n <= {_LTTB_B}
 """
 
 _LTTB_DDL = "event_type string, bucket int, t long, y double"
@@ -969,7 +983,7 @@ def changefeed_table_push(spark, sf_dir):
     feed.subscribe(lambda b, rows: got.append((b, rows)),
                    name="grade")
     order = [b for b, _ in got]
-    if order != sorted(set(order)) or len(order) != 4:
+    if order != sorted(set(order)) or len(order) != _NB:
         raise AssertionError(f"push order broken: {order}")
     replay: list = []
     feed.subscribe(lambda b, rows: replay.append(b), name="grade")
@@ -994,7 +1008,7 @@ WITH env AS (
 ),
 p AS (
   SELECT count(*) AS n,
-         CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+         CAST(ceil(count(*) / {_NB}.0) AS BIGINT) AS per
   FROM env
 ),
 grp AS (
@@ -1006,7 +1020,7 @@ bounds AS (
   SELECT i,
          (SELECT min(cum_end) FROM grp
           WHERE cum_end >= least(i * p.per, p.n)) AS bound
-  FROM (SELECT unnest([1, 2, 3]) AS i), p
+  FROM (SELECT unnest(range(1, {_NB})) AS i), p
 ),
 batched AS (
   SELECT g.ts,
@@ -1343,7 +1357,7 @@ def changefeed_view_live_orders(spark, sf_dir):
 
 # ----------------------- lineitem standing-view family completion
 
-_LI_VIS_CTE = """
+_LI_VIS_CTE = f"""
 WITH numbered AS (
   SELECT l_orderkey, l_linenumber, l_shipdate, l_partkey,
          l_returnflag, l_extendedprice,
@@ -1352,7 +1366,7 @@ WITH numbered AS (
          count(*) OVER () AS n
   FROM lineitem
 ), chunked AS (
-  SELECT *, CAST(floor(rn / ceil(n / 4.0)) AS BIGINT) AS chunk
+  SELECT *, CAST(floor(rn / ceil(n / {_NB}.0)) AS BIGINT) AS chunk
   FROM numbered
 ), batches AS (SELECT DISTINCT chunk AS batch_id FROM chunked),
 latest AS (

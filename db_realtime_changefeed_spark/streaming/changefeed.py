@@ -392,14 +392,19 @@ class ChangefeedRunner:
         subscriber. Runs AFTER the state/log commit (so a crash
         before here re-delivers the batch — at-least-once upstream);
         each subscriber's durable ack dedupes to exactly-once."""
-        if not self._subscribers:
-            return
         from .push import read_batch_log
 
-        rows = read_batch_log(self.log_dir, batch_id)
-        if not rows:
-            return
+        # subscriber check INSIDE the lock: checked outside, a
+        # concurrent subscribe() that already listed the log (without
+        # this batch) but had not yet appended itself would miss the
+        # batch on both paths (same race class as the multitable
+        # runner — ADVICE r11, fixed on both)
         with self._sub_lock:
+            if not self._subscribers:
+                return
+            rows = read_batch_log(self.log_dir, batch_id)
+            if not rows:
+                return
             for s in self._subscribers:
                 s.deliver(batch_id, rows)
 

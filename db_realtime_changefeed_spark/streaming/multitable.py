@@ -397,12 +397,17 @@ class MultiTableChangefeedRunner:
                     (batch_id, dict(self._hwm), min(self._hwm.values()))
                 )
             # push committed delta to subscribers (commit-then-push-
-            # then-ack; a re-delivered batch is dropped at the ack)
-            if self._subscribers:
-                from .push import read_batch_log
+            # then-ack; a re-delivered batch is dropped at the ack).
+            # The subscriber-list CHECK sits inside _sub_lock: checked
+            # outside, a subscriber registering concurrently could
+            # read the pre-flip pointer (skipping this batch in
+            # catch-up) while this push skips it too (not yet
+            # appended) — a permanently lost batch (ADVICE r11).
+            from .push import read_batch_log
 
-                rows = read_batch_log(self.log_root, batch_id)
-                with self._sub_lock:
+            with self._sub_lock:
+                if self._subscribers:
+                    rows = read_batch_log(self.log_root, batch_id)
                     for sub in self._subscribers:
                         sub.deliver(batch_id, rows)
         finally:
@@ -522,8 +527,14 @@ class MultiTableChangefeedRunner:
         from .push import Subscriber, log_batches, read_batch_log
 
         sub = Subscriber(self, callback, name)
-        committed = self._pointer_batch()
         with self._sub_lock:
+            # the committed pointer is read UNDER the lock: read
+            # before it, a batch committing concurrently could be
+            # invisible to catch-up (stale pointer) AND missed by the
+            # push (not yet appended) — both sides serialize on
+            # _sub_lock so one of them always sees the batch; double
+            # delivery is deduped by the durable ack (ADVICE r11)
+            committed = self._pointer_batch()
             for b in log_batches(self.log_root):
                 if committed is not None and b <= committed \
                         and b > sub.acked:
@@ -640,7 +651,18 @@ def table_resume(runner: MultiTableChangefeedRunner, table: str,
                 f"resume token {token} predates the retention "
                 f"horizon (oldest retained batch: {oldest}); "
                 "re-subscribe with allow_snapshot=True")
-        snap_at = (oldest if oldest is not None else 0) - 1
+        if oldest is None:
+            # log fully GC'd: serve the LATEST committed state as the
+            # snapshot with an empty delta tail (state_at(-1) would
+            # fail on a nonexistent version — ADVICE r11); no commits
+            # at all is a genuinely unservable resume
+            snap_at = runner._pointer_batch()
+            if snap_at is None:
+                raise ExpiredCursorError(
+                    "delta log fully GC'd and no committed state "
+                    "exists; nothing to resume from")
+        else:
+            snap_at = oldest - 1
         snapshot = (
             runner.state_at(snap_at)
             .where(F.col("tbl") == table)

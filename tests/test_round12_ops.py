@@ -1,0 +1,111 @@
+"""Round-12 semantic pins — the r11 ADVICE fixes.
+
+Delivery-loss race (subscribe vs commit serialization), the
+SnapshotTableFeed push refusal, and table_resume on a fully-GC'd
+delta log."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_realtime_changefeed_spark.catalog import load_table
+
+
+def test_table_snapshot_feed_refuses_push(spark, sf_smoke):
+    """initial_scan='only' must refuse subscribe() too — inherited
+    TableFeed.subscribe would push the full historical delta log,
+    exactly the history the caller opted out of (ADVICE r11)."""
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = (Database(spark, sf_smoke).table("orders")
+            .changes(initial_scan="only"))
+    with pytest.raises(NotImplementedError):
+        feed.subscribe(lambda b, rows: None)
+
+
+def test_table_subscribe_serializes_under_commit_lock(
+        spark, sf_smoke):
+    """subscribe() must read the committed pointer and run catch-up
+    UNDER _sub_lock (the commit path pushes under the same lock), so
+    a batch committing concurrently is seen by exactly one side —
+    never neither (the r11 ADVICE delivery-loss race)."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+    )
+
+    r = MultiTableChangefeedRunner(spark, sf_smoke,
+                                   tables=("orders",))
+    r.run()
+    got: list = []
+    t = threading.Thread(
+        target=lambda: r.subscribe(
+            lambda b, rows: got.append(b), name="locktest"))
+    assert r._sub_lock.acquire()
+    try:
+        t.start()
+        t.join(timeout=1.0)
+        # catch-up must be waiting on the lock the commit path holds
+        assert t.is_alive(), "subscribe ran outside _sub_lock"
+        assert got == []
+    finally:
+        r._sub_lock.release()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # once the lock frees, full history arrives in order, once each
+    assert got == list(range(len(r.versions())))
+
+
+def test_events_push_checks_subscribers_under_lock(spark, sf_smoke):
+    """ChangefeedRunner._push must take _sub_lock BEFORE the
+    subscriber-list check (same race class, events side)."""
+    from db_realtime_changefeed_spark.streaming.changefeed import (
+        ChangefeedRunner,
+    )
+
+    r = ChangefeedRunner(spark, sf_smoke)
+    r.run()
+    last = max(
+        x.batch_id for x in r.log().select("batch_id").collect())
+    assert r._sub_lock.acquire()
+    try:
+        t = threading.Thread(target=lambda: r._push(last))
+        t.start()
+        t.join(timeout=1.0)
+        assert t.is_alive(), "_push checked subscribers outside lock"
+    finally:
+        r._sub_lock.release()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_table_resume_survives_full_log_gc(spark, sf_smoke):
+    """Delta log fully GC'd: allow_snapshot resumes from the LATEST
+    committed state with an empty delta tail (state_at(-1) was the
+    r11 ADVICE crash), and still replays to the full aggregate."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+        table_oldest_retained,
+        table_resume,
+        table_retention_gc,
+    )
+    from db_realtime_changefeed_spark.streaming.retention_queries import (
+        ExpiredCursorError,
+    )
+
+    r = MultiTableChangefeedRunner(spark, sf_smoke,
+                                   tables=("orders",))
+    r.run()
+    last = max(r.versions())
+    table_retention_gc(r, last + 1)  # drops every log segment
+    assert table_oldest_retained(r) is None
+    with pytest.raises(ExpiredCursorError):
+        table_resume(r, "orders", token=0)
+    got = table_resume(r, "orders", token=0,
+                       allow_snapshot=True).collect()
+    assert {x.kind for x in got} == {"snapshot"}
+    assert {x.batch_id for x in got} == {last}
+    total = sum(x.d_count for x in got)
+    assert total == load_table(spark, sf_smoke, "orders").count()
