@@ -81,6 +81,7 @@ def load_all() -> None:
     from . import round10b  # noqa: F401
     from . import round10c  # noqa: F401
     from . import round11  # noqa: F401
+    from . import round12  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades

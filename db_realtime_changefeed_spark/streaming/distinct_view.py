@@ -1,0 +1,210 @@
+"""Standing COUNT(DISTINCT) view — the one aggregate family the
+maintained-view runners could not fold (r11 verdict item 2):
+sum/count/min/max/top-k/quantile/variance all ride distributive or
+support-relation folds, but a distinct count needs PER-MEMBER
+reference state with retraction — "does this (group, member) pair
+still have any supporting rows?" is unanswerable from the count
+alone.
+
+Semantics (the raw-stream membership view, complementing the LWW
+view family): a member (user_id) belongs to a group (event_type)
+while it has at least one event of that type SINCE its last delete;
+a `delete_on` event (the fixture's 'error' convention, the same CDC
+DELETE type the LWW runners interpret) retracts the member from
+EVERY group it supported — the document-deletion shape: the user
+left, all their contributions disappear, and later events re-enroll
+them from scratch. Replay order is event_id order (the chunk
+builder's sort), so "since the last delete" is an event_id
+comparison.
+
+Two maintained stores, both bucketed MVCC parquet
+(state_store.BucketedMvccState):
+
+* `_members` (group, member) -> supporting-event count, bucketed by
+  MEMBER so a delete retracts via a member-bucket-pruned anti-join
+  (per-key support state, bounded by that member's live group set);
+* `_nd` (group) -> distinct count, folded incrementally from the
+  batch's enter/leave membership deltas — the VIEW read is O(groups),
+  never a scan of the support store.
+
+Commit order: `_nd` publishes first, `_members` last — committed
+batches (= member-store manifests) always have a consistent nd twin
+(the base-manifest-published-last contract of views.py).
+
+Scale: the per-batch fold shuffles only the batch's own
+(group, member) aggregate plus the touched member buckets; enter/
+leave deltas are O(batch pairs + deleted members' live pairs); the
+nd store holds one row per group. At 100 TB the member store is the
+standard distinct-count support relation of incremental view
+maintenance, hash-partitioned by member — no all-key scan anywhere
+on the maintenance path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tmputil import scratch_dir
+from .changefeed import cdc_envelope
+from .replay import (
+    build_replay_chunks,
+    fresh_sink_name,
+    read_events_stream,
+    streaming_shuffle,
+)
+from .state_store import BucketedMvccState
+
+
+class DistinctCountViewRunner:
+    """Maintained COUNT(DISTINCT user_id) per event_type over the
+    replayed events CDC stream, with delete-driven retraction."""
+
+    _MEMBER_DDL = "event_type string, user_id long, cnt long"
+    _ND_DDL = "event_type string, nd long"
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 delete_on: str | None = "error",
+                 root: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.delete_on = delete_on
+        self.root = root or scratch_dir(prefix="dbrcf-ndview-")
+        self.ckpt = os.path.join(self.root, "checkpoint")
+        self._members = BucketedMvccState(
+            spark, os.path.join(self.root, "members"),
+            self._MEMBER_DDL, "user_id")
+        self._nd = BucketedMvccState(
+            spark, os.path.join(self.root, "ndview"),
+            self._ND_DDL, "event_type", n_buckets=4)
+
+    @property
+    def _batches(self) -> list[int]:
+        return self._members.versions()
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "after.user_id", "after.event_id", "after.event_type")
+        is_del = (
+            (F.col("event_type") == F.lit(self.delete_on))
+            if self.delete_on is not None else F.lit(False))
+        # deleted members: their LAST delete position in this batch —
+        # batch events at or before it are retracted with the carried
+        # state; events after it re-enroll (replay is event_id-ordered)
+        errs = (
+            rows.where(is_del)
+            .groupBy("user_id")
+            .agg(F.max("event_id").alias("err_id"))
+            .persist())
+        adds = (
+            rows.where(~is_del)
+            .join(errs, "user_id", "left")
+            .where(F.col("event_id")
+                   > F.coalesce(F.col("err_id"), F.lit(-1)))
+            .groupBy("event_type", "user_id")
+            .agg(F.count(F.lit(1)).alias("d_cnt"))
+            .persist())
+        try:
+            # touched member buckets: one tiny collect of small ints
+            touched = sorted({
+                r["b"] for r in
+                adds.select(self._members.bucket_expr(
+                    F.col("user_id")).alias("b"))
+                .unionByName(errs.select(self._members.bucket_expr(
+                    F.col("user_id")).alias("b")))
+                .distinct().collect()})
+            base = batch_id - 1 if batch_id > 0 else None
+            if base is not None and not self._members.has_version(base):
+                raise RuntimeError(
+                    f"replayed batch {batch_id}; v{base} missing")
+            if base is None:
+                old = self.spark.createDataFrame([], self._MEMBER_DDL)
+            else:
+                old = self._members.df_at(base, buckets=touched)
+            del_users = errs.select("user_id")
+            # leaves: every live pair of a deleted member retracts
+            dropped = old.join(del_users, "user_id", "semi")
+            kept = old.join(del_users, "user_id", "anti")
+            merged = (
+                kept.join(adds, ["event_type", "user_id"], "full")
+                .select(
+                    "event_type", "user_id",
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"))
+            )
+            # membership deltas -> nd fold: enter = an added pair with
+            # no surviving prior row (covers both brand-new pairs and
+            # a deleted member's re-enrollment); leave = a retracted
+            # pair. A same-batch delete+re-add nets to zero.
+            enters = (
+                adds.join(kept.select("event_type", "user_id"),
+                          ["event_type", "user_id"], "anti")
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("d")))
+            leaves = (
+                dropped.groupBy("event_type")
+                .agg((-F.count(F.lit(1))).alias("d")))
+            contrib = (
+                enters.unionByName(leaves)
+                .groupBy("event_type")
+                .agg(F.sum("d").alias("d")))
+            nd_touched = sorted({
+                r["b"] for r in
+                contrib.select(self._nd.bucket_expr(
+                    F.col("event_type")).alias("b"))
+                .distinct().collect()})
+            if base is None:
+                nd_old = self.spark.createDataFrame([], self._ND_DDL)
+            else:
+                nd_old = self._nd.df_at(base, buckets=nd_touched)
+            nd_new = (
+                nd_old.join(contrib, "event_type", "full")
+                .select(
+                    "event_type",
+                    (F.coalesce("nd", F.lit(0))
+                     + F.coalesce("d", F.lit(0))).alias("nd"))
+                .where(F.col("nd") > 0))
+            self._nd.stage(batch_id, nd_new, nd_touched)
+            self._members.stage(batch_id, merged, touched)
+            # nd first, members (the commit gate) LAST
+            self._nd.publish(batch_id, base, nd_touched)
+            self._members.publish(batch_id, base, touched)
+        finally:
+            adds.unpersist()
+            errs.unpersist()
+
+    def run(self, n_chunks: int | None = None) -> None:
+        chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)
+        env = cdc_envelope(read_events_stream(self.spark, chunks))
+        with streaming_shuffle(self.spark):
+            q = (
+                env.writeStream.foreachBatch(self._merge_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .queryName(fresh_sink_name("ndview"))
+                .start()
+            )
+            q.awaitTermination()
+
+    def distinct_trajectory(self) -> DataFrame:
+        """(batch_id, event_type, nd_users) across committed batches —
+        each batch an O(groups) read of the maintained nd store."""
+        parts = [
+            self._nd.df_at(b).select(
+                F.lit(b).cast("long").alias("batch_id"),
+                "event_type", F.col("nd").alias("nd_users"))
+            for b in self._batches
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def support_state(self, batch_id: int) -> DataFrame:
+        """The (event_type, user_id, cnt) support relation at a
+        committed batch — the audit read (tests recompute nd from it
+        and pin nd == count(*) per group)."""
+        return self._members.df_at(batch_id)

@@ -109,3 +109,82 @@ def test_table_resume_survives_full_log_gc(spark, sf_smoke):
     assert {x.batch_id for x in got} == {last}
     total = sum(x.d_count for x in got)
     assert total == load_table(spark, sf_smoke, "orders").count()
+
+
+# ---- standing COUNT(DISTINCT) view (r11 verdict item 2)
+
+
+@pytest.fixture(scope="module")
+def nd_runner(spark, sf_smoke):
+    from db_realtime_changefeed_spark.streaming.distinct_view import (
+        DistinctCountViewRunner,
+    )
+
+    r = DistinctCountViewRunner(spark, sf_smoke)
+    r.run()
+    return r
+
+
+def test_distinct_view_nd_equals_support_cardinality(nd_runner):
+    """The maintained nd store must equal count(*) over the member
+    support relation at EVERY committed batch — the fold and the
+    state it summarizes can never drift."""
+    for b in nd_runner._batches:
+        nd = {r.event_type: r.nd
+              for r in nd_runner._nd.df_at(b).collect()}
+        sup = {r.event_type: r.nd
+               for r in nd_runner.support_state(b)
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("nd")).collect()}
+        assert nd == sup, f"batch {b}: nd store drifted from support"
+
+
+def test_distinct_view_retraction_fires(spark, sf_smoke, nd_runner):
+    """A member's delete retracts it from EVERY group it supported:
+    pick a user whose last 'error' follows events in >= 2 groups and
+    assert it is absent from the support relation at the final batch
+    unless re-enrolled by later events."""
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "event_id", "event_type").collect()
+    last_err: dict = {}
+    for r in ev:
+        if r.event_type == "error":
+            last_err[r.user_id] = max(
+                last_err.get(r.user_id, -1), r.event_id)
+    # expected final membership: any event after the user's last error
+    expected: set = set()
+    pre_groups: dict = {}
+    for r in ev:
+        if r.event_type == "error":
+            continue
+        if r.event_id > last_err.get(r.user_id, -1):
+            expected.add((r.event_type, r.user_id))
+        elif r.user_id in last_err:
+            pre_groups.setdefault(r.user_id, set()).add(r.event_type)
+    multi = [u for u, g in pre_groups.items() if len(g) >= 2]
+    assert multi, "fixture lost its multi-group deleted users"
+    last = max(nd_runner._batches)
+    got = {(r.event_type, r.user_id)
+           for r in nd_runner.support_state(last).collect()}
+    assert got == expected
+    # the retraction is real: some multi-group deleted user has at
+    # least one pre-delete group NOT re-enrolled afterwards
+    assert any((g, u) not in expected
+               for u in multi for g in pre_groups[u])
+
+
+def test_distinct_view_final_state_chunk_invariant(spark, sf_smoke):
+    """Final nd state must not depend on the replay chunking."""
+    from db_realtime_changefeed_spark.streaming.distinct_view import (
+        DistinctCountViewRunner,
+    )
+
+    r2 = DistinctCountViewRunner(spark, sf_smoke)
+    r2.run(n_chunks=2)
+    r6 = DistinctCountViewRunner(spark, sf_smoke)
+    r6.run(n_chunks=6)
+    f2 = {(r.event_type, r.nd)
+          for r in r2._nd.df_at(max(r2._batches)).collect()}
+    f6 = {(r.event_type, r.nd)
+          for r in r6._nd.df_at(max(r6._batches)).collect()}
+    assert f2 == f6
