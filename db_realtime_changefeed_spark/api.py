@@ -423,13 +423,14 @@ class TableRef:
         - "only": one snapshot, no standing deltas — returns the
           materialized state; the delta log is not exposed.
 
-        Tables other than `events` (currently: orders) replay through
-        the normalized multi-table envelope and serve a per-primary-
-        key count+sum feed (streaming/multitable.py). Filters (over
-        the envelope-mapped columns — the key, ts, and value columns)
-        and live mode work there too; only custom keys stay
-        events-only (a non-events feed aggregates by its table's
-        primary key)."""
+        Tables other than `events` replay through the normalized
+        multi-table envelope and serve a per-key count+sum feed
+        (streaming/multitable.py). Filters work on ANY table column
+        there — envelope columns (key/ts/value) take the direct fast
+        path, other columns rewrite against the feed's `after` JSON
+        payload image (r12). KEY BY accepts any integer- or
+        string-typed column (the envelope key slot follows the key's
+        own type); live mode works there too."""
         if initial_scan not in ("yes", "no", "only"):
             raise ValueError(
                 f"initial_scan must be 'yes'|'no'|'only', got "

@@ -59,11 +59,14 @@ def envelope_spec(tbl: str, key_override: str | None = None
     its event time, or the synthetic snapshot-epoch timestamp) —
     round-10: feeds are no longer events/orders-only.
 
-    `key_override` implements KEY BY <col>: any INTEGER-typed column
-    of the table may key the feed (the envelope key slot is bigint);
-    a non-integral column raises loudly rather than silently casting
-    garbage. A custom key just re-keys the aggregate — the
-    downstream merge/MVCC/resolved machinery is key-agnostic."""
+    `key_override` implements KEY BY <col>: any INTEGER- or
+    STRING-typed column of the table may key the feed (r12 — the
+    envelope key slot widens to the key's own type; real changefeed
+    consumers key on string PKs, and hashing a string into the
+    bigint slot would corrupt LWW on collision). Other types raise
+    loudly rather than silently casting garbage. A custom key just
+    re-keys the aggregate — the downstream merge/MVCC/resolved
+    machinery is key-agnostic."""
     from ..catalog import SCHEMAS
     from .doc_feeds import _EPOCH, DOC_MAP
 
@@ -85,37 +88,64 @@ def envelope_spec(tbl: str, key_override: str | None = None
             raise KeyError(
                 f"KEY BY {key_override!r}: not a column of {tbl!r} "
                 f"({sorted(fields)})")
-        if fields[key_override] not in _INTEGRAL:
+        if fields[key_override] not in (*_INTEGRAL, "string"):
             raise NotImplementedError(
                 f"KEY BY {key_override!r}: feed keys must be "
-                f"integer-typed (the envelope key slot is bigint); "
-                f"{key_override!r} is {fields[key_override]}")
+                f"integer- or string-typed; {key_override!r} is "
+                f"{fields[key_override]}")
         key = key_override
     return key, ts_expr, val
 
 
+def key_ddl(tbl: str, key_override: str | None = None) -> str:
+    """The envelope key slot's Spark DDL type for a table feed:
+    'string' when the (possibly overridden) key column is a string,
+    else 'bigint' (integral keys keep the historical slot type, so
+    every existing integer-keyed layout and oracle is unchanged)."""
+    from ..catalog import SCHEMAS
+
+    key, _, _ = envelope_spec(tbl, key_override)
+    fields = {f.name: f.dataType.typeName()
+              for f in SCHEMAS[tbl].fields}
+    return "string" if fields.get(key) == "string" else "bigint"
+
+
 def _envelope(df: DataFrame, tbl: str,
-              key_override: str | None = None) -> DataFrame:
+              key_override: str | None = None,
+              key_type: str = "bigint",
+              with_after: bool = False) -> DataFrame:
     key, ts_expr, val = envelope_spec(tbl, key_override)
-    return df.select(
+    cols = [
         F.lit(tbl).alias("tbl"),
         F.lit("insert").alias("op"),
-        F.col(key).cast("long").alias("key"),
+        F.col(key).cast("long" if key_type == "bigint" else key_type)
+        .alias("key"),
         F.expr(ts_expr).alias("ts"),
         F.col(val).cast("double").alias("value"),
-    )
+    ]
+    if with_after:
+        # full-row payload as JSON — the Debezium-style `after`
+        # image, carried only when a registered filter needs payload
+        # columns (rewrite_filter); uniform string type keeps the
+        # multi-table union schema fixed
+        cols.append(F.to_json(F.struct(*df.columns)).alias("after"))
+    return df.select(*cols)
 
 
 def rewrite_filter(tbl: str, predicate_sql: str,
-                   key_override: str | None = None) -> str:
+                   key_override: str | None = None
+                   ) -> tuple[str, bool]:
     """Rewrite a predicate over TABLE columns (the user-facing names,
     e.g. ``o_totalprice > 100000``) into the normalized envelope's
     column names (``value > 100000``) so it can run against the
-    change stream per micro-batch. Only the three columns the
-    envelope carries (key/ts/value) are filterable; a predicate
-    touching any other table column fails loudly rather than
-    silently dropping the condition. At 100 TB this predicate is
-    what a CDC source would push into the changefeed scan."""
+    change stream per micro-batch. Envelope columns (key/ts/value)
+    keep the direct fast path; any OTHER table column rewrites
+    against the envelope's ``after`` JSON payload (r11 verdict item
+    3 — refusing them lost delivery-time filtering), typed back via
+    CAST from the schema. Returns (rewritten predicate, needs_after)
+    so the runner ships the payload image only when a filter
+    actually reads it. At 100 TB this predicate is what a CDC
+    source would push into the changefeed scan."""
     from ..catalog import SCHEMAS
 
     key, ts_expr, val = envelope_spec(tbl, key_override)
@@ -127,20 +157,28 @@ def rewrite_filter(tbl: str, predicate_sql: str,
     out = predicate_sql
     for src, dst in mapping.items():
         out = re.sub(rf"\b{re.escape(src)}\b", dst, out)
-    for col in SCHEMAS[tbl].fieldNames():
-        if col not in mapping and re.search(rf"\b{re.escape(col)}\b", out):
-            raise NotImplementedError(
-                f"feed filters on {tbl!r} support only its envelope "
-                f"columns {sorted(mapping)}; {col!r} is not in the "
-                "change envelope"
-            )
-    return out
+    needs_after = False
+    for f in SCHEMAS[tbl].fields:
+        col = f.name
+        if col in mapping or not re.search(rf"\b{re.escape(col)}\b",
+                                           out):
+            continue
+        needs_after = True
+        cast_ddl = f.dataType.simpleString()
+        out = re.sub(
+            rf"\b{re.escape(col)}\b",
+            f"CAST(get_json_object(after, '$.{col}') "
+            f"AS {cast_ddl})",
+            out)
+    return out, needs_after
 
 
 def build_table_chunks(
     spark: SparkSession, sf_dir: str, tbl: str,
     n_chunks: int | None = None,
     key_override: str | None = None,
+    key_type: str = "bigint",
+    with_after: bool = False,
 ) -> str:
     """Normalize one table to the envelope and write time-ordered
     chunk files (same layout contract as replay.py). Idempotent.
@@ -157,10 +195,16 @@ def build_table_chunks(
     if n_chunks is None:
         n_chunks = default_chunks()
     # tag versioned (mtg) so stale row-sliced chunk caches from
-    # earlier builds are never reused; a custom key gets its OWN
-    # chunk cache (the envelope key differs)
-    tag = (f"mtg-{tbl}-c{n_chunks}" if key_override is None
-           else f"mtg-{tbl}-k{key_override}-c{n_chunks}")
+    # earlier builds are never reused; a custom key / key type /
+    # payload image each get their OWN chunk cache (the envelope
+    # schema differs)
+    tag = f"mtg-{tbl}-c{n_chunks}"
+    if key_override is not None:
+        tag += f"-k{key_override}"
+    if key_type != "bigint":
+        tag += f"-t{key_type}"
+    if with_after:
+        tag += "-aft"
     out = _chunk_dir(sf_dir, tag, table=tbl)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
@@ -168,7 +212,8 @@ def build_table_chunks(
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     env = _envelope(load_table(spark, sf_dir, tbl), tbl,
-                    key_override)
+                    key_override, key_type=key_type,
+                    with_after=with_after)
     t = env.orderBy("ts", "key").toArrow()
     n = t.num_rows
     ts = t.column("ts").to_numpy(zero_copy_only=False)
@@ -193,9 +238,9 @@ class MultiTableChangefeedRunner:
     the per-(tbl, key) count+sum, merged executor-side; resolved
     timestamps span both tables."""
 
-    _STATE_DDL = "tbl string, key bigint, cnt long, sum_value decimal(28,6)"
-    _LOG_DDL = ("batch_id long, tbl string, key bigint, d_count long, "
-                "d_sum decimal(28,6)")
+    # _STATE_DDL / _LOG_DDL / _env_ddl are INSTANCE attributes (set
+    # in __init__): the key slot's type follows the keyed column
+    # (bigint default, string for string-keyed feeds — r12)
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: tuple[str, ...] = ("events", "orders"),
@@ -210,8 +255,9 @@ class MultiTableChangefeedRunner:
         completeness meaning.
 
         `key_overrides`: {table: column} — KEY BY support; each
-        table's feed aggregates by the chosen integer column instead
-        of its envelope default (validated in envelope_spec)."""
+        table's feed aggregates by the chosen integer or string
+        column instead of its envelope default (validated in
+        envelope_spec)."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables
@@ -219,16 +265,40 @@ class MultiTableChangefeedRunner:
         self.key_overrides = key_overrides or {}
         for t in self.key_overrides:
             envelope_spec(t, self.key_overrides[t])  # validate early
+        # the envelope key slot's type: string if ANY table's key is
+        # a string column (the union stream has one key column, and
+        # long -> string is injective so mixed runners stay correct);
+        # bigint otherwise — every pre-r12 layout is byte-identical
+        self._key_ddl = (
+            "string"
+            if any(key_ddl(t, self.key_overrides.get(t)) == "string"
+                   for t in tables)
+            else "bigint")
         if filter_sql is not None:
-            # per-table rewrite; raises loudly on non-envelope columns
-            parts = [
-                f"(tbl = '{t}' AND "
-                f"({rewrite_filter(t, filter_sql, self.key_overrides.get(t))}))"
+            # per-table rewrite; payload columns ride the `after`
+            # JSON image (rewrite_filter), envelope columns keep the
+            # direct fast path
+            rewritten = {
+                t: rewrite_filter(t, filter_sql,
+                                  self.key_overrides.get(t))
                 for t in tables
-            ]
-            self._env_filter = " OR ".join(parts)
+            }
+            self.with_after = any(na for _, na in rewritten.values())
+            self._env_filter = " OR ".join(
+                f"(tbl = '{t}' AND ({sql}))"
+                for t, (sql, _) in rewritten.items())
         else:
+            self.with_after = False
             self._env_filter = None
+        self._env_ddl = (
+            f"tbl string, op string, key {self._key_ddl}, "
+            "ts timestamp, value double"
+            + (", after string" if self.with_after else ""))
+        self._STATE_DDL = (f"tbl string, key {self._key_ddl}, "
+                           "cnt long, sum_value decimal(28,6)")
+        self._LOG_DDL = (f"batch_id long, tbl string, "
+                         f"key {self._key_ddl}, d_count long, "
+                         "d_sum decimal(28,6)")
         self.root = root or scratch_dir(prefix="dbrcf-mtable-")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
@@ -416,7 +486,7 @@ class MultiTableChangefeedRunner:
 
     def _union_streams(self, dirs: list[str]) -> DataFrame:
         streams = [
-            self.spark.readStream.schema(ENVELOPE_DDL)
+            self.spark.readStream.schema(self._env_ddl)
             .option("maxFilesPerTrigger", 1)
             .parquet(d)
             for d in dirs
@@ -429,7 +499,9 @@ class MultiTableChangefeedRunner:
     def run(self, n_chunks: int | None = None) -> None:
         env = self._union_streams([
             build_table_chunks(self.spark, self.sf_dir, tbl, n_chunks,
-                               self.key_overrides.get(tbl))
+                               self.key_overrides.get(tbl),
+                               key_type=self._key_ddl,
+                               with_after=self.with_after)
             for tbl in self.tables
         ])
         with streaming_shuffle(self.spark):
@@ -488,7 +560,9 @@ class MultiTableChangefeedRunner:
             df = ns_to_us(df)
         else:
             df = self.spark.read.schema(SCHEMAS[tbl]).parquet(parquet_file)
-        t = _envelope(df, tbl, self.key_overrides.get(tbl)).toArrow()
+        t = _envelope(df, tbl, self.key_overrides.get(tbl),
+                      key_type=self._key_ddl,
+                      with_after=self.with_after).toArrow()
         import pyarrow.parquet as pq
 
         n = self._live_seq.get(tbl, 0)

@@ -224,10 +224,11 @@ def test_orders_feed_live(spark, sf_smoke, tmp_path):
 
 
 def test_orders_feed_custom_key_rejected(spark, sf_smoke):
-    """KEY BY on a non-events feed accepts any INTEGER column
-    (round-10: envelope_spec override); a non-integral key must
+    """KEY BY on a non-events feed accepts any INTEGER or STRING
+    column (r12 widened the envelope key slot); other types must
     still fail loudly, never silently aggregate by a garbage cast."""
-    with pytest.raises(NotImplementedError, match="integer-typed"):
+    with pytest.raises(NotImplementedError,
+                       match="integer- or string-typed"):
         Database(spark, sf_smoke).table("orders").changes(key="o_orderdate")
     # the table's own primary key is accepted (no-op spelling)
     feed = (Database(spark, sf_smoke).table("orders")
@@ -241,12 +242,17 @@ def test_orders_feed_custom_key_rejected(spark, sf_smoke):
     assert per_order.state().count() == n_orders
 
 
-def test_orders_filter_unmapped_column_rejected(spark, sf_smoke):
-    """Predicates on columns the change envelope does not carry must
-    fail loudly, never silently drop the condition."""
-    with pytest.raises(NotImplementedError, match="o_orderstatus"):
-        (Database(spark, sf_smoke).table("orders")
-         .filter("o_orderstatus = 'F'").changes())
+def test_orders_filter_payload_column_accepted(spark, sf_smoke):
+    """Predicates on columns outside the key/ts/value envelope now
+    run against the `after` JSON payload image (r12 — previously a
+    loud refusal): the filtered state must equal the batch aggregate
+    over matching rows."""
+    feed = (Database(spark, sf_smoke).table("orders")
+            .filter("o_orderstatus = 'F'").changes())
+    got = sum(r["cnt"] for r in feed.state().collect())
+    want = (load_table(spark, sf_smoke, "orders")
+            .where("o_orderstatus = 'F'").count())
+    assert got == want
 
 
 def test_create_changefeed_ddl_on_orders(spark, sf_smoke):

@@ -188,3 +188,87 @@ def test_distinct_view_final_state_chunk_invariant(spark, sf_smoke):
     f6 = {(r.event_type, r.nd)
           for r in r6._nd.df_at(max(r6._batches)).collect()}
     assert f2 == f6
+
+
+# ---- payload-column feed filters + string-keyed feeds (r11 items 3/4)
+
+
+def test_rewrite_filter_fast_path_and_payload_path():
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        rewrite_filter,
+    )
+
+    sql, needs = rewrite_filter("orders", "o_totalprice > 200000")
+    assert sql == "value > 200000" and needs is False
+    sql, needs = rewrite_filter("orders", "o_orderstatus = 'F'")
+    assert needs is True
+    assert "get_json_object(after, '$.o_orderstatus')" in sql
+    assert "CAST(" in sql and "AS string" in sql
+    # mixed predicate: envelope column direct, payload via after
+    sql, needs = rewrite_filter(
+        "orders", "o_totalprice > 1000 AND o_orderpriority = '1-URGENT'")
+    assert needs is True
+    assert "value > 1000" in sql
+    assert "$.o_orderpriority" in sql
+
+
+def test_payload_filter_applies_to_delivery(spark, sf_smoke):
+    """The filtered feed's committed delta log (cursor's read
+    surface) must equal the batch aggregate over MATCHING rows only
+    — a state-only filter that still delivered everything would
+    fail here."""
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = (Database(spark, sf_smoke).table("orders")
+            .filter("o_orderstatus = 'F'").changes())
+    assert feed._runner.with_after
+    got = {}
+    for r in feed.log().collect():
+        k = str(r.key)
+        got[k] = got.get(k, 0) + r.d_count
+    exp = {
+        str(r.o_custkey): r.c
+        for r in load_table(spark, sf_smoke, "orders")
+        .where("o_orderstatus = 'F'")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == exp
+    # envelope-column-only filters never ship the after image
+    fast = (Database(spark, sf_smoke).table("orders")
+            .filter("o_totalprice > 200000").changes())
+    assert fast._runner.with_after is False
+
+
+def test_string_keyed_feed_state_and_types(spark, sf_smoke):
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = (Database(spark, sf_smoke).table("customer")
+            .changes(key="c_mktsegment"))
+    st = {r.key: (r.cnt, round(r.sum_value, 4))
+          for r in feed.state().collect()}
+    exp = {
+        r.c_mktsegment: (r.c, round(float(r.s), 4))
+        for r in load_table(spark, sf_smoke, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+             .alias("s"))
+        .collect()
+    }
+    assert st == exp
+    # the log's key column is genuinely string-typed (no hashing)
+    assert dict(feed.log().dtypes)["key"] == "string"
+    assert feed._runner._key_ddl == "string"
+
+
+def test_string_key_refusal_still_loud_for_other_types():
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        envelope_spec,
+    )
+
+    with pytest.raises(NotImplementedError):
+        envelope_spec("orders", "o_totalprice")  # double: refused
+    # string now accepted
+    assert envelope_spec("customer", "c_mktsegment")[0] \
+        == "c_mktsegment"
