@@ -260,3 +260,98 @@ def changefeed_table_string_key(spark, sf_dir):
         spark.createDataFrame(rows, log.schema) if rows
         else spark.createDataFrame([], log.schema)
     )
+
+
+# ------------------- win_frame_exclude_group / win_frame_exclude_ties
+
+#: hour index of an event: integer epoch division — tz-free in both
+#: engines (timestamp->epoch-seconds, never a calendar trunc)
+_WFX_H_SQL = "CAST(floor(epoch(ts) / 3600) AS BIGINT)"
+_WFX_FRAME = 3  #: RANGE +/- 3 hour-indexes
+
+
+def _wfx_spark(spark, sf_dir, mode):
+    """Shared emulation: SQL:2016 EXCLUDE GROUP / EXCLUDE TIES over
+    a RANGE frame, as frame-minus-peer-group algebra in exact
+    decimal. RANGE frames always contain the current row's full
+    peer group, so subtracting the peer partition's sum/count
+    yields EXCLUDE GROUP exactly; adding the current row back gives
+    EXCLUDE TIES."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "h", F.floor(F.col("ts").cast("long") / F.lit(3600))
+        .cast("long"))
+    wr = (W.partitionBy("event_type").orderBy("h")
+          .rangeBetween(-_WFX_FRAME, _WFX_FRAME))
+    wp = W.partitionBy("event_type", "h")
+    vdec = F.col("value").cast(DEC)
+    frame_sum = F.sum(vdec).over(wr)
+    frame_cnt = F.count(F.lit(1)).over(wr)
+    peer_sum = F.sum(vdec).over(wp)
+    peer_cnt = F.count(F.lit(1)).over(wp)
+    if mode == "group":
+        ex_sum = (frame_sum - peer_sum).cast("double")
+        ex_cnt = frame_cnt - peer_cnt
+    else:  # ties: peers out, current row stays
+        ex_sum = (frame_sum - peer_sum + vdec).cast("double")
+        ex_cnt = frame_cnt - peer_cnt + F.lit(1)
+    return ev.select(
+        "event_id", "event_type",
+        ex_cnt.cast("long").alias("n_excl"),
+        F.when(ex_cnt > 0,
+               dround6_div(ex_sum, ex_cnt)).alias("mean_excl6"),
+    )
+
+
+def _wfx_oracle(exclude):
+    return f"""
+    SELECT event_id, event_type,
+           CAST(count(*) OVER wx AS BIGINT) AS n_excl,
+           CASE WHEN count(*) OVER wx = 0 THEN NULL
+                ELSE FLOOR(
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wx
+                       AS DOUBLE)
+                  * 1000000.0 / (count(*) OVER wx) + 0.5)
+                  / 1000000.0
+           END AS mean_excl6
+    FROM events
+    WINDOW wx AS (PARTITION BY event_type ORDER BY {_WFX_H_SQL}
+                  RANGE BETWEEN {_WFX_FRAME} PRECEDING
+                            AND {_WFX_FRAME} FOLLOWING
+                  EXCLUDE {exclude})
+    """
+
+
+@query("win_frame_exclude_group", oracle=_wfx_oracle("GROUP"))
+def win_frame_exclude_group(spark, sf_dir):
+    """SQL:2016 frame EXCLUDE GROUP (r11 verdict item 5, completing
+    the exclusion family next to win_frame_exclude's EXCLUDE CURRENT
+    ROW): the frame drops the current row AND all its ORDER-BY peers
+    — "this hour's events vs the surrounding hours, my own hour
+    excluded", the leave-one-group-out baseline every seasonality
+    monitor wants. Spark has no frame exclusion; the emulation is
+    algebraic — a RANGE frame always contains the current row's full
+    peer group, so the peer partition's decimal sum/count subtract
+    exactly. The DuckDB oracle uses its NATIVE EXCLUDE GROUP, so the
+    hash certifies the emulation against real SQL:2016 semantics.
+    Ordering rides an integer epoch-hour index (tz-free in both
+    engines); an empty exclusion frame yields NULL on both sides.
+
+    Scale: two windows over the same (event_type | h) shuffle key —
+    Catalyst plans ONE exchange + sort serving both; O(1) state per
+    row at any RANGE width."""
+    return _wfx_spark(spark, sf_dir, "group")
+
+
+@query("win_frame_exclude_ties", oracle=_wfx_oracle("TIES"))
+def win_frame_exclude_ties(spark, sf_dir):
+    """SQL:2016 frame EXCLUDE TIES: peers drop, the current row
+    itself stays — "me against the neighborhood, ignoring my
+    same-hour cohort". Same frame-minus-peer-group decimal algebra
+    as the GROUP twin plus the current row's own value added back
+    (exact: all three terms are DECIMAL(18,6) before the one double
+    cast); n_excl >= 1 always, so the NULL guard never fires but
+    stays for shape parity. DuckDB's native EXCLUDE TIES is the
+    oracle."""
+    return _wfx_spark(spark, sf_dir, "ties")

@@ -272,3 +272,39 @@ def test_string_key_refusal_still_loud_for_other_types():
     # string now accepted
     assert envelope_spec("customer", "c_mktsegment")[0] \
         == "c_mktsegment"
+
+
+# ---- SQL:2016 frame exclusion twins (r11 verdict item 5)
+
+
+def test_frame_exclusion_one_exchange(spark, sf_smoke):
+    """Both windows (RANGE frame + peer partition) must ride ONE
+    exchange: hash(event_type) co-locates (event_type, h) too, so
+    Catalyst plans a single shuffle with two Window nodes."""
+    from db_realtime_changefeed_spark.queries import all_queries
+
+    for name in ("win_frame_exclude_group", "win_frame_exclude_ties"):
+        plan = (all_queries()[name](spark, sf_smoke)
+                ._jdf.queryExecution().executedPlan().toString())
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_ex == 1, f"{name}: {n_ex} exchanges"
+
+
+def test_frame_exclusion_semantics_small():
+    """Hand-check the algebra on a tiny series: group drops the
+    whole peer hour, ties keeps self."""
+    from decimal import Decimal
+
+    # (event_type, hour, value): two peers in h=1, one in h=0
+    rows = [("a", 0, 10.0), ("a", 1, 1.0), ("a", 1, 2.0)]
+    # frame +/- 3 hours covers everything
+    total = Decimal("13.0")
+    for _, h, v in rows:
+        peers = [x for x in rows if x[1] == h]
+        psum = sum(Decimal(str(x[2])) for x in peers)
+        eg_n, eg_sum = len(rows) - len(peers), total - psum
+        et_n, et_sum = eg_n + 1, eg_sum + Decimal(str(v))
+        if h == 1:
+            assert eg_n == 1 and eg_sum == Decimal("10.0")
+            assert et_n == 2 and et_sum == Decimal("10.0") \
+                + Decimal(str(v))
