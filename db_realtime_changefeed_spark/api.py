@@ -706,6 +706,31 @@ _CHANGEFEED_DDL = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: QUALIFY <pred> as the FINAL clause of a query (the DuckDB/
+#: Snowflake/BigQuery window-filter clause Spark SQL lacks) —
+#: rewritten in Database.sql() into the standard
+#: project-window-then-filter subquery.
+_QUALIFY = re.compile(
+    r"^(?P<body>.*?)\sQUALIFY\s(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+def _has_toplevel_order_or_limit(pred: str) -> bool:
+    """True if ORDER BY / LIMIT appears in `pred` OUTSIDE
+    parentheses — i.e. as a trailing query clause, not inside an
+    OVER(...) window spec (which legitimately contains ORDER BY)."""
+    depth = 0
+    for m in re.finditer(r"[()]|\bORDER\s+BY\b|\bLIMIT\b", pred,
+                         re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
 
 class Database:
     """Entry point binding a SparkSession to a data directory."""
@@ -721,7 +746,15 @@ class Database:
         """SQL-text surface. Queries run over the registered views
         and return a DataFrame. The one DDL statement the engine
         owns — `CREATE CHANGEFEED FOR t [WHERE pred] [KEY BY col]` —
-        registers and runs a standing query and returns its Feed."""
+        registers and runs a standing query and returns its Feed.
+
+        QUALIFY <pred> as a query's FINAL clause (the window filter
+        of DuckDB/Snowflake/BigQuery, absent from Spark SQL) is
+        accepted and rewritten into the standard subquery form:
+        project the window predicate, filter on it, drop it — the
+        exact relational algebra QUALIFY sugars. A QUALIFY followed
+        by ORDER BY / LIMIT raises (put them in an outer query) —
+        a partially honored clause would silently reorder results."""
         m = _CHANGEFEED_DDL.match(query)
         if m:
             table, pred, key = m.group(1), m.group(2), m.group(3)
@@ -734,6 +767,21 @@ class Database:
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)
+        q = _QUALIFY.match(query)
+        if q and not re.search(r"\bQUALIFY\b", q.group("body"),
+                               re.IGNORECASE):
+            pred = q.group("pred").strip()
+            if _has_toplevel_order_or_limit(pred):
+                raise NotImplementedError(
+                    "QUALIFY must be the final clause; wrap ORDER "
+                    "BY / LIMIT around the query instead")
+            return (
+                self.spark.sql(
+                    f"SELECT *, ({pred}) AS __qualify__ FROM "
+                    f"({q.group('body')})")
+                .where("__qualify__")
+                .drop("__qualify__")
+            )
         return self.spark.sql(query)
 
 

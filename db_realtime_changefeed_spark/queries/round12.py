@@ -355,3 +355,251 @@ def win_frame_exclude_ties(spark, sf_dir):
     stays for shape parity. DuckDB's native EXCLUDE TIES is the
     oracle."""
     return _wfx_spark(spark, sf_dir, "ties")
+
+
+# --------------------------------------------------- sql_qualify
+
+#: ONE SQL text serves both engines: our Database.sql() rewrites the
+#: QUALIFY clause into the project-window-filter subquery Spark
+#: lacks; DuckDB runs it natively as the oracle.
+_QUALIFY_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC,
+                                    o_orderkey) <= 3
+"""
+
+
+@query("sql_qualify", oracle=_QUALIFY_SQL)
+def sql_qualify(spark, sf_dir):
+    """The QUALIFY clause (DuckDB/Snowflake/BigQuery's window
+    filter, absent from Spark SQL) on the engine's SQL-text surface:
+    Database.sql() rewrites `... QUALIFY <pred>` into the standard
+    project-the-window-predicate / filter / drop subquery — the
+    exact relational algebra the clause sugars — so the IDENTICAL
+    query text runs on our engine and on DuckDB (the oracle runs it
+    natively), certifying the rewrite against the real semantics
+    rather than against itself. Deterministic: the rank order is
+    total ((o_totalprice DESC, o_orderkey)).
+
+    Scale: the rewrite adds one projection; the plan is the same
+    single window + filter Catalyst produces for the hand-written
+    subquery — rank predicates push into WindowGroupLimit, so the
+    per-partition top-k never materializes full partitions."""
+    from ..api import Database
+
+    return Database(spark, sf_dir).sql(_QUALIFY_SQL)
+
+
+# ------------------------- win_frame_groups (+ EXCLUDE composition)
+
+_WFG_N = 2  #: GROUPS frame half-width (peer groups, not rows)
+
+
+def _wfg_frames(spark, sf_dir):
+    """(event row, hour index h, group index g) plus the two framed
+    aggregates: GROUPS-mode frame sum/count via dense_rank + RANGE
+    (a GROUPS frame counts DISTINCT order values, and dense_rank IS
+    the distinct-value index), and the peer partition's sum/count
+    for the EXCLUDE composition."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "h", F.floor(F.col("ts").cast("long") / F.lit(3600))
+        .cast("long"))
+    wd = W.partitionBy("event_type").orderBy("h")
+    ev = ev.withColumn("g", F.dense_rank().over(wd).cast("long"))
+    wg = (W.partitionBy("event_type").orderBy("g")
+          .rangeBetween(-_WFG_N, _WFG_N))
+    wp = W.partitionBy("event_type", "h")
+    vdec = F.col("value").cast(DEC)
+    return (ev,
+            F.sum(vdec).over(wg), F.count(F.lit(1)).over(wg),
+            F.sum(vdec).over(wp), F.count(F.lit(1)).over(wp))
+
+
+#: DuckDB has NOT implemented GROUPS frame mode (parser error,
+#: probed r12), so the oracle is an independent SET-BASED
+#: reconstruction of the SQL:2016 definition instead of a native
+#: clause: the frame of a row at hour h is every row whose hour is
+#: among the {_WFG_N} nearest DISTINCT hours on each side —
+#: materialized as a join through the distinct-hour rank relation,
+#: a different algorithm from the emulation's dense-rank RANGE
+#: frame (a drifted group index breaks the hash from either side).
+_WFG_ORACLE_CTE = f"""
+    e AS (
+      SELECT event_id, event_type, value, {_WFX_H_SQL} AS h
+      FROM events),
+    hs AS (
+      SELECT event_type, h,
+             dense_rank() OVER (PARTITION BY event_type ORDER BY h)
+               AS g
+      FROM (SELECT DISTINCT event_type, h FROM e)),
+    fr AS (
+      SELECT a.event_type, a.h AS h0, b.h AS h2
+      FROM hs a JOIN hs b
+        ON b.event_type = a.event_type
+       AND abs(b.g - a.g) <= {_WFG_N})
+"""
+
+
+@query(
+    "win_frame_groups",
+    oracle=f"""
+    WITH {_WFG_ORACLE_CTE.lstrip()}
+    SELECT r.event_id, r.event_type,
+           CAST(count(*) AS BIGINT) AS n_frame,
+           FLOOR(CAST(sum(CAST(x.value AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 * 1000000.0 / count(*) + 0.5)
+             / 1000000.0 AS mean_frame6
+    FROM e r
+    JOIN fr ON fr.event_type = r.event_type AND fr.h0 = r.h
+    JOIN e x ON x.event_type = r.event_type AND x.h = fr.h2
+    GROUP BY r.event_id, r.event_type
+    """,
+)
+def win_frame_groups(spark, sf_dir):
+    """SQL:2016 GROUPS frame mode — the third frame unit next to
+    ROWS and RANGE, and one Spark's window frames don't have: the
+    frame spans the {_WFG_N} nearest DISTINCT order values (peer
+    groups) on each side, regardless of how many rows share a value
+    or how large the gaps between values are ("this hour's events
+    plus the two nearest active hours each way" — a RANGE frame
+    would silently shrink across quiet gaps, a ROWS frame would cut
+    peer groups in half). The emulation is exact algebra: dense_rank
+    IS the distinct-value index, so a RANGE frame over dense_rank is
+    a GROUPS frame over the original order. DuckDB has NOT
+    implemented GROUPS mode (probed r12), so the oracle is an
+    independent SET-BASED reconstruction of the SQL:2016 definition
+    — the frame materialized as a join through the distinct-hour
+    rank relation — rather than the emulation's own shape. Sums
+    ride the decimal pipeline; the mean divides through the house
+    6-dp floor.
+
+    Scale: both windows partition on event_type — one exchange; the
+    dense_rank pass sorts once and the RANGE pass reuses the order
+    (g is monotone in h)."""
+    ev, fsum, fcnt, _ps, _pc = _wfg_frames(spark, sf_dir)
+    return ev.select(
+        "event_id", "event_type",
+        fcnt.cast("long").alias("n_frame"),
+        dround6_div(fsum.cast("double"), fcnt).alias("mean_frame6"),
+    )
+
+
+@query(
+    "win_frame_groups_exclude",
+    oracle=f"""
+    WITH {_WFG_ORACLE_CTE.lstrip()}
+    SELECT r.event_id, r.event_type,
+           CAST(count(x.event_id) AS BIGINT) AS n_excl,
+           CASE WHEN count(x.event_id) = 0 THEN NULL
+                ELSE FLOOR(
+                  CAST(sum(CAST(x.value AS DECIMAL(18,6)))
+                       AS DOUBLE)
+                  * 1000000.0 / count(x.event_id) + 0.5)
+                  / 1000000.0
+           END AS mean_excl6
+    FROM e r
+    JOIN fr ON fr.event_type = r.event_type AND fr.h0 = r.h
+    LEFT JOIN e x ON x.event_type = r.event_type
+                 AND x.h = fr.h2 AND x.h <> r.h
+    GROUP BY r.event_id, r.event_type
+    """,
+)
+def win_frame_groups_exclude(spark, sf_dir):
+    """GROUPS frame x EXCLUDE GROUP — the two emulations COMPOSE:
+    the dense-rank RANGE frame supplies the GROUPS semantics, the
+    peer partition's decimal sum/count subtracts the exclusion
+    ("the two nearest active hours each way, my own hour out") —
+    verified against the set-based oracle with the own-hour rows
+    dropped from the materialized frame.
+    n_excl can be 0 only for a partition with a single distinct
+    hour; the NULL guard mirrors the oracle's."""
+    ev, fsum, fcnt, psum, pcnt = _wfg_frames(spark, sf_dir)
+    ex_sum = (fsum - psum).cast("double")
+    ex_cnt = fcnt - pcnt
+    return ev.select(
+        "event_id", "event_type",
+        ex_cnt.cast("long").alias("n_excl"),
+        F.when(ex_cnt > 0,
+               dround6_div(ex_sum, ex_cnt)).alias("mean_excl6"),
+    )
+
+
+# --------------------------------------- graph_resource_allocation
+
+@query(
+    "graph_resource_allocation",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS (SELECT u AS node, v AS other FROM pairs
+            UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    w AS (
+      SELECT x.other AS u, y.other AS v,
+             CAST(count(*) AS BIGINT) AS common,
+             CAST(sum(CAST(1.0 / dz.d AS DECIMAL(18,6)))
+               AS DOUBLE) AS ra
+      FROM und x
+      JOIN und y ON x.node = y.node AND x.other < y.other
+      JOIN deg dz ON dz.node = x.node
+      GROUP BY x.other, y.other
+    )
+    SELECT w.u, w.v, w.common AS common_neighbors, w.ra
+      AS resource_alloc
+    FROM w
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.u = w.u AND p.v = w.v)
+    ORDER BY w.ra DESC, w.u, w.v LIMIT 20
+    """,
+)
+def graph_resource_allocation(spark, sf_dir):
+    """RESOURCE-ALLOCATION link prediction (Zhou, Lu & Zhang 2009 —
+    the strongest local index on dense co-purchase graphs, punishing
+    hub intermediaries harder than Adamic-Adar's 1/ln): for every
+    non-edge, sum 1/deg(z) over common neighbors z. Same bounded
+    wedge enumeration as the AA/Jaccard family (only pairs with a
+    real common neighbor materialize; existing edges anti-joined
+    away; degree join broadcast), but the per-wedge weight is the
+    EXACT reciprocal 1/d — one IEEE division on an integer degree,
+    bit-identical cross-engine, quantized once into the decimal
+    pipeline (no ln, so none of Adamic-Adar's 9-dp machinery).
+    The (score DESC, u, v) top-20 cut is total.
+
+    Scale: wedge volume is the documented sum of C(deg, 2) with the
+    same super-hub cap note as the Jaccard/AA twins."""
+    from ._util import dsum
+    from .analytics_ext import _copurchase_pairs
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    und = pairs.select(F.col("u").alias("node"),
+                       F.col("v").alias("other")).unionAll(
+        pairs.select(F.col("v").alias("node"),
+                     F.col("u").alias("other")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x, y = und.alias("x"), und.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.node") == F.col("y.node"))
+               & (F.col("x.other") < F.col("y.other")))
+        .join(F.broadcast(deg.select(F.col("node").alias("znode"),
+                                     F.col("d"))),
+              F.col("x.node") == F.col("znode"))
+        .groupBy(F.col("x.other").alias("u"),
+                 F.col("y.other").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"),
+             dsum(F.lit(1.0) / F.col("d")).cast("double")
+             .alias("resource_alloc"))
+    )
+    return (
+        wedges.join(pairs, ["u", "v"], "anti")
+        .orderBy(F.col("resource_alloc").desc(), "u", "v")
+        .limit(20)
+    )

@@ -308,3 +308,26 @@ def test_frame_exclusion_semantics_small():
             assert eg_n == 1 and eg_sum == Decimal("10.0")
             assert et_n == 2 and et_sum == Decimal("10.0") \
                 + Decimal(str(v))
+
+
+# ---- QUALIFY rewrite on the SQL-text surface
+
+
+def test_sql_qualify_rewrite(spark, sf_smoke):
+    from db_realtime_changefeed_spark.api import Database
+
+    db = Database(spark, sf_smoke)
+    got = db.sql("""
+        SELECT o_orderstatus, o_orderkey
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_orderkey) <= 2
+    """).collect()
+    assert len(got) == 2 * len({r.o_orderstatus for r in got})
+    assert "__qualify__" not in got[0].asDict()
+    # a trailing top-level LIMIT after QUALIFY must refuse loudly,
+    # while ORDER BY inside the OVER() spec is of course fine
+    with pytest.raises(NotImplementedError, match="final clause"):
+        db.sql("SELECT o_orderkey FROM orders "
+               "QUALIFY row_number() OVER (ORDER BY o_orderkey) <= 2 "
+               "LIMIT 1")
