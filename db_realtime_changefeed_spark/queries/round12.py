@@ -603,3 +603,137 @@ def graph_resource_allocation(spark, sf_dir):
         .orderBy(F.col("resource_alloc").desc(), "u", "v")
         .limit(20)
     )
+
+
+# -------------------------------------------------- llm_chunk_sliding
+
+_CHK_W = 50  #: chunk width (tokens)
+_CHK_S = 25  #: stride (tokens) — 50% overlap
+
+
+@query(
+    "llm_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, l, n,
+             unnest(range(0, CAST(ceil(greatest(n - {_CHK_W}, 0)
+                                       / {_CHK_S}.0) AS BIGINT) + 1))
+               AS k
+      FROM toks
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           CAST(least({_CHK_W}, n - k * {_CHK_S}) AS BIGINT)
+             AS n_tokens,
+           array_to_string(
+             list_slice(l, k * {_CHK_S} + 1,
+                        k * {_CHK_S} + {_CHK_W}), ' ') AS chunk_text
+    FROM spans
+    """,
+)
+def llm_chunk_sliding(spark, sf_dir):
+    """SLIDING-WINDOW DOCUMENT CHUNKING — the RAG/pretraining prep
+    step between raw documents and embedding or packing: each
+    document splits into {_CHK_W}-token windows at stride {_CHK_S}
+    (50% overlap, the standard retrieval-chunking default), the last
+    window keeping its natural short tail. Pure Catalyst — split /
+    sequence / posexplode / slice / array_join, no UDF — and the
+    chunk arithmetic (ceil((n-W)/S)+1 windows, start k*S, width
+    min(W, n-k*S)) is pinned exactly by the DuckDB list_slice
+    reconstruction, chunk TEXT included, so an off-by-one in any
+    boundary breaks the hash.
+
+    Scale: one scan, one explode — output is (n/S)x the input rows
+    but each chunk is bounded; embarrassingly parallel, no shuffle
+    at all (the explode is pipelined into the scan)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nch = (F.ceil(F.greatest(n - F.lit(_CHK_W), F.lit(0))
+                  / F.lit(float(_CHK_S))) + 1).cast("int")
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", toks.alias("l"), n.alias("n"),
+                 F.explode(F.sequence(F.lit(0), nch - 1)).alias("k")))
+    start = F.col("k") * _CHK_S
+    return d.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHK_W), F.col("n") - start).cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("l"), start + 1, F.lit(_CHK_W)), " ")
+        .alias("chunk_text"),
+    )
+
+
+# ------------------------------------------------ llm_tfidf_keywords
+
+_TFIDF_K = 3  #: keywords per document
+
+
+@query(
+    "llm_tfidf_keywords",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM w GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (floor(ln(CAST(n.nd AS DOUBLE) / df.df)
+                            * 1000000000.0 + 0.5)
+                      / 1000000000.0) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored)
+    WHERE rk <= {_TFIDF_K}
+    """,
+)
+def llm_tfidf_keywords(spark, sf_dir):
+    """TF-IDF KEYWORD EXTRACTION — per-document top-{_TFIDF_K} terms
+    by tf·idf, the classic corpus-pipeline labeling/diagnostic step
+    (BM25 ranks documents for a query; this ranks TERMS within each
+    document, the complementary direction). idf = ln(N/df) rides
+    the established 9-dp half-up quantization (ln is not
+    bit-identical cross-engine — FIXTURES.md); the score is then
+    ONE IEEE multiply of an exact integer tf by the quantized idf,
+    identical in both engines, and the (score DESC, term) rank
+    order is total.
+
+    Scale: one term explode + two aggregates (doc-term tf, term
+    df); the df relation is vocabulary-sized and joins back on the
+    term shuffle; the per-doc top-k is a bounded window. No
+    all-pairs anything."""
+    from pyspark.sql import Window as W
+
+    w = (load_table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.explode(F.split(F.col("text"), " ")).alias("term")))
+    tf = w.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = load_table(spark, sf_dir, "documents").count()
+    idfq = (F.floor(F.log(F.lit(float(nd)) / F.col("df"))
+                    * F.lit(1000000000.0) + F.lit(0.5))
+            / F.lit(1000000000.0))
+    scored = (tf.join(df, "term")
+              .select("doc_id", "term", "tf",
+                      (F.col("tf") * idfq).alias("score")))
+    wk = W.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                         "term")
+    return (scored.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") <= _TFIDF_K)
+            .select("doc_id", "term", "tf", "score",
+                    F.col("rk").cast("int").alias("rk")))
