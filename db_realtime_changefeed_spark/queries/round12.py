@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..streaming.replay import default_chunks
 from . import query
-from ._util import DEC, dround6_div
+from ._util import DEC, dround6_div, dsum
 
 __all__ = ["load"]
 
@@ -737,3 +737,172 @@ def llm_tfidf_keywords(spark, sf_dir):
             .where(F.col("rk") <= _TFIDF_K)
             .select("doc_id", "term", "tf", "score",
                     F.col("rk").cast("int").alias("rk")))
+
+
+# ------------------------------------------------ ts_cointegration
+
+_EG_CRIT_5 = -3.34  #: Engle-Granger 5% critical value, 2 vars + const
+
+
+@query(
+    "ts_cointegration",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               AS day,
+             {{DS}} AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    pairs AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             a.day, a.y AS x, b.y AS y
+      FROM d a JOIN d b
+        ON b.day = a.day AND a.event_type < b.event_type),
+    m1 AS (
+      SELECT et_a, et_b, count(*) AS n,
+             {{SX}} AS sx, {{SY}} AS sy,
+             {{SXX}} AS sxx, {{SXY}} AS sxy
+      FROM pairs GROUP BY et_a, et_b),
+    fit AS (
+      SELECT et_a, et_b, n,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+             (sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx)
+               / n AS alpha
+      FROM m1 WHERE n > 3 AND sxx - sx * sx / n > 0),
+    resid AS (
+      SELECT p.et_a, p.et_b, p.day,
+             p.y - f.alpha - f.beta * p.x AS r
+      FROM pairs p
+      JOIN fit f ON f.et_a = p.et_a AND f.et_b = p.et_b),
+    lagd AS (
+      SELECT et_a, et_b, r,
+             lag(r) OVER (PARTITION BY et_a, et_b ORDER BY day)
+               AS rl
+      FROM resid),
+    reg AS (
+      SELECT et_a, et_b, rl AS x, r - rl AS dy
+      FROM lagd WHERE rl IS NOT NULL),
+    m2 AS (
+      SELECT et_a, et_b, count(*) AS n,
+             {{SX2}} AS sx, {{SY2}} AS sy,
+             {{SXX2}} AS sxx, {{SXY2}} AS sxy,
+             {{SYY2}} AS syy
+      FROM reg GROUP BY et_a, et_b)
+    SELECT m2.et_a, m2.et_b, CAST(m2.n AS BIGINT) AS n,
+           f.beta AS coint_beta,
+           (m2.sxy - m2.sx * m2.sy / m2.n)
+             / (m2.sxx - m2.sx * m2.sx / m2.n) AS gamma,
+           ((m2.sxy - m2.sx * m2.sy / m2.n)
+             / (m2.sxx - m2.sx * m2.sx / m2.n))
+           / sqrt((((m2.syy - m2.sy * m2.sy / m2.n)
+                    - ((m2.sxy - m2.sx * m2.sy / m2.n)
+                       / (m2.sxx - m2.sx * m2.sx / m2.n))
+                      * (m2.sxy - m2.sx * m2.sy / m2.n))
+                   / (m2.n - 2))
+                  / (m2.sxx - m2.sx * m2.sx / m2.n)) AS eg_stat,
+           ((m2.sxy - m2.sx * m2.sy / m2.n)
+             / (m2.sxx - m2.sx * m2.sx / m2.n))
+           / sqrt((((m2.syy - m2.sy * m2.sy / m2.n)
+                    - ((m2.sxy - m2.sx * m2.sy / m2.n)
+                       / (m2.sxx - m2.sx * m2.sx / m2.n))
+                      * (m2.sxy - m2.sx * m2.sy / m2.n))
+                   / (m2.n - 2))
+                  / (m2.sxx - m2.sx * m2.sx / m2.n))
+             < {_EG_CRIT_5} AS cointegrated_5pct
+    FROM m2
+    JOIN fit f ON f.et_a = m2.et_a AND f.et_b = m2.et_b
+    WHERE m2.n > 2 AND m2.sxx - m2.sx * m2.sx / m2.n > 0
+    """.format(
+        DS="CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)",
+        SX="CAST(sum(CAST((x) AS DECIMAL(18,6))) AS DOUBLE)", SY="CAST(sum(CAST((y) AS DECIMAL(18,6))) AS DOUBLE)", SXX="CAST(sum(CAST((x * x) AS DECIMAL(18,6))) AS DOUBLE)", SXY="CAST(sum(CAST((x * y) AS DECIMAL(18,6))) AS DOUBLE)",
+        SX2="CAST(sum(CAST((x) AS DECIMAL(18,6))) AS DOUBLE)", SY2="CAST(sum(CAST((dy) AS DECIMAL(18,6))) AS DOUBLE)", SXX2="CAST(sum(CAST((x * x) AS DECIMAL(18,6))) AS DOUBLE)", SXY2="CAST(sum(CAST((x * dy) AS DECIMAL(18,6))) AS DOUBLE)",
+        SYY2="CAST(sum(CAST((dy * dy) AS DECIMAL(18,6))) AS DOUBLE)",
+    ),
+)
+def ts_cointegration(spark, sf_dir):
+    """ENGLE-GRANGER COINTEGRATION (Engle & Granger 1987) for every
+    event-type pair's daily value series — the two-step test behind
+    pairs monitoring: OLS-fit y = alpha + beta*x on the shared-day
+    relation, then a Dickey-Fuller unit-root regression on the
+    RESIDUAL series; a residual t-ratio below the MacKinnon 5%
+    critical value ({_EG_CRIT_5}, 2 variables + constant) rejects a
+    unit root in the spread, i.e. the pair co-moves. Composes the
+    established moment pipelines end to end: every sum rides the
+    exact-decimal dsum recipe, alpha/beta/gamma and the t-ratio are
+    closed-form IEEE trees on bit-identical moment doubles, the
+    residual is one shared expression tree, and the RSS uses the
+    OLS identity (no residual second pass).
+
+    Scale: the day-join fans each series to P-1 partners (P = event
+    types, tiny); all moments are map-side-combinable aggregates
+    over O(series-pairs x 30) rows; millions of pairs would
+    parallelize on the (et_a, et_b) key."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dsum("value").cast("double").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.day") == F.col("a.day"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .select(F.col("a.event_type").alias("et_a"),
+                F.col("b.event_type").alias("et_b"),
+                F.col("a.day").alias("day"),
+                F.col("a.y").alias("x"), F.col("b.y").alias("y"))
+    ).persist()
+    m1 = pairs.groupBy("et_a", "et_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"), dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    beta = ((F.col("sxy") - F.col("sx") * F.col("sy") / n)
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / n))
+    alpha = (F.col("sy") - beta * F.col("sx")) / n
+    fit = (m1.where((n > 3)
+                    & (F.col("sxx") - F.col("sx") * F.col("sx") / n
+                       > 0))
+           .select("et_a", "et_b", beta.alias("beta"),
+                   alpha.alias("alpha")))
+    resid = (
+        pairs.join(fit, ["et_a", "et_b"])
+        .select("et_a", "et_b", "day",
+                (F.col("y") - F.col("alpha")
+                 - F.col("beta") * F.col("x")).alias("r"),
+                "beta")
+    )
+    w = W.partitionBy("et_a", "et_b").orderBy("day")
+    reg = (
+        resid.select("et_a", "et_b", "beta", "r",
+                     F.lag("r").over(w).alias("rl"))
+        .where(F.col("rl").isNotNull())
+        .select("et_a", "et_b", "beta",
+                F.col("rl").alias("x"),
+                (F.col("r") - F.col("rl")).alias("dy"))
+    )
+    m2 = reg.groupBy("et_a", "et_b").agg(
+        F.any_value("beta").alias("coint_beta"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"), dsum("dy").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("dy")).alias("sxy"),
+        dsum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / n
+    gamma = sxy_c / sxx_c
+    rss = syy_c - gamma * sxy_c
+    eg = gamma / F.sqrt((rss / (n - 2)) / sxx_c)
+    out = (
+        m2.where((n > 2) & (sxx_c > 0))
+        .select("et_a", "et_b", "n", "coint_beta",
+                gamma.alias("gamma"), eg.alias("eg_stat"),
+                (eg < _EG_CRIT_5).alias("cointegrated_5pct"))
+    )
+    pairs.unpersist()
+    return out
