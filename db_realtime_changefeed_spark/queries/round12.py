@@ -906,3 +906,127 @@ def ts_cointegration(spark, sf_dir):
     )
     pairs.unpersist()
     return out
+
+
+# ---------------------------------------------------- llm_bpe_train
+
+_BPE_K = 5  #: merge rounds to learn
+
+
+def _bpe_oracle() -> str:
+    """K-round BPE training UNROLLED as chained CTE stages (a
+    recursive CTE cannot aggregate its own working table, so each
+    round is generated explicitly): w{{i}} holds the corpus as
+    boundary-padded token strings, p{{i}} counts adjacent pairs
+    weighted by word frequency, m{{i}} picks the (cnt DESC, pair)
+    winner, and the next w applies the merge with non-overlapping
+    left-to-right replace — the exact greedy BPE step."""
+    stages = ["""
+    words AS (
+      SELECT term AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE length(term) > 0
+      GROUP BY term
+    ),
+    w0 AS (
+      SELECT word, freq,
+             ' ' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> word[i]), ' ') || ' ' AS seq
+      FROM words
+    )"""]
+    for i in range(1, _BPE_K + 1):
+        prev = f"w{i - 1}"
+        stages.append(f"""
+    t{i} AS (
+      SELECT freq, string_split(trim(seq), ' ') AS tk FROM {prev}
+    ),
+    p{i} AS (
+      SELECT pair, sum(freq) AS cnt FROM (
+        SELECT freq, unnest(list_transform(
+          range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])) AS pair
+        FROM t{i} WHERE len(tk) > 1)
+      GROUP BY pair
+    ),
+    m{i} AS (
+      SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{i} AS (
+      SELECT w.word, w.freq,
+             replace(w.seq, ' ' || m.pair || ' ',
+                     ' ' || replace(m.pair, ' ', '') || ' ') AS seq
+      FROM {prev} w, m{i} m
+    )""")
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_idx, pair, CAST(cnt AS BIGINT) AS cnt "
+        f"FROM m{i}" for i in range(1, _BPE_K + 1))
+    return "WITH " + ",".join(stages) + "\n" + merges
+
+
+@query("llm_bpe_train", oracle=_bpe_oracle())
+def llm_bpe_train(spark, sf_dir):
+    """BYTE-PAIR-ENCODING MERGE TRAINING (Sennrich et al., ACL'16 —
+    the tokenizer-training step of every modern LLM pipeline):
+    {_BPE_K} greedy merge rounds over the corpus vocabulary. Each
+    round counts ADJACENT token pairs weighted by word frequency
+    (overlapping occurrences count, the standard convention), merges
+    the most frequent pair (ties broken lexicographically — real BPE
+    implementations pin a total order exactly like this), and
+    rewrites every word's token sequence with a non-overlapping
+    left-to-right replace — the same greedy application order on
+    both engines, so the learned merge table is bit-identical to the
+    DuckDB unrolled-CTE twin.
+
+    The Spark loop keeps ONE driver-side row per round (the argmax
+    pair — bounded state, never corpus data) and localCheckpoints
+    the rewritten vocabulary each round (the house iterative-loop
+    lineage cut). Graded on the merge table itself: a wrong count,
+    tie-break, or a replace that double-merged an overlap shifts a
+    merge and breaks the hash.
+
+    Scale: the corpus collapses to the VOCABULARY (word, freq)
+    relation first — pair counting and rewriting are O(vocab), not
+    O(corpus), which is why real BPE trainers run on word counts;
+    each round is one explode + one aggregate + one map."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " "))
+                    .alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # char split via expr: F.substring's python signature takes int
+    # positions, so the per-index lambda form is expressed in SQL
+    w = words.select(
+        "word", "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"), " "),
+            F.lit(" ")).alias("seq"))
+    merges: list = []
+    for it in range(1, _BPE_K + 1):
+        w = w.localCheckpoint(eager=True)
+        tk = F.split(F.trim(F.col("seq")), " ")
+        pairs = (
+            w.select("freq", tk.alias("tk"))
+            .where(F.size("tk") > 1)
+            .select("freq", F.explode(F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "j -> concat(tk[j - 1], ' ', tk[j]))")).alias("pair"))
+            .groupBy("pair").agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1) \
+            .collect()[0]
+        merges.append((it, top["pair"], int(top["cnt"])))
+        merged = top["pair"].replace(" ", "")
+        w = w.select(
+            "word", "freq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} ")).alias("seq"))
+    return spark.createDataFrame(
+        merges, "merge_idx int, pair string, cnt long")
