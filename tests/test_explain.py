@@ -703,3 +703,40 @@ def test_round11_wave_plans(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "llm_hybrid_rrf")
     assert "BroadcastNestedLoopJoin" in plan  # 1-row query vector
     assert "CartesianProduct" not in plan
+
+
+def test_round12_wave_plans(spark, sf_oracle):
+    """Round-12 plan pins: chunking is scan+explode with NO shuffle
+    (the explode pipelines into the scan); tfidf has no cartesian
+    anything (term-keyed joins only); qualify plans the rank
+    predicate as WindowGroupLimit (the top-k never materializes full
+    partitions); the GROUPS-frame emulations keep partitioned
+    windows and exactly one exchange; the RA wedge join broadcasts
+    the degree relation."""
+    import re
+
+    plan = _plan(spark, sf_oracle, "llm_chunk_sliding")
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "Generate" in plan  # the explode
+
+    plan = _plan(spark, sf_oracle, "llm_tfidf_keywords")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, sf_oracle, "sql_qualify")
+    assert "WindowGroupLimit" in plan
+
+    for name in ("win_frame_groups", "win_frame_groups_exclude",
+                 "win_frame_exclude_group", "win_frame_exclude_ties"):
+        plan = _plan(spark, sf_oracle, name)
+        # formatted mode prints each node once in the tree and once
+        # in the detail section — count the detail headers
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert n_ex == 1, f"{name}: {n_ex} exchanges"
+        for frag in re.findall(
+                r"windowspecdefinition\(([^,)]*)", plan):
+            assert frag.strip(), f"{name}: global window"
+
+    plan = _plan(spark, sf_oracle, "graph_resource_allocation")
+    assert "BroadcastHashJoin" in plan  # degree dim broadcast
+    assert "CartesianProduct" not in plan
