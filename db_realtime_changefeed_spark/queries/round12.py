@@ -76,7 +76,13 @@ def changefeed_distinct_users_view(spark, sf_dir):
     interprets the fixture's 'error' events as the CDC DELETE: a
     member's delete retracts it from EVERY group it supported, and
     later events re-enroll it — the genuinely non-monotone path a
-    naive distinct-count delta cannot express. Trajectory-graded per
+    naive distinct-count delta cannot express. NOT a twin of
+    changefeed_distinct_view / _orders: those count distinct VALUES
+    off the LWW runners' existing (group, value) support relation
+    (zero new state); this one counts distinct MEMBERS over the raw
+    delete-bearing stream, which no existing store carries — the
+    member-refcount relation and its delete-driven full-member
+    retraction are the new machinery. Trajectory-graded per
     micro-batch against the batch COUNT(DISTINCT) reconstruction of
     every replay prefix (membership = any event of the type since
     the member's last delete, in event_id replay order).
@@ -605,140 +611,6 @@ def graph_resource_allocation(spark, sf_dir):
     )
 
 
-# -------------------------------------------------- llm_chunk_sliding
-
-_CHK_W = 50  #: chunk width (tokens)
-_CHK_S = 25  #: stride (tokens) — 50% overlap
-
-
-@query(
-    "llm_chunk_sliding",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS l,
-             len(string_split(text, ' ')) AS n
-      FROM documents
-    ), spans AS (
-      SELECT doc_id, l, n,
-             unnest(range(0, CAST(ceil(greatest(n - {_CHK_W}, 0)
-                                       / {_CHK_S}.0) AS BIGINT) + 1))
-               AS k
-      FROM toks
-    )
-    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
-           CAST(least({_CHK_W}, n - k * {_CHK_S}) AS BIGINT)
-             AS n_tokens,
-           array_to_string(
-             list_slice(l, k * {_CHK_S} + 1,
-                        k * {_CHK_S} + {_CHK_W}), ' ') AS chunk_text
-    FROM spans
-    """,
-)
-def llm_chunk_sliding(spark, sf_dir):
-    """SLIDING-WINDOW DOCUMENT CHUNKING — the RAG/pretraining prep
-    step between raw documents and embedding or packing: each
-    document splits into {_CHK_W}-token windows at stride {_CHK_S}
-    (50% overlap, the standard retrieval-chunking default), the last
-    window keeping its natural short tail. Pure Catalyst — split /
-    sequence / posexplode / slice / array_join, no UDF — and the
-    chunk arithmetic (ceil((n-W)/S)+1 windows, start k*S, width
-    min(W, n-k*S)) is pinned exactly by the DuckDB list_slice
-    reconstruction, chunk TEXT included, so an off-by-one in any
-    boundary breaks the hash.
-
-    Scale: one scan, one explode — output is (n/S)x the input rows
-    but each chunk is bounded; embarrassingly parallel, no shuffle
-    at all (the explode is pipelined into the scan)."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    nch = (F.ceil(F.greatest(n - F.lit(_CHK_W), F.lit(0))
-                  / F.lit(float(_CHK_S))) + 1).cast("int")
-    d = (load_table(spark, sf_dir, "documents")
-         .select("doc_id", toks.alias("l"), n.alias("n"),
-                 F.explode(F.sequence(F.lit(0), nch - 1)).alias("k")))
-    start = F.col("k") * _CHK_S
-    return d.select(
-        "doc_id",
-        F.col("k").cast("int").alias("chunk_idx"),
-        F.least(F.lit(_CHK_W), F.col("n") - start).cast("long")
-        .alias("n_tokens"),
-        F.array_join(
-            F.slice(F.col("l"), start + 1, F.lit(_CHK_W)), " ")
-        .alias("chunk_text"),
-    )
-
-
-# ------------------------------------------------ llm_tfidf_keywords
-
-_TFIDF_K = 3  #: keywords per document
-
-
-@query(
-    "llm_tfidf_keywords",
-    oracle=f"""
-    WITH w AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents
-    ), tf AS (
-      SELECT doc_id, term, count(*) AS tf
-      FROM w GROUP BY doc_id, term
-    ), df AS (
-      SELECT term, count(*) AS df FROM tf GROUP BY term
-    ), n AS (SELECT count(*) AS nd FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf,
-             tf.tf * (floor(ln(CAST(n.nd AS DOUBLE) / df.df)
-                            * 1000000000.0 + 0.5)
-                      / 1000000000.0) AS score
-      FROM tf JOIN df USING (term), n
-    )
-    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
-           CAST(rk AS INT) AS rk
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
-      FROM scored)
-    WHERE rk <= {_TFIDF_K}
-    """,
-)
-def llm_tfidf_keywords(spark, sf_dir):
-    """TF-IDF KEYWORD EXTRACTION — per-document top-{_TFIDF_K} terms
-    by tf·idf, the classic corpus-pipeline labeling/diagnostic step
-    (BM25 ranks documents for a query; this ranks TERMS within each
-    document, the complementary direction). idf = ln(N/df) rides
-    the established 9-dp half-up quantization (ln is not
-    bit-identical cross-engine — FIXTURES.md); the score is then
-    ONE IEEE multiply of an exact integer tf by the quantized idf,
-    identical in both engines, and the (score DESC, term) rank
-    order is total.
-
-    Scale: one term explode + two aggregates (doc-term tf, term
-    df); the df relation is vocabulary-sized and joins back on the
-    term shuffle; the per-doc top-k is a bounded window. No
-    all-pairs anything."""
-    from pyspark.sql import Window as W
-
-    w = (load_table(spark, sf_dir, "documents")
-         .select("doc_id",
-                 F.explode(F.split(F.col("text"), " ")).alias("term")))
-    tf = w.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    nd = load_table(spark, sf_dir, "documents").count()
-    idfq = (F.floor(F.log(F.lit(float(nd)) / F.col("df"))
-                    * F.lit(1000000000.0) + F.lit(0.5))
-            / F.lit(1000000000.0))
-    scored = (tf.join(df, "term")
-              .select("doc_id", "term", "tf",
-                      (F.col("tf") * idfq).alias("score")))
-    wk = W.partitionBy("doc_id").orderBy(F.col("score").desc(),
-                                         "term")
-    return (scored.withColumn("rk", F.row_number().over(wk))
-            .where(F.col("rk") <= _TFIDF_K)
-            .select("doc_id", "term", "tf", "score",
-                    F.col("rk").cast("int").alias("rk")))
-
-
 # ------------------------------------------------ ts_cointegration
 
 _EG_CRIT_5 = -3.34  #: Engle-Granger 5% critical value, 2 vars + const
@@ -906,127 +778,3 @@ def ts_cointegration(spark, sf_dir):
     )
     pairs.unpersist()
     return out
-
-
-# ---------------------------------------------------- llm_bpe_train
-
-_BPE_K = 5  #: merge rounds to learn
-
-
-def _bpe_oracle() -> str:
-    """K-round BPE training UNROLLED as chained CTE stages (a
-    recursive CTE cannot aggregate its own working table, so each
-    round is generated explicitly): w{{i}} holds the corpus as
-    boundary-padded token strings, p{{i}} counts adjacent pairs
-    weighted by word frequency, m{{i}} picks the (cnt DESC, pair)
-    winner, and the next w applies the merge with non-overlapping
-    left-to-right replace — the exact greedy BPE step."""
-    stages = ["""
-    words AS (
-      SELECT term AS word, count(*) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS term
-            FROM documents)
-      WHERE length(term) > 0
-      GROUP BY term
-    ),
-    w0 AS (
-      SELECT word, freq,
-             ' ' || array_to_string(
-               list_transform(range(1, length(word) + 1),
-                              i -> word[i]), ' ') || ' ' AS seq
-      FROM words
-    )"""]
-    for i in range(1, _BPE_K + 1):
-        prev = f"w{i - 1}"
-        stages.append(f"""
-    t{i} AS (
-      SELECT freq, string_split(trim(seq), ' ') AS tk FROM {prev}
-    ),
-    p{i} AS (
-      SELECT pair, sum(freq) AS cnt FROM (
-        SELECT freq, unnest(list_transform(
-          range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])) AS pair
-        FROM t{i} WHERE len(tk) > 1)
-      GROUP BY pair
-    ),
-    m{i} AS (
-      SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
-    ),
-    w{i} AS (
-      SELECT w.word, w.freq,
-             replace(w.seq, ' ' || m.pair || ' ',
-                     ' ' || replace(m.pair, ' ', '') || ' ') AS seq
-      FROM {prev} w, m{i} m
-    )""")
-    merges = "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_idx, pair, CAST(cnt AS BIGINT) AS cnt "
-        f"FROM m{i}" for i in range(1, _BPE_K + 1))
-    return "WITH " + ",".join(stages) + "\n" + merges
-
-
-@query("llm_bpe_train", oracle=_bpe_oracle())
-def llm_bpe_train(spark, sf_dir):
-    """BYTE-PAIR-ENCODING MERGE TRAINING (Sennrich et al., ACL'16 —
-    the tokenizer-training step of every modern LLM pipeline):
-    {_BPE_K} greedy merge rounds over the corpus vocabulary. Each
-    round counts ADJACENT token pairs weighted by word frequency
-    (overlapping occurrences count, the standard convention), merges
-    the most frequent pair (ties broken lexicographically — real BPE
-    implementations pin a total order exactly like this), and
-    rewrites every word's token sequence with a non-overlapping
-    left-to-right replace — the same greedy application order on
-    both engines, so the learned merge table is bit-identical to the
-    DuckDB unrolled-CTE twin.
-
-    The Spark loop keeps ONE driver-side row per round (the argmax
-    pair — bounded state, never corpus data) and localCheckpoints
-    the rewritten vocabulary each round (the house iterative-loop
-    lineage cut). Graded on the merge table itself: a wrong count,
-    tie-break, or a replace that double-merged an overlap shifts a
-    merge and breaks the hash.
-
-    Scale: the corpus collapses to the VOCABULARY (word, freq)
-    relation first — pair counting and rewriting are O(vocab), not
-    O(corpus), which is why real BPE trainers run on word counts;
-    each round is one explode + one aggregate + one map."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split(F.col("text"), " "))
-                    .alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    )
-    # char split via expr: F.substring's python signature takes int
-    # positions, so the per-index lambda form is expressed in SQL
-    w = words.select(
-        "word", "freq",
-        F.concat(
-            F.lit(" "),
-            F.array_join(F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"), " "),
-            F.lit(" ")).alias("seq"))
-    merges: list = []
-    for it in range(1, _BPE_K + 1):
-        w = w.localCheckpoint(eager=True)
-        tk = F.split(F.trim(F.col("seq")), " ")
-        pairs = (
-            w.select("freq", tk.alias("tk"))
-            .where(F.size("tk") > 1)
-            .select("freq", F.explode(F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "j -> concat(tk[j - 1], ' ', tk[j]))")).alias("pair"))
-            .groupBy("pair").agg(F.sum("freq").alias("cnt"))
-        )
-        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1) \
-            .collect()[0]
-        merges.append((it, top["pair"], int(top["cnt"])))
-        merged = top["pair"].replace(" ", "")
-        w = w.select(
-            "word", "freq",
-            F.replace(
-                F.col("seq"),
-                F.lit(f" {top['pair']} "),
-                F.lit(f" {merged} ")).alias("seq"))
-    return spark.createDataFrame(
-        merges, "merge_idx int, pair string, cnt long")
