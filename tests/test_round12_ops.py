@@ -331,3 +331,24 @@ def test_sql_qualify_rewrite(spark, sf_smoke):
         db.sql("SELECT o_orderkey FROM orders "
                "QUALIFY row_number() OVER (ORDER BY o_orderkey) <= 2 "
                "LIMIT 1")
+
+
+def test_distinct_view_restart_from_durable_root(spark, sf_smoke,
+                                                 nd_runner):
+    """The runner contract every store-backed family honors: a FRESH
+    instance over a previous runner's root serves identical
+    trajectories without reprocessing (manifest-committed versioned
+    parquet; _batches derives from the member-store manifests)."""
+    from db_realtime_changefeed_spark.streaming.distinct_view import (
+        DistinctCountViewRunner,
+    )
+
+    r2 = DistinctCountViewRunner(spark, sf_smoke,
+                                 root=nd_runner.root)
+    assert r2._batches == nd_runner._batches
+    for b in r2._batches:
+        got = {(r.event_type, r.nd)
+               for r in r2._nd.df_at(b).collect()}
+        want = {(r.event_type, r.nd)
+                for r in nd_runner._nd.df_at(b).collect()}
+        assert got == want, f"restart drifted at batch {b}"
