@@ -11,7 +11,6 @@ contract + SURVEY §2.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
