@@ -158,8 +158,12 @@ def test_keyby_custom_key_feed(spark, sf_smoke):
              .cast("double").alias("s")).collect()
     }
     assert got == exp
-    with pytest.raises(NotImplementedError, match="integer-typed"):
-        db.table("customer").changes(key="c_name")
+    # string keys are ACCEPTED since r12 (the envelope key slot
+    # follows the key column's type); non-integral non-string types
+    # still refuse loudly
+    with pytest.raises(NotImplementedError,
+                       match="integer- or string-typed"):
+        db.table("customer").changes(key="c_acctbal")
     with pytest.raises(KeyError, match="not a column"):
         db.table("customer").changes(key="nope")
 

@@ -706,22 +706,12 @@ def test_round11_wave_plans(spark, sf_oracle):
 
 
 def test_round12_wave_plans(spark, sf_oracle):
-    """Round-12 plan pins: chunking is scan+explode with NO shuffle
-    (the explode pipelines into the scan); tfidf has no cartesian
-    anything (term-keyed joins only); qualify plans the rank
-    predicate as WindowGroupLimit (the top-k never materializes full
-    partitions); the GROUPS-frame emulations keep partitioned
-    windows and exactly one exchange; the RA wedge join broadcasts
-    the degree relation."""
+    """Round-12 plan pins: qualify plans the rank predicate as
+    WindowGroupLimit (the top-k never materializes full partitions);
+    the GROUPS-frame and EXCLUDE emulations keep partitioned windows
+    and exactly one exchange; the RA wedge join broadcasts the
+    degree relation."""
     import re
-
-    plan = _plan(spark, sf_oracle, "llm_chunk_sliding")
-    assert "Exchange" not in plan, "chunking must not shuffle"
-    assert "Generate" in plan  # the explode
-
-    plan = _plan(spark, sf_oracle, "llm_tfidf_keywords")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
 
     plan = _plan(spark, sf_oracle, "sql_qualify")
     assert "WindowGroupLimit" in plan
