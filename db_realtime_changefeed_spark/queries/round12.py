@@ -777,3 +777,122 @@ def ts_cointegration(spark, sf_dir):
     )
     pairs.unpersist()
     return out
+
+
+# ---------------------------------------------------------- graph_hits
+
+_HITS_TOP = 10  #: reported rows per side (authority / hub)
+
+
+def _hits_oracle() -> str:
+    """Two full HITS rounds unrolled as CTE stages with the exact
+    decimal-sum + shared-IEEE-division recipe the Spark side uses."""
+    ds = "CAST(sum(CAST(({x}) AS DECIMAL(18,6))) AS DOUBLE)"
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_orderkey % 4 = 0),
+    h1 AS (
+      SELECT o, CAST(count(*) AS DOUBLE) AS s FROM e GROUP BY o),
+    h1n AS (
+      SELECT o, s / (SELECT {ds.format(x='s')} FROM h1) AS s
+      FROM h1),
+    a1 AS (
+      SELECT e.p, {ds.format(x='h.s')} AS s
+      FROM e JOIN h1n h ON h.o = e.o GROUP BY e.p),
+    a1n AS (
+      SELECT p, s / (SELECT {ds.format(x='s')} FROM a1) AS s
+      FROM a1),
+    h2 AS (
+      SELECT e.o, {ds.format(x='a.s')} AS s
+      FROM e JOIN a1n a ON a.p = e.p GROUP BY e.o),
+    h2n AS (
+      SELECT o, s / (SELECT {ds.format(x='s')} FROM h2) AS s
+      FROM h2),
+    a2 AS (
+      SELECT e.p, {ds.format(x='h.s')} AS s
+      FROM e JOIN h2n h ON h.o = e.o GROUP BY e.p),
+    a2n AS (
+      SELECT p, s / (SELECT {ds.format(x='s')} FROM a2) AS s
+      FROM a2),
+    tops AS (
+      SELECT 'authority' AS kind, p AS id, s,
+             row_number() OVER (ORDER BY s DESC, p) AS rk
+      FROM a2n
+      UNION ALL
+      SELECT 'hub' AS kind, o AS id, s,
+             row_number() OVER (ORDER BY s DESC, o) AS rk
+      FROM h2n)
+    SELECT kind, id, s AS score, CAST(rk AS INT) AS rk
+    FROM tops WHERE rk <= {_HITS_TOP}
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE
+    order->part purchase graph — the second classic eigenvector
+    fixpoint next to graph_pagerank, and a different object: HITS
+    scores the two sides of a directed/bipartite relation against
+    each other (an order is a good HUB if it buys authoritative
+    parts; a part is a good AUTHORITY if good hubs buy it), where
+    pagerank collapses everything to one score on a single node set.
+    Two full mutual-reinforcement rounds from the uniform authority
+    start, L1-normalized each half-step.
+
+    Determinism: every aggregation is an exact decimal sum; each
+    normalization divides two bit-identical doubles (one shared IEEE
+    division); the next round's sums re-quantize through the decimal
+    cast — so both engines walk identical score vectors, and the
+    (score DESC, id) top-{_HITS_TOP} cut per side is total.
+
+    Scale: each half-step is one edge-keyed shuffle (join on the
+    score side, aggregate on the other); the L1 norm is a scalar
+    broadcast. Iterations localCheckpoint (house iterative-loop
+    rule). Edge volume is the filtered purchase relation — never a
+    pairs product."""
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"),
+                F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+
+    def _l1(df, col):
+        tot = df.agg(dsum(col).alias("t"))
+        return (df.crossJoin(F.broadcast(tot))
+                .select(*[c for c in df.columns if c != col],
+                        (F.col(col) / F.col("t")).alias(col)))
+
+    # authority starts uniform: h(o) = degree, exactly as the oracle
+    h = e.groupBy("o").agg(
+        F.count(F.lit(1)).cast("double").alias("s"))
+    h = _l1(h, "s").localCheckpoint(eager=True)
+    # the walk is h1 -> a1 -> h2 -> a2 (alternating half-steps);
+    # report the LAST computed state of each side: hub = h2,
+    # authority = a2 — exactly where the unrolled oracle stops
+    a = None
+    for i in range(2):
+        a = (e.join(h, "o")
+             .groupBy("p").agg(dsum("s").alias("s")))
+        a = _l1(a, "s").localCheckpoint(eager=True)
+        if i < 1:
+            h = (e.join(a, "p")
+                 .groupBy("o").agg(dsum("s").alias("s")))
+            h = _l1(h, "s").localCheckpoint(eager=True)
+    from pyspark.sql import Window as W
+
+    auth = a.select(F.lit("authority").alias("kind"),
+                    F.col("p").alias("id"), F.col("s").alias("score"))
+    hub = h.select(F.lit("hub").alias("kind"),
+                   F.col("o").alias("id"), F.col("s").alias("score"))
+    wk = W.partitionBy("kind").orderBy(F.col("score").desc(), "id")
+    out = (auth.unionByName(hub)
+           .withColumn("rk", F.row_number().over(wk))
+           .where(F.col("rk") <= _HITS_TOP)
+           .select("kind", "id", "score",
+                   F.col("rk").cast("int").alias("rk")))
+    e.unpersist()
+    return out

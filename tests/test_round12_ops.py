@@ -352,3 +352,65 @@ def test_distinct_view_restart_from_durable_root(spark, sf_smoke,
         want = {(r.event_type, r.nd)
                 for r in nd_runner._nd.df_at(b).collect()}
         assert got == want, f"restart drifted at batch {b}"
+
+
+def test_live_payload_filtered_feed(spark, sf_smoke, tmp_path):
+    """Live mode + payload filter: the ingest path must carry the
+    after JSON image so the rewritten predicate filters each live
+    change file — state converges to the matching subset only."""
+    import time
+
+    from db_realtime_changefeed_spark.api import Database
+
+    orders = load_table(spark, sf_smoke, "orders")
+    f1 = str(tmp_path / "pf1")
+    f2 = str(tmp_path / "pf2")
+    orders.where("o_orderkey % 2 = 0").write.parquet(f1)
+    orders.where("o_orderkey % 2 = 1").write.parquet(f2)
+    feed = (Database(spark, sf_smoke).table("orders")
+            .filter("o_orderstatus = 'F'").changes(mode="live"))
+    assert feed._runner.with_after
+    try:
+        feed.ingest(f1)
+        feed.ingest(f2)
+        want = orders.where("o_orderstatus = 'F'").count()
+        deadline = time.time() + 60
+        got = -1
+        while time.time() < deadline:
+            got = sum(r["cnt"] for r in feed.state().collect())
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want, f"live payload filter saw {got}/{want}"
+    finally:
+        feed.stop()
+
+
+def test_live_string_keyed_feed(spark, sf_smoke, tmp_path):
+    """Live mode + string key: ingest normalizes to the string key
+    slot and the keyed merge converges to the per-segment batch
+    aggregate."""
+    import time
+
+    from db_realtime_changefeed_spark.api import Database
+
+    cust = load_table(spark, sf_smoke, "customer")
+    f1 = str(tmp_path / "sk1")
+    cust.write.parquet(f1)
+    feed = (Database(spark, sf_smoke).table("customer")
+            .changes(key="c_mktsegment", mode="live"))
+    try:
+        feed.ingest(f1)
+        want = {r.c_mktsegment: r.c
+                for r in cust.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("c")).collect()}
+        deadline = time.time() + 60
+        got: dict = {}
+        while time.time() < deadline:
+            got = {r.key: r.cnt for r in feed.state().collect()}
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+    finally:
+        feed.stop()
