@@ -430,7 +430,10 @@ class TableRef:
         path, other columns rewrite against the feed's `after` JSON
         payload image (r12). KEY BY accepts any integer- or
         string-typed column (the envelope key slot follows the key's
-        own type); live mode works there too."""
+        own type) or a TUPLE of such columns (r13 — composite PKs
+        like ("l_orderkey", "l_linenumber") key the feed through the
+        canonical escaped-concat string encoding,
+        multitable.composite_key_sql); live mode works there too."""
         if initial_scan not in ("yes", "no", "only"):
             raise ValueError(
                 f"initial_scan must be 'yes'|'no'|'only', got "
@@ -441,17 +444,25 @@ class TableRef:
                 "initial_scan='only' is a one-shot snapshot; it cannot "
                 "run as a live feed"
             )
-        if self._name != "events":
+        if self._name != "events" or isinstance(key, (tuple, list)):
+            if self._name == "events":
+                raise NotImplementedError(
+                    "composite KEY BY is a table-feed surface "
+                    "(multitable envelope); events feeds key on one "
+                    "column (user_id / event_type)")
             from .streaming.multitable import (
                 MultiTableChangefeedRunner,
+                _normalize_key_override,
                 envelope_spec,
             )
 
             # any envelope-mapped table (the _TABLE_MAP pair plus
-            # every DOC_MAP table — round-10); KEY BY any
-            # integer-typed column re-keys the aggregate
-            # (envelope_spec validates; unmapped tables and
-            # non-integral keys still raise loudly there)
+            # every DOC_MAP/COMPOSITE_DOC_MAP table — round-10/13);
+            # KEY BY any integer- or string-typed column — or a
+            # tuple of them — re-keys the aggregate (envelope_spec
+            # validates; unmapped tables and other key types still
+            # raise loudly there)
+            key = _normalize_key_override(key)
             default_key = envelope_spec(self._name)[0]
             overrides = (
                 {self._name: key}
@@ -697,37 +708,85 @@ class RowSetRef:
         return Feed(runner)
 
 
-#: CREATE CHANGEFEED FOR <table> [WHERE <pred>] [KEY BY <col>]
-#: — the DDL text form (CockroachDB-style) of TableRef.changes().
+#: CREATE CHANGEFEED FOR <table> [WHERE <pred>]
+#: [KEY BY <col> | KEY BY (<col>, <col>, ...)]
+#: — the DDL text form (CockroachDB-style) of TableRef.changes();
+#: the parenthesized list form keys the feed on a composite key
+#: (r13, multitable.composite_key_sql encoding).
 _CHANGEFEED_DDL = re.compile(
     r"^\s*CREATE\s+CHANGEFEED\s+FOR\s+(\w+)"
     r"(?:\s+WHERE\s+(.+?))?"
-    r"(?:\s+KEY\s+BY\s+(\w+))?\s*;?\s*$",
+    r"(?:\s+KEY\s+BY\s+(\((?:\s*\w+\s*,)*\s*\w+\s*\)|\w+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
-#: QUALIFY <pred> as the FINAL clause of a query (the DuckDB/
-#: Snowflake/BigQuery window-filter clause Spark SQL lacks) —
-#: rewritten in Database.sql() into the standard
-#: project-window-then-filter subquery.
-_QUALIFY = re.compile(
-    r"^(?P<body>.*?)\sQUALIFY\s(?P<pred>.+?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+#: SQL single-quoted string literal (ANSI doubled quote or backslash
+#: escape) — the QUALIFY/DISTINCT scanners consume these whole so a
+#: keyword INSIDE a literal is never treated as a clause (r12 ADVICE:
+#: the bare-regex detector fired on '%QUALIFY%' LIKE patterns).
+_SQL_LITERAL = r"'(?:[^'\\]|\\.|'')*'"
 
-def _has_toplevel_order_or_limit(pred: str) -> bool:
-    """True if ORDER BY / LIMIT appears in `pred` OUTSIDE
-    parentheses — i.e. as a trailing query clause, not inside an
-    OVER(...) window spec (which legitimately contains ORDER BY)."""
-    depth = 0
-    for m in re.finditer(r"[()]|\bORDER\s+BY\b|\bLIMIT\b", pred,
-                         re.IGNORECASE):
+_QUALIFY_TOK = re.compile(
+    _SQL_LITERAL + r"|[()]|\bQUALIFY\b", re.IGNORECASE)
+
+_DISTINCT_TOK = re.compile(
+    _SQL_LITERAL + r"|[()]|\bSELECT\s+DISTINCT\b", re.IGNORECASE)
+
+
+def _find_toplevel_qualify(text: str):
+    """(match-of-last-top-level-QUALIFY, nested_seen) — the scan is
+    quote-aware (literals consumed whole) and paren-aware (QUALIFY
+    inside a parenthesized subquery is NOT the statement's final
+    clause). nested_seen reports a depth>0 QUALIFY so the caller can
+    refuse loudly instead of shipping Spark an opaque parse error."""
+    depth, top, nested = 0, None, False
+    for m in _QUALIFY_TOK.finditer(text):
         tok = m.group(0)
         if tok == "(":
             depth += 1
         elif tok == ")":
             depth -= 1
-        elif depth == 0:
+        elif tok.upper() == "QUALIFY":
+            if depth == 0:
+                top = m
+            else:
+                nested = True
+    return top, nested
+
+
+def _has_toplevel_select_distinct(body: str) -> bool:
+    """True if the query body's own projection is SELECT DISTINCT
+    (outside parens/literals). Native QUALIFY (DuckDB/Snowflake/
+    BigQuery) evaluates the window predicate BEFORE DISTINCT; the
+    subquery rewrite would evaluate it after — silently different
+    rows — so such bodies are refused (ADVICE r12)."""
+    depth = 0
+    for m in _DISTINCT_TOK.finditer(body):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0 and tok.upper().startswith("SELECT"):
+            return True
+    return False
+
+
+def _has_toplevel_order_or_limit(pred: str) -> bool:
+    """True if ORDER BY / LIMIT appears in `pred` OUTSIDE
+    parentheses and string literals — i.e. as a trailing query
+    clause, not inside an OVER(...) window spec (which legitimately
+    contains ORDER BY) or a quoted string."""
+    depth = 0
+    for m in re.finditer(
+            _SQL_LITERAL + r"|[()]|\bORDER\s+BY\b|\bLIMIT\b", pred,
+            re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif tok != ")" and not tok.startswith("'") and depth == 0:
             return True
     return False
 
@@ -752,9 +811,20 @@ class Database:
         of DuckDB/Snowflake/BigQuery, absent from Spark SQL) is
         accepted and rewritten into the standard subquery form:
         project the window predicate, filter on it, drop it — the
-        exact relational algebra QUALIFY sugars. A QUALIFY followed
-        by ORDER BY / LIMIT raises (put them in an outer query) —
-        a partially honored clause would silently reorder results."""
+        exact relational algebra QUALIFY sugars. The detector is
+        quote- and paren-aware (r13): the word QUALIFY inside a
+        string literal is data, and a QUALIFY inside a parenthesized
+        subquery raises (rewrite the subquery by hand or lift the
+        clause) rather than mangling the statement. Refused loudly,
+        with the reason: a QUALIFY followed by ORDER BY / LIMIT
+        (put them in an outer query — a partially honored clause
+        would silently reorder results), and a SELECT DISTINCT body
+        (native QUALIFY filters BEFORE DISTINCT; the rewrite would
+        filter after — silently different rows). Limitation, by
+        design: the predicate sees the body's SELECT list (the
+        rewrite projects over it), so a QUALIFY referencing a column
+        the body doesn't project fails analysis — add the column to
+        the select list."""
         m = _CHANGEFEED_DDL.match(query)
         if m:
             table, pred, key = m.group(1), m.group(2), m.group(3)
@@ -762,26 +832,56 @@ class Database:
             if pred:
                 ref = ref.filter(pred.strip())
             # no KEY BY → table default (event_type for events, the
-            # primary key for envelope-replayed tables)
-            return ref.changes(key=key.lower() if key else None)
+            # primary key for envelope-replayed tables); KEY BY
+            # (a, b, ...) → composite key tuple
+            key_arg = None
+            if key:
+                key = key.strip()
+                if key.startswith("("):
+                    key_arg = tuple(
+                        c.strip().lower()
+                        for c in key[1:-1].split(","))
+                else:
+                    key_arg = key.lower()
+            return ref.changes(key=key_arg)
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)
-        q = _QUALIFY.match(query)
-        if q and not re.search(r"\bQUALIFY\b", q.group("body"),
-                               re.IGNORECASE):
-            pred = q.group("pred").strip()
+        q, nested = _find_toplevel_qualify(query)
+        if q is not None:
+            body = query[:q.start()].rstrip()
+            pred = query[q.end():].strip().rstrip(";").strip()
+            if not pred:
+                raise ValueError("QUALIFY needs a predicate")
             if _has_toplevel_order_or_limit(pred):
                 raise NotImplementedError(
                     "QUALIFY must be the final clause; wrap ORDER "
                     "BY / LIMIT around the query instead")
+            if nested:  # the full-statement scan saw a depth>0 one
+                raise NotImplementedError(
+                    "QUALIFY inside a subquery is not rewritten; "
+                    "rewrite that subquery as the explicit window+"
+                    "filter form, or lift the clause to the top "
+                    "level")
+            if _has_toplevel_select_distinct(body):
+                raise NotImplementedError(
+                    "QUALIFY on a SELECT DISTINCT body: native "
+                    "QUALIFY filters before DISTINCT, the subquery "
+                    "rewrite would filter after — the results would "
+                    "silently differ. Apply DISTINCT in an outer "
+                    "query instead")
             return (
                 self.spark.sql(
                     f"SELECT *, ({pred}) AS __qualify__ FROM "
-                    f"({q.group('body')})")
+                    f"({body})")
                 .where("__qualify__")
                 .drop("__qualify__")
             )
+        if nested:
+            raise NotImplementedError(
+                "QUALIFY inside a subquery is not rewritten; "
+                "rewrite that subquery as the explicit window+"
+                "filter form, or lift the clause to the top level")
         return self.spark.sql(query)
 
 

@@ -19,10 +19,16 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+def query(name: str, oracle=None) -> Callable[[QueryFn], QueryFn]:
     """Register a graded query. `oracle` is equivalent ANSI SQL for
-    DuckDB over the pre-registered views; omit for non-SQL ops
-    (driver then records the weaker rows-only check)."""
+    DuckDB over the pre-registered views — either the SQL string, or
+    a ZERO-ARG CALLABLE returning it, resolved lazily every time the
+    driver asks (all_oracles). Use the callable form when the text
+    interpolates runtime-configurable constants
+    (SPARK_GRAFT_STREAM_CHUNKS etc.): a string captured at import
+    time pins the env value seen then, silently disagreeing with a
+    runner started after the env changed (ADVICE r12). Omit for
+    non-SQL ops (driver then records the weaker rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -82,6 +88,7 @@ def load_all() -> None:
     from . import round10c  # noqa: F401
     from . import round11  # noqa: F401
     from . import round12  # noqa: F401
+    from . import round13  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades
@@ -284,4 +291,8 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     load_all()
-    return _ordered(ORACLES)
+    # callable oracle templates resolve HERE — at the same moment
+    # the driver reads the surface — so text that interpolates env
+    # constants reflects the runtime value, not the import-time one
+    return {name: (sql() if callable(sql) else sql)
+            for name, sql in _ordered(ORACLES).items()}

@@ -1,0 +1,345 @@
+"""Round-13 graded queries — composite / multi-column KEY BY feeds
+(the r12 verdict's top item), GROUPS-frame navigation functions, and
+the hardened quote-aware QUALIFY surface.
+
+Registered LAST in load_all (after round12) so every name here sits
+behind the certified tail (grading-rotation discipline,
+queries/__init__.py). Reference citations are N/A — the reference
+tree is empty (SURVEY.md §0); the binding spec is the driver
+contract + SURVEY §2.
+
+Oracles that interpolate the replay chunk count are registered as
+CALLABLES (lazy templates, ADVICE r12): the text re-derives
+default_chunks() every time the driver reads the surface, so an env
+change between import and run can never leave the oracle pinned to a
+stale batch count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming.multitable import composite_key_sql
+from ..streaming.replay import default_chunks
+from . import query
+
+__all__ = ["load"]
+
+
+def load() -> None:  # imported for side effects; keep a hook anyway
+    pass
+
+
+_CACHE: dict = {}
+
+
+def _ts_group_chunk_cte(nb: int) -> str:
+    """Chunking CTE reproducing multitable.build_table_chunks'
+    deterministic ts-GROUP-edge slicing over a prior CTE named
+    ``env`` (must expose a ts column): tentative bound i*per
+    advances to the end of the ts group straddling it, and a ts
+    group's batch is the number of bounds at or below its start —
+    the round-11 oracle recipe, shared here so the composite-key
+    feeds grade the same trajectory the runner actually commits."""
+    return f"""
+p AS (
+  SELECT count(*) AS n,
+         CAST(ceil(count(*) / {nb}.0) AS BIGINT) AS per
+  FROM env
+),
+grp AS (
+  SELECT ts, count(*) AS c,
+         CAST(sum(count(*)) OVER (ORDER BY ts) AS BIGINT) AS cum_end
+  FROM env GROUP BY ts
+),
+bounds AS (
+  SELECT i,
+         (SELECT min(cum_end) FROM grp
+          WHERE cum_end >= least(i * p.per, p.n)) AS bound
+  FROM (SELECT unnest(range(1, {nb})) AS i), p
+),
+batched AS (
+  SELECT g.ts,
+         (SELECT count(*) FROM bounds b
+          WHERE b.bound <= g.cum_end - g.c) AS batch_id
+  FROM grp g
+)
+"""
+
+
+# ------------------------------------ changefeed_table_composite_key
+
+def _ctck_oracle() -> str:
+    nb = default_chunks()
+    key_sql = composite_key_sql(("l_orderkey", "l_linenumber"))
+    return f"""
+    WITH env AS (
+      SELECT {key_sql} AS key,
+             CAST(l_shipdate AS TIMESTAMP) AS ts,
+             l_extendedprice AS value
+      FROM lineitem),
+    {_ts_group_chunk_cte(nb).lstrip()}
+    SELECT bt.batch_id, e.key, count(*) AS d_count,
+           CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
+             AS d_sum
+    FROM env e JOIN batched bt ON e.ts = bt.ts
+    GROUP BY 1, 2
+    """
+
+
+@query("changefeed_table_composite_key", oracle=_ctck_oracle)
+def changefeed_table_composite_key(spark, sf_dir):
+    """COMPOSITE-key feed (r12 verdict item 1 — the highest-leverage
+    real-user surface left): ``CREATE CHANGEFEED FOR lineitem KEY BY
+    (l_orderkey, l_linenumber)`` keys the envelope on the table's
+    real composite PK through the canonical escaped-concat string
+    encoding (multitable.composite_key_sql: per part, 'n' for NULL
+    else 'v' + the value with backslashes doubled and '|' escaped,
+    parts joined on '|' — injective by the standard escape argument,
+    so distinct key tuples can never collide the keyed merge the way
+    a hash or a naive concat could). The previous composite route —
+    the lineitem 3-bit integer pack codec (round-10 watchlist) —
+    could not express (string, int) or wide composites; it stays as
+    the historical point-feed twin. Graded on the FULL per-batch
+    keyed-delta log: the oracle re-derives the key with the SAME
+    encoding recipe and reconstructs build_table_chunks' ts-group
+    chunking over l_shipdate, so a drifted encoding, a collapsed
+    key, or a mis-chunked replay all break the hash.
+
+    Scale: identical posture to scalar keys — the merge keys on
+    (tbl, key) through the same bucketed MVCC store; the encoded
+    string hash-partitions like any other key, and encoding cost is
+    two replaces + a concat per row, Catalyst-native."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__ctck__")
+    if key not in _CACHE:
+        _CACHE[key] = Database(spark, sf_dir).sql(
+            "CREATE CHANGEFEED FOR lineitem "
+            "KEY BY (l_orderkey, l_linenumber)")
+    feed = _CACHE[key]
+    log = feed.log()
+    nb = default_chunks()
+    batches = sorted(
+        r["batch_id"]
+        for r in log.select("batch_id").distinct().collect())
+    if batches != list(range(nb)):
+        raise AssertionError(
+            f"composite-keyed feed committed batches {batches}, "
+            f"expected {list(range(nb))}")
+    return log
+
+
+# ------------------------- changefeed_table_composite_mixed_key
+
+def _ctmk_oracle() -> str:
+    nb = default_chunks()
+    key_sql = composite_key_sql(("o_orderstatus", "o_custkey"))
+    return f"""
+    WITH env AS (
+      SELECT {key_sql} AS key,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             o_totalprice AS value
+      FROM orders),
+    {_ts_group_chunk_cte(nb).lstrip()}
+    SELECT bt.batch_id, e.key, count(*) AS d_count,
+           CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
+             AS d_sum
+    FROM env e JOIN batched bt ON e.ts = bt.ts
+    GROUP BY 1, 2
+    """
+
+
+@query("changefeed_table_composite_mixed_key", oracle=_ctmk_oracle)
+def changefeed_table_composite_mixed_key(spark, sf_dir):
+    """Composite KEY BY MIXING a string and an integer column —
+    ``.changes(key=("o_orderstatus", "o_custkey"))`` on orders, the
+    fluent-API twin of the DDL form and exactly the shape the old
+    integer bit-pack codec could not express. Unlike the lineitem PK
+    (unique rows), this key has real multiplicity (a customer holds
+    several orders per status), so the graded trajectory exercises
+    the keyed MERGE on the encoded key: per batch, d_count > 1 rows
+    fold multiple orders into one composite key, and the same key
+    recurs across batches. Delivery contract asserted in-query: a
+    fresh cursor drains exactly the committed batch set, and the
+    drained rows ARE the graded frame (so an unfiltered or
+    re-keyed delivery breaks the hash, not just the assert).
+
+    Scale: the string key is bounded (status char + customer id);
+    state cardinality is |status x customer| — the merge stays the
+    bucketed (tbl, key) shuffle with no new machinery."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__ctmk__")
+    if key not in _CACHE:
+        _CACHE[key] = (
+            Database(spark, sf_dir).table("orders")
+            .changes(key=("o_orderstatus", "o_custkey")))
+    feed = _CACHE[key]
+    c = feed.cursor()
+    rows = c.poll()
+    nb = default_chunks()
+    batches = sorted({r["batch_id"] for r in rows})
+    if batches != list(range(nb)):
+        raise AssertionError(
+            f"mixed-composite cursor drained {batches}, "
+            f"expected {list(range(nb))}")
+    log = feed.log()
+    return (
+        spark.createDataFrame(rows, log.schema) if rows
+        else spark.createDataFrame([], log.schema)
+    )
+
+
+# ------------------------------------------- win_frame_groups_nav
+
+_WFGN_N = 2  #: GROUPS frame half-width (peer groups, not rows)
+
+#: hour index of an event — integer epoch division, tz-free in both
+#: engines (the round-12 GROUPS/EXCLUDE recipe)
+_WFGN_H_SQL = "CAST(floor(epoch(ts) / 3600) AS BIGINT)"
+
+_WFGN_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type, value, {_WFGN_H_SQL} AS h
+  FROM events),
+hs AS (
+  SELECT event_type, h,
+         dense_rank() OVER (PARTITION BY event_type ORDER BY h) AS g
+  FROM (SELECT DISTINCT event_type, h FROM e)),
+rep AS (
+  SELECT e.event_type, hs.g, arg_min(e.value, e.event_id) AS rv
+  FROM e JOIN hs ON hs.event_type = e.event_type AND hs.h = e.h
+  GROUP BY 1, 2),
+gm AS (SELECT event_type, max(g) AS gmax FROM hs GROUP BY 1),
+base AS (
+  SELECT e.event_id, e.event_type,
+         greatest(hs.g - {_WFGN_N}, 1) AS lo,
+         least(hs.g + {_WFGN_N}, gm.gmax) AS hi
+  FROM e
+  JOIN hs ON hs.event_type = e.event_type AND hs.h = e.h
+  JOIN gm ON gm.event_type = e.event_type)
+SELECT b.event_id, b.event_type,
+       rf.rv AS first_grp_val,
+       rn.rv AS nth2_grp_val,
+       rl.rv AS last_grp_val
+FROM base b
+JOIN rep rf ON rf.event_type = b.event_type AND rf.g = b.lo
+LEFT JOIN rep rn ON rn.event_type = b.event_type
+                AND rn.g = b.lo + 1 AND b.lo + 1 <= b.hi
+JOIN rep rl ON rl.event_type = b.event_type AND rl.g = b.hi
+"""
+
+
+@query("win_frame_groups_nav", oracle=_WFGN_ORACLE)
+def win_frame_groups_nav(spark, sf_dir):
+    """Navigation functions over a GROUPS frame — first_value /
+    nth_value(2) / last_value, the other half of SQL:2016 frame
+    semantics next to round-12's GROUPS aggregates (r12 verdict item
+    3): for each event, the representative value of the FIRST,
+    SECOND, and LAST distinct hour inside the +/-{_WFGN_N}-peer-group
+    frame. Navigation over a frame with ties is only well-defined
+    under a TOTAL order, so the semantics pin the representative of
+    a peer group to its earliest event (min event_id) — the exact
+    determinism rule, stated rather than left to engine tie-luck.
+    The emulation is the dense-rank GROUPS index (g) composed with a
+    bounded group-relation join: lo = greatest(g-{_WFGN_N}, 1) and
+    hi = least(g+{_WFGN_N}, gmax) address the frame's edge groups
+    directly, and nth_value(2) is lo+1 when the frame holds a second
+    group, else NULL (the SQL:2016 out-of-frame answer). DuckDB
+    still has no native GROUPS mode (probed r12), so the oracle is
+    the independent set-based reconstruction through its own
+    distinct-hour rank relation + arg_min.
+
+    Scale: the group relation is |event_type x distinct hour| —
+    tiny relative to the fact table — so all three navigation joins
+    BROADCAST; the only shuffle is the dense_rank exchange on
+    event_type, shared with the round-12 GROUPS family. Values pass
+    through untouched (no float arithmetic anywhere)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "h", F.floor(F.col("ts").cast("long") / F.lit(3600))
+        .cast("long"))
+    wd = W.partitionBy("event_type").orderBy("h")
+    ev = ev.withColumn("g", F.dense_rank().over(wd).cast("long"))
+    rep = (ev.groupBy("event_type", "g")
+           .agg(F.min_by("value", "event_id").alias("rv")))
+    gm = rep.groupBy("event_type").agg(F.max("g").alias("gmax"))
+    base = (
+        ev.join(F.broadcast(gm), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.greatest(F.col("g") - F.lit(_WFGN_N), F.lit(1))
+            .alias("lo"),
+            F.least(F.col("g") + F.lit(_WFGN_N), F.col("gmax"))
+            .alias("hi"))
+    )
+    rf = rep.select(F.col("event_type").alias("et1"),
+                    F.col("g").alias("g1"),
+                    F.col("rv").alias("first_grp_val"))
+    rn = rep.select(F.col("event_type").alias("et2"),
+                    F.col("g").alias("g2"),
+                    F.col("rv").alias("nth2_grp_val"))
+    rl = rep.select(F.col("event_type").alias("et3"),
+                    F.col("g").alias("g3"),
+                    F.col("rv").alias("last_grp_val"))
+    return (
+        base
+        .join(F.broadcast(rf),
+              (F.col("event_type") == F.col("et1"))
+              & (F.col("lo") == F.col("g1")))
+        .join(F.broadcast(rn),
+              (F.col("event_type") == F.col("et2"))
+              & (F.col("lo") + 1 == F.col("g2"))
+              & (F.col("lo") + 1 <= F.col("hi")), "left")
+        .join(F.broadcast(rl),
+              (F.col("event_type") == F.col("et3"))
+              & (F.col("hi") == F.col("g3")))
+        .select("event_id", "event_type",
+                "first_grp_val", "nth2_grp_val", "last_grp_val")
+    )
+
+
+# ------------------------------------------------ sql_qualify_quoted
+
+#: ONE SQL text serves both engines (the sql_qualify pattern), now
+#: with the clause keyword embedded in a string literal: the r13
+#: quote-aware detector must treat '%QUALIFY%' as data while still
+#: rewriting the real trailing clause. DuckDB runs the text natively
+#: as the oracle, certifying the hardened scan against real parser
+#: semantics rather than against itself.
+_QUALIFY_QUOTED_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderpriority NOT LIKE '%QUALIFY%'
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC,
+                                    o_orderkey) <= 2
+"""
+
+
+@query("sql_qualify_quoted", oracle=_QUALIFY_QUOTED_SQL)
+def sql_qualify_quoted(spark, sf_dir):
+    """The hardened QUALIFY rewrite (r12 verdict item 4 + ADVICE):
+    the detector is now a quote- and paren-aware top-level scan, so
+    the word QUALIFY inside a string literal ('%QUALIFY%' LIKE
+    patterns) is data, a QUALIFY inside a parenthesized subquery
+    raises with the rewrite route instead of mangling the statement
+    into an opaque parse error, and a SELECT DISTINCT body is
+    refused with the semantic reason (native QUALIFY filters BEFORE
+    DISTINCT; the subquery rewrite would filter after). This query
+    grades the literal path end to end: the identical text runs
+    through our rewriter on Spark and natively on DuckDB — a
+    detector that fired on the literal would mangle the WHERE clause
+    and break rows/hash on the Spark side only. Deterministic: the
+    rank order is total; the LIKE filter matches nothing by fixture
+    construction (priorities are '1-URGENT'..'5-LOW'), which is the
+    point — the literal must pass through untouched.
+
+    Scale: same plan as sql_qualify — one window + filter, rank
+    predicate pushed into WindowGroupLimit map-side."""
+    from ..api import Database
+
+    return Database(spark, sf_dir).sql(_QUALIFY_QUOTED_SQL)

@@ -50,25 +50,98 @@ _TABLE_MAP = {
 
 _INTEGRAL = ("byte", "short", "integer", "long")
 
+#: SQL single-quoted string literal, covering both the ANSI doubled
+#: quote ('it''s') and the backslash escape Spark accepts ('it\'s') —
+#: substitutions must never rewrite text INSIDE one (ADVICE r12: a
+#: filter like o_comment = 'o_totalprice pending' was silently
+#: mangling the literal's content).
+_SQL_QUOTED = re.compile(r"'(?:[^'\\]|\\.|'')*'")
 
-def envelope_spec(tbl: str, key_override: str | None = None
-                  ) -> tuple[str, str, str]:
-    """(key column, ts EXPRESSION, value column) for a table's
-    change envelope. _TABLE_MAP tables keep their declared mapping;
+
+def _sub_outside_literals(pattern: str, repl, text: str) -> str:
+    """re.sub applied only to the stretches of `text` OUTSIDE SQL
+    string literals; the literals pass through byte-identical."""
+    out, pos = [], 0
+    for m in _SQL_QUOTED.finditer(text):
+        out.append(re.sub(pattern, repl, text[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(pattern, repl, text[pos:]))
+    return "".join(out)
+
+
+def _normalize_key_override(key_override):
+    """None | column | sequence-of-columns → None | str | tuple.
+    A 1-element sequence collapses to its column (same feed)."""
+    if key_override is None or isinstance(key_override, str):
+        return key_override
+    cols = tuple(key_override)
+    if not cols:
+        raise ValueError("KEY BY needs at least one column")
+    return cols[0] if len(cols) == 1 else cols
+
+
+def composite_key_sql(cols: tuple[str, ...]) -> str:
+    """ANSI-SQL text of the canonical composite-key encoding — the
+    SAME recipe _composite_key_col builds as Spark expressions, so a
+    DuckDB oracle derives the key from one shared definition. Each
+    part renders as 'n' when NULL, else 'v' followed by the part's
+    string form with backslashes doubled and '|' escaped; parts join
+    on '|'. Injective by the standard escape argument: the separator
+    never appears unescaped inside an encoded part, and the n/v
+    prefix keeps NULL distinct from every real value (including the
+    empty string). Intended for DuckDB (standard-conforming string
+    literals: '\\' is two backslashes) — the Spark side uses Column
+    expressions, never this text."""
+    parts = [
+        "CASE WHEN {c} IS NULL THEN 'n' ELSE 'v' || "
+        "replace(replace(CAST({c} AS VARCHAR), '\\', '\\\\'), "
+        "'|', '\\|') END".format(c=c)
+        for c in cols
+    ]
+    return " || '|' || ".join(parts)
+
+
+def _composite_key_col(cols: tuple[str, ...]):
+    """The composite key as a Spark string Column — the expression
+    twin of composite_key_sql (one encoding, two engines)."""
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        esc = F.replace(
+            F.replace(col.cast("string"),
+                      F.lit("\\"), F.lit("\\\\")),
+            F.lit("|"), F.lit("\\|"))
+        parts.append(
+            F.when(col.isNull(), F.lit("n"))
+            .otherwise(F.concat(F.lit("v"), esc)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, F.lit("|"), p)
+    return out
+
+
+def envelope_spec(tbl: str, key_override=None):
+    """(key, ts EXPRESSION, value column) for a table's change
+    envelope, where key is a column name or a COLUMN TUPLE for
+    composite keys. _TABLE_MAP tables keep their declared mapping;
     any DOC_MAP table gets one too (its document value column and
-    its event time, or the synthetic snapshot-epoch timestamp) —
-    round-10: feeds are no longer events/orders-only.
+    its event time, or the synthetic snapshot-epoch timestamp);
+    COMPOSITE_DOC_MAP tables (lineitem) default to their composite
+    document key — round-10/13: feeds are no longer events/orders-
+    only, and composite PKs no longer detour through the integer
+    bit-pack codec.
 
-    `key_override` implements KEY BY <col>: any INTEGER- or
-    STRING-typed column of the table may key the feed (r12 — the
-    envelope key slot widens to the key's own type; real changefeed
-    consumers key on string PKs, and hashing a string into the
-    bigint slot would corrupt LWW on collision). Other types raise
-    loudly rather than silently casting garbage. A custom key just
-    re-keys the aggregate — the downstream merge/MVCC/resolved
-    machinery is key-agnostic."""
+    `key_override` implements KEY BY <col> / KEY BY (a, b, ...): any
+    INTEGER- or STRING-typed column(s) of the table may key the feed
+    (r12 — the envelope key slot widens to the key's own type; r13 —
+    a composite key rides the canonical escaped-concat string
+    encoding, see composite_key_sql). Other types raise loudly
+    rather than silently casting garbage. A custom key just re-keys
+    the aggregate — the downstream merge/MVCC/resolved machinery is
+    key-agnostic."""
     from ..catalog import SCHEMAS
-    from .doc_feeds import _EPOCH, DOC_MAP
+    from .doc_feeds import _EPOCH, COMPOSITE_DOC_MAP, DOC_MAP
 
     if tbl in _TABLE_MAP:
         key, ts_col, val = _TABLE_MAP[tbl]
@@ -77,64 +150,108 @@ def envelope_spec(tbl: str, key_override: str | None = None
         key, val, ts0 = DOC_MAP[tbl]
         ts_expr = ts0 or (
             f"timestamp_seconds({_EPOCH} + cast({key} as long))")
+    elif tbl in COMPOSITE_DOC_MAP:
+        spec = COMPOSITE_DOC_MAP[tbl]
+        key, val, ts_expr = spec["cols"], spec["value"], spec["ts"]
     else:
         raise NotImplementedError(
             f"no CDC envelope mapping for {tbl!r}; tables with "
-            f"feeds: {sorted(set(_TABLE_MAP) | set(DOC_MAP))}")
+            f"feeds: {sorted(set(_TABLE_MAP) | set(DOC_MAP) | set(COMPOSITE_DOC_MAP))}")
+    key_override = _normalize_key_override(key_override)
     if key_override is not None and key_override != key:
         fields = {f.name: f.dataType.typeName()
                   for f in SCHEMAS[tbl].fields}
-        if key_override not in fields:
-            raise KeyError(
-                f"KEY BY {key_override!r}: not a column of {tbl!r} "
-                f"({sorted(fields)})")
-        if fields[key_override] not in (*_INTEGRAL, "string"):
-            raise NotImplementedError(
-                f"KEY BY {key_override!r}: feed keys must be "
-                f"integer- or string-typed; {key_override!r} is "
-                f"{fields[key_override]}")
+        for c in (key_override if isinstance(key_override, tuple)
+                  else (key_override,)):
+            if c not in fields:
+                raise KeyError(
+                    f"KEY BY {c!r}: not a column of {tbl!r} "
+                    f"({sorted(fields)})")
+            if fields[c] not in (*_INTEGRAL, "string"):
+                raise NotImplementedError(
+                    f"KEY BY {c!r}: feed keys must be "
+                    f"integer- or string-typed; {c!r} is "
+                    f"{fields[c]}")
         key = key_override
     return key, ts_expr, val
 
 
-def key_ddl(tbl: str, key_override: str | None = None) -> str:
+def key_ddl(tbl: str, key_override=None) -> str:
     """The envelope key slot's Spark DDL type for a table feed:
-    'string' when the (possibly overridden) key column is a string,
+    'string' when the (possibly overridden) key is a string column
+    or a COMPOSITE tuple (the escaped-concat encoding is a string),
     else 'bigint' (integral keys keep the historical slot type, so
     every existing integer-keyed layout and oracle is unchanged)."""
     from ..catalog import SCHEMAS
 
     key, _, _ = envelope_spec(tbl, key_override)
+    if isinstance(key, tuple):
+        return "string"
     fields = {f.name: f.dataType.typeName()
               for f in SCHEMAS[tbl].fields}
     return "string" if fields.get(key) == "string" else "bigint"
 
 
 def _envelope(df: DataFrame, tbl: str,
-              key_override: str | None = None,
-              key_type: str = "bigint",
-              with_after: bool = False) -> DataFrame:
+              key_override=None,
+              key_type: str | None = None,
+              with_after: bool = False,
+              after_cols: tuple[str, ...] | None = None) -> DataFrame:
+    """Normalize a table frame to the feed envelope. `key_type` is
+    the envelope's key SLOT type (a mixed-table runner widens it to
+    string when any member table keys on a string); it defaults to —
+    and is always validated against — the keyed column's OWN type
+    from the schema (ADVICE r12: a caller passing a string key with
+    the old bigint default got an all-NULL cast instead of a loud
+    refusal). Only the injective bigint→string widening is allowed.
+
+    `after_cols` prunes the Debezium-style `after` JSON image to the
+    named columns (r13 — the columns the feed's filter actually
+    reads, from rewrite_filter); None carries the full row, and an
+    empty tuple carries a NULL payload (this table's filter reads no
+    payload columns, but the union-stream schema still has the
+    slot)."""
     key, ts_expr, val = envelope_spec(tbl, key_override)
+    natural = key_ddl(tbl, key_override)
+    if key_type is None:
+        key_type = natural
+    elif key_type != natural and not (
+            natural == "bigint" and key_type == "string"):
+        raise TypeError(
+            f"envelope key slot {key_type!r} cannot hold {tbl!r}'s "
+            f"{natural!r}-typed key {key!r} (only the injective "
+            "bigint->string widening is allowed)")
+    if isinstance(key, tuple):
+        key_col = _composite_key_col(key)
+    else:
+        key_col = F.col(key).cast(
+            "long" if key_type == "bigint" else key_type)
     cols = [
         F.lit(tbl).alias("tbl"),
         F.lit("insert").alias("op"),
-        F.col(key).cast("long" if key_type == "bigint" else key_type)
-        .alias("key"),
+        key_col.alias("key"),
         F.expr(ts_expr).alias("ts"),
         F.col(val).cast("double").alias("value"),
     ]
     if with_after:
-        # full-row payload as JSON — the Debezium-style `after`
-        # image, carried only when a registered filter needs payload
-        # columns (rewrite_filter); uniform string type keeps the
+        # payload image as JSON — the Debezium-style `after` image,
+        # carried only when a registered filter needs payload columns
+        # and pruned to the columns the filter reads (r13 — a wide
+        # table's feed no longer ships every column's bytes for a
+        # one-column predicate); uniform string type keeps the
         # multi-table union schema fixed
-        cols.append(F.to_json(F.struct(*df.columns)).alias("after"))
+        if after_cols is None:
+            after_cols = tuple(df.columns)
+        cols.append(
+            F.to_json(F.struct(*sorted(after_cols))).alias("after")
+            if after_cols
+            else F.lit(None).cast("string").alias("after"))
     return df.select(*cols)
 
 
 def rewrite_filter(tbl: str, predicate_sql: str,
-                   key_override: str | None = None
-                   ) -> tuple[str, bool]:
+                   key_override=None
+                   ) -> tuple[str, tuple[str, ...]]:
     """Rewrite a predicate over TABLE columns (the user-facing names,
     e.g. ``o_totalprice > 100000``) into the normalized envelope's
     column names (``value > 100000``) so it can run against the
@@ -142,43 +259,52 @@ def rewrite_filter(tbl: str, predicate_sql: str,
     keep the direct fast path; any OTHER table column rewrites
     against the envelope's ``after`` JSON payload (r11 verdict item
     3 — refusing them lost delivery-time filtering), typed back via
-    CAST from the schema. Returns (rewritten predicate, needs_after)
-    so the runner ships the payload image only when a filter
-    actually reads it. At 100 TB this predicate is what a CDC
-    source would push into the changefeed scan."""
+    CAST from the schema. Composite-key part columns have no single
+    envelope slot, so they ride the payload path too.
+
+    Returns (rewritten predicate, referenced payload columns) — the
+    runner ships the payload image only when a filter actually reads
+    it, pruned to exactly those columns (r13). Substitution is a
+    SINGLE alternation pass that skips SQL string literals, so a
+    column name inside a quoted literal is never rewritten (ADVICE
+    r12) and replacement text is never re-scanned. At 100 TB this
+    predicate is what a CDC source would push into the changefeed
+    scan."""
     from ..catalog import SCHEMAS
 
     key, ts_expr, val = envelope_spec(tbl, key_override)
     # map only COLUMN-named ts exprs; synthetic/derived ts exprs are
     # not user-filterable by a table column name
-    mapping = {key: "key", val: "value"}
+    mapping = {val: "value"}
+    if isinstance(key, str):
+        mapping[key] = "key"
     if re.fullmatch(r"\w+", ts_expr):
-        mapping[ts_expr] = "ts"
-    out = predicate_sql
-    for src, dst in mapping.items():
-        out = re.sub(rf"\b{re.escape(src)}\b", dst, out)
-    needs_after = False
-    for f in SCHEMAS[tbl].fields:
-        col = f.name
-        if col in mapping or not re.search(rf"\b{re.escape(col)}\b",
-                                           out):
-            continue
-        needs_after = True
-        cast_ddl = f.dataType.simpleString()
-        out = re.sub(
-            rf"\b{re.escape(col)}\b",
-            f"CAST(get_json_object(after, '$.{col}') "
-            f"AS {cast_ddl})",
-            out)
-    return out, needs_after
+        mapping.setdefault(ts_expr, "ts")
+    fields = {f.name: f.dataType.simpleString()
+              for f in SCHEMAS[tbl].fields}
+    used_after: set[str] = set()
+
+    def _repl(m: re.Match) -> str:
+        name = m.group(0)
+        if name in mapping:
+            return mapping[name]
+        used_after.add(name)
+        return (f"CAST(get_json_object(after, '$.{name}') "
+                f"AS {fields[name]})")
+
+    names = sorted(set(mapping) | set(fields))
+    pat = r"\b(?:" + "|".join(re.escape(n) for n in names) + r")\b"
+    out = _sub_outside_literals(pat, _repl, predicate_sql)
+    return out, tuple(sorted(used_after))
 
 
 def build_table_chunks(
     spark: SparkSession, sf_dir: str, tbl: str,
     n_chunks: int | None = None,
-    key_override: str | None = None,
-    key_type: str = "bigint",
+    key_override=None,
+    key_type: str | None = None,
     with_after: bool = False,
+    after_cols: tuple[str, ...] | None = None,
 ) -> str:
     """Normalize one table to the envelope and write time-ordered
     chunk files (same layout contract as replay.py). Idempotent.
@@ -194,17 +320,22 @@ def build_table_chunks(
 
     if n_chunks is None:
         n_chunks = default_chunks()
+    key_override = _normalize_key_override(key_override)
     # tag versioned (mtg) so stale row-sliced chunk caches from
     # earlier builds are never reused; a custom key / key type /
-    # payload image each get their OWN chunk cache (the envelope
-    # schema differs)
+    # payload image (and its pruned column set) each get their OWN
+    # chunk cache (the envelope schema/content differs)
     tag = f"mtg-{tbl}-c{n_chunks}"
     if key_override is not None:
-        tag += f"-k{key_override}"
-    if key_type != "bigint":
+        tag += "-k" + ("+".join(key_override)
+                       if isinstance(key_override, tuple)
+                       else key_override)
+    if key_type is not None and key_type != "bigint":
         tag += f"-t{key_type}"
     if with_after:
         tag += "-aft"
+        if after_cols is not None:
+            tag += "-" + ("+".join(sorted(after_cols)) or "none")
     out = _chunk_dir(sf_dir, tag, table=tbl)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
@@ -213,7 +344,7 @@ def build_table_chunks(
     os.makedirs(out, exist_ok=True)
     env = _envelope(load_table(spark, sf_dir, tbl), tbl,
                     key_override, key_type=key_type,
-                    with_after=with_after)
+                    with_after=with_after, after_cols=after_cols)
     t = env.orderBy("ts", "key").toArrow()
     n = t.num_rows
     ts = t.column("ts").to_numpy(zero_copy_only=False)
@@ -254,15 +385,22 @@ class MultiTableChangefeedRunner:
         rows ARE processed), so resolved timestamps keep their
         completeness meaning.
 
-        `key_overrides`: {table: column} — KEY BY support; each
-        table's feed aggregates by the chosen integer or string
-        column instead of its envelope default (validated in
-        envelope_spec)."""
+        `key_overrides`: {table: column | tuple-of-columns} — KEY BY
+        support; each table's feed aggregates by the chosen integer
+        or string column(s) instead of its envelope default
+        (validated in envelope_spec). A composite key rides the
+        canonical escaped-concat string encoding (composite_key_sql),
+        so real CDC PKs like (l_orderkey, l_linenumber) — or mixed
+        (string, int) pairs — key the feed directly (r13; the
+        lineitem 3-bit integer pack codec stays as the historical
+        point-feed twin in doc_feeds)."""
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables
         self.filter_sql = filter_sql
-        self.key_overrides = key_overrides or {}
+        self.key_overrides = {
+            t: _normalize_key_override(k)
+            for t, k in (key_overrides or {}).items()}
         for t in self.key_overrides:
             envelope_spec(t, self.key_overrides[t])  # validate early
         # the envelope key slot's type: string if ANY table's key is
@@ -277,18 +415,23 @@ class MultiTableChangefeedRunner:
         if filter_sql is not None:
             # per-table rewrite; payload columns ride the `after`
             # JSON image (rewrite_filter), envelope columns keep the
-            # direct fast path
+            # direct fast path; the image is pruned per table to the
+            # columns ITS rewritten predicate reads (r13)
             rewritten = {
                 t: rewrite_filter(t, filter_sql,
                                   self.key_overrides.get(t))
                 for t in tables
             }
-            self.with_after = any(na for _, na in rewritten.values())
+            self.with_after = any(
+                cols for _, cols in rewritten.values())
+            self._after_cols = {t: cols
+                                for t, (_, cols) in rewritten.items()}
             self._env_filter = " OR ".join(
                 f"(tbl = '{t}' AND ({sql}))"
                 for t, (sql, _) in rewritten.items())
         else:
             self.with_after = False
+            self._after_cols = {}
             self._env_filter = None
         self._env_ddl = (
             f"tbl string, op string, key {self._key_ddl}, "
@@ -501,7 +644,8 @@ class MultiTableChangefeedRunner:
             build_table_chunks(self.spark, self.sf_dir, tbl, n_chunks,
                                self.key_overrides.get(tbl),
                                key_type=self._key_ddl,
-                               with_after=self.with_after)
+                               with_after=self.with_after,
+                               after_cols=self._after_cols.get(tbl))
             for tbl in self.tables
         ])
         with streaming_shuffle(self.spark):
@@ -562,7 +706,8 @@ class MultiTableChangefeedRunner:
             df = self.spark.read.schema(SCHEMAS[tbl]).parquet(parquet_file)
         t = _envelope(df, tbl, self.key_overrides.get(tbl),
                       key_type=self._key_ddl,
-                      with_after=self.with_after).toArrow()
+                      with_after=self.with_after,
+                      after_cols=self._after_cols.get(tbl)).toArrow()
         import pyarrow.parquet as pq
 
         n = self._live_seq.get(tbl, 0)

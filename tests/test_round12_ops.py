@@ -198,18 +198,26 @@ def test_rewrite_filter_fast_path_and_payload_path():
         rewrite_filter,
     )
 
-    sql, needs = rewrite_filter("orders", "o_totalprice > 200000")
-    assert sql == "value > 200000" and needs is False
-    sql, needs = rewrite_filter("orders", "o_orderstatus = 'F'")
-    assert needs is True
+    # r13 contract: the second element is the tuple of payload
+    # columns the rewritten predicate reads (empty = no after image)
+    sql, cols = rewrite_filter("orders", "o_totalprice > 200000")
+    assert sql == "value > 200000" and cols == ()
+    sql, cols = rewrite_filter("orders", "o_orderstatus = 'F'")
+    assert cols == ("o_orderstatus",)
     assert "get_json_object(after, '$.o_orderstatus')" in sql
     assert "CAST(" in sql and "AS string" in sql
     # mixed predicate: envelope column direct, payload via after
-    sql, needs = rewrite_filter(
+    sql, cols = rewrite_filter(
         "orders", "o_totalprice > 1000 AND o_orderpriority = '1-URGENT'")
-    assert needs is True
+    assert cols == ("o_orderpriority",)
     assert "value > 1000" in sql
     assert "$.o_orderpriority" in sql
+    # column names INSIDE string literals are data, not references
+    # (ADVICE r12): the literal passes through byte-identical and
+    # does not pull the after image
+    sql, cols = rewrite_filter(
+        "orders", "o_totalprice > 1 AND 'o_orderpriority x' <> 'y'")
+    assert cols == () and "'o_orderpriority x'" in sql
 
 
 def test_payload_filter_applies_to_delivery(spark, sf_smoke):
