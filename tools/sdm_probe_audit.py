@@ -13,7 +13,7 @@ Reports, per micro-batch:
     rows sitting in the index
 and finishes with a single-document probe (the corpus-scale shape:
 one arriving doc vs a large accumulated index), where the pruning is
-starkest: <= n_bands buckets out of _SDM_BUCKETS.
+starkest: <= n_bands buckets out of _sdm_buckets().
 
 Usage: python tools/sdm_probe_audit.py  [writes JSON lines]
 """
@@ -68,7 +68,7 @@ def _scan_metrics(base: str, app: str, before: set) -> dict:
 
 def main() -> int:
     from db_realtime_changefeed_spark.queries.round11 import (
-        _SDM_BUCKETS,
+        _sdm_buckets,
         _sdm_bands,
         _sdm_bucket,
     )
@@ -104,7 +104,7 @@ def main() -> int:
         bkts = sorted(r["bkt"] for r in
                       bands.select("bkt").distinct().collect())
         out = {"batch": label, "batch_buckets": len(bkts),
-               "total_buckets": _SDM_BUCKETS}
+               "total_buckets": _sdm_buckets()}
         if glob.glob(os.path.join(idx_root, "batch=*")):
             idx_files = len(glob.glob(os.path.join(
                 idx_root, "batch=*", "bkt=*", "*.parquet")))
