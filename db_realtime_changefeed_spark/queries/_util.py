@@ -117,3 +117,38 @@ def kth_smallest(df, col: str, k: int | None = None) -> int:
     p = rank_in / (n_band - 1)
     val = subset.agg(F.expr(f"percentile({col}, {p!r})")).first()[0]
     return int(round(val))
+
+
+def ts_group_chunk_cte(nb: int) -> str:
+    """Chunking CTE reproducing multitable.build_table_chunks'
+    deterministic ts-GROUP-edge slicing over a prior CTE named
+    ``env`` (must expose a ts column): tentative bound i*per
+    advances to the end of the ts group straddling it, and a ts
+    group's batch is the number of bounds at or below its start —
+    the round-11 oracle recipe, shared by every table-feed
+    trajectory oracle. Callers pass default_chunks() at ORACLE BUILD
+    time (lazy templates, ADVICE r12)."""
+    return f"""
+p AS (
+  SELECT count(*) AS n,
+         CAST(ceil(count(*) / {nb}.0) AS BIGINT) AS per
+  FROM env
+),
+grp AS (
+  SELECT ts, count(*) AS c,
+         CAST(sum(count(*)) OVER (ORDER BY ts) AS BIGINT) AS cum_end
+  FROM env GROUP BY ts
+),
+bounds AS (
+  SELECT i,
+         (SELECT min(cum_end) FROM grp
+          WHERE cum_end >= least(i * p.per, p.n)) AS bound
+  FROM (SELECT unnest(range(1, {nb})) AS i), p
+),
+batched AS (
+  SELECT g.ts,
+         (SELECT count(*) FROM bounds b
+          WHERE b.bound <= g.cum_end - g.c) AS batch_id
+  FROM grp g
+)
+"""

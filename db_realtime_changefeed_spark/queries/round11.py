@@ -21,10 +21,11 @@ from .llm import _sql_dot
 
 __all__ = ["load"]
 
-#: replay micro-batch count — interpolated into every oracle and
-#: in-query assert below (ADVICE r11: hardcoded 4s broke under
-#: SPARK_GRAFT_STREAM_CHUNKS; round10.py's interpolation pattern)
-_NB = default_chunks()
+# Replay micro-batch count: every oracle below resolves
+# default_chunks() LAZILY (r13, ADVICE r12) — templates are zero-arg
+# callables interpolating a local _NB at the moment the driver reads
+# the surface, so an env change after import can never pin stale
+# oracle text; in-query asserts call default_chunks() directly.
 
 
 def load() -> None:  # imported for side effects; keep a hook anyway
@@ -38,7 +39,9 @@ def load() -> None:  # imported for side effects; keep a hook anyway
 #: the end of the ts group straddling it (cum_end = running count in
 #: ts order, deterministic even with duplicate order dates), and a
 #: ts group's batch is the number of bounds at or below its start.
-_TCUR_ORACLE = f"""
+def _tcur_oracle() -> str:
+    _NB = default_chunks()
+    return f"""
 WITH env AS (
   SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
          o_totalprice AS value
@@ -74,7 +77,7 @@ GROUP BY 1, 2
 """
 
 
-@query("changefeed_table_cursor", oracle=_TCUR_ORACLE)
+@query("changefeed_table_cursor", oracle=_tcur_oracle)
 def changefeed_table_cursor(spark, sf_dir):
     """DELTA-CURSOR resume on a NON-events table feed — the r10
     verdict item-4 gap (api.py refused initial_scan='no' off
@@ -101,12 +104,12 @@ def changefeed_table_cursor(spark, sf_dir):
 
     feed = Database(spark, sf_dir).table("orders").changes()
     log = feed.log()
-    mid = _NB // 2  # the persisted crash token
+    mid = default_chunks() // 2  # the persisted crash token
     consumed = log.where(F.col("batch_id") < mid)
     c = feed.cursor()
     c.seek(mid)
     rows = c.poll()
-    n_batches = _NB
+    n_batches = default_chunks()
     if c.position != n_batches:
         raise AssertionError(
             f"cursor resumed to {c.position}, expected {n_batches}")
@@ -117,7 +120,9 @@ def changefeed_table_cursor(spark, sf_dir):
     return consumed.unionByName(resumed)
 
 
-_LI_VIEW_ORACLE = f"""
+def _li_view_oracle() -> str:
+    _NB = default_chunks()
+    return f"""
 WITH numbered AS (
   SELECT l_orderkey, l_linenumber, l_shipdate, l_partkey,
          l_returnflag, l_extendedprice,
@@ -145,7 +150,7 @@ GROUP BY batch_id, l_returnflag
 """
 
 
-@query("changefeed_agg_view_lineitem", oracle=_LI_VIEW_ORACLE)
+@query("changefeed_agg_view_lineitem", oracle=_li_view_oracle)
 def changefeed_agg_view_lineitem(spark, sf_dir):
     """COMPOSITE-KEY standing view (r10 verdict item 5 — the third
     GenericAggViewRunner table, closing the generality claim):
@@ -383,12 +388,15 @@ _PF_P = 4  #: delivery partitions (the Kafka-topic / DynamoDB-shard shape)
 #: the committed delta log, re-derived by the same chunking CTE the
 #: cursor oracle uses, but with the numeric key kept for the mod
 #: partitioner
-_PF_LOG_SQL = _TCUR_ORACLE.replace(
-    "SELECT bt.batch_id, CAST(e.key AS VARCHAR) AS key,",
-    "SELECT bt.batch_id, e.key AS keyn,")
+def _pf_log_sql() -> str:
+    return _tcur_oracle().replace(
+        "SELECT bt.batch_id, CAST(e.key AS VARCHAR) AS key,",
+        "SELECT bt.batch_id, e.key AS keyn,")
 
-_PF_ORACLE = f"""
-WITH log AS ({_PF_LOG_SQL})
+
+def _pf_oracle() -> str:
+    return f"""
+WITH log AS ({_pf_log_sql()})
 SELECT CAST(keyn % {_PF_P} AS INT) AS partition,
        row_number() OVER (
          PARTITION BY keyn % {_PF_P}
@@ -398,7 +406,7 @@ FROM log
 """
 
 
-@query("changefeed_partition_fanout", oracle=_PF_ORACLE)
+@query("changefeed_partition_fanout", oracle=_pf_oracle)
 def changefeed_partition_fanout(spark, sf_dir):
     """PARTITIONED DELIVERY of a table feed's delta log — the Kafka
     topic / DynamoDB shard contract every production changefeed
@@ -962,7 +970,7 @@ def ts_dickey_fuller(spark, sf_dir):
 
 # ---------------------------------- changefeed_table_push / cursor_ts
 
-@query("changefeed_table_push", oracle=_TCUR_ORACLE)
+@query("changefeed_table_push", oracle=_tcur_oracle)
 def changefeed_table_push(spark, sf_dir):
     """PUSH delivery on a non-events table feed (the events
     Feed.subscribe contract, mirrored onto the r11 table delta log):
@@ -983,7 +991,7 @@ def changefeed_table_push(spark, sf_dir):
     feed.subscribe(lambda b, rows: got.append((b, rows)),
                    name="grade")
     order = [b for b, _ in got]
-    if order != sorted(set(order)) or len(order) != _NB:
+    if order != sorted(set(order)) or len(order) != default_chunks():
         raise AssertionError(f"push order broken: {order}")
     replay: list = []
     feed.subscribe(lambda b, rows: replay.append(b), name="grade")
@@ -1000,7 +1008,9 @@ def changefeed_table_push(spark, sf_dir):
 _CTS_THRESHOLD = "1999-06-01"
 
 
-_CTS_ORACLE = f"""
+def _cts_oracle() -> str:
+    _NB = default_chunks()
+    return f"""
 WITH env AS (
   SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
          o_totalprice AS value
@@ -1041,7 +1051,7 @@ GROUP BY 1, 2
 """
 
 
-@query("changefeed_table_cursor_ts", oracle=_CTS_ORACLE)
+@query("changefeed_table_cursor_ts", oracle=_cts_oracle)
 def changefeed_table_cursor_ts(spark, sf_dir):
     """seek_to_ts on a TABLE feed cursor (the Kafka offsetsForTimes
     / CockroachDB cursor=<timestamp> surface, r11-mirrored off
@@ -1408,7 +1418,9 @@ def changefeed_view_live_orders(spark, sf_dir):
 
 # ----------------------- lineitem standing-view family completion
 
-_LI_VIS_CTE = f"""
+def _li_vis_cte() -> str:
+    _NB = default_chunks()
+    return f"""
 WITH numbered AS (
   SELECT l_orderkey, l_linenumber, l_shipdate, l_partkey,
          l_returnflag, l_extendedprice,
@@ -1432,7 +1444,7 @@ latest AS (
 
 @query(
     "changefeed_minmax_view_lineitem",
-    oracle=_LI_VIS_CTE + """
+    oracle=lambda: _li_vis_cte() + """
     SELECT batch_id, l_returnflag,
            count(*) AS n,
            min(l_extendedprice) AS min_value,
@@ -1458,7 +1470,7 @@ def changefeed_minmax_view_lineitem(spark, sf_dir):
 
 @query(
     "changefeed_topk_view_lineitem",
-    oracle=_LI_VIS_CTE + """
+    oracle=lambda: _li_vis_cte() + """
     , ranked AS (
       SELECT batch_id,
              l_orderkey * 8 + l_linenumber AS li_key,
@@ -1491,7 +1503,7 @@ def changefeed_topk_view_lineitem(spark, sf_dir):
 
 @query(
     "changefeed_quantile_view_lineitem",
-    oracle=_LI_VIS_CTE + """
+    oracle=lambda: _li_vis_cte() + """
     , c AS (
       SELECT batch_id, l_returnflag, l_extendedprice AS value,
              count(*) OVER (PARTITION BY batch_id, l_returnflag
@@ -1524,7 +1536,7 @@ def changefeed_quantile_view_lineitem(spark, sf_dir):
 
 @query(
     "changefeed_variance_view_lineitem",
-    oracle=_LI_VIS_CTE + """
+    oracle=lambda: _li_vis_cte() + """
     , kilo AS (
       SELECT batch_id, l_returnflag,
              CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS vk

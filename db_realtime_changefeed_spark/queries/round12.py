@@ -16,11 +16,13 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..streaming.replay import default_chunks
 from . import query
-from ._util import DEC, dround6_div, dsum
+from ._util import DEC, dround6_div, dsum, ts_group_chunk_cte
 
 __all__ = ["load"]
 
-_NB = default_chunks()
+# Replay micro-batch count: oracles resolve default_chunks() LAZILY
+# (r13, ADVICE r12) — zero-arg callable templates interpolate a local
+# _NB when the driver reads the surface, never at import.
 
 
 def load() -> None:  # imported for side effects; keep a hook anyway
@@ -32,9 +34,9 @@ _CACHE: dict = {}
 
 # ------------------------------------ changefeed_distinct_users_view
 
-@query(
-    "changefeed_distinct_users_view",
-    oracle=f"""
+def _ndv_oracle() -> str:
+    _NB = default_chunks()
+    return f"""
     WITH numbered AS (
       SELECT user_id, event_id, event_type,
              row_number() OVER (ORDER BY event_id) - 1 AS rn,
@@ -61,8 +63,10 @@ _CACHE: dict = {}
     )
     SELECT batch_id, event_type, count(*) AS nd_users
     FROM m GROUP BY batch_id, event_type
-    """,
-)
+    """
+
+
+@query("changefeed_distinct_users_view", oracle=_ndv_oracle)
 def changefeed_distinct_users_view(spark, sf_dir):
     """Standing COUNT(DISTINCT user_id) per event_type — the one
     aggregate family the maintained-view runners could not fold (r11
@@ -102,41 +106,14 @@ def changefeed_distinct_users_view(spark, sf_dir):
 
 # ------------------------------- changefeed_table_filtered_payload
 
-_TFP_CHUNK_CTE = f"""
-p AS (
-  SELECT count(*) AS n,
-         CAST(ceil(count(*) / {_NB}.0) AS BIGINT) AS per
-  FROM env
-),
-grp AS (
-  SELECT ts, count(*) AS c,
-         CAST(sum(count(*)) OVER (ORDER BY ts) AS BIGINT) AS cum_end
-  FROM env GROUP BY ts
-),
-bounds AS (
-  SELECT i,
-         (SELECT min(cum_end) FROM grp
-          WHERE cum_end >= least(i * p.per, p.n)) AS bound
-  FROM (SELECT unnest(range(1, {_NB})) AS i), p
-),
-batched AS (
-  SELECT g.ts,
-         (SELECT count(*) FROM bounds b
-          WHERE b.bound <= g.cum_end - g.c) AS batch_id
-  FROM grp g
-)
-"""
-
-
-@query(
-    "changefeed_table_filtered_payload",
-    oracle=f"""
+def _tfp_oracle() -> str:
+    return f"""
     WITH env AS (
       SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
              o_totalprice AS value, o_orderstatus AS st
       FROM orders
     ),
-    {_TFP_CHUNK_CTE.lstrip()}
+    {ts_group_chunk_cte(default_chunks()).lstrip()}
     SELECT bt.batch_id, CAST(e.key AS VARCHAR) AS key,
            count(*) AS d_count,
            CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
@@ -144,8 +121,10 @@ batched AS (
     FROM env e JOIN batched bt ON e.ts = bt.ts
     WHERE e.st = 'F'
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("changefeed_table_filtered_payload", oracle=_tfp_oracle)
 def changefeed_table_filtered_payload(spark, sf_dir):
     """Feed filter on a PAYLOAD column (r11 verdict item 3 —
     multitable.rewrite_filter used to refuse any predicate touching
@@ -211,9 +190,9 @@ def changefeed_table_filtered_payload(spark, sf_dir):
 
 # ----------------------------------- changefeed_table_string_key
 
-@query(
-    "changefeed_table_string_key",
-    oracle=f"""
+def _tsk_oracle() -> str:
+    _NB = default_chunks()
+    return f"""
     WITH env AS (
       SELECT c_mktsegment AS key, c_acctbal AS value,
              row_number() OVER (ORDER BY c_custkey) - 1 AS rn,
@@ -224,8 +203,10 @@ def changefeed_table_filtered_payload(spark, sf_dir):
            key, count(*) AS d_count,
            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS d_sum
     FROM env GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("changefeed_table_string_key", oracle=_tsk_oracle)
 def changefeed_table_string_key(spark, sf_dir):
     """STRING-keyed feed (r11 verdict item 4 — the envelope key slot
     was bigint-only and KEY BY on a string column raised; hashing
@@ -255,11 +236,12 @@ def changefeed_table_string_key(spark, sf_dir):
     feed = _CACHE[key]
     c = feed.cursor()
     rows = c.poll()
+    _nb = default_chunks()
     batches = sorted({r["batch_id"] for r in rows})
-    if batches != list(range(_NB)):
+    if batches != list(range(_nb)):
         raise AssertionError(
             f"string-keyed cursor drained {batches}, "
-            f"expected {list(range(_NB))}")
+            f"expected {list(range(_nb))}")
     log = feed.log()
     return (
         spark.createDataFrame(rows, log.schema) if rows

@@ -23,6 +23,7 @@ from ..catalog import load_table
 from ..streaming.multitable import composite_key_sql
 from ..streaming.replay import default_chunks
 from . import query
+from ._util import ts_group_chunk_cte
 
 __all__ = ["load"]
 
@@ -32,40 +33,6 @@ def load() -> None:  # imported for side effects; keep a hook anyway
 
 
 _CACHE: dict = {}
-
-
-def _ts_group_chunk_cte(nb: int) -> str:
-    """Chunking CTE reproducing multitable.build_table_chunks'
-    deterministic ts-GROUP-edge slicing over a prior CTE named
-    ``env`` (must expose a ts column): tentative bound i*per
-    advances to the end of the ts group straddling it, and a ts
-    group's batch is the number of bounds at or below its start —
-    the round-11 oracle recipe, shared here so the composite-key
-    feeds grade the same trajectory the runner actually commits."""
-    return f"""
-p AS (
-  SELECT count(*) AS n,
-         CAST(ceil(count(*) / {nb}.0) AS BIGINT) AS per
-  FROM env
-),
-grp AS (
-  SELECT ts, count(*) AS c,
-         CAST(sum(count(*)) OVER (ORDER BY ts) AS BIGINT) AS cum_end
-  FROM env GROUP BY ts
-),
-bounds AS (
-  SELECT i,
-         (SELECT min(cum_end) FROM grp
-          WHERE cum_end >= least(i * p.per, p.n)) AS bound
-  FROM (SELECT unnest(range(1, {nb})) AS i), p
-),
-batched AS (
-  SELECT g.ts,
-         (SELECT count(*) FROM bounds b
-          WHERE b.bound <= g.cum_end - g.c) AS batch_id
-  FROM grp g
-)
-"""
 
 
 # ------------------------------------ changefeed_table_composite_key
@@ -79,7 +46,7 @@ def _ctck_oracle() -> str:
              CAST(l_shipdate AS TIMESTAMP) AS ts,
              l_extendedprice AS value
       FROM lineitem),
-    {_ts_group_chunk_cte(nb).lstrip()}
+    {ts_group_chunk_cte(nb).lstrip()}
     SELECT bt.batch_id, e.key, count(*) AS d_count,
            CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
              AS d_sum
@@ -142,7 +109,7 @@ def _ctmk_oracle() -> str:
              CAST(o_orderdate AS TIMESTAMP) AS ts,
              o_totalprice AS value
       FROM orders),
-    {_ts_group_chunk_cte(nb).lstrip()}
+    {ts_group_chunk_cte(nb).lstrip()}
     SELECT bt.batch_id, e.key, count(*) AS d_count,
            CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
              AS d_sum
