@@ -310,3 +310,260 @@ def sql_qualify_quoted(spark, sf_dir):
     from ..api import Database
 
     return Database(spark, sf_dir).sql(_QUALIFY_QUOTED_SQL)
+
+
+# ------------------------------------ changefeed_composite_filtered
+
+def _ccf_oracle() -> str:
+    nb = default_chunks()
+    key_sql = composite_key_sql(("l_orderkey", "l_linenumber"))
+    return f"""
+    WITH env AS (
+      SELECT {key_sql} AS key,
+             CAST(l_shipdate AS TIMESTAMP) AS ts,
+             l_extendedprice AS value, l_returnflag AS rf
+      FROM lineitem),
+    {ts_group_chunk_cte(nb).lstrip()}
+    SELECT bt.batch_id, e.key, count(*) AS d_count,
+           CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
+             AS d_sum
+    FROM env e JOIN batched bt ON e.ts = bt.ts
+    WHERE e.rf = 'R'
+    GROUP BY 1, 2
+    """
+
+
+@query("changefeed_composite_filtered", oracle=_ccf_oracle)
+def changefeed_composite_filtered(spark, sf_dir):
+    """Composite KEY BY x payload filter x pruned after image — the
+    INTERACTION of the two round-13 surfaces, which no existing feed
+    exercises together: lineitem's default key is its composite PK
+    (no single envelope key slot holds the parts), so the filter
+    column l_returnflag must ride the Debezium-style `after` JSON
+    image, which the r13 projection pruning cuts to exactly that one
+    column on this 11-column table (asserted in-query off the
+    runner's recorded column set). Chunk boundaries come from the
+    FULL table (high-water marks advance on filtered-out rows — the
+    resolved-timestamp completeness contract), while only matching
+    rows enter state/log/delivery; the oracle reproduces both
+    choices independently (chunking over all rows, aggregation over
+    the predicate's rows) keyed by the same composite encoding.
+
+    Scale: the pruned image is the difference between shipping 11
+    columns' JSON per change and one flag character
+    (tools/payload_audit.py: 1.6% of the full-row image on this very
+    table); the predicate runs executor-side per micro-batch before
+    any state is touched."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__ccf__")
+    if key not in _CACHE:
+        _CACHE[key] = (
+            Database(spark, sf_dir).table("lineitem")
+            .filter("l_returnflag = 'R'").changes())
+    feed = _CACHE[key]
+    r = feed._runner
+    if not r.with_after:
+        raise AssertionError(
+            "composite filtered feed did not engage the after image")
+    if r._after_cols != {"lineitem": ("l_returnflag",)}:
+        raise AssertionError(
+            f"after image not pruned to the filter column: "
+            f"{r._after_cols}")
+    return feed.log()
+
+
+# ------------------------------------------- ts_granger_causality
+
+_GC_F_CRIT_5 = 4.20  #: F(1, ~27) 5% critical value — the fixture's
+#: shared-day series length is ~30 days, so df2 = n-3 ~ 27 for every
+#: pair; with a varying-length corpus derive the critical value from
+#: n instead of a constant (documented knob, same spirit as the
+#: cointegration threshold)
+
+
+def _gc_moment_sql(x: str) -> str:
+    return f"CAST(sum(CAST(({x}) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _gc_oracle() -> str:
+    ds = _gc_moment_sql
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               AS day,
+             {ds('value')} AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    pairs AS (
+      SELECT a.event_type AS et_x, b.event_type AS et_y,
+             a.day, a.y AS x, b.y AS yv
+      FROM d a JOIN d b
+        ON b.day = a.day AND a.event_type <> b.event_type),
+    lagd AS (
+      SELECT et_x, et_y, x,
+             lag(x)  OVER (PARTITION BY et_x, et_y ORDER BY day)
+               AS xl,
+             lag(yv) OVER (PARTITION BY et_x, et_y ORDER BY day)
+               AS yl
+      FROM pairs),
+    reg AS (SELECT * FROM lagd WHERE xl IS NOT NULL),
+    m AS (
+      SELECT et_x, et_y, count(*) AS n,
+             {ds('x')} AS sy, {ds('xl')} AS s1, {ds('yl')} AS s2,
+             {ds('xl * xl')} AS s11, {ds('yl * yl')} AS s22,
+             {ds('xl * yl')} AS s12,
+             {ds('xl * x')} AS s1y, {ds('yl * x')} AS s2y,
+             {ds('x * x')} AS syy
+      FROM reg GROUP BY et_x, et_y)
+    SELECT et_x, et_y, CAST(n AS BIGINT) AS n,
+           (((s1y - s1 * sy / n) * (s22 - s2 * s2 / n))
+            - ((s2y - s2 * sy / n) * (s12 - s1 * s2 / n)))
+           / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+              - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)))
+             AS beta_x,
+           (((s2y - s2 * sy / n) * (s11 - s1 * s1 / n))
+            - ((s1y - s1 * sy / n) * (s12 - s1 * s2 / n)))
+           / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+              - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)))
+             AS beta_y,
+           ((((syy - sy * sy / n) - (s1y - s1 * sy / n)
+              * (s1y - s1 * sy / n) / (s11 - s1 * s1 / n))
+             - ((syy - sy * sy / n)
+                - ((((s1y - s1 * sy / n) * (s22 - s2 * s2 / n))
+                    - ((s2y - s2 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s1y - s1 * sy / n)
+                - ((((s2y - s2 * sy / n) * (s11 - s1 * s1 / n))
+                    - ((s1y - s1 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s2y - s2 * sy / n)))
+            / (((syy - sy * sy / n)
+                - ((((s1y - s1 * sy / n) * (s22 - s2 * s2 / n))
+                    - ((s2y - s2 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s1y - s1 * sy / n)
+                - ((((s2y - s2 * sy / n) * (s11 - s1 * s1 / n))
+                    - ((s1y - s1 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s2y - s2 * sy / n)) / (n - 3))) AS f_stat,
+           ((((syy - sy * sy / n) - (s1y - s1 * sy / n)
+              * (s1y - s1 * sy / n) / (s11 - s1 * s1 / n))
+             - ((syy - sy * sy / n)
+                - ((((s1y - s1 * sy / n) * (s22 - s2 * s2 / n))
+                    - ((s2y - s2 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s1y - s1 * sy / n)
+                - ((((s2y - s2 * sy / n) * (s11 - s1 * s1 / n))
+                    - ((s1y - s1 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s2y - s2 * sy / n)))
+            / (((syy - sy * sy / n)
+                - ((((s1y - s1 * sy / n) * (s22 - s2 * s2 / n))
+                    - ((s2y - s2 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s1y - s1 * sy / n)
+                - ((((s2y - s2 * sy / n) * (s11 - s1 * s1 / n))
+                    - ((s1y - s1 * sy / n) * (s12 - s1 * s2 / n)))
+                   / (((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+                      - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))))
+                  * (s2y - s2 * sy / n)) / (n - 3)))
+             > {_GC_F_CRIT_5} AS granger_5pct
+    FROM m
+    WHERE n > 3
+      AND ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n))
+          - ((s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)) > 0
+    """
+
+
+@query("ts_granger_causality", oracle=_gc_oracle())
+def ts_granger_causality(spark, sf_dir):
+    """GRANGER CAUSALITY (Granger 1969) for every ORDERED event-type
+    pair's daily series — the directional complement of round-12's
+    Engle-Granger cointegration (co-movement says nothing about
+    which side leads): does yesterday's series y improve the
+    prediction of today's x beyond yesterday's x alone? One-lag
+    form: unrestricted OLS x_t = a + b*x_(t-1) + c*y_(t-1) via the
+    closed-form 2x2 normal equations on centered moments, restricted
+    x_t = a + b*x_(t-1), and the F statistic
+    (SSR_r - SSR_u) / (SSR_u / (n-3)) with 1 numerator df. The flag
+    compares against the F(1, n-3~27) 5% critical value
+    ({_GC_F_CRIT_5}; the fixture's shared-day length makes df2
+    uniform across pairs — with varying-length series derive it
+    from n).
+
+    Determinism (the cointegration recipe end to end): daily sums
+    and ALL moment sums ride the exact-decimal dsum cast; beta_x /
+    beta_y / f_stat are closed-form IEEE trees over bit-identical
+    moment doubles — Spark and DuckDB build the SAME expression
+    shape (the SQL above is the Spark tree transliterated), so every
+    division and subtraction matches bit for bit, and the 5% flag
+    agrees exactly.
+
+    Scale: the day self-join fans each series to P-1 partners (P =
+    event types); all moments are map-side-combinable aggregates on
+    the (et_x, et_y) key — a million series pairs would parallelize
+    with no driver involvement."""
+    from pyspark.sql import Window as W
+
+    from ._util import dsum
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dsum("value").cast("double").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.day") == F.col("a.day"))
+               & (F.col("a.event_type") != F.col("b.event_type")))
+        .select(F.col("a.event_type").alias("et_x"),
+                F.col("b.event_type").alias("et_y"),
+                F.col("a.day").alias("day"),
+                F.col("a.y").alias("x"), F.col("b.y").alias("yv"))
+    )
+    w = W.partitionBy("et_x", "et_y").orderBy("day")
+    reg = (
+        pairs.select("et_x", "et_y", "x",
+                     F.lag("x").over(w).alias("xl"),
+                     F.lag("yv").over(w).alias("yl"))
+        .where(F.col("xl").isNotNull())
+    )
+    m = reg.groupBy("et_x", "et_y").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sy"),
+        dsum("xl").alias("s1"), dsum("yl").alias("s2"),
+        dsum(F.col("xl") * F.col("xl")).alias("s11"),
+        dsum(F.col("yl") * F.col("yl")).alias("s22"),
+        dsum(F.col("xl") * F.col("yl")).alias("s12"),
+        dsum(F.col("xl") * F.col("x")).alias("s1y"),
+        dsum(F.col("yl") * F.col("x")).alias("s2y"),
+        dsum(F.col("x") * F.col("x")).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    beta_x = (c1y * c22 - c2y * c12) / det
+    beta_y = (c2y * c11 - c1y * c12) / det
+    ssr_u = cyy - beta_x * c1y - beta_y * c2y
+    ssr_r = cyy - c1y * c1y / c11
+    f_stat = (ssr_r - ssr_u) / (ssr_u / (n - 3))
+    return (
+        m.where((n > 3) & (det > 0))
+        .select("et_x", "et_y", "n",
+                beta_x.alias("beta_x"), beta_y.alias("beta_y"),
+                f_stat.alias("f_stat"),
+                (f_stat > _GC_F_CRIT_5).alias("granger_5pct"))
+    )
