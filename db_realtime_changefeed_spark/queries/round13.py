@@ -219,23 +219,32 @@ def win_frame_groups_nav(spark, sf_dir):
     the independent set-based reconstruction through its own
     distinct-hour rank relation + arg_min.
 
-    Scale: the group relation is |event_type x distinct hour| —
-    tiny relative to the fact table — so all three navigation joins
-    BROADCAST; the only shuffle is the dense_rank exchange on
-    event_type, shared with the round-12 GROUPS family. Values pass
-    through untouched (no float arithmetic anywhere)."""
+    Scale: the fact table is never windowed or shuffled whole — the
+    per-hour representative folds FIRST through one map-side-
+    combinable aggregate, dense_rank then runs over the tiny
+    |event_type x distinct hour| relation, and everything joins back
+    by BROADCAST (gmax included), so fact rows cross no exchange at
+    any width. Values pass through untouched (no float arithmetic
+    anywhere)."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "h", F.floor(F.col("ts").cast("long") / F.lit(3600))
         .cast("long"))
+    # per-(type, hour) representative: ONE partial-aggregated
+    # shuffle of hour-level rows; the GROUPS index g is a window
+    # over this tiny relation, never over the facts
+    hrep = (ev.groupBy("event_type", "h")
+            .agg(F.min_by("value", "event_id").alias("rv")))
     wd = W.partitionBy("event_type").orderBy("h")
-    ev = ev.withColumn("g", F.dense_rank().over(wd).cast("long"))
-    rep = (ev.groupBy("event_type", "g")
-           .agg(F.min_by("value", "event_id").alias("rv")))
+    rep = (hrep.withColumn("g", F.dense_rank().over(wd)
+                           .cast("long"))
+           .localCheckpoint(eager=False))
     gm = rep.groupBy("event_type").agg(F.max("g").alias("gmax"))
     base = (
-        ev.join(F.broadcast(gm), "event_type")
+        ev.join(F.broadcast(rep.select("event_type", "h", "g")),
+                ["event_type", "h"])
+        .join(F.broadcast(gm), "event_type")
         .select(
             "event_id", "event_type",
             F.greatest(F.col("g") - F.lit(_WFGN_N), F.lit(1))
