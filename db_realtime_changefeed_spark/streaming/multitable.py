@@ -121,6 +121,33 @@ def _composite_key_col(cols: tuple[str, ...]):
     return out
 
 
+def composite_key_decode(key_col, names: tuple[str, ...]):
+    """Inverse of the composite encoding — the consumer-side decode
+    of a feed's encoded key back into its part columns: splits the
+    key on unescaped separators (each part is 'n' or 'v' + an
+    escaped body, so the form is prefix-unambiguous), then unescapes
+    '\\|' before collapsing '\\\\' pairs (safe in that order because
+    a well-formed body never contains a bare separator). Returns one
+    string Column per name, NULL where the part encoded NULL —
+    round-trip-pinned against the encoder on adversarial inputs in
+    tests/test_round13_ops.py. Numeric parts come back as their
+    string form; cast as needed."""
+    parts = F.regexp_extract_all(
+        key_col, F.lit(r"(n|v(?:\\.|[^|\\])*)(?:\||$)"), 1)
+    out = []
+    for i, name in enumerate(names):
+        p = F.element_at(parts, i + 1)
+        body = F.substring(p, 2, 2_000_000)
+        unesc = F.replace(
+            F.replace(body, F.lit("\\|"), F.lit("|")),
+            F.lit("\\\\"), F.lit("\\"))
+        out.append(
+            F.when(p == F.lit("n"),
+                   F.lit(None).cast("string"))
+            .otherwise(unesc).alias(name))
+    return out
+
+
 def envelope_spec(tbl: str, key_override=None):
     """(key, ts EXPRESSION, value column) for a table's change
     envelope, where key is a column name or a COLUMN TUPLE for

@@ -426,3 +426,63 @@ def test_groups_nav_broadcasts_the_group_relation(spark, sf_oracle):
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert txt.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in txt
+
+
+def test_composite_decode_round_trip(spark):
+    """composite_key_decode is the exact inverse of the encoder on
+    the adversarial corpus (separator/escape/NULL-marker characters
+    as data)."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        _composite_key_col,
+        composite_key_decode,
+    )
+
+    df = spark.createDataFrame(_ADVERSARIAL, "a string, b string")
+    enc = df.select(
+        "a", "b", _composite_key_col(("a", "b")).alias("k"))
+    dec = enc.select(
+        "a", "b", *composite_key_decode(F.col("k"), ("da", "db")))
+    for r in dec.collect():
+        assert r.da == r.a and r.db == r.b, r
+
+
+def test_multitable_runner_mixes_composite_and_scalar(spark,
+                                                      sf_smoke):
+    """ONE runner over two tables where one keys on a composite and
+    the other on its scalar default: the union key slot widens to
+    string, the scalar bigint key casts injectively, resolved
+    timestamps span both tables, and each table's state matches its
+    batch aggregate."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+        _composite_key_col,
+    )
+
+    r = MultiTableChangefeedRunner(
+        spark, sf_smoke, tables=("orders", "lineitem"),
+        key_overrides={
+            "lineitem": ("l_orderkey", "l_linenumber")})
+    assert r._key_ddl == "string"
+    r.run()
+    res = r.resolved()
+    assert res and all(
+        set(hwm) == {"orders", "lineitem"} for _, hwm, _ in res[-1:])
+    st = r.state().collect()
+    got_o = {x.key: x.cnt for x in st if x.tbl == "orders"}
+    exp_o = {
+        str(x.o_custkey): x.c
+        for x in load_table(spark, sf_smoke, "orders")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got_o == exp_o
+    got_l = {x.key: x.cnt for x in st if x.tbl == "lineitem"}
+    exp_l = {
+        x.k: x.c
+        for x in load_table(spark, sf_smoke, "lineitem")
+        .groupBy(_composite_key_col(("l_orderkey", "l_linenumber"))
+                 .alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got_l == exp_l
