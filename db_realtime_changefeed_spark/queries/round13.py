@@ -576,3 +576,123 @@ def ts_granger_causality(spark, sf_dir):
                 f_stat.alias("f_stat"),
                 (f_stat > _GC_F_CRIT_5).alias("granger_5pct"))
     )
+
+
+# -------------------------------------- win_frame_groups_nav_exclude
+
+_WFGNX_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type, value, {_WFGN_H_SQL} AS h
+  FROM events),
+hs AS (
+  SELECT event_type, h,
+         dense_rank() OVER (PARTITION BY event_type ORDER BY h) AS g
+  FROM (SELECT DISTINCT event_type, h FROM e)),
+rep AS (
+  SELECT e.event_type, e.h, arg_min(e.value, e.event_id) AS rv
+  FROM e GROUP BY 1, 2),
+fr AS (
+  SELECT a.event_type, a.h AS h0, b.h AS h2
+  FROM hs a JOIN hs b
+    ON b.event_type = a.event_type
+   AND abs(b.g - a.g) <= {_WFGN_N} AND b.h <> a.h),
+rk AS (
+  SELECT event_type, h0, h2,
+         row_number() OVER (PARTITION BY event_type, h0
+                            ORDER BY h2) AS rk,
+         count(*) OVER (PARTITION BY event_type, h0) AS cnt
+  FROM fr)
+SELECT e.event_id, e.event_type,
+       v1.rv AS first_ex_val,
+       v2.rv AS nth2_ex_val,
+       vl.rv AS last_ex_val
+FROM e
+LEFT JOIN rk r1 ON r1.event_type = e.event_type AND r1.h0 = e.h
+               AND r1.rk = 1
+LEFT JOIN rep v1 ON v1.event_type = e.event_type AND v1.h = r1.h2
+LEFT JOIN rk r2 ON r2.event_type = e.event_type AND r2.h0 = e.h
+               AND r2.rk = 2
+LEFT JOIN rep v2 ON v2.event_type = e.event_type AND v2.h = r2.h2
+LEFT JOIN rk rl ON rl.event_type = e.event_type AND rl.h0 = e.h
+               AND rl.rk = rl.cnt
+LEFT JOIN rep vl ON vl.event_type = e.event_type AND vl.h = rl.h2
+"""
+
+
+@query("win_frame_groups_nav_exclude", oracle=_WFGNX_ORACLE)
+def win_frame_groups_nav_exclude(spark, sf_dir):
+    """GROUPS-frame navigation COMPOSED with EXCLUDE GROUP — the
+    last cell of the r12 verdict's frame matrix (GROUPS aggregates,
+    GROUPS+EXCLUDE aggregates, GROUPS navigation, and now GROUPS
+    navigation over the exclusion frame): first / second / last
+    distinct-hour representative among the +/-{_WFGN_N} nearest
+    peer groups with the row's OWN group removed — "the nearest
+    other active hours, mine excluded". Where the aggregate
+    composition was subtraction algebra, navigation composes by
+    INDEX arithmetic on the dense-rank group axis: the exclusion
+    frame is [lo..hi] minus g, so its first element is lo unless
+    lo = g (then lo+1), its second skips over g when g is adjacent,
+    and its last is hi unless hi = g (then hi-1) — every case a
+    CASE expression, NULL when the index leaves [lo..hi] (a
+    single-hour partition has an EMPTY exclusion frame, the
+    SQL:2016 out-of-frame answer). The oracle is the independent
+    set-based reconstruction: materialize the exclusion frame as a
+    join, rank it by hour, read ranks 1 / 2 / cnt — a drifted index
+    case-split breaks the hash from either side.
+
+    Scale: identical posture to win_frame_groups_nav — per-hour
+    fold first, rank the tiny hour relation, broadcast back; fact
+    rows cross no exchange."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "h", F.floor(F.col("ts").cast("long") / F.lit(3600))
+        .cast("long"))
+    hrep = (ev.groupBy("event_type", "h")
+            .agg(F.min_by("value", "event_id").alias("rv")))
+    wd = W.partitionBy("event_type").orderBy("h")
+    rep = (hrep.withColumn("g", F.dense_rank().over(wd)
+                           .cast("long"))
+           .localCheckpoint(eager=False))
+    gm = rep.groupBy("event_type").agg(F.max("g").alias("gmax"))
+    g = F.col("g")
+    lo = F.greatest(g - F.lit(_WFGN_N), F.lit(1))
+    hi = F.least(g + F.lit(_WFGN_N), F.col("gmax"))
+    f1 = F.when(lo != g, lo).otherwise(lo + 1)
+    f1 = F.when(f1 <= hi, f1)
+    n2 = F.when(lo < g,
+                F.when(lo + 1 != g, lo + 1).otherwise(lo + 2)
+                ).otherwise(lo + 2)
+    n2 = F.when(n2 <= hi, n2)
+    l1 = F.when(hi != g, hi).otherwise(hi - 1)
+    l1 = F.when(l1 >= lo, l1)
+    base = (
+        ev.join(F.broadcast(rep.select("event_type", "h", "g")),
+                ["event_type", "h"])
+        .join(F.broadcast(gm), "event_type")
+        .select("event_id", "event_type",
+                f1.alias("f1"), n2.alias("n2"), l1.alias("l1"))
+    )
+    r1 = rep.select(F.col("event_type").alias("et1"),
+                    F.col("g").alias("g1"),
+                    F.col("rv").alias("first_ex_val"))
+    r2 = rep.select(F.col("event_type").alias("et2"),
+                    F.col("g").alias("g2"),
+                    F.col("rv").alias("nth2_ex_val"))
+    rl = rep.select(F.col("event_type").alias("et3"),
+                    F.col("g").alias("g3"),
+                    F.col("rv").alias("last_ex_val"))
+    return (
+        base
+        .join(F.broadcast(r1),
+              (F.col("event_type") == F.col("et1"))
+              & (F.col("f1") == F.col("g1")), "left")
+        .join(F.broadcast(r2),
+              (F.col("event_type") == F.col("et2"))
+              & (F.col("n2") == F.col("g2")), "left")
+        .join(F.broadcast(rl),
+              (F.col("event_type") == F.col("et3"))
+              & (F.col("l1") == F.col("g3")), "left")
+        .select("event_id", "event_type",
+                "first_ex_val", "nth2_ex_val", "last_ex_val")
+    )
