@@ -772,6 +772,38 @@ def _has_toplevel_select_distinct(body: str) -> bool:
     return False
 
 
+_BODY_TOK = re.compile(
+    _SQL_LITERAL
+    + r"|[()]|\bFROM\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b",
+    re.IGNORECASE)
+
+
+def _find_splice_point(body: str):
+    """Offset of the body's top-level FROM — where the QUALIFY
+    predicate can be SPLICED into the body's own select list so it
+    sees every column of the FROM scope (native QUALIFY visibility),
+    not just the projected ones. None when splicing would be wrong
+    or impossible: a top-level set operation (the predicate must
+    apply to the combined result), or no top-level FROM — callers
+    fall back to the wrap-in-subquery rewrite."""
+    depth, from_pos, setop = 0, None, False
+    for m in _BODY_TOK.finditer(body):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif tok.startswith("'"):
+            continue
+        elif depth == 0:
+            if tok.upper() == "FROM":
+                if from_pos is None:
+                    from_pos = m.start()
+            else:
+                setop = True
+    return None if setop else from_pos
+
+
 def _has_toplevel_order_or_limit(pred: str) -> bool:
     """True if ORDER BY / LIMIT appears in `pred` OUTSIDE
     parentheses and string literals — i.e. as a trailing query
@@ -820,11 +852,15 @@ class Database:
         (put them in an outer query — a partially honored clause
         would silently reorder results), and a SELECT DISTINCT body
         (native QUALIFY filters BEFORE DISTINCT; the rewrite would
-        filter after — silently different rows). Limitation, by
-        design: the predicate sees the body's SELECT list (the
-        rewrite projects over it), so a QUALIFY referencing a column
-        the body doesn't project fails analysis — add the column to
-        the select list."""
+        filter after — silently different rows). The predicate is
+        SPLICED into the body's own select list (r13), so — like
+        native QUALIFY — it may reference any column of the FROM
+        scope, projected or not; only set-op / FROM-less bodies fall
+        back to the wrapping rewrite, where the predicate sees
+        projected columns only. Referencing a select-list ALIAS
+        inside the window spec raises Spark's own
+        LATERAL_COLUMN_ALIAS_IN_WINDOW (name the underlying
+        expression instead)."""
         m = _CHANGEFEED_DDL.match(query)
         if m:
             table, pred, key = m.group(1), m.group(2), m.group(3)
@@ -870,10 +906,21 @@ class Database:
                     "rewrite would filter after — the results would "
                     "silently differ. Apply DISTINCT in an outer "
                     "query instead")
+            # preferred rewrite (r13): SPLICE the predicate into the
+            # body's own select list — it then sees the full FROM
+            # scope, so (like native QUALIFY) it may reference
+            # columns the query does not project; fall back to the
+            # wrap-in-subquery form (predicate sees projected
+            # columns only) for set-op / FROM-less bodies
+            splice = _find_splice_point(body)
+            if splice is not None:
+                sql = (f"{body[:splice]}, ({pred}) AS __qualify__ "
+                       f"{body[splice:]}")
+            else:
+                sql = (f"SELECT *, ({pred}) AS __qualify__ FROM "
+                       f"({body})")
             return (
-                self.spark.sql(
-                    f"SELECT *, ({pred}) AS __qualify__ FROM "
-                    f"({body})")
+                self.spark.sql(sql)
                 .where("__qualify__")
                 .drop("__qualify__")
             )

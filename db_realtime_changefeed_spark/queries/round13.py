@@ -696,3 +696,41 @@ def win_frame_groups_nav_exclude(spark, sf_dir):
         .select("event_id", "event_type",
                 "first_ex_val", "nth2_ex_val", "last_ex_val")
     )
+
+
+# ------------------------------------------- sql_qualify_hidden_col
+
+#: the predicate PARTITIONS BY a column the query never projects —
+#: legal in every QUALIFY dialect (the clause sees the FROM scope,
+#: not the select list); the r13 splice rewrite reproduces that
+#: visibility, where the old wrap-in-subquery form failed analysis.
+_QUALIFY_HIDDEN_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC,
+                                    o_orderkey) <= 1
+"""
+
+
+@query("sql_qualify_hidden_col", oracle=_QUALIFY_HIDDEN_SQL)
+def sql_qualify_hidden_col(spark, sf_dir):
+    """QUALIFY referencing a NON-PROJECTED column — the dialect-legal
+    form the r12 rewrite refused with an analysis error (documented
+    limitation #6 of the r12 verdict's QUALIFY note): native QUALIFY
+    evaluates in the FROM scope, so ``PARTITION BY o_orderstatus``
+    is legal even though the query projects only (o_orderkey,
+    o_totalprice). The r13 rewrite SPLICES the predicate into the
+    body's own select list (before the top-level FROM, found by the
+    same quote/paren-aware scan as the clause detector) instead of
+    wrapping the body in a subquery — the predicate then sees every
+    FROM-scope column, and the helper column drops after the filter.
+    DuckDB runs the identical text natively as the oracle, so the
+    hash certifies scope parity, not just row counts. Deterministic:
+    one row per (hidden) status, total rank order.
+
+    Scale: same single window + filter plan; the splice adds one
+    projected column that never survives the rewrite."""
+    from ..api import Database
+
+    return Database(spark, sf_dir).sql(_QUALIFY_HIDDEN_SQL)

@@ -486,3 +486,33 @@ def test_multitable_runner_mixes_composite_and_scalar(spark,
         .collect()
     }
     assert got_l == exp_l
+
+
+def test_qualify_splice_scope_and_fallback(spark, sf_smoke):
+    """r13 splice rewrite: the predicate sees non-projected FROM
+    columns (native visibility); set-op bodies fall back to the
+    wrapping rewrite; GROUP BY bodies splice correctly."""
+    from db_realtime_changefeed_spark.api import Database
+
+    db = Database(spark, sf_smoke)
+    hidden = db.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 1").collect()
+    statuses = load_table(spark, sf_smoke, "orders") \
+        .select("o_orderstatus").distinct().count()
+    assert len(hidden) == statuses
+    assert {c for r in hidden for c in r.asDict()} == {
+        "o_orderkey", "o_totalprice"}
+    setop = db.sql(
+        "SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 50 "
+        "UNION ALL "
+        "SELECT o_custkey AS k FROM orders WHERE o_orderkey < 50 "
+        "QUALIFY row_number() OVER (ORDER BY k) <= 3").collect()
+    assert len(setop) == 3
+    grp = db.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus "
+        "QUALIFY row_number() OVER (ORDER BY count(*) DESC, "
+        "o_orderstatus) <= 2").collect()
+    assert len(grp) == 2
