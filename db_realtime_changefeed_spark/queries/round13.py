@@ -734,3 +734,49 @@ def sql_qualify_hidden_col(spark, sf_dir):
     from ..api import Database
 
     return Database(spark, sf_dir).sql(_QUALIFY_HIDDEN_SQL)
+
+
+# -------------------------------------- changefeed_composite_decode
+
+@query(
+    "changefeed_composite_decode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                AS DOUBLE) AS sum_value
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def changefeed_composite_decode(spark, sf_dir):
+    """ENCODE -> MERGE -> DECODE round trip graded end to end: the
+    composite-keyed lineitem feed's materialized state is read back
+    through multitable.composite_key_decode (split on unescaped
+    separators, unescape, NULL markers back to NULL) and the decoded
+    part columns cast to their original types — and the oracle is
+    the PLAIN raw-column aggregate, which never sees the encoding at
+    all. The hash therefore certifies that the encoding is lossless
+    through the entire feed machinery (envelope, bucketed MVCC
+    merge, state read): any drift in encode OR decode — a collision,
+    a mis-split, a mangled escape — surfaces as a wrong key, count,
+    or sum against ground truth. Complements the adversarial
+    round-trip unit pin (tests/test_round13_ops.py) with the real
+    end-to-end data path.
+
+    Scale: decode is three Catalyst-native string ops per state row
+    on the READ surface only — the merge never decodes."""
+    from ..api import Database
+    from ..streaming.multitable import composite_key_decode
+
+    key = (id(spark), sf_dir, "__ctck__")
+    if key not in _CACHE:
+        _CACHE[key] = Database(spark, sf_dir).sql(
+            "CREATE CHANGEFEED FOR lineitem "
+            "KEY BY (l_orderkey, l_linenumber)")
+    feed = _CACHE[key]
+    st = feed.state()
+    parts = composite_key_decode(
+        F.col("key"), ("ok_s", "ln_s"))
+    return st.select(*parts, "cnt", "sum_value").select(
+        F.col("ok_s").cast("bigint").alias("l_orderkey"),
+        F.col("ln_s").cast("int").alias("l_linenumber"),
+        "cnt", "sum_value")
