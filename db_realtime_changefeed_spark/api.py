@@ -164,12 +164,34 @@ class TableFeed:
         self._table = table
         self._cursor_start = cursor_start
 
-    def state(self) -> DataFrame:
-        return (
+    def state(self, decode: bool = False) -> DataFrame:
+        """Materialized per-key aggregate. `decode=True` on a
+        COMPOSITE-keyed feed (r13) splits the encoded key back into
+        its part columns (string-typed; cast as needed) via
+        multitable.composite_key_decode — the consumer-side inverse
+        of the envelope encoding. Raises on scalar-keyed feeds
+        rather than returning a column that only LOOKS decoded."""
+        st = (
             self._runner.state()
             .where(F.col("tbl") == self._table)
             .select("key", "cnt", "sum_value")
         )
+        if not decode:
+            return st
+        from .streaming.multitable import composite_key_decode
+
+        parts = self._runner.key_overrides.get(self._table)
+        if parts is None:
+            from .streaming.multitable import envelope_spec
+
+            parts = envelope_spec(self._table)[0]
+        if not isinstance(parts, tuple):
+            raise NotImplementedError(
+                f"decode=True needs a composite-keyed feed; "
+                f"{self._table!r} is keyed on {parts!r}")
+        return st.select(
+            *composite_key_decode(F.col("key"), parts),
+            "cnt", "sum_value")
 
     def log(self) -> DataFrame:
         """Committed per-batch deltas for THIS table, the cursor's

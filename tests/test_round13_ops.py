@@ -516,3 +516,22 @@ def test_qualify_splice_scope_and_fallback(spark, sf_smoke):
         "QUALIFY row_number() OVER (ORDER BY count(*) DESC, "
         "o_orderstatus) <= 2").collect()
     assert len(grp) == 2
+
+
+def test_table_feed_state_decode(spark, sf_smoke):
+    """TableFeed.state(decode=True) returns the composite key's part
+    columns; scalar-keyed feeds refuse loudly."""
+    from db_realtime_changefeed_spark.api import Database
+
+    feed = Database(spark, sf_smoke).sql(
+        "CREATE CHANGEFEED FOR lineitem "
+        "KEY BY (l_orderkey, l_linenumber)")
+    dec = feed.state(decode=True)
+    assert dec.columns == ["l_orderkey", "l_linenumber",
+                           "cnt", "sum_value"]
+    got = {(int(r.l_orderkey), int(r.l_linenumber))
+           for r in dec.limit(50).collect()}
+    assert got and all(1 <= ln <= 7 for _, ln in got)
+    scalar = Database(spark, sf_smoke).table("orders").changes()
+    with pytest.raises(NotImplementedError):
+        scalar.state(decode=True)
