@@ -535,3 +535,81 @@ def test_table_feed_state_decode(spark, sf_smoke):
     scalar = Database(spark, sf_smoke).table("orders").changes()
     with pytest.raises(NotImplementedError):
         scalar.state(decode=True)
+
+
+def test_composite_encoding_property_based(spark):
+    """Hypothesis: encode is injective and decode inverts it for
+    ARBITRARY part strings (property-based, beyond the curated
+    adversarial corpus). One Spark job over the whole generated
+    batch keeps this fast."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        _composite_key_col,
+        composite_key_decode,
+    )
+
+    part = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(list("ab|\\nv'\"\x1f ,%_")),
+            max_size=8))
+    collected: list = []
+
+    @given(st.lists(st.tuples(part, part), min_size=1, max_size=20))
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def gather(rows):
+        collected.extend(rows)
+
+    gather()
+    rows = list(dict.fromkeys(collected))  # distinct tuples
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(
+        "a", "b", _composite_key_col(("a", "b")).alias("k")
+    ).select(
+        "a", "b", "k",
+        *composite_key_decode(F.col("k"), ("da", "db"))
+    ).collect()
+    keys = [r.k for r in out]
+    assert len(set(keys)) == len(rows), "encode collision"
+    for r in out:
+        assert r.da == r.a and r.db == r.b, r
+
+
+def test_composite_feed_redelivery_idempotent(spark, sf_smoke):
+    """At-least-once upstream: re-delivering an already-committed
+    batch to the composite-keyed merge rebases onto the prior
+    version and leaves state AND the committed delta log identical
+    (batch_id is the idempotency token)."""
+    from db_realtime_changefeed_spark.streaming.multitable import (
+        MultiTableChangefeedRunner,
+        build_table_chunks,
+    )
+
+    r = MultiTableChangefeedRunner(
+        spark, sf_smoke, tables=("lineitem",),
+        key_overrides={
+            "lineitem": ("l_orderkey", "l_linenumber")})
+    r.run()
+    before_state = sorted(
+        (x.key, x.cnt, x.sum_value) for x in r.state().collect())
+    before_log = sorted(
+        (x.batch_id, x.key, x.d_count) for x in r.log().collect())
+    last = r._last_batch
+    chunks = build_table_chunks(
+        spark, sf_smoke, "lineitem",
+        key_override=("l_orderkey", "l_linenumber"),
+        key_type="string")
+    files = sorted(
+        f for f in os.listdir(chunks) if f.endswith(".parquet"))
+    redeliver = spark.read.schema(r._env_ddl).parquet(
+        os.path.join(chunks, files[last]))
+    r._merge_batch(redeliver, last)  # same batch id, second time
+    after_state = sorted(
+        (x.key, x.cnt, x.sum_value) for x in r.state().collect())
+    after_log = sorted(
+        (x.batch_id, x.key, x.d_count) for x in r.log().collect())
+    assert after_state == before_state
+    assert after_log == before_log
