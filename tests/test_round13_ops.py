@@ -613,3 +613,17 @@ def test_composite_feed_redelivery_idempotent(spark, sf_smoke):
         (x.batch_id, x.key, x.d_count) for x in r.log().collect())
     assert after_state == before_state
     assert after_log == before_log
+
+
+def test_qualify_splice_cte_body(spark, sf_smoke):
+    """A WITH-prefixed body splices at the MAIN select's FROM (CTE
+    internals are depth>0 for the scanner)."""
+    from db_realtime_changefeed_spark.api import Database
+
+    rows = Database(spark, sf_smoke).sql(
+        "WITH big AS (SELECT * FROM orders "
+        "WHERE o_totalprice > 100000) "
+        "SELECT o_orderkey FROM big "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 1").collect()
+    assert rows and len({r.o_orderkey for r in rows}) == len(rows)
