@@ -193,18 +193,59 @@ class TableFeed:
             *composite_key_decode(F.col("key"), parts),
             "cnt", "sum_value")
 
-    def log(self) -> DataFrame:
+    def log(self, diff: bool = False) -> DataFrame:
         """Committed per-batch deltas for THIS table, the cursor's
-        read surface: (batch_id, key, d_count, d_sum)."""
-        return (
+        read surface: (batch_id, key, d_count, d_sum).
+
+        `diff=True` (r13) adds the BEFORE and AFTER images of the
+        keyed aggregate around every change — the CockroachDB
+        ``WITH diff`` envelope option re-expressed on the aggregate
+        feed: before_cnt/before_sum are the key's state just before
+        the batch applied (NULL on the key's first appearance, the
+        CDC convention for an insert's before image) and
+        after_cnt/after_sum its state just after, so
+        after - before = delta by construction. Computed FROM the
+        committed delta log alone (one cumulative window over the
+        key partition — no base-table rescan and no extra state):
+        the log already totally orders each key's history by
+        batch_id, which is exactly the prefix the before image
+        folds. Accumulation stays in the log's exact decimal(28,6)
+        slot and casts to double only on the read surface, so the
+        images are order-independent bit-for-bit (FIXTURES.md).
+
+        Scale: one shuffle on key — the same partitioning the merge
+        already uses; the window frame is a running prefix, so Spark
+        streams it without buffering whole partitions."""
+        base = (
             self._runner.log()
             .where(F.col("tbl") == self._table)
             .select(
                 "batch_id",
                 F.col("key").cast("string").alias("key"),
                 "d_count",
-                F.col("d_sum").cast("double").alias("d_sum"),
+                F.col("d_sum").alias("_d_sum_dec"),
             )
+        )
+        if not diff:
+            return base.select(
+                "batch_id", "key", "d_count",
+                F.col("_d_sum_dec").cast("double").alias("d_sum"))
+        from pyspark.sql import Window as W
+
+        w = (W.partitionBy("key").orderBy("batch_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+        before_cnt = F.sum("d_count").over(w)
+        before_sum_dec = F.sum("_d_sum_dec").over(w)
+        return base.select(
+            "batch_id", "key", "d_count",
+            F.col("_d_sum_dec").cast("double").alias("d_sum"),
+            before_cnt.alias("before_cnt"),
+            before_sum_dec.cast("double").alias("before_sum"),
+            (F.coalesce(before_cnt, F.lit(0)) + F.col("d_count"))
+            .alias("after_cnt"),
+            (F.coalesce(before_sum_dec,
+                        F.lit(0).cast("decimal(28,6)"))
+             + F.col("_d_sum_dec")).cast("double").alias("after_sum"),
         )
 
     def batch_for_ts(self, ts):

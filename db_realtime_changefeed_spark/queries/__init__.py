@@ -89,6 +89,7 @@ def load_all() -> None:
     from . import round11  # noqa: F401
     from . import round12  # noqa: F401
     from . import round13  # noqa: F401
+    from . import round13b  # noqa: F401
 
 
 #: Registry iteration order for the graded surface. The driver grades

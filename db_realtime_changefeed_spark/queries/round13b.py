@@ -1,0 +1,111 @@
+"""Round-13 second-session graded queries — the diff (before/after
+image) envelope surface, the key-only envelope option, the
+FETCH ... WITH TIES SQL rewrite, quantified subqueries, and label
+propagation.
+
+Registered LAST in load_all (after round13) so every name here sits
+behind the certified tail (grading-rotation discipline,
+queries/__init__.py). Reference citations are N/A — the reference
+tree is empty (SURVEY.md §0); the binding spec is the driver
+contract + SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..streaming.replay import default_chunks
+from . import query
+from ._util import ts_group_chunk_cte
+
+__all__ = ["load"]
+
+
+def load() -> None:  # imported for side effects; keep a hook anyway
+    pass
+
+
+_CACHE: dict = {}
+
+
+def _custkey_feed(spark, sf_dir):
+    """Shared orders feed keyed on o_custkey — a key with real
+    multiplicity ACROSS batches (a customer orders in many chunks),
+    so before/after images are non-degenerate: the same key's
+    aggregate evolves batch over batch, unlike the unique-PK feeds
+    where every before image would be NULL."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__custkey__")
+    if key not in _CACHE:
+        _CACHE[key] = (
+            Database(spark, sf_dir).table("orders")
+            .changes(key="o_custkey"))
+    return _CACHE[key]
+
+
+# ---------------------------------------------- changefeed_table_diff
+
+def _ctd_oracle() -> str:
+    nb = default_chunks()
+    return f"""
+    WITH env AS (
+      SELECT o_custkey AS k,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             o_totalprice AS value
+      FROM orders),
+    {ts_group_chunk_cte(nb).lstrip()},
+    d AS (
+      SELECT bt.batch_id, e.k, count(*) AS d_count,
+             sum(CAST(e.value AS DECIMAL(28,6))) AS ds
+      FROM env e JOIN batched bt ON e.ts = bt.ts
+      GROUP BY 1, 2)
+    SELECT batch_id, CAST(k AS VARCHAR) AS key, d_count,
+           CAST(ds AS DOUBLE) AS d_sum,
+           CAST(sum(d_count) OVER wprior AS BIGINT) AS before_cnt,
+           CAST(sum(ds) OVER wprior AS DOUBLE) AS before_sum,
+           CAST(COALESCE(sum(d_count) OVER wprior, 0) + d_count
+                AS BIGINT) AS after_cnt,
+           CAST(COALESCE(sum(ds) OVER wprior,
+                         CAST(0 AS DECIMAL(28,6))) + ds
+                AS DOUBLE) AS after_sum
+    FROM d
+    WINDOW wprior AS (PARTITION BY k ORDER BY batch_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+    """
+
+
+@query("changefeed_table_diff", oracle=_ctd_oracle)
+def changefeed_table_diff(spark, sf_dir):
+    """DIFF ENVELOPE — the CockroachDB ``WITH diff`` option
+    re-expressed on the aggregate feed: every committed change
+    carries the BEFORE image (the key's state just prior — NULL on
+    first appearance, the CDC insert convention) and the AFTER image
+    (state just following), alongside the delta itself. Served by
+    ``TableFeed.log(diff=True)`` (api.py) straight off the committed
+    delta log: the log totally orders each key's history by
+    batch_id, so the before image is ONE running-prefix window — no
+    base-table rescan, no second state store. Keyed on o_custkey
+    (real cross-batch multiplicity; a unique-PK feed would make
+    every before image NULL and the surface degenerate). The oracle
+    reconstructs the chunk trajectory and folds the SAME prefix
+    windows in the log's exact decimal slot, so a wrong accumulation
+    order, a double-rounded image, or an off-by-one frame (before
+    including the current batch) all break the hash.
+
+    Scale: one shuffle on key — the partitioning the merge already
+    uses; the prefix frame streams (no whole-partition buffering).
+    At 100 TB the diff surface costs exactly one window over the
+    delta log, never O(state) per batch."""
+    feed = _custkey_feed(spark, sf_dir)
+    log = feed.log(diff=True)
+    nb = default_chunks()
+    batches = sorted(
+        r["batch_id"]
+        for r in log.select("batch_id").distinct().collect())
+    if batches != list(range(nb)):
+        raise AssertionError(
+            f"diff log committed batches {batches}, "
+            f"expected {list(range(nb))}")
+    return log

@@ -1,0 +1,77 @@
+"""Round-13 second-wave pins: the diff (before/after image) log
+surface, the key-only envelope option, FETCH ... WITH TIES, and the
+quantified-subquery / label-propagation additions."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def custkey_feed(spark):
+    from db_realtime_changefeed_spark.queries.round13b import (
+        _custkey_feed,
+    )
+
+    return _custkey_feed(spark, SF_DIR)
+
+
+def test_diff_images_reconcile(custkey_feed):
+    """after - before == delta on every diff row, and the before
+    image is NULL exactly on each key's first appearance."""
+    log = custkey_feed.log(diff=True)
+    bad = log.where(
+        (F.coalesce("before_cnt", F.lit(0)) + F.col("d_count")
+         != F.col("after_cnt"))
+        | (F.abs(F.coalesce("before_sum", F.lit(0.0))
+                 + F.col("d_sum") - F.col("after_sum")) > 1e-6)
+    ).count()
+    assert bad == 0
+    first = log.groupBy("key").agg(F.min("batch_id").alias("b0"))
+    joined = log.join(first, "key")
+    assert joined.where(
+        (F.col("batch_id") == F.col("b0"))
+        & F.col("before_cnt").isNotNull()).count() == 0
+    assert joined.where(
+        (F.col("batch_id") > F.col("b0"))
+        & F.col("before_cnt").isNull()).count() == 0
+
+
+def test_diff_final_after_image_is_state(custkey_feed):
+    """The LAST after image per key equals the materialized state —
+    the diff trajectory and the state store must tell one story."""
+    log = custkey_feed.log(diff=True)
+    last = (
+        log.groupBy("key")
+        .agg(F.max_by("after_cnt", "batch_id").alias("cnt"),
+             F.max_by("after_sum", "batch_id").alias("sum_value"))
+    )
+    st = custkey_feed.state().select(
+        F.col("key").cast("string").alias("key"), "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"))
+    diff = (
+        last.join(st, "key", "full")
+        .where((last.cnt != st.cnt)
+               | (F.abs(last.sum_value - st.sum_value) > 1e-6)
+               | last.cnt.isNull() | st.cnt.isNull())
+    )
+    assert diff.count() == 0
+
+
+def test_plain_log_unchanged_by_diff_surface(custkey_feed):
+    """log() without diff keeps its exact 4-column contract (the
+    cursor read surface must not grow image columns)."""
+    assert custkey_feed.log().columns == [
+        "batch_id", "key", "d_count", "d_sum"]
+    assert custkey_feed.log(diff=True).columns == [
+        "batch_id", "key", "d_count", "d_sum",
+        "before_cnt", "before_sum", "after_cnt", "after_sum"]
