@@ -886,6 +886,36 @@ def _has_toplevel_order_or_limit(pred: str) -> bool:
     return False
 
 
+#: ANSI row-limiting clause as the statement's FINAL text: because the
+#: pattern is end-anchored, a FETCH inside a subquery (followed by at
+#: least ")") or inside a string literal (followed by the closing
+#: quote) can never match — the anchor IS the top-level check.
+_FETCH_TAIL = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?"
+    r"\s+(WITH\s+TIES|ONLY)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def _find_toplevel_order_by(body: str):
+    """Match of the LAST top-level ORDER BY in `body` (outside
+    parens — an OVER(...) window spec's ORDER BY is depth>0 — and
+    outside string literals), or None. The last one is the query's
+    trailing sort clause; earlier top-level ORDER BYs cannot occur
+    in a valid single statement."""
+    depth, pos = 0, None
+    for m in re.finditer(
+            _SQL_LITERAL + r"|[()]|\bORDER\s+BY\b", body,
+            re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif not tok.startswith("'") and depth == 0:
+            pos = m
+    return pos
+
+
 class Database:
     """Entry point binding a SparkSession to a data directory."""
 
@@ -946,6 +976,50 @@ class Database:
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)
+        fm = _FETCH_TAIL.search(query)
+        if fm:
+            # ANSI row-limiting clause (Postgres/DuckDB-absent in
+            # Spark SQL): FETCH FIRST n ROWS ONLY is LIMIT n; WITH
+            # TIES additionally keeps every row tying the n-th on
+            # the ORDER BY key — sugar for rank() <= n, which the
+            # rewrite makes explicit (r13). The ORDER BY is REQUIRED
+            # by the standard for WITH TIES (ties are defined by it).
+            n = int(fm.group(1))
+            ties = fm.group(2).upper().startswith("WITH")
+            body = query[:fm.start()].rstrip()
+            if _find_toplevel_qualify(body)[0] is not None:
+                raise NotImplementedError(
+                    "QUALIFY and FETCH in one statement: apply "
+                    "FETCH in an outer query around the QUALIFY "
+                    "body instead")
+            if not ties:
+                return self.spark.sql(f"{body} LIMIT {n}")
+            ob = _find_toplevel_order_by(body)
+            if ob is None:
+                raise ValueError(
+                    "FETCH ... WITH TIES requires a top-level "
+                    "ORDER BY (ties are defined by the sort key)")
+            keys = body[ob.end():].strip()
+            if not keys:
+                raise ValueError("ORDER BY needs sort keys")
+            rank = f"rank() OVER (ORDER BY {keys})"
+            # splice the rank into the body's own select list (the
+            # QUALIFY visibility rule: the sort key may name columns
+            # the query never projects); set-op / FROM-less bodies
+            # fall back to the wrapping rewrite, where the key sees
+            # projected columns only
+            splice = _find_splice_point(body)
+            if splice is not None:
+                sql = (f"{body[:splice]}, {rank} AS __ties_rank__ "
+                       f"{body[splice:]}")
+            else:
+                sql = (f"SELECT *, {rank} AS __ties_rank__ "
+                       f"FROM ({body})")
+            return (
+                self.spark.sql(sql)
+                .where(f"__ties_rank__ <= {n}")
+                .drop("__ties_rank__")
+            )
         q, nested = _find_toplevel_qualify(query)
         if q is not None:
             body = query[:q.start()].rstrip()

@@ -109,3 +109,52 @@ def changefeed_table_diff(spark, sf_dir):
             f"diff log committed batches {batches}, "
             f"expected {list(range(nb))}")
     return log
+
+# ----------------------------------------------- sql_fetch_with_ties
+
+#: the statement the engine runs — ANSI row-limiting with ties,
+#: which Spark SQL does not parse; our SQL layer rewrites it into
+#: the explicit rank() form (api.py _FETCH_TAIL)
+_FETCH_TIES_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate DESC
+FETCH FIRST 100 ROWS WITH TIES
+"""
+
+_FETCH_TIES_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         rank() OVER (ORDER BY o_orderdate DESC) AS rk
+  FROM orders)
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM r WHERE rk <= 100
+"""
+
+
+@query("sql_fetch_with_ties", oracle=_FETCH_TIES_ORACLE)
+def sql_fetch_with_ties(spark, sf_dir):
+    """ANSI ``FETCH FIRST n ROWS WITH TIES`` (Postgres/SQL:2008),
+    absent from Spark SQL — the r13 SQL-layer rewrite: the
+    end-anchored clause detector (anchoring IS the top-level check:
+    a FETCH inside a subquery or string literal is always followed
+    by more text) strips the clause, requires the standard's
+    top-level ORDER BY (ties are DEFINED by the sort key), and
+    splices ``rank() OVER (ORDER BY <keys>) <= n`` into the body's
+    own select list — the same visibility rule as the QUALIFY
+    splice, so the sort key may name non-projected columns. ONLY
+    (the tieless form) maps to LIMIT. The oracle is the de-sugared
+    rank() form run natively on DuckDB — the exact relational
+    algebra WITH TIES abbreviates — so a rewrite that dropped
+    boundary ties (plain LIMIT) or kept too many (rank vs
+    row_number confusion) breaks rows/hash. Set-deterministic: the
+    result is every row tying the 100th latest order date,
+    independent of intra-tie order.
+
+    Scale: Spark's WindowGroupLimit pushes the rank predicate
+    map-side (each task keeps its local top rows before the single
+    merge), so the global ORDER BY never materializes a full sort —
+    the sql_qualify plan shape."""
+    from ..api import Database
+
+    return Database(spark, sf_dir).sql(_FETCH_TIES_SQL)

@@ -75,3 +75,57 @@ def test_plain_log_unchanged_by_diff_surface(custkey_feed):
     assert custkey_feed.log(diff=True).columns == [
         "batch_id", "key", "d_count", "d_sum",
         "before_cnt", "before_sum", "after_cnt", "after_sum"]
+
+
+# ---- FETCH FIRST ... WITH TIES (api.py _FETCH_TAIL rewrite)
+
+@pytest.fixture(scope="module")
+def db(spark):
+    from db_realtime_changefeed_spark.api import Database
+
+    return Database(spark, SF_DIR)
+
+
+def test_fetch_with_ties_keeps_boundary_ties(db):
+    rows = db.sql(
+        "SELECT o_orderkey, o_orderdate FROM orders "
+        "ORDER BY o_orderdate DESC "
+        "FETCH FIRST 10 ROWS WITH TIES").collect()
+    assert len(rows) >= 10
+    boundary = min(r.o_orderdate for r in rows)
+    # every order sharing the boundary date must be included
+    n_at = db.table("orders").df().where(
+        F.col("o_orderdate") == boundary).count()
+    assert sum(1 for r in rows if r.o_orderdate == boundary) == n_at
+
+
+def test_fetch_only_is_limit(db):
+    rows = db.sql(
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+        "FETCH NEXT 5 ROWS ONLY").collect()
+    assert [r.o_orderkey for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_fetch_in_literal_is_data(db):
+    # the clause text inside a string literal must not trigger the
+    # rewrite (end anchor: the literal's closing quote follows)
+    n = db.sql(
+        "SELECT count(*) AS c FROM orders WHERE "
+        "o_orderpriority <> 'FETCH FIRST 1 ROWS ONLY'"
+    ).collect()[0].c
+    assert n == db.table("orders").df().count()
+
+
+def test_fetch_with_ties_requires_order_by(db):
+    with pytest.raises(ValueError, match="ORDER BY"):
+        db.sql("SELECT o_orderkey FROM orders "
+               "FETCH FIRST 3 ROWS WITH TIES")
+
+
+def test_fetch_with_ties_setop_fallback(db):
+    # set-op body takes the wrap rewrite; ties still honored
+    rows = db.sql(
+        "SELECT o_orderkey AS k FROM orders UNION ALL "
+        "SELECT o_orderkey FROM orders "
+        "ORDER BY k FETCH FIRST 3 ROWS WITH TIES").collect()
+    assert sorted(r.k for r in rows) == [0, 0, 1, 1]
