@@ -158,3 +158,74 @@ def sql_fetch_with_ties(spark, sf_dir):
     from ..api import Database
 
     return Database(spark, sf_dir).sql(_FETCH_TIES_SQL)
+
+# ---------------------------------------------- subquery_quantified
+
+_QUANT_ORACLE = """
+SELECT s_suppkey,
+       s_acctbal > ALL (SELECT c_acctbal FROM customer c
+                        WHERE c.c_nationkey = s.s_nationkey)
+         AS gt_all,
+       s_acctbal > ANY (SELECT c_acctbal FROM customer c
+                        WHERE c.c_nationkey = s.s_nationkey)
+         AS gt_any
+FROM supplier s
+"""
+
+
+@query("subquery_quantified", oracle=_QUANT_ORACLE)
+def subquery_quantified(spark, sf_dir):
+    """QUANTIFIED comparison subqueries — ``x > ALL (sub)`` / ``x >
+    ANY (sub)`` (SQL:1992), which Spark SQL does not parse
+    (SPARK-24395 territory; IN/EXISTS are the only subquery
+    predicates) — decorrelated into ONE aggregate per correlation
+    key plus a broadcast join, with the FULL three-valued ANSI
+    semantics made explicit instead of the naive min/max shortcut:
+    per nation the subquery folds to (max, min, n_rows, n_nonnull),
+    and then gt_all is TRUE on an empty set, NULL when x is NULL,
+    FALSE when a non-null element >= x exists (x <= max), NULL when
+    any NULL element remains (the comparison against it is UNKNOWN
+    and nothing decided FALSE), else TRUE — and gt_any dually
+    (FALSE on empty, TRUE when x > min, NULL under residual NULLs).
+    The oracle runs the NATIVE correlated quantifiers on DuckDB
+    (probed: empty -> TRUE/FALSE, NULL-element sets -> NULL), so
+    the hash certifies the decorrelation against a real ANSI
+    implementation, including the tie rows where x equals the
+    nation's max exactly.
+
+    Scale: the correlated subquery never re-executes per row — it
+    is ONE map-side-combinable aggregate over customer (25 rows
+    out), broadcast to supplier; at 100 TB the same shape holds for
+    any correlation key with bounded cardinality, and a high-
+    cardinality key degrades to a shuffle join on that key, never
+    to per-row subquery execution."""
+    from ..catalog import load_table
+
+    agg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.max("c_acctbal").alias("cmax"),
+             F.min("c_acctbal").alias("cmin"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.count("c_acctbal").alias("n_nonnull"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    j = sup.join(F.broadcast(agg),
+                 sup.s_nationkey == agg.c_nationkey, "left")
+    x = F.col("s_acctbal")
+    has_nulls = F.col("n_rows") > F.col("n_nonnull")
+    null_b = F.lit(None).cast("boolean")
+    gt_all = (
+        F.when(F.col("n_rows").isNull(), F.lit(True))
+        .when(x.isNull(), null_b)
+        .when(x <= F.col("cmax"), F.lit(False))
+        .when(has_nulls, null_b)
+        .otherwise(F.lit(True)))
+    gt_any = (
+        F.when(F.col("n_rows").isNull(), F.lit(False))
+        .when(x.isNull(), null_b)
+        .when(x > F.col("cmin"), F.lit(True))
+        .when(has_nulls, null_b)
+        .otherwise(F.lit(False)))
+    return j.select("s_suppkey", gt_all.alias("gt_all"),
+                    gt_any.alias("gt_any"))
