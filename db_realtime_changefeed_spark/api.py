@@ -171,10 +171,12 @@ class TableFeed:
         multitable.composite_key_decode — the consumer-side inverse
         of the envelope encoding. Raises on scalar-keyed feeds
         rather than returning a column that only LOOKS decoded."""
+        ko = getattr(self._runner, "key_only", False)
         st = (
             self._runner.state()
             .where(F.col("tbl") == self._table)
-            .select("key", "cnt", "sum_value")
+            .select("key", "cnt",
+                    *([] if ko else ["sum_value"]))
         )
         if not decode:
             return st
@@ -191,7 +193,7 @@ class TableFeed:
                 f"{self._table!r} is keyed on {parts!r}")
         return st.select(
             *composite_key_decode(F.col("key"), parts),
-            "cnt", "sum_value")
+            "cnt", *([] if ko else ["sum_value"]))
 
     def log(self, diff: bool = False) -> DataFrame:
         """Committed per-batch deltas for THIS table, the cursor's
@@ -216,6 +218,7 @@ class TableFeed:
         Scale: one shuffle on key — the same partitioning the merge
         already uses; the window frame is a running prefix, so Spark
         streams it without buffering whole partitions."""
+        ko = getattr(self._runner, "key_only", False)
         base = (
             self._runner.log()
             .where(F.col("tbl") == self._table)
@@ -223,18 +226,30 @@ class TableFeed:
                 "batch_id",
                 F.col("key").cast("string").alias("key"),
                 "d_count",
-                F.col("d_sum").alias("_d_sum_dec"),
+                *([] if ko else
+                  [F.col("d_sum").alias("_d_sum_dec")]),
             )
         )
         if not diff:
             return base.select(
                 "batch_id", "key", "d_count",
-                F.col("_d_sum_dec").cast("double").alias("d_sum"))
+                *([] if ko else
+                  [F.col("_d_sum_dec").cast("double")
+                   .alias("d_sum")]))
         from pyspark.sql import Window as W
 
         w = (W.partitionBy("key").orderBy("batch_id")
              .rowsBetween(W.unboundedPreceding, -1))
         before_cnt = F.sum("d_count").over(w)
+        if ko:
+            # key-only feeds diff on the count dimension alone —
+            # there is no sum slot to image
+            return base.select(
+                "batch_id", "key", "d_count",
+                before_cnt.alias("before_cnt"),
+                (F.coalesce(before_cnt, F.lit(0))
+                 + F.col("d_count")).alias("after_cnt"),
+            )
         before_sum_dec = F.sum("_d_sum_dec").over(w)
         return base.select(
             "batch_id", "key", "d_count",
@@ -461,7 +476,8 @@ class TableRef:
                 driver_merge: bool | str = "auto",
                 mode: str = "replay",
                 processing_time: str = "500 milliseconds",
-                initial_scan: str = "yes") -> Feed:
+                initial_scan: str = "yes",
+                envelope: str = "full") -> Feed:
         """Register a standing keyed count+sum over this table's CDC
         stream (only `events` replays in this fixture set). Filters
         apply to the change payload, so rows that never match never
@@ -502,6 +518,15 @@ class TableRef:
                 f"initial_scan must be 'yes'|'no'|'only', got "
                 f"{initial_scan!r}"
             )
+        if envelope not in ("full", "key_only"):
+            raise ValueError(
+                f"envelope must be 'full'|'key_only', got "
+                f"{envelope!r}")
+        if envelope == "key_only" and self._name == "events":
+            raise NotImplementedError(
+                "envelope='key_only' is a table-feed surface "
+                "(multitable envelope); the events runner keeps "
+                "its LWW value slot")
         if initial_scan == "only" and mode == "live":
             raise ValueError(
                 "initial_scan='only' is a one-shot snapshot; it cannot "
@@ -539,6 +564,7 @@ class TableRef:
                     if self._predicates else None
                 ),
                 key_overrides=overrides,
+                key_only=(envelope == "key_only"),
             )
             def _table_cursor_start() -> int:
                 end = (

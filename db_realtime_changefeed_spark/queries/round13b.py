@@ -331,3 +331,62 @@ def graph_label_propagation(spark, sf_dir):
         )
     out = labels.select("node", F.col("label").alias("community"))
     return out
+
+# ------------------------------------------ changefeed_table_key_only
+
+def _ctko_oracle() -> str:
+    nb = default_chunks()
+    return f"""
+    WITH env AS (
+      SELECT l_suppkey AS k,
+             CAST(l_shipdate AS TIMESTAMP) AS ts
+      FROM lineitem),
+    {ts_group_chunk_cte(nb).lstrip()}
+    SELECT bt.batch_id, CAST(e.k AS VARCHAR) AS key,
+           count(*) AS d_count
+    FROM env e JOIN batched bt ON e.ts = bt.ts
+    GROUP BY 1, 2
+    """
+
+
+@query("changefeed_table_key_only", oracle=_ctko_oracle)
+def changefeed_table_key_only(spark, sf_dir):
+    """KEY-ONLY ENVELOPE — the CockroachDB ``envelope=key_only``
+    option (r13): ``.changes(key="l_suppkey", envelope="key_only")``
+    strips the change envelope to (tbl, op, key, ts) — no value, no
+    payload image — for consumers that only need WHICH keys changed
+    (cache invalidation, notification fan-out). This is an option
+    of the MACHINERY, not a read-side projection: the chunk files
+    carry no value column (their own cache tag), the merge
+    aggregates counts only, and state ("cnt") and delta log
+    ("d_count") drop their sum slots end to end — asserted in-query
+    off the runner's DDLs. Filters are refused loudly on key-only
+    feeds (the predicate would read columns the envelope
+    deliberately does not carry). The graded frame is the full
+    per-batch keyed-delta trajectory; the oracle re-derives the
+    chunking and counts without ever touching a value.
+
+    Scale: on a wide table the key-only envelope is the difference
+    between shipping every change's row bytes and shipping ~24
+    bytes per change; state per key shrinks to one long, and the
+    merge's shuffle rows carry no decimal payload."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__ko__")
+    if key not in _CACHE:
+        _CACHE[key] = (
+            Database(spark, sf_dir).table("lineitem")
+            .changes(key="l_suppkey", envelope="key_only"))
+    feed = _CACHE[key]
+    r = feed._runner
+    if not r.key_only:
+        raise AssertionError("feed did not engage key_only")
+    for ddl in (r._env_ddl, r._STATE_DDL, r._LOG_DDL):
+        if "value" in ddl or "sum" in ddl:
+            raise AssertionError(
+                f"key-only DDL still carries a value slot: {ddl}")
+    log = feed.log()
+    if log.columns != ["batch_id", "key", "d_count"]:
+        raise AssertionError(
+            f"key-only log schema leaked a sum: {log.columns}")
+    return log

@@ -223,7 +223,8 @@ def _envelope(df: DataFrame, tbl: str,
               key_override=None,
               key_type: str | None = None,
               with_after: bool = False,
-              after_cols: tuple[str, ...] | None = None) -> DataFrame:
+              after_cols: tuple[str, ...] | None = None,
+              with_value: bool = True) -> DataFrame:
     """Normalize a table frame to the feed envelope. `key_type` is
     the envelope's key SLOT type (a mixed-table runner widens it to
     string when any member table keys on a string); it defaults to —
@@ -237,7 +238,14 @@ def _envelope(df: DataFrame, tbl: str,
     reads, from rewrite_filter); None carries the full row, and an
     empty tuple carries a NULL payload (this table's filter reads no
     payload columns, but the union-stream schema still has the
-    slot)."""
+    slot).
+
+    `with_value=False` is the KEY-ONLY envelope (the CockroachDB
+    ``envelope=key_only`` option, r13): the change carries (tbl, op,
+    key, ts) and nothing else — consumers that only need to know
+    WHICH keys changed (cache invalidation, fan-out notification)
+    never pay the value bytes, and the downstream state/log drop
+    their sum slots entirely."""
     key, ts_expr, val = envelope_spec(tbl, key_override)
     natural = key_ddl(tbl, key_override)
     if key_type is None:
@@ -258,8 +266,9 @@ def _envelope(df: DataFrame, tbl: str,
         F.lit("insert").alias("op"),
         key_col.alias("key"),
         F.expr(ts_expr).alias("ts"),
-        F.col(val).cast("double").alias("value"),
     ]
+    if with_value:
+        cols.append(F.col(val).cast("double").alias("value"))
     if with_after:
         # payload image as JSON — the Debezium-style `after` image,
         # carried only when a registered filter needs payload columns
@@ -332,6 +341,7 @@ def build_table_chunks(
     key_type: str | None = None,
     with_after: bool = False,
     after_cols: tuple[str, ...] | None = None,
+    with_value: bool = True,
 ) -> str:
     """Normalize one table to the envelope and write time-ordered
     chunk files (same layout contract as replay.py). Idempotent.
@@ -363,6 +373,8 @@ def build_table_chunks(
         tag += "-aft"
         if after_cols is not None:
             tag += "-" + ("+".join(sorted(after_cols)) or "none")
+    if not with_value:
+        tag += "-ko"
     out = _chunk_dir(sf_dir, tag, table=tbl)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
@@ -371,7 +383,8 @@ def build_table_chunks(
     os.makedirs(out, exist_ok=True)
     env = _envelope(load_table(spark, sf_dir, tbl), tbl,
                     key_override, key_type=key_type,
-                    with_after=with_after, after_cols=after_cols)
+                    with_after=with_after, after_cols=after_cols,
+                    with_value=with_value)
     t = env.orderBy("ts", "key").toArrow()
     n = t.num_rows
     ts = t.column("ts").to_numpy(zero_copy_only=False)
@@ -403,7 +416,8 @@ class MultiTableChangefeedRunner:
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: tuple[str, ...] = ("events", "orders"),
                  root: str | None = None, filter_sql: str | None = None,
-                 key_overrides: dict[str, str] | None = None):
+                 key_overrides: dict[str, str] | None = None,
+                 key_only: bool = False):
         """`filter_sql`: predicate over the source table's OWN column
         names (rewritten per table onto the envelope via
         rewrite_filter) — the standing query becomes a filtered
@@ -425,6 +439,18 @@ class MultiTableChangefeedRunner:
         self.sf_dir = sf_dir
         self.tables = tables
         self.filter_sql = filter_sql
+        # KEY-ONLY envelope (r13, the CockroachDB envelope=key_only
+        # option): changes carry (tbl, op, key, ts) only — no value,
+        # no payload image — and state/log drop their sum slots.
+        # Filters are refused rather than silently half-applied: a
+        # predicate can reference the value or payload columns the
+        # key-only envelope deliberately does not carry.
+        self.key_only = key_only
+        if key_only and filter_sql is not None:
+            raise NotImplementedError(
+                "envelope='key_only' strips the value/payload "
+                "columns a filter would read; register the filter "
+                "on a full-envelope feed instead")
         self.key_overrides = {
             t: _normalize_key_override(k)
             for t, k in (key_overrides or {}).items()}
@@ -462,13 +488,17 @@ class MultiTableChangefeedRunner:
             self._env_filter = None
         self._env_ddl = (
             f"tbl string, op string, key {self._key_ddl}, "
-            "ts timestamp, value double"
+            "ts timestamp"
+            + ("" if key_only else ", value double")
             + (", after string" if self.with_after else ""))
         self._STATE_DDL = (f"tbl string, key {self._key_ddl}, "
-                           "cnt long, sum_value decimal(28,6)")
+                           "cnt long"
+                           + ("" if key_only
+                              else ", sum_value decimal(28,6)"))
         self._LOG_DDL = (f"batch_id long, tbl string, "
-                         f"key {self._key_ddl}, d_count long, "
-                         "d_sum decimal(28,6)")
+                         f"key {self._key_ddl}, d_count long"
+                         + ("" if key_only
+                            else ", d_sum decimal(28,6)"))
         self.root = root or scratch_dir(prefix="dbrcf-mtable-")
         self.state_root = os.path.join(self.root, "state")
         self.pointer = os.path.join(self.root, "CURRENT")
@@ -566,14 +596,12 @@ class MultiTableChangefeedRunner:
                 if self._env_filter is not None
                 else batch_df
             )
-            delta = (
-                eligible.groupBy("tbl", "key")
-                .agg(
-                    F.count(F.lit(1)).alias("d_count"),
-                    F.sum(F.col("value").cast(_STATE_DEC)).cast(_STATE_DEC)
-                    .alias("d_sum"),
-                )
-            ).persist()
+            aggs = [F.count(F.lit(1)).alias("d_count")]
+            if not self.key_only:
+                aggs.append(
+                    F.sum(F.col("value").cast(_STATE_DEC))
+                    .cast(_STATE_DEC).alias("d_sum"))
+            delta = eligible.groupBy("tbl", "key").agg(*aggs).persist()
             # pruned read + partial rewrite of only touched buckets
             touched = self._store.touched_buckets(delta)
             base = self._pointer_batch()
@@ -587,15 +615,19 @@ class MultiTableChangefeedRunner:
                 old = self._current_state_df()
                 touched = list(range(self._store.n_buckets))
             zero = F.lit(0).cast(_STATE_DEC)
-            merged = old.join(delta, ["tbl", "key"], "full").select(
-                "tbl",
-                "key",
+            merged_cols = [
+                F.col("tbl"),
+                F.col("key"),
                 (F.coalesce("cnt", F.lit(0))
                  + F.coalesce("d_count", F.lit(0))).alias("cnt"),
-                (F.coalesce("sum_value", zero)
-                 + F.coalesce("d_sum", zero)).cast(_STATE_DEC)
-                .alias("sum_value"),
-            )
+            ]
+            if not self.key_only:
+                merged_cols.append(
+                    (F.coalesce("sum_value", zero)
+                     + F.coalesce("d_sum", zero)).cast(_STATE_DEC)
+                    .alias("sum_value"))
+            merged = (old.join(delta, ["tbl", "key"], "full")
+                      .select(*merged_cols))
             # overlap the state STAGE with the high-water-mark
             # collect (both consume the persisted batch frame); the
             # manifest publication stays the commit point
@@ -614,13 +646,16 @@ class MultiTableChangefeedRunner:
             # pointer flip (reads gate on the pointer, so the segment
             # is invisible until the batch commits); a re-delivered
             # batch overwrites its own segment — idempotent
+            log_cols = [
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col("tbl"), F.col("key"),
+                F.col("d_count").cast("long").alias("d_count"),
+            ]
+            if not self.key_only:
+                log_cols.append(
+                    F.col("d_sum").cast(_STATE_DEC).alias("d_sum"))
             (
-                delta.select(
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                    "tbl", "key",
-                    F.col("d_count").cast("long").alias("d_count"),
-                    F.col("d_sum").cast(_STATE_DEC).alias("d_sum"),
-                )
+                delta.select(*log_cols)
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.log_root,
                                       f"batch-{batch_id:05d}"))
@@ -672,7 +707,8 @@ class MultiTableChangefeedRunner:
                                self.key_overrides.get(tbl),
                                key_type=self._key_ddl,
                                with_after=self.with_after,
-                               after_cols=self._after_cols.get(tbl))
+                               after_cols=self._after_cols.get(tbl),
+                               with_value=not self.key_only)
             for tbl in self.tables
         ])
         with streaming_shuffle(self.spark):
@@ -734,7 +770,8 @@ class MultiTableChangefeedRunner:
         t = _envelope(df, tbl, self.key_overrides.get(tbl),
                       key_type=self._key_ddl,
                       with_after=self.with_after,
-                      after_cols=self._after_cols.get(tbl)).toArrow()
+                      after_cols=self._after_cols.get(tbl),
+                      with_value=not self.key_only).toArrow()
         import pyarrow.parquet as pq
 
         n = self._live_seq.get(tbl, 0)
@@ -756,12 +793,15 @@ class MultiTableChangefeedRunner:
             # a live feed polled before its first commit has a valid,
             # EMPTY materialized state — not an error
             df = self.spark.createDataFrame([], self._STATE_DDL)
-        return df.select(
-            "tbl",
+        cols = [
+            F.col("tbl"),
             F.col("key").cast("string").alias("key"),
-            "cnt",
-            F.col("sum_value").cast("double").alias("sum_value"),
-        )
+            F.col("cnt"),
+        ]
+        if not self.key_only:
+            cols.append(
+                F.col("sum_value").cast("double").alias("sum_value"))
+        return df.select(*cols)
 
     def subscribe(self, callback, name: str = "default"):
         """Register a push subscriber on the table feed's delta log
@@ -917,7 +957,9 @@ def table_resume(runner: MultiTableChangefeedRunner, table: str,
                 F.col("key").cast("string").alias("key"),
                 F.lit(snap_at).cast("long").alias("batch_id"),
                 F.col("cnt").alias("d_count"),
-                F.col("sum_value").cast("double").alias("d_sum"),
+                *([] if getattr(runner, "key_only", False) else
+                  [F.col("sum_value").cast("double")
+                   .alias("d_sum")]),
             )
         )
         parts.append(snapshot)
@@ -931,7 +973,8 @@ def table_resume(runner: MultiTableChangefeedRunner, table: str,
             F.col("key").cast("string").alias("key"),
             "batch_id",
             "d_count",
-            F.col("d_sum").cast("double").alias("d_sum"),
+            *([] if getattr(runner, "key_only", False) else
+              [F.col("d_sum").cast("double").alias("d_sum")]),
         )
     )
     parts.append(deltas)

@@ -182,3 +182,58 @@ def test_quantified_three_valued_edges(spark):
         "subs.grp = xs.grp), x > ANY (SELECT s FROM subs "
         "WHERE subs.grp = xs.grp) FROM xs").fetchall()}
     assert got == want
+
+
+# ---- key-only envelope (multitable key_only=True)
+
+def test_key_only_refuses_filters(spark):
+    from db_realtime_changefeed_spark.api import Database
+
+    with pytest.raises(NotImplementedError, match="key_only"):
+        (Database(spark, SF_DIR).table("orders")
+         .filter("o_totalprice > 1000")
+         .changes(envelope="key_only"))
+
+
+def test_key_only_refused_on_events(spark):
+    from db_realtime_changefeed_spark.api import Database
+
+    with pytest.raises(NotImplementedError, match="events"):
+        Database(spark, SF_DIR).table("events").changes(
+            envelope="key_only")
+
+
+def test_live_key_only_feed(spark, tmp_path):
+    """Live mode + key-only envelope: ingest normalizes change
+    files WITHOUT a value column and the count-only merge
+    converges; state never grows a sum slot."""
+    import time
+
+    from db_realtime_changefeed_spark.api import Database
+    from db_realtime_changefeed_spark.catalog import load_table
+
+    cust = load_table(spark, SF_DIR, "customer")
+    f1 = str(tmp_path / "ko1")
+    cust.write.parquet(f1)
+    feed = (Database(spark, SF_DIR).table("customer")
+            .changes(key="c_nationkey", mode="live",
+                     envelope="key_only"))
+    try:
+        feed.ingest(f1)
+        want = {str(r.c_nationkey): r.c
+                for r in cust.groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).alias("c")).collect()}
+        deadline = time.time() + 60
+        got: dict = {}
+        while time.time() < deadline:
+            got = {r.key: r.cnt for r in feed.state().collect()}
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+        assert feed.state().columns == ["key", "cnt"]
+        assert feed.log().columns == ["batch_id", "key", "d_count"]
+        assert feed.log(diff=True).columns == [
+            "batch_id", "key", "d_count", "before_cnt", "after_cnt"]
+    finally:
+        feed.stop()
