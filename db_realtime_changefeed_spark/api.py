@@ -159,10 +159,14 @@ class TableFeed:
     same resume-token contract as events feeds (`cursor_start` is
     the registration-time log end for initial_scan='no')."""
 
-    def __init__(self, runner, table: str, cursor_start: int = 0):
+    def __init__(self, runner, table: str, cursor_start: int = 0,
+                 diff_default: bool = False):
         self._runner = runner
         self._table = table
         self._cursor_start = cursor_start
+        #: WITH diff (r13): every log()/cursor read serves the
+        #: before/after-image envelope unless the caller overrides
+        self._diff_default = diff_default
 
     def state(self, decode: bool = False) -> DataFrame:
         """Materialized per-key aggregate. `decode=True` on a
@@ -195,9 +199,12 @@ class TableFeed:
             *composite_key_decode(F.col("key"), parts),
             "cnt", *([] if ko else ["sum_value"]))
 
-    def log(self, diff: bool = False) -> DataFrame:
+    def log(self, diff: bool | None = None) -> DataFrame:
         """Committed per-batch deltas for THIS table, the cursor's
-        read surface: (batch_id, key, d_count, d_sum).
+        read surface: (batch_id, key, d_count, d_sum). `diff=None`
+        takes the feed's own default (True on a feed created WITH
+        diff — the DDL option flows into every read, including
+        cursors, which call log() with no arguments).
 
         `diff=True` (r13) adds the BEFORE and AFTER images of the
         keyed aggregate around every change — the CockroachDB
@@ -218,6 +225,8 @@ class TableFeed:
         Scale: one shuffle on key — the same partitioning the merge
         already uses; the window frame is a running prefix, so Spark
         streams it without buffering whole partitions."""
+        if diff is None:
+            diff = self._diff_default
         ko = getattr(self._runner, "key_only", False)
         base = (
             self._runner.log()
@@ -477,7 +486,8 @@ class TableRef:
                 mode: str = "replay",
                 processing_time: str = "500 milliseconds",
                 initial_scan: str = "yes",
-                envelope: str = "full") -> Feed:
+                envelope: str = "full",
+                diff: bool = False) -> Feed:
         """Register a standing keyed count+sum over this table's CDC
         stream (only `events` replays in this fixture set). Filters
         apply to the change payload, so rows that never match never
@@ -527,6 +537,16 @@ class TableRef:
                 "envelope='key_only' is a table-feed surface "
                 "(multitable envelope); the events runner keeps "
                 "its LWW value slot")
+        if diff:
+            if self._name == "events":
+                raise NotImplementedError(
+                    "WITH diff is a table-feed surface (the keyed "
+                    "delta log carries the image prefix); events "
+                    "feeds deliver LWW rows")
+            if initial_scan == "only":
+                raise ValueError(
+                    "WITH diff needs the delta log; "
+                    "initial_scan='only' feeds are snapshots")
         if initial_scan == "only" and mode == "live":
             raise ValueError(
                 "initial_scan='only' is a one-shot snapshot; it cannot "
@@ -579,14 +599,16 @@ class TableRef:
                          if initial_scan == "no" else 0)
                 runner.start_live(processing_time=processing_time)
                 return LiveTableFeed(runner, self._name,
-                                     cursor_start=start)
+                                     cursor_start=start,
+                                     diff_default=diff)
             runner.run()
             if initial_scan == "only":
                 return SnapshotTableFeed(runner, self._name)
             if initial_scan == "no":
                 return TableFeed(runner, self._name,
-                                 cursor_start=_table_cursor_start())
-            return TableFeed(runner, self._name)
+                                 cursor_start=_table_cursor_start(),
+                                 diff_default=diff)
+            return TableFeed(runner, self._name, diff_default=diff)
         key = key or "event_type"
         filter_sql = None
         if self._predicates:
@@ -805,9 +827,34 @@ class RowSetRef:
 _CHANGEFEED_DDL = re.compile(
     r"^\s*CREATE\s+CHANGEFEED\s+FOR\s+(\w+)"
     r"(?:\s+WHERE\s+(.+?))?"
-    r"(?:\s+KEY\s+BY\s+(\((?:\s*\w+\s*,)*\s*\w+\s*\)|\w+))?\s*;?\s*$",
+    r"(?:\s+KEY\s+BY\s+(\((?:\s*\w+\s*,)*\s*\w+\s*\)|\w+))?"
+    r"(?:\s+WITH\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_changefeed_options(text: str) -> dict:
+    """The CockroachDB-style DDL options clause (r13):
+    ``WITH diff``, ``WITH envelope = 'key_only'``, comma-separated.
+    Unknown options raise loudly — a silently dropped delivery
+    option is a correctness bug on the consumer side."""
+    opts: dict = {}
+    for raw in text.split(","):
+        tok = raw.strip()
+        if not tok:
+            continue
+        if re.fullmatch(r"diff", tok, re.IGNORECASE):
+            opts["diff"] = True
+            continue
+        m = re.fullmatch(
+            r"envelope\s*=\s*'(\w+)'", tok, re.IGNORECASE)
+        if m:
+            opts["envelope"] = m.group(1).lower()
+            continue
+        raise ValueError(
+            f"unknown CHANGEFEED option {tok!r}; supported: "
+            "diff, envelope = '<full|key_only>'")
+    return opts
 
 #: SQL single-quoted string literal (ANSI doubled quote or backslash
 #: escape) — the QUALIFY/DISTINCT scanners consume these whole so a
@@ -982,7 +1029,8 @@ class Database:
         expression instead)."""
         m = _CHANGEFEED_DDL.match(query)
         if m:
-            table, pred, key = m.group(1), m.group(2), m.group(3)
+            table, pred, key, opts_text = (
+                m.group(1), m.group(2), m.group(3), m.group(4))
             ref = self.table(table.lower())
             if pred:
                 ref = ref.filter(pred.strip())
@@ -998,7 +1046,12 @@ class Database:
                         for c in key[1:-1].split(","))
                 else:
                     key_arg = key.lower()
-            return ref.changes(key=key_arg)
+            opts = (_parse_changefeed_options(opts_text)
+                    if opts_text else {})
+            return ref.changes(
+                key=key_arg,
+                envelope=opts.get("envelope", "full"),
+                diff=opts.get("diff", False))
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)

@@ -390,3 +390,114 @@ def changefeed_table_key_only(spark, sf_dir):
         raise AssertionError(
             f"key-only log schema leaked a sum: {log.columns}")
     return log
+
+# ------------------------------------------- changefeed_ddl_key_only
+
+def _cdko_oracle() -> str:
+    nb = default_chunks()
+    return f"""
+    WITH env AS (
+      SELECT o_orderstatus AS k,
+             CAST(o_orderdate AS TIMESTAMP) AS ts
+      FROM orders),
+    {ts_group_chunk_cte(nb).lstrip()}
+    SELECT bt.batch_id, e.k AS key, count(*) AS d_count
+    FROM env e JOIN batched bt ON e.ts = bt.ts
+    GROUP BY 1, 2
+    """
+
+
+@query("changefeed_ddl_key_only", oracle=_cdko_oracle)
+def changefeed_ddl_key_only(spark, sf_dir):
+    """DDL OPTIONS CLAUSE x string key x key-only envelope:
+    ``CREATE CHANGEFEED FOR orders KEY BY o_orderstatus WITH
+    envelope = 'key_only'`` — the CockroachDB-style WITH clause
+    lands in the DDL grammar (api.py _parse_changefeed_options;
+    unknown options raise loudly — a silently dropped delivery
+    option is a consumer-side correctness bug) and flows into the
+    same runner machinery the fluent form uses. The interaction
+    matters: the envelope key slot follows the STRING key type while
+    the key-only layout drops the value slot — two orthogonal
+    envelope axes set from one clause. Graded on the full per-batch
+    keyed-delta trajectory (3 status keys recurring every batch).
+
+    Scale: identical to changefeed_table_key_only — the option only
+    narrows the envelope; no new runtime shape."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__ddlko__")
+    if key not in _CACHE:
+        _CACHE[key] = Database(spark, sf_dir).sql(
+            "CREATE CHANGEFEED FOR orders KEY BY o_orderstatus "
+            "WITH envelope = 'key_only'")
+    feed = _CACHE[key]
+    if not feed._runner.key_only:
+        raise AssertionError("DDL option did not engage key_only")
+    return feed.log()
+
+
+# ----------------------------------------------- changefeed_ddl_diff
+
+def _cdd_oracle() -> str:
+    nb = default_chunks()
+    return f"""
+    WITH env AS (
+      SELECT o_orderpriority AS k,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             o_totalprice AS value
+      FROM orders),
+    {ts_group_chunk_cte(nb).lstrip()},
+    d AS (
+      SELECT bt.batch_id, e.k, count(*) AS d_count,
+             sum(CAST(e.value AS DECIMAL(28,6))) AS ds
+      FROM env e JOIN batched bt ON e.ts = bt.ts
+      GROUP BY 1, 2)
+    SELECT batch_id, k AS key, d_count,
+           CAST(ds AS DOUBLE) AS d_sum,
+           CAST(sum(d_count) OVER wprior AS BIGINT) AS before_cnt,
+           CAST(sum(ds) OVER wprior AS DOUBLE) AS before_sum,
+           CAST(COALESCE(sum(d_count) OVER wprior, 0) + d_count
+                AS BIGINT) AS after_cnt,
+           CAST(COALESCE(sum(ds) OVER wprior,
+                         CAST(0 AS DECIMAL(28,6))) + ds
+                AS DOUBLE) AS after_sum
+    FROM d
+    WINDOW wprior AS (PARTITION BY k ORDER BY batch_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+    """
+
+
+@query("changefeed_ddl_diff", oracle=_cdd_oracle)
+def changefeed_ddl_diff(spark, sf_dir):
+    """``CREATE CHANGEFEED FOR orders KEY BY o_orderpriority WITH
+    diff`` — the DDL diff option must flow into DELIVERY, not just
+    the log reader: the graded frame is what a fresh CURSOR drains
+    (Cursor.poll calls the feed's log() with no arguments, which
+    resolves to the feed's diff default), so a WITH-diff feed whose
+    cursors silently served the plain 4-column envelope would break
+    rows and schema here. String-keyed (5 priority values recurring
+    every batch — every post-first before image non-NULL), with the
+    before/after images accumulating in the log's exact decimal
+    slot as in changefeed_table_diff.
+
+    Scale: the cursor drain is the client-delivery surface (keyed
+    aggregates, bounded by |priorities| x batches); the image
+    window remains one key-partitioned prefix scan."""
+    from ..api import Database
+
+    key = (id(spark), sf_dir, "__ddldiff__")
+    if key not in _CACHE:
+        _CACHE[key] = Database(spark, sf_dir).sql(
+            "CREATE CHANGEFEED FOR orders KEY BY o_orderpriority "
+            "WITH diff")
+    feed = _CACHE[key]
+    rows = feed.cursor().poll()
+    if not rows:
+        raise AssertionError("diff cursor drained nothing")
+    schema = feed.log().schema
+    if len(rows[0]) != len(schema):
+        raise AssertionError(
+            f"cursor rows carry {len(rows[0])} columns, "
+            f"log schema {len(schema)}")
+    return spark.createDataFrame(rows, schema)

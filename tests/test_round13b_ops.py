@@ -237,3 +237,29 @@ def test_live_key_only_feed(spark, tmp_path):
             "batch_id", "key", "d_count", "before_cnt", "after_cnt"]
     finally:
         feed.stop()
+
+
+# ---- DDL options clause (WITH diff / envelope = 'key_only')
+
+def test_ddl_unknown_option_raises(db):
+    with pytest.raises(ValueError, match="unknown CHANGEFEED"):
+        db.sql("CREATE CHANGEFEED FOR orders WITH resolved = '10s'")
+
+
+def test_ddl_with_diff_flows_into_cursor(db):
+    feed = db.sql(
+        "CREATE CHANGEFEED FOR orders KEY BY o_orderstatus "
+        "WITH diff")
+    rows = feed.cursor().poll()
+    assert rows and "before_cnt" in rows[0].asDict()
+    # explicit override still serves the plain envelope
+    assert feed.log(diff=False).columns == [
+        "batch_id", "key", "d_count", "d_sum"]
+
+
+def test_ddl_options_compose_with_where(db):
+    feed = db.sql(
+        "CREATE CHANGEFEED FOR orders WHERE o_orderstatus = 'F' "
+        "KEY BY o_orderstatus WITH diff")
+    keys = {r.key for r in feed.cursor().poll()}
+    assert keys == {"F"}
