@@ -989,6 +989,50 @@ def _find_toplevel_order_by(body: str):
     return pos
 
 
+_STAR_HEAD = re.compile(r"^\s*SELECT\s+\*\s+", re.IGNORECASE)
+
+
+def _split_toplevel_commas(text: str) -> list[str]:
+    """Split on commas outside parens and string literals."""
+    parts, depth, start = [], 0, 0
+    for m in re.finditer(_SQL_LITERAL + r"|[(),]", text):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif tok == "," and depth == 0:
+            parts.append(text[start:m.start()])
+            start = m.end()
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _scan_paren_group(text: str, i: int) -> tuple[str, int]:
+    """text[i] must be '('; returns (content, index past the
+    matching ')'). Quote-aware — parens inside string literals do
+    not count."""
+    assert text[i] == "("
+    depth, j = 0, i
+    lit = re.compile(_SQL_LITERAL)
+    while j < len(text):
+        ch = text[j]
+        if ch == "'":
+            m = lit.match(text, j)
+            if not m:
+                break
+            j = m.end()
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[i + 1:j], j + 1
+        j += 1
+    raise ValueError("unbalanced parentheses in star modifier")
+
+
 class Database:
     """Entry point binding a SparkSession to a data directory."""
 
@@ -998,6 +1042,80 @@ class Database:
 
     def table(self, name: str) -> TableRef:
         return TableRef(self, name)
+
+    def _spark_sql(self, text: str):
+        """spark.sql with the DuckDB star-modifier bridge (r13):
+        ``SELECT * EXCLUDE (cols)`` maps to Spark's native ``*
+        EXCEPT (cols)``; ``REPLACE (expr AS col, ...)`` — which
+        Spark has no native form of — is emulated by resolving the
+        base star's columns (analysis only, nothing executes) and
+        emitting the full projection with the named columns replaced
+        IN PLACE, so positional semantics match DuckDB exactly.
+        REPLACE is honest about its scope: it applies when the
+        modifiers directly precede the top-level FROM (the plain
+        ``SELECT * ... FROM ...`` statement shape); other shapes
+        raise rather than guessing at an expansion. Every SQL-layer
+        path (plain, QUALIFY, FETCH) funnels through here, so the
+        modifiers compose with those rewrites."""
+        m = _STAR_HEAD.match(text)
+        if not m:
+            return self.spark.sql(text)
+        pos = m.end()
+        exclude: list[str] = []
+        replace: list[tuple[str, str]] = []
+        while True:
+            mm = re.match(r"(EXCLUDE|REPLACE)\s*\(", text[pos:],
+                          re.IGNORECASE)
+            if not mm:
+                break
+            kind = mm.group(1).upper()
+            content, after = _scan_paren_group(
+                text, pos + mm.end() - 1)
+            pos += after - pos
+            if kind == "EXCLUDE":
+                exclude.extend(_split_toplevel_commas(content))
+            else:
+                for item in _split_toplevel_commas(content):
+                    pm = re.fullmatch(
+                        r"(.+)\s+AS\s+(\w+)", item,
+                        re.IGNORECASE | re.DOTALL)
+                    if not pm:
+                        raise ValueError(
+                            f"REPLACE item must be 'expr AS "
+                            f"col': {item!r}")
+                    replace.append(
+                        (pm.group(1).strip(), pm.group(2)))
+            pos += len(text[pos:]) - len(text[pos:].lstrip())
+        if not exclude and not replace:
+            return self.spark.sql(text)
+        rest = text[pos:]
+        if not replace:
+            return self.spark.sql(
+                f"SELECT * EXCEPT ({', '.join(exclude)}) {rest}")
+        if not re.match(r"FROM\b", rest, re.IGNORECASE):
+            raise NotImplementedError(
+                "REPLACE is supported on the plain 'SELECT * "
+                "[EXCLUDE (...)] REPLACE (...) FROM ...' shape; "
+                "rewrite other shapes as an explicit projection")
+        base_cols = self.spark.sql("SELECT * " + rest).columns
+        rmap = {c.lower(): e for e, c in replace}
+        for _, c in replace:
+            if c.lower() not in (b.lower() for b in base_cols):
+                raise ValueError(
+                    f"REPLACE target {c!r} is not a column of "
+                    f"the star expansion ({base_cols})")
+        excl = {c.lower() for c in exclude}
+        for c in exclude:
+            if c.lower() not in (b.lower() for b in base_cols):
+                raise ValueError(
+                    f"EXCLUDE column {c!r} is not a column of "
+                    f"the star expansion ({base_cols})")
+        proj = [
+            f"{rmap[c.lower()]} AS {c}" if c.lower() in rmap else c
+            for c in base_cols if c.lower() not in excl
+        ]
+        return self.spark.sql(
+            "SELECT " + ", ".join(proj) + " " + rest)
 
     def sql(self, query: str):
         """SQL-text surface. Queries run over the registered views
@@ -1072,7 +1190,7 @@ class Database:
                     "FETCH in an outer query around the QUALIFY "
                     "body instead")
             if not ties:
-                return self.spark.sql(f"{body} LIMIT {n}")
+                return self._spark_sql(f"{body} LIMIT {n}")
             ob = _find_toplevel_order_by(body)
             if ob is None:
                 raise ValueError(
@@ -1095,7 +1213,7 @@ class Database:
                 sql = (f"SELECT *, {rank} AS __ties_rank__ "
                        f"FROM ({body})")
             return (
-                self.spark.sql(sql)
+                self._spark_sql(sql)
                 .where(f"__ties_rank__ <= {n}")
                 .drop("__ties_rank__")
             )
@@ -1136,7 +1254,7 @@ class Database:
                 sql = (f"SELECT *, ({pred}) AS __qualify__ FROM "
                        f"({body})")
             return (
-                self.spark.sql(sql)
+                self._spark_sql(sql)
                 .where("__qualify__")
                 .drop("__qualify__")
             )
@@ -1145,7 +1263,7 @@ class Database:
                 "QUALIFY inside a subquery is not rewritten; "
                 "rewrite that subquery as the explicit window+"
                 "filter form, or lift the clause to the top level")
-        return self.spark.sql(query)
+        return self._spark_sql(query)
 
 
 class GenericStandingViews:

@@ -501,3 +501,68 @@ def changefeed_ddl_diff(spark, sf_dir):
             f"cursor rows carry {len(rows[0])} columns, "
             f"log schema {len(schema)}")
     return spark.createDataFrame(rows, schema)
+
+# ------------------------------------------------ sql_select_exclude
+
+#: ONE text, both engines: DuckDB runs it natively, our SQL layer
+#: maps EXCLUDE to Spark's native `* EXCEPT` star modifier
+_SEL_EXCLUDE_SQL = """
+SELECT * EXCLUDE (o_orderpriority, o_orderdate)
+FROM orders
+WHERE o_orderkey % 10 = 0
+"""
+
+
+@query("sql_select_exclude", oracle=_SEL_EXCLUDE_SQL)
+def sql_select_exclude(spark, sf_dir):
+    """DuckDB-style ``SELECT * EXCLUDE (cols)`` — the wide-table
+    ergonomics modifier (project everything but the named columns)
+    bridged onto Spark's native spelling ``* EXCEPT (cols)``
+    (api.py _spark_sql): a quote/paren-aware scan parses the
+    modifier list off the star and swaps the keyword; everything
+    else stays Spark-native, so Catalyst still sees a plain star
+    projection and prunes the excluded columns AT THE SCAN
+    (ReadSchema drops them — this is sugar over column pruning, not
+    a post-projection). The identical text runs natively on DuckDB
+    as the oracle, certifying the bridge against the dialect being
+    emulated. Unknown excluded columns raise on both engines.
+
+    Scale: column pruning is the 100 TB point — EXCLUDE of 2 of 6
+    columns cuts scan bytes proportionally on columnar storage;
+    the rewrite adds zero runtime shape."""
+    from ..api import Database
+
+    return Database(spark, sf_dir).sql(_SEL_EXCLUDE_SQL)
+
+
+# ------------------------------------------------ sql_select_replace
+
+_SEL_REPLACE_SQL = """
+SELECT * EXCLUDE (o_orderpriority)
+       REPLACE (o_totalprice * 2 AS o_totalprice,
+                lower(o_orderstatus) AS o_orderstatus)
+FROM orders
+WHERE o_orderkey % 10 = 0
+"""
+
+
+@query("sql_select_replace", oracle=_SEL_REPLACE_SQL)
+def sql_select_replace(spark, sf_dir):
+    """DuckDB-style ``* REPLACE (expr AS col, ...)`` composed with
+    EXCLUDE — Spark has NO native replace modifier, so the bridge
+    emulates it: resolve the base star's columns (analysis only,
+    nothing executes), then emit the full ordered projection with
+    the named columns replaced IN PLACE — positional parity with
+    DuckDB, not an append-at-the-end approximation. Supported on
+    the plain ``SELECT * ... FROM ...`` statement shape and refused
+    loudly elsewhere (an expansion guessed around subclauses would
+    silently misproject). The doubled price stays exact (x2 is an
+    IEEE exponent bump) and lower() is deterministic, so the
+    identical text hashes equal from DuckDB's native evaluation.
+
+    Scale: the emulation is a projection rewrite at plan time; the
+    executed plan is the same single pruned scan a hand-written
+    projection gets."""
+    from ..api import Database
+
+    return Database(spark, sf_dir).sql(_SEL_REPLACE_SQL)

@@ -263,3 +263,53 @@ def test_ddl_options_compose_with_where(db):
         "KEY BY o_orderstatus WITH diff")
     keys = {r.key for r in feed.cursor().poll()}
     assert keys == {"F"}
+
+
+# ---- star-modifier bridge (EXCLUDE / REPLACE)
+
+def test_exclude_prunes_at_scan(db):
+    df = db.sql("SELECT * EXCLUDE (o_orderpriority, o_orderdate) "
+                "FROM orders")
+    assert df.columns == [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the modifier is sugar over column pruning: excluded columns
+    # must not reach the parquet ReadSchema
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1]
+
+
+def test_replace_preserves_position(db):
+    df = db.sql("SELECT * REPLACE (o_totalprice * 2 AS "
+                "o_totalprice) FROM orders")
+    assert df.columns == [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"]
+
+
+def test_replace_unknown_target_raises(db):
+    with pytest.raises(ValueError, match="REPLACE target"):
+        db.sql("SELECT * REPLACE (1 AS nope) FROM orders")
+
+
+def test_exclude_unknown_column_raises(db):
+    with pytest.raises(Exception):
+        db.sql("SELECT * EXCLUDE (nope) FROM orders").collect()
+
+
+def test_exclude_composes_with_fetch(db):
+    rows = db.sql(
+        "SELECT * EXCLUDE (o_orderdate) FROM orders "
+        "ORDER BY o_orderkey FETCH FIRST 2 ROWS WITH TIES"
+    ).collect()
+    assert [r.o_orderkey for r in rows] == [0, 1]
+    assert "o_orderdate" not in rows[0].asDict()
+
+
+def test_exclude_composes_with_qualify(db):
+    rows = db.sql(
+        "SELECT * EXCLUDE (o_orderdate, o_orderpriority) "
+        "FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey) = 1").collect()
+    assert len(rows) == 3  # one per status
+    assert "o_orderdate" not in rows[0].asDict()
