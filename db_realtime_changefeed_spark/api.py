@@ -1243,21 +1243,34 @@ class Database:
             # preferred rewrite (r13): SPLICE the predicate into the
             # body's own select list — it then sees the full FROM
             # scope, so (like native QUALIFY) it may reference
-            # columns the query does not project; fall back to the
-            # wrap-in-subquery form (predicate sees projected
-            # columns only) for set-op / FROM-less bodies
+            # columns the query does not project. When the predicate
+            # instead references a select-list ALIAS (also legal in
+            # native QUALIFY — e.g. ranking on an aggregate's alias
+            # over a GROUP BY body), the splice fails analysis
+            # (Spark refuses lateral aliases inside window specs),
+            # so it FALLS BACK to the wrap-in-subquery form, where
+            # the predicate sees exactly the projected columns the
+            # alias names. Set-op / FROM-less bodies go straight to
+            # the wrap form. A predicate bad under BOTH scopes
+            # re-raises the splice's error (the fuller scope).
+            from pyspark.errors import AnalysisException
+
+            wrap_sql = (f"SELECT *, ({pred}) AS __qualify__ FROM "
+                        f"({body})")
             splice = _find_splice_point(body)
             if splice is not None:
                 sql = (f"{body[:splice]}, ({pred}) AS __qualify__ "
                        f"{body[splice:]}")
+                try:
+                    out = self._spark_sql(sql)
+                except AnalysisException as splice_err:
+                    try:
+                        out = self._spark_sql(wrap_sql)
+                    except AnalysisException:
+                        raise splice_err from None
             else:
-                sql = (f"SELECT *, ({pred}) AS __qualify__ FROM "
-                       f"({body})")
-            return (
-                self._spark_sql(sql)
-                .where("__qualify__")
-                .drop("__qualify__")
-            )
+                out = self._spark_sql(wrap_sql)
+            return out.where("__qualify__").drop("__qualify__")
         if nested:
             raise NotImplementedError(
                 "QUALIFY inside a subquery is not rewritten; "
