@@ -824,22 +824,43 @@ class RowSetRef:
 #: — the DDL text form (CockroachDB-style) of TableRef.changes();
 #: the parenthesized list form keys the feed on a composite key
 #: (r13, multitable.composite_key_sql encoding).
+#: the WITH options clause is NOT a regex group: Database.sql splits
+#: it off FIRST with a quote-aware scan (_split_ddl_options) — a
+#: lazy regex group would let a WHERE literal containing the token
+#: WITH terminate the predicate mid-literal (r13).
 _CHANGEFEED_DDL = re.compile(
     r"^\s*CREATE\s+CHANGEFEED\s+FOR\s+(\w+)"
     r"(?:\s+WHERE\s+(.+?))?"
-    r"(?:\s+KEY\s+BY\s+(\((?:\s*\w+\s*,)*\s*\w+\s*\)|\w+))?"
-    r"(?:\s+WITH\s+(.+?))?\s*;?\s*$",
+    r"(?:\s+KEY\s+BY\s+(\((?:\s*\w+\s*,)*\s*\w+\s*\)|\w+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
+def _split_ddl_options(query: str) -> tuple[str, str | None]:
+    """Split a CREATE CHANGEFEED statement at its LAST top-level
+    WITH keyword, QUOTE-AWARE: the token WITH inside a WHERE
+    predicate's string literal (``WHERE c = 'ships WITH care'``) is
+    data, not the options clause — a bare-regex split would mis-cut
+    the literal and then refuse its fragment as an unknown option.
+    Returns (head, options-text-or-None)."""
+    last = None
+    for m in re.finditer(_SQL_LITERAL + r"|\bWITH\b", query,
+                         re.IGNORECASE):
+        if not m.group(0).startswith("'"):
+            last = m
+    if last is None:
+        return query, None
+    return query[:last.start()].rstrip(), query[last.end():].strip()
+
+
 def _parse_changefeed_options(text: str) -> dict:
     """The CockroachDB-style DDL options clause (r13):
-    ``WITH diff``, ``WITH envelope = 'key_only'``, comma-separated.
+    ``WITH diff``, ``WITH envelope = 'key_only'``,
+    ``WITH initial_scan = 'yes'|'no'|'only'``, comma-separated.
     Unknown options raise loudly — a silently dropped delivery
     option is a correctness bug on the consumer side."""
     opts: dict = {}
-    for raw in text.split(","):
+    for raw in text.rstrip().rstrip(";").split(","):
         tok = raw.strip()
         if not tok:
             continue
@@ -847,13 +868,15 @@ def _parse_changefeed_options(text: str) -> dict:
             opts["diff"] = True
             continue
         m = re.fullmatch(
-            r"envelope\s*=\s*'(\w+)'", tok, re.IGNORECASE)
+            r"(envelope|initial_scan)\s*=\s*'(\w+)'", tok,
+            re.IGNORECASE)
         if m:
-            opts["envelope"] = m.group(1).lower()
+            opts[m.group(1).lower()] = m.group(2).lower()
             continue
         raise ValueError(
             f"unknown CHANGEFEED option {tok!r}; supported: "
-            "diff, envelope = '<full|key_only>'")
+            "diff, envelope = '<full|key_only>', "
+            "initial_scan = '<yes|no|only>'")
     return opts
 
 #: SQL single-quoted string literal (ANSI doubled quote or backslash
@@ -1145,10 +1168,21 @@ class Database:
         inside the window spec raises Spark's own
         LATERAL_COLUMN_ALIAS_IN_WINDOW (name the underlying
         expression instead)."""
-        m = _CHANGEFEED_DDL.match(query)
+        is_cf = re.match(r"^\s*CREATE\s+CHANGEFEED\b", query,
+                         re.IGNORECASE)
+        if is_cf:
+            # quote-aware options split FIRST (the regex's lazy
+            # WHERE group would otherwise cut a predicate literal
+            # containing the token WITH)
+            head, opts_text = _split_ddl_options(query)
+            m = _CHANGEFEED_DDL.match(head)
+            if m is None and opts_text is not None:
+                # the WITH belonged to the statement body after all
+                m, opts_text = _CHANGEFEED_DDL.match(query), None
+        else:
+            m, opts_text = None, None
         if m:
-            table, pred, key, opts_text = (
-                m.group(1), m.group(2), m.group(3), m.group(4))
+            table, pred, key = m.group(1), m.group(2), m.group(3)
             ref = self.table(table.lower())
             if pred:
                 ref = ref.filter(pred.strip())
@@ -1169,7 +1203,8 @@ class Database:
             return ref.changes(
                 key=key_arg,
                 envelope=opts.get("envelope", "full"),
-                diff=opts.get("diff", False))
+                diff=opts.get("diff", False),
+                initial_scan=opts.get("initial_scan", "yes"))
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)

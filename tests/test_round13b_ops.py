@@ -313,3 +313,41 @@ def test_exclude_composes_with_qualify(db):
         "ORDER BY o_orderkey) = 1").collect()
     assert len(rows) == 3  # one per status
     assert "o_orderdate" not in rows[0].asDict()
+
+
+# ---- quote-aware DDL options split + initial_scan option
+
+def test_ddl_with_inside_literal_is_data(db):
+    feed = db.sql(
+        "CREATE CHANGEFEED FOR orders "
+        "WHERE o_orderpriority <> 'ships WITH care' "
+        "KEY BY o_orderstatus")
+    # the literal's WITH must not be parsed as an options clause;
+    # the predicate matches every row, so all three statuses appear
+    assert {r.key for r in feed.cursor().poll()} == {"F", "O", "P"}
+
+
+def test_ddl_literal_with_and_real_options(db):
+    feed = db.sql(
+        "CREATE CHANGEFEED FOR orders "
+        "WHERE o_orderpriority <> 'ships WITH care' "
+        "KEY BY o_orderstatus WITH diff")
+    rows = feed.cursor().poll()
+    assert rows and "before_cnt" in rows[0].asDict()
+
+
+def test_ddl_initial_scan_only_option(db):
+    feed = db.sql(
+        "CREATE CHANGEFEED FOR orders KEY BY o_orderstatus "
+        "WITH initial_scan = 'only'")
+    assert {r.key for r in feed.state().collect()} == {"F", "O", "P"}
+    with pytest.raises(NotImplementedError, match="snapshot"):
+        feed.cursor()
+
+
+def test_ddl_initial_scan_no_option(db):
+    feed = db.sql(
+        "CREATE CHANGEFEED FOR orders KEY BY o_orderstatus "
+        "WITH initial_scan = 'no'")
+    # registration-time cursors skip the whole committed history
+    assert feed.cursor().poll() == []
