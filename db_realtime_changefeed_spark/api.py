@@ -288,7 +288,14 @@ class TableFeed:
         """PUSH delivery on a table feed (r11 — the events Feed
         contract, mirrored): callback(batch_id, rows) per committed
         batch, THIS table's delta rows only, exactly once per batch
-        id across upstream retries (durable per-name ack)."""
+        id across upstream retries (durable per-name ack).
+
+        Scope note (r13): push rows are the PLAIN delta envelope
+        even on a WITH-diff feed — the commit-path push reads the
+        batch's own log segment, and before images are a
+        cross-batch prefix computed on the log/cursor read surface
+        (log(diff=True)). A push consumer wanting images should
+        poll a cursor instead."""
         tbl = self._table
 
         def _filtered(batch_id, rows):
