@@ -566,3 +566,121 @@ def sql_select_replace(spark, sf_dir):
     from ..api import Database
 
     return Database(spark, sf_dir).sql(_SEL_REPLACE_SQL)
+
+# -------------------------------------------- llm_kmeans_relational
+
+_KM_K = 4       #: clusters (seeded by the K smallest vec_ids)
+_KM_ROUNDS = 2  #: unrolled Lloyd rounds — determinism over
+#: convergence (the LPA fixed-horizon recipe)
+
+_KM_STEP = """
+d{r} AS (
+  SELECT e.vec_id, c.cid,
+         sum(CAST((e.x - c.x) * (e.x - c.x)
+                  AS DECIMAL(18,6))) AS d
+  FROM emb e JOIN c{p} c ON c.i = e.i
+  GROUP BY 1, 2),
+a{r} AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cid) AS rk
+    FROM d{r})
+  WHERE rk = 1),
+c{r} AS (
+  SELECT a.cid, e.i,
+         CAST(sum(CAST(e.x AS DECIMAL(18,9))) AS DOUBLE)
+           / count(*) AS x
+  FROM emb e JOIN a{r} a ON a.vec_id = e.vec_id
+  GROUP BY 1, 2)"""
+
+_KM_ORACLE = (
+    f"""
+    WITH emb AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           (SELECT unnest(range(1, 65)) AS i)),
+    c0 AS (SELECT vec_id AS cid, i, x FROM emb
+           WHERE vec_id < {_KM_K}),"""
+    + ",".join(_KM_STEP.format(r=r, p=r - 1)
+               for r in range(1, _KM_ROUNDS + 1))
+    + f"""
+    SELECT vec_id, cid AS cluster,
+           CAST(d AS DOUBLE) AS dist_q6
+    FROM a{_KM_ROUNDS}
+    """)
+
+
+@query("llm_kmeans_relational", oracle=_KM_ORACLE)
+def llm_kmeans_relational(spark, sf_dir):
+    """HASH-GRADED k-means — the exact-twin upgrade of the
+    rows-only llm_kmeans (the llm_dedup_minhash_md5 move: the
+    family's iterative member stays, a fully determinized twin
+    earns the hash row). Every randomness and float hazard of
+    Lloyd's algorithm is pinned: seeds are the embeddings of the
+    4 smallest vec_ids (_KM_K; data-derived, no RNG); exactly
+    2 synchronous rounds (_KM_ROUNDS — fixed horizon, the LPA
+    recipe); the squared distance quantizes EACH per-dimension
+    term to decimal(18,6) before the order-free decimal sum (the
+    granger moment recipe — term doubles are bit-identical in both
+    engines because float32 widens exactly and the subtract/square
+    tree is transliterated); argmin ties break (distance, cid) —
+    stated, not engine-luck; centroid updates are exact decimal
+    means cast to double through ONE division. The oracle unrolls
+    both rounds as chained CTEs over the 1-based DuckDB list index
+    — an independent relational reconstruction of assignment AND
+    re-estimation (a drifted tie-break, a reordered float sum, or
+    an off-by-one dimension index all break the hash).
+
+    Scale: the explode is 64 rows/vector ONCE (persisted);
+    per round one broadcast join against the k x 64 centroid
+    relation, one partial-aggregated shuffle on (vec_id, cid) and
+    one on (cid, i) — the classic distributed Lloyd shape, no
+    driver-side vectors. At 100 TB swap the seeded start for
+    k-means|| and raise the horizon; the per-round dataflow is
+    unchanged."""
+    from pyspark import StorageLevel
+
+    from ..catalog import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id",
+                F.posexplode("embedding").alias("i0", "xf"))
+        .select("vec_id", (F.col("i0") + 1).alias("i"),
+                F.col("xf").cast("double").alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent = (emb.where(F.col("vec_id") < _KM_K)
+            .select(F.col("vec_id").alias("cid"), "i", "x"))
+    dec6, dec9 = "decimal(18,6)", "decimal(18,9)"
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        c = cent.select(F.col("cid"), F.col("i").alias("ci"),
+                        F.col("x").alias("cx"))
+        d = (
+            emb.join(F.broadcast(c), emb.i == F.col("ci"))
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(((F.col("x") - F.col("cx"))
+                        * (F.col("x") - F.col("cx")))
+                       .cast(dec6)).alias("d"))
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min_by(F.struct("cid", "d"),
+                          F.struct("d", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"),
+                    F.col("m.d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        cent = (
+            emb.join(assign.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "i")
+            .agg((F.sum(F.col("x").cast(dec9)).cast("double")
+                  / F.count(F.lit(1))).alias("x"))
+        )
+    out = assign.select(
+        "vec_id", F.col("cid").alias("cluster"),
+        F.col("d").cast("double").alias("dist_q6"))
+    emb.unpersist()
+    return out

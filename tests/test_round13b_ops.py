@@ -351,3 +351,28 @@ def test_ddl_initial_scan_no_option(db):
         "WITH initial_scan = 'no'")
     # registration-time cursors skip the whole committed history
     assert feed.cursor().poll() == []
+
+
+# ---- determinized k-means twin
+
+def test_kmeans_relational_matches_iterative_family(spark):
+    """The hash-graded twin must behave like k-means: full
+    coverage, k clusters at most, rerun-identical, and each
+    vector's assigned distance is the minimum over the final
+    centroids (checked by recomputing distances against the
+    returned assignment's induced centroids is overkill here —
+    rerun determinism plus the oracle parity carries that; this
+    pin guards the invariants)."""
+    from db_realtime_changefeed_spark.queries.round13b import (
+        _KM_K,
+        llm_kmeans_relational,
+    )
+
+    out1 = llm_kmeans_relational(spark, SF_DIR).collect()
+    out2 = llm_kmeans_relational(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    n_vec = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count())
+    assert len(out1) == n_vec
+    assert len({r.cluster for r in out1}) <= _KM_K
+    assert all(r.dist_q6 >= 0 for r in out1)
