@@ -1021,6 +1021,65 @@ def _find_toplevel_order_by(body: str):
 
 _STAR_HEAD = re.compile(r"^\s*SELECT\s+\*\s+", re.IGNORECASE)
 
+_ASOF_HEAD = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL)
+
+#: one qualified-column comparison: alias.col OP alias.col
+_ASOF_COND = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\.(\w+)\s*$")
+
+
+def _find_toplevel_token(text: str, word_pat: str):
+    """Match of the FIRST top-level occurrence of `word_pat`
+    (regex, case-insensitive) outside parens and string literals,
+    or None."""
+    depth = 0
+    for m in re.finditer(
+            _SQL_LITERAL + r"|[()]|" + word_pat, text,
+            re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif not tok.startswith("'") and depth == 0:
+            return m
+    return None
+
+
+def _split_toplevel_and(text: str) -> list[str]:
+    """Split a boolean conjunction on top-level AND keywords."""
+    parts, depth, start = [], 0, 0
+    for m in re.finditer(_SQL_LITERAL + r"|[()]|\bAND\b", text,
+                         re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif not tok.startswith("'") and depth == 0:
+            parts.append(text[start:m.start()])
+            start = m.end()
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rel_and_alias(text: str) -> tuple[str, str]:
+    """Split '<relation> [AS] <alias>' — relation is a table name
+    or a parenthesized subquery; the trailing bare word is the
+    alias (REQUIRED: the ON/select lists reference sides by
+    alias)."""
+    t = text.strip()
+    m = re.fullmatch(r"(?P<rel>\(.*\)|\w+)(?:\s+(?:AS\s+)?"
+                     r"(?P<alias>\w+))?", t,
+                     re.IGNORECASE | re.DOTALL)
+    if not m or not m.group("alias"):
+        raise NotImplementedError(
+            f"ASOF JOIN sides need an alias ('t a' or '(...) a'); "
+            f"got {t!r}")
+    return m.group("rel"), m.group("alias")
+
 
 def _split_toplevel_commas(text: str) -> list[str]:
     """Split on commas outside parens and string literals."""
@@ -1072,6 +1131,157 @@ class Database:
 
     def table(self, name: str) -> TableRef:
         return TableRef(self, name)
+
+    def _rewrite_asof_join(self, query: str):
+        """DuckDB-style ``ASOF [LEFT] JOIN`` SQL (r13) — absent from
+        Spark SQL — lowered onto the engine's union-merge as-of
+        plan (the join_asof shape): tag both sides, ONE window over
+        (keys, time, side) carries the last/next right row forward
+        with last(..., ignorenulls) — O(n log n) per key whatever
+        the fan-in, never the naive range-join. Supported statement
+        shape (everything else refuses loudly, naming the reason):
+        ``SELECT <qualified cols> FROM <rel> a ASOF [LEFT] JOIN
+        <rel> b ON <equalities AND exactly-one inequality>`` where
+        <rel> is a table or parenthesized subquery and every
+        condition/select term is alias-qualified. Inequality
+        direction sets the match side (>= / > backward — latest
+        right at-or-before / strictly-before; <= / < forward), and
+        strictness decides whether an equal timestamp matches (the
+        tie is the side sort key, stated not engine-luck). Returns
+        None when the statement has no top-level ASOF JOIN."""
+        jm = _find_toplevel_token(
+            query, r"\bASOF\s+(?:LEFT\s+)?JOIN\b")
+        if jm is None:
+            return None
+        if _FETCH_TAIL.search(query) or \
+                _find_toplevel_qualify(query)[0] is not None:
+            raise NotImplementedError(
+                "combine ASOF JOIN with QUALIFY/FETCH in an outer "
+                "query around the join")
+        sm = re.match(r"^\s*SELECT\s+", query, re.IGNORECASE)
+        fm = _find_toplevel_token(query, r"\bFROM\b")
+        if not sm or not fm or fm.start() < sm.end():
+            raise NotImplementedError(
+                "ASOF JOIN is supported on a plain top-level "
+                "SELECT ... FROM statement")
+        sel = query[sm.end():fm.start()].strip()
+        if re.search(r"(?<![\w.])\*", sel):
+            raise NotImplementedError(
+                "qualify the select list on an ASOF JOIN "
+                "(alias.col or alias.*); a bare * is ambiguous "
+                "across the two sides")
+        rest = query[fm.end():]
+        jm = _find_toplevel_token(
+            rest, r"\bASOF\s+(?:LEFT\s+)?JOIN\b")
+        left_outer = "LEFT" in jm.group(0).upper()
+        om = _find_toplevel_token(rest[jm.end():], r"\bON\b")
+        if om is None:
+            raise NotImplementedError("ASOF JOIN needs an ON clause")
+        lrel, la = _rel_and_alias(rest[:jm.start()])
+        rrel, ra = _rel_and_alias(rest[jm.end():][:om.start()])
+        if la.lower() == ra.lower():
+            raise NotImplementedError(
+                f"ASOF JOIN sides share the alias {la!r}; name "
+                "them differently")
+        cond_text = rest[jm.end():][om.end():].strip().rstrip(";")
+        eqs: list[tuple[str, str]] = []
+        ineq = None
+        flip = {">": "<", "<": ">", ">=": "<=", "<=": ">=",
+                "=": "="}
+        for c in _split_toplevel_and(cond_text):
+            cm = _ASOF_COND.match(c)
+            if not cm:
+                raise NotImplementedError(
+                    f"ASOF JOIN condition {c.strip()!r} is not a "
+                    "plain alias.col comparison (trailing clauses "
+                    "belong in an outer query)")
+            a1, c1, op, a2, c2 = cm.groups()
+            if {a1.lower(), a2.lower()} != {la.lower(), ra.lower()}:
+                raise NotImplementedError(
+                    f"condition {c.strip()!r} must reference both "
+                    f"sides ({la}, {ra})")
+            if a1.lower() == ra.lower():  # normalize left-first
+                a1, c1, op, a2, c2 = a2, c2, flip[op], a1, c1
+            if op == "=":
+                eqs.append((c1, c2))
+            elif ineq is not None:
+                raise NotImplementedError(
+                    "ASOF JOIN takes exactly ONE inequality (the "
+                    "match axis)")
+            else:
+                ineq = (c1, op, c2)
+        if ineq is None:
+            raise NotImplementedError(
+                "ASOF JOIN needs an inequality condition (the "
+                "match axis)")
+        from pyspark.sql import Window
+        from pyspark.sql.types import StructType
+
+        ldf = self.spark.sql(f"SELECT * FROM {lrel} {la}")
+        rdf = self.spark.sql(f"SELECT * FROM {rrel} {ra}")
+        for col, df, side in ((ineq[0], ldf, la),
+                              (ineq[2], rdf, ra)):
+            if col not in df.columns:
+                raise KeyError(
+                    f"{side}.{col} is not a column of that side "
+                    f"({df.columns})")
+        lcol, op, rcol = ineq
+        backward = op in (">=", ">")
+        strict = op in (">", "<")
+        r_side, l_side = (1, 0) if strict else (0, 1)
+        keys = [f"__k{i}" for i in range(len(eqs))]
+        l_t = ldf.select(
+            *[F.col(lc).alias(k) for k, (lc, _) in zip(keys, eqs)],
+            F.col(lcol).alias("__t"),
+            F.lit(l_side).alias("__s"),
+            F.struct(*ldf.columns).alias("__l"),
+            F.lit(None).cast(StructType(rdf.schema.fields))
+            .alias("__r"),
+        )
+        r_t = rdf.select(
+            *[F.col(rc).alias(k) for k, (_, rc) in zip(keys, eqs)],
+            F.col(rcol).alias("__t"),
+            F.lit(r_side).alias("__s"),
+            F.lit(None).cast(StructType(ldf.schema.fields))
+            .alias("__l"),
+            F.struct(*rdf.columns).alias("__r"),
+        )
+        # SQL join semantics: NULL keys / NULL axis values on the
+        # right match nothing — drop them so the NULL window
+        # partition cannot hand them to NULL-keyed left rows
+        for k in keys:
+            r_t = r_t.where(F.col(k).isNotNull())
+        r_t = r_t.where(F.col("__t").isNotNull())
+        order = [F.col("__t").asc() if backward
+                 else F.col("__t").desc(), F.col("__s").asc()]
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        matched = (
+            l_t.unionByName(r_t)
+            .withColumn("__m", F.last("__r", ignorenulls=True)
+                        .over(w))
+            .where(F.col("__l").isNotNull())
+            .select(F.col("__l"), F.col("__m").alias("__r"))
+        )
+        if not left_outer:
+            matched = matched.where(F.col("__r").isNotNull())
+        matched.createOrReplaceTempView("__asof_result__")
+
+        def _alias_sub(text: str) -> str:
+            pat = (_SQL_LITERAL
+                   + rf"|\b{re.escape(la)}\.|\b{re.escape(ra)}\.")
+
+            def repl(m: re.Match) -> str:
+                tok = m.group(0)
+                if tok.startswith("'"):
+                    return tok
+                return ("__l." if tok[:-1].lower() == la.lower()
+                        else "__r.")
+
+            return re.sub(pat, repl, text, flags=re.IGNORECASE)
+
+        return self.spark.sql(
+            f"SELECT {_alias_sub(sel)} FROM __asof_result__")
 
     def _spark_sql(self, text: str):
         """spark.sql with the DuckDB star-modifier bridge (r13):
@@ -1215,6 +1425,9 @@ class Database:
         from .catalog import register_views
 
         register_views(self.spark, self.sf_dir)
+        asof = self._rewrite_asof_join(query)
+        if asof is not None:
+            return asof
         fm = _FETCH_TAIL.search(query)
         if fm:
             # ANSI row-limiting clause (Postgres/DuckDB-absent in

@@ -684,3 +684,42 @@ def llm_kmeans_relational(spark, sf_dir):
         F.col("d").cast("double").alias("dist_q6"))
     emb.unpersist()
     return out
+
+# ---------------------------------------------------- sql_asof_join
+
+#: ONE text, both engines: DuckDB executes its native ASOF JOIN;
+#: our SQL layer lowers the same text onto the union-merge plan
+_ASOF_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id, p.value - c.value AS value_gap
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.event_id > c.event_id
+"""
+
+
+@query("sql_asof_join", oracle=_ASOF_SQL)
+def sql_asof_join(spark, sf_dir):
+    """DuckDB-style ``ASOF JOIN`` as SQL TEXT (r13) — the dialect
+    surface over the engine's existing as-of machinery (join_asof
+    is the DataFrame operator; this is the statement a DuckDB/
+    QuestDB/kdb user would paste): Database.sql detects a
+    top-level ASOF [LEFT] JOIN, parses the constrained shape
+    (aliased sides, alias-qualified conditions, equalities plus
+    exactly ONE inequality — everything else refuses loudly,
+    naming the reason), and lowers it onto the union-merge plan:
+    tag both sides, one window over (keys, axis, side) carries the
+    last right row forward — O(n log n) per key whatever the
+    fan-in, never the naive range join. This query exercises the
+    STRICT (>) INNER form — unmatched purchases drop, and a click
+    at exactly the purchase's event_id must NOT match (strictness
+    is the side sort key, stated not engine-luck). DuckDB runs the
+    identical text natively as the oracle, certifying direction,
+    strictness, and inner-drop semantics against the dialect being
+    emulated; value_gap is one IEEE subtraction, bit-identical.
+
+    Scale: same plan as join_asof — one shuffle on user_id + one
+    sort; WindowExec streams the running last(ignorenulls)."""
+    from ..api import Database
+
+    return Database(spark, sf_dir).sql(_ASOF_SQL)

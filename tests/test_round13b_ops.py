@@ -376,3 +376,39 @@ def test_kmeans_relational_matches_iterative_family(spark):
     assert len(out1) == n_vec
     assert len({r.cluster for r in out1}) <= _KM_K
     assert all(r.dist_q6 >= 0 for r in out1)
+
+
+# ---- ASOF JOIN SQL surface
+
+def test_asof_join_left_and_forward(db):
+    """LEFT keeps unmatched left rows; a forward (<=) axis matches
+    the NEXT right row at-or-after."""
+    import duckdb
+
+    q = """
+    SELECT p.event_id AS pid, c.event_id AS nid
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.event_id <= c.event_id
+    """
+    got = sorted((r.pid, r.nid) for r in db.sql(q).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{SF_DIR}/events.parquet'")
+    want = sorted(map(tuple, con.execute(q).fetchall()))
+    assert got == want
+
+
+def test_asof_join_refusals(db):
+    with pytest.raises(NotImplementedError, match="alias"):
+        db.sql("SELECT x.ts FROM events ASOF JOIN events b "
+               "ON x.user_id = b.user_id AND x.ts > b.ts")
+    with pytest.raises(NotImplementedError, match="outer query"):
+        db.sql("SELECT a.ts FROM events a ASOF JOIN events b "
+               "ON a.user_id = b.user_id AND a.ts > b.ts "
+               "QUALIFY row_number() OVER (ORDER BY a.ts) <= 1")
+    with pytest.raises(NotImplementedError, match="not a plain"):
+        db.sql("SELECT a.ts FROM events a ASOF JOIN events b "
+               "ON a.user_id = b.user_id AND a.ts > b.ts "
+               "ORDER BY a.ts")
