@@ -195,7 +195,29 @@ def main() -> None:
         _CACHE as _R12_CACHE,
     )
 
-    build_replay_chunks(spark, sf_dir)
+    chunks_dir = build_replay_chunks(spark, sf_dir)
+    # Streaming-path JIT warmup (r13 optimization round): the batch
+    # warmup above never touches the micro-batch scheduler, state
+    # store, or checkpoint WAL classes, so the FIRST streaming query
+    # of a fresh JVM paid their one-time interpretation/C2 cost
+    # inside its timed samples (measured at sf0.1: first-ever
+    # streaming run 4-10x its warm time — OPTIMIZATION_r13.md).
+    # One minimal stateful replay warms the same code paths the
+    # graded streaming queries use; per-query numbers then measure
+    # the operator, exactly the documented intent of the batch
+    # warmup. Methodology is otherwise unchanged.
+    from db_realtime_changefeed_spark.streaming.replay import (
+        fresh_sink_name,
+        read_events_stream,
+        run_available_now,
+    )
+
+    warm_stream = (
+        read_events_stream(spark, chunks_dir)
+        .groupBy("event_type")
+        .count()
+    )
+    run_available_now(warm_stream, fresh_sink_name("benchwarm"), "complete")
     # the ONCE entries run single-shot: pre-build their replay
     # fixtures too (one-time, cached across runs) so the lone sample
     # measures the operator, not fixture I/O

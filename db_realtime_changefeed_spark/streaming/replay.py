@@ -28,7 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import EVENTS_NS_SCHEMA, SCHEMAS, ns_to_us, parquet_ts_unit
 
-_REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "dbrcf_replay")
+def _replay_root() -> str:
+    """Replay-chunk cache root: co-located with the scratch base
+    (RAM-backed when available — the chunk files are re-read once
+    per micro-batch by the file source, so they benefit from the
+    same placement as the checkpoints; see tmputil.scratch_base)."""
+    from ..tmputil import scratch_base
+
+    return os.path.join(
+        scratch_base() or tempfile.gettempdir(), "dbrcf_replay")
+
+
+_REPLAY_ROOT = _replay_root()
 
 
 def default_chunks() -> int:

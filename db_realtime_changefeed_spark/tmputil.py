@@ -19,6 +19,7 @@ interpreter teardown must never turn a green run red.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -32,9 +33,47 @@ def _cleanup() -> None:
 
 atexit.register(_cleanup)
 
+#: resolved once per process (r13 optimization round): placement of
+#: the ephemeral streaming state. Checkpoint WALs and MVCC state
+#: commits are fsync-per-file workloads; on a VM-disk /tmp each
+#: micro-batch pays tens of synchronous metadata flushes (measured at
+#: sf0.1: stream_tumbling warm 2.9-3.8 s on ext4-/tmp vs 2.4 s on a
+#: RAM-backed fs, with a 29 s cold-cache first-run mode on disk that
+#: tmpfs removes entirely — OPTIMIZATION_r13.md). The cluster-scale
+#: analog is putting state/WAL on the fastest local volume (NVMe)
+#: rather than a network disk; the knob is SPARK_GRAFT_TMP.
+_SCRATCH_BASE: list[str | None] = []
+
+
+def scratch_base() -> str | None:
+    """Base dir for scratch state: $SPARK_GRAFT_TMP if set, else a
+    RAM-backed fs when one is mounted with generous headroom (>16 GiB
+    free — sf0.1's whole scratch footprint is <1 GiB), else None
+    (tempfile's default, the pre-r13 behavior)."""
+    if _SCRATCH_BASE:
+        return _SCRATCH_BASE[0]
+    base = os.environ.get("SPARK_GRAFT_TMP")
+    if not base:
+        for cand in ("/dev/shm",):
+            try:
+                st = os.statvfs(cand)
+                free = st.f_bavail * st.f_frsize
+                if free > (16 << 30) and os.access(cand, os.W_OK):
+                    base = os.path.join(cand, "dbrcf-scratch")
+                    break
+            except OSError:
+                continue
+    if base:
+        try:
+            os.makedirs(base, exist_ok=True)
+        except OSError:
+            base = None
+    _SCRATCH_BASE.append(base)
+    return base
+
 
 def scratch_dir(prefix: str) -> str:
     """A fresh private directory removed at interpreter exit."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = tempfile.mkdtemp(prefix=prefix, dir=scratch_base())
     _SCRATCH_DIRS.append(d)
     return d
