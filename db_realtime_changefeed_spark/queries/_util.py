@@ -20,6 +20,92 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,6)"
 
 
+def fan_out(df, *hash_cols: str):
+    """Spread an under-split scan across every core before CPU-heavy
+    per-row/per-group work (r13 optimization round; generalizes
+    llm._rebalanced, which now delegates here).
+
+    The graded tables are single-row-group parquet files, so a scan
+    stage — including everything Catalyst fuses into it: projections,
+    hashing, EXPAND, and the map-side PARTIAL AGGREGATE — otherwise
+    runs as ONE task on one core (measured at sf0.1/local[32]:
+    agg_groupby's seven decimal partial-sums 2.1 s serial vs 1.0 s
+    fanned out; the shingle/minhash stage 2.5 s vs ~1 s). With
+    `hash_cols`, the exchange is hashpartitioning on
+    pmod(xxhash64(cols), 64*target) — DETERMINISTIC under task retry
+    (guide §2.5: never round-robin a retryable shuffle on rand()) and,
+    unlike keyless round-robin, free of the sortBeforeRepartition
+    local sort (measured: the sort is ~half the exchange's cost).
+    64x more hash values than partitions keeps the spread even.
+
+    Scale-adaptive by construction: the split estimate compares the
+    scan's file list against spark.sql.files.maxPartitionBytes — at
+    cluster scale a real table arrives in thousands of splits and
+    this returns the input unchanged, so the extra exchange exists
+    exactly when the layout under-parallelizes the stage. Derived
+    frames with no input files conservatively fan out."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not _scan_under_split(df, target):
+        return df
+    if hash_cols:
+        return df.repartition(
+            target,
+            F.pmod(F.xxhash64(*hash_cols), F.lit(64 * target)))
+    return df.repartition(target)
+
+
+def pin_group_parallelism(df, *keys: str):
+    """Pin the exchange feeding a grouped PYTHON stage (applyInPandas
+    / cogroup / grouped-agg UDF) to `defaultParallelism` partitions
+    on the grouping key when the input is under-split (r13).
+
+    AQE's partition coalescing sizes post-shuffle partitions by
+    BYTES, but a grouped-map stage's cost is per-group Python
+    overhead, which AQE cannot see: a small keyed shuffle coalesces
+    to one or two partitions and the whole pandas stage serializes
+    onto them (measured at sf0.1: udtf_grouped_map 3.1 s coalesced
+    vs 1.2 s pinned at 32). repartition(N, keys) produces the exact
+    hashpartitioning the grouped-map requires, so no second exchange
+    appears — the pin only fixes the partition COUNT.
+
+    Gated by the same input-split estimate as fan_out: on a
+    well-split table (real cluster layouts) this returns the input
+    unchanged and the plain AQE-managed exchange stands — N fixed at
+    defaultParallelism would be far too coarse there."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not _scan_under_split(df, target):
+        return df
+    return df.repartition(target, *keys)
+
+
+def _scan_under_split(df, target: int) -> bool:
+    """True when df's file scan yields fewer than `target` input
+    splits (pure metadata: file list vs maxPartitionBytes; a derived
+    frame with no input files conservatively counts as under-split)."""
+    import os
+    import re
+
+    files = df.inputFiles()
+    if not files:
+        return True
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728").strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmg]?b?)", raw)
+    unit = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+            "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    max_split = (int(m.group(1)) * unit[m.group(2)]) if m else 128 << 20
+    splits = 0
+    for f in files:
+        try:
+            size = os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return True  # non-local fs: be safe
+        splits += max(1, -(-size // max_split))
+        if splits >= target:
+            return False
+    return True
+
+
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import davg, dsum, sql_dsum
+from ._util import davg, dsum, fan_out, sql_dsum
 
 # Exact second moments: cast each FACTOR to decimal before
 # multiplying — the double product of two prices carries rounding
@@ -87,7 +87,10 @@ def agg_stats(spark, sf_dir):
     engines), so both sides compute the identical two-pass-free
     moment formula from EXACT decimal sums — one hash aggregate, no
     extra shuffle, deterministic to the last bit."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # six decimal moment-sums fuse into the scan stage; fan out when
+    # the layout under-splits it (r13, same rationale as agg_groupby)
+    li = fan_out(load_table(spark, sf_dir, "lineitem"),
+                 "l_orderkey", "l_linenumber")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

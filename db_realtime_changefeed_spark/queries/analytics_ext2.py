@@ -17,7 +17,7 @@ from ..tmputil import scratch_dir
 from . import query
 from .analytics_ext import (_GEO_LAT, _GEO_LON, _copurchase_pairs,
                             _sql_haversine)
-from ._util import dsum
+from ._util import dsum, fan_out
 
 @query(
     "seq_match_recognize",
@@ -304,7 +304,12 @@ def dq_profile_columns(spark, sf_dir):
     The stack() long-forming of the single wide row is driver-free
     and scan count stays 1 no matter how many columns join the
     profile."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # the count_distincts expand the scan stage 5x before the partial
+    # aggregate — fan out when the layout under-splits it (r13): the
+    # exchange moves the raw 4 profiled columns, the x5 EXPAND and
+    # the dedup hash tables then build on every core
+    li = fan_out(load_table(spark, sf_dir, "lineitem"),
+                 "l_orderkey", "l_linenumber")
     wide = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("l_orderkey").alias("nn_ok"),

@@ -19,7 +19,6 @@ thresholds and orderings agree exactly.
 
 from __future__ import annotations
 
-import re as _re
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -59,41 +58,19 @@ _N_BANDS = 8  # 4 rows per band
 
 def _rebalanced(df):
     """Spread an under-split scan across all cores before a
-    CPU-heavy map stage. The graded documents table is ONE parquet
-    file, so the scan+shingle+hash stage otherwise runs as a single
-    task on one core of 32 (measured: 2.5 s single-task vs ~1 s
-    rebalanced for the minhash signature stage at sf0.1). The
-    repartition shuffles only the raw (id, text) rows — a few MB. At
-    100 TB a real table arrives in thousands of splits and this
-    no-ops, so the extra exchange exists exactly when it pays for
-    itself. The split estimate comes from the scan's file list vs
-    `spark.sql.files.maxPartitionBytes` — pure metadata, no RDD
-    materialization or plan analysis (r4 cleanup note); a derived
-    frame with no input files (in-memory fixtures) conservatively
-    rebalances."""
-    import os
+    CPU-heavy map stage — now a thin wrapper over _util.fan_out
+    (r13 optimization round), which replaced the keyless round-robin
+    repartition with a deterministic hash fan-out on doc_id where
+    available: round-robin pays a sortBeforeRepartition local sort of
+    the whole input (measured at sf0.1: ~half the exchange cost);
+    hashpartitioning on pmod(xxhash64(doc_id), 64*cores) spreads just
+    as evenly, skips the sort, and is retry-deterministic (guide
+    §2.5). Split estimation and the at-scale no-op behavior are
+    unchanged — see fan_out's docstring."""
+    from ._util import fan_out
 
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if not files:
-        return df.repartition(target)
-    raw = spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728").strip().lower()
-    m = _re.fullmatch(r"(\d+)\s*([kmg]?b?)", raw)
-    unit = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
-            "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
-    max_split = (int(m.group(1)) * unit[m.group(2)]) if m else 128 << 20
-    splits = 0
-    for f in files:
-        try:
-            size = os.path.getsize(f.removeprefix("file:"))
-        except OSError:
-            return df.repartition(target)  # non-local fs: be safe
-        splits += max(1, -(-size // max_split))
-        if splits >= target:
-            return df
-    return df.repartition(target)
+    cols = ("doc_id",) if "doc_id" in df.columns else ()
+    return fan_out(df, *cols)
 
 
 def _shingles(d, k: int = 3):

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import DEC, davg, dsum, sql_davg, sql_dsum
+from ._util import DEC, davg, dsum, fan_out, sql_davg, sql_dsum
 
 
 def _t(spark, sf_dir, name):
@@ -422,9 +422,15 @@ def agg_groupby(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # the seven decimal partial-sums are the CPU hot spot and fuse
+    # into the scan stage — fan out when the file layout under-splits
+    # it (r13; measured 2.1 s -> 1.0 s at sf0.1, no-op on real
+    # multi-split tables; _util.fan_out)
+    li = fan_out(
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02"))),
+        "l_orderkey", "l_linenumber")
     return (
-        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02")))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-from ._util import davg, dsum, sql_davg, sql_dsum
+from ._util import davg, dsum, fan_out, sql_davg, sql_dsum
 
 # ------------------------------------------------------------ tpch_q1
 
@@ -53,10 +53,14 @@ def tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    # eight decimal partial-aggregates fuse into the scan stage; fan
+    # out when the layout under-splits it (r13, agg_groupby rationale)
+    li = fan_out(
         li.where(F.col("l_shipdate")
-                 <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+                 <= F.lit("1998-09-02").cast("timestamp")),
+        "l_orderkey", "l_linenumber")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
@@ -195,7 +199,10 @@ def llm_quality_gopher(spark, sf_dir):
     single IEEE division of integers. At 100 TB this is one corpus
     scan, one shuffle on (doc_id, gram), one on doc_id — all keys
     high-cardinality and skew-free."""
-    d = load_table(spark, sf_dir, "documents")
+    # split/intersect/bigram-transform run per-row in the scan stage;
+    # fan out when the layout under-splits it (r13, llm._rebalanced
+    # rationale — same corpus, same hot spot)
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     w = F.split("text", " ")
     base = d.select(
         "doc_id", "n_chars", w.alias("w"),

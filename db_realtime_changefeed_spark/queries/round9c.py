@@ -324,8 +324,16 @@ def llm_mmr_diversify(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    t = emb.where(F.col("vec_id") % 50 != 0).select(
-        F.col("vec_id").alias("did"), F.col("embedding").alias("de"))
+    # the 64-dim cosine per (q, d) pair is interpreted higher-order-
+    # function work that fuses into the single-split embeddings scan;
+    # fan the target side out so the rel stage runs on every core
+    # (r13; _util.fan_out no-ops on well-split tables)
+    from ._util import fan_out
+
+    t = fan_out(
+        emb.where(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("did"), F.col("embedding").alias("de")),
+        "did")
 
     def cos(x, y):
         return _dot(x, y) / (
@@ -352,9 +360,18 @@ def llm_mmr_diversify(spark, sf_dir):
         F.col("p2.vec_id").alias("d2"),
         cos(F.col("p1.de"), F.col("p2.de")).alias("sim"),
     )
+    # pin both cogroup exchanges to defaultParallelism partitions on
+    # qid: AQE's byte-based coalescing otherwise serializes the
+    # per-query python selection loops onto 1-2 partitions (r13;
+    # _util.pin_group_parallelism — the gate no-ops at real scale)
+    from ._util import pin_group_parallelism
+
+    left = pin_group_parallelism(
+        pool.select("qid", "vec_id", "rel"), "qid")
+    right = pin_group_parallelism(sims, "qid")
     return (
-        pool.select("qid", "vec_id", "rel").groupBy("qid")
-        .cogroup(sims.groupBy("qid"))
+        left.groupBy("qid")
+        .cogroup(right.groupBy("qid"))
         .applyInPandas(_mmr_select, schema=_MMR_DDL)
     )
 

@@ -108,7 +108,20 @@ def udtf_grouped_map(spark, sf_dir):
             }
         )
 
-    ev = load_table(spark, sf_dir, "events")
+    # r13: (a) pass ONLY the columns the kernel reads (guide §4.1 —
+    # grouped-map is opaque to Catalyst; without this select the
+    # shuffle and the Arrow boundary carry ts/event_type/props, the
+    # JSON blob, for nothing); (b) pin the keyed exchange to
+    # defaultParallelism when the input is under-split — AQE
+    # coalesces the tiny shuffle by BYTES and serializes the pandas
+    # stage onto 1-2 partitions (measured 3.1 s -> 1.2 s at sf0.1;
+    # _util.pin_group_parallelism, no-op on well-split tables).
+    from ._util import pin_group_parallelism
+
+    ev = pin_group_parallelism(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"),
+        "user_id")
     return ev.groupBy("user_id").applyInPandas(
         group_normalize,
         "event_id long, user_id long, delta_from_min double, seq long",
