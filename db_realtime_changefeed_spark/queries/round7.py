@@ -81,13 +81,20 @@ def llm_dedup_spans(spark, sf_dir):
     (the join_bloom_filter pattern) so singleton windows — the vast
     majority — never re-shuffle.
     """.replace("{W}", str(_SPAN_W))
+    from ._util import fan_out
+
     d = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     n = F.size(ws)
     idxs = F.when(
         n >= _SPAN_W, F.sequence(F.lit(1), n - _SPAN_W + 1)
     ).otherwise(F.array().cast("array<int>"))
-    wins = d.select(
+    # r13: the O(tokens) explode+md5 stage feeds TWO consumers (the
+    # count fold and the dup join) and was re-executed for each, both
+    # times inside the single-split scan stage — fan the scan out and
+    # persist the window-hash relation once (16-byte hashes + two
+    # ints per row, the only thing this query ever shuffles anyway).
+    wins = fan_out(d, "doc_id").select(
         "doc_id",
         F.explode(idxs).alias("i"),
         ws.alias("ws"),
@@ -95,7 +102,7 @@ def llm_dedup_spans(spark, sf_dir):
         "doc_id", "i",
         F.md5(F.concat_ws(" ", F.slice("ws", F.col("i"),
                                        F.lit(_SPAN_W)))).alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     cnt = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     dup = (
         wins.join(cnt.where(F.col("cnt") >= 2), "h")

@@ -707,14 +707,23 @@ def llm_jaccard_knn_text(spark, sf_dir):
     WindowGroupLimit pushes the top-k cut into the shuffle. The
     Jaccard is an exact rational computed with the identical double
     op in both engines; rank ties break on doc_id."""
+    from ._util import fan_out
+
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(words) - (_JK_K - 1))
     shingles = F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, _JK_K))))
+    # r13: the shingle relation feeds THREE consumers (the inverted
+    # index plus both rescore sides) and each re-reference used to
+    # re-run the split/transform scan stage single-task (the
+    # graph_triangles lesson, same fix): fan the under-split scan out
+    # and persist the computed shingles once — O(docs) rows, arrays
+    # bounded by document length.
     sh = (
-        d.where(F.size(words) >= _JK_K)
+        fan_out(d.where(F.size(words) >= _JK_K), "doc_id")
         .select("doc_id", shingles.alias("shingles"))
+        .localCheckpoint(eager=False)
     )
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s"))

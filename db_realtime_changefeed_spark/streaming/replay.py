@@ -171,14 +171,30 @@ def streaming_shuffle(spark: SparkSession, n: int | None = None):
     at 100 TB state you'd size this up, not down — it's the same
     knob. Restored afterwards so batch queries keep their setting."""
     key = "spark.sql.shuffle.partitions"
+    aqe = "spark.sql.adaptive.enabled"
     if n is None:
         n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get(key)
+    prev_aqe = spark.conf.get(aqe)
     spark.conf.set(key, str(n))
+    # r13: AQE OFF for the replay run's foreachBatch bodies. Spark
+    # already disables AQE inside streaming plans; the batch queries
+    # a foreachBatch body runs, however, regain it — and on the
+    # per-micro-batch folds (bounded O(|delta|) joins over explicit
+    # bucket-pruned stores) AQE's stage-by-stage materialization
+    # only multiplies tiny Spark jobs (measured at sf0.1:
+    # changefeed_agg_view 28-45 s with AQE vs 19-22 s without; the
+    # run is job-count-bound, ~35 jobs/batch). Partitioning is
+    # already sized explicitly by this context manager — the same
+    # knob a production deployment tunes — so runtime coalescing has
+    # nothing left to fix. Restored on exit: large ad-hoc batch
+    # queries keep AQE's skew/coalesce machinery.
+    spark.conf.set(aqe, "false")
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(aqe, prev_aqe)
 
 
 def run_available_now(
