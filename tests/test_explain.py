@@ -40,13 +40,25 @@ def test_topk_no_global_sort(spark, sf_oracle):
 
 def test_agg_partial_mapside(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "agg_groupby")
-    # two HashAggregate nodes (partial + final) around one exchange;
-    # (WholeStageCodegen markers are hidden under AQE's unfinalized
-    # formatted plan, so codegen is not assertable here)
+    # two HashAggregate nodes (partial + final) around the agg
+    # exchange; (WholeStageCodegen markers are hidden under AQE's
+    # unfinalized formatted plan, so codegen is not assertable here)
     assert plan.count("HashAggregate") >= 2
-    # exactly one Exchange in the plan tree (the details section
-    # repeats the node name once more)
-    assert plan.count("+- Exchange") == 1, "exactly one shuffle of 6 groups"
+    # r13: TWO exchanges — the deterministic hash fan-out of the
+    # under-split scan (REPARTITION_BY_NUM on pmod(xxhash64(pk)))
+    # plus the 6-group agg shuffle; the partial aggregate must sit
+    # ABOVE the fan-out exchange so it runs on every core
+    assert plan.count("+- Exchange") == 2, \
+        "fan-out exchange + one shuffle of 6 groups"
+    assert "REPARTITION_BY_NUM" in plan and "xxhash64" in plan, \
+        "fan-out must be the deterministic hash repartition"
+    # the details section lists operators bottom-up, so the fan-out
+    # (inner, REPARTITION_BY_NUM) must come BEFORE the agg exchange
+    # (outer, ENSURE_REQUIREMENTS) — i.e. the partial aggregate sits
+    # above the fan-out and runs on every core
+    fan = plan.index("REPARTITION_BY_NUM")
+    assert "ENSURE_REQUIREMENTS" in plan[fan:], \
+        "agg exchange must sit above the fan-out exchange"
 
 
 def test_semi_anti_join_plans(spark, sf_oracle):
@@ -107,9 +119,18 @@ def test_sample_hash_filter_pushed(spark, sf_oracle):
 
 
 def test_agg_stats_single_shuffle(spark, sf_oracle):
-    """All six moments ride ONE hash aggregate: exactly one exchange."""
+    """All six moments ride ONE hash aggregate (partial + final
+    around one agg exchange); r13 adds the deterministic fan-out
+    exchange below the partial aggregate (the under-split scan
+    spread, same shape as agg_groupby)."""
     plan = _plan(spark, sf_oracle, "agg_stats")
-    assert plan.count("+- Exchange") == 1
+    assert plan.count("+- Exchange") == 2, \
+        "fan-out exchange + one agg shuffle"
+    assert "REPARTITION_BY_NUM" in plan, \
+        "fan-out must be the deterministic hash repartition"
+    fan = plan.index("REPARTITION_BY_NUM")
+    assert "ENSURE_REQUIREMENTS" in plan[fan:], \
+        "agg exchange must sit above the fan-out exchange"
     assert plan.count("HashAggregate") >= 2
 
 
