@@ -159,15 +159,27 @@ class DistinctCountViewRunner:
             leaves = (
                 dropped.groupBy("event_type")
                 .agg((-F.count(F.lit(1))).alias("d")))
-            contrib = (
+            # ONE O(groups) collect carries the nd contribution AND
+            # its bucket tags to the driver (r13): the nd store's
+            # read/write unit is O(groups) by contract, so shipping
+            # the per-group deltas alongside the touched buckets
+            # costs nothing extra — and the staged nd write below
+            # then folds a tiny LOCAL relation instead of re-running
+            # the whole enters/leaves DAG as a second job.
+            contrib_rows = (
                 enters.unionByName(leaves)
                 .groupBy("event_type")
-                .agg(F.sum("d").alias("d")))
-            nd_touched = sorted({
-                r["b"] for r in
-                contrib.select(self._nd.bucket_expr(
-                    F.col("event_type")).alias("b"))
-                .distinct().collect()})
+                .agg(F.sum("d").alias("d"))
+                .select("event_type", "d",
+                        self._nd.bucket_expr(F.col("event_type"))
+                        .alias("b"))
+                .collect())
+            nd_touched = sorted({r["b"] for r in contrib_rows})
+            contrib = self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(
+                    [(r["event_type"], r["d"]) for r in contrib_rows],
+                    1),
+                "event_type string, d long")
             if base is None:
                 nd_old = self.spark.createDataFrame([], self._ND_DDL)
             else:
@@ -179,8 +191,18 @@ class DistinctCountViewRunner:
                     (F.coalesce("nd", F.lit(0))
                      + F.coalesce("d", F.lit(0))).alias("nd"))
                 .where(F.col("nd") > 0))
-            self._nd.stage(batch_id, nd_new, nd_touched)
-            self._members.stage(batch_id, merged, touched)
+            # STAGE the two store writes concurrently (r13, guide
+            # §2.6: independent jobs overlap; the crash contract
+            # lives in publish order alone — state_store.stage)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_nd = ex.submit(self._nd.stage, batch_id, nd_new,
+                                 nd_touched)
+                f_mb = ex.submit(self._members.stage, batch_id,
+                                 merged, touched)
+                f_nd.result()
+                f_mb.result()
             # nd first, members (the commit gate) LAST
             self._nd.publish(batch_id, base, nd_touched)
             self._members.publish(batch_id, base, touched)

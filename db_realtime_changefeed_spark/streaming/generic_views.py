@@ -218,7 +218,7 @@ class GenericAggViewRunner:
         rows that themselves enter/update/leave (pure rank shifts
         from OTHER rows moving do not emit). O(k) driver work; each
         membership read is the index-pruned O(k + band) topk_at."""
-        from .views import _tiny_df
+        from .views import _tiny_write
 
         cur = self.topk_at(batch_id)
         if (self._topk_cache is not None
@@ -245,12 +245,9 @@ class GenericAggViewRunner:
             if u not in seen:
                 out.append((batch_id, u, "leave",
                             prev_off[u], None, v, None))
-        (
-            _tiny_df(self.spark, out, self._topk_ddl)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.topk_dir,
-                                  f"batch-{batch_id:05d}"))
-        )
+        _tiny_write(out, self._topk_ddl,
+                    os.path.join(self.topk_dir,
+                                 f"batch-{batch_id:05d}"))
         self._topk_cache = (batch_id, cur)
 
     def topk_log(self) -> DataFrame:

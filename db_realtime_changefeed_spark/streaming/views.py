@@ -116,6 +116,56 @@ def _tiny_df(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1), ddl)
 
 
+_PA_TYPES = None
+
+
+def _tiny_write(rows: list, ddl: str, path: str) -> None:
+    """Write O(k) driver-resident rows as one parquet file with
+    pyarrow — the durable-log twin of _tiny_df that skips the Spark
+    job entirely (r13, guide §1.2 "per-task work": even the
+    parallelize(rows, 1) route pays ~0.3 s of job scheduling per
+    tiny write; a driver-side arrow write is ~1 ms for the same
+    bytes). ONLY for rows already on the driver by design (top-k /
+    cohort deltas are O(k) by contract — the subscriber's answer,
+    not state). Overwrite-idempotent like the Spark write it
+    replaces: the batch dir is replaced atomically via a tmp dir.
+    Every reader of these logs supplies an explicit read schema, so
+    the file-level types below (int64/float64/string, all nullable)
+    round-trip identically to the Spark-written layout."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    global _PA_TYPES
+    if _PA_TYPES is None:
+        _PA_TYPES = {
+            "long": pa.int64(), "bigint": pa.int64(),
+            "double": pa.float64(), "string": pa.string(),
+            "int": pa.int32(), "boolean": pa.bool_(),
+        }
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        fields.append(pa.field(name, _PA_TYPES[typ.lower()]))
+    schema = pa.schema(fields)
+    cols = [
+        pa.array([r[i] for r in rows], type=f.type)
+        for i, f in enumerate(fields)
+    ]
+    tbl = pa.Table.from_arrays(cols, schema=schema)
+    parent = os.path.dirname(path) or "."
+    tmp = tempfile.mkdtemp(prefix=".tmp-tinywrite-", dir=parent)
+    try:
+        pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 class HashOrderedIndex(BucketedMvccState):
     """Secondary index ordered by KEY HASH: bucket = first hex
     nibble of md5(key) — 16 buckets that partition the hash order,
@@ -280,7 +330,15 @@ class MaintainedViewsRunner:
         ).cache()
         try:
             log_path = os.path.join(self.log_dir, f"batch-{batch_id:05d}")
-            merged.where("emit").select(
+            # the delta the views fold and the delta the log commits
+            # are the SAME relation, derived once from the cached
+            # `merged` (r13: the log write used to be a sequential
+            # job wave followed by a read-back of the same bytes —
+            # the folds now consume the in-memory twin while the log
+            # write is staged concurrently below; the written log is
+            # a deterministic projection of `merged`, so subscribers
+            # read exactly what the views folded)
+            delta = merged.where("emit").select(
                 "user_id",
                 F.col("log_old_value").alias("old_value"),
                 F.col("log_new_value").alias("new_value"),
@@ -288,12 +346,8 @@ class MaintainedViewsRunner:
                 F.col("log_new_eid").alias("new_event_id"),
                 F.col("log_old_type").alias("old_type"),
                 F.col("log_new_type").alias("new_type"),
-                F.lit(batch_id).alias("batch_id"),
-            ).write.mode("overwrite").parquet(log_path)
-            # the views fold the COMMITTED delta (read back from the
-            # log — the views see exactly what a subscriber would see)
-            delta = self.spark.read.schema(self._LOG_DDL) \
-                .parquet(log_path)
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
             t_agg, t_sup, t_idx, t_hx = self._fold_touched(delta)
             base_new = merged.select(
                 "user_id",
@@ -303,13 +357,15 @@ class MaintainedViewsRunner:
                 F.col("n_type").alias("event_type"),
                 F.col("n_del").alias("deleted"),
             )
-            # STAGE all five store writes CONCURRENTLY — every fold
-            # consumes the committed delta log (a tiny parquet read)
-            # or the cached `merged`, so the Spark jobs overlap
-            # instead of queueing. The crash-consistency contract
-            # lives in PUBLISH order alone (state_store.stage
-            # docstring): orphaned tmp dirs are invisible to every
-            # manifest.
+            # STAGE all five store writes AND the delta-log write
+            # CONCURRENTLY — every fold consumes the cached `merged`,
+            # so the Spark jobs overlap instead of queueing. The
+            # crash-consistency contract lives in PUBLISH order alone
+            # (state_store.stage docstring): orphaned tmp dirs are
+            # invisible to every manifest; a crash can leave a log
+            # dir for an uncommitted batch exactly as it could when
+            # the log write ran first — the retry overwrites that
+            # batch's own dir idempotently.
             from concurrent.futures import ThreadPoolExecutor
 
             stages = [
@@ -323,9 +379,12 @@ class MaintainedViewsRunner:
                  self._fold_hashidx(delta, base, t_hx), t_hx),
                 (self._base, base_new, touched),
             ]
-            with ThreadPoolExecutor(max_workers=5) as ex:
+            with ThreadPoolExecutor(max_workers=6) as ex:
                 futs = [ex.submit(st.stage, batch_id, df, tb)
                         for st, df, tb in stages]
+                futs.append(ex.submit(
+                    lambda: delta.write.mode("overwrite")
+                    .parquet(log_path)))
                 for f in futs:
                     f.result()
             # publish the view folds first (the top-k and cohort
@@ -334,8 +393,14 @@ class MaintainedViewsRunner:
             self._support.publish(batch_id, base, t_sup)
             self._index.publish(batch_id, base, t_idx)
             self._hashidx.publish(batch_id, base, t_hx)
-            self._refresh_topk(batch_id)  # idempotent per batch
-            self._refresh_sample(batch_id)
+            # the two O(k) refreshes read DISJOINT published stores
+            # (range index / hash index) and write disjoint logs —
+            # overlap them (guide §2.6: concurrent independent jobs)
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_topk = ex.submit(self._refresh_topk, batch_id)
+                f_smpl = ex.submit(self._refresh_sample, batch_id)
+                f_topk.result()
+                f_smpl.result()
             # the BASE publication is the batch's COMMIT POINT and
             # runs LAST: `_batches` (derived from base versions) then
             # implies every view fold for that batch is durable — a
@@ -579,11 +644,8 @@ class MaintainedViewsRunner:
             if u not in seen:
                 out.append((batch_id, u, "leave",
                             prev_off[u], None, v, None))
-        (
-            _tiny_df(self.spark, out, self._TOPK_DDL)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.topk_dir, f"batch-{batch_id:05d}"))
-        )
+        _tiny_write(out, self._TOPK_DDL,
+                    os.path.join(self.topk_dir, f"batch-{batch_id:05d}"))
         self._topk_cache = (batch_id, cur)
 
     # ---- run ----
@@ -607,13 +669,9 @@ class MaintainedViewsRunner:
             prev = set()
         out = [(batch_id, u, "enter") for u in sorted(cur - prev)]
         out += [(batch_id, u, "leave") for u in sorted(prev - cur)]
-        (
-            _tiny_df(self.spark, out,
-                     "batch_id long, user_id long, change string")
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.sample_dir,
-                                  f"batch-{batch_id:05d}"))
-        )
+        _tiny_write(out, "batch_id long, user_id long, change string",
+                    os.path.join(self.sample_dir,
+                                 f"batch-{batch_id:05d}"))
         self._sample_cache = (batch_id, cur)
 
     def _sample_at(self, batch_id: int) -> list:

@@ -42,6 +42,8 @@ def main() -> None:
         .master(f"local[{cpus}]")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{evdir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     # ride the rest of the bench session config
     import db_realtime_changefeed_spark.session as sess
@@ -103,29 +105,33 @@ def main() -> None:
     spark.stop()
 
     # parse event log for the LAST rep's window
-    evfile = os.path.join(evdir, app_id)
-    if not os.path.exists(evfile):
-        cand = [p for p in os.listdir(evdir) if p.startswith(app_id)]
-        if cand:
-            evfile = os.path.join(evdir, cand[0])
+    import glob as _glob
+
+    cands = (
+        [os.path.join(evdir, app_id)]
+        + _glob.glob(os.path.join(evdir, f"*{app_id}*", "events_*"))
+        + _glob.glob(os.path.join(evdir, f"*{app_id}*"))
+    )
+    evfiles = [p for p in cands if os.path.isfile(p)]
     jobs: dict[int, dict] = {}
-    with open(evfile) as fh:
-        for line in fh:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ev.get("Event") == "SparkListenerJobStart":
-                jobs[ev["Job ID"]] = {
-                    "start": ev["Submission Time"] / 1000.0,
-                    "desc": ev.get("Properties", {}).get(
-                        "spark.job.description", ""),
-                    "stages": len(ev.get("Stage IDs", [])),
-                }
-            elif ev.get("Event") == "SparkListenerJobEnd":
-                if ev["Job ID"] in jobs:
-                    jobs[ev["Job ID"]]["end"] = (
-                        ev["Completion Time"] / 1000.0)
+    for evfile in evfiles:
+        with open(evfile) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") == "SparkListenerJobStart":
+                    jobs[ev["Job ID"]] = {
+                        "start": ev["Submission Time"] / 1000.0,
+                        "desc": ev.get("Properties", {}).get(
+                            "spark.job.description", ""),
+                        "stages": len(ev.get("Stage IDs", [])),
+                    }
+                elif ev.get("Event") == "SparkListenerJobEnd":
+                    if ev["Job ID"] in jobs:
+                        jobs[ev["Job ID"]]["end"] = (
+                            ev["Completion Time"] / 1000.0)
 
     for rep, (dt, w0, w1) in enumerate(times):
         sel = sorted(
