@@ -39,6 +39,17 @@ def get_spark(app_name: str = "db-realtime-changefeed-spark",
         # same floor-truncation DuckDB applies (FIXTURES.md trap #1).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # r13 (guide §5 driver overhead): PySpark 4 wraps EVERY
+        # DataFrame/Column op with error-context capture — an
+        # inspect-stack walk plus ~4 py4j round trips
+        # (getActiveSession, conf.get, PySparkCurrentOrigin set /
+        # clear) per op, measured ~2-3 ms each → seconds per
+        # micro-batch in the plan-heavy IVM runners and a fixed tax
+        # on every query's plan construction. The flag only enriches
+        # error messages with user call sites; results and plans are
+        # identical. Overridable for debugging sessions.
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -189,21 +189,29 @@ class GenericAggViewRunner:
         only the maintained delta log is bound to self.k)."""
         if k is None:
             k = self.k
-        top = self._index.n_buckets - 1
-        lo = top
-        rows: list = []
-        while lo >= 0:
-            rows = (
-                self._index.df_at(batch_id,
-                                  buckets=list(range(lo, top + 1)))
-                .orderBy(F.col("value").desc_nulls_last(),
-                         F.col(self.seq).asc())
-                .limit(k)
-                .collect()
-            )
-            if len(rows) >= k:
+        # minimal suffix of POPULATED descending bands holding >= k
+        # rows, chosen from parquet footers and read in ONE Spark job
+        # (views.MaintainedViewsRunner._topk_at recipe, r13 — the
+        # widening loop paid one Spark job per empty/thin band).
+        counts = self._index.bucket_counts(batch_id)
+        sel: list[int] = []
+        cum = 0
+        for b in sorted(counts, reverse=True):
+            if counts[b] == 0:
+                continue
+            sel.append(b)
+            cum += counts[b]
+            if cum >= k:
                 break
-            lo -= 1
+        if not sel:
+            return []
+        rows = (
+            self._index.df_at(batch_id, buckets=sel)
+            .orderBy(F.col("value").desc_nulls_last(),
+                     F.col(self.seq).asc())
+            .limit(k)
+            .collect()
+        )
         return [(r[self.key], r["value"], r[self.seq]) for r in rows]
 
     def _refresh_topk(self, batch_id: int) -> None:

@@ -239,11 +239,14 @@ class MaintainedViewsRunner:
         self._last_batch: int | None = (
             max(self._base.versions()) if self._base.versions()
             else None)
-        # in-memory cache of the last refreshed top-k — a pure cache:
-        # (batch_id, rows). On miss (restart, retry) the membership
-        # is recomputed from the durable index, never trusted stale.
+        # in-memory cache of the last refreshed memberships — pure
+        # caches: (batch_id, ordered rows / ordered (hash, user)
+        # pairs). On miss (restart, retry) the membership is
+        # recomputed from the durable index, never trusted stale;
+        # when warm, the k-th entry is the next batch's incremental
+        # refresh threshold (_inc_topk / _inc_sample).
         self._topk_cache: tuple[int, list] | None = None
-        self._sample_cache: tuple[int, set] | None = None
+        self._sample_cache: tuple[int, list] | None = None
 
     @property
     def _batches(self) -> list[int]:
@@ -348,7 +351,19 @@ class MaintainedViewsRunner:
                 F.col("log_new_type").alias("new_type"),
                 F.lit(batch_id).cast("long").alias("batch_id"),
             )
-            t_agg, t_sup, t_idx, t_hx = self._fold_touched(delta)
+            # previous refresh memberships, taken ONLY when both
+            # caches sit exactly at batch-1 (a retry or restart
+            # leaves them stale → extras stay off → the refreshes
+            # fall back to reading the durable indexes)
+            tk_prev = sm_prev = None
+            if (self._topk_cache is not None
+                    and self._topk_cache[0] == batch_id - 1
+                    and self._sample_cache is not None
+                    and self._sample_cache[0] == batch_id - 1):
+                tk_prev = self._topk_cache[1]
+                sm_prev = self._sample_cache[1]
+            t_agg, t_sup, t_idx, t_hx, extras = self._fold_touched(
+                delta, tk_prev, sm_prev)
             base_new = merged.select(
                 "user_id",
                 F.col("n_ts").alias("ts"),
@@ -393,14 +408,26 @@ class MaintainedViewsRunner:
             self._support.publish(batch_id, base, t_sup)
             self._index.publish(batch_id, base, t_idx)
             self._hashidx.publish(batch_id, base, t_hx)
-            # the two O(k) refreshes read DISJOINT published stores
-            # (range index / hash index) and write disjoint logs —
-            # overlap them (guide §2.6: concurrent independent jobs)
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f_topk = ex.submit(self._refresh_topk, batch_id)
-                f_smpl = ex.submit(self._refresh_sample, batch_id)
-                f_topk.result()
-                f_smpl.result()
+            # the two O(k) refreshes: incremental driver-side when
+            # the fused fold_touched job shipped provably-complete
+            # candidate sets (r13 — zero extra Spark jobs on the
+            # warm path), else read the DISJOINT published stores
+            # (range index / hash index) concurrently (guide §2.6)
+            cur_tk = cur_sm = None
+            if extras is not None:
+                cur_tk = self._inc_topk(tk_prev, extras)
+                cur_sm = self._inc_sample(sm_prev, extras)
+            if cur_tk is not None and cur_sm is not None:
+                self._refresh_topk(batch_id, cur_tk)
+                self._refresh_sample(batch_id, cur_sm)
+            else:
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    f_topk = ex.submit(
+                        self._refresh_topk, batch_id, cur_tk)
+                    f_smpl = ex.submit(
+                        self._refresh_sample, batch_id, cur_sm)
+                    f_topk.result()
+                    f_smpl.result()
             # the BASE publication is the batch's COMMIT POINT and
             # runs LAST: `_batches` (derived from base versions) then
             # implies every view fold for that batch is durable — a
@@ -414,20 +441,33 @@ class MaintainedViewsRunner:
             winners.unpersist()
         self._last_batch = batch_id
 
-    def _fold_touched(self, delta: DataFrame):
+    def _fold_touched(self, delta: DataFrame,
+                      tk_prev: list | None = None,
+                      sm_prev: list | None = None):
         """ONE job computes the touched-bucket sets of all FOUR
         view stores (agg, support, range index, hash index) — a
         single driver round trip per batch instead of one
         distinct+collect action per store.  Everything returned is
         O(buckets) small ints (collect_set drops the NULLs that
-        invisible old/new sides produce)."""
+        invisible old/new sides produce).
+
+        r13: when the previous batch's top-k membership (`tk_prev`,
+        ordered rows) and cohort membership (`sm_prev`, ordered
+        (hash, user) pairs) are known, the SAME job also ships the
+        O(k) candidate sets the incremental refreshes need — the k
+        best additions at or above the old k-th threshold
+        (slice(sort_array(collect_list(...)), 1, k) keeps the driver
+        transfer O(k) even on a pathological batch) and the delta
+        users intersecting the previous memberships.  Returns
+        (t_agg, t_sup, t_idx, t_hx, extras) with extras=None when
+        the caches were cold."""
         has_old = F.col("old_event_id").isNotNull()
         has_new = F.col("new_event_id").isNotNull()
 
         def _side(expr, cond):
             return F.collect_set(F.when(cond, expr))
 
-        row = delta.agg(
+        aggs = [
             _side(self._agg.bucket_expr(F.col("old_type")), has_old)
             .alias("ao"),
             _side(self._agg.bucket_expr(F.col("new_type")), has_new)
@@ -444,13 +484,115 @@ class MaintainedViewsRunner:
                   has_new).alias("in"),
             F.collect_set(self._hashidx.bucket_expr(F.col("user_id")))
             .alias("hx"),
-        ).collect()[0]
+        ]
+        inc = tk_prev is not None and sm_prev is not None
+        if inc:
+            k = self.k
+            # top-k candidate additions: new-visible rows ranked at
+            # or above the previous k-th threshold (all additions
+            # when the previous membership was shorter than k — the
+            # state itself held < k rows, so it is complete)
+            if len(tk_prev) == k:
+                kv, ke = tk_prev[-1][1], tk_prev[-1][2]
+                if kv is None:
+                    cond_tk = has_new & (
+                        F.col("new_value").isNotNull()
+                        | (F.col("new_event_id") <= F.lit(ke)))
+                else:
+                    cond_tk = has_new & (F.col("new_value")
+                                         >= F.lit(float(kv)))
+            else:
+                cond_tk = has_new
+            nv_neg = F.when(F.col("new_value").isNotNull(),
+                            -F.col("new_value")) \
+                .otherwise(F.lit(float("inf")))
+            aggs.append(F.slice(F.sort_array(F.collect_list(
+                F.when(cond_tk, F.struct(
+                    nv_neg.alias("s"),
+                    F.col("new_event_id").alias("e"),
+                    F.col("user_id").alias("u"),
+                    F.col("new_value").alias("v"))))),
+                1, k).alias("tk_adds"))
+            # cohort candidate additions: visible users hashing at
+            # or below the previous k-th hash
+            h = F.md5(F.col("user_id").cast("string"))
+            if len(sm_prev) == k:
+                cond_sm = has_new & (h <= F.lit(sm_prev[-1][0]))
+            else:
+                cond_sm = has_new
+            aggs.append(F.slice(F.sort_array(F.collect_list(
+                F.when(cond_sm, F.struct(
+                    h.alias("h"),
+                    F.col("user_id").alias("u"))))),
+                1, k).alias("sm_adds"))
+            prev_users = sorted(
+                {r[0] for r in tk_prev} | {p[1] for p in sm_prev})
+            if prev_users:
+                aggs.append(F.collect_set(
+                    F.when(F.col("user_id").isin(prev_users),
+                           F.col("user_id"))).alias("pv"))
+        row = delta.agg(*aggs).collect()[0]
+        extras = None
+        if inc:
+            extras = {
+                "tk_adds": row["tk_adds"],
+                "sm_adds": row["sm_adds"],
+                "pv_touch": set(row["pv"]) if prev_users else set(),
+            }
         return (
             sorted(set(row["ao"]) | set(row["an"])),
             sorted(set(row["so"]) | set(row["sn"])),
             sorted(set(row["io"]) | set(row["in"])),
             sorted(row["hx"]),
+            extras,
         )
+
+    def _inc_topk(self, prev_rows: list, extras: dict) -> list | None:
+        """O(k) driver-side incremental top-k refresh.  The new
+        top-k is provably contained in C = (previous members not
+        touched by the delta) ∪ (the batch's best k additions at or
+        above the old threshold): every row hidden from both sets
+        belonged to the index at batch-1, missed the previous top-k,
+        and was untouched — so it ranks strictly below the previous
+        k-th row.  If the k-th best of C still ranks at or above the
+        previous k-th, no hidden row can enter and top-k(C) is the
+        exact answer; otherwise (members were deleted/demoted and
+        the additions did not compensate — the runner-up problem)
+        return None and let the caller fall back to the index read.
+        When the previous membership held fewer than k rows it WAS
+        the whole visible state, so C is complete unconditionally."""
+        touched = extras["pv_touch"]
+
+        def key(v, e):
+            return (1, 0.0, e) if v is None else (0, -v, e)
+
+        cand = [r for r in prev_rows if r[0] not in touched]
+        cand += [(a["u"], a["v"], a["e"]) for a in extras["tk_adds"]]
+        cand.sort(key=lambda r: key(r[1], r[2]))
+        if len(prev_rows) == self.k:
+            if len(cand) < self.k:
+                return None
+            kth = cand[self.k - 1]
+            if key(kth[1], kth[2]) > key(prev_rows[-1][1],
+                                         prev_rows[-1][2]):
+                return None
+        return cand[:self.k]
+
+    def _inc_sample(self, prev_pairs: list,
+                    extras: dict) -> list | None:
+        """The ascending-(hash, user) twin of _inc_topk for the
+        holdout cohort; same containment argument, same fallback
+        contract."""
+        touched = extras["pv_touch"]
+        cand = [p for p in prev_pairs if p[1] not in touched]
+        cand += [(a["h"], a["u"]) for a in extras["sm_adds"]]
+        cand.sort()
+        if len(prev_pairs) == self.k:
+            if len(cand) < self.k:
+                return None
+            if cand[self.k - 1] > prev_pairs[-1]:
+                return None
+        return cand[:self.k]
 
     # ---- view folds (delta-only; no base-table re-read) ----
     @staticmethod
@@ -560,22 +702,36 @@ class MaintainedViewsRunner:
         what an index-less engine would do (equivalence pinned by
         tests/test_views.py::test_range_index_equals_base_state_rows
         plus the trajectory oracle)."""
-        top = self._index.n_buckets - 1
-        lo = top
-        rows: list = []
-        while lo >= 0:
-            rows = (
-                self._index.df_at(batch_id,
-                                  buckets=list(range(lo, top + 1)))
-                .orderBy(F.col("value").desc_nulls_last(),
-                         F.col("event_id").asc())
-                .limit(self.k)
-                .select("user_id", "value", "event_id")
-                .collect()
-            )
-            if len(rows) >= self.k:
+        # band selection from parquet footers (bucket_counts): the
+        # minimal suffix of POPULATED descending bands holding >= k
+        # rows, read in ONE Spark job. The r12 widening loop re-read
+        # bands [lo..top] one extra Spark job per step — and with the
+        # fixture's values concentrated in the low bands, every
+        # refresh walked 4-6 empty/thin bands first (r13, guide §1.2:
+        # per-job scheduling dominated the O(k) read).  Row windows
+        # are equivalent: every unread band is strictly worse than
+        # everything read, so top-k of the selected bands is top-k of
+        # the whole state.
+        counts = self._index.bucket_counts(batch_id)
+        sel: list[int] = []
+        cum = 0
+        for b in sorted(counts, reverse=True):
+            if counts[b] == 0:
+                continue
+            sel.append(b)
+            cum += counts[b]
+            if cum >= self.k:
                 break
-            lo -= 1
+        if not sel:
+            return []
+        rows = (
+            self._index.df_at(batch_id, buckets=sel)
+            .orderBy(F.col("value").desc_nulls_last(),
+                     F.col("event_id").asc())
+            .limit(self.k)
+            .select("user_id", "value", "event_id")
+            .collect()
+        )
         return [(r["user_id"], r["value"], r["event_id"]) for r in rows]
 
     def _fold_hashidx(self, delta: DataFrame,
@@ -596,7 +752,8 @@ class MaintainedViewsRunner:
         return old.join(keys, "user_id", "anti") \
             .unionByName(additions)
 
-    def _refresh_topk(self, batch_id: int) -> None:
+    def _refresh_topk(self, batch_id: int,
+                      cur: list | None = None) -> None:
         """Emit this batch's enter/leave/update deltas to the durable
         top-k log (parquet, one file per batch, OVERWRITTEN on a
         retry — idempotent).  The previous membership comes from the
@@ -613,8 +770,13 @@ class MaintainedViewsRunner:
         consumer needing full positional fidelity can reconstruct
         every position from the emitted offsets because the lists are
         totally ordered (value DESC, event_id ASC) and enter/leave
-        rows carry the insertion/removal points."""
-        cur = self._topk_at(batch_id)
+        rows carry the insertion/removal points.
+
+        `cur`: membership already computed incrementally on the
+        driver (_inc_topk — O(k), no Spark job); None reads the
+        durable index."""
+        if cur is None:
+            cur = self._topk_at(batch_id)
         if (self._topk_cache is not None
                 and self._topk_cache[0] == batch_id - 1):
             prev_rows = self._topk_cache[1]
@@ -649,19 +811,27 @@ class MaintainedViewsRunner:
         self._topk_cache = (batch_id, cur)
 
     # ---- run ----
-    def _refresh_sample(self, batch_id: int) -> None:
+    def _refresh_sample(self, batch_id: int,
+                        cur_pairs: list | None = None) -> None:
         """Maintained HOLDOUT COHORT — the k visible users smallest
         by md5(user_id): a deterministic uniform key sample that is
         STABLE under churn (a member's row updates never move it;
         membership changes only when a member is deleted or a
         smaller-hash user appears), which is exactly the stable
         A/B-holdout contract.  Same durable per-batch parquet log
-        and O(k) driver shape as the top-k view."""
-        cur_rows = self._sample_at(batch_id)
-        cur = {r["user_id"] for r in cur_rows}
+        and O(k) driver shape as the top-k view.
+
+        `cur_pairs`: ordered (hash, user) membership already computed
+        incrementally on the driver (_inc_sample); None reads the
+        durable hash index.  The cache holds the ordered pairs (the
+        k-th hash is the next batch's incremental threshold)."""
+        if cur_pairs is None:
+            cur_pairs = [(r["h"], r["user_id"])
+                         for r in self._sample_at(batch_id)]
+        cur = {u for _h, u in cur_pairs}
         if (self._sample_cache is not None
                 and self._sample_cache[0] == batch_id - 1):
-            prev = self._sample_cache[1]
+            prev = {u for _h, u in self._sample_cache[1]}
         elif batch_id > 0:
             prev = {r["user_id"]
                     for r in self._sample_at(batch_id - 1)}
@@ -672,7 +842,7 @@ class MaintainedViewsRunner:
         _tiny_write(out, "batch_id long, user_id long, change string",
                     os.path.join(self.sample_dir,
                                  f"batch-{batch_id:05d}"))
-        self._sample_cache = (batch_id, cur)
+        self._sample_cache = (batch_id, cur_pairs)
 
     def _sample_at(self, batch_id: int) -> list:
         """The k smallest-by-hash visible keys, read from the
@@ -680,23 +850,31 @@ class MaintainedViewsRunner:
         they hold >= k keys — every unread bucket is strictly larger
         in hash order, so the read touches O(k + bucket) keys (the
         cohort twin of the top-k band read)."""
-        hi = 0
-        rows: list = []
-        while hi < self._hashidx.n_buckets:
-            rows = (
-                self._hashidx.df_at(batch_id,
-                                    buckets=list(range(0, hi + 1)))
-                .select("user_id",
-                        F.md5(F.col("user_id").cast("string"))
-                        .alias("h"))
-                .orderBy("h", "user_id")
-                .limit(self.k)
-                .collect()
-            )
-            if len(rows) >= self.k:
+        # minimal PREFIX of populated ascending hash buckets holding
+        # >= k keys, selected from parquet footers and read in ONE
+        # Spark job (the ascending twin of the _topk_at band pick;
+        # every unread bucket is strictly larger in hash order).
+        counts = self._hashidx.bucket_counts(batch_id)
+        sel: list[int] = []
+        cum = 0
+        for b in sorted(counts):
+            if counts[b] == 0:
+                continue
+            sel.append(b)
+            cum += counts[b]
+            if cum >= self.k:
                 break
-            hi += 1
-        return rows
+        if not sel:
+            return []
+        return (
+            self._hashidx.df_at(batch_id, buckets=sel)
+            .select("user_id",
+                    F.md5(F.col("user_id").cast("string"))
+                    .alias("h"))
+            .orderBy("h", "user_id")
+            .limit(self.k)
+            .collect()
+        )
 
     def sample_log(self) -> DataFrame:
         ddl = "batch_id long, user_id long, change string"

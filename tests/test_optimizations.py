@@ -101,3 +101,98 @@ def test_scratch_base_default_is_writable():
     with open(os.path.join(d, "probe"), "w") as f:
         f.write("ok")
 
+
+
+# ---- r13: incremental O(k) top-k / cohort refresh decisions ----
+# (views.MaintainedViewsRunner._inc_topk / _inc_sample). The
+# trajectory identity of the logs themselves is certified by the
+# oracle sweeps (changefeed_topk_view / _topk_offsets /
+# _sample_cohort); these pin the DECISION rule — in particular that
+# the runner-up ambiguity falls back rather than guessing.
+
+
+class _IncViews:
+    """Bare carrier for the decision methods (no Spark needed)."""
+
+    k = 3
+    _inc_topk = __import__(
+        "db_realtime_changefeed_spark.streaming.views",
+        fromlist=["MaintainedViewsRunner"],
+    ).MaintainedViewsRunner._inc_topk
+    _inc_sample = __import__(
+        "db_realtime_changefeed_spark.streaming.views",
+        fromlist=["MaintainedViewsRunner"],
+    ).MaintainedViewsRunner._inc_sample
+
+
+def _extras(tk_adds=(), sm_adds=(), touched=()):
+    return {
+        "tk_adds": [{"u": u, "v": v, "e": e} for u, v, e in tk_adds],
+        "sm_adds": [{"h": h, "u": u} for h, u in sm_adds],
+        "pv_touch": set(touched),
+    }
+
+
+def test_inc_topk_untouched_prev_passes_through():
+    r = _IncViews()
+    prev = [(1, 30.0, 10), (2, 20.0, 11), (3, 10.0, 12)]
+    assert r._inc_topk(prev, _extras()) == prev
+
+
+def test_inc_topk_addition_above_threshold_enters():
+    r = _IncViews()
+    prev = [(1, 30.0, 10), (2, 20.0, 11), (3, 10.0, 12)]
+    got = r._inc_topk(prev, _extras(tk_adds=[(9, 25.0, 13)]))
+    assert got == [(1, 30.0, 10), (9, 25.0, 13), (2, 20.0, 11)]
+
+
+def test_inc_topk_member_update_keeps_membership():
+    r = _IncViews()
+    prev = [(1, 30.0, 10), (2, 20.0, 11), (3, 10.0, 12)]
+    got = r._inc_topk(
+        prev, _extras(tk_adds=[(2, 40.0, 13)], touched=[2]))
+    assert got == [(2, 40.0, 13), (1, 30.0, 10), (3, 10.0, 12)]
+
+
+def test_inc_topk_member_delete_without_replacement_falls_back():
+    r = _IncViews()
+    prev = [(1, 30.0, 10), (2, 20.0, 11), (3, 10.0, 12)]
+    # member 3 deleted, no addition at/above the old threshold:
+    # the runner-up is invisible to the candidate set -> None
+    assert r._inc_topk(prev, _extras(touched=[3])) is None
+
+
+def test_inc_topk_kth_below_old_threshold_falls_back():
+    r = _IncViews()
+    prev = [(1, 30.0, 10), (2, 20.0, 11), (3, 10.0, 12)]
+    # member 3's row demoted below the old k-th: a hidden runner-up
+    # between 5.0 and 10.0 could outrank the new k-th -> None
+    got = r._inc_topk(
+        prev, _extras(tk_adds=[(3, 5.0, 13)], touched=[3]))
+    assert got is None
+
+
+def test_inc_topk_short_prev_is_complete_state():
+    r = _IncViews()
+    # previous membership < k == the whole visible state: no hidden
+    # rows exist, so any churn decides incrementally — here member 1
+    # is deleted (touched, no new row) while user 2 arrives
+    prev = [(1, 30.0, 10)]
+    got = r._inc_topk(
+        prev, _extras(tk_adds=[(2, 5.0, 13)], touched=[1]))
+    assert got == [(2, 5.0, 13)]
+    # and an untouched short membership simply gains the arrival
+    got = r._inc_topk(prev, _extras(tk_adds=[(2, 5.0, 13)]))
+    assert got == [(1, 30.0, 10), (2, 5.0, 13)]
+
+
+def test_inc_sample_rules_mirror_topk():
+    r = _IncViews()
+    prev = [("0a", 1), ("0b", 2), ("0c", 3)]
+    # untouched passes through
+    assert r._inc_sample(prev, _extras()) == prev
+    # smaller-hash arrival enters, old k-th leaves
+    got = r._inc_sample(prev, _extras(sm_adds=[("00", 9)]))
+    assert got == [("00", 9), ("0a", 1), ("0b", 2)]
+    # member deletion without replacement -> fallback
+    assert r._inc_sample(prev, _extras(touched=[2])) is None

@@ -610,7 +610,7 @@ def test_fused_touched_sets_match_per_store_computation(
     r = _runner(spark, sf_smoke)
     last = max(r._batches)
     delta = r.delta_log().where(F.col("batch_id") == last)
-    t_agg, t_sup, t_idx, t_hx = r._fold_touched(delta)
+    t_agg, t_sup, t_idx, t_hx, _extras = r._fold_touched(delta)
     agg_want = sorted({
         row[0] for side, cond in (("old", "old_event_id"),
                                   ("new", "new_event_id"))
