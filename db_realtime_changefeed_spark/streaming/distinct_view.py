@@ -119,6 +119,7 @@ class DistinctCountViewRunner:
             .groupBy("event_type", "user_id")
             .agg(F.count(F.lit(1)).alias("d_cnt"))
             .persist())
+        kept = None
         try:
             # touched member buckets: one tiny collect of small ints
             touched = sorted({
@@ -136,16 +137,30 @@ class DistinctCountViewRunner:
                 old = self.spark.createDataFrame([], self._MEMBER_DDL)
             else:
                 old = self._members.df_at(base, buckets=touched)
-            del_users = errs.select("user_id")
+            # broadcast the O(|batch deletes|) side (guide §3.1 —
+            # batch-bounded, never state-sized): the retraction
+            # semi/anti joins become single-stage BroadcastHashJoins
+            # over the pruned member read instead of 8-partition
+            # sort-merge exchanges
+            del_users = F.broadcast(errs.select("user_id"))
             # leaves: every live pair of a deleted member retracts
             dropped = old.join(del_users, "user_id", "semi")
-            kept = old.join(del_users, "user_id", "anti")
+            # kept feeds BOTH the merged write and the enters fold —
+            # persist it so the contrib collect below materializes it
+            # once and the staged members write reads the cache
+            # (r13: the stage job used to re-run the whole join DAG)
+            kept = old.join(del_users, "user_id", "anti").persist()
+            # merged as UNION + one grouped sum instead of a full
+            # outer join (guide §2.2 — same result by construction:
+            # a pair appears in kept, adds, or both, and the summed
+            # cnt equals the coalesced cnt + d_cnt of the join form),
+            # dropping the join's paired exchanges and sorts
             merged = (
-                kept.join(adds, ["event_type", "user_id"], "full")
-                .select(
-                    "event_type", "user_id",
-                    (F.coalesce("cnt", F.lit(0))
-                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"))
+                kept.unionByName(
+                    adds.select("event_type", "user_id",
+                                F.col("d_cnt").alias("cnt")))
+                .groupBy("event_type", "user_id")
+                .agg(F.sum("cnt").alias("cnt"))
             )
             # membership deltas -> nd fold: enter = an added pair with
             # no surviving prior row (covers both brand-new pairs and
@@ -184,12 +199,15 @@ class DistinctCountViewRunner:
                 nd_old = self.spark.createDataFrame([], self._ND_DDL)
             else:
                 nd_old = self._nd.df_at(base, buckets=nd_touched)
+            # union + grouped sum for the same reason as `merged`
+            # above (a full outer join of two O(groups) relations
+            # cost paired exchanges; the summed fold is identical)
             nd_new = (
-                nd_old.join(contrib, "event_type", "full")
-                .select(
-                    "event_type",
-                    (F.coalesce("nd", F.lit(0))
-                     + F.coalesce("d", F.lit(0))).alias("nd"))
+                nd_old.unionByName(
+                    contrib.select("event_type",
+                                   F.col("d").alias("nd")))
+                .groupBy("event_type")
+                .agg(F.sum("nd").alias("nd"))
                 .where(F.col("nd") > 0))
             # STAGE the two store writes concurrently (r13, guide
             # §2.6: independent jobs overlap; the crash contract
@@ -209,6 +227,8 @@ class DistinctCountViewRunner:
         finally:
             adds.unpersist()
             errs.unpersist()
+            if kept is not None:
+                kept.unpersist()
 
     def run(self, n_chunks: int | None = None) -> None:
         chunks = build_replay_chunks(self.spark, self.sf_dir, n_chunks)

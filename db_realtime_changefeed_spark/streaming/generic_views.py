@@ -457,25 +457,28 @@ class GenericAggViewRunner:
                 F.lit(1).alias("d_cnt"),
                 F.coalesce(F.col("new_value"), F.lit(0.0))
                 .cast(_DEC).alias("d_sum"))
-            contrib = (
-                minus.unionByName(plus).groupBy(g)
-                .agg(F.sum("d_cnt").alias("d_cnt"),
-                     F.sum("d_sum").cast(_DEC).alias("d_sum")))
+            # RAW ± rows — the grouped sum below folds them with the
+            # old slice in ONE exchange (map-side partial aggregation
+            # combines them first, so shuffled bytes are unchanged;
+            # the r12 pre-aggregation paid its own exchange)
+            contrib = minus.unionByName(plus)
             if base is None:
                 g_old = self.spark.createDataFrame([], self._agg_ddl)
             else:
                 g_old = self._agg.df_at(base, buckets=g_touched)
+            # union + grouped sum instead of a full outer join (r13,
+            # the views.py _fold_agg rewrite — exact same fold: a
+            # group appears in old, contrib, or both, and the summed
+            # result equals the coalesced join result)
             g_new = (
-                g_old.join(contrib, g, "full")
-                .select(
+                g_old.unionByName(contrib.select(
                     g,
-                    (F.coalesce("cnt", F.lit(0))
-                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
-                    (F.coalesce(F.col("sum_value"),
-                                F.lit(0).cast(_DEC))
-                     + F.coalesce(F.col("d_sum"),
-                                  F.lit(0).cast(_DEC)))
-                    .cast(_DEC).alias("sum_value"))
+                    F.col("d_cnt").alias("cnt"),
+                    F.col("d_sum").alias("sum_value")))
+                .groupBy(g)
+                .agg(F.sum("cnt").alias("cnt"),
+                     F.sum("sum_value").cast(_DEC)
+                     .alias("sum_value"))
                 .where(F.col("cnt") > 0))
             # generic SUPPORT relation (group, value) -> multiplicity
             # — the non-distributive half of the library (min/max/
@@ -489,20 +492,18 @@ class GenericAggViewRunner:
                 F.col("new_group").alias(g),
                 F.col("new_value").alias(v),
                 F.lit(1).alias("d_cnt"))
-            s_contrib = (
-                s_minus.unionByName(s_plus).groupBy(g, v)
-                .agg(F.sum("d_cnt").alias("d_cnt")))
+            s_contrib = s_minus.unionByName(s_plus)
             if base is None:
                 s_old = self.spark.createDataFrame(
                     [], self._support_ddl)
             else:
                 s_old = self._support.df_at(base, buckets=s_touched)
+            # union + grouped sum, same equivalence as g_new
             s_new = (
-                s_old.join(s_contrib, [g, v], "full")
-                .select(
-                    g, v,
-                    (F.coalesce("cnt", F.lit(0))
-                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"))
+                s_old.unionByName(s_contrib.select(
+                    g, v, F.col("d_cnt").alias("cnt")))
+                .groupBy(g, v)
+                .agg(F.sum("cnt").alias("cnt"))
                 .where(F.col("cnt") > 0))
             base_new = merged.select(
                 k,

@@ -599,9 +599,15 @@ class MaintainedViewsRunner:
     def _contributions(delta: DataFrame, group_cols: list[str],
                        old_side: list, new_side: list) -> DataFrame:
         """Retraction algebra: -1/-old for the visible old row,
-        +1/+new for the visible new row, unioned then pre-aggregated
-        per group — the only shuffle is |delta| rows on the group
-        key."""
+        +1/+new for the visible new row, returned as RAW ± rows —
+        the caller unions them with the old store slice and folds
+        EVERYTHING in one grouped sum (r13: the pre-aggregation here
+        paid its own exchange before the fold's; map-side partial
+        aggregation already combines the ± rows before the single
+        remaining shuffle, so the shuffled bytes are unchanged).
+        `group_cols` kept for signature clarity (the caller groups
+        on them)."""
+        del group_cols  # grouping happens in the caller's fold
         minus = delta.where(F.col("old_event_id").isNotNull()).select(
             *old_side,
             F.lit(-1).alias("d_cnt"),
@@ -614,12 +620,7 @@ class MaintainedViewsRunner:
             F.coalesce(F.col("new_value"), F.lit(0.0)).cast(_DEC)
             .alias("d_sum"),
         )
-        return (
-            minus.unionByName(plus)
-            .groupBy(*group_cols)
-            .agg(F.sum("d_cnt").alias("d_cnt"),
-                 F.sum("d_sum").cast(_DEC).alias("d_sum"))
-        )
+        return minus.unionByName(plus)
 
     def _fold_agg(self, delta: DataFrame,
                   base: int | None, touched: list[int]) -> DataFrame:
@@ -635,16 +636,18 @@ class MaintainedViewsRunner:
             old = self.spark.createDataFrame([], self._AGG_DDL)
         else:
             old = self._agg.df_at(base, buckets=touched)
+        # union + grouped sum instead of a full outer join (r13,
+        # guide §2.2): a group appears in old, contrib, or both, and
+        # the summed fold equals the coalesced join fold exactly —
+        # without the join's paired exchanges and sorts
         return (
-            old.join(contrib, "event_type", "full")
-            .select(
+            old.unionByName(contrib.select(
                 "event_type",
-                (F.coalesce("cnt", F.lit(0))
-                 + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
-                (F.coalesce(F.col("sum_value"), F.lit(0).cast(_DEC))
-                 + F.coalesce(F.col("d_sum"), F.lit(0).cast(_DEC)))
-                .cast(_DEC).alias("sum_value"),
-            )
+                F.col("d_cnt").alias("cnt"),
+                F.col("d_sum").alias("sum_value")))
+            .groupBy("event_type")
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.sum("sum_value").cast(_DEC).alias("sum_value"))
             .where(F.col("cnt") > 0)
         )
 
@@ -662,13 +665,13 @@ class MaintainedViewsRunner:
             old = self.spark.createDataFrame([], self._SUPPORT_DDL)
         else:
             old = self._support.df_at(base, buckets=touched)
+        # union + grouped sum for the same reason as _fold_agg
         return (
-            old.join(contrib, ["event_type", "value"], "full")
-            .select(
+            old.unionByName(contrib.select(
                 "event_type", "value",
-                (F.coalesce("cnt", F.lit(0))
-                 + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
-            )
+                F.col("d_cnt").alias("cnt")))
+            .groupBy("event_type", "value")
+            .agg(F.sum("cnt").alias("cnt"))
             .where(F.col("cnt") > 0)
         )
 
@@ -1257,17 +1260,17 @@ class DeltaJoinViewRunner:
                 g_old = self.spark.createDataFrame([], self._G_DDL)
             else:
                 g_old = self._g.df_at(base, buckets=g_touched)
+            # union + grouped sum (the _fold_agg rewrite, same
+            # exact-equivalence argument) instead of a full join
             g_new = (
-                g_old.join(contrib, "band", "full")
-                .select(
+                g_old.unionByName(contrib.select(
                     "band",
-                    (F.coalesce("cnt", F.lit(0))
-                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
-                    (F.coalesce(F.col("sum_purchase"),
-                                F.lit(0).cast(_DEC))
-                     + F.coalesce(F.col("d_sum"), F.lit(0).cast(_DEC)))
-                    .cast(_DEC).alias("sum_purchase"),
-                )
+                    F.col("d_cnt").alias("cnt"),
+                    F.col("d_sum").alias("sum_purchase")))
+                .groupBy("band")
+                .agg(F.sum("cnt").alias("cnt"),
+                     F.sum("sum_purchase").cast(_DEC)
+                     .alias("sum_purchase"))
                 .where(F.col("cnt") > 0)
             )
             # stage the cascade and view writes concurrently; the
