@@ -55,16 +55,23 @@ def test_every_query_runs_or_has_oracle():
     }, f"unexpected rows-only set: {sorted(rows_only)}"
 
 
-def test_no_complex_typed_output_columns(spark, sf_smoke):
+def test_no_complex_typed_output_columns(spark, sf_oracle):
     """The driver's pandas canonicalizer cannot sort array/map/struct
     cells (round-1 fn_array/fn_map FAILs; agg_collect caught by
     tools/driver_sweep.py in round 2). Ban complex types from EVERY
-    graded output schema permanently."""
+    graded output schema permanently.
+
+    Runs at sf_oracle, NOT sf_smoke (r14): output schemas are
+    SF-independent, and the memoized streaming runners are keyed on
+    (session, sf_dir) — at sf_oracle this test rides the replays the
+    parity suite already ran instead of re-running every streaming
+    pipeline a second time at sf0.001 (measured: 497 s -> the
+    non-memoized remainder)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = {}
     for name, fn in all_queries().items():
-        schema = fn(spark, sf_smoke).schema
+        schema = fn(spark, sf_oracle).schema
         complex_cols = [
             f.name for f in schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
