@@ -592,28 +592,39 @@ def graph_kcore(spark, sf_dir):
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    und = pairs.select(F.col("u").alias("node"),
-                       F.col("v").alias("other")).unionAll(
-        pairs.select(F.col("v").alias("node"),
-                     F.col("u").alias("other")))
-    alive = pairs.select(F.col("u").alias("node")).unionAll(
-        pairs.select(F.col("v").alias("node"))).distinct() \
-        .localCheckpoint()
+    # r14: lazy localCheckpoint + count fuses the per-round
+    # materialize-and-measure into ONE job (the eager form paid a
+    # checkpoint job AND a count job per round), and the peel runs
+    # on the HALF-SIZE directed pair list instead of the doubled
+    # undirected relation: an edge is alive iff both endpoints are,
+    # so two semi joins against the SAME checkpointed alive set
+    # (identical build subtrees -> AQE reuses one broadcast build
+    # per round where the old union form built four — the union
+    # pushed both semi joins into each arm) followed by an explode
+    # of the surviving (u, v) pairs gives the identical per-node
+    # degree. Guide §2.4 (remove exchanges), §2.6 (fewer jobs per
+    # iteration); before/after job audit in OPTIMIZATION_r14.md.
+    alive = (pairs.select(F.col("u").alias("node")).unionAll(
+        pairs.select(F.col("v").alias("node"))).distinct()
+        .localCheckpoint(eager=False))
     rounds = [alive]
-    prev_n = alive.count()
+    prev_n = alive.count()  # triggers + truncates in the same job
     for _ in range(_KC_ROUNDS):
         prev = rounds[-1]
+        live = (
+            pairs.join(prev, F.col("u") == prev["node"], "semi")
+            .join(prev, F.col("v") == prev["node"], "semi")
+        )
         deg = (
-            und.join(prev, "node", "semi")
-            .join(prev.select(F.col("node").alias("other")),
-                  "other", "semi")
+            live.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
         )
-        # eager localCheckpoint = materialize + TRUNCATE LINEAGE
-        # (prev appears twice per round; without the cut the plan
-        # doubles every round and planning OOMs)
+        # lazy localCheckpoint: the count() below materializes the
+        # alive set AND truncates lineage in one job (prev appears
+        # twice per round; without the cut the plan doubles every
+        # round and planning OOMs)
         nxt = (deg.where(F.col("deg") >= _KC_K).select("node")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         n = nxt.count()
         if n == prev_n:
             # FIXPOINT: alive sets only ever shrink, so equal count
