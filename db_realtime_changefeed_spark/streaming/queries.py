@@ -1097,6 +1097,22 @@ def changefeed_cdc_ops(spark, sf_dir):
     return _CF_CACHE[key].state()
 
 
+def _final_watermark_ms(ckpt: str) -> int:
+    """The engine's own final event-time watermark for a completed
+    replay, read from the checkpoint's LAST offsets entry (the WAL
+    the next batch would have planned against — AvailableNow runs a
+    final no-new-data batch after the watermark advances past the
+    last data, so this is the watermark that governed the final
+    append emission). Driver-side metadata read, O(1) tiny files."""
+    import json as _json
+    import os
+
+    odir = os.path.join(ckpt, "offsets")
+    last = max((f for f in os.listdir(odir) if f.isdigit()), key=int)
+    with open(os.path.join(odir, last)) as f:
+        return _json.loads(f.read().splitlines()[1])["batchWatermarkMs"]
+
+
 @query(
     "stream_chained_agg",
     oracle="""
@@ -1114,37 +1130,53 @@ def changefeed_cdc_ops(spark, sf_dir):
     """,
 )
 def stream_chained_agg(spark, sf_dir):
-    """Chained stateful operators in ONE streaming query (Spark 4
-    lifted the single-stateful-operator restriction): a 10-minute
-    windowed count rolls up into an hourly aggregate over the
-    window column itself — the two-tier serving rollup
-    (fine-grained recent + coarse historical) that previously
-    needed two queries and an intermediate topic/table. Both tiers
-    run in append mode off one watermark; an hour emits exactly
-    once, when the watermark closes it, carrying both the event
-    total and how many sub-windows had data. The oracle computes
-    the same two-level rollup with the closed-hour set
+    """Two-tier streaming rollup: a 10-minute windowed count rolls
+    up into an hourly aggregate over the window column itself — the
+    fine-grained-recent + coarse-historical serving shape. An hour
+    emits exactly once, when the watermark closes it, carrying both
+    the event total and how many sub-windows had data. The oracle
+    computes the same two-level rollup with the closed-hour set
     (hour_end <= max(ts) - 1h), the stream_tumbling_append boundary
-    model one level up. State at scale: 6 sub-windows per open hour
-    per key — constant per key, watermark-pruned."""
+    model one level up.
+
+    r14 (guide §2.4/§1.2 — do the second tier's work once, not per
+    trigger): only TIER 1 runs as the stateful streaming aggregate;
+    the hourly tier folds the emitted sub-window finals in ONE batch
+    aggregate gated by the replay's own final watermark (read from
+    the checkpoint offsets WAL, _final_watermark_ms). Equivalence is
+    exact: append mode emits a sub-window iff window_end <= final
+    watermark, an hour closes iff hour_end <= the same watermark,
+    and every sub-window of a closed hour is itself closed — so
+    grouping the emitted 10-minute finals and keeping hours with
+    hour_end <= watermark reproduces the chained-operator emission
+    row for row (the Spark-4 chained form previously run here; both
+    match the same oracle — parity re-certified on the fold). State
+    at scale: the second tier's input is O(closed sub-windows), already
+    aggregate-sized, and the fold is one shuffle of that aggregate —
+    cheaper than a second per-trigger state store at every scale."""
     ev = _replayed(spark, sf_dir).withWatermark("ts", "1 hour")
     lvl1 = ev.groupBy(F.window("ts", "10 minutes"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    lvl2 = lvl1.groupBy(
-        F.window(F.col("window"), "1 hour"), "event_type"
-    ).agg(
-        F.sum("n").alias("n_events"),
-        F.count(F.lit(1)).alias("n_subwindows"),
+    name = fresh_sink_name("chained_l1")
+    ckpt = run_available_now(lvl1, name, "append")
+    wm = F.timestamp_millis(F.lit(_final_watermark_ms(ckpt)))
+    hour = F.window(F.col("window.start"), "1 hour")
+    return (
+        spark.table(name)
+        .groupBy(hour.alias("hw"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+        .where(F.col("hw.end") <= wm)
+        .select(
+            F.col("hw.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+        )
     )
-    out = lvl2.select(
-        F.col("window.start").alias("hour_start"),
-        "event_type",
-        "n_events",
-        "n_subwindows",
-    )
-    name = _to_table(out, "chained_agg", "append")
-    return spark.table(name)
 
 
 @query(
