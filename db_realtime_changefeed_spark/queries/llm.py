@@ -318,23 +318,38 @@ def llm_dedup_simhash(spark, sf_dir):
     whole fingerprint is cross-engine exact, unlike the previous
     xxhash64 family. Pure integer Catalyst expressions; one explode +
     one groupBy at any scale."""
+    return _simhash_unordered(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_unordered(spark, sf_dir):
+    """The simhash relation without the presentation ORDER BY, shared
+    with consumers that re-sort anyway (llm_simhash_hamming_knn).
+
+    r14 (guide §2.2 — shuffle fewer stages, not just fewer bytes):
+    the oracle's count-weighted sum over DISTINCT (doc_id, word)
+    pairs equals the plain signed sum over word OCCURRENCES
+    (sum_w cnt(w)·sign(w) == sum_occ sign(w), exact integers), so the
+    intermediate groupBy(doc_id, w) — one full-width shuffle of the
+    exploded words plus two aggregate stages — is dropped and the 32
+    bit-sums fold straight off the explode. Plan: 3 Exchanges -> 2
+    per fingerprint arm; md5 is computed once per occurrence (CSE
+    across the 32 CASE branches), same as before per surviving row."""
     d = _rebalanced(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     hexd = F.md5(F.col("w").cast("binary"))
     odd_digits = ["1", "3", "5", "7", "9", "b", "d", "f"]
-    bit_sums = wc.groupBy("doc_id").agg(
+    bit_sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
                     F.substring(hexd, i + 1, 1).isin(*odd_digits),
-                    F.col("cnt"),
-                ).otherwise(-F.col("cnt"))
+                    F.lit(1),
+                ).otherwise(-1)
             ).alias(f"b{i}".format(i=i))
             for i in range(32)
         ]
     )
-    sim = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
             [
@@ -345,7 +360,6 @@ def llm_dedup_simhash(spark, sf_dir):
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    return sim.orderBy("doc_id")
 
 
 def _banded_jaccard_pairs(spark, sf_dir):

@@ -599,10 +599,19 @@ def llm_simhash_hamming_knn(spark, sf_dir):
     exchanges / 20 scan-mentions; this form posts via one inline
     explode and needs no rerank join at all). Collisions on several
     bands dedup by (qid, did) before the top-k window. The rerank
-    is XOR+bit_count — integer-exact in both engines."""
-    from .llm import llm_dedup_simhash
+    is XOR+bit_count — integer-exact in both engines.
 
-    sig = llm_dedup_simhash(spark, sf_dir)
+    r14: the fingerprint comes from llm_dedup_simhash's shared
+    unordered relation (same computation, so the KNN still cannot
+    drift from the graded fingerprint) — the presentation ORDER BY
+    cost each join arm a range exchange + sort the join immediately
+    destroyed. The QUERY side carries an explicit broadcast hint
+    (guide §3.1): it is the %50 == 0 slice — 49x smaller than the
+    corpus arm by construction — yet Spark built the hash table
+    from the corpus side."""
+    from .llm import _simhash_unordered
+
+    sig = _simhash_unordered(spark, sf_dir)
     posts = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -615,7 +624,7 @@ def llm_simhash_hamming_knn(spark, sf_dir):
     ).select("doc_id", "simhash",
              F.col("bb.band_idx").alias("band_idx"),
              F.col("bb.band_val").alias("band_val"))
-    qp = posts.where(F.col("doc_id") % 50 == 0).alias("q")
+    qp = F.broadcast(posts.where(F.col("doc_id") % 50 == 0)).alias("q")
     dp = posts.where(F.col("doc_id") % 50 != 0).alias("d")
     scored = (
         qp.join(dp, ["band_idx", "band_val"])
