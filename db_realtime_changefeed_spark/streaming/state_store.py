@@ -144,24 +144,19 @@ class BucketedMvccState:
         an ordered-index reader pick the minimal bucket suffix/prefix
         holding k rows in ONE pass instead of widening a bucket
         window one step per Spark job (r13; guide §1.2 per-job
-        scheduling cost dominates O(k) reads)."""
-        import pyarrow.parquet as pq
+        scheduling cost dominates O(k) reads). Goes through the
+        statefs seam (r14): on an object-store state root this is a
+        manifest-stats read, not a listdir."""
+        from .statefs import STATE_FS
 
         man = self.manifest(batch_id)
         if buckets is not None:
             sel = set(buckets)
             man = {k: v for k, v in man.items() if k in sel}
-        out: dict[int, int] = {}
-        for k, v in man.items():
-            d = self._bucket_dir(k, v)
-            n = 0
-            if os.path.isdir(d):
-                for f in os.listdir(d):
-                    if f.endswith(".parquet"):
-                        n += pq.read_metadata(
-                            os.path.join(d, f)).num_rows
-            out[k] = n
-        return out
+        return {
+            k: STATE_FS.parquet_row_counts(self._bucket_dir(k, v))
+            for k, v in man.items()
+        }
 
     def touched_buckets(self, delta_df: DataFrame,
                         key: str | None = None) -> list[int]:

@@ -128,15 +128,15 @@ def _tiny_write(rows: list, ddl: str, path: str) -> None:
     bytes). ONLY for rows already on the driver by design (top-k /
     cohort deltas are O(k) by contract — the subscriber's answer,
     not state). Overwrite-idempotent like the Spark write it
-    replaces: the batch dir is replaced atomically via a tmp dir.
-    Every reader of these logs supplies an explicit read schema, so
-    the file-level types below (int64/float64/string, all nullable)
-    round-trip identically to the Spark-written layout."""
-    import shutil
-    import tempfile
-
+    replaces: the publish goes through the statefs seam (r14), which
+    is an atomic tmp-dir rename locally and a PUT + pointer swap on
+    an object store. Every reader of these logs supplies an explicit
+    read schema, so the file-level types below (int64/float64/string,
+    all nullable) round-trip identically to the Spark-written
+    layout."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
+
+    from .statefs import STATE_FS
 
     global _PA_TYPES
     if _PA_TYPES is None:
@@ -154,16 +154,8 @@ def _tiny_write(rows: list, ddl: str, path: str) -> None:
         pa.array([r[i] for r in rows], type=f.type)
         for i, f in enumerate(fields)
     ]
-    tbl = pa.Table.from_arrays(cols, schema=schema)
-    parent = os.path.dirname(path) or "."
-    tmp = tempfile.mkdtemp(prefix=".tmp-tinywrite-", dir=parent)
-    try:
-        pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+    STATE_FS.put_small_parquet_dir(
+        pa.Table.from_arrays(cols, schema=schema), path)
 
 
 class HashOrderedIndex(BucketedMvccState):

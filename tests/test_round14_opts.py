@@ -40,6 +40,31 @@ def test_final_watermark_ms_reads_last_offsets_entry(tmp_path):
     assert _final_watermark_ms(str(tmp_path)) == 1_700_003_600_000
 
 
+def test_statefs_footer_counts_and_atomic_put(tmp_path):
+    """The statefs seam (the state store's driver-side metadata
+    surface): footer-only row counts and overwrite-idempotent
+    small-object publish."""
+    import pyarrow as pa
+
+    from db_realtime_changefeed_spark.streaming.statefs import STATE_FS
+
+    t1 = pa.table({"a": [1, 2, 3]})
+    t2 = pa.table({"a": [7]})
+    dst = str(tmp_path / "log" / "batch-00001")
+    os.makedirs(os.path.dirname(dst))
+    STATE_FS.put_small_parquet_dir(t1, dst)
+    assert STATE_FS.parquet_row_counts(dst) == 3
+    # overwrite-idempotent republish of the same dir
+    STATE_FS.put_small_parquet_dir(t2, dst)
+    assert STATE_FS.parquet_row_counts(dst) == 1
+    # one parquet file, no leftover tmp dirs
+    assert [f for f in os.listdir(dst)] == ["part-00000.parquet"]
+    assert [d for d in os.listdir(tmp_path / "log")
+            if d.startswith(".tmp")] == []
+    # a missing dir counts zero (empty touched bucket)
+    assert STATE_FS.parquet_row_counts(str(tmp_path / "nope")) == 0
+
+
 def test_chained_agg_fold_matches_batch_recompute(spark, sf_smoke):
     from db_realtime_changefeed_spark.queries import all_queries
 
